@@ -1,0 +1,444 @@
+"""Native Hudi copy-on-write timeline implementation (no Hudi runtime).
+
+Implements the public Hudi table layout (hudi.apache.org/docs — 0.x
+timeline-layout v1): ``.hoodie/hoodie.properties`` table config,
+``<instant>.commit[.requested|.inflight]`` JSON timeline files with
+``HoodieCommitMetadata``-shaped payloads, ``<instant>.replacecommit`` for
+file-group replacement, and archived timeline under ``.hoodie/archived``.
+
+Reference parity: the reference writes these through HoodieJavaWriteClient
+(core/.../hudi/HudiTargetClient.java:190-400) and reads through the Hudi
+timeline API (core/.../hudi/HudiClient.java:86-225). Its external-file
+registration trick — each pre-existing parquet becomes its own file group,
+with the commit time appended to the file name marker
+(core/.../hudi/BaseFileUpdatesExtractor.java:77-232, ExternalFilePathUtil)
+— maps here to one fileId per registered path.
+
+Instant format: ``yyyyMMddHHmmssSSS`` UTC (HudiInstantUtils.java:57-76).
+Snapshot semantics: a file is live at instant t iff it was added by a
+completed commit ≤ t and its fileId is not replaced by a completed
+replacecommit ≤ t, nor its commit rolled back.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from datetime import datetime, timezone
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from onetable_spark.model import (
+    FILES_SCHEMA,
+    DataLayoutStrategy,
+    FilesDiff,
+    PartitionField,
+    Snapshot,
+    Table,
+    TableChange,
+    TableFormat,
+    TableMetadata,
+)
+
+HOODIE_DIR = ".hoodie"
+COMMIT_ACTIONS = ("commit", "replacecommit")
+
+WRITE_STAT_SCHEMA = T.StructType(
+    [
+        T.StructField("fileId", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("prevCommit", T.StringType()),
+        T.StructField("numWrites", T.LongType()),
+        T.StructField("numInserts", T.LongType()),
+        T.StructField("totalWriteBytes", T.LongType()),
+        T.StructField("fileSizeInBytes", T.LongType()),
+        T.StructField("partitionPath", T.StringType()),
+        T.StructField("minEventTime", T.StringType()),
+        T.StructField("maxEventTime", T.StringType()),
+        T.StructField("columnStats", T.StringType()),  # our extension: stats JSON
+    ]
+)
+COMMIT_META_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "partitionToWriteStats", T.MapType(T.StringType(), T.ArrayType(WRITE_STAT_SCHEMA))
+        ),
+        T.StructField(
+            "partitionToReplaceFileIds", T.MapType(T.StringType(), T.ArrayType(T.StringType()))
+        ),
+        T.StructField("extraMetadata", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("operationType", T.StringType()),
+        T.StructField("schemaString", T.StringType()),
+    ]
+)
+
+
+def millis_to_instant(millis: int) -> str:
+    """Epoch millis → Hudi commit timestamp (HudiInstantUtils.java:57-76)."""
+    dt = datetime.fromtimestamp(millis / 1000, tz=timezone.utc)
+    return dt.strftime("%Y%m%d%H%M%S") + f"{millis % 1000:03d}"
+
+
+def instant_to_millis(instant: str) -> int:
+    base = datetime.strptime(instant[:14], "%Y%m%d%H%M%S").replace(tzinfo=timezone.utc)
+    millis = int(base.timestamp() * 1000)
+    if len(instant) > 14:
+        millis += int(instant[14:17])
+    return millis
+
+
+class HudiTimeline:
+    """Reader/writer for one table's ``.hoodie`` timeline."""
+
+    def __init__(self, spark: SparkSession, table_path: str):
+        self.spark = spark
+        self.table_path = table_path
+        self.hoodie_path = os.path.join(table_path, HOODIE_DIR)
+
+    # ------------------------------------------------------------------ init
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.hoodie_path, "hoodie.properties"))
+
+    def init_table(self, table: Table) -> None:
+        """Create ``.hoodie`` with table config (HudiTableManager.java:85-152)."""
+        os.makedirs(self.hoodie_path, exist_ok=True)
+        props_file = os.path.join(self.hoodie_path, "hoodie.properties")
+        if os.path.exists(props_file):
+            return
+        props = {
+            "hoodie.table.name": table.name,
+            "hoodie.table.type": "COPY_ON_WRITE",
+            "hoodie.table.version": "6",
+            "hoodie.timeline.layout.version": "1",
+            "hoodie.table.base.file.format": "PARQUET",
+            "hoodie.datasource.write.hive_style_partitioning": str(
+                table.layout == DataLayoutStrategy.HIVE_STYLE_PARTITION
+            ).lower(),
+            "hoodie.table.recordkey.fields": ",".join(table.record_key_fields),
+            "hoodie.table.partition.fields": ",".join(
+                p.source_field for p in table.partition_fields
+            ),
+            "hoodie.table.schema": json.dumps(table.read_schema.jsonValue()),
+        }
+        with open(props_file, "w") as f:
+            f.write("#Updated at %d\n" % int(time.time() * 1000))
+            for k, v in sorted(props.items()):
+                if v:
+                    f.write(f"{k}={v}\n")
+        os.makedirs(os.path.join(self.hoodie_path, "archived"), exist_ok=True)
+
+    def table_properties(self) -> dict[str, str]:
+        props: dict[str, str] = {}
+        with open(os.path.join(self.hoodie_path, "hoodie.properties")) as f:
+            for line in f:
+                line = line.strip()
+                if line and not line.startswith("#") and "=" in line:
+                    k, v = line.split("=", 1)
+                    props[k] = v
+        return props
+
+    # -------------------------------------------------------------- timeline
+
+    def completed_instants(self) -> list[tuple[str, str]]:
+        """Sorted [(instant, action)] of completed commits, rollbacks applied
+        (HudiClient.java:128-149 backlog source)."""
+        if not os.path.isdir(self.hoodie_path):
+            return []
+        completed: list[tuple[str, str]] = []
+        rolled_back: set[str] = set()
+        for f in os.listdir(self.hoodie_path):
+            parts = f.split(".")
+            if len(parts) == 2 and parts[1] in COMMIT_ACTIONS:
+                completed.append((parts[0], parts[1]))
+            elif len(parts) == 2 and parts[1] == "rollback":
+                with open(os.path.join(self.hoodie_path, f)) as fh:
+                    rolled_back.update(json.load(fh).get("commitsRollback", []))
+        return sorted((i, a) for i, a in completed if i not in rolled_back)
+
+    def latest_instant(self) -> Optional[str]:
+        instants = self.completed_instants()
+        return instants[-1][0] if instants else None
+
+    def pending_instants(self) -> list[str]:
+        out = set()
+        for f in os.listdir(self.hoodie_path):
+            if f.endswith((".inflight", ".commit.requested", ".replacecommit.requested")):
+                out.add(f.split(".")[0])
+        completed = {i for i, _ in self.completed_instants()}
+        return sorted(out - completed)
+
+    def _commit_paths(self, instants: list[tuple[str, str]]) -> list[str]:
+        return [os.path.join(self.hoodie_path, f"{i}.{a}") for i, a in instants]
+
+    def _commits_df(self, instants: list[tuple[str, str]]) -> DataFrame:
+        """Completed commit metadata as a DataFrame tagged with instant."""
+        df = self.spark.read.schema(COMMIT_META_SCHEMA).json(self._commit_paths(instants))
+        return df.withColumn(
+            "instant",
+            F.regexp_extract(
+                F.element_at(F.split(F.input_file_name(), "/"), -1), r"^(\d+)", 1
+            ),
+        )
+
+    # ------------------------------------------------------------- snapshot
+
+    def snapshot_files(self, instant: Optional[str] = None) -> DataFrame:
+        """Live file set at ``instant`` (HudiDataFileExtractor.java:113-124).
+
+        Distributed replay: explode per-partition write stats from all
+        completed commits, drop file groups replaced by a later-or-equal
+        replacecommit, keep the latest slice per fileId.
+        """
+        instants = self.completed_instants()
+        if instant is not None:
+            instants = [(i, a) for i, a in instants if i <= instant]
+        if not instants:
+            return self.spark.createDataFrame([], FILES_SCHEMA)
+        commits = self._commits_df(instants)
+        adds = (
+            commits.select(
+                "instant", F.explode_outer("partitionToWriteStats").alias("partition", "stats")
+            )
+            .select("instant", "partition", F.explode("stats").alias("ws"))
+            .select(
+                "instant",
+                F.col("ws.fileId").alias("file_id"),
+                F.col("ws.path").alias("rel_path"),
+                F.col("ws.partitionPath").alias("partition_path"),
+                F.col("ws.fileSizeInBytes").alias("size"),
+                F.col("ws.numWrites").alias("record_count"),
+                F.col("ws.columnStats").alias("stats_json"),
+            )
+        )
+        replaced = commits.select(
+            F.col("instant").alias("replace_instant"),
+            F.explode_outer("partitionToReplaceFileIds").alias("partition", "file_ids"),
+        ).select("replace_instant", F.explode("file_ids").alias("file_id"))
+
+        # latest slice per file group, then anti-join groups replaced at a
+        # later-or-equal instant (broadcast: replace sets are tiny)
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("file_id").orderBy(F.desc("instant"))
+        latest = adds.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        live = latest.join(
+            F.broadcast(replaced),
+            (latest.file_id == replaced.file_id) & (replaced.replace_instant >= latest.instant),
+            "left_anti",
+        )
+        table_path = self.table_path
+        return live.select(
+            F.concat(F.lit(table_path + "/"), F.col("rel_path")).alias("path"),
+            F.lit("parquet").alias("file_format"),
+            self._partition_values_col().alias("partition_values"),
+            F.col("size"),
+            F.col("record_count"),
+            F.col("instant").cast("long").alias("last_modified_millis"),
+            F.from_json("stats_json", FILES_SCHEMA["column_stats"].dataType).alias(
+                "column_stats"
+            ),
+        )
+
+    def _partition_values_col(self):
+        """partition_path 'a=1/b=2' or '' → map (HudiPartitionValuesExtractor
+        hive-style parse)."""
+        return F.when(
+            F.col("partition_path").isNull() | (F.col("partition_path") == ""), F.expr("map()")
+        ).otherwise(
+            F.expr(
+                "map_from_entries(transform(split(partition_path, '/'),"
+                " s -> struct(split(s, '=')[0], split(s, '=')[1])))"
+            )
+        )
+
+    def table_descriptor(self, name: str | None = None) -> Table:
+        props = self.table_properties()
+        schema_json = props.get("hoodie.table.schema")
+        schema = (
+            T.StructType.fromJson(json.loads(schema_json)) if schema_json else T.StructType([])
+        )
+        pfields = tuple(
+            PartitionField(source_field=p)
+            for p in props.get("hoodie.table.partition.fields", "").split(",")
+            if p
+        )
+        latest = self.latest_instant()
+        return Table(
+            name=name or props.get("hoodie.table.name", os.path.basename(self.table_path)),
+            base_path=self.table_path,
+            table_format=TableFormat.HUDI,
+            read_schema=schema,
+            partition_fields=pfields,
+            record_key_fields=tuple(
+                k for k in props.get("hoodie.table.recordkey.fields", "").split(",") if k
+            ),
+            layout=(
+                DataLayoutStrategy.HIVE_STYLE_PARTITION
+                if props.get("hoodie.datasource.write.hive_style_partitioning") == "true"
+                else DataLayoutStrategy.FLAT
+            ),
+            latest_commit_millis=instant_to_millis(latest) if latest else 0,
+        )
+
+    def current_snapshot(self) -> Snapshot:
+        latest = self.latest_instant()
+        return Snapshot(
+            table=self.table_descriptor(),
+            files=self.snapshot_files(latest),
+            version=latest or "0",
+            pending_commits=tuple(instant_to_millis(i) for i in self.pending_instants()),
+        )
+
+    def changes_for_instant(self, instant: str) -> TableChange:
+        """Per-commit diff (HudiClient.java:112-126 dispatch: COMMIT adds
+        files; REPLACE adds + removes replaced groups)."""
+        match = [(i, a) for i, a in self.completed_instants() if i == instant]
+        if not match:
+            raise ValueError(f"no completed instant {instant}")
+        # G1 anti-join diff between consecutive snapshots — covers COMMIT
+        # (pure adds) and REPLACE (adds + replaced groups vanish) uniformly
+        before = self.snapshot_files_before(instant)
+        after = self.snapshot_files(instant)
+        added = after.join(before.select("path"), "path", "left_anti")
+        removed = before.join(after.select("path"), "path", "left_anti")
+        return TableChange(
+            table=self.table_descriptor(),
+            diff=FilesDiff(added=added, removed=removed),
+            commit_millis=instant_to_millis(instant),
+            commit_id=instant,
+        )
+
+    def snapshot_files_before(self, instant: str) -> DataFrame:
+        earlier = [i for i, _ in self.completed_instants() if i < instant]
+        if not earlier:
+            return self.spark.createDataFrame([], FILES_SCHEMA)
+        return self.snapshot_files(earlier[-1])
+
+    def instants_after_millis(self, millis: int) -> list[str]:
+        return [i for i, _ in self.completed_instants() if instant_to_millis(i) > millis]
+
+    def is_incremental_sync_safe_from(self, millis: int) -> bool:
+        """HudiClient.java:151-175: a completed commit at/before the instant
+        must still exist on the active timeline (not archived away)."""
+        instants = self.completed_instants()
+        return bool(instants) and instant_to_millis(instants[0][0]) <= millis
+
+    def get_sync_metadata(self) -> Optional[TableMetadata]:
+        """Watermark from latest commit's extraMetadata (K13)."""
+        for i, a in reversed(self.completed_instants()):
+            with open(os.path.join(self.hoodie_path, f"{i}.{a}")) as f:
+                extra = json.load(f).get("extraMetadata") or {}
+            meta = TableMetadata.from_props(extra)
+            if meta is not None:
+                return meta
+        return None
+
+    # ----------------------------------------------------------------- write
+
+    def new_instant(self) -> str:
+        instant = millis_to_instant(int(time.time() * 1000))
+        # monotonic even when two commits land in the same millisecond
+        existing = {i for i, _ in self.completed_instants()} | set(self.pending_instants())
+        while instant in existing:
+            instant = millis_to_instant(instant_to_millis(instant) + 1)
+        return instant
+
+    def commit(
+        self,
+        adds: DataFrame | None = None,
+        replace_file_ids: dict[str, list[str]] | None = None,
+        extra_metadata: Optional[dict[str, str]] = None,
+        schema: Optional[T.StructType] = None,
+        operation: str = "UPSERT",
+    ) -> str:
+        """Write one completed commit through the requested→inflight→completed
+        lifecycle (HudiTargetClient.java:190-280).
+
+        ``adds``: FILES_SCHEMA rows to register (each becomes its own file
+        group — external-file semantics). ``replace_file_ids``: partition →
+        fileIds to replace → emitted as a replacecommit.
+        """
+        instant = self.new_instant()
+        action = "replacecommit" if replace_file_ids else "commit"
+        req = os.path.join(self.hoodie_path, f"{instant}.{action}.requested")
+        inflight = os.path.join(
+            self.hoodie_path, f"{instant}.{action}.inflight" if action == "replacecommit" else f"{instant}.inflight"
+        )
+        open(req, "w").close()
+        open(inflight, "w").close()
+
+        partition_to_stats: dict[str, list[dict]] = {}
+        if adds is not None:
+            table_prefix = self.table_path.rstrip("/") + "/"
+            for row in adds.toLocalIterator():
+                rel = row["path"]
+                if rel.startswith(table_prefix):
+                    rel = rel[len(table_prefix):]
+                pvals = dict(row["partition_values"] or {})
+                partition = "/".join(f"{k}={v}" for k, v in pvals.items())
+                file_id = _file_id_for(rel)
+                stats_json = (
+                    json.dumps([s.asDict() if hasattr(s, "asDict") else dict(s) for s in row["column_stats"]])
+                    if row["column_stats"]
+                    else None
+                )
+                partition_to_stats.setdefault(partition, []).append(
+                    {
+                        "fileId": file_id,
+                        "path": rel,
+                        "prevCommit": "null",
+                        "numWrites": row["record_count"] or 0,
+                        "numInserts": row["record_count"] or 0,
+                        "totalWriteBytes": row["size"] or 0,
+                        "fileSizeInBytes": row["size"] or 0,
+                        "partitionPath": partition,
+                        "columnStats": stats_json,
+                    }
+                )
+        meta = {
+            "partitionToWriteStats": partition_to_stats,
+            "compacted": False,
+            "operationType": operation,
+            "extraMetadata": dict(extra_metadata or {}),
+        }
+        if schema is not None:
+            meta["schemaString"] = json.dumps(schema.jsonValue())
+        if replace_file_ids:
+            meta["partitionToReplaceFileIds"] = replace_file_ids
+        completed = os.path.join(self.hoodie_path, f"{instant}.{action}")
+        tmp = completed + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, completed)
+        os.remove(req)
+        os.remove(inflight)
+        return instant
+
+    def rollback(self, instant: str) -> str:
+        """Roll back a completed commit (HudiClient ROLLBACK handling)."""
+        rb_instant = self.new_instant()
+        with open(os.path.join(self.hoodie_path, f"{rb_instant}.rollback"), "w") as f:
+            json.dump({"commitsRollback": [instant]}, f)
+        return rb_instant
+
+    def archive_timeline(self, keep_latest: int = 10) -> int:
+        """Move old completed instants to ``archived/`` — timeline bounded
+        like HoodieTimelineArchiver (HudiTargetClient.java:414-546)."""
+        instants = self.completed_instants()
+        to_archive = instants[:-keep_latest] if len(instants) > keep_latest else []
+        for i, a in to_archive:
+            src = os.path.join(self.hoodie_path, f"{i}.{a}")
+            os.replace(src, os.path.join(self.hoodie_path, "archived", f"{i}.{a}"))
+        return len(to_archive)
+
+
+def _file_id_for(rel_path: str) -> str:
+    """Stable fileId per registered external file (BaseFileUpdatesExtractor
+    maps each external file to its own file group)."""
+    return uuid.uuid5(uuid.NAMESPACE_URL, rel_path).hex

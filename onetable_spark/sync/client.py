@@ -1,0 +1,446 @@
+"""The sync planner/executor — OneTableClient re-expressed for Spark.
+
+Orchestrates: bind source → read per-target watermarks → plan FULL vs
+INCREMENTAL per target (with safety fallback) → execute, reusing ONE
+source extraction across all targets (the files DataFrame is persisted,
+the reference reuses one extracted snapshot the same way,
+core/.../client/OneTableClient.java:113-121).
+
+Reference parity map:
+- mode planning + fallback        OneTableClient.java:149-173,220-246
+- snapshot path                   OneTableClient.java:175-181, TableFormatSync.java:61-84
+- incremental path + commit loop  OneTableClient.java:183-209, TableFormatSync.java:93-133
+- per-target commit pruning       TableFormatSync.java:135-144
+- lifecycle per commit            TableFormatSync.java:146-174
+  (begin → schema → partition spec → files → metadata → complete; here each
+  target's ``sync_snapshot``/``sync_change`` performs the whole lifecycle as
+  one atomic format commit — Delta JSON commit / Hudi timeline instant /
+  Iceberg metadata swap)
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Iterator, Optional, Protocol
+
+from pyspark.sql import SparkSession
+from pyspark.storagelevel import StorageLevel
+
+from onetable_spark.formats.delta import DeltaLog
+from onetable_spark.formats.hudi import HudiTimeline, instant_to_millis
+from onetable_spark.formats.iceberg import IcebergTable
+from onetable_spark.model import (
+    FilesDiff,
+    Snapshot,
+    SyncMode,
+    SyncResult,
+    SyncStatus,
+    Table,
+    TableChange,
+    TableFormat,
+    TableMetadata,
+)
+from onetable_spark.operators import files_diff
+from onetable_spark.sources.parquet_inventory import inventory_from_directory
+
+
+class SourceClient(Protocol):
+    """SPI: api/.../spi/extractor/SourceClient.java:33-88"""
+
+    def current_snapshot(self) -> Snapshot: ...
+
+    def changes_since(self, millis: int, pending: tuple[int, ...]) -> Iterator[TableChange]: ...
+
+    def is_incremental_sync_safe_from(self, millis: int) -> bool: ...
+
+
+class TargetClient(Protocol):
+    """SPI: api/.../spi/sync/TargetClient.java:35-93"""
+
+    table_format: TableFormat
+
+    def get_sync_metadata(self) -> Optional[TableMetadata]: ...
+
+    def sync_snapshot(self, snapshot: Snapshot, metadata: TableMetadata) -> None: ...
+
+    def sync_change(self, change: TableChange, metadata: TableMetadata) -> None: ...
+
+
+# ------------------------------------------------------------------- sources
+
+
+class ParquetSource:
+    """A plain parquet directory as a source 'table' (snapshot-only)."""
+
+    def __init__(self, spark: SparkSession, path: str, name: str = "", schema=None):
+        self.spark = spark
+        self.path = path
+        self.name = name or path.rstrip("/").rsplit("/", 1)[-1]
+        self._schema = schema
+
+    def current_snapshot(self) -> Snapshot:
+        from onetable_spark.model import DataLayoutStrategy
+
+        files = inventory_from_directory(self.spark, self.path)
+        schema = self._schema or self.spark.read.parquet(self.path).schema
+        table = Table(
+            name=self.name,
+            base_path=self.path,
+            table_format=TableFormat.PARQUET,
+            read_schema=schema,
+            layout=DataLayoutStrategy.FLAT,
+            latest_commit_millis=int(time.time() * 1000),
+        )
+        return Snapshot(table=table, files=files)
+
+    def changes_since(self, millis: int, pending: tuple[int, ...]) -> Iterator[TableChange]:
+        return iter(())  # snapshot-only source
+
+    def is_incremental_sync_safe_from(self, millis: int) -> bool:
+        return False
+
+
+class DeltaSource:
+    def __init__(self, spark: SparkSession, path: str):
+        self.log = DeltaLog(spark, path)
+
+    def current_snapshot(self) -> Snapshot:
+        return self.log.current_snapshot()
+
+    def changes_since(self, millis: int, pending: tuple[int, ...]) -> Iterator[TableChange]:
+        for v in self.log.versions_after_millis(millis):
+            yield self.log.changes_for_version(v)
+
+    def is_incremental_sync_safe_from(self, millis: int) -> bool:
+        # Delta commits are self-describing; safe while the commit files exist
+        versions = self.log._versions()
+        if not versions:
+            return False
+        import os
+
+        from onetable_spark.formats.delta import _version_path
+
+        earliest = int(os.stat(_version_path(self.log.table_path, versions[0])).st_mtime * 1000)
+        return earliest <= millis
+
+
+class HudiSource:
+    def __init__(self, spark: SparkSession, path: str):
+        self.timeline = HudiTimeline(spark, path)
+
+    def current_snapshot(self) -> Snapshot:
+        return self.timeline.current_snapshot()
+
+    def changes_since(self, millis: int, pending: tuple[int, ...]) -> Iterator[TableChange]:
+        # completed-after-watermark ∪ previously-pending now-completed (G4
+        # merge, HudiClient.java:128-149)
+        from onetable_spark.formats.hudi import millis_to_instant
+
+        instants = set(self.timeline.instants_after_millis(millis))
+        completed = {i for i, _ in self.timeline.completed_instants()}
+        instants |= {millis_to_instant(p) for p in pending} & completed
+        for i in sorted(instants):
+            yield self.timeline.changes_for_instant(i)
+
+    def is_incremental_sync_safe_from(self, millis: int) -> bool:
+        return self.timeline.is_incremental_sync_safe_from(millis)
+
+
+class IcebergSource:
+    def __init__(self, spark: SparkSession, path: str):
+        self.table = IcebergTable(spark, path)
+
+    def current_snapshot(self) -> Snapshot:
+        return self.table.current_snapshot()
+
+    def changes_since(self, millis: int, pending: tuple[int, ...]) -> Iterator[TableChange]:
+        for snap in self.table.snapshots_after_millis(millis):
+            yield self.table.changes_for_snapshot(snap["snapshot-id"])
+
+    def is_incremental_sync_safe_from(self, millis: int) -> bool:
+        return self.table.is_incremental_sync_safe_from(millis)
+
+
+# ------------------------------------------------------------------- targets
+
+
+class DeltaTarget:
+    table_format = TableFormat.DELTA
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.log = DeltaLog(spark, path)
+
+    def get_sync_metadata(self) -> Optional[TableMetadata]:
+        if not self.log.exists():
+            return None
+        return self.log.get_sync_metadata()
+
+    def _ensure(self, table: Table) -> None:
+        if not self.log.exists():
+            self.log.init_table(
+                Table(**{**table.__dict__, "table_format": TableFormat.DELTA})
+            )
+
+    def sync_snapshot(self, snapshot: Snapshot, metadata: TableMetadata) -> None:
+        self._ensure(snapshot.table)
+        current = (
+            self.log.snapshot_files()
+            if self.log.latest_version() >= 0
+            else self.spark.createDataFrame([], snapshot.files.schema)
+        )
+        added, removed = files_diff(snapshot.files, current)
+        meta = self.log.update_configuration(metadata.to_props())
+        self.log.commit(adds=added, removes=removed, metadata=meta, operation="SYNC_SNAPSHOT")
+
+    def sync_change(self, change: TableChange, metadata: TableMetadata) -> None:
+        self._ensure(change.table)
+        meta = self.log.update_configuration(metadata.to_props())
+        self.log.commit(
+            adds=change.diff.added,
+            removes=change.diff.removed,
+            metadata=meta,
+            operation="SYNC_CHANGE",
+        )
+
+
+class HudiTarget:
+    table_format = TableFormat.HUDI
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.timeline = HudiTimeline(spark, path)
+
+    def get_sync_metadata(self) -> Optional[TableMetadata]:
+        if not self.timeline.exists():
+            return None
+        return self.timeline.get_sync_metadata()
+
+    def _ensure(self, table: Table) -> None:
+        if not self.timeline.exists():
+            self.timeline.init_table(
+                Table(**{**table.__dict__, "table_format": TableFormat.HUDI})
+            )
+
+    def _replace_ids_for(self, removed) -> dict[str, list[str]]:
+        """Removed paths → per-partition fileIds (replace-commit semantics,
+        BaseFileUpdatesExtractor.java:77-232)."""
+        from onetable_spark.formats.hudi import _file_id_for
+
+        prefix = self.timeline.table_path.rstrip("/") + "/"
+        out: dict[str, list[str]] = {}
+        for row in removed.select("path").toLocalIterator():
+            rel = row["path"]
+            if rel.startswith(prefix):
+                rel = rel[len(prefix):]
+            partition = "/".join(rel.split("/")[:-1])
+            out.setdefault(partition, []).append(_file_id_for(rel))
+        return out
+
+    def sync_snapshot(self, snapshot: Snapshot, metadata: TableMetadata) -> None:
+        self._ensure(snapshot.table)
+        current = self.timeline.snapshot_files()
+        added, removed = files_diff(snapshot.files, current)
+        replace = self._replace_ids_for(removed)
+        self.timeline.commit(
+            adds=added,
+            replace_file_ids=replace or None,
+            extra_metadata=metadata.to_props(),
+            schema=snapshot.table.read_schema,
+            operation="INSERT_OVERWRITE" if replace else "BULK_INSERT",
+        )
+        self.timeline.archive_timeline()
+
+    def sync_change(self, change: TableChange, metadata: TableMetadata) -> None:
+        self._ensure(change.table)
+        replace = self._replace_ids_for(change.diff.removed)
+        self.timeline.commit(
+            adds=change.diff.added,
+            replace_file_ids=replace or None,
+            extra_metadata=metadata.to_props(),
+            schema=change.table.read_schema,
+            operation="UPSERT",
+        )
+        self.timeline.archive_timeline()
+
+
+class IcebergTarget:
+    table_format = TableFormat.ICEBERG
+
+    def __init__(self, spark: SparkSession, path: str, retention_hours: int = 168):
+        self.spark = spark
+        self.table = IcebergTable(spark, path)
+        self.retention_hours = retention_hours
+
+    def get_sync_metadata(self) -> Optional[TableMetadata]:
+        if not self.table.exists():
+            return None
+        return self.table.get_sync_metadata()
+
+    def _ensure(self, table: Table) -> None:
+        if not self.table.exists():
+            self.table.init_table(
+                Table(**{**table.__dict__, "table_format": TableFormat.ICEBERG})
+            )
+
+    def _expiry_horizon(self) -> int:
+        return int(time.time() * 1000) - self.retention_hours * 3600_000
+
+    def sync_snapshot(self, snapshot: Snapshot, metadata: TableMetadata) -> None:
+        self._ensure(snapshot.table)
+        current = self.table.snapshot_files()
+        added, removed = files_diff(snapshot.files, current)
+        self.table.commit_overwrite(
+            adds=added,
+            removes=removed,
+            properties=metadata.to_props(),
+            schema=snapshot.table.read_schema,
+            expire_older_than_millis=self._expiry_horizon(),
+        )
+
+    def sync_change(self, change: TableChange, metadata: TableMetadata) -> None:
+        self._ensure(change.table)
+        self.table.commit_overwrite(
+            adds=change.diff.added,
+            removes=change.diff.removed,
+            properties=metadata.to_props(),
+            schema=change.table.read_schema,
+            expire_older_than_millis=self._expiry_horizon(),
+        )
+
+
+# ----------------------------------------------------------------- factories
+
+_SOURCES = {
+    TableFormat.PARQUET: ParquetSource,
+    TableFormat.DELTA: DeltaSource,
+    TableFormat.HUDI: HudiSource,
+    TableFormat.ICEBERG: IcebergSource,
+}
+_TARGETS = {
+    TableFormat.DELTA: DeltaTarget,
+    TableFormat.HUDI: HudiTarget,
+    TableFormat.ICEBERG: IcebergTarget,
+}
+
+
+def source_for(spark: SparkSession, fmt: TableFormat | str, path: str) -> SourceClient:
+    return _SOURCES[TableFormat(fmt)](spark, path)
+
+
+def target_for(spark: SparkSession, fmt: TableFormat | str, path: str) -> TargetClient:
+    """ServiceLoader-style registry (TableFormatClientFactory.java:49-73)."""
+    return _TARGETS[TableFormat(fmt)](spark, path)
+
+
+# -------------------------------------------------------------------- client
+
+
+@dataclass
+class SyncConfig:
+    mode: SyncMode = SyncMode.INCREMENTAL
+    retention_hours: int = 168  # PerTableConfigImpl.java:126 default
+
+
+@dataclass
+class SyncClient:
+    """OneTableClient.java:84-139 — one source fan-out to N targets."""
+
+    spark: SparkSession
+    config: SyncConfig = field(default_factory=SyncConfig)
+
+    def sync(
+        self, source: SourceClient, targets: list[TargetClient]
+    ) -> dict[TableFormat, SyncResult]:
+        results: dict[TableFormat, SyncResult] = {}
+        watermarks = {t.table_format: t.get_sync_metadata() for t in targets}
+
+        incremental: list[TargetClient] = []
+        full: list[TargetClient] = []
+        for t in targets:
+            mark = watermarks[t.table_format]
+            if (
+                self.config.mode == SyncMode.INCREMENTAL
+                and mark is not None
+                and source.is_incremental_sync_safe_from(mark.last_instant_synced_millis)
+            ):
+                incremental.append(t)
+            else:
+                full.append(t)  # fallback: snapshot sync
+
+        if full:
+            snapshot = source.current_snapshot()
+            # one extraction reused by all targets (OneTableClient.java:113-121)
+            snapshot.files.persist(StorageLevel.MEMORY_AND_DISK)
+            try:
+                metadata = TableMetadata(
+                    last_instant_synced_millis=snapshot.table.latest_commit_millis,
+                    inflight_commits=snapshot.pending_commits,
+                )
+                for t in full:
+                    results[t.table_format] = self._run(
+                        t, SyncMode.FULL, lambda tt=t: tt.sync_snapshot(snapshot, metadata)
+                    )
+            finally:
+                snapshot.files.unpersist()
+
+        if incremental:
+            # most-out-of-sync instant across targets (G5, OneTableClient.java:248-266)
+            earliest = min(
+                watermarks[t.table_format].last_instant_synced_millis for t in incremental
+            )
+            pending: tuple[int, ...] = tuple(
+                sorted(
+                    {
+                        c
+                        for t in incremental
+                        for c in watermarks[t.table_format].inflight_commits
+                    }
+                )
+            )
+            alive = {t.table_format: t for t in incremental}
+            for change in source.changes_since(earliest, pending):
+                if not alive:
+                    break
+                change.diff.added.persist(StorageLevel.MEMORY_AND_DISK)
+                try:
+                    metadata = TableMetadata(last_instant_synced_millis=change.commit_millis)
+                    for fmt, t in list(alive.items()):
+                        mark = watermarks[fmt]
+                        # commit pruning (G6, TableFormatSync.java:135-144)
+                        if change.commit_millis <= mark.last_instant_synced_millis and (
+                            change.commit_millis not in mark.inflight_commits
+                        ):
+                            continue
+                        result = self._run(
+                            t, SyncMode.INCREMENTAL, lambda tt=t: tt.sync_change(change, metadata)
+                        )
+                        results[fmt] = result
+                        if result.status == SyncStatus.ERROR:
+                            # drop target after first failure (TableFormatSync.java:93-133)
+                            del alive[fmt]
+                finally:
+                    change.diff.added.unpersist()
+
+        return results
+
+    @staticmethod
+    def _run(target: TargetClient, mode: SyncMode, action) -> SyncResult:
+        start = time.perf_counter()
+        try:
+            action()
+            return SyncResult(
+                status=SyncStatus.SUCCESS,
+                mode=mode,
+                target_format=target.table_format,
+                duration_sec=time.perf_counter() - start,
+            )
+        except Exception as e:  # noqa: BLE001 — per-target isolation, RunSync.java:169-171
+            return SyncResult(
+                status=SyncStatus.ERROR,
+                mode=mode,
+                target_format=target.table_format,
+                duration_sec=time.perf_counter() - start,
+                error=str(e),
+            )

@@ -1,0 +1,142 @@
+"""Round-trip tests for the native Hudi COW timeline."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from onetable_spark.formats.hudi import (
+    HudiTimeline,
+    _file_id_for,
+    instant_to_millis,
+    millis_to_instant,
+)
+from onetable_spark.model import DataLayoutStrategy, Table, TableFormat, TableMetadata
+from onetable_spark.sources.parquet_inventory import inventory_from_directory
+
+
+def test_instant_roundtrip():
+    millis = 1723500000123
+    instant = millis_to_instant(millis)
+    assert len(instant) == 17 and instant.isdigit()
+    assert instant_to_millis(instant) == millis
+
+
+@pytest.fixture()
+def hudi_table(spark, sf_dir, tmp_path):
+    table_path = str(tmp_path / "orders_hudi")
+    os.makedirs(table_path)
+    src = os.path.join(sf_dir, "orders.parquet")
+    shutil.copy(src, os.path.join(table_path, "part-00000.parquet"))
+    schema = spark.read.parquet(table_path).schema
+    table = Table(
+        name="orders",
+        base_path=table_path,
+        table_format=TableFormat.HUDI,
+        read_schema=schema,
+        record_key_fields=("o_orderkey",),
+        layout=DataLayoutStrategy.FLAT,
+    )
+    return table_path, table
+
+
+def test_init_commit_snapshot(spark, hudi_table):
+    table_path, table = hudi_table
+    tl = HudiTimeline(spark, table_path)
+    tl.init_table(table)
+    assert tl.exists()
+
+    inv = inventory_from_directory(spark, table_path)
+    instant = tl.commit(adds=inv, schema=table.read_schema)
+    assert tl.latest_instant() == instant
+    assert tl.pending_instants() == []
+
+    snap = tl.current_snapshot()
+    assert snap.table.table_format == TableFormat.HUDI
+    assert snap.table.record_key_fields == ("o_orderkey",)
+    assert snap.table.read_schema == table.read_schema
+
+    files = snap.files.collect()
+    assert {f["path"] for f in files} == {r["path"] for r in inv.collect()}
+    f0 = files[0]
+    assert f0["record_count"] > 0 and f0["size"] > 0
+    stats = {s["field"]: s for s in (f0["column_stats"] or [])}
+    assert stats["o_orderkey"]["min_value"] is not None
+
+    # data parity through the snapshot file list
+    direct = spark.read.parquet(table_path)
+    via = spark.read.parquet(*[f["path"] for f in files])
+    assert via.exceptAll(direct).count() == 0 and via.count() == direct.count()
+
+
+def test_replacecommit_and_changes(spark, hudi_table):
+    table_path, table = hudi_table
+    tl = HudiTimeline(spark, table_path)
+    tl.init_table(table)
+    inv = inventory_from_directory(spark, table_path)
+    i1 = tl.commit(adds=inv)
+
+    # replace the file group with a "clustered" copy
+    clustered = os.path.join(table_path, "clustered-00000.parquet")
+    shutil.copy(inv.first()["path"], clustered)
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    new_inv = build_inventory(spark, [clustered], root=table_path)
+    old_rel = os.path.basename(inv.first()["path"])
+    i2 = tl.commit(adds=new_inv, replace_file_ids={"": [_file_id_for(old_rel)]})
+
+    files = {r["path"] for r in tl.snapshot_files().collect()}
+    assert files == {clustered}
+
+    change = tl.changes_for_instant(i2)
+    assert {r["path"] for r in change.diff.added.collect()} == {clustered}
+    assert {r["path"] for r in change.diff.removed.collect()} == {
+        os.path.join(table_path, old_rel)
+    }
+    change1 = tl.changes_for_instant(i1)
+    assert change1.diff.removed.count() == 0
+
+    # time travel: snapshot as of i1 still shows the original file
+    assert {r["path"] for r in tl.snapshot_files(i1).collect()} == {
+        os.path.join(table_path, old_rel)
+    }
+
+
+def test_rollback_excludes_commit(spark, hudi_table):
+    table_path, table = hudi_table
+    tl = HudiTimeline(spark, table_path)
+    tl.init_table(table)
+    inv = inventory_from_directory(spark, table_path)
+    i1 = tl.commit(adds=inv)
+    assert tl.snapshot_files().count() == 1
+    tl.rollback(i1)
+    assert tl.snapshot_files().count() == 0
+
+
+def test_sync_metadata_and_backlog(spark, hudi_table):
+    table_path, table = hudi_table
+    tl = HudiTimeline(spark, table_path)
+    tl.init_table(table)
+    inv = inventory_from_directory(spark, table_path)
+    meta = TableMetadata(999, (7,))
+    i1 = tl.commit(adds=inv, extra_metadata=meta.to_props())
+    assert tl.get_sync_metadata() == meta
+    assert tl.instants_after_millis(0) == [i1]
+    assert tl.instants_after_millis(instant_to_millis(i1)) == []
+    assert tl.is_incremental_sync_safe_from(instant_to_millis(i1))
+    assert not tl.is_incremental_sync_safe_from(0)
+
+
+def test_archive_timeline(spark, hudi_table):
+    table_path, table = hudi_table
+    tl = HudiTimeline(spark, table_path)
+    tl.init_table(table)
+    for _ in range(5):
+        tl.commit()
+    archived = tl.archive_timeline(keep_latest=2)
+    assert archived == 3
+    assert len(tl.completed_instants()) == 2
+    assert len(os.listdir(os.path.join(table_path, ".hoodie", "archived"))) == 3

@@ -1,0 +1,202 @@
+"""Round-trip tests for the native Iceberg v1 table implementation."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from onetable_spark.formats.iceberg import (
+    IcebergTable,
+    iceberg_to_structtype,
+    structtype_to_iceberg,
+)
+from onetable_spark.model import (
+    DataLayoutStrategy,
+    PartitionField,
+    PartitionTransform,
+    Table,
+    TableFormat,
+    TableMetadata,
+)
+from onetable_spark.sources.parquet_inventory import inventory_from_directory
+
+
+def test_schema_conversion_roundtrip():
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField("price", T.DoubleType(), True),
+            T.StructField("tags", T.ArrayType(T.StringType()), True),
+            T.StructField("props", T.MapType(T.StringType(), T.IntegerType()), True),
+            T.StructField(
+                "nested",
+                T.StructType([T.StructField("x", T.IntegerType(), True)]),
+                True,
+            ),
+            T.StructField("d", T.DecimalType(20, 2), True),
+            T.StructField("ts", T.TimestampNTZType(), True),
+            T.StructField("tz", T.TimestampType(), True),
+            T.StructField("day", T.DateType(), True),
+            T.StructField("bin", T.BinaryType(), True),
+        ]
+    )
+    ice, next_id = structtype_to_iceberg(schema)
+    assert next_id > len(schema.fields)  # nested/list/map ids assigned
+    ids = [f["id"] for f in ice["fields"]]
+    assert len(ids) == len(set(ids))
+    back = iceberg_to_structtype(ice)
+
+    def strip_meta(node):
+        if isinstance(node, dict):
+            return {k: strip_meta(v) for k, v in node.items() if k != "metadata"}
+        if isinstance(node, list):
+            return [strip_meta(x) for x in node]
+        return node
+
+    # same names/types/nullability (metadata differs: fieldIds added)
+    assert strip_meta(back.jsonValue()) == strip_meta(schema.jsonValue())
+
+
+@pytest.fixture()
+def ice_table(spark, sf_dir, tmp_path):
+    table_path = str(tmp_path / "customer_ice")
+    os.makedirs(table_path)
+    shutil.copy(
+        os.path.join(sf_dir, "customer.parquet"), os.path.join(table_path, "part-00000.parquet")
+    )
+    schema = spark.read.parquet(table_path).schema
+    table = Table(
+        name="customer",
+        base_path=table_path,
+        table_format=TableFormat.ICEBERG,
+        read_schema=schema,
+        layout=DataLayoutStrategy.FLAT,
+    )
+    return table_path, table
+
+
+def test_init_commit_snapshot(spark, ice_table):
+    table_path, table = ice_table
+    ice = IcebergTable(spark, table_path)
+    ice.init_table(table)
+    assert ice.exists() and ice.current_version() == 1
+
+    inv = inventory_from_directory(spark, table_path)
+    sid = ice.commit_overwrite(adds=inv)
+    assert ice.current_version() == 2
+
+    snap = ice.current_snapshot()
+    assert snap.version == str(sid)
+    files = snap.files.collect()
+    assert {f["path"] for f in files} == {r["path"] for r in inv.collect()}
+    f0 = files[0]
+    assert f0["record_count"] > 0 and f0["size"] > 0
+    stats = {s["field"]: s for s in (f0["column_stats"] or [])}
+    # bounds survived the byte-serialization round trip
+    assert stats["c_custkey"]["min_value"] is not None
+    orig = {s["field"]: s for s in inv.first()["column_stats"]}
+    assert stats["c_custkey"]["min_value"] == orig["c_custkey"]["min_value"]
+    assert stats["c_custkey"]["num_nulls"] == orig["c_custkey"]["num_nulls"]
+
+    # table descriptor round trip
+    desc = ice.table_descriptor()
+    assert [f.name for f in desc.read_schema.fields] == [f.name for f in table.read_schema.fields]
+
+    via = spark.read.parquet(*[f["path"] for f in files])
+    direct = spark.read.parquet(table_path)
+    assert via.exceptAll(direct).count() == 0
+
+
+def test_incremental_changes_and_parent_chain(spark, ice_table):
+    table_path, table = ice_table
+    ice = IcebergTable(spark, table_path)
+    ice.init_table(table)
+    inv = inventory_from_directory(spark, table_path)
+    s1 = ice.commit_overwrite(adds=inv)
+
+    extra = os.path.join(table_path, "extra-00000.parquet")
+    shutil.copy(inv.first()["path"], extra)
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    inv2 = build_inventory(spark, [extra], root=table_path)
+    s2 = ice.commit_overwrite(adds=inv2)
+
+    assert ice.snapshot_files().count() == 2
+    # snapshot 2 carries file 1 as EXISTING, adds only the new file
+    change = ice.changes_for_snapshot(s2)
+    assert {r["path"] for r in change.diff.added.collect()} == {extra}
+    assert change.diff.removed.count() == 0
+
+    chain = ice.snapshots_after_millis(0)
+    assert [s["snapshot-id"] for s in chain] == [s1, s2]
+    assert ice.is_incremental_sync_safe_from(chain[0]["timestamp-ms"])
+
+    # removal via overwrite
+    s3 = ice.commit_overwrite(removes=inv2)
+    assert {r["path"] for r in ice.snapshot_files().collect()} == {inv.first()["path"]}
+
+    # time travel to s2 still sees both
+    assert ice.snapshot_files(s2).count() == 2
+
+
+def test_properties_and_expiry(spark, ice_table):
+    table_path, table = ice_table
+    ice = IcebergTable(spark, table_path)
+    ice.init_table(table)
+    inv = inventory_from_directory(spark, table_path)
+    meta = TableMetadata(4242, ())
+    s1 = ice.commit_overwrite(adds=inv, properties=meta.to_props())
+    assert ice.get_sync_metadata() == meta
+
+    # expire everything older than "now + 1h" — only current survives
+    s2 = ice.commit_overwrite(
+        properties={"k": "v"},
+        expire_older_than_millis=int(__import__("time").time() * 1000) + 3600_000,
+    )
+    snaps = ice.metadata()["snapshots"]
+    assert [s["snapshot-id"] for s in snaps] == [s2]
+    # expiry never breaks the current snapshot's file set
+    assert ice.snapshot_files().count() == 1
+
+
+def test_rollback(spark, ice_table):
+    table_path, table = ice_table
+    ice = IcebergTable(spark, table_path)
+    ice.init_table(table)
+    inv = inventory_from_directory(spark, table_path)
+    s1 = ice.commit_overwrite(adds=inv)
+    s2 = ice.commit_overwrite(removes=inv)
+    assert ice.snapshot_files().count() == 0
+    ice.rollback_to(s1)
+    assert ice.snapshot_files().count() == 1
+
+
+def test_partitioned_spec(spark, sf_dir, tmp_path):
+    table_path = str(tmp_path / "part_ice")
+    part_dir = os.path.join(table_path, "c_mktsegment=BUILDING")
+    os.makedirs(part_dir)
+    shutil.copy(os.path.join(sf_dir, "customer.parquet"), os.path.join(part_dir, "f.parquet"))
+    schema = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).schema
+    table = Table(
+        name="pc",
+        base_path=table_path,
+        table_format=TableFormat.ICEBERG,
+        read_schema=schema,
+        partition_fields=(PartitionField("c_mktsegment", PartitionTransform.VALUE),),
+        layout=DataLayoutStrategy.HIVE_STYLE_PARTITION,
+    )
+    ice = IcebergTable(spark, table_path)
+    ice.init_table(table)
+    inv = inventory_from_directory(spark, table_path)
+    assert inv.first()["partition_values"] == {"c_mktsegment": "BUILDING"}
+    ice.commit_overwrite(adds=inv)
+    row = ice.snapshot_files().first()
+    assert row["partition_values"] == {"c_mktsegment": "BUILDING"}
+    desc = ice.table_descriptor()
+    assert desc.partition_fields[0].source_field == "c_mktsegment"
+    assert desc.partition_fields[0].transform == PartitionTransform.VALUE

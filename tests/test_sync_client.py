@@ -1,0 +1,171 @@
+"""End-to-end sync matrix — the ITOneTableClient equivalence oracle.
+
+Write data in format A, sync metadata to formats B/C, then read the SAME
+files through each format's snapshot and assert row-identical DataFrames
+(checkDatasetEquivalence, ITOneTableClient.java:716-813)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from onetable_spark.formats.delta import DeltaLog
+from onetable_spark.formats.hudi import HudiTimeline
+from onetable_spark.formats.iceberg import IcebergTable
+from onetable_spark.model import SyncMode, SyncStatus, Table, TableFormat
+from onetable_spark.sources.parquet_inventory import build_inventory, inventory_from_directory
+from onetable_spark.sync import SyncClient, source_for, target_for
+
+
+def read_via(spark, fmt, path):
+    if fmt == TableFormat.DELTA:
+        files = DeltaLog(spark, path).snapshot_files()
+    elif fmt == TableFormat.HUDI:
+        files = HudiTimeline(spark, path).snapshot_files()
+    else:
+        files = IcebergTable(spark, path).snapshot_files()
+    paths = [r["path"] for r in files.select("path").collect()]
+    return spark.read.parquet(*paths) if paths else None
+
+
+@pytest.fixture()
+def seeded_delta(spark, sf_dir, tmp_path):
+    """A Delta table at tmp with one nation parquet file committed."""
+    table_path = str(tmp_path / "tbl")
+    os.makedirs(table_path)
+    shutil.copy(os.path.join(sf_dir, "nation.parquet"), os.path.join(table_path, "f1.parquet"))
+    schema = spark.read.parquet(table_path).schema
+    log = DeltaLog(spark, table_path)
+    log.init_table(
+        Table(
+            name="tbl",
+            base_path=table_path,
+            table_format=TableFormat.DELTA,
+            read_schema=schema,
+        )
+    )
+    inv = inventory_from_directory(spark, table_path)
+    log.commit(adds=inv)
+    return table_path
+
+
+def test_full_sync_delta_to_iceberg_and_hudi(spark, seeded_delta):
+    table_path = seeded_delta
+    client = SyncClient(spark)
+    source = source_for(spark, TableFormat.DELTA, table_path)
+    targets = [
+        target_for(spark, TableFormat.ICEBERG, table_path),
+        target_for(spark, TableFormat.HUDI, table_path),
+    ]
+    results = client.sync(source, targets)
+    assert all(r.status == SyncStatus.SUCCESS for r in results.values())
+    assert results[TableFormat.ICEBERG].mode == SyncMode.FULL
+
+    base = read_via(spark, TableFormat.DELTA, table_path)
+    for fmt in (TableFormat.ICEBERG, TableFormat.HUDI):
+        via = read_via(spark, fmt, table_path)
+        assert via.count() == base.count()
+        assert via.exceptAll(base).count() == 0 and base.exceptAll(via).count() == 0
+
+    # schema descriptor made it across
+    ice_desc = IcebergTable(spark, table_path).table_descriptor()
+    assert [f.name for f in ice_desc.read_schema.fields] == base.columns
+
+
+def test_incremental_sync_after_full(spark, sf_dir, seeded_delta):
+    table_path = seeded_delta
+    client = SyncClient(spark)
+    source = source_for(spark, TableFormat.DELTA, table_path)
+    targets = [
+        target_for(spark, TableFormat.ICEBERG, table_path),
+        target_for(spark, TableFormat.HUDI, table_path),
+    ]
+    r1 = client.sync(source, targets)
+    assert all(r.status == SyncStatus.SUCCESS for r in r1.values())
+
+    # new commit in the source: add a second file (region as "new data")
+    time.sleep(0.05)
+    new_file = os.path.join(table_path, "f2.parquet")
+    shutil.copy(os.path.join(sf_dir, "nation.parquet"), new_file)
+    log = DeltaLog(spark, table_path)
+    log.commit(adds=build_inventory(spark, [new_file], root=table_path))
+
+    r2 = client.sync(source, targets)
+    assert all(r.status == SyncStatus.SUCCESS for r in r2.values())
+    # second round used the incremental path
+    assert all(r.mode == SyncMode.INCREMENTAL for r in r2.values())
+
+    base = read_via(spark, TableFormat.DELTA, table_path)
+    assert base.count() == 50  # nation twice
+    for fmt in (TableFormat.ICEBERG, TableFormat.HUDI):
+        via = read_via(spark, fmt, table_path)
+        assert via.count() == base.count()
+        assert via.exceptAll(base).count() == 0
+
+    # watermarks advanced on both targets
+    for t in targets:
+        assert t.get_sync_metadata().last_instant_synced_millis > 0
+
+
+def test_remove_propagates_incrementally(spark, sf_dir, seeded_delta):
+    table_path = seeded_delta
+    client = SyncClient(spark)
+    source = source_for(spark, TableFormat.DELTA, table_path)
+    targets = [target_for(spark, TableFormat.ICEBERG, table_path)]
+    client.sync(source, targets)
+
+    log = DeltaLog(spark, table_path)
+    time.sleep(0.05)
+    first = log.snapshot_files().first()["path"]
+    log.commit(removes=log.snapshot_files().filter(F.col("path") == first))
+    r = client.sync(source, targets)
+    assert r[TableFormat.ICEBERG].status == SyncStatus.SUCCESS
+
+    assert read_via(spark, TableFormat.DELTA, table_path) is None
+    assert read_via(spark, TableFormat.ICEBERG, table_path) is None
+
+
+def test_parquet_source_full_sync(spark, sf_dir, tmp_path):
+    """Plain parquet directory → Delta (the M0 slice of SURVEY §7)."""
+    table_path = str(tmp_path / "plain")
+    os.makedirs(table_path)
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), os.path.join(table_path, "r.parquet"))
+    client = SyncClient(spark)
+    source = source_for(spark, TableFormat.PARQUET, table_path)
+    results = client.sync(source, [target_for(spark, TableFormat.DELTA, table_path)])
+    assert results[TableFormat.DELTA].status == SyncStatus.SUCCESS
+    via = read_via(spark, TableFormat.DELTA, table_path)
+    direct = spark.read.parquet(os.path.join(table_path, "r.parquet"))
+    assert via.exceptAll(direct).count() == 0 and via.count() == direct.count()
+
+
+def test_hudi_roundtrip_source(spark, sf_dir, tmp_path):
+    """Hudi as SOURCE → Delta target (reverse direction)."""
+    table_path = str(tmp_path / "hsrc")
+    os.makedirs(table_path)
+    shutil.copy(os.path.join(sf_dir, "supplier.parquet"), os.path.join(table_path, "s.parquet"))
+    schema = spark.read.parquet(table_path).schema
+    tl = HudiTimeline(spark, table_path)
+    tl.init_table(
+        Table(
+            name="hsrc",
+            base_path=table_path,
+            table_format=TableFormat.HUDI,
+            read_schema=schema,
+        )
+    )
+    tl.commit(adds=inventory_from_directory(spark, table_path), schema=schema)
+
+    client = SyncClient(spark)
+    results = client.sync(
+        source_for(spark, TableFormat.HUDI, table_path),
+        [target_for(spark, TableFormat.DELTA, table_path)],
+    )
+    assert results[TableFormat.DELTA].status == SyncStatus.SUCCESS
+    base = read_via(spark, TableFormat.HUDI, table_path)
+    via = read_via(spark, TableFormat.DELTA, table_path)
+    assert via.exceptAll(base).count() == 0 and via.count() == base.count()
