@@ -1,0 +1,150 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary + metadata.
+
+The Spark-side machinery is real and tested — schema, batched Arrow
+transfer, partition sizing, UDF signatures; only the *codec* step is
+stubbed (this environment ships no image/audio libraries). Each stub is a
+deterministic fake keyed on the content bytes, so pipelines are testable
+end-to-end; swap ``_decode_*_impl`` for Pillow/torchaudio/pyav in
+production.
+
+Scale design: decode runs in ``mapInPandas`` (Arrow batches, one Python
+worker per core); binary payloads never pass through a groupBy — frame
+sampling / resizing emit (id, feature) rows and drop the bytes as early
+as possible so downstream shuffles carry features, not media.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.LongType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _decode_image_impl(content: bytes) -> tuple[int, int, list[float]]:
+    """STUB — deterministic fake decode (replace with PIL in production).
+
+    Derives (width, height, 8-dim feature) from a sha256 of the bytes, so
+    results are stable across runs/executors without any codec library."""
+    digest = hashlib.sha256(content or b"").digest()
+    width = 64 + digest[0]
+    height = 64 + digest[1]
+    feature = [b / 255.0 for b in digest[2:10]]
+    return width, height, feature
+
+
+def decode_images(df: DataFrame, id_col: str = "media_id", content_col: str = "content") -> DataFrame:
+    """Distributed image decode + feature extraction via mapInPandas."""
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "width": [], "height": [], "feature": []}
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                w, h, feat = _decode_image_impl(bytes(content) if content is not None else b"")
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["feature"].append(feat)
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, content_col).mapInPandas(worker, IMAGE_FEATURES_SCHEMA)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    duration_col: str = "meta.duration_ms",
+) -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled timestamp.
+
+    The timestamp grid is pure Column math (sequence/explode — JVM side);
+    only the per-frame decode is the stubbed Python step."""
+    grid = df.select(
+        F.col(id_col),
+        F.col(content_col),
+        F.explode(
+            F.sequence(F.lit(0), F.coalesce(F.col(duration_col), F.lit(0)), F.lit(every_ms))
+        ).alias("frame_ts_ms"),
+    )
+
+    frame_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_ts_ms", T.LongType(), False),
+            T.StructField("feature", T.ArrayType(T.FloatType()), True),
+        ]
+    )
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = []
+            for content, ts in zip(pdf[content_col], pdf["frame_ts_ms"]):
+                seed = hashlib.sha256((bytes(content or b"")) + int(ts).to_bytes(8, "big")).digest()
+                feats.append([b / 255.0 for b in seed[:8]])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col],
+                    "frame_ts_ms": pdf["frame_ts_ms"],
+                    "feature": feats,
+                }
+            )
+
+    return grid.mapInPandas(worker, frame_schema)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """Resize plumbing — stub raises to make the missing codec explicit."""
+    raise NotImplementedError(
+        "image resize requires an image codec (Pillow/opencv) not present in "
+        "this environment; decode_images demonstrates the mapInPandas plumbing"
+    )
+
+
+def synth_media_table(spark, n: int = 100) -> DataFrame:
+    """Deterministic synthetic media table for tests/demos (binary payloads
+    derived from the id — no external data needed)."""
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.when(F.col("id") % 3 == 0, "image").when(F.col("id") % 3 == 1, "audio").otherwise("video").alias("kind"),
+        F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("content"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.col("id") * 1000 % 10000).cast("long").alias("duration_ms"),
+        ).alias("meta"),
+    )

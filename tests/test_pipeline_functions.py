@@ -1,0 +1,155 @@
+"""Unit tests for the LLM-data-pipeline operators (dedup/similarity/text/
+multimodal)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from onetable_spark.functions.dedup import (
+    exact_dedup,
+    minhash_lsh_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash64,
+    simhash_near_dup_pairs,
+)
+from onetable_spark.functions.multimodal import decode_images, sample_video_frames, synth_media_table
+from onetable_spark.functions.similarity import (
+    ann_lsh_topk,
+    brute_force_near_dup_pairs,
+    cosine_topk,
+    embedding_near_dup_pairs,
+)
+from onetable_spark.functions.text import (
+    fingerprint,
+    predicted_lang,
+    quality_score,
+    token_count,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "der hund und die katze sind nicht da"),
+        (4, "completely different text about spark engines"),
+        (5, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (6, "dog lazy the over jumps fox brown quick the"),  # reorder of 1
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    out = {r["keep_id"]: r["n_copies"] for r in exact_dedup(docs).collect()}
+    assert out[1] == 2  # docs 1 and 5 collapse
+    assert sum(out.values()) == 6
+
+
+def test_fingerprint_reorder_invariant(docs):
+    fp = {r["doc_id"]: r["fp"] for r in docs.select("doc_id", fingerprint("text").alias("fp")).collect()}
+    assert fp[1] == fp[5] == fp[6]  # exact dup AND reorder collapse
+    assert fp[1] != fp[2]
+
+
+def test_ngram_jaccard_finds_near_dup(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (1, 5) in pairs and pairs[(1, 5)] == 1.0
+    assert (1, 2) in pairs and 0.3 <= pairs[(1, 2)] < 1.0
+    assert (1, 4) not in pairs
+
+
+def test_minhash_agrees_with_exact_on_strong_pairs(docs):
+    exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_dedup_pairs(docs, threshold=0.5).collect()}
+    # verification step guarantees no false positives
+    assert lsh <= exact
+    # high-similarity pairs are (probabilistically) caught; (1,5) is identical
+    assert (1, 5) in lsh
+
+
+def test_simhash_identical_and_near(spark, docs):
+    sigs = {r["doc_id"]: r["s"] for r in docs.select("doc_id", simhash64("text").alias("s")).collect()}
+    assert sigs[1] == sigs[5]
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in simhash_near_dup_pairs(docs, max_hamming=16).collect()}
+    assert pairs[(1, 5)] == 0
+    assert (1, 2) in pairs  # one word changed → few bits flip
+
+
+def test_cosine_topk_and_near_dups(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal
+        (3, [1.0, 0.01, 0.0]),  # nearly identical to 0
+        (4, [-1.0, 0.0, 0.0]),  # opposite
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    top = cosine_topk(emb.filter(F.col("vec_id") != 0), [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [3, 1]
+    assert top[0]["cos_sim"] > 0.99
+
+    exact_pairs = {(r["id_a"], r["id_b"]) for r in brute_force_near_dup_pairs(emb, 0.95).collect()}
+    assert (0, 3) in exact_pairs and (0, 4) not in exact_pairs
+    lsh_pairs = {(r["id_a"], r["id_b"]) for r in embedding_near_dup_pairs(emb, 0.95, dim=3).collect()}
+    assert lsh_pairs <= exact_pairs
+    assert (0, 3) in lsh_pairs  # identical sign pattern → same bucket
+
+
+def test_ann_lsh_subset_of_exact(spark, sf_dir):
+    from onetable_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.first()["embedding"])
+    approx = ann_lsh_topk(emb, q, k=5)
+    rows = approx.collect()
+    assert 0 < len(rows) <= 5
+    # approximate scores are true cosine values (verified path), so the top
+    # hit must appear in the exact top-k for a reasonable k
+    exact_ids = {r["vec_id"] for r in cosine_topk(emb, q, k=100).collect()}
+    assert rows[0]["vec_id"] in exact_ids
+
+
+def test_text_features_basic(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of to is"), (2, "der hund und die katze nicht das")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            token_count("text").alias("n"),
+            quality_score("text").alias("q"),
+            predicted_lang("text").alias("lang"),
+        ).collect()
+    }
+    assert out[1]["n"] == 8 and out[1]["lang"] == "en"
+    assert out[2]["lang"] == "de"
+    assert 0.0 <= out[1]["q"] <= 1.0
+
+
+def test_predicted_lang_zh_and_und(spark):
+    df = spark.createDataFrame([(1, "你好 世界"), (2, "xyzzy plugh")], "doc_id long, text string")
+    out = {r["doc_id"]: r["l"] for r in df.select("doc_id", predicted_lang("text").alias("l")).collect()}
+    assert out[1] == "zh" and out[2] == "und"
+
+
+def test_multimodal_decode_deterministic(spark):
+    media = synth_media_table(spark, 30)
+    images = media.filter(F.col("kind") == "image")
+    feats1 = sorted((r["media_id"], r["width"], tuple(r["feature"])) for r in decode_images(images).collect())
+    feats2 = sorted((r["media_id"], r["width"], tuple(r["feature"])) for r in decode_images(images).collect())
+    assert feats1 == feats2  # stub decode is content-deterministic
+    assert all(64 <= w <= 320 for _, w, _ in feats1)
+    assert all(len(f) == 8 for _, _, f in feats1)
+
+
+def test_video_frame_sampling_grid(spark):
+    media = synth_media_table(spark, 9).filter(F.col("kind") == "video")
+    frames = sample_video_frames(media, every_ms=1000)
+    counts = {r["media_id"]: r["n"] for r in frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    durations = {r["media_id"]: r["meta"]["duration_ms"] for r in media.collect()}
+    for mid, n in counts.items():
+        assert n == durations[mid] // 1000 + 1  # inclusive grid
