@@ -16,15 +16,138 @@ Shuffle-conscious design for 100 TB corpora (SURVEY §2.5 / §7-M6):
   from 16-bit chunk collisions (pigeonhole: hamming ≤ 3 ⇒ some chunk
   equal), verified with bit_count(xor).
 
-All pure Column expressions — no Python UDFs anywhere.
+Candidate generation, joins and verification are pure Column expressions.
+The two *signature builds* (64 minhash mins / 64 simhash bit votes over a
+hash array) are the one place a vectorized Arrow UDF beats the JVM: as
+Column expressions they are 64 interpreted passes over every array (a
+codegen-hostile expression tree); as a ``pandas_udf`` they are one numpy
+broadcast per batch. Token/shingle hashing stays JVM-side (``xxhash64``) —
+only the compact ``array<long>`` crosses the Arrow boundary, never text.
+Equivalent JVM-expression forms are kept for small/ad-hoc use.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
+
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from onetable_spark.functions.text import tokens
+
+
+@lru_cache(maxsize=None)
+def _simhash_sig_udf():
+    """Vectorized SimHash from a token-hash array: per 64-bit position,
+    majority vote over the tokens' hash bits (strict majority sets the
+    bit — identical semantics to ``simhash64_from``, bit-for-bit)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def sim(th: pd.Series) -> pd.Series:
+        bitpos = np.arange(64, dtype=np.uint64)
+        weights = np.uint64(1) << bitpos
+        out = np.zeros(len(th), dtype=np.uint64)
+        for i, arr in enumerate(th.to_numpy()):
+            a = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if a.size:
+                ones = ((a[:, None] >> bitpos) & np.uint64(1)).sum(axis=0)
+                out[i] = weights[ones * 2 > a.size].sum()
+        return pd.Series(out.view(np.int64))
+
+    return sim
+
+
+@lru_cache(maxsize=None)
+def _minhash_sig_udf(num_hashes: int, seed: int = 42):
+    """Vectorized MinHash signature from a shingle-hash array: k universal
+    hashes h_i(x) = a_i*x + b_i (mod 2^64, a_i odd) as one numpy outer
+    product + row-min per document. Same family guarantees as the seeded-
+    xxhash JVM form (any pairwise-independent family works for MinHash);
+    candidates are exact-Jaccard-verified downstream either way."""
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(seed)
+    mult = (rng.integers(0, 2**62, num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    add = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
+    empty_sig = np.full(num_hashes, 2**63 - 1, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def sig(sh: pd.Series) -> pd.Series:
+        res = [empty_sig] * len(sh)
+        for i, arr in enumerate(sh.to_numpy()):
+            x = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            if x.size:
+                h = mult[:, None] * x[None, :] + add[:, None]  # uint64 wraps
+                res[i] = h.min(axis=1).view(np.int64)
+        return pd.Series(res)
+
+    return sig
+
+
+@lru_cache(maxsize=None)
+def _band_bucket_udf(num_hashes: int, bands: int, seed: int = 42):
+    """MinHash signature + LSH banding fused in one vectorized UDF: from a
+    shingle-hash array straight to ``bands`` 64-bit bucket ids (band b's
+    bucket = odd-multiplier mix of its rows_per_band signature mins).
+    Fusing keeps the JVM expression tree tiny — banding as Column
+    expressions needs bands × rows_per_band ``element_at`` calls whose
+    planning/codegen cost rivals the actual compute at interactive scale.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rows_per_band = num_hashes // bands
+    rng = np.random.default_rng(seed)
+    mult = (rng.integers(0, 2**62, num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    add = rng.integers(0, 2**63, num_hashes, dtype=np.uint64)
+    bmix = (rng.integers(0, 2**62, num_hashes, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    empty = np.full(num_hashes, 2**63 - 1, dtype=np.uint64)
+
+    @pandas_udf("array<long>")
+    def buckets(sh: pd.Series) -> pd.Series:
+        res = [None] * len(sh)
+        for i, arr in enumerate(sh.to_numpy()):
+            x = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            sig = empty
+            if x.size:
+                sig = (mult[:, None] * x[None, :] + add[:, None]).min(axis=1)
+            res[i] = (sig * bmix).reshape(bands, rows_per_band).sum(axis=1).view(np.int64)
+        return pd.Series(res)
+
+    return buckets
+
+
+@lru_cache(maxsize=None)
+def _gram_hash_udf(n: int):
+    """Vectorized n-gram shingle hashing from a token-hash array: gram hash
+    = XOR of position-weighted (odd-multiplier) token hashes over a sliding
+    window — three numpy vector ops instead of per-gram string concat+hash
+    in an interpreted higher-order function. Distinct token n-grams map to
+    distinct hashes w.h.p. (64-bit), so shingle-set cardinalities — and
+    therefore exact Jaccard values — match the string-shingle formulation.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    rng = np.random.default_rng(7 + n)
+    mult = (rng.integers(0, 2**62, n, dtype=np.uint64) << np.uint64(1)) | np.uint64(1)
+    empty = np.empty(0, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def gram(th: pd.Series) -> pd.Series:
+        res = [empty] * len(th)
+        for i, arr in enumerate(th.to_numpy()):
+            h = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            m = h.size - n + 1
+            if m > 0:
+                g = mult[0] * h[:m]
+                for k in range(1, n):
+                    g = g ^ (mult[k] * h[k : m + k])
+                res[i] = np.unique(g).view(np.int64)
+        return pd.Series(res)
+
+    return gram
 
 
 # ------------------------------------------------------------------- exact
@@ -62,29 +185,18 @@ def shingle_hash_df(
 ) -> DataFrame:
     """(id, sh: array<long>) — distinct 64-bit shingle hashes per document.
 
-    Two projections separated by a repartition barrier: Catalyst's
-    projection collapse would otherwise inline the ``split`` into every
-    ``element_at`` reference (n tokenizations per gram × every consumer).
-    After the exchange the token array is materialized once; each gram is
-    O(1) array access + one concat + one xxhash64. The downstream shuffle
-    (band join / explode join) needed a repartition anyway, so the barrier
-    is free in practice."""
+    Tokenize + per-token xxhash64 JVM-side (one pass over the text), then
+    the sliding-window gram combine runs vectorized in numpy
+    (``_gram_hash_udf``) — only the compact ``array<long>`` crosses the
+    Arrow boundary. The repartition spreads single-file parquet sources
+    across all cores before the hash work."""
     spark = df.sparkSession
     parallelism = spark.sparkContext.defaultParallelism
-    toks = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("toks")).repartition(
-        parallelism
-    )
-    idx = F.sequence(F.lit(1), F.greatest(F.size("toks") - (n - 1), F.lit(0)))
-    gram_hash = F.transform(
-        idx,
-        lambda i: F.xxhash64(
-            F.concat_ws(" ", *[F.element_at("toks", (i + k).cast("int")) for k in range(n)])
-        ),
-    )
-    # second barrier: consumers fan the sh column into many expressions
-    # (64 minhash mins); without it projection collapse re-inlines the gram
-    # construction into each one
-    return toks.select("id", F.array_distinct(gram_hash).alias("sh")).repartition(parallelism)
+    th = df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("th"),
+    ).repartition(parallelism)
+    return th.select("id", _gram_hash_udf(n)("th").alias("sh"))
 
 
 def _shingle_hashes(col: str | Column = "text", n: int = 3) -> Column:
@@ -162,35 +274,32 @@ def minhash_lsh_candidates(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """Candidate pairs whose signatures collide in ≥1 band."""
-    rows_per_band = num_hashes // bands
-    sig = (
-        shingle_hash_df(df, n, text_col, id_col)
-        .select("id", minhash_signature_from(F.col("sh"), num_hashes).alias("sig"))
-        .repartition(df.sparkSession.sparkContext.defaultParallelism)
-    )  # barrier: banding below element_at's sig 64× — keep it materialized
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    *[F.element_at("sig", b * rows_per_band + r + 1) for r in range(rows_per_band)]
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
+    sh = shingle_hash_df(df, n, text_col, id_col)
+    return minhash_lsh_candidates_from(sh, num_hashes, bands)
+
+
+def minhash_lsh_candidates_from(
+    sh: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """Candidates from a prebuilt (id, sh) shingle-hash table — lets the
+    dedup pipeline share one (persisted) shingle scan between candidate
+    generation and exact-Jaccard verification."""
+    # signature + banding fused in one Arrow UDF (tiny JVM expression tree)
+    banded = sh.select(
+        "id", F.posexplode(_band_bucket_udf(num_hashes, bands)("sh")).alias("band", "bucket")
     )
-    banded = sig.select("id", F.explode(band_cols).alias("bb")).select(
-        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    # pairs generated within each (band, bucket) via collect_list + double
+    # explode — one hash agg, no skew-prone sort-merge self-join (a bucket
+    # holding a template cluster would otherwise straggle one join task)
+    buckets = (
+        banded.groupBy("band", "bucket")
+        .agg(F.collect_list("id").alias("mem"))
+        .filter(F.size("mem") > 1)
     )
-    a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        buckets.select(F.explode("mem").alias("id_a"), "mem")
+        .select("id_a", F.explode("mem").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
         .distinct()
     )
 
@@ -205,9 +314,17 @@ def minhash_lsh_dedup_pairs(
     id_col: str = "doc_id",
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (no false positives;
-    recall is the banding curve 1-(1-t^r)^b)."""
-    cand = minhash_lsh_candidates(df, num_hashes, bands, n, text_col, id_col)
-    sh = shingle_hash_df(df, n, text_col, id_col)
+    recall is the banding curve 1-(1-t^r)^b).
+
+    The shingle table is built ONCE and persisted (memory-and-disk) — it
+    feeds the signature/banding path and both sides of the verification
+    join; without the persist each consumer would re-tokenize the corpus.
+    At 100 TB this is the same play: materialize (id, shingle_hashes) —
+    orders of magnitude smaller than the text — and reuse it."""
+    from pyspark import StorageLevel
+
+    sh = shingle_hash_df(df, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    cand = minhash_lsh_candidates_from(sh, num_hashes, bands)
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
         cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
@@ -262,16 +379,20 @@ def simhash_near_dup_pairs(
     bit_count(xor) — the candidate join shuffles only (chunk, id, sig).
     """
     spark = df.sparkSession
+    # single-file parquet sources open as 1-2 input splits; spread the
+    # signature work across all cores before the Arrow UDF
     hashed = df.select(
         F.col(id_col).alias("id"),
         F.transform(F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t)).alias("th"),
-    ).repartition(spark.sparkContext.defaultParallelism)  # barrier: 64 votes fan out below
-    sig = hashed.select("id", simhash64_from(F.col("th")).alias("sig")).repartition(
-        spark.sparkContext.defaultParallelism
-    )  # barrier again: the chunk explode below references sig 6×
+    ).repartition(spark.sparkContext.defaultParallelism)
+    sig = hashed.select("id", _simhash_sig_udf()("th").alias("sig"))
+    # Bucket by 16-bit chunk, then generate pairs WITHIN each bucket via
+    # collect_list + double explode — one hash agg instead of a sort-merge
+    # self-join (whose skewed keys — a hot chunk value shared by hundreds
+    # of templated docs — would straggle). The hamming filter runs before
+    # the distinct so dedup sees only surviving pairs.
     chunks = sig.select(
-        "id",
-        "sig",
+        F.struct("id", "sig").alias("doc"),
         F.explode(
             F.array(
                 *[
@@ -283,26 +404,17 @@ def simhash_near_dup_pairs(
                 ]
             )
         ).alias("cc"),
-    ).select("id", "sig", F.col("cc.chunk").alias("chunk"), F.col("cc.val").alias("val"))
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.val") == F.col("b.val"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
+    )
+    buckets = chunks.groupBy("cc").agg(F.collect_list("doc").alias("mem")).filter(F.size("mem") > 1)
+    return (
+        buckets.select(F.explode("mem").alias("a"), "mem")
+        .select("a", F.explode("mem").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
         )
-        .distinct()
-    )
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return (
-        cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
+        .distinct()
     )
