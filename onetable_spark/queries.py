@@ -388,6 +388,122 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1-hour window aggregation over events (batch twin of
+    ``streaming.tumbling_event_counts``); window start surfaced as epoch
+    seconds so the value-hash is engine-neutral."""
+    events = load_table(spark, sf, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp").cast("long").alias("w_start_s"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def q_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
+    """Hopping window (1 h length, 30 min slide): each event contributes to
+    exactly 2 windows (batch twin of ``streaming.hopping_event_counts``)."""
+    events = load_table(spark, sf, "events")
+    return (
+        events.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").cast("timestamp").cast("long").alias("w_start_s"), "event_type", "n_events")
+    )
+
+
+def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: each event picks the user's most recent order at/before
+    the event time (union-merge plan — no non-equi join; see
+    ``operators.temporal.asof_join``). Orders deduped to one per
+    (custkey, date) with max_by for deterministic ASOF tie semantics."""
+    from onetable_spark.operators.temporal import asof_join
+
+    events = load_table(spark, sf, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").cast("long").alias("ts_s")
+    )
+    orders = (
+        load_table(spark, sf, "orders")
+        .groupBy("o_custkey", F.col("o_orderdate").cast("timestamp").cast("long").alias("od_s"))
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
+        )
+        .withColumnRenamed("o_custkey", "user_id")
+    )
+    return asof_join(
+        events,
+        orders,
+        on="user_id",
+        left_ts="ts_s",
+        right_ts="od_s",
+        right_cols=["o_orderkey", "o_totalprice"],
+    )
+
+
+def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Banded range join: parts histogrammed into retail-price bands via a
+    broadcast non-equi join (BroadcastNestedLoopJoin — fact side never
+    shuffles; see ``operators.temporal.banded_range_join``)."""
+    from onetable_spark.operators.temporal import banded_range_join
+
+    bands = spark.createDataFrame(
+        PRICE_BANDS, "band string, lo double, hi double"
+    ).select("band", "lo", "hi")
+    parts = load_table(spark, sf, "part")
+    joined = banded_range_join(parts, bands, "p_retailprice")
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+    )
+
+
+PRICE_BANDS = [
+    ("budget", 0.0, 925.0),
+    ("mid", 925.0, 950.0),
+    ("premium", 950.0, 975.0),
+    ("luxury", 975.0, 10_000_000.0),
+]
+
+
+def q_streaming_window_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """The tumbling-window aggregation run through Structured Streaming
+    (file source → watermark → window agg → AvailableNow → memory sink) —
+    same oracle as the batch twin, so the STREAMING result is value-hash
+    verified against ANSI SQL."""
+    from onetable_spark.streaming.events import read_event_stream, run_available_now, tumbling_event_counts
+
+    stream = tumbling_event_counts(read_event_stream(spark, sf))
+    out = run_available_now(stream, f"win_{abs(hash(sf)) % 10**8}")
+    return out.select(
+        F.col("w_start").cast("timestamp").cast("long").alias("w_start_s"), "event_type", "n_events", "total_value"
+    )
+
+
+def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user session windows via Spark's native ``session_window``
+    stateful operator, run through Structured Streaming; the oracle derives
+    identical session boundaries with a lag/running-sum in SQL."""
+    from onetable_spark.streaming.events import read_event_stream, run_available_now, sessionize_stream
+
+    stream = sessionize_stream(read_event_stream(spark, sf), gap="30 minutes")
+    out = run_available_now(stream, f"sess_{abs(hash(sf)) % 10**8}")
+    return out.select(
+        "user_id",
+        F.col("sess_start").cast("timestamp").cast("long").alias("sess_start_s"),
+        F.col("sess_end").cast("timestamp").cast("long").alias("sess_end_s"),
+        "n_events",
+        "session_value",
+    )
+
+
 # --- rows-only queries (probabilistic / stub-backed; no SQL oracle) --------
 
 
@@ -643,6 +759,71 @@ ORACLE_SQL: dict[str, str] = {
                 FROM events))
         GROUP BY user_id
     """,
+    "window_agg": """
+        SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start_s,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "hopping_window": """
+        SELECT CAST(epoch(ws) AS BIGINT) AS w_start_s, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM (SELECT event_type,
+                     unnest([time_bucket(INTERVAL '30 minutes', ts),
+                             time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+              FROM events)
+        GROUP BY 1, 2
+    """,
+    "asof_join": """
+        WITH o AS (
+            SELECT o_custkey AS user_id, o_orderdate,
+                   MAX(o_orderkey) AS o_orderkey,
+                   arg_max(o_totalprice, o_orderkey) AS o_totalprice
+            FROM orders GROUP BY 1, 2
+        )
+        SELECT e.event_id, e.user_id,
+               CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+               o.o_orderkey, o.o_totalprice
+        FROM events e
+        ASOF LEFT JOIN o ON e.user_id = o.user_id AND e.ts >= o.o_orderdate
+    """,
+    "range_join": """
+        SELECT band, CAST(COUNT(*) AS BIGINT) AS n_parts,
+               ROUND(AVG(p_retailprice), 2) AS avg_price
+        FROM part p
+        JOIN (VALUES ('budget', 0.0, 925.0), ('mid', 925.0, 950.0),
+                     ('premium', 950.0, 975.0), ('luxury', 975.0, 10000000.0))
+             b(band, lo, hi)
+          ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+        GROUP BY band
+    """,
+    # streaming twins: same ANSI semantics — the STREAMING execution path is
+    # what differs, and it must hash-match the SQL result
+    "streaming_window_agg": """
+        SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start_s,
+               event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    "streaming_sessionize": """
+        SELECT user_id,
+               CAST(floor(epoch(MIN(ts))) AS BIGINT) AS sess_start_s,
+               CAST(floor(epoch(MAX(ts))) AS BIGINT) + 1800 AS sess_end_s,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS session_value
+        FROM (
+            SELECT user_id, ts, value,
+                   SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sess_id
+            FROM (
+                SELECT user_id, ts, event_id, value,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                                 OR date_diff('microsecond', lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800000000
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events))
+        GROUP BY user_id, sess_id
+    """,
 }
 
 
@@ -670,6 +851,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "sessionize": q_sessionize,
+    "window_agg": q_window_agg,
+    "hopping_window": q_hopping_window,
+    "asof_join": q_asof_join,
+    "range_join": q_range_join,
+    "streaming_window_agg": q_streaming_window_agg,
+    "streaming_sessionize": q_streaming_sessionize,
     # probabilistic / stub-backed — rows-only driver check (no oracle entry)
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash_near_dups": q_simhash_near_dups,

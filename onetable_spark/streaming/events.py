@@ -1,0 +1,140 @@
+"""Streaming operators over the events table.
+
+Design for scale: the file source discovers new files incrementally (the
+100 TB deployment points it at a growing partitioned directory or swaps in
+Kafka with the same downstream plan); windowed aggregations carry state
+only for open windows because the watermark bounds lateness, so state size
+is O(active keys × open windows), independent of history length.
+
+Each operator has a batch twin registered in ``onetable_spark.queries``
+(`window_agg`, `hopping_window`, `sessionize`) whose results the driver's
+DuckDB oracle verifies — streaming correctness is therefore anchored to
+ANSI-SQL semantics, not just self-consistency.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+EVENT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet.
+
+    The testdata file carries TIMESTAMP(NANOS) (see ``session.load_table``);
+    under ``nanosAsLong`` it arrives as epoch-nanos and is normalized to
+    ``timestamp_ntz`` here, identically to the batch reader.
+    """
+    nanos_schema = T.StructType(
+        [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in EVENT_SCHEMA.fields]
+    )
+    # the file source requires a directory; glob-filter selects the events
+    # table out of the shared sf dir
+    raw = (
+        spark.readStream.schema(nanos_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # watermarks require TIMESTAMP (with zone); session tz is UTC, so the
+    # instant matches the batch reader's timestamp_ntz values exactly
+    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def tumbling_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Watermarked tumbling-window counts per event type.
+
+    Batch twin: ``queries.q_window_agg`` (oracle: DuckDB ``time_bucket``).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events", "total_value")
+    )
+
+
+def hopping_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermarked hopping(sliding)-window counts — each event lands in
+    window/slide overlapping windows. Batch twin: ``queries.q_hopping_window``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n_events")
+    )
+
+
+def sessionize_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session-window aggregation: per user, dynamic-gap sessions.
+
+    ``F.session_window`` is Spark's native stateful session operator — the
+    window extends while events arrive within ``gap`` of the last one and
+    closes when the watermark passes last_ts + gap. Batch twin:
+    ``queries.q_sessionize`` computes identical session boundaries with a
+    lag/running-sum window (verified equal in tests).
+    """
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("sess_start"),
+            F.col("w.end").alias("sess_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str | None = None) -> DataFrame:
+    """Run a streaming DataFrame to completion over the data available now
+    and return the final result as a batch DataFrame (memory sink).
+
+    ``Trigger.AvailableNow`` processes the backlog in bounded batches then
+    stops — the streaming equivalent of the reference's "sync all commits
+    up to now" pull loop (`ExtractFromSource.java:34-51`).
+    """
+    spark = stream_df.sparkSession
+    name = query_name or f"avail_now_{uuid.uuid4().hex[:8]}"
+    with tempfile.TemporaryDirectory(prefix="otb_stream_ckpt_") as ckpt:
+        q = (
+            stream_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return spark.table(name)

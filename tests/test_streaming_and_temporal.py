@@ -1,0 +1,115 @@
+"""Tests for the Structured Streaming surface and temporal join operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from onetable_spark.operators.temporal import asof_join, banded_range_join
+from onetable_spark.streaming.events import (
+    read_event_stream,
+    run_available_now,
+    sessionize_stream,
+    tumbling_event_counts,
+)
+
+
+def test_streaming_tumbling_equals_batch(spark, sf_dir):
+    stream_out = run_available_now(
+        tumbling_event_counts(read_event_stream(spark, sf_dir)), "t_tumble"
+    )
+    from onetable_spark.session import load_table
+
+    batch = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.col("w.start").cast("timestamp").alias("w_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    s = {(r["w_start"], r["event_type"]): (r["n_events"], r["total_value"]) for r in stream_out.collect()}
+    b = {(r["w_start"], r["event_type"]): (r["n_events"], r["total_value"]) for r in batch.collect()}
+    assert s == b and len(s) > 0
+
+
+def test_streaming_sessionize_counts(spark, sf_dir):
+    out = run_available_now(sessionize_stream(read_event_stream(spark, sf_dir)), "t_sess")
+    rows = out.collect()
+    assert len(rows) > 0
+    # sessions are disjoint per user and each holds ≥1 event
+    assert all(r["n_events"] >= 1 and r["sess_start"] < r["sess_end"] for r in rows)
+    total_events = sum(r["n_events"] for r in rows)
+    from onetable_spark.session import load_table
+
+    assert total_events == load_table(spark, sf_dir, "events").count()
+
+
+@pytest.fixture()
+def asof_fixture(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, 100, "t1"),
+            (1, 205, "t2"),
+            (2, 150, "t3"),
+            (3, 50, "t4"),
+        ],
+        "key long, t long, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, 90, 10.0),
+            (1, 100, 11.0),   # tie with trade t1 → matches (<=)
+            (1, 200, 12.0),
+            (2, 160, 20.0),   # after the only trade → no match
+        ],
+        "key long, t long, px double",
+    )
+    return trades, quotes
+
+
+def test_asof_join_basic(asof_fixture):
+    trades, quotes = asof_fixture
+    out = {
+        r["trade"]: r["px"]
+        for r in asof_join(
+            trades, quotes, on="key", left_ts="t", right_ts="t", right_cols=["px"]
+        ).collect()
+    }
+    assert out == {"t1": 11.0, "t2": 12.0, "t3": None, "t4": None}
+
+
+def test_asof_join_tolerance(asof_fixture):
+    trades, quotes = asof_fixture
+    out = {
+        r["trade"]: r["px"]
+        for r in asof_join(
+            trades,
+            quotes,
+            on="key",
+            left_ts="t",
+            right_ts="t",
+            right_cols=["px"],
+            tolerance=5,
+        ).collect()
+    }
+    # t2 at 205: latest quote at 200, within 5 → kept; t1 at 100: quote at
+    # 100, within → kept
+    assert out["t1"] == 11.0 and out["t2"] == 12.0
+
+
+def test_banded_range_join(spark):
+    facts = spark.createDataFrame([(i, float(i)) for i in range(10)], "id long, v double")
+    bands = spark.createDataFrame(
+        [("lo", 0.0, 5.0), ("hi", 5.0, 100.0)], "band string, lo double, hi double"
+    )
+    out = banded_range_join(facts, bands, "v").groupBy("band").count().collect()
+    assert {r["band"]: r["count"] for r in out} == {"lo": 5, "hi": 5}
+    # plan check: fact side must not shuffle — broadcast nested loop join
+    plan = banded_range_join(facts, bands, "v")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
