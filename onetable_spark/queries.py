@@ -288,6 +288,128 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape): EXISTS semi-join.
+
+    left_semi keeps the orders scan lean; the lineitem side is reduced to
+    the join key before the shuffle."""
+    orders = load_table(spark, sf, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    )
+    big_items = load_table(spark, sf, "lineitem").filter(F.col("l_quantity") >= 30)
+    return (
+        orders.join(big_items, orders.o_orderkey == big_items.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """Forecasting revenue change (TPC-H Q6): pure scan + scalar aggregate —
+    every predicate pushes to the parquet reader."""
+    li = load_table(spark, sf, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+
+
+def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """Returned-item reporting (TPC-H Q10 shape): revenue lost to returns
+    per customer, top 20 — join order lets the returned-lineitem filter
+    shrink the fact side before both joins."""
+    li = load_table(spark, sf, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14 shape): conditional aggregation over a
+    broadcast part join."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                100.0
+                * F.sum(F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0))
+                / F.sum(rev),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """Large-volume customer (TPC-H Q18 shape): HAVING on a grouped fact,
+    then joins back — the heavy groupBy runs on (orderkey) before any join."""
+    li = load_table(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_date"),
+            "o_totalprice",
+            F.round("total_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """Global sales opportunity (TPC-H Q22 shape): scalar subquery (avg
+    balance, broadcast as a 1-row cross join) + anti-join against recent
+    orders (customers gone quiet since 1999)."""
+    cust = load_table(spark, sf, "customer")
+    recent = load_table(spark, sf, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(F.avg("c_acctbal").alias("avg_bal"))
+    rich_idle = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust.c_custkey == recent.o_custkey, "left_anti")
+    )
+    return rich_idle.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("numcust"),
+        F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (SURVEY §2.5 / §7-M6) — dedup, text analysis,
 # similarity search — over documents/embeddings
@@ -693,6 +815,56 @@ ORACLE_SQL: dict[str, str] = {
           AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
         GROUP BY n_name
     """,
+    "tpch_q4": """
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+        FROM orders o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity >= 30)
+        GROUP BY o_orderpriority
+    """,
+    "tpch_q6": """
+        SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+    """,
+    "tpch_q10": """
+        SELECT c_custkey, c_name, n_name,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem, orders, customer, nation
+        WHERE l_returnflag = 'R' AND l_orderkey = o_orderkey
+          AND o_custkey = c_custkey AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+    """,
+    "tpch_q14": """
+        SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    "tpch_q18": """
+        SELECT c_custkey, c_name, o_orderkey,
+               CAST(o_orderdate AS DATE) AS o_date, o_totalprice,
+               ROUND(total_qty, 2) AS total_qty
+        FROM (SELECT l_orderkey, SUM(l_quantity) AS total_qty
+              FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 150) big
+        JOIN orders ON big.l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100
+    """,
+    "tpch_q22": """
+        SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS numcust,
+               ROUND(SUM(c_acctbal), 2) AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                          AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c_nationkey
+    """,
     "dedup_exact": """
         SELECT md5(text) AS content_hash,
                CAST(MIN(doc_id) AS BIGINT) AS keep_id,
@@ -842,7 +1014,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_first_per_key": q_dedup_first_per_key,
     "tpch_q1": q_tpch_q1,
     "tpch_q3": q_tpch_q3,
+    "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q22": q_tpch_q22,
     "dedup_exact": q_dedup_exact,
     "fingerprint_dedup": q_fingerprint_dedup,
     "text_features": q_text_features,
