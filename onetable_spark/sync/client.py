@@ -42,7 +42,20 @@ from onetable_spark.model import (
     TableMetadata,
 )
 from onetable_spark.operators import files_diff
+from onetable_spark.schema.evolution import diff_schemas
 from onetable_spark.sources.parquet_inventory import inventory_from_directory
+
+
+def _schema_evolved(current, incoming) -> bool:
+    """True when the incoming schema differs from the target's current one;
+    raises ValueError for ILLEGAL evolutions (type narrowing, tightened
+    nullability, map-key changes) before anything is committed — the K6
+    legality gate (IcebergSchemaSync.java:46-154) applied to every target
+    format's syncSchema step."""
+    if current is None or current == incoming:
+        return False
+    diff_schemas(current, incoming)
+    return True
 
 
 class SourceClient(Protocol):
@@ -191,12 +204,24 @@ class DeltaTarget:
             else self.spark.createDataFrame([], snapshot.files.schema)
         )
         added, removed = files_diff(snapshot.files, current)
-        meta = self.log.update_configuration(metadata.to_props())
+        meta = self._meta_with_schema(snapshot.table, metadata)
         self.log.commit(adds=added, removes=removed, metadata=meta, operation="SYNC_SNAPSHOT")
+
+    def _meta_with_schema(self, table: Table, metadata: TableMetadata) -> dict:
+        """Configuration bookkeeping + schema replay: when the source schema
+        evolved (legally), the metaData action carries the new schemaString
+        (syncSchema step of the lifecycle, TableFormatSync.java:146-174)."""
+        import json as _json
+
+        meta = self.log.update_configuration(metadata.to_props())
+        current = self.log.table_descriptor().read_schema if self.log.latest_version() >= 0 else None
+        if _schema_evolved(current, table.read_schema):
+            meta["schemaString"] = _json.dumps(table.read_schema.jsonValue())
+        return meta
 
     def sync_change(self, change: TableChange, metadata: TableMetadata) -> None:
         self._ensure(change.table)
-        meta = self.log.update_configuration(metadata.to_props())
+        meta = self._meta_with_schema(change.table, metadata)
         self.log.commit(
             adds=change.diff.added,
             removes=change.diff.removed,
@@ -238,8 +263,13 @@ class HudiTarget:
             out.setdefault(partition, []).append(_file_id_for(rel))
         return out
 
+    def _validate_schema(self, table: Table) -> None:
+        if self.timeline.exists() and self.timeline.latest_instant():
+            _schema_evolved(self.timeline.table_descriptor().read_schema, table.read_schema)
+
     def sync_snapshot(self, snapshot: Snapshot, metadata: TableMetadata) -> None:
         self._ensure(snapshot.table)
+        self._validate_schema(snapshot.table)
         current = self.timeline.snapshot_files()
         added, removed = files_diff(snapshot.files, current)
         replace = self._replace_ids_for(removed)
@@ -254,6 +284,7 @@ class HudiTarget:
 
     def sync_change(self, change: TableChange, metadata: TableMetadata) -> None:
         self._ensure(change.table)
+        self._validate_schema(change.table)
         replace = self._replace_ids_for(change.diff.removed)
         self.timeline.commit(
             adds=change.diff.added,
@@ -287,8 +318,13 @@ class IcebergTarget:
     def _expiry_horizon(self) -> int:
         return int(time.time() * 1000) - self.retention_hours * 3600_000
 
+    def _validate_schema(self, table: Table) -> None:
+        if self.table.exists():
+            _schema_evolved(self.table.table_descriptor().read_schema, table.read_schema)
+
     def sync_snapshot(self, snapshot: Snapshot, metadata: TableMetadata) -> None:
         self._ensure(snapshot.table)
+        self._validate_schema(snapshot.table)
         current = self.table.snapshot_files()
         added, removed = files_diff(snapshot.files, current)
         self.table.commit_overwrite(
@@ -301,6 +337,7 @@ class IcebergTarget:
 
     def sync_change(self, change: TableChange, metadata: TableMetadata) -> None:
         self._ensure(change.table)
+        self._validate_schema(change.table)
         self.table.commit_overwrite(
             adds=change.diff.added,
             removes=change.diff.removed,

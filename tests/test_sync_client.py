@@ -169,3 +169,53 @@ def test_hudi_roundtrip_source(spark, sf_dir, tmp_path):
     base = read_via(spark, TableFormat.HUDI, table_path)
     via = read_via(spark, TableFormat.DELTA, table_path)
     assert via.exceptAll(base).count() == 0 and via.count() == base.count()
+
+
+def test_schema_evolution_sync(spark, sf_dir, tmp_path):
+    """Legal schema evolution propagates to the target; illegal evolution
+    is rejected before anything commits (K6 legality gate)."""
+    import pytest as _pytest
+    from pyspark.sql import types as T
+
+    from onetable_spark.model import Snapshot, TableMetadata
+
+    table_path = str(tmp_path / "evolve")
+    os.makedirs(table_path)
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), os.path.join(table_path, "r.parquet"))
+    schema_v1 = spark.read.parquet(table_path).schema
+    inv = inventory_from_directory(spark, table_path)
+
+    def snap(schema):
+        return Snapshot(
+            table=Table(
+                name="evolve",
+                base_path=table_path,
+                table_format=TableFormat.DELTA,
+                read_schema=schema,
+            ),
+            files=inv,
+            version="1",
+        )
+
+    target = target_for(spark, TableFormat.DELTA, table_path)
+    target.sync_snapshot(snap(schema_v1), TableMetadata(last_instant_synced_millis=1))
+
+    # legal: add a nullable column
+    schema_v2 = T.StructType(list(schema_v1.fields) + [T.StructField("note", T.StringType(), True)])
+    target.sync_snapshot(snap(schema_v2), TableMetadata(last_instant_synced_millis=2))
+    assert DeltaLog(spark, table_path).table_descriptor().read_schema == schema_v2
+
+    # illegal: narrow a column type
+    narrowed = T.StructType(
+        [
+            T.StructField(f.name, T.ShortType(), f.nullable)
+            if f.dataType == T.IntegerType()
+            else f
+            for f in schema_v2.fields
+        ]
+    )
+    assert narrowed != schema_v2
+    with _pytest.raises(ValueError, match="illegal type evolution"):
+        target.sync_snapshot(snap(narrowed), TableMetadata(last_instant_synced_millis=3))
+    # target unchanged after the rejected sync
+    assert DeltaLog(spark, table_path).table_descriptor().read_schema == schema_v2
