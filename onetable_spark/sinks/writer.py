@@ -1,0 +1,84 @@
+"""Data-plane writers: partitioned/bucketed parquet writes that realize the
+IR's layout strategy and partition transforms (SURVEY §1.1
+DataLayoutStrategy + OnePartitionField rows).
+
+Scale notes baked into the defaults:
+
+- **transform columns are derived, then dropped from the data** —
+  Spark's hive-style layout carries partition values in the directory
+  path, so the transformed column is never duplicated inside the files;
+- **write-side repartition on the partition columns** keeps one task per
+  output partition slice (no tiny-files explosion from every task writing
+  every partition), with ``maxRecordsPerFile`` bounding file size instead
+  of task count;
+- **bucketed writes** (`write_bucketed`) pre-shuffle by the bucket key so
+  later joins/aggs on that key are exchange-free (Spark bucketing needs a
+  table catalog — saveAsTable — matching the reference's Hudi file-group
+  concept).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from onetable_spark.model.core import DataLayoutStrategy, PartitionField
+from onetable_spark.schema.partitions import transform_column
+
+
+def with_partition_columns(df: DataFrame, partition_fields: list[PartitionField]) -> DataFrame:
+    """Attach the derived physical partition columns (generated-column
+    semantics, DeltaPartitionExtractor.java:227-248)."""
+    out = df
+    for pf in partition_fields:
+        out = out.withColumn(pf.name, transform_column(pf))
+    return out
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_fields: list[PartitionField],
+    layout: DataLayoutStrategy = DataLayoutStrategy.HIVE_STYLE_PARTITION,
+    max_records_per_file: int = 1_000_000,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet with the IR layout strategy.
+
+    HIVE_STYLE_PARTITION → Spark's native ``partitionBy`` (col=value dirs);
+    FLAT → no partitioning. DIR_HIERARCHY (bare value dirs) is rejected —
+    Spark cannot read it back without a partition-discovery shim, matching
+    the reference treating it as a Hudi-specific legacy layout.
+    """
+    if layout is DataLayoutStrategy.DIR_HIERARCHY_PARTITION_VALUES:
+        raise ValueError("bare value-dir layout is not round-trippable in Spark; use hive-style")
+    writer_df = with_partition_columns(df, partition_fields)
+    names = [pf.name for pf in partition_fields]
+    if layout is DataLayoutStrategy.HIVE_STYLE_PARTITION and names:
+        # one task per partition slice → no NxM small files
+        writer_df = writer_df.repartition(*[F.col(n) for n in names])
+        (
+            writer_df.write.mode(mode)
+            .option("maxRecordsPerFile", max_records_per_file)
+            .partitionBy(*names)
+            .parquet(path)
+        )
+    else:
+        writer_df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file).parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: joins/aggregations on ``bucket_col`` between
+    tables bucketed the same way run with NO exchange (the co-located join
+    play from SURVEY §7-M6 scale notes)."""
+    w = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table_name)
