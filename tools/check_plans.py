@@ -1,0 +1,90 @@
+"""Physical-plan hygiene gate: asserts the optimizer properties the engine
+is designed around, for every query in the declared surface.
+
+Checks (per query, on the executed/physical plan string):
+
+1. **no row-at-a-time Python** — ``BatchEvalPython`` must never appear
+   (Arrow-batched ``ArrowEvalPython``/``MapInPandas`` are the sanctioned
+   Python paths);
+2. **codegen** — at least one ``WholeStageCodegen`` span in every plan;
+3. **pushdown** — queries tagged below must show a non-empty
+   ``PushedFilters`` on a parquet scan;
+4. **broadcast** — queries tagged below must contain a broadcast join
+   (hash or nested-loop), i.e. the small side never shuffles.
+
+Usage: python tools/check_plans.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+EXPECT_PUSHDOWN = {
+    "g1_files_diff",
+    "g6_filter_predicates",
+    "tpch_q1",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q6",
+    "tpch_q14",
+}
+EXPECT_BROADCAST = {
+    "tpch_q3",
+    "tpch_q5",
+    "tpch_q10",
+    "tpch_q14",
+    "range_join",
+    "embedding_topk",
+    "tpch_q22",
+}
+# streaming queries execute via writeStream, not a single batch plan
+SKIP = {"streaming_window_agg", "streaming_sessionize"}
+
+
+def plan_of(df) -> str:
+    # materialize first: under AQE the final (codegen-annotated) plan only
+    # exists after execution (isFinalPlan=true)
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def main() -> int:
+    from onetable_spark.queries import SPARK_QUERIES
+    from onetable_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark("plan-check")
+    failures = 0
+    for name, fn in SPARK_QUERIES.items():
+        if name in SKIP:
+            continue
+        try:
+            plan = plan_of(fn(spark, sf_dir))
+        except Exception as ex:  # noqa: BLE001
+            print(f"FAIL {name}: plan build error: {str(ex)[:120]}")
+            failures += 1
+            continue
+        problems = []
+        if "BatchEvalPython" in plan:
+            problems.append("row-at-a-time Python UDF in plan")
+        if "*(" not in plan and "WholeStageCodegen" not in plan:
+            problems.append("no WholeStageCodegen span")
+        if name in EXPECT_PUSHDOWN and not re.search(r"PushedFilters: \[[^\]]", plan):
+            problems.append("expected non-empty PushedFilters")
+        if name in EXPECT_BROADCAST and "Broadcast" not in plan:
+            problems.append("expected a broadcast join")
+        if problems:
+            print(f"FAIL {name}: " + "; ".join(problems))
+            failures += 1
+        else:
+            print(f"ok   {name}")
+    print(f"{len(SPARK_QUERIES) - len(SKIP)} plans checked, {failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
