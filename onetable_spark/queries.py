@@ -510,6 +510,34 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rollup_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP (region → nation → NULL superrows) —
+    one pass, Spark expands grouping sets inside the aggregate."""
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    joined = (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.rollup("r_name", "n_name").agg(
+        F.count(F.lit(1)).alias("n_custs"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+    )
+
+
+def q_percentile_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact percentiles per group (continuous interpolation) — the
+    ordered-statistics operator; at 100 TB swap in approx_percentile with a
+    bounded error instead of the exact sort-based path."""
+    li = load_table(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
+    )
+
+
 def q_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling 1-hour window aggregation over events (batch twin of
     ``streaming.tumbling_event_counts``); window start surfaced as epoch
@@ -931,6 +959,21 @@ ORACLE_SQL: dict[str, str] = {
                 FROM events))
         GROUP BY user_id
     """,
+    "rollup_agg": """
+        SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_custs,
+               ROUND(SUM(c_acctbal), 2) AS total_bal
+        FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+    """,
+    "percentile_agg": """
+        SELECT l_returnflag,
+               ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
+               ROUND(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+               ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50_qty
+        FROM lineitem GROUP BY l_returnflag
+    """,
     "window_agg": """
         SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start_s,
                event_type,
@@ -1029,6 +1072,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "sessionize": q_sessionize,
+    "rollup_agg": q_rollup_agg,
+    "percentile_agg": q_percentile_agg,
     "window_agg": q_window_agg,
     "hopping_window": q_hopping_window,
     "asof_join": q_asof_join,
