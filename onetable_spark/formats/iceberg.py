@@ -673,6 +673,32 @@ class IcebergTable:
         md["last-updated-ms"] = int(time.time() * 1000)
         self._write_metadata(self.current_version() + 1, md)
 
+    def recover_if_corrupt(self) -> bool:
+        """K12 corrupt-snapshot recovery (IcebergClient.java:251-285): if
+        the current snapshot's manifest list is missing on disk (crashed
+        writer / HadoopTables rename race), roll back to its parent and
+        clear the sync watermark so the next sync falls back to a FULL
+        snapshot re-sync. Returns True when a recovery was performed."""
+        import os
+
+        if not self.exists():
+            return False
+        md = self.metadata()
+        snap = self.current_snapshot_meta(md)
+        if snap is None or os.path.exists(snap["manifest-list"]):
+            return False
+        parent = snap.get("parent-snapshot-id")
+        snapshots = [s for s in md.get("snapshots", []) if s["snapshot-id"] != snap["snapshot-id"]]
+        md["snapshots"] = snapshots
+        md["current-snapshot-id"] = parent if parent is not None else -1
+        props = dict(md.get("properties") or {})
+        props.pop(TableMetadata.PROP_LAST_SYNCED, None)
+        props.pop(TableMetadata.PROP_INFLIGHT, None)
+        md["properties"] = props
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._write_metadata(self.current_version() + 1, md)
+        return True
+
     def _partition_avro_fields(self, ice_schema: dict, spec: list[dict]) -> list[dict]:
         id_to_type = {f["id"]: f["type"] for f in ice_schema["fields"]}
         out = []

@@ -307,6 +307,9 @@ class IcebergTarget:
     def get_sync_metadata(self) -> Optional[TableMetadata]:
         if not self.table.exists():
             return None
+        # K12: a corrupt current snapshot (missing manifest list) rolls back
+        # and clears the watermark here, forcing the planner into FULL mode
+        self.table.recover_if_corrupt()
         return self.table.get_sync_metadata()
 
     def _ensure(self, table: Table) -> None:

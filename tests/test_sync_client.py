@@ -219,3 +219,29 @@ def test_schema_evolution_sync(spark, sf_dir, tmp_path):
         target.sync_snapshot(snap(narrowed), TableMetadata(last_instant_synced_millis=3))
     # target unchanged after the rejected sync
     assert DeltaLog(spark, table_path).table_descriptor().read_schema == schema_v2
+
+
+def test_iceberg_corrupt_snapshot_recovery(spark, sf_dir, seeded_delta):
+    """K12: a missing manifest list rolls the Iceberg target back, clears
+    the watermark, and the next sync recovers via a FULL snapshot."""
+    table_path = seeded_delta
+    client = SyncClient(spark)
+    source = source_for(spark, TableFormat.DELTA, table_path)
+    target = target_for(spark, TableFormat.ICEBERG, table_path)
+    r1 = client.sync(source, [target])
+    assert r1[TableFormat.ICEBERG].status == SyncStatus.SUCCESS
+
+    # corrupt: delete the current snapshot's manifest list
+    ice = IcebergTable(spark, table_path)
+    snap = ice.current_snapshot_meta()
+    os.remove(snap["manifest-list"])
+
+    # watermark read triggers recovery → planner must fall back to FULL
+    assert target.get_sync_metadata() is None
+    r2 = client.sync(source, [target])
+    assert r2[TableFormat.ICEBERG].status == SyncStatus.SUCCESS
+    assert r2[TableFormat.ICEBERG].mode == SyncMode.FULL
+
+    base = read_via(spark, TableFormat.DELTA, table_path)
+    via = read_via(spark, TableFormat.ICEBERG, table_path)
+    assert via.count() == base.count() and via.exceptAll(base).count() == 0
