@@ -1,0 +1,128 @@
+"""Rerun of the reference's LoadTest scenarios in this engine
+(core/src/test/java/io/onetable/loadtest/LoadTest.java:51-130 — the only
+performance harness the reference ships; BASELINE.md rows 2-3).
+
+Scenario 1: FULL metadata sync of a table with P partitions × F files per
+partition (reference: 1000 × 100) from a synthetic Delta source into
+Iceberg + Hudi targets.
+
+Scenario 2: C incremental commits touching P partitions × 1 file each
+(reference: 100 commits × 1000 partitions), synced incrementally.
+
+Metadata-plane only — file entries are fabricated inventories (the sync
+engine never opens data files), exactly like the reference's load test.
+
+Usage: python tools/load_sync.py [partitions] [files_per_partition] [commits]
+Prints one JSON line with wall-clock seconds per scenario.
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def fabricate_inventory(spark, root: str, partitions: int, files_per: int, commit: int = 0):
+    from onetable_spark.model import FILES_SCHEMA
+
+    n = partitions * files_per
+    return (
+        spark.range(n)
+        .select(
+            F.concat(
+                F.lit(f"{root}/p="),
+                (F.col("id") % partitions).cast("string"),
+                F.lit(f"/c{commit}_f"),
+                F.col("id").cast("string"),
+                F.lit(".parquet"),
+            ).alias("path"),
+            F.lit("parquet").alias("file_format"),
+            F.create_map(F.lit("p"), (F.col("id") % partitions).cast("string")).alias(
+                "partition_values"
+            ),
+            F.lit(1024 * 1024).alias("size"),
+            F.lit(1000).alias("record_count"),
+            (F.lit(commit) + 1).alias("last_modified_millis"),
+            F.lit(None).cast(FILES_SCHEMA["column_stats"].dataType).alias("column_stats"),
+        )
+    )
+
+
+def main() -> None:
+    partitions = int(sys.argv[1]) if len(sys.argv) > 1 else 100
+    files_per = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    commits = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.model import Table, TableFormat
+    from onetable_spark.session import get_spark
+    from onetable_spark.sync import SyncClient, source_for, target_for
+
+    spark = get_spark("load-sync")
+    root = tempfile.mkdtemp(prefix="otb_load_")
+    try:
+        schema = T.StructType(
+            [T.StructField("k", T.LongType()), T.StructField("p", T.IntegerType())]
+        )
+        log = DeltaLog(spark, root)
+        log.init_table(
+            Table(
+                name="load",
+                base_path=root,
+                table_format=TableFormat.DELTA,
+                read_schema=schema,
+            )
+        )
+        log.commit(adds=fabricate_inventory(spark, root, partitions, files_per))
+
+        client = SyncClient(spark)
+        source = source_for(spark, TableFormat.DELTA, root)
+        targets = [
+            target_for(spark, TableFormat.ICEBERG, root),
+            target_for(spark, TableFormat.HUDI, root),
+        ]
+
+        t0 = time.perf_counter()
+        r = client.sync(source, targets)
+        full_s = round(time.perf_counter() - t0, 2)
+        assert all(x.status.value == "SUCCESS" for x in r.values()), r
+
+        t0 = time.perf_counter()
+        for c in range(1, commits + 1):
+            time.sleep(0.01)  # distinct commit timestamps
+            log.commit(adds=fabricate_inventory(spark, root, partitions, 1, commit=c))
+            r = client.sync(source, targets)
+            assert all(x.status.value == "SUCCESS" for x in r.values()), r
+        incr_s = round(time.perf_counter() - t0, 2)
+
+        print(
+            json.dumps(
+                {
+                    "scenario_full_sync_sec": full_s,
+                    "scenario_incremental_sec": incr_s,
+                    "partitions": partitions,
+                    "files_per_partition": files_per,
+                    "commits": commits,
+                    "files_full": partitions * files_per,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+        try:
+            shutil.rmtree(f"{root}_iceberg", ignore_errors=True)
+        except Exception:
+            pass
+
+
+if __name__ == "__main__":
+    main()
