@@ -510,6 +510,59 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_pivot_events(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: per-user event counts spread across event-type columns.
+    Values enumerated explicitly so Spark skips the extra distinct-scan
+    (two-pass pivot) — the shape a 100 TB pipeline needs."""
+    events = load_table(spark, sf, "events")
+    return (
+        events.groupBy("user_id")
+        .pivot("event_type", ["click", "view", "purchase", "error"])
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, ["click", "view", "purchase", "error"])
+    )
+
+
+def q_unpivot_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot/melt: wide per-nation aggregates → long (metric, value)
+    rows via the stack-style unpivot operator."""
+    cust = load_table(spark, sf, "customer")
+    wide = cust.groupBy("c_nationkey").agg(
+        F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        F.round(F.avg("c_acctbal"), 2).alias("avg_bal"),
+        F.count(F.lit(1)).cast("double").alias("n_custs"),
+    )
+    return wide.unpivot(
+        ids=["c_nationkey"],
+        values=["total_bal", "avg_bal", "n_custs"],
+        variableColumnName="metric",
+        valueColumnName="value",
+    )
+
+
+def q_intersect_keys(spark: SparkSession, sf: str) -> DataFrame:
+    """Set intersection: nations having BOTH customers and suppliers."""
+    cust = load_table(spark, sf, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return cust.intersect(supp)
+
+
+def q_full_outer_balance(spark: SparkSession, sf: str) -> DataFrame:
+    """Full outer join of per-nation customer vs supplier balance
+    aggregates — both sides pre-aggregated so the join is tiny."""
+    cust = (
+        load_table(spark, sf, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("cust_bal"))
+    )
+    supp = (
+        load_table(spark, sf, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.round(F.sum("s_acctbal"), 2).alias("supp_bal"))
+    )
+    return cust.join(supp, "nationkey", "full_outer")
+
+
 def q_rollup_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Hierarchical totals via ROLLUP (region → nation → NULL superrows) —
     one pass, Spark expands grouping sets inside the aggregate."""
@@ -959,6 +1012,38 @@ ORACLE_SQL: dict[str, str] = {
                 FROM events))
         GROUP BY user_id
     """,
+    "pivot_events": """
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+               CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view,
+               CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error
+        FROM events GROUP BY user_id
+    """,
+    "unpivot_stats": """
+        SELECT c_nationkey, metric, value
+        FROM (SELECT c_nationkey,
+                     ROUND(SUM(c_acctbal), 2) AS total_bal,
+                     -- decimal hop: match Spark's HALF_UP-on-decimal-repr
+                     CAST(ROUND(CAST(AVG(c_acctbal) AS DECIMAL(18,10)), 2) AS DOUBLE) AS avg_bal,
+                     CAST(COUNT(*) AS DOUBLE) AS n_custs
+              FROM customer GROUP BY c_nationkey)
+        UNPIVOT (value FOR metric IN (total_bal, avg_bal, n_custs))
+    """,
+    "intersect_keys": """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey FROM supplier
+    """,
+    "full_outer_balance": """
+        SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey, cust_bal, supp_bal
+        FROM (SELECT c_nationkey AS nationkey, ROUND(SUM(c_acctbal), 2) AS cust_bal
+              FROM customer GROUP BY 1) c
+        FULL OUTER JOIN
+             (SELECT s_nationkey AS nationkey, ROUND(SUM(s_acctbal), 2) AS supp_bal
+              FROM supplier GROUP BY 1) s
+          ON c.nationkey = s.nationkey
+    """,
     "rollup_agg": """
         SELECT r_name, n_name, CAST(COUNT(*) AS BIGINT) AS n_custs,
                ROUND(SUM(c_acctbal), 2) AS total_bal
@@ -1072,6 +1157,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "sessionize": q_sessionize,
+    "pivot_events": q_pivot_events,
+    "unpivot_stats": q_unpivot_stats,
+    "intersect_keys": q_intersect_keys,
+    "full_outer_balance": q_full_outer_balance,
     "rollup_agg": q_rollup_agg,
     "percentile_agg": q_percentile_agg,
     "window_agg": q_window_agg,
