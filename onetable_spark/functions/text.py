@@ -100,6 +100,33 @@ def fingerprint(col: str | Column = "text") -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
 
 
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(col: str | Column = "text") -> Column:
+    """BPE-ish token estimate: letter runs, digit runs, and individual
+    punctuation as separate tokens (the pre-tokenizer split most BPE
+    vocabularies start from) — closer to LLM token counts than whitespace."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_PATTERN), F.lit(0)))
+
+
+def rolling_fingerprint(col: str | Column = "text", prime: int = 2147483647) -> Column:
+    """Order-SENSITIVE document fingerprint: polynomial rolling hash over
+    per-token hashes (acc*31 + h mod p). Unlike ``fingerprint`` (sorted
+    token set), reorderings change this value — the pair distinguishes
+    "same content" from "same content, same order". Token hash = first 8
+    md5 hex chars so the value is reproducible in any engine; all JVM
+    expressions, one pass."""
+    toks = tokens(col)
+    th = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+    return F.aggregate(
+        th,
+        F.lit(0).cast("long"),
+        lambda acc, h: (acc * 31 + h) % F.lit(prime).cast("long"),
+    )
+
+
 def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     """Attach the full feature set in one projection (single scan)."""
     return df.select(

@@ -510,6 +510,21 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Token accounting per document: whitespace tokens, BPE-ish tokens
+    (letter/digit runs + punctuation), and an order-sensitive rolling-hash
+    fingerprint — one JVM-side projection."""
+    from onetable_spark.functions.text import bpe_token_count, rolling_fingerprint, token_count
+
+    docs = load_table(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        token_count("text").alias("ws_tokens"),
+        bpe_token_count("text").alias("bpe_tokens"),
+        rolling_fingerprint("text").alias("rolling_fp"),
+    )
+
+
 def q_pivot_events(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot: per-user event counts spread across event-type columns.
     Values enumerated explicitly so Spark skips the extra distinct-scan
@@ -1012,6 +1027,17 @@ ORACLE_SQL: dict[str, str] = {
                 FROM events))
         GROUP BY user_id
     """,
+    "token_stats": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INT) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS bpe_tokens,
+               list_reduce(
+                   list_prepend(CAST(0 AS BIGINT),
+                       list_transform(string_split(text, ' '),
+                                      t -> CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT))),
+                   (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_fp
+        FROM documents
+    """,
     "pivot_events": """
         SELECT user_id,
                CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
@@ -1157,6 +1183,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_topk": q_embedding_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "sessionize": q_sessionize,
+    "token_stats": q_token_stats,
     "pivot_events": q_pivot_events,
     "unpivot_stats": q_unpivot_stats,
     "intersect_keys": q_intersect_keys,

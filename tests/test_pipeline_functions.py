@@ -153,3 +153,29 @@ def test_video_frame_sampling_grid(spark):
     durations = {r["media_id"]: r["meta"]["duration_ms"] for r in media.collect()}
     for mid, n in counts.items():
         assert n == durations[mid] // 1000 + 1  # inclusive grid
+
+
+def test_bpe_token_count_and_rolling_fingerprint(spark):
+    from onetable_spark.functions.text import bpe_token_count, rolling_fingerprint
+
+    df = spark.createDataFrame(
+        [
+            (1, "Hello, world! 42x"),
+            (2, "the quick brown fox"),
+            (3, "quick the brown fox"),  # reorder of 2
+            (4, "the quick brown fox"),  # exact dup of 2
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            bpe_token_count("text").alias("bpe"),
+            rolling_fingerprint("text").alias("fp"),
+        ).collect()
+    }
+    # Hello , world ! 42 x → 6 BPE-ish tokens (vs 3 whitespace tokens)
+    assert out[1]["bpe"] == 6
+    assert out[2]["fp"] == out[4]["fp"]  # identical text → identical fp
+    assert out[2]["fp"] != out[3]["fp"]  # reorder changes the ROLLING hash
