@@ -705,6 +705,31 @@ def q_streaming_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): per-user
+    running totals; after draining the backlog the final state equals the
+    plain GROUP BY — which is exactly what the oracle checks. Updates from
+    multiple micro-batches are collapsed with max(n_events) (monotonic)."""
+    from onetable_spark.streaming.events import read_event_stream, run_available_now, user_running_totals
+
+    stream = user_running_totals(read_event_stream(spark, sf))
+    out = run_available_now(stream, f"tot_{abs(hash(sf)) % 10**8}", output_mode="update")
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        F.max_by("total_value", "n_events").alias("total_value"),
+    )
+
+
+def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate top-10: k-means coarse quantizer, probe the 4
+    nearest of 16 clusters (exact twin: embedding_topk)."""
+    from onetable_spark.functions.similarity import ivf_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    return ivf_topk(emb.filter(F.col("vec_id") != 0), query, k=10)
+
+
 def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user session windows via Spark's native ``session_window``
     stateful operator, run through Structured Streaming; the oracle derives
@@ -1133,6 +1158,11 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(SUM(value), 2) AS total_value
         FROM events GROUP BY 1, 2
     """,
+    "stateful_running_totals": """
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+               ROUND(SUM(value), 2) AS total_value
+        FROM events GROUP BY user_id
+    """,
     "streaming_sessionize": """
         SELECT user_id,
                CAST(floor(epoch(MIN(ts))) AS BIGINT) AS sess_start_s,
@@ -1196,9 +1226,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "streaming_window_agg": q_streaming_window_agg,
     "streaming_sessionize": q_streaming_sessionize,
+    "stateful_running_totals": q_stateful_running_totals,
     # probabilistic / stub-backed — rows-only driver check (no oracle entry)
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash_near_dups": q_simhash_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_decode": q_multimodal_decode,
 }

@@ -117,7 +117,46 @@ def sessionize_stream(
     )
 
 
-def run_available_now(stream_df: DataFrame, query_name: str | None = None) -> DataFrame:
+def user_running_totals(
+    events: DataFrame, watermark: str = "30 minutes"
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running event count + value total, emitted on every update.
+
+    This is the escape hatch for stateful logic the built-in windowed
+    aggregations can't express (per-key state machines, custom timeouts);
+    state is a single (count, total) row per user — O(active users), and
+    the GroupState API handles checkpointing/recovery like any built-in
+    stateful operator.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = "user_id long, n_events long, total_value double"
+    state_schema = "n long, total double"
+
+    def fn(key, pdfs, state):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].fillna(0.0).sum())
+        state.update((n, total))  # keep state unrounded; round only at emit
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+        )
+    )
+
+
+def run_available_now(
+    stream_df: DataFrame, query_name: str | None = None, output_mode: str = "complete"
+) -> DataFrame:
     """Run a streaming DataFrame to completion over the data available now
     and return the final result as a batch DataFrame (memory sink).
 
@@ -131,7 +170,7 @@ def run_available_now(stream_df: DataFrame, query_name: str | None = None) -> Da
         q = (
             stream_df.writeStream.format("memory")
             .queryName(name)
-            .outputMode("complete")
+            .outputMode(output_mode)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()

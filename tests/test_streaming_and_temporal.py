@@ -113,3 +113,41 @@ def test_banded_range_join(spark):
     # plan check: fact side must not shuffle — broadcast nested loop join
     plan = banded_range_join(facts, bands, "v")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir):
+    from onetable_spark.session import load_table
+    from onetable_spark.streaming.events import read_event_stream, run_available_now, user_running_totals
+
+    out = run_available_now(
+        user_running_totals(read_event_stream(spark, sf_dir)), "t_totals", output_mode="update"
+    )
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in out.groupBy("user_id")
+        .agg(F.max("n_events").alias("n_events"), F.max_by("total_value", "n_events").alias("total_value"))
+        .collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .collect()
+    }
+    assert final == batch
+
+
+def test_ivf_topk_recall(spark, sf_dir):
+    from onetable_spark.functions.similarity import cosine_topk, ivf_topk
+    from onetable_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.first()["embedding"])
+    exact = [r["vec_id"] for r in cosine_topk(emb, q, k=10).collect()]
+    approx = [r["vec_id"] for r in ivf_topk(emb, q, k=10, n_clusters=16, n_probe=4).collect()]
+    # the probed quarter of the corpus must contain most of the true top-10
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 5
+    # scores reported by IVF are true cosines → any shared id has equal rank order
+    assert approx[0] in exact
