@@ -104,13 +104,6 @@ ACTION_SCHEMA = T.StructType(
 # Delta-supported generation expressions for time-based partitions
 # (DeltaPartitionExtractor.java:104-225); our writer emits / parser accepts
 # the same single-column grammar.
-_TRANSFORM_TO_EXPR = {
-    PartitionTransform.YEAR: "YEAR({c})",
-    PartitionTransform.MONTH: "MONTH({c})",
-    PartitionTransform.DAY: "CAST({c} AS DATE)",
-    PartitionTransform.HOUR: "HOUR({c})",
-}
-
 
 def _version_path(table_path: str, version: int) -> str:
     return os.path.join(table_path, LOG_DIR, f"{version:020d}.json")
@@ -361,7 +354,7 @@ class DeltaLog:
             "id": str(uuid.uuid4()),
             "name": table.name,
             "format": {"provider": "parquet", "options": {}},
-            "schemaString": json.dumps(table.read_schema.jsonValue()),
+            "schemaString": json.dumps(_schema_with_generated_columns(table).jsonValue()),
             "partitionColumns": [p.name for p in table.partition_fields],
             "configuration": conf,
             "createdTime": int(time.time() * 1000),
@@ -550,18 +543,42 @@ def _file_row_to_add(row, table_path: str, now: int) -> dict:
     }
 
 
+def _schema_with_generated_columns(table: Table) -> T.StructType:
+    """The inverse of ``_partition_field_from_delta`` (C5 write side,
+    DeltaPartitionExtractor.java:227-248): time-transformed partition
+    fields become string generated columns carrying
+    ``delta.generationExpression`` metadata, appended to the schema if not
+    already present — so the spec round-trips through the log."""
+    from onetable_spark.schema.partitions import to_delta_generation_expr
+
+    schema = table.read_schema
+    names = set(schema.fieldNames())
+    extra = []
+    for pf in table.partition_fields:
+        if pf.transform.is_time_based and pf.name not in names:
+            extra.append(
+                T.StructField(
+                    pf.name,
+                    T.StringType(),
+                    True,
+                    metadata={"delta.generationExpression": to_delta_generation_expr(pf)},
+                )
+            )
+    return T.StructType(list(schema.fields) + extra) if extra else schema
+
+
 def _partition_field_from_delta(col: str, schema: T.StructType) -> PartitionField:
-    """Parse a partition column, honoring generation expressions
-    (DeltaPartitionExtractor.java:104-225 single-column grammar)."""
+    """Parse a partition column, honoring generation expressions via the
+    full C5 grammar (DeltaPartitionExtractor.java:104-225): YEAR/MONTH/
+    DAY/HOUR(c), CAST(c AS DATE), DATE_FORMAT(c, fmt)."""
+    from onetable_spark.schema.partitions import parse_delta_generation_expr
+
     if col in schema.fieldNames():
         f = schema[col]
         expr = (f.metadata or {}).get("delta.generationExpression")
         if expr:
-            for transform, pattern in _TRANSFORM_TO_EXPR.items():
-                prefix = pattern.split("(")[0]
-                if expr.upper().startswith(prefix):
-                    src = expr[expr.index("(") + 1 :].rstrip(")").split(" AS ")[0].strip("` ")
-                    return PartitionField(
-                        source_field=src, transform=transform, partition_field_name=col
-                    )
+            try:
+                return parse_delta_generation_expr(expr.replace("`", ""), col)
+            except ValueError:
+                pass  # unknown expression → treat as identity on the column
     return PartitionField(source_field=col, transform=PartitionTransform.VALUE)

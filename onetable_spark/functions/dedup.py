@@ -386,13 +386,18 @@ def simhash_near_dup_pairs(
         F.transform(F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t)).alias("th"),
     ).repartition(spark.sparkContext.defaultParallelism)
     sig = hashed.select("id", _simhash_sig_udf()("th").alias("sig"))
-    # Bucket by 16-bit chunk, then generate pairs WITHIN each bucket via
-    # collect_list + double explode — one hash agg instead of a sort-merge
-    # self-join (whose skewed keys — a hot chunk value shared by hundreds
-    # of templated docs — would straggle). The hamming filter runs before
+    # CLUSTER COLLAPSE first: duplicate-heavy corpora produce many docs
+    # with identical signatures; group them so the quadratic candidate
+    # stage runs over DISTINCT signatures only, then expand id pairs at
+    # the end. Intra-group pairs are hamming-0 by construction.
+    groups = sig.groupBy("sig").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    # Bucket distinct sigs by 16-bit chunk, then generate pairs WITHIN each
+    # bucket via collect_list + double explode — one hash agg instead of a
+    # sort-merge self-join (whose skewed keys — a hot chunk value shared by
+    # a template cluster — would straggle). The hamming filter runs before
     # the distinct so dedup sees only surviving pairs.
-    chunks = sig.select(
-        F.struct("id", "sig").alias("doc"),
+    chunks = groups.select(
+        F.struct("sig", "ids").alias("g"),
         F.explode(
             F.array(
                 *[
@@ -405,16 +410,32 @@ def simhash_near_dup_pairs(
             )
         ).alias("cc"),
     )
-    buckets = chunks.groupBy("cc").agg(F.collect_list("doc").alias("mem")).filter(F.size("mem") > 1)
-    return (
+    buckets = chunks.groupBy("cc").agg(F.collect_list("g").alias("mem")).filter(F.size("mem") > 1)
+    sig_pairs = (
         buckets.select(F.explode("mem").alias("a"), "mem")
         .select("a", F.explode("mem").alias("b"))
-        .filter(F.col("a.id") < F.col("b.id"))
+        .filter(F.col("a.sig") < F.col("b.sig"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            F.col("a.ids").alias("ids_a"),
+            F.col("b.ids").alias("ids_b"),
             F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig"))).alias("hamming"),
         )
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+    # expand: cross-group pairs (normalize id order) + intra-group pairs
+    inter = (
+        sig_pairs.select(F.explode("ids_a").alias("x"), "ids_b", "hamming")
+        .select("x", F.explode("ids_b").alias("y"), "hamming")
+        .select(
+            F.least("x", "y").alias("id_a"), F.greatest("x", "y").alias("id_b"), "hamming"
+        )
+    )
+    intra = (
+        groups.filter(F.size("ids") > 1)
+        .select(F.explode("ids").alias("id_a"), "ids")
+        .select("id_a", F.explode("ids").alias("id_b"))
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.lit(0))
+    )
+    return inter.unionByName(intra)

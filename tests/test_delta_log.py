@@ -127,3 +127,33 @@ def test_optimistic_concurrency_no_clobber(spark, delta_table):
         f.write(json.dumps({"commitInfo": {"operation": "RACER"}}) + "\n")
     v = log.commit(operation="OURS")
     assert v == 2  # retried past the race, never overwrote
+
+
+def test_generated_partition_column_roundtrip(spark, tmp_path):
+    """C5 round-trip: a DAY-transformed partition field written to the log
+    comes back as the same PartitionField via the generation expression."""
+    from pyspark.sql import types as T
+
+    from onetable_spark.model import PartitionField, PartitionTransform, Table, TableFormat
+
+    path = str(tmp_path / "gen")
+    schema = T.StructType([T.StructField("id", T.LongType()), T.StructField("ts", T.TimestampType())])
+    log = DeltaLog(spark, path)
+    log.init_table(
+        Table(
+            name="gen",
+            base_path=path,
+            table_format=TableFormat.DELTA,
+            read_schema=schema,
+            partition_fields=(PartitionField("ts", PartitionTransform.DAY, "ts_day"),),
+        )
+    )
+    desc = DeltaLog(spark, path).table_descriptor()
+    assert len(desc.partition_fields) == 1
+    pf = desc.partition_fields[0]
+    assert pf.source_field == "ts"
+    assert pf.transform is PartitionTransform.DAY
+    assert pf.name == "ts_day"
+    # the generated column is in the schema with its expression metadata
+    gen = desc.read_schema["ts_day"]
+    assert gen.metadata["delta.generationExpression"] == "DATE_FORMAT(ts, 'yyyy-MM-dd')"
