@@ -599,9 +599,12 @@ def q_percentile_agg(spark: SparkSession, sf: str) -> DataFrame:
     ordered-statistics operator; at 100 TB swap in approx_percentile with a
     bounded error instead of the exact sort-based path."""
     li = load_table(spark, sf, "lineitem")
+    # array-of-fractions form: ONE ordered aggregation per column instead
+    # of one per requested percentile
+    price_ps = F.percentile("l_extendedprice", F.array(F.lit(0.5), F.lit(0.95)))
     return li.groupBy("l_returnflag").agg(
-        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias("p50_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.95)), 4).alias("p95_price"),
+        F.round(F.get(price_ps, 0), 4).alias("p50_price"),
+        F.round(F.get(price_ps, 1), 4).alias("p95_price"),
         F.round(F.percentile("l_quantity", F.lit(0.5)), 4).alias("p50_qty"),
     )
 
