@@ -38,6 +38,7 @@ from onetable_spark.model import (
     DataLayoutStrategy,
     FilesDiff,
     PartitionField,
+    PartitionTransform,
     Snapshot,
     Table,
     TableChange,
@@ -76,6 +77,22 @@ COMMIT_META_SCHEMA = T.StructType(
         T.StructField("schemaString", T.StringType()),
     ]
 )
+
+
+_TRANSFORM_FMT = {
+    PartitionTransform.YEAR: "yyyy",
+    PartitionTransform.MONTH: "yyyy-MM",
+    PartitionTransform.DAY: "yyyy-MM-dd",
+    PartitionTransform.HOUR: "yyyy-MM-dd-HH",
+}
+
+
+def _partition_spec_entry(p: PartitionField) -> str:
+    """IR → Hudi partition-config entry ``path:type[:format]`` (the C4
+    inverse, ConfigurationBasedPartitionSpecExtractor.java:42-74)."""
+    if p.transform is PartitionTransform.VALUE:
+        return f"{p.source_field}:VALUE"
+    return f"{p.source_field}:TIMESTAMP:{_TRANSFORM_FMT[p.transform]}"
 
 
 def millis_to_instant(millis: int) -> str:
@@ -123,6 +140,12 @@ class HudiTimeline:
             "hoodie.table.recordkey.fields": ",".join(table.record_key_fields),
             "hoodie.table.partition.fields": ",".join(
                 p.source_field for p in table.partition_fields
+            ),
+            # full spec with transforms, Hudi partition-config grammar
+            # path:type[:format] (ConfigurationBasedPartitionSpecExtractor.
+            # java:42-74) — so time transforms survive the round-trip
+            "onetable.partition.spec": ",".join(
+                _partition_spec_entry(p) for p in table.partition_fields
             ),
             "hoodie.table.schema": json.dumps(table.read_schema.jsonValue()),
         }
@@ -263,11 +286,17 @@ class HudiTimeline:
         schema = (
             T.StructType.fromJson(json.loads(schema_json)) if schema_json else T.StructType([])
         )
-        pfields = tuple(
-            PartitionField(source_field=p)
-            for p in props.get("hoodie.table.partition.fields", "").split(",")
-            if p
-        )
+        spec = props.get("onetable.partition.spec", "")
+        if spec:
+            from onetable_spark.schema.partitions import parse_hudi_partition_config
+
+            pfields = tuple(parse_hudi_partition_config(spec))
+        else:
+            pfields = tuple(
+                PartitionField(source_field=p)
+                for p in props.get("hoodie.table.partition.fields", "").split(",")
+                if p
+            )
         latest = self.latest_instant()
         return Table(
             name=name or props.get("hoodie.table.name", os.path.basename(self.table_path)),

@@ -733,6 +733,22 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(emb.filter(F.col("vec_id") != 0), query, k=10)
 
 
+def q_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video frame-sampling plumbing: JVM-side timestamp grid (sequence +
+    explode) → per-frame stub decode in mapInPandas → per-video feature
+    rollup. Bytes never pass through the groupBy."""
+    from onetable_spark.functions.multimodal import sample_video_frames, synth_media_table
+
+    media = synth_media_table(spark, 200).filter(F.col("kind") == "video")
+    frames = sample_video_frames(media, every_ms=1000)
+    return frames.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("n_frames"),
+        F.round(F.sum(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x)), 4).alias(
+            "feature_mass"
+        ),
+    )
+
+
 def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user session windows via Spark's native ``session_window``
     stateful operator, run through Structured Streaming; the oracle derives
@@ -1236,4 +1252,5 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_decode": q_multimodal_decode,
+    "video_frame_sample": q_video_frame_sample,
 }

@@ -140,3 +140,31 @@ def test_archive_timeline(spark, hudi_table):
     assert archived == 3
     assert len(tl.completed_instants()) == 2
     assert len(os.listdir(os.path.join(table_path, ".hoodie", "archived"))) == 3
+
+
+def test_partition_spec_transform_roundtrip(spark, tmp_path):
+    """C4 round-trip: a DAY-transformed partition field survives
+    hoodie.properties via the path:type:format grammar."""
+    from pyspark.sql import types as T
+
+    from onetable_spark.model import PartitionField, PartitionTransform, Table, TableFormat
+
+    path = str(tmp_path / "hspec")
+    tl = HudiTimeline(spark, path)
+    tl.init_table(
+        Table(
+            name="hspec",
+            base_path=path,
+            table_format=TableFormat.HUDI,
+            read_schema=T.StructType([T.StructField("ts", T.TimestampType())]),
+            partition_fields=(
+                PartitionField("region"),
+                PartitionField("ts", PartitionTransform.DAY),
+            ),
+        )
+    )
+    desc = HudiTimeline(spark, path).table_descriptor()
+    assert [(p.source_field, p.transform) for p in desc.partition_fields] == [
+        ("region", PartitionTransform.VALUE),
+        ("ts", PartitionTransform.DAY),
+    ]
