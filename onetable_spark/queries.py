@@ -733,6 +733,53 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return ivf_topk(emb.filter(F.col("vec_id") != 0), query, k=10)
 
 
+def q_sync_inventory(spark: SparkSession, sf: str) -> DataFrame:
+    """The metadata plane under the correctness gate: sync a parquet table
+    into Delta + Iceberg + Hudi (full lifecycle: init, inventory with
+    footer stats, transactional commit, watermark), then read each
+    format's snapshot back and report (format, file, record_count). The
+    oracle is plain SQL over the source table — so file-count AND
+    footer-derived record counts must survive all three commit planes."""
+    import os
+    import shutil
+    import tempfile
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import TableFormat
+    from onetable_spark.sync import SyncClient, source_for, target_for
+
+    base = os.path.join(tempfile.gettempdir(), "otb_sync_q", os.path.basename(sf.rstrip("/")))
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    shutil.copy(os.path.join(sf, "region.parquet"), os.path.join(base, "region.parquet"))
+    client = SyncClient(spark)
+    results = client.sync(
+        source_for(spark, TableFormat.PARQUET, base),
+        [
+            target_for(spark, TableFormat.DELTA, base),
+            target_for(spark, TableFormat.ICEBERG, base),
+            target_for(spark, TableFormat.HUDI, base),
+        ],
+    )
+    assert all(r.status.value == "SUCCESS" for r in results.values()), results
+    readers = {
+        "DELTA": DeltaLog(spark, base).snapshot_files(),
+        "ICEBERG": IcebergTable(spark, base).snapshot_files(),
+        "HUDI": HudiTimeline(spark, base).snapshot_files(),
+    }
+    out = None
+    for fmt, files in readers.items():
+        part = files.select(
+            F.lit(fmt).alias("fmt"),
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("record_count"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def q_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Video frame-sampling plumbing: JVM-side timestamp grid (sequence +
     explode) → per-frame stub decode in mapInPandas → per-video feature
@@ -1177,6 +1224,12 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(SUM(value), 2) AS total_value
         FROM events GROUP BY 1, 2
     """,
+    "sync_inventory": """
+        SELECT fmt, 'region.parquet' AS file_name,
+               CAST(COUNT(*) AS BIGINT) AS record_count
+        FROM region CROSS JOIN (VALUES ('DELTA'), ('ICEBERG'), ('HUDI')) f(fmt)
+        GROUP BY fmt
+    """,
     "stateful_running_totals": """
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
                ROUND(SUM(value), 2) AS total_value
@@ -1246,6 +1299,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_window_agg": q_streaming_window_agg,
     "streaming_sessionize": q_streaming_sessionize,
     "stateful_running_totals": q_stateful_running_totals,
+    "sync_inventory": q_sync_inventory,
     # probabilistic / stub-backed — rows-only driver check (no oracle entry)
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash_near_dups": q_simhash_near_dups,
