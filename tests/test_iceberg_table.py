@@ -200,3 +200,92 @@ def test_partitioned_spec(spark, sf_dir, tmp_path):
     desc = ice.table_descriptor()
     assert desc.partition_fields[0].source_field == "c_mktsegment"
     assert desc.partition_fields[0].transform == PartitionTransform.VALUE
+
+
+# ---------------------------------------------------------- property-based
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_PRIMITIVES = [
+    T.LongType(),
+    T.IntegerType(),
+    T.StringType(),
+    T.DoubleType(),
+    T.FloatType(),
+    T.BooleanType(),
+    T.DateType(),
+    T.BinaryType(),
+    T.TimestampType(),
+    T.TimestampNTZType(),
+    T.DecimalType(10, 2),
+    T.DecimalType(30, 8),
+]
+
+_names = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+
+
+def _dtypes(depth: int):
+    if depth <= 0:
+        return st.sampled_from(_PRIMITIVES)
+    inner = _dtypes(depth - 1)
+    return st.one_of(
+        st.sampled_from(_PRIMITIVES),
+        st.builds(T.ArrayType, inner, st.booleans()),
+        st.builds(T.MapType, st.sampled_from(_PRIMITIVES), inner, st.booleans()),
+        st.builds(
+            lambda fields: T.StructType(fields),
+            st.lists(
+                st.builds(T.StructField, _names, inner, st.booleans()),
+                min_size=1,
+                max_size=3,
+                unique_by=lambda f: f.name,
+            ),
+        ),
+    )
+
+
+_schemas = st.builds(
+    lambda fields: T.StructType(fields),
+    st.lists(
+        st.builds(T.StructField, _names, _dtypes(2), st.booleans()),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda f: f.name,
+    ),
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_schemas)
+def test_schema_roundtrip_property(schema):
+    """Any StructType (nested arrays/maps/structs, decimals, timestamps)
+    survives StructType → Iceberg schema → StructType with names, types
+    and nullability intact, and globally unique field ids."""
+    ice, _ = structtype_to_iceberg(schema)
+
+    ids = []
+
+    def walk(node):
+        if isinstance(node, dict):
+            if "id" in node and isinstance(node.get("id"), int):
+                ids.append(node["id"])
+            for v in node.values():
+                walk(v)
+        elif isinstance(node, list):
+            for v in node:
+                walk(v)
+
+    walk(ice)
+    assert len(ids) == len(set(ids)), "field ids must be globally unique"
+
+    back = iceberg_to_structtype(ice)
+
+    def strip_meta(node):
+        if isinstance(node, dict):
+            return {k: strip_meta(v) for k, v in node.items() if k != "metadata"}
+        if isinstance(node, list):
+            return [strip_meta(x) for x in node]
+        return node
+
+    assert strip_meta(back.jsonValue()) == strip_meta(schema.jsonValue())

@@ -172,3 +172,45 @@ class TestPartitions:
         assert parse_hive_partition_path("k=__HIVE_DEFAULT_PARTITION__") == {"k": None}
         with pytest.raises(ValueError):
             parse_hive_partition_path("noequalsign")
+
+
+# ---------------------------------------------------------- property-based
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_prims = [T.LongType(), T.IntegerType(), T.StringType(), T.DoubleType(), T.DecimalType(12, 3)]
+_names2 = st.from_regex(r"[a-z][a-z0-9_]{0,8}", fullmatch=True)
+_flat_schemas = st.builds(
+    lambda fields: T.StructType(fields),
+    st.lists(
+        st.builds(T.StructField, _names2, st.sampled_from(_prims), st.booleans()),
+        min_size=1,
+        max_size=6,
+        unique_by=lambda f: f.name,
+    ),
+)
+
+
+@settings(max_examples=50, deadline=None)
+@given(_flat_schemas)
+def test_diff_identity_property(schema):
+    assert diff_schemas(schema, schema) == []
+
+
+@settings(max_examples=50, deadline=None)
+@given(_flat_schemas, _flat_schemas)
+def test_diff_apply_inverse_property(old, new):
+    """Whenever the diff is legal, applying it to old must produce new
+    exactly (modulo field order for added columns, which append)."""
+    # nullable-ize adds so they're always legal; skip cases diff rejects
+    new = T.StructType([T.StructField(f.name, f.dataType, True) for f in new.fields])
+    old = T.StructType([T.StructField(f.name, f.dataType, True) for f in old.fields])
+    try:
+        ops = diff_schemas(old, new)
+    except ValueError:
+        return  # illegal evolution — correctly rejected
+    result = apply_ops(old, ops)
+    assert {(f.name, f.dataType, f.nullable) for f in result.fields} == {
+        (f.name, f.dataType, f.nullable) for f in new.fields
+    }
