@@ -216,28 +216,41 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard ≥ threshold — **exact**.
 
-    Inverted-index plan: explode shingle hashes → self-join on shingle →
-    per-pair intersection count (one hash agg) → |A∪B| = |A|+|B|−|A∩B|.
-    Skew note: a stop-shingle shared by everything would explode the
-    candidate join at corpus scale; production adds a document-frequency
-    cap on shingles (drop shingles in >p% of docs) before the join.
+    Prefix-filtered inverted-index plan (PPJoin family, exact by the
+    prefix-filtering theorem): order each document's shingles by global
+    rarity (document frequency asc) and index only the first
+    ``|A| − ⌈t·|A|⌉ + 1`` of them — two sets with J ≥ t MUST share a
+    prefix shingle, so candidate generation over prefixes loses nothing.
+    Hot (high-df) shingles fall OUT of prefixes, so the worst-case
+    candidate blowup a stop-shingle causes in a plain inverted index
+    cannot happen. Verification joins the full shingle arrays back and
+    computes exact Jaccard with array_intersect/union.
     """
-    sh = shingle_hash_df(df, n, text_col, id_col).withColumn("sh_size", F.size("sh"))
-    exploded = sh.select("id", "sh_size", F.explode("sh").alias("g"))
-    a, b = exploded.alias("a"), exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sh_size").alias("size_a"),
-            F.col("b.sh_size").alias("size_b"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    sh = shingle_hash_df(df, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    tok = sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("g"))
+    dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("g"))
+    prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
+    prefix = (
+        tok.join(dfreq, "g")
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= prefix_len)
+        .select("id", "g")
     )
-    jac = F.col("n_common") / (F.col("size_a") + F.col("size_b") - F.col("n_common"))
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        inter.withColumn("jaccard", F.round(jac, 4))
+        cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"id": "id_b", "sh": "sh_b"}), "id_b")
+        .withColumn("jaccard", F.round(jac, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
