@@ -4,14 +4,14 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 1: 48 queries — metadata-plane relational operators
-(G1-G13), 11 TPC-H shapes, grouping sets/percentiles/pivot/unpivot/set
+Surface as of round 1: 54 queries — metadata-plane relational operators
+(G1-G13), 15 TPC-H shapes, grouping sets/percentiles/pivot/unpivot/set
 ops, windowed + session + hopping aggregations (batch AND Structured
 Streaming execution, both oracle-checked), as-of/range joins, a custom
 applyInPandasWithState stateful operator, and the LLM-pipeline layer
 (exact/fingerprint/MinHash-LSH/SimHash/n-gram-Jaccard dedup, brute-force +
-LSH + IVF similarity search, text analysis, multimodal plumbing). 44 carry
-full DuckDB value-hash oracles; 4 are probabilistic/stub-backed rows-only.
+LSH + IVF similarity search, text analysis, multimodal plumbing). 48 carry
+full DuckDB value-hash oracles; 6 are probabilistic/stub-backed rows-only.
 """
 
 from __future__ import annotations

@@ -318,6 +318,89 @@ def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
     ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
 
 
+def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """Volume shipping (TPC-H Q7 shape): revenue flow between two nations
+    by year — the two nation dimension joins broadcast; the year comes out
+    of the shipdate with a JVM date function."""
+    li = load_table(spark, sf, "lineitem")
+    supp = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders")
+    cust = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    joined = (
+        li.join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return joined.groupBy(
+        "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+    ).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """Customer distribution (TPC-H Q13 shape): histogram of per-customer
+    order counts including zero-order customers (left outer + double
+    group-by)."""
+    cust = load_table(spark, sf, "customer")
+    orders = load_table(spark, sf, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """Top supplier (TPC-H Q15 shape): revenue per supplier over a
+    quarter, then keep the max-revenue supplier(s) via a broadcast 1-row
+    scalar join (no window over the whole aggregate needed)."""
+    li = load_table(spark, sf, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp_ntz"))
+    )
+    supp = load_table(spark, sf, "supplier")
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("mr"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("mr"))
+        .join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape): correlated
+    per-part average decorrelated into an aggregate + re-join — the
+    standard Catalyst-friendly rewrite of the correlated scalar subquery."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part").filter(F.col("p_brand") == "Brand#1")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, li.l_partkey == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
 def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
     """Returned-item reporting (TPC-H Q10 shape): revenue lost to returns
     per customer, top 20 — join order lets the returned-lineitem filter
@@ -1016,6 +1099,46 @@ ORACLE_SQL: dict[str, str] = {
         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
           AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
     """,
+    "tpch_q7": """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
+    """,
+    "tpch_q13": """
+        SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+        FROM (SELECT c_custkey, CAST(COUNT(o_orderkey) AS BIGINT) AS c_count
+              FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+              GROUP BY c_custkey)
+        GROUP BY c_count
+    """,
+    "tpch_q15": """
+        WITH rev AS (
+            SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s_suppkey, s_name, total_revenue
+        FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        WHERE total_revenue = (SELECT MAX(total_revenue) FROM rev)
+    """,
+    "tpch_q17": """
+        SELECT ROUND(SUM(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN (SELECT l_partkey AS ap_key, AVG(l_quantity) * 0.5 AS half_avg
+              FROM lineitem GROUP BY l_partkey) a ON l_partkey = ap_key
+        WHERE p_brand = 'Brand#1' AND l_quantity < half_avg
+    """,
     "tpch_q10": """
         SELECT c_custkey, c_name, n_name,
                ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -1273,7 +1396,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
+    "tpch_q7": q_tpch_q7,
     "tpch_q10": q_tpch_q10,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "tpch_q22": q_tpch_q22,
