@@ -9,6 +9,8 @@ from onetable_spark.operators.relational import (
     sorted_merge_dedup,
     top_k,
 )
+from onetable_spark.operators.skew import salted_groupby, salted_join
+from onetable_spark.operators.temporal import asof_join, banded_range_join
 
 __all__ = [
     "files_diff",
@@ -20,4 +22,8 @@ __all__ = [
     "regroup_stats_per_file",
     "sorted_merge_dedup",
     "top_k",
+    "asof_join",
+    "banded_range_join",
+    "salted_groupby",
+    "salted_join",
 ]
