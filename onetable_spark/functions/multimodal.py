@@ -82,6 +82,51 @@ def decode_images(df: DataFrame, id_col: str = "media_id", content_col: str = "c
     return df.select(id_col, content_col).mapInPandas(worker, IMAGE_FEATURES_SCHEMA)
 
 
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    ]
+)
+
+
+def _decode_audio_impl(content: bytes) -> tuple[int, list[float]]:
+    """STUB — deterministic fake decode (replace with torchaudio/soundfile
+    in production). Sample rate + 8-dim spectral-ish feature derived from
+    the content digest."""
+    digest = hashlib.sha256(b"audio:" + (content or b"")).digest()
+    sample_rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
+    feature = [b / 255.0 for b in digest[1:9]]
+    return sample_rate, feature
+
+
+def decode_audio(
+    df: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Distributed audio decode + feature extraction via mapInPandas —
+    same plumbing contract as ``decode_images``: bytes stay inside the
+    Arrow batch, only (id, rate, duration, feature) rows come out."""
+
+    def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"media_id": [], "sample_rate": [], "duration_ms": [], "feature": []}
+            for mid, content, dur in zip(pdf[id_col], pdf[content_col], pdf[duration_col]):
+                rate, feat = _decode_audio_impl(bytes(content) if content is not None else b"")
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["duration_ms"].append(int(dur) if dur is not None else 0)
+                out["feature"].append(feat)
+            yield pd.DataFrame(out)
+
+    flat = df.select(id_col, content_col, F.col(f"meta.{duration_col}").alias(duration_col))
+    return flat.mapInPandas(worker, AUDIO_FEATURES_SCHEMA)
+
+
 def sample_video_frames(
     df: DataFrame,
     every_ms: int = 1000,

@@ -677,6 +677,16 @@ def q_rollup_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cube_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping-set combinations
+    in one pass."""
+    li = load_table(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
 def q_percentile_agg(spark: SparkSession, sf: str) -> DataFrame:
     """Exact percentiles per group (continuous interpolation) — the
     ordered-statistics operator; at 100 TB swap in approx_percentile with a
@@ -1292,6 +1302,11 @@ ORACLE_SQL: dict[str, str] = {
         JOIN region ON n_regionkey = r_regionkey
         GROUP BY ROLLUP (r_name, n_name)
     """,
+    "cube_agg": """
+        SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n_items,
+               ROUND(SUM(l_quantity), 2) AS sum_qty
+        FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
     "percentile_agg": """
         SELECT l_returnflag,
                ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS p50_price,
@@ -1418,6 +1433,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "intersect_keys": q_intersect_keys,
     "full_outer_balance": q_full_outer_balance,
     "rollup_agg": q_rollup_agg,
+    "cube_agg": q_cube_agg,
     "percentile_agg": q_percentile_agg,
     "window_agg": q_window_agg,
     "hopping_window": q_hopping_window,

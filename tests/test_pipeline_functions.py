@@ -179,3 +179,14 @@ def test_bpe_token_count_and_rolling_fingerprint(spark):
     assert out[1]["bpe"] == 6
     assert out[2]["fp"] == out[4]["fp"]  # identical text → identical fp
     assert out[2]["fp"] != out[3]["fp"]  # reorder changes the ROLLING hash
+
+
+def test_audio_decode_deterministic(spark):
+    from onetable_spark.functions.multimodal import decode_audio
+
+    media = synth_media_table(spark, 30).filter(F.col("kind") == "audio")
+    out1 = sorted((r["media_id"], r["sample_rate"], tuple(r["feature"])) for r in decode_audio(media).collect())
+    out2 = sorted((r["media_id"], r["sample_rate"], tuple(r["feature"])) for r in decode_audio(media).collect())
+    assert out1 == out2 and len(out1) == 10
+    assert all(sr in (8000, 16000, 22050, 44100) for _, sr, _ in out1)
+    assert all(len(f) == 8 for _, _, f in out1)
