@@ -52,6 +52,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     """
     from pyspark.sql import functions as F
 
+    if name == "events":
+        # events.parquet carries INT64 TIMESTAMP(NANOS), which Spark's
+        # parquet schema converter rejects outright. The caller's session
+        # may be one we didn't build (the correctness harness constructs a
+        # vanilla SparkSession), so set the runtime legacy conf here — it
+        # is a runtime SQL conf, verified settable on an active session —
+        # rather than relying on get_spark's builder config.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn(
