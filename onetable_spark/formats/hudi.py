@@ -262,7 +262,12 @@ class HudiTimeline:
             self._partition_values_col().alias("partition_values"),
             F.col("size"),
             F.col("record_count"),
-            F.col("instant").cast("long").alias("last_modified_millis"),
+            # instant is a yyyyMMddHHmmssSSS UTC literal — convert to epoch
+            # millis (instant_to_millis as a Column expr; session tz is UTC)
+            (
+                F.unix_timestamp(F.substring("instant", 1, 14), "yyyyMMddHHmmss") * 1000
+                + F.coalesce(F.substring("instant", 15, 3).cast("long"), F.lit(0))
+            ).alias("last_modified_millis"),
             F.from_json("stats_json", FILES_SCHEMA["column_stats"].dataType).alias(
                 "column_stats"
             ),

@@ -313,6 +313,17 @@ STATUS_ADDED = 1
 STATUS_DELETED = 2
 
 
+class CommitConflictError(RuntimeError):
+    """Another writer claimed the target metadata version first; the commit
+    must re-read the table state and replay (optimistic concurrency)."""
+
+
+def _schema_fields_equal(a: dict, b: dict) -> bool:
+    """Structural schema equality, ignoring the schema-id label."""
+    strip = lambda s: {k: v for k, v in s.items() if k != "schema-id"}  # noqa: E731
+    return strip(a) == strip(b)
+
+
 class IcebergTable:
     """Reader/writer for one HadoopTables-layout Iceberg table."""
 
@@ -343,6 +354,28 @@ class IcebergTable:
                 return s
         return None
 
+    @staticmethod
+    def _schema_for(md: dict) -> dict:
+        """Current schema by schema-id match — on external tables the id is
+        NOT a list position after schema evolution (spec: schemas is a set
+        keyed by schema-id)."""
+        if "schemas" not in md:
+            return md["schema"]
+        sid = md.get("current-schema-id", 0)
+        for s in md["schemas"]:
+            if s.get("schema-id", 0) == sid:
+                return s
+        raise ValueError(f"current-schema-id {sid} not present in schemas")
+
+    @staticmethod
+    def _spec_for(md: dict) -> list[dict]:
+        """Default partition-spec fields by spec-id match (not list index)."""
+        sid = md.get("default-spec-id", 0)
+        for s in md.get("partition-specs", []):
+            if s.get("spec-id", 0) == sid:
+                return s["fields"]
+        return md.get("partition-spec", [])
+
     def snapshot_files(self, snapshot_id: Optional[int] = None) -> DataFrame:
         """Live file set via manifest-list → manifests (distributed decode)."""
         md = self.metadata()
@@ -357,8 +390,8 @@ class IcebergTable:
         paths = [m["manifest_path"] for m in manifests]
         if not paths:
             return self.spark.createDataFrame([], FILES_SCHEMA)
-        ice_schema = md["schemas"][md["current-schema-id"]] if "schemas" in md else md["schema"]
-        spec = md["partition-specs"][md["default-spec-id"]]["fields"]
+        ice_schema = self._schema_for(md)
+        spec = self._spec_for(md)
         return self._decode_manifests(paths, ice_schema, spec, statuses=(STATUS_ADDED, STATUS_EXISTING))
 
     def _decode_manifests(
@@ -431,10 +464,10 @@ class IcebergTable:
 
     def table_descriptor(self, name: str | None = None) -> Table:
         md = self.metadata()
-        ice_schema = md["schemas"][md["current-schema-id"]] if "schemas" in md else md["schema"]
+        ice_schema = self._schema_for(md)
         schema = iceberg_to_structtype(ice_schema)
         id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
-        spec = md["partition-specs"][md["default-spec-id"]]["fields"]
+        spec = self._spec_for(md)
         pfields = tuple(
             PartitionField(
                 source_field=id_to_name.get(p["source-id"], p["name"]),
@@ -495,8 +528,8 @@ class IcebergTable:
         snap = next(s for s in md["snapshots"] if s["snapshot-id"] == snapshot_id)
         _, manifests = read_container(snap["manifest-list"])
         own = [m["manifest_path"] for m in manifests if m.get("added_snapshot_id") == snapshot_id]
-        ice_schema = md["schemas"][md["current-schema-id"]] if "schemas" in md else md["schema"]
-        spec = md["partition-specs"][md["default-spec-id"]]["fields"]
+        ice_schema = self._schema_for(md)
+        spec = self._spec_for(md)
         added = self._decode_manifests(own, ice_schema, spec, statuses=(STATUS_ADDED,)) if own else self.spark.createDataFrame([], FILES_SCHEMA)
         removed = self._decode_manifests(own, ice_schema, spec, statuses=(STATUS_DELETED,)) if own else self.spark.createDataFrame([], FILES_SCHEMA)
         return TableChange(
@@ -538,8 +571,8 @@ class IcebergTable:
             "location": self.table_path,
             "last-updated-ms": int(time.time() * 1000),
             "last-column-id": next_id - 1,
-            "schema": ice_schema,
-            "schemas": [ice_schema],
+            "schema": {**ice_schema, "schema-id": 0},
+            "schemas": [{**ice_schema, "schema-id": 0}],
             "current-schema-id": 0,
             "partition-spec": spec_fields,
             "partition-specs": [{"spec-id": 0, "fields": spec_fields}],
@@ -551,14 +584,24 @@ class IcebergTable:
             "snapshot-log": [],
             "metadata-log": [],
         }
-        self._write_metadata(1, md)
+        try:
+            self._write_metadata(1, md)
+        except CommitConflictError:
+            return  # concurrent creator won; table now exists
 
     def _write_metadata(self, version: int, md: dict) -> None:
+        """Atomically claim v<version>.metadata.json with O_CREAT|O_EXCL —
+        two concurrent committers racing from the same base version cannot
+        both win (the loser gets CommitConflictError and must re-read and
+        re-apply, mirroring HadoopTableOperations' rename-based CAS). The
+        Delta plane does the same via _atomic_write."""
         path = os.path.join(self.metadata_dir, f"v{version}.metadata.json")
-        tmp = path + ".tmp"
-        with open(tmp, "w") as f:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as e:
+            raise CommitConflictError(f"metadata version {version} already committed") from e
+        with os.fdopen(fd, "w") as f:
             json.dump(md, f, indent=1)
-        os.replace(tmp, path)
         with open(os.path.join(self.metadata_dir, "version-hint.text"), "w") as f:
             f.write(str(version))
 
@@ -569,34 +612,72 @@ class IcebergTable:
         properties: Optional[dict[str, str]] = None,
         schema: Optional[T.StructType] = None,
         expire_older_than_millis: Optional[int] = None,
+        max_retries: int = 3,
     ) -> int:
         """One transactional commit: schema/properties update + OverwriteFiles
         + snapshot expiry (IcebergClient.java:146-236 single-transaction parity).
 
         Carry-forward: prior live files (minus removes) are rewritten into an
-        EXISTING-status manifest; adds get an ADDED-status manifest.
+        EXISTING-status manifest; adds get an ADDED-status manifest; removed
+        files get a STATUS_DELETED manifest (so incremental consumers see the
+        deletions, as real Iceberg overwrite commits do). On a version-claim
+        conflict the whole commit re-reads and replays (optimistic CAS loop).
         """
+        for attempt in range(max_retries):
+            try:
+                return self._commit_overwrite_once(
+                    adds, removes, properties, schema, expire_older_than_millis
+                )
+            except CommitConflictError:
+                if attempt == max_retries - 1:
+                    raise
+        raise AssertionError("unreachable")
+
+    def _commit_overwrite_once(
+        self,
+        adds: DataFrame | None,
+        removes: DataFrame | None,
+        properties: Optional[dict[str, str]],
+        schema: Optional[T.StructType],
+        expire_older_than_millis: Optional[int],
+    ) -> int:
         md = self.metadata()
         version = self.current_version()
         now = int(time.time() * 1000)
         snapshot_id = int.from_bytes(os.urandom(7), "big")
+        current_schema = self._schema_for(md)
         if schema is not None:
             ice_schema, next_id = structtype_to_iceberg(schema)
-            md["schema"] = ice_schema
-            md["schemas"] = [ice_schema]
-            md["last-column-id"] = max(md.get("last-column-id", 0), next_id - 1)
+            if _schema_fields_equal(ice_schema, current_schema):
+                ice_schema = current_schema
+            else:
+                # evolution: append under a NEW schema-id (never mutate or
+                # reindex existing entries — ids are stable identifiers)
+                new_sid = (
+                    max((s.get("schema-id", 0) for s in md.get("schemas", [])), default=-1) + 1
+                )
+                ice_schema = {**ice_schema, "schema-id": new_sid}
+                md["schemas"] = md.get("schemas", [current_schema]) + [ice_schema]
+                md["current-schema-id"] = new_sid
+                md["schema"] = ice_schema
+                md["last-column-id"] = max(md.get("last-column-id", 0), next_id - 1)
         else:
-            ice_schema = md["schemas"][md["current-schema-id"]] if "schemas" in md else md["schema"]
-        spec = md["partition-specs"][md["default-spec-id"]]["fields"]
+            ice_schema = current_schema
+        spec = self._spec_for(md)
 
         prev = self.current_snapshot_meta(md)
         carried: list[dict] = []
+        deleted_entries: list[dict] = []
         if prev is not None:
             removed_paths = set()
             if removes is not None:
                 removed_paths = {r["path"] for r in removes.select("path").toLocalIterator()}
             for row in self.snapshot_files(prev["snapshot-id"]).toLocalIterator():
-                if row["path"] not in removed_paths:
+                if row["path"] in removed_paths:
+                    deleted_entries.append(
+                        self._entry_from_row(row, snapshot_id, STATUS_DELETED, ice_schema, spec)
+                    )
+                else:
                     carried.append(self._entry_from_row(row, snapshot_id, STATUS_EXISTING, ice_schema, spec))
         added_entries = []
         if adds is not None:
@@ -605,11 +686,16 @@ class IcebergTable:
 
         entry_schema = _manifest_entry_schema(self._partition_avro_fields(ice_schema, spec))
         manifests = []
-        for tag, entries in (("added", added_entries), ("existing", carried)):
+        for tag, entries in (
+            ("added", added_entries),
+            ("existing", carried),
+            ("deleted", deleted_entries),
+        ):
             if not entries:
                 continue
             mpath = os.path.join(self.metadata_dir, f"{uuid.uuid4().hex}-m-{tag}.avro")
             write_container(mpath, entry_schema, entries)
+            rows_count = sum(e["data_file"]["record_count"] for e in entries)
             manifests.append(
                 {
                     "manifest_path": mpath,
@@ -618,14 +704,10 @@ class IcebergTable:
                     "added_snapshot_id": snapshot_id,
                     "added_data_files_count": len(entries) if tag == "added" else 0,
                     "existing_data_files_count": len(entries) if tag == "existing" else 0,
-                    "deleted_data_files_count": 0,
-                    "added_rows_count": sum(e["data_file"]["record_count"] for e in entries)
-                    if tag == "added"
-                    else 0,
-                    "existing_rows_count": sum(e["data_file"]["record_count"] for e in entries)
-                    if tag == "existing"
-                    else 0,
-                    "deleted_rows_count": 0,
+                    "deleted_data_files_count": len(entries) if tag == "deleted" else 0,
+                    "added_rows_count": rows_count if tag == "added" else 0,
+                    "existing_rows_count": rows_count if tag == "existing" else 0,
+                    "deleted_rows_count": rows_count if tag == "deleted" else 0,
                 }
             )
         mlist = os.path.join(self.metadata_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro")

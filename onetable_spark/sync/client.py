@@ -67,6 +67,13 @@ class SourceClient(Protocol):
 
     def is_incremental_sync_safe_from(self, millis: int) -> bool: ...
 
+    def inflight_instants(self, millis: int, pending: tuple[int, ...]) -> tuple[int, ...]:
+        """Source commits started but not yet completed as of this sync —
+        carried in every target's sync metadata so an instant that completes
+        *after* the watermark advances past it is still picked up next time
+        (CommitsBacklog.inFlightInstants, HudiClient.java:128-149)."""
+        ...
+
 
 class TargetClient(Protocol):
     """SPI: api/.../spi/sync/TargetClient.java:35-93"""
@@ -113,6 +120,9 @@ class ParquetSource:
     def is_incremental_sync_safe_from(self, millis: int) -> bool:
         return False
 
+    def inflight_instants(self, millis: int, pending: tuple[int, ...]) -> tuple[int, ...]:
+        return ()
+
 
 class DeltaSource:
     def __init__(self, spark: SparkSession, path: str):
@@ -137,6 +147,9 @@ class DeltaSource:
         earliest = int(os.stat(_version_path(self.log.table_path, versions[0])).st_mtime * 1000)
         return earliest <= millis
 
+    def inflight_instants(self, millis: int, pending: tuple[int, ...]) -> tuple[int, ...]:
+        return ()  # Delta commits are atomic — never observed in-flight
+
 
 class HudiSource:
     def __init__(self, spark: SparkSession, path: str):
@@ -159,6 +172,12 @@ class HudiSource:
     def is_incremental_sync_safe_from(self, millis: int) -> bool:
         return self.timeline.is_incremental_sync_safe_from(millis)
 
+    def inflight_instants(self, millis: int, pending: tuple[int, ...]) -> tuple[int, ...]:
+        """Still-pending instants = pending-after-watermark ∪ previously-
+        tracked pending still not completed (HudiClient.java:165-186 merge)."""
+        pending_now = {instant_to_millis(i) for i in self.timeline.pending_instants()}
+        return tuple(sorted({p for p in pending_now if p > millis} | (set(pending) & pending_now)))
+
 
 class IcebergSource:
     def __init__(self, spark: SparkSession, path: str):
@@ -173,6 +192,9 @@ class IcebergSource:
 
     def is_incremental_sync_safe_from(self, millis: int) -> bool:
         return self.table.is_incremental_sync_safe_from(millis)
+
+    def inflight_instants(self, millis: int, pending: tuple[int, ...]) -> tuple[int, ...]:
+        return ()  # Iceberg snapshots appear atomically in metadata.json
 
 
 # ------------------------------------------------------------------- targets
@@ -440,12 +462,21 @@ class SyncClient:
                 )
             )
             alive = {t.table_format: t for t in incremental}
+            # in-flight source commits, computed ONCE for the batch and stored
+            # in every change's metadata — otherwise the first incremental
+            # sync wipes the pending-commit watermark a FULL sync recorded and
+            # a commit completing after the watermark advances is lost forever
+            # (TableFormatSync.getSyncResult pendingCommits pass-through)
+            inflight = source.inflight_instants(earliest, pending)
             for change in source.changes_since(earliest, pending):
                 if not alive:
                     break
                 change.diff.added.persist(StorageLevel.MEMORY_AND_DISK)
                 try:
-                    metadata = TableMetadata(last_instant_synced_millis=change.commit_millis)
+                    metadata = TableMetadata(
+                        last_instant_synced_millis=change.commit_millis,
+                        inflight_commits=inflight,
+                    )
                     for fmt, t in list(alive.items()):
                         mark = watermarks[fmt]
                         # commit pruning (G6, TableFormatSync.java:135-144)
