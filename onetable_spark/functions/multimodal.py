@@ -136,16 +136,11 @@ def sample_video_frames(
 ) -> DataFrame:
     """Frame-sampling plumbing: one output row per sampled timestamp.
 
-    The timestamp grid is pure Column math (sequence/explode — JVM side);
-    only the per-frame decode is the stubbed Python step."""
-    grid = df.select(
-        F.col(id_col),
-        F.col(content_col),
-        F.explode(
-            F.sequence(F.lit(0), F.coalesce(F.col(duration_col), F.lit(0)), F.lit(every_ms))
-        ).alias("frame_ts_ms"),
-    )
-
+    The content bytes cross Arrow ONCE per video — the frame grid is
+    generated and the per-frame decode (stubbed) runs *inside* the worker,
+    which then emits only (id, ts, feature) rows. (The earlier explode-
+    then-decode shape replicated a video's bytes per frame row: a 600-frame
+    video shipped 600 copies through Arrow — a scale-killer.)"""
     frame_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -153,22 +148,27 @@ def sample_video_frames(
             T.StructField("feature", T.ArrayType(T.FloatType()), True),
         ]
     )
+    base = df.select(
+        F.col(id_col).alias("media_id"),
+        F.col(content_col).alias("content"),
+        F.coalesce(F.col(duration_col), F.lit(0)).alias("duration_ms"),
+    )
 
     def worker(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for content, ts in zip(pdf[content_col], pdf["frame_ts_ms"]):
-                seed = hashlib.sha256((bytes(content or b"")) + int(ts).to_bytes(8, "big")).digest()
-                feats.append([b / 255.0 for b in seed[:8]])
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf[id_col],
-                    "frame_ts_ms": pdf["frame_ts_ms"],
-                    "feature": feats,
-                }
-            )
+            ids: list[int] = []
+            tss: list[int] = []
+            feats: list[list[float]] = []
+            for mid, content, dur in zip(pdf["media_id"], pdf["content"], pdf["duration_ms"]):
+                raw = bytes(content) if content is not None else b""
+                for ts in range(0, int(dur) + 1, every_ms):  # inclusive grid
+                    seed = hashlib.sha256(raw + ts.to_bytes(8, "big")).digest()
+                    ids.append(mid)
+                    tss.append(ts)
+                    feats.append([b / 255.0 for b in seed[:8]])
+            yield pd.DataFrame({"media_id": ids, "frame_ts_ms": tss, "feature": feats})
 
-    return grid.mapInPandas(worker, frame_schema)
+    return base.mapInPandas(worker, frame_schema)
 
 
 def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:

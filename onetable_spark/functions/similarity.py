@@ -149,18 +149,25 @@ def ivf_build_centroids(
     df: DataFrame,
     n_clusters: int = 16,
     vec_col: str = "embedding",
-    sample_fraction: float = 1.0,
+    sample_fraction: float | None = None,
     iters: int = 10,
     seed: int = 42,
+    max_train_rows: int = 100_000,
 ):
-    """IVF coarse quantizer: k-means centroids trained on a (sampled)
-    collect of the embedding column — Lloyd's iterations in numpy.
+    """IVF coarse quantizer: k-means centroids trained on a BOUNDED sample
+    of the embedding column — Lloyd's iterations in numpy.
 
-    At 100 TB you train on a sample (fraction chosen so the sample fits
-    the driver, e.g. 1e-5), which is exactly how IVF indexes are built in
-    practice; assignment of the full corpus stays distributed."""
+    The training collect is capped at ``max_train_rows`` regardless of
+    corpus size: when ``sample_fraction`` is None the fraction is derived
+    as max_train_rows/count, so a 100 TB corpus trains on a driver-sized
+    sample (exactly how IVF indexes are built in practice — FAISS trains
+    on ~256 vectors/centroid); assignment of the full corpus stays
+    distributed. Pass an explicit fraction to override."""
     import numpy as np
 
+    if sample_fraction is None:
+        n = df.count()
+        sample_fraction = 1.0 if n <= max_train_rows else max_train_rows / n
     sample = df.select(vec_col) if sample_fraction >= 1.0 else df.select(vec_col).sample(
         fraction=sample_fraction, seed=seed
     )
@@ -242,41 +249,74 @@ def brute_force_near_dup_pairs(
     threshold: float = 0.95,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_blocks: int = 8,
 ) -> DataFrame:
-    """Exact all-pairs cosine ≥ threshold, as blocked matrix multiply.
+    """Exact all-pairs cosine ≥ threshold as a checkerboard block join —
+    NOTHING is collected to the driver.
 
-    The right-hand side (ids + L2-normalized float64 matrix) is broadcast;
-    each task multiplies its Arrow batch against it with one numpy GEMM —
-    vectorized BLAS instead of 12M interpreted zip_with dot products
-    (~100× faster at sf0.1). At 100 TB the same shape holds: broadcast /
-    side-load one block, stream the other; memory is O(block²) per task
-    and the emitted rows are only the above-threshold pairs. Dot products
-    accumulate in float64; results round to 4 decimals like the SQL twin.
+    Rows hash into ``n_blocks`` blocks; every unordered block pair
+    (bi ≤ bj) becomes one task's work unit. Each row is replicated to the
+    ``n_blocks`` pairs its block participates in (an O(√P)-replication
+    all-pairs scheme), a tiny (block_a, block_b) table is broadcast for
+    the fan-out join, and one numpy GEMM per group scores the cross
+    product. Per-task memory is O((N/n_blocks)·dim + (N/n_blocks)²) and
+    scales down as n_blocks grows — at 100 TB raise n_blocks so a block
+    fits an executor; the driver only ever sees the above-threshold pairs.
+    Dot products accumulate in float64; results round to 4 decimals like
+    the SQL twin.
     """
     import numpy as np
     import pandas as pd
 
     spark = df.sparkSession
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    rows = base.collect()  # bench-scale block; at scale: one block per task
-    ids = np.array([r["id"] for r in rows], dtype=np.int64)
-    mat = np.array([r["v"] for r in rows], dtype=np.float64)
-    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_mat = spark.sparkContext.broadcast(mat)
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        (F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks))).cast("int").alias("block"),
+    )
+    combos = spark.createDataFrame(
+        [(i * n_blocks + j, i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "combo int, block_a int, block_b int",
+    )
+    side_a = base.join(F.broadcast(combos), base.block == combos.block_a).select(
+        "combo", F.lit(0).alias("side"), "id", "v"
+    )
+    side_b = base.join(
+        F.broadcast(combos),
+        (base.block == combos.block_b) & (combos.block_a != combos.block_b),
+    ).select("combo", F.lit(1).alias("side"), "id", "v")
+    tagged = side_a.unionByName(side_b)
 
     out_schema = "id_a long, id_b long, cos_sim double"
 
-    def worker(batches):
-        all_ids, all_mat = b_ids.value, b_mat.value
-        for pdf in batches:
-            q = np.array(list(pdf["v"]), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            qids = pdf["id"].to_numpy(dtype=np.int64)
-            sims = np.round(q @ all_mat.T, 4)
-            li, ri = np.nonzero(sims >= threshold)
-            ia, ib = qids[li], all_ids[ri]
-            keep = ia < ib  # upper triangle only, dedups the symmetric hit
-            yield pd.DataFrame({"id_a": ia[keep], "id_b": ib[keep], "cos_sim": sims[li, ri][keep]})
+    empty = pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []})
 
-    return base.mapInPandas(worker, out_schema)
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        left = pdf[pdf["side"] == 0]
+        right = pdf[pdf["side"] == 1]
+        if left.empty:  # block_a had no rows — nothing to pair against
+            return empty
+        a_ids = left["id"].to_numpy(dtype=np.int64)
+        a = np.array(list(left["v"]), dtype=np.float64)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        if right.empty:  # diagonal block: self-pairs, upper triangle
+            b_ids, b = a_ids, a
+        else:
+            b_ids = right["id"].to_numpy(dtype=np.int64)
+            b = np.array(list(right["v"]), dtype=np.float64)
+            b /= np.linalg.norm(b, axis=1, keepdims=True)
+        sims = np.round(a @ b.T, 4)
+        li, ri = np.nonzero(sims >= threshold)
+        ia, ib = a_ids[li], b_ids[ri]
+        # diagonal: upper triangle only (kills self-hits + symmetric dups);
+        # cross blocks: every hit is a distinct unordered pair — keep all
+        keep = ia < ib if right.empty else np.ones(len(ia), dtype=bool)
+        return pd.DataFrame(
+            {
+                "id_a": np.minimum(ia, ib)[keep],
+                "id_b": np.maximum(ia, ib)[keep],
+                "cos_sim": sims[li, ri][keep],
+            }
+        )
+
+    return tagged.groupBy("combo").applyInPandas(gemm, out_schema)

@@ -24,6 +24,10 @@ import time
 from dataclasses import dataclass, field
 from typing import Iterator, Optional, Protocol
 
+# module-level so pandas_udf string annotations resolve under
+# `from __future__ import annotations` (evaluated in module globals)
+import pandas as pd  # noqa: F401
+
 from pyspark.sql import SparkSession
 from pyspark.storagelevel import StorageLevel
 
@@ -272,18 +276,41 @@ class HudiTarget:
 
     def _replace_ids_for(self, removed) -> dict[str, list[str]]:
         """Removed paths → per-partition fileIds (replace-commit semantics,
-        BaseFileUpdatesExtractor.java:77-232)."""
-        from onetable_spark.formats.hudi import _file_id_for
+        BaseFileUpdatesExtractor.java:77-232).
+
+        The rel-path strip / partition split / uuid5 fileId all run
+        distributed (one Arrow-batched UDF for the uuid5); the driver only
+        collects the per-partition aggregated id lists — the same payload
+        the commit JSON must hold anyway — instead of iterating every
+        removed row through toLocalIterator."""
+        import uuid as _uuid
+
+        from pyspark.sql import functions as F
 
         prefix = self.timeline.table_path.rstrip("/") + "/"
-        out: dict[str, list[str]] = {}
-        for row in removed.select("path").toLocalIterator():
-            rel = row["path"]
-            if rel.startswith(prefix):
-                rel = rel[len(prefix):]
-            partition = "/".join(rel.split("/")[:-1])
-            out.setdefault(partition, []).append(_file_id_for(rel))
-        return out
+
+        @F.pandas_udf("string")
+        def file_id_of(rel: pd.Series) -> pd.Series:
+            return rel.map(lambda r: _uuid.uuid5(_uuid.NAMESPACE_URL, r).hex)
+
+        rel = F.when(
+            F.col("path").startswith(prefix), F.expr(f"substring(path, {len(prefix) + 1})")
+        ).otherwise(F.col("path"))
+        agg = (
+            removed.select(rel.alias("rel"))
+            .select(
+                F.when(
+                    F.instr("rel", "/") > 0, F.regexp_replace("rel", "/[^/]*$", "")
+                )
+                .otherwise(F.lit(""))
+                .alias("partition"),
+                file_id_of("rel").alias("file_id"),
+            )
+            .groupBy("partition")
+            .agg(F.sort_array(F.collect_list("file_id")).alias("file_ids"))
+            .collect()
+        )
+        return {r["partition"]: list(r["file_ids"]) for r in agg}
 
     def _validate_schema(self, table: Table) -> None:
         if self.timeline.exists() and self.timeline.latest_instant():

@@ -187,6 +187,52 @@ def test_iceberg_metadata_version_claim_is_exclusive(spark, sf_dir, tmp_path):
     assert ice.current_version() == v + 2
 
 
+def test_no_driver_collect_in_query_paths():
+    """Scale guard: no unbounded driver materialization in operator/query
+    code. The single allowed site is the IVF trainer's bounded sample
+    (max_train_rows-capped)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).parent.parent / "onetable_spark"
+    allowed = {("functions/similarity.py", "sample.collect()")}
+    offenders = []
+    for py in list((root / "functions").glob("*.py")) + list((root / "operators").glob("*.py")) + [
+        root / "queries.py"
+    ]:
+        rel = str(py.relative_to(root))
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]
+            if ".collect()" in code or "toLocalIterator" in code:
+                if not any(rel == f and frag in code for f, frag in allowed):
+                    offenders.append(f"{rel}:{i}: {line.strip()}")
+    assert not offenders, "driver-side materialization in query path:\n" + "\n".join(offenders)
+
+
+def test_checkerboard_near_dup_matches_broadcast_reference(spark, sf_dir):
+    """The blocked all-pairs GEMM must produce the exact pair set of a
+    naive bucket-free quadratic check (on the small sf)."""
+    from onetable_spark.functions.similarity import brute_force_near_dup_pairs, cosine
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in brute_force_near_dup_pairs(emb, threshold=0.3, n_blocks=3).collect()
+    }
+    a, b = emb.alias("a"), emb.alias("b")
+    want = {
+        (r["id_a"], r["id_b"])
+        for r in a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 4).alias("c"),
+        )
+        .filter(F.col("c") >= 0.3)
+        .collect()
+    }
+    assert got == want and len(want) > 0
+
+
 def test_hudi_last_modified_is_epoch_millis(spark, seeded_hudi):
     """ADVICE(low): last_modified_millis is epoch millis, not the instant
     literal cast to long."""
