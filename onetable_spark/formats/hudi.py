@@ -47,7 +47,10 @@ from onetable_spark.model import (
 )
 
 HOODIE_DIR = ".hoodie"
-COMMIT_ACTIONS = ("commit", "replacecommit")
+# deltacommit = MOR ingest (HudiDataFileExtractor.java:157 treats
+# DELTA_COMMIT exactly like COMMIT at the base-file level)
+COMMIT_ACTIONS = ("commit", "deltacommit", "replacecommit")
+UNDO_ACTIONS = ("rollback", "restore")
 
 WRITE_STAT_SCHEMA = T.StructType(
     [
@@ -168,21 +171,43 @@ class HudiTimeline:
 
     # -------------------------------------------------------------- timeline
 
-    def completed_instants(self) -> list[tuple[str, str]]:
-        """Sorted [(instant, action)] of completed commits, rollbacks applied
-        (HudiClient.java:128-149 backlog source)."""
+    def timeline_events(self) -> list[tuple[str, str]]:
+        """Sorted [(instant, action)] of ALL completed timeline actions —
+        commits (commit/deltacommit/replacecommit) AND undo actions
+        (rollback/restore). The undo events stay on the timeline so replay
+        can apply them *as of their own instant* (time travel before a
+        rollback still sees the rolled-back commit)."""
         if not os.path.isdir(self.hoodie_path):
             return []
-        completed: list[tuple[str, str]] = []
-        rolled_back: set[str] = set()
+        events: list[tuple[str, str]] = []
         for f in os.listdir(self.hoodie_path):
             parts = f.split(".")
-            if len(parts) == 2 and parts[1] in COMMIT_ACTIONS:
-                completed.append((parts[0], parts[1]))
-            elif len(parts) == 2 and parts[1] == "rollback":
-                with open(os.path.join(self.hoodie_path, f)) as fh:
-                    rolled_back.update(json.load(fh).get("commitsRollback", []))
-        return sorted((i, a) for i, a in completed if i not in rolled_back)
+            if len(parts) == 2 and parts[1] in COMMIT_ACTIONS + UNDO_ACTIONS:
+                events.append((parts[0], parts[1]))
+        return sorted(events)
+
+    def _undone_instants(self, events: list[tuple[str, str]]) -> set[str]:
+        """Commits undone by a rollback/restore within the given window
+        (HudiDataFileExtractor.java:211-243: ROLLBACK lists commitsRollback,
+        RESTORE embeds per-commit rollback metadata)."""
+        undone: set[str] = set()
+        for i, a in events:
+            if a in UNDO_ACTIONS:
+                with open(os.path.join(self.hoodie_path, f"{i}.{a}")) as fh:
+                    payload = json.load(fh)
+                undone.update(payload.get("commitsRollback", []))
+                undone.update(payload.get("instantsToRollback", []))
+        return undone
+
+    def completed_instants(self, as_of: Optional[str] = None, strict: bool = False) -> list[tuple[str, str]]:
+        """Sorted [(instant, action)] of completed commits live at ``as_of``
+        (undo actions up to that point applied; HudiClient.java:128-149
+        backlog source)."""
+        events = self.timeline_events()
+        if as_of is not None:
+            events = [(i, a) for i, a in events if (i < as_of if strict else i <= as_of)]
+        undone = self._undone_instants(events)
+        return [(i, a) for i, a in events if a in COMMIT_ACTIONS and i not in undone]
 
     def latest_instant(self) -> Optional[str]:
         instants = self.completed_instants()
@@ -191,7 +216,14 @@ class HudiTimeline:
     def pending_instants(self) -> list[str]:
         out = set()
         for f in os.listdir(self.hoodie_path):
-            if f.endswith((".inflight", ".commit.requested", ".replacecommit.requested")):
+            if f.endswith(
+                (
+                    ".inflight",
+                    ".commit.requested",
+                    ".deltacommit.requested",
+                    ".replacecommit.requested",
+                )
+            ):
                 out.add(f.split(".")[0])
         completed = {i for i, _ in self.completed_instants()}
         return sorted(out - completed)
@@ -211,16 +243,15 @@ class HudiTimeline:
 
     # ------------------------------------------------------------- snapshot
 
-    def snapshot_files(self, instant: Optional[str] = None) -> DataFrame:
+    def snapshot_files(self, instant: Optional[str] = None, strict: bool = False) -> DataFrame:
         """Live file set at ``instant`` (HudiDataFileExtractor.java:113-124).
 
         Distributed replay: explode per-partition write stats from all
         completed commits, drop file groups replaced by a later-or-equal
-        replacecommit, keep the latest slice per fileId.
+        replacecommit, keep the latest slice per fileId. Rollback/restore
+        events apply only if they happened at/before ``instant``.
         """
-        instants = self.completed_instants()
-        if instant is not None:
-            instants = [(i, a) for i, a in instants if i <= instant]
+        instants = self.completed_instants(as_of=instant, strict=strict)
         if not instants:
             return self.spark.createDataFrame([], FILES_SCHEMA)
         commits = self._commits_df(instants)
@@ -229,6 +260,10 @@ class HudiTimeline:
                 "instant", F.explode_outer("partitionToWriteStats").alias("partition", "stats")
             )
             .select("instant", "partition", F.explode("stats").alias("ws"))
+            # MOR deltacommits may register log-file appends; the read-
+            # optimized snapshot is base files only (the reference resolves
+            # through the base-file fsView, HudiDataFileExtractor.java:157)
+            .filter(~F.col("ws.path").contains(".log."))
             .select(
                 "instant",
                 F.col("ws.fileId").alias("file_id"),
@@ -330,13 +365,17 @@ class HudiTimeline:
         )
 
     def changes_for_instant(self, instant: str) -> TableChange:
-        """Per-commit diff (HudiClient.java:112-126 dispatch: COMMIT adds
-        files; REPLACE adds + removes replaced groups)."""
-        match = [(i, a) for i, a in self.completed_instants() if i == instant]
+        """Per-instant diff (HudiDataFileExtractor.java:146-255 dispatch:
+        COMMIT/DELTA_COMMIT add base files, REPLACE adds + removes replaced
+        groups, ROLLBACK/RESTORE remove the undone commits' files).
+
+        All four are expressed uniformly as the G1 anti-join diff between
+        the as-of snapshots strictly-before and at the instant — the undo
+        actions fall out naturally because ``snapshot_files`` applies them
+        by their own timeline position."""
+        match = [(i, a) for i, a in self.timeline_events() if i == instant]
         if not match:
             raise ValueError(f"no completed instant {instant}")
-        # G1 anti-join diff between consecutive snapshots — covers COMMIT
-        # (pure adds) and REPLACE (adds + replaced groups vanish) uniformly
         before = self.snapshot_files_before(instant)
         after = self.snapshot_files(instant)
         added = after.join(before.select("path"), "path", "left_anti")
@@ -349,13 +388,13 @@ class HudiTimeline:
         )
 
     def snapshot_files_before(self, instant: str) -> DataFrame:
-        earlier = [i for i, _ in self.completed_instants() if i < instant]
-        if not earlier:
-            return self.spark.createDataFrame([], FILES_SCHEMA)
-        return self.snapshot_files(earlier[-1])
+        return self.snapshot_files(instant, strict=True)
 
     def instants_after_millis(self, millis: int) -> list[str]:
-        return [i for i, _ in self.completed_instants() if instant_to_millis(i) > millis]
+        """Syncable backlog: commit-type AND undo events after the watermark
+        (the reference's backlog walks the full active timeline and its
+        change extractor dispatches per action)."""
+        return [i for i, _ in self.timeline_events() if instant_to_millis(i) > millis]
 
     def is_incremental_sync_safe_from(self, millis: int) -> bool:
         """HudiClient.java:151-175: a completed commit at/before the instant
@@ -378,7 +417,7 @@ class HudiTimeline:
     def new_instant(self) -> str:
         instant = millis_to_instant(int(time.time() * 1000))
         # monotonic even when two commits land in the same millisecond
-        existing = {i for i, _ in self.completed_instants()} | set(self.pending_instants())
+        existing = {i for i, _ in self.timeline_events()} | set(self.pending_instants())
         while instant in existing:
             instant = millis_to_instant(instant_to_millis(instant) + 1)
         return instant
@@ -390,19 +429,25 @@ class HudiTimeline:
         extra_metadata: Optional[dict[str, str]] = None,
         schema: Optional[T.StructType] = None,
         operation: str = "UPSERT",
+        action: Optional[str] = None,
     ) -> str:
         """Write one completed commit through the requested→inflight→completed
         lifecycle (HudiTargetClient.java:190-280).
 
         ``adds``: FILES_SCHEMA rows to register (each becomes its own file
         group — external-file semantics). ``replace_file_ids``: partition →
-        fileIds to replace → emitted as a replacecommit.
+        fileIds to replace → emitted as a replacecommit. ``action`` forces
+        the instant action (e.g. ``deltacommit`` to model a MOR writer).
         """
         instant = self.new_instant()
-        action = "replacecommit" if replace_file_ids else "commit"
+        if action is None:
+            action = "replacecommit" if replace_file_ids else "commit"
         req = os.path.join(self.hoodie_path, f"{instant}.{action}.requested")
         inflight = os.path.join(
-            self.hoodie_path, f"{instant}.{action}.inflight" if action == "replacecommit" else f"{instant}.inflight"
+            self.hoodie_path,
+            # COW commit inflight has no action infix (Hudi timeline quirk);
+            # deltacommit/replacecommit inflights carry it
+            f"{instant}.inflight" if action == "commit" else f"{instant}.{action}.inflight",
         )
         open(req, "w").close()
         open(inflight, "w").close()
@@ -460,6 +505,16 @@ class HudiTimeline:
         with open(os.path.join(self.hoodie_path, f"{rb_instant}.rollback"), "w") as f:
             json.dump({"commitsRollback": [instant]}, f)
         return rb_instant
+
+    def restore(self, to_instant: str) -> str:
+        """RESTORE: undo every commit after ``to_instant`` in one timeline
+        event (HoodieRestoreMetadata embeds per-commit rollback payloads —
+        HudiDataFileExtractor.java:221-243 surfaces their deleted files)."""
+        undone = [i for i, _ in self.completed_instants() if i > to_instant]
+        rs_instant = self.new_instant()
+        with open(os.path.join(self.hoodie_path, f"{rs_instant}.restore"), "w") as f:
+            json.dump({"instantsToRollback": undone, "restoreInstant": to_instant}, f)
+        return rs_instant
 
     def archive_timeline(self, keep_latest: int = 10) -> int:
         """Move old completed instants to ``archived/`` — timeline bounded

@@ -142,6 +142,89 @@ def test_archive_timeline(spark, hudi_table):
     assert len(os.listdir(os.path.join(table_path, ".hoodie", "archived"))) == 3
 
 
+def test_deltacommit_mor_base_file_semantics(spark, hudi_table):
+    """S2 (MOR): deltacommit instants register base files like commits;
+    log-file appends are invisible to the read-optimized snapshot
+    (HudiDataFileExtractor.java:157 DELTA_COMMIT == COMMIT at base-file
+    level)."""
+    from onetable_spark.model import FILES_SCHEMA
+
+    table_path, table = hudi_table
+    tl = HudiTimeline(spark, table_path)
+    tl.init_table(table)
+    inv = inventory_from_directory(spark, table_path)
+    i1 = tl.commit(adds=inv, action="deltacommit")
+    assert tl.completed_instants() == [(i1, "deltacommit")]
+    assert {r["path"] for r in tl.snapshot_files().collect()} == {
+        r["path"] for r in inv.collect()
+    }
+
+    # a MOR writer appends a log file to the same file group
+    log_row = [
+        (
+            os.path.join(table_path, ".some-file-id_0-0-1.log.1"),
+            "hoodie_log",
+            {},
+            1024,
+            10,
+            None,
+            None,
+        )
+    ]
+    log_inv = spark.createDataFrame(log_row, FILES_SCHEMA)
+    i2 = tl.commit(adds=log_inv, action="deltacommit")
+    # read-optimized view: base file only, no log path
+    assert {r["path"] for r in tl.snapshot_files().collect()} == {
+        r["path"] for r in inv.collect()
+    }
+    change = tl.changes_for_instant(i2)
+    assert change.diff.added.count() == 0 and change.diff.removed.count() == 0
+
+    # MOR source → Delta target sync round-trips the base files
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.model import SyncStatus
+    from onetable_spark.sync import SyncClient, source_for, target_for
+
+    res = SyncClient(spark).sync(
+        source_for(spark, TableFormat.HUDI, table_path),
+        [target_for(spark, TableFormat.DELTA, table_path)],
+    )
+    assert res[TableFormat.DELTA].status == SyncStatus.SUCCESS
+    delta_paths = {r["path"] for r in DeltaLog(spark, table_path).snapshot_files().collect()}
+    assert delta_paths == {r["path"] for r in inv.collect()}
+
+
+def test_restore_undoes_later_commits(spark, hudi_table):
+    """S2 (RESTORE): a restore event removes every commit after the target
+    instant — surfaced as removals at the restore's own timeline position,
+    with time travel before it intact."""
+    import shutil as _sh
+
+    table_path, table = hudi_table
+    tl = HudiTimeline(spark, table_path)
+    tl.init_table(table)
+    inv = inventory_from_directory(spark, table_path)
+    i1 = tl.commit(adds=inv)
+
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    extra = os.path.join(table_path, "later-00000.parquet")
+    _sh.copy(inv.first()["path"], extra)
+    i2 = tl.commit(adds=build_inventory(spark, [extra], root=table_path))
+    assert tl.snapshot_files().count() == 2
+
+    ri = tl.restore(to_instant=i1)
+    assert tl.snapshot_files().count() == 1
+    assert tl.latest_instant() == i1
+    # the restore is itself a syncable change carrying the removal
+    assert ri in tl.instants_after_millis(instant_to_millis(i2))
+    change = tl.changes_for_instant(ri)
+    assert {r["path"] for r in change.diff.removed.collect()} == {extra}
+    assert change.diff.added.count() == 0
+    # time travel to before the restore still sees both files
+    assert tl.snapshot_files(i2).count() == 2
+
+
 def test_partition_spec_transform_roundtrip(spark, tmp_path):
     """C4 round-trip: a DAY-transformed partition field survives
     hoodie.properties via the path:type:format grammar."""
