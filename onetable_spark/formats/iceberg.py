@@ -605,6 +605,49 @@ class IcebergTable:
         with open(os.path.join(self.metadata_dir, "version-hint.text"), "w") as f:
             f.write(str(version))
 
+    def _sync_partition_spec(
+        self, md: dict, incoming: tuple, ice_schema: dict
+    ) -> list[dict]:
+        """K7 partition-spec evolution (IcebergPartitionSpecSync.java:43-68):
+        diff the current default spec against the incoming PartitionField
+        list by field name — removed fields drop out, added fields get fresh
+        partition field-ids, retained fields keep theirs. A change appends a
+        NEW immutable spec and moves default-spec-id (UpdatePartitionSpec
+        semantics: specs are never mutated in place)."""
+        current = self._spec_for(md)
+        name_to_id = _flat_fields(ice_schema)
+        wanted = [
+            {
+                "name": p.name,
+                "transform": _TRANSFORM_MAP[p.transform],
+                "source-id": name_to_id.get(p.source_field, 0),
+            }
+            for p in incoming
+        ]
+        key = lambda f: (f["name"], f["transform"], f["source-id"])  # noqa: E731
+        if [key(f) for f in current] == [key(f) for f in wanted]:
+            return current
+        cur_by_name = {f["name"]: f for f in current}
+        last_pid = md.get("last-partition-id", 999)
+        new_fields = []
+        for e in wanted:
+            prev = cur_by_name.get(e["name"])
+            if prev is not None and key(prev) == key(e):
+                new_fields.append(prev)
+            else:
+                last_pid += 1
+                new_fields.append({**e, "field-id": last_pid})
+        new_sid = (
+            max((s.get("spec-id", 0) for s in md.get("partition-specs", [])), default=-1) + 1
+        )
+        md["partition-specs"] = md.get("partition-specs", []) + [
+            {"spec-id": new_sid, "fields": new_fields}
+        ]
+        md["default-spec-id"] = new_sid
+        md["last-partition-id"] = last_pid
+        md["partition-spec"] = new_fields  # v1 compat mirror
+        return new_fields
+
     def commit_overwrite(
         self,
         adds: DataFrame | None = None,
@@ -613,9 +656,11 @@ class IcebergTable:
         schema: Optional[T.StructType] = None,
         expire_older_than_millis: Optional[int] = None,
         max_retries: int = 3,
+        partition_fields: Optional[tuple] = None,
     ) -> int:
-        """One transactional commit: schema/properties update + OverwriteFiles
-        + snapshot expiry (IcebergClient.java:146-236 single-transaction parity).
+        """One transactional commit: schema/properties/partition-spec update +
+        OverwriteFiles + snapshot expiry (IcebergClient.java:146-236
+        single-transaction parity).
 
         Carry-forward: prior live files (minus removes) are rewritten into an
         EXISTING-status manifest; adds get an ADDED-status manifest; removed
@@ -626,7 +671,8 @@ class IcebergTable:
         for attempt in range(max_retries):
             try:
                 return self._commit_overwrite_once(
-                    adds, removes, properties, schema, expire_older_than_millis
+                    adds, removes, properties, schema, expire_older_than_millis,
+                    partition_fields,
                 )
             except CommitConflictError:
                 if attempt == max_retries - 1:
@@ -640,6 +686,7 @@ class IcebergTable:
         properties: Optional[dict[str, str]],
         schema: Optional[T.StructType],
         expire_older_than_millis: Optional[int],
+        partition_fields: Optional[tuple] = None,
     ) -> int:
         md = self.metadata()
         version = self.current_version()
@@ -663,7 +710,10 @@ class IcebergTable:
                 md["last-column-id"] = max(md.get("last-column-id", 0), next_id - 1)
         else:
             ice_schema = current_schema
-        spec = self._spec_for(md)
+        if partition_fields is not None:
+            spec = self._sync_partition_spec(md, partition_fields, ice_schema)
+        else:
+            spec = self._spec_for(md)
 
         prev = self.current_snapshot_meta(md)
         carried: list[dict] = []
@@ -700,7 +750,7 @@ class IcebergTable:
                 {
                     "manifest_path": mpath,
                     "manifest_length": os.path.getsize(mpath),
-                    "partition_spec_id": 0,
+                    "partition_spec_id": md.get("default-spec-id", 0),
                     "added_snapshot_id": snapshot_id,
                     "added_data_files_count": len(entries) if tag == "added" else 0,
                     "existing_data_files_count": len(entries) if tag == "existing" else 0,

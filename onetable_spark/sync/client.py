@@ -234,15 +234,29 @@ class DeltaTarget:
         self.log.commit(adds=added, removes=removed, metadata=meta, operation="SYNC_SNAPSHOT")
 
     def _meta_with_schema(self, table: Table, metadata: TableMetadata) -> dict:
-        """Configuration bookkeeping + schema replay: when the source schema
-        evolved (legally), the metaData action carries the new schemaString
-        (syncSchema step of the lifecycle, TableFormatSync.java:146-174)."""
+        """Configuration bookkeeping + schema/partition-spec replay: when the
+        source schema evolved (legally), the metaData action carries the new
+        schemaString; when the partition spec evolved (K7), the new
+        partitionColumns — with generated-column expressions for time
+        transforms — replace the old ones in the same action
+        (syncSchema + syncPartitionSpec lifecycle steps,
+        TableFormatSync.java:146-174, IcebergPartitionSpecSync.java:43-68)."""
         import json as _json
+
+        from onetable_spark.formats.delta import _schema_with_generated_columns
 
         meta = self.log.update_configuration(metadata.to_props())
         current = self.log.table_descriptor().read_schema if self.log.latest_version() >= 0 else None
         if _schema_evolved(current, table.read_schema):
             meta["schemaString"] = _json.dumps(table.read_schema.jsonValue())
+        wanted_cols = [p.name for p in table.partition_fields]
+        if self.log.latest_version() >= 0 and wanted_cols != (
+            meta.get("partitionColumns") or []
+        ):
+            meta["partitionColumns"] = wanted_cols
+            meta["schemaString"] = _json.dumps(
+                _schema_with_generated_columns(table).jsonValue()
+            )
         return meta
 
     def sync_change(self, change: TableChange, metadata: TableMetadata) -> None:
@@ -315,6 +329,33 @@ class HudiTarget:
     def _validate_schema(self, table: Table) -> None:
         if self.timeline.exists() and self.timeline.latest_instant():
             _schema_evolved(self.timeline.table_descriptor().read_schema, table.read_schema)
+        self._validate_guardrails(table)
+
+    def _validate_guardrails(self, table: Table) -> None:
+        """K11: hoodie.properties pins record keys and the partition spec at
+        table creation — a source that later changes either is rejected
+        before anything commits (HudiTableManager.java:190-240 refuses to
+        reconcile a mismatched table config)."""
+        if not self.timeline.exists():
+            return
+        props = self.timeline.table_properties()
+        existing_keys = tuple(
+            k for k in (props.get("hoodie.table.recordkey.fields") or "").split(",") if k
+        )
+        if existing_keys and tuple(table.record_key_fields) != existing_keys:
+            raise ValueError(
+                f"record key change rejected: table pins {existing_keys}, "
+                f"source now has {tuple(table.record_key_fields)}"
+            )
+        existing_spec = tuple(
+            s for s in (props.get("hoodie.table.partition.fields") or "").split(",") if s
+        )
+        incoming_spec = tuple(p.source_field for p in table.partition_fields)
+        if existing_spec != incoming_spec:
+            raise ValueError(
+                f"partition spec change rejected: table pins {existing_spec}, "
+                f"source now has {incoming_spec}"
+            )
 
     def sync_snapshot(self, snapshot: Snapshot, metadata: TableMetadata) -> None:
         self._ensure(snapshot.table)
@@ -385,6 +426,7 @@ class IcebergTarget:
             properties=metadata.to_props(),
             schema=snapshot.table.read_schema,
             expire_older_than_millis=self._expiry_horizon(),
+            partition_fields=snapshot.table.partition_fields,
         )
 
     def sync_change(self, change: TableChange, metadata: TableMetadata) -> None:
@@ -396,6 +438,7 @@ class IcebergTarget:
             properties=metadata.to_props(),
             schema=change.table.read_schema,
             expire_older_than_millis=self._expiry_horizon(),
+            partition_fields=change.table.partition_fields,
         )
 
 
