@@ -57,9 +57,19 @@ def structtype_to_iceberg(schema: T.StructType, next_id: int = 1) -> tuple[dict,
 
     Field-id assignment parity: IcebergSchemaExtractor.java:143-165 (existing
     IDs in StructField.metadata['fieldId'] are honored, missing IDs assigned
-    from an incrementing counter)."""
+    from an incrementing counter; the counter starts above every pre-assigned
+    id so source-tracked ids — e.g. Hudi IdTracker injection — never collide
+    with counter-assigned list/map/child ids)."""
 
-    counter = [next_id]
+    def _max_preassigned(st: T.StructType) -> int:
+        m = 0
+        for f in st.fields:
+            m = max(m, (f.metadata or {}).get("fieldId") or 0)
+            if isinstance(f.dataType, T.StructType):
+                m = max(m, _max_preassigned(f.dataType))
+        return m
+
+    counter = [max(next_id, _max_preassigned(schema) + 1)]
 
     def assign() -> int:
         v = counter[0]
@@ -313,9 +323,10 @@ STATUS_ADDED = 1
 STATUS_DELETED = 2
 
 
-class CommitConflictError(RuntimeError):
-    """Another writer claimed the target metadata version first; the commit
-    must re-read the table state and replay (optimistic concurrency)."""
+# Shared with the catalog plane: a catalog pointer CAS that loses and a
+# version-file claim that loses are the same condition to callers — re-read
+# table state and replay (optimistic concurrency).
+from .iceberg_catalog import CommitConflictError  # noqa: E402
 
 
 def _schema_fields_equal(a: dict, b: dict) -> bool:
@@ -325,19 +336,75 @@ def _schema_fields_equal(a: dict, b: dict) -> bool:
 
 
 class IcebergTable:
-    """Reader/writer for one HadoopTables-layout Iceberg table."""
+    """Reader/writer for one HadoopTables-layout Iceberg table.
 
-    def __init__(self, spark: SparkSession, table_path: str):
+    When ``catalog``/``identifier`` are given (S15, IcebergTableManager.java:
+    52-101: catalog present → catalog.loadTable, else HadoopTables.load),
+    the "what is the current metadata file?" question is answered by the
+    catalog pointer instead of version-hint.text, and every commit CASes
+    the catalog pointer after claiming the version file."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_path: str,
+        catalog=None,
+        identifier=None,
+    ):
         self.spark = spark
         self.table_path = table_path
         self.metadata_dir = os.path.join(table_path, "metadata")
+        self.catalog = catalog
+        self.identifier = identifier
+
+    @classmethod
+    def from_catalog(
+        cls,
+        spark: SparkSession,
+        catalog_config,
+        identifier: str,
+        table_path: Optional[str] = None,
+    ) -> "IcebergTable":
+        """Resolve a catalog-addressed table (RunSync --icebergCatalogConfig).
+
+        ``table_path`` is only needed when creating a table the catalog does
+        not know yet (pointer catalogs can't derive a location for an
+        unregistered name; Hadoop catalogs always can)."""
+        from .iceberg_catalog import IcebergCatalogConfig, TableIdentifier, load_catalog
+
+        catalog = (
+            load_catalog(catalog_config)
+            if isinstance(catalog_config, IcebergCatalogConfig)
+            else catalog_config
+        )
+        ident = TableIdentifier.parse(identifier)
+        try:
+            path = catalog.table_path(ident)
+        except ValueError:
+            if table_path is None:
+                raise
+            path = table_path
+        return cls(spark, path, catalog=catalog, identifier=ident)
 
     # ------------------------------------------------------------------ read
 
+    def _catalog_metadata_location(self) -> Optional[str]:
+        if self.catalog is None or self.identifier is None:
+            return None
+        return self.catalog.metadata_location(self.identifier)
+
     def exists(self) -> bool:
+        loc = self._catalog_metadata_location()
+        if loc is not None:
+            return os.path.exists(loc)
         return os.path.exists(os.path.join(self.metadata_dir, "version-hint.text"))
 
     def current_version(self) -> int:
+        loc = self._catalog_metadata_location()
+        if loc is not None:
+            from .iceberg_catalog import metadata_version_of
+
+            return metadata_version_of(loc)
         with open(os.path.join(self.metadata_dir, "version-hint.text")) as f:
             return int(f.read().strip())
 
@@ -602,6 +669,24 @@ class IcebergTable:
             raise CommitConflictError(f"metadata version {version} already committed") from e
         with os.fdopen(fd, "w") as f:
             json.dump(md, f, indent=1)
+        if self.catalog is not None and self.identifier is not None:
+            # Pointer catalogs are the commit authority (JdbcTableOperations.
+            # doCommit): CAS from the location we based this commit on. Our
+            # own writes always name files v<N>, so the expected pointer is
+            # derivable from the version we just claimed.
+            expected = (
+                os.path.join(self.metadata_dir, f"v{version - 1}.metadata.json")
+                if version > 1
+                else None
+            )
+            try:
+                if expected is None and self.catalog.metadata_location(self.identifier) is None:
+                    self.catalog.register(self.identifier, path)
+                else:
+                    self.catalog.swap(self.identifier, expected, path)
+            except CommitConflictError:
+                os.unlink(path)  # roll back the file claim; pointer is truth
+                raise
         with open(os.path.join(self.metadata_dir, "version-hint.text"), "w") as f:
             f.write(str(version))
 

@@ -184,8 +184,15 @@ class HudiSource:
 
 
 class IcebergSource:
-    def __init__(self, spark: SparkSession, path: str):
-        self.table = IcebergTable(spark, path)
+    def __init__(self, spark: SparkSession, path: str, catalog_config=None, identifier=None):
+        # S15 (IcebergTableManager.java:52-101): catalog present → resolve the
+        # identifier through it; else treat path as a HadoopTables layout.
+        if catalog_config is not None:
+            self.table = IcebergTable.from_catalog(
+                spark, catalog_config, identifier, table_path=path
+            )
+        else:
+            self.table = IcebergTable(spark, path)
 
     def current_snapshot(self) -> Snapshot:
         return self.table.current_snapshot()
@@ -389,9 +396,21 @@ class HudiTarget:
 class IcebergTarget:
     table_format = TableFormat.ICEBERG
 
-    def __init__(self, spark: SparkSession, path: str, retention_hours: int = 168):
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        retention_hours: int = 168,
+        catalog_config=None,
+        identifier=None,
+    ):
         self.spark = spark
-        self.table = IcebergTable(spark, path)
+        if catalog_config is not None:
+            self.table = IcebergTable.from_catalog(
+                spark, catalog_config, identifier, table_path=path
+            )
+        else:
+            self.table = IcebergTable(spark, path)
         self.retention_hours = retention_hours
 
     def get_sync_metadata(self) -> Optional[TableMetadata]:
@@ -457,13 +476,17 @@ _TARGETS = {
 }
 
 
-def source_for(spark: SparkSession, fmt: TableFormat | str, path: str) -> SourceClient:
-    return _SOURCES[TableFormat(fmt)](spark, path)
+def source_for(
+    spark: SparkSession, fmt: TableFormat | str, path: str, **kwargs
+) -> SourceClient:
+    return _SOURCES[TableFormat(fmt)](spark, path, **kwargs)
 
 
-def target_for(spark: SparkSession, fmt: TableFormat | str, path: str) -> TargetClient:
+def target_for(
+    spark: SparkSession, fmt: TableFormat | str, path: str, **kwargs
+) -> TargetClient:
     """ServiceLoader-style registry (TableFormatClientFactory.java:49-73)."""
-    return _TARGETS[TableFormat(fmt)](spark, path)
+    return _TARGETS[TableFormat(fmt)](spark, path, **kwargs)
 
 
 # -------------------------------------------------------------------- client
