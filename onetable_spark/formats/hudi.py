@@ -33,6 +33,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from onetable_spark.formats.avro_schema import (
+    add_id_tracking,
+    avro_to_structtype,
+    id_tracking_to_field_ids,
+    inject_field_ids,
+    structtype_to_avro,
+)
 from onetable_spark.model import (
     FILES_SCHEMA,
     DataLayoutStrategy,
@@ -151,6 +158,15 @@ class HudiTimeline:
                 _partition_spec_entry(p) for p in table.partition_fields
             ),
             "hoodie.table.schema": json.dumps(table.read_schema.jsonValue()),
+            # real-Hudi parity: the Avro record schema (C1 logical types)
+            # with IdTracker field ids (hudi-support IdTracker.java:104-118)
+            # — what an actual Hudi writer stores; lets external readers and
+            # Hudi→Iceberg syncs stay field-id-stable
+            "hoodie.table.create.schema": json.dumps(
+                add_id_tracking(
+                    structtype_to_avro(table.read_schema, name=table.name or "record")
+                )
+            ),
         }
         with open(props_file, "w") as f:
             f.write("#Updated at %d\n" % int(time.time() * 1000))
@@ -323,9 +339,19 @@ class HudiTimeline:
     def table_descriptor(self, name: str | None = None) -> Table:
         props = self.table_properties()
         schema_json = props.get("hoodie.table.schema")
-        schema = (
-            T.StructType.fromJson(json.loads(schema_json)) if schema_json else T.StructType([])
-        )
+        avro_json = props.get("hoodie.table.create.schema")
+        if schema_json:
+            schema = T.StructType.fromJson(json.loads(schema_json))
+        elif avro_json:
+            # table written by a real Hudi writer: only the Avro create
+            # schema exists (C1 logical-type decode)
+            schema = avro_to_structtype(json.loads(avro_json))
+        else:
+            schema = T.StructType([])
+        if avro_json:
+            tracked_ids = id_tracking_to_field_ids(json.loads(avro_json))
+            if tracked_ids:
+                schema = inject_field_ids(schema, tracked_ids)
         spec = props.get("onetable.partition.spec", "")
         if spec:
             from onetable_spark.schema.partitions import parse_hudi_partition_config
@@ -487,7 +513,16 @@ class HudiTimeline:
             "extraMetadata": dict(extra_metadata or {}),
         }
         if schema is not None:
-            meta["schemaString"] = json.dumps(schema.jsonValue())
+            # real Hudi stores the AVRO schema string in commit metadata;
+            # id tracking is threaded from the create schema so evolution
+            # keeps prior field ids (IdTracker.addIdTracking previousSchema)
+            prev = self.table_properties().get("hoodie.table.create.schema")
+            meta["schemaString"] = json.dumps(
+                add_id_tracking(
+                    structtype_to_avro(schema, name="record"),
+                    previous=json.loads(prev) if prev else None,
+                )
+            )
         if replace_file_ids:
             meta["partitionToReplaceFileIds"] = replace_file_ids
         completed = os.path.join(self.hoodie_path, f"{instant}.{action}")

@@ -57,7 +57,12 @@ def test_init_commit_snapshot(spark, hudi_table):
     snap = tl.current_snapshot()
     assert snap.table.table_format == TableFormat.HUDI
     assert snap.table.record_key_fields == ("o_orderkey",)
-    assert snap.table.read_schema == table.read_schema
+    # read-back schema matches structurally; metadata now additionally
+    # carries IdTracker fieldIds for id-stable Hudi→Iceberg syncs
+    assert [(f.name, f.dataType, f.nullable) for f in snap.table.read_schema.fields] == [
+        (f.name, f.dataType, f.nullable) for f in table.read_schema.fields
+    ]
+    assert all("fieldId" in (f.metadata or {}) for f in snap.table.read_schema.fields)
 
     files = snap.files.collect()
     assert {f["path"] for f in files} == {r["path"] for r in inv.collect()}
