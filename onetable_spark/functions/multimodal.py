@@ -162,7 +162,9 @@ def sample_video_frames(
             for mid, content, dur in zip(pdf["media_id"], pdf["content"], pdf["duration_ms"]):
                 raw = bytes(content) if content is not None else b""
                 for ts in range(0, int(dur) + 1, every_ms):  # inclusive grid
-                    seed = hashlib.sha256(raw + ts.to_bytes(8, "big")).digest()
+                    # ASCII ts suffix (not to_bytes) keeps the stub's output
+                    # reproducible by the SQL oracle (sha256 over text)
+                    seed = hashlib.sha256(raw + str(ts).encode()).digest()
                     ids.append(mid)
                     tss.append(ts)
                     feats.append([b / 255.0 for b in seed[:8]])

@@ -982,7 +982,47 @@ _COS_SQL = """
            * sqrt(list_dot_product(CAST(b.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[]))))
 """
 
+# hex-pair → byte value (DuckDB has no blob byte indexing; digest bytes are
+# recovered from the sha256 hex string with digit arithmetic)
+_HEXBYTE = (
+    "(16*(strpos('0123456789abcdef', h[2*i-1])-1)"
+    " + strpos('0123456789abcdef', h[2*i])-1)"
+)
+# one stub feature element: byte/255 stored as float32 then summed as double,
+# matching the Pandas-UDF fake decode exactly
+_STUB_FEAT = f"CAST(CAST({_HEXBYTE}/255.0 AS REAL) AS DOUBLE)"
+
 ORACLE_SQL: dict[str, str] = {
+    "multimodal_decode": f"""
+        WITH d AS (
+            SELECT range AS media_id,
+                   sha256(sha256(CAST(range AS VARCHAR))) AS h
+            FROM range(200) WHERE range % 3 = 0
+        )
+        SELECT media_id,
+               CAST(64 + 16*(strpos('0123456789abcdef', h[1])-1)
+                       + strpos('0123456789abcdef', h[2])-1 AS INT) AS width,
+               CAST(64 + 16*(strpos('0123456789abcdef', h[3])-1)
+                       + strpos('0123456789abcdef', h[4])-1 AS INT) AS height,
+               CAST(ROUND(CAST(list_sum(list_transform(range(3, 11), i -> {_STUB_FEAT}))
+                   AS DECIMAL(18,10)), 4) AS DOUBLE) AS feature_sum
+        FROM d
+    """,
+    "video_frame_sample": f"""
+        WITH media AS (
+            SELECT range AS media_id, range*1000 % 10000 AS duration_ms
+            FROM range(200) WHERE range % 3 = 2
+        ),
+        frames AS (
+            SELECT media_id,
+                   sha256(sha256(CAST(media_id AS VARCHAR)) || CAST(ts AS VARCHAR)) AS h
+            FROM media, unnest(range(0, duration_ms + 1, 1000)) AS t(ts)
+        )
+        SELECT media_id, COUNT(*) AS n_frames,
+               CAST(ROUND(CAST(SUM(list_sum(list_transform(range(1, 9), i -> {_STUB_FEAT})))
+                   AS DECIMAL(18,10)), 4) AS DOUBLE) AS feature_mass
+        FROM frames GROUP BY media_id
+    """,
     "g1_files_diff": """
         SELECT p_partkey, p_name FROM part p
         WHERE NOT EXISTS (SELECT 1 FROM lineitem l

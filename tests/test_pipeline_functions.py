@@ -190,3 +190,60 @@ def test_audio_decode_deterministic(spark):
     assert out1 == out2 and len(out1) == 10
     assert all(sr in (8000, 16000, 22050, 44100) for _, sr, _ in out1)
     assert all(len(f) == 8 for _, _, f in out1)
+
+
+def test_ann_recall_bounds(spark, sf_dir):
+    """VERDICT r1 #7: quantitative recall vs the exact scan with pinned
+    seeds.
+
+    The sf embeddings are near-random (best cosine ≈ 0.33 — no true
+    neighbors exist), which is exactly the regime LSH makes no promise
+    about; its contract is HIGH-cosine retrieval. So recall is measured on
+    planted near-duplicates of the query (cos > 0.99) mixed into the real
+    corpus — deterministic because every seed is pinned."""
+    import math
+
+    from onetable_spark.functions.similarity import ivf_topk
+    from onetable_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    corpus = emb.filter(F.col("vec_id") != 0)
+
+    # plant 10 jittered copies of the query: ids 1_000_000+j, one coordinate
+    # nudged by 1% — cosine to q stays > 0.99
+    planted_rows = []
+    for j in range(10):
+        v = list(q)
+        v[j % len(v)] = v[j % len(v)] * 1.01 + 0.001
+        planted_rows.append((1_000_000 + j, [float(x) for x in v]))
+    planted_ids = {r[0] for r in planted_rows}
+    spiked = corpus.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted_rows, "vec_id long, embedding array<float>")
+    )
+
+    exact = [r["vec_id"] for r in cosine_topk(spiked, q, k=10).collect()]
+    assert set(exact) == planted_ids  # sanity: planted dominate the top-10
+
+    lsh = {r["vec_id"] for r in ann_lsh_topk(spiked, q, k=10, probes=4).collect()}
+    ivf = {r["vec_id"] for r in ivf_topk(spiked, q, k=10).collect()}
+    lsh_recall = len(lsh & planted_ids) / 10
+    ivf_recall = len(ivf & planted_ids) / 10
+    assert lsh_recall >= 0.8, f"LSH recall {lsh_recall}"
+    assert ivf_recall >= 0.8, f"IVF recall {ivf_recall}"
+
+    # on the raw near-random corpus, IVF@nprobe=4/16 still recovers a
+    # useful fraction of the true top-10 (pinned k-means → deterministic)
+    exact_raw = [r["vec_id"] for r in cosine_topk(corpus, q, k=10).collect()]
+    ivf_raw = {r["vec_id"] for r in ivf_topk(corpus, q, k=10).collect()}
+    assert len(ivf_raw & set(exact_raw)) / 10 >= 0.4
+
+
+def test_minhash_recall_vs_exact(docs):
+    """MinHash-LSH must recover a known fraction of exact-Jaccard pairs at
+    the same threshold (pinned seeds → deterministic)."""
+    exact = {(r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_dedup_pairs(docs, threshold=0.5).collect()}
+    assert exact, "exact pair set must be non-empty for recall to mean anything"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"minhash recall {recall} over {exact}"
