@@ -551,6 +551,110 @@ class HudiTimeline:
             json.dump({"instantsToRollback": undone, "restoreInstant": to_instant}, f)
         return rs_instant
 
+    def clean(self, earliest_instant_to_retain: str) -> Optional[str]:
+        """K10: clean file groups replaced before the retention horizon
+        (HudiTargetClient.markInstantsAsCleaned, HudiTargetClient.java:
+        414-546). A file group replaced by a replacecommit OLDER than the
+        earliest instant any retained reader could time-travel to can never
+        be served again — mark it cleaned through the clean.requested →
+        clean.inflight → clean instant lifecycle.
+
+        Physical data files are NOT deleted: in sync context they belong to
+        the source table (the reference likewise only marks them deleted in
+        the metadata plane). Returns the clean instant, or None when there
+        is nothing to clean."""
+        instants = self.completed_instants()
+        horizon = [
+            (i, a)
+            for i, a in instants
+            if a == "replacecommit" and i < earliest_instant_to_retain
+        ]
+        if not horizon:
+            return None
+        commits = self._commits_df(instants)
+        replaced = (
+            self._commits_df(horizon)
+            .select(
+                F.col("instant").alias("replace_instant"),
+                F.explode_outer("partitionToReplaceFileIds").alias("partition", "file_ids"),
+            )
+            .select("replace_instant", "partition", F.explode("file_ids").alias("file_id"))
+        )
+        adds = (
+            commits.select(
+                "instant", F.explode_outer("partitionToWriteStats").alias("partition", "stats")
+            )
+            .select("instant", F.explode("stats").alias("ws"))
+            .select(
+                "instant",
+                F.col("ws.fileId").alias("file_id"),
+                F.col("ws.path").alias("rel_path"),
+            )
+        )
+        # slices of the replaced groups written at-or-before the replacement
+        # (CleanPlanner.getDeletePaths per partition); aggregated per
+        # partition — the driver holds one row per partition, the same
+        # payload the plan JSON must contain anyway
+        per_partition = (
+            adds.join(
+                F.broadcast(replaced),
+                (adds.file_id == replaced.file_id)
+                & (adds.instant <= replaced.replace_instant),
+            )
+            .groupBy("partition")
+            .agg(F.sort_array(F.collect_set("rel_path")).alias("paths"))
+            .collect()
+        )
+        if not per_partition:
+            return None
+        clean_time = self.new_instant()
+        plan = {
+            "earliestInstantToRetain": earliest_instant_to_retain,
+            "policy": "KEEP_LATEST_BY_HOURS",
+            "lastCompletedCommitTimestamp": instants[-1][0],
+            "filePathsToBeDeletedPerPartition": {
+                r["partition"]: list(r["paths"]) for r in per_partition
+            },
+        }
+        req = os.path.join(self.hoodie_path, f"{clean_time}.clean.requested")
+        with open(req, "w") as f:
+            json.dump(plan, f)
+        inflight = os.path.join(self.hoodie_path, f"{clean_time}.clean.inflight")
+        open(inflight, "w").close()
+        meta = {
+            "startCleanTime": clean_time,
+            "earliestCommitToRetain": earliest_instant_to_retain,
+            "totalFilesDeleted": sum(len(r["paths"]) for r in per_partition),
+            "partitionMetadata": {
+                r["partition"]: {
+                    "successDeleteFiles": list(r["paths"]),
+                    "deletePathPatterns": list(r["paths"]),
+                    "failedDeleteFiles": [],
+                }
+                for r in per_partition
+            },
+        }
+        completed = os.path.join(self.hoodie_path, f"{clean_time}.clean")
+        tmp = completed + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, completed)
+        os.remove(req)
+        os.remove(inflight)
+        return clean_time
+
+    def cleaned_paths(self) -> set[str]:
+        """Relative paths marked deleted by completed clean instants."""
+        out: set[str] = set()
+        for f in os.listdir(self.hoodie_path):
+            parts = f.split(".")
+            if len(parts) == 2 and parts[1] == "clean":
+                with open(os.path.join(self.hoodie_path, f)) as fh:
+                    meta = json.load(fh)
+                for pm in meta.get("partitionMetadata", {}).values():
+                    out.update(pm.get("successDeleteFiles", []))
+        return out
+
     def archive_timeline(self, keep_latest: int = 10) -> int:
         """Move old completed instants to ``archived/`` — timeline bounded
         like HoodieTimelineArchiver (HudiTargetClient.java:414-546)."""

@@ -32,7 +32,7 @@ from pyspark.sql import SparkSession
 from pyspark.storagelevel import StorageLevel
 
 from onetable_spark.formats.delta import DeltaLog
-from onetable_spark.formats.hudi import HudiTimeline, instant_to_millis
+from onetable_spark.formats.hudi import HudiTimeline, instant_to_millis, millis_to_instant
 from onetable_spark.formats.iceberg import IcebergTable
 from onetable_spark.model import (
     FilesDiff,
@@ -280,9 +280,21 @@ class DeltaTarget:
 class HudiTarget:
     table_format = TableFormat.HUDI
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, retention_hours: int = 168):
         self.spark = spark
         self.timeline = HudiTimeline(spark, path)
+        self.retention_hours = retention_hours
+
+    def _maintain_timeline(self) -> None:
+        """K10 table services after every commit: clean file groups replaced
+        before the retention horizon, then archive old instants
+        (HudiTargetClient.completeSync → markInstantsAsCleaned + runArchiver,
+        HudiTargetClient.java:360-546)."""
+        horizon = millis_to_instant(
+            int(time.time() * 1000) - self.retention_hours * 3600_000
+        )
+        self.timeline.clean(horizon)
+        self.timeline.archive_timeline()
 
     def get_sync_metadata(self) -> Optional[TableMetadata]:
         if not self.timeline.exists():
@@ -377,7 +389,7 @@ class HudiTarget:
             schema=snapshot.table.read_schema,
             operation="INSERT_OVERWRITE" if replace else "BULK_INSERT",
         )
-        self.timeline.archive_timeline()
+        self._maintain_timeline()
 
     def sync_change(self, change: TableChange, metadata: TableMetadata) -> None:
         self._ensure(change.table)
@@ -390,7 +402,7 @@ class HudiTarget:
             schema=change.table.read_schema,
             operation="UPSERT",
         )
-        self.timeline.archive_timeline()
+        self._maintain_timeline()
 
 
 class IcebergTarget:

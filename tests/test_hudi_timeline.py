@@ -256,3 +256,59 @@ def test_partition_spec_transform_roundtrip(spark, tmp_path):
         ("region", PartitionTransform.VALUE),
         ("ts", PartitionTransform.DAY),
     ]
+
+
+def test_clean_replaced_file_groups(spark, hudi_table):
+    """K10 (HudiTargetClient.java:414-546): file groups replaced before the
+    retention horizon are marked cleaned via the clean instant lifecycle;
+    groups replaced inside the horizon are retained."""
+    import json
+    import os
+
+    table_path, table = hudi_table
+    tl = HudiTimeline(spark, table_path)
+    tl.init_table(table)
+    inv = inventory_from_directory(spark, table_path)
+    tl.commit(adds=inv, schema=table.read_schema)
+
+    # replace every original file group with a "rewritten" registration
+    first = inv.first()
+    rel = first["path"][len(table_path.rstrip("/")) + 1 :]
+    from onetable_spark.formats.hudi import _file_id_for
+
+    replaced_ids = {"": [_file_id_for(rel)]}
+    tl.commit(adds=inv.limit(0), replace_file_ids=replaced_ids)
+
+    # horizon AFTER the replacecommit → the replaced group is cleanable
+    future = tl.new_instant()
+    cleaned_at = tl.clean(earliest_instant_to_retain=future)
+    assert cleaned_at is not None
+    assert rel in tl.cleaned_paths()
+    meta = json.load(open(os.path.join(tl.hoodie_path, f"{cleaned_at}.clean")))
+    assert meta["totalFilesDeleted"] == 1
+    assert meta["earliestCommitToRetain"] == future
+    # lifecycle markers consumed
+    assert not os.path.exists(os.path.join(tl.hoodie_path, f"{cleaned_at}.clean.requested"))
+    assert not os.path.exists(os.path.join(tl.hoodie_path, f"{cleaned_at}.clean.inflight"))
+
+    # snapshot replay is unaffected (clean is bookkeeping, not an undo)
+    assert tl.snapshot_files().count() == 0  # all groups replaced, none live
+
+    # nothing replaced after the horizon → second clean is a no-op
+    assert tl.clean(earliest_instant_to_retain="0") is None
+
+
+def test_clean_retains_groups_inside_horizon(spark, hudi_table):
+    table_path, table = hudi_table
+    tl = HudiTimeline(spark, table_path)
+    tl.init_table(table)
+    inv = inventory_from_directory(spark, table_path)
+    tl.commit(adds=inv, schema=table.read_schema)
+    first = inv.first()
+    rel = first["path"][len(table_path.rstrip("/")) + 1 :]
+    from onetable_spark.formats.hudi import _file_id_for
+
+    tl.commit(adds=inv.limit(0), replace_file_ids={"": [_file_id_for(rel)]})
+    # horizon BEFORE the replacecommit → nothing to clean yet
+    assert tl.clean(earliest_instant_to_retain="19700101000000000") is None
+    assert tl.cleaned_paths() == set()
