@@ -266,7 +266,9 @@ class DeltaLog:
         info = self.snapshot_info()
         schema = T.StructType.fromJson(json.loads(info.metadata["schemaString"]))
         pcols = info.metadata.get("partitionColumns") or []
-        pfields = tuple(_partition_field_from_delta(c, schema) for c in pcols)
+        from onetable_spark.schema.partitions import partition_fields_from_delta_columns
+
+        pfields = tuple(partition_fields_from_delta_columns(list(pcols), schema))
         commit_millis = int(
             os.stat(_version_path(self.table_path, info.version)).st_mtime * 1000
         )
@@ -355,7 +357,7 @@ class DeltaLog:
             "name": table.name,
             "format": {"provider": "parquet", "options": {}},
             "schemaString": json.dumps(_schema_with_generated_columns(table).jsonValue()),
-            "partitionColumns": [p.name for p in table.partition_fields],
+            "partitionColumns": [c for p in table.partition_fields for c in p.column_names],
             "configuration": conf,
             "createdTime": int(time.time() * 1000),
         }
@@ -544,41 +546,28 @@ def _file_row_to_add(row, table_path: str, now: int) -> dict:
 
 
 def _schema_with_generated_columns(table: Table) -> T.StructType:
-    """The inverse of ``_partition_field_from_delta`` (C5 write side,
+    """The inverse of ``partition_fields_from_delta_columns`` (C5 write side,
     DeltaPartitionExtractor.java:227-248): time-transformed partition
     fields become string generated columns carrying
     ``delta.generationExpression`` metadata, appended to the schema if not
     already present — so the spec round-trips through the log."""
-    from onetable_spark.schema.partitions import to_delta_generation_expr
+    from onetable_spark.schema.partitions import delta_generated_columns_for
 
     schema = table.read_schema
     names = set(schema.fieldNames())
     extra = []
     for pf in table.partition_fields:
-        if pf.transform.is_time_based and pf.name not in names:
+        for col, expr, spark_type in delta_generated_columns_for(pf):
+            if col in names:
+                continue
             extra.append(
                 T.StructField(
-                    pf.name,
-                    T.StringType(),
+                    col,
+                    T.IntegerType() if spark_type == "integer" else T.StringType(),
                     True,
-                    metadata={"delta.generationExpression": to_delta_generation_expr(pf)},
+                    metadata={"delta.generationExpression": expr},
                 )
             )
     return T.StructType(list(schema.fields) + extra) if extra else schema
 
 
-def _partition_field_from_delta(col: str, schema: T.StructType) -> PartitionField:
-    """Parse a partition column, honoring generation expressions via the
-    full C5 grammar (DeltaPartitionExtractor.java:104-225): YEAR/MONTH/
-    DAY/HOUR(c), CAST(c AS DATE), DATE_FORMAT(c, fmt)."""
-    from onetable_spark.schema.partitions import parse_delta_generation_expr
-
-    if col in schema.fieldNames():
-        f = schema[col]
-        expr = (f.metadata or {}).get("delta.generationExpression")
-        if expr:
-            try:
-                return parse_delta_generation_expr(expr.replace("`", ""), col)
-            except ValueError:
-                pass  # unknown expression → treat as identity on the column
-    return PartitionField(source_field=col, transform=PartitionTransform.VALUE)

@@ -77,15 +77,28 @@ class SyncStatus(str, enum.Enum):
 
 @dataclass(frozen=True)
 class PartitionField:
-    """api/.../model/schema/OnePartitionField.java:34-41"""
+    """api/.../model/schema/OnePartitionField.java:34-41.
+
+    ``partition_field_names`` (plural) carries the MULTI-column fused form
+    (C5): a Delta table partitioned by generated columns YEAR(ts)/
+    MONTH(ts)/DAY(ts) is ONE logical DAY transform materialized as three
+    physical partition columns (OnePartitionField.partitionFieldNames,
+    DeltaPartitionExtractor.java:104-225)."""
 
     source_field: str
     transform: PartitionTransform = PartitionTransform.VALUE
     partition_field_name: Optional[str] = None
+    partition_field_names: tuple[str, ...] = ()
 
     @property
     def name(self) -> str:
         return self.partition_field_name or self.source_field
+
+    @property
+    def column_names(self) -> tuple[str, ...]:
+        """Physical partition column names: the fused list when present,
+        else the single (generated or source) column."""
+        return self.partition_field_names or (self.name,)
 
 
 @dataclass(frozen=True)

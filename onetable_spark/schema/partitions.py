@@ -111,6 +111,111 @@ def to_delta_generation_expr(pf: PartitionField) -> str:
     return f"DATE_FORMAT({pf.source_field}, '{fmt}')"
 
 
+# C5 multi-column fusion: YEAR(ts), MONTH(ts), DAY(ts)[, HOUR(ts)] column
+# SETS are one logical transform at the finest granularity
+# (DeltaPartitionExtractor.java:104-225 + getPartitionColumnsForHourOrDay-
+# OrMonthOrYear validation: granularities must be a prefix of this order)
+_GRANULARITY_ORDER = (
+    PartitionTransform.YEAR,
+    PartitionTransform.MONTH,
+    PartitionTransform.DAY,
+    PartitionTransform.HOUR,
+)
+
+
+def partition_fields_from_delta_columns(
+    pcols: list[str], schema
+) -> list[PartitionField]:
+    """Delta partitionColumns + schema metadata → IR partition fields,
+    with the full C5 grammar: identity, CAST(c AS DATE), DATE_FORMAT,
+    single YEAR/MONTH/DAY/HOUR, and fused multi-column sets
+    (DeltaPartitionExtractor.getOnePartitionFields)."""
+    names = set(schema.fieldNames())
+
+    def expr_of(col: str):
+        if col in names:
+            return ((schema[col].metadata or {}).get("delta.generationExpression") or "").replace("`", "")
+        return ""
+
+    out: list[PartitionField] = []
+    i = 0
+    while i < len(pcols):
+        col = pcols[i]
+        expr = expr_of(col)
+        m = _RE_FUNC.match(expr) if expr else None
+        if m is None:
+            # identity / CAST / DATE_FORMAT / unknown → single-column forms
+            if expr:
+                try:
+                    out.append(parse_delta_generation_expr(expr, col))
+                except ValueError:
+                    out.append(PartitionField(source_field=col))
+            else:
+                out.append(PartitionField(source_field=col))
+            i += 1
+            continue
+        # consume the run of YEAR/MONTH/DAY/HOUR exprs over the same source
+        run: list[tuple[str, PartitionTransform, str]] = []
+        j = i
+        source = m.group(2)
+        while j < len(pcols):
+            mj = _RE_FUNC.match(expr_of(pcols[j]) or "")
+            if mj is None or mj.group(2) != source:
+                break
+            run.append((pcols[j], _DELTA_FUNCS[mj.group(1).upper()], source))
+            j += 1
+        transforms = [t for _, t, _ in run]
+        if transforms != list(_GRANULARITY_ORDER[: len(run)]):
+            raise ValueError(
+                f"invalid fused partition transform sequence {[t.name for t in transforms]}"
+                f" over {source!r} — must be a prefix of YEAR,MONTH,DAY,HOUR"
+            )
+        if len(run) == 1:
+            out.append(
+                PartitionField(
+                    source_field=source,
+                    transform=transforms[0],
+                    partition_field_name=run[0][0],
+                )
+            )
+        else:
+            out.append(
+                PartitionField(
+                    source_field=source,
+                    transform=transforms[-1],
+                    partition_field_names=tuple(c for c, _, _ in run),
+                )
+            )
+        i = j
+    return out
+
+
+_FUNC_OF_TRANSFORM = {
+    PartitionTransform.YEAR: "YEAR",
+    PartitionTransform.MONTH: "MONTH",
+    PartitionTransform.DAY: "DAY",
+    PartitionTransform.HOUR: "HOUR",
+}
+
+
+def delta_generated_columns_for(pf: PartitionField) -> list[tuple[str, str, str]]:
+    """(column-name, generation-expr, spark-type) triples a time-transformed
+    field materializes in the Delta schema (DeltaPartitionExtractor.
+    getGeneratedField / convertToDeltaPartitionFormat :227-248).
+
+    Fused fields emit one INT column per granularity (YEAR(ts), MONTH(ts),
+    ...); single fields emit one STRING DATE_FORMAT column."""
+    if pf.transform is PartitionTransform.VALUE:
+        return []
+    if pf.partition_field_names:
+        grans = _GRANULARITY_ORDER[: len(pf.partition_field_names)]
+        return [
+            (col, f"{_FUNC_OF_TRANSFORM[g]}({pf.source_field})", "integer")
+            for col, g in zip(pf.partition_field_names, grans)
+        ]
+    return [(pf.name, to_delta_generation_expr(pf), "string")]
+
+
 # -------------------------------------------------------- Iceberg (C6 + C9)
 
 _ICEBERG_NAMES = {

@@ -256,7 +256,7 @@ class DeltaTarget:
         current = self.log.table_descriptor().read_schema if self.log.latest_version() >= 0 else None
         if _schema_evolved(current, table.read_schema):
             meta["schemaString"] = _json.dumps(table.read_schema.jsonValue())
-        wanted_cols = [p.name for p in table.partition_fields]
+        wanted_cols = [c for p in table.partition_fields for c in p.column_names]
         if self.log.latest_version() >= 0 and wanted_cols != (
             meta.get("partitionColumns") or []
         ):

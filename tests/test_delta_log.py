@@ -157,3 +157,78 @@ def test_generated_partition_column_roundtrip(spark, tmp_path):
     # the generated column is in the schema with its expression metadata
     gen = desc.read_schema["ts_day"]
     assert gen.metadata["delta.generationExpression"] == "DATE_FORMAT(ts, 'yyyy-MM-dd')"
+
+
+def test_fused_multicolumn_partition_roundtrip(spark, tmp_path):
+    """C5 fused form (DeltaPartitionExtractor.java:104-225): a DAY transform
+    materialized as YEAR(ts)/MONTH(ts)/DAY(ts) generated-column sets is ONE
+    logical partition field, and regenerates the same three columns."""
+    from pyspark.sql import types as T
+
+    from onetable_spark.model import PartitionField, PartitionTransform, Table, TableFormat
+
+    path = str(tmp_path / "fused")
+    schema = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("ts", T.TimestampType())]
+    )
+    log = DeltaLog(spark, path)
+    log.init_table(
+        Table(
+            name="fused",
+            base_path=path,
+            table_format=TableFormat.DELTA,
+            read_schema=schema,
+            partition_fields=(
+                PartitionField(
+                    "ts",
+                    PartitionTransform.DAY,
+                    partition_field_names=("year", "month", "day"),
+                ),
+            ),
+        )
+    )
+    desc = DeltaLog(spark, path).table_descriptor()
+    assert len(desc.partition_fields) == 1
+    pf = desc.partition_fields[0]
+    assert pf.source_field == "ts"
+    assert pf.transform is PartitionTransform.DAY
+    assert pf.partition_field_names == ("year", "month", "day")
+    for col, func in (("year", "YEAR"), ("month", "MONTH"), ("day", "DAY")):
+        f = desc.read_schema[col]
+        assert isinstance(f.dataType, T.IntegerType)
+        assert f.metadata["delta.generationExpression"] == f"{func}(ts)"
+
+
+def test_fused_partition_parse_shapes(spark):
+    """Parser edge shapes from TestDeltaPartitionExtractor: a fused set
+    followed by an identity column; an out-of-order set is rejected."""
+    from pyspark.sql import types as T
+
+    from onetable_spark.model import PartitionTransform
+    from onetable_spark.schema.partitions import partition_fields_from_delta_columns
+
+    def gen(name, expr, dt=T.IntegerType()):
+        return T.StructField(name, dt, True, metadata={"delta.generationExpression": expr})
+
+    schema = T.StructType(
+        [
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("region", T.StringType()),
+            gen("yr", "YEAR(ts)"),
+            gen("mo", "MONTH(ts)"),
+            gen("hr_alone", "HOUR(ts)"),
+        ]
+    )
+    fields = partition_fields_from_delta_columns(["yr", "mo", "region"], schema)
+    assert [f.transform for f in fields] == [
+        PartitionTransform.MONTH,
+        PartitionTransform.VALUE,
+    ]
+    assert fields[0].partition_field_names == ("yr", "mo")
+    assert fields[1].source_field == "region"
+
+    # single HOUR(ts) alone: granularity sequence [HOUR] != prefix [YEAR]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        partition_fields_from_delta_columns(["hr_alone"], schema)
