@@ -1,0 +1,158 @@
+"""CLI runner: the product entry point (utilities/.../RunSync.java:100-171).
+
+Usage::
+
+    python -m onetable_spark.cli --datasetConfig my_config.yaml \
+        [--icebergCatalogConfig catalog.yaml] [--mode incremental|full]
+
+Dataset config (YAML or JSON — same shape as the reference's
+RunSync.DatasetConfig, RunSync.java:221-250)::
+
+    sourceFormat: DELTA
+    targetFormats:
+      - ICEBERG
+      - HUDI
+    datasets:
+      - tableBasePath: /data/warehouse/orders
+        tableName: orders
+        partitionSpec: ts:MONTH          # Hudi partition-config grammar
+        namespace: db                    # Iceberg catalog namespace
+      - tableBasePath: /data/warehouse/customers
+
+Iceberg catalog config (RunSync --icebergCatalogConfig)::
+
+    catalogImpl: jdbc                    # hadoop | jdbc | static
+    catalogName: onetable
+    catalogOptions:
+      uri: jdbc:sqlite:/tmp/catalog.db
+
+Errors on one dataset are logged and do not stop the loop, matching the
+reference's per-table try/catch.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+from typing import Any, Optional
+
+from onetable_spark.model import SyncMode, TableFormat
+
+
+def _load_config_file(path: str) -> dict:
+    """YAML preferred, JSON accepted (JSON is a YAML subset anyway)."""
+    with open(path) as f:
+        text = f.read()
+    try:
+        import yaml
+
+        return yaml.safe_load(text) or {}
+    except ImportError:  # pragma: no cover - yaml is present in this env
+        return json.loads(text)
+
+
+def _catalog_config(raw: Optional[dict]):
+    if not raw:
+        return None
+    from onetable_spark.formats.iceberg_catalog import IcebergCatalogConfig
+
+    return IcebergCatalogConfig(
+        catalog_impl=raw.get("catalogImpl", "hadoop"),
+        catalog_name=raw.get("catalogName", "onetable"),
+        catalog_options=dict(raw.get("catalogOptions") or {}),
+    )
+
+
+def run_dataset_config(
+    spark,
+    config: dict,
+    iceberg_catalog: Optional[dict] = None,
+    mode: str = "incremental",
+) -> list[dict[str, Any]]:
+    """Run the sync loop over every dataset; returns one result record per
+    (table, target-format) pair. Importable for tests; the ``main`` entry
+    wraps it with arg parsing and a SparkSession."""
+    from onetable_spark.sync import SyncClient, SyncConfig, source_for, target_for
+
+    source_format = TableFormat(config["sourceFormat"])
+    target_formats = [TableFormat(t) for t in config.get("targetFormats", [])]
+    if not target_formats:
+        raise ValueError("targetFormats must list at least one format")
+    catalog_cfg = _catalog_config(iceberg_catalog)
+    client = SyncClient(
+        spark,
+        SyncConfig(mode=SyncMode.INCREMENTAL if mode == "incremental" else SyncMode.FULL),
+    )
+
+    results: list[dict[str, Any]] = []
+    for ds in config.get("datasets", []):
+        base_path = ds["tableBasePath"]
+        try:
+            source = source_for(spark, source_format, base_path)
+            targets = []
+            for fmt in target_formats:
+                kwargs: dict[str, Any] = {}
+                if fmt is TableFormat.ICEBERG and catalog_cfg is not None:
+                    ident = ".".join(
+                        x for x in (ds.get("namespace"), ds.get("tableName")) if x
+                    ) or ds.get("tableName", "table")
+                    kwargs = {"catalog_config": catalog_cfg, "identifier": ident}
+                targets.append(target_for(spark, fmt, base_path, **kwargs))
+            outcome = client.sync(source, targets)
+            for fmt, res in outcome.items():
+                results.append(
+                    {
+                        "tableBasePath": base_path,
+                        "target": fmt.value,
+                        "status": res.status.value,
+                        "mode": res.mode.value,
+                        "error": res.error,
+                    }
+                )
+        except Exception as e:  # noqa: BLE001 — per-table isolation (RunSync.java:168-170)
+            results.append(
+                {
+                    "tableBasePath": base_path,
+                    "target": ",".join(f.value for f in target_formats),
+                    "status": "ERROR",
+                    "mode": mode.upper(),
+                    "error": str(e),
+                }
+            )
+    return results
+
+
+def main(argv: Optional[list[str]] = None) -> int:
+    parser = argparse.ArgumentParser(
+        prog="onetable-spark-sync",
+        description="Sync a source table's metadata to one or more target formats",
+    )
+    parser.add_argument(
+        "--datasetConfig",
+        required=True,
+        help="YAML/JSON dataset config (sourceFormat, targetFormats, datasets)",
+    )
+    parser.add_argument(
+        "--icebergCatalogConfig",
+        default=None,
+        help="optional YAML/JSON Iceberg catalog config (catalogImpl, catalogOptions)",
+    )
+    parser.add_argument(
+        "--mode", choices=("incremental", "full"), default="incremental"
+    )
+    args = parser.parse_args(argv)
+
+    from onetable_spark.session import get_spark
+
+    config = _load_config_file(args.datasetConfig)
+    catalog = _load_config_file(args.icebergCatalogConfig) if args.icebergCatalogConfig else None
+    spark = get_spark("onetable-spark-sync")
+    results = run_dataset_config(spark, config, iceberg_catalog=catalog, mode=args.mode)
+    for r in results:
+        print(json.dumps(r))
+    return 0 if all(r["status"] == "SUCCESS" for r in results) else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,99 @@
+"""CLI runner (RunSync.java:100-171 equivalent): YAML dataset config →
+multi-format sync loop with per-table error isolation."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from onetable_spark.cli import _load_config_file, run_dataset_config
+from onetable_spark.formats.delta import DeltaLog
+from onetable_spark.formats.iceberg import IcebergTable
+from onetable_spark.model import Table, TableFormat
+from onetable_spark.sources.parquet_inventory import inventory_from_directory
+
+
+def _seed_delta(spark, sf_dir, path, table_file="nation.parquet"):
+    os.makedirs(path)
+    shutil.copy(os.path.join(sf_dir, table_file), os.path.join(path, "f1.parquet"))
+    schema = spark.read.parquet(path).schema
+    log = DeltaLog(spark, path)
+    log.init_table(
+        Table(name=os.path.basename(path), base_path=path,
+              table_format=TableFormat.DELTA, read_schema=schema)
+    )
+    log.commit(adds=inventory_from_directory(spark, path))
+    return path
+
+
+def test_yaml_config_multi_dataset_sync(spark, sf_dir, tmp_path):
+    t1 = _seed_delta(spark, sf_dir, str(tmp_path / "orders"))
+    t2 = _seed_delta(spark, sf_dir, str(tmp_path / "customers"), "region.parquet")
+    cfg_path = tmp_path / "config.yaml"
+    cfg_path.write_text(
+        f"""
+sourceFormat: DELTA
+targetFormats:
+  - ICEBERG
+  - HUDI
+datasets:
+  - tableBasePath: {t1}
+    tableName: orders
+  - tableBasePath: {t2}
+    tableName: customers
+  - tableBasePath: {tmp_path}/missing
+    tableName: nope
+"""
+    )
+    config = _load_config_file(str(cfg_path))
+    results = run_dataset_config(spark, config)
+    by_key = {(r["tableBasePath"], r["target"]): r for r in results}
+    for base in (t1, t2):
+        assert by_key[(base, "ICEBERG")]["status"] == "SUCCESS"
+        assert by_key[(base, "HUDI")]["status"] == "SUCCESS"
+    # the missing table errored but did not stop the loop
+    errs = [r for r in results if r["status"] == "ERROR"]
+    assert len(errs) == 1 and "missing" in errs[0]["tableBasePath"]
+    assert IcebergTable(spark, t1).snapshot_files().count() == 1
+
+
+def test_cli_with_catalog_config(spark, sf_dir, tmp_path):
+    t1 = _seed_delta(spark, sf_dir, str(tmp_path / "t"))
+    config = {
+        "sourceFormat": "DELTA",
+        "targetFormats": ["ICEBERG"],
+        "datasets": [{"tableBasePath": t1, "tableName": "t", "namespace": "db"}],
+    }
+    catalog = {
+        "catalogImpl": "jdbc",
+        "catalogName": "cli_cat",
+        "catalogOptions": {"uri": f"jdbc:sqlite:{tmp_path / 'cat.db'}"},
+    }
+    results = run_dataset_config(spark, config, iceberg_catalog=catalog)
+    assert all(r["status"] == "SUCCESS" for r in results)
+    # the table is registered under the namespace-qualified identifier
+    from onetable_spark.formats.iceberg_catalog import (
+        IcebergCatalogConfig, TableIdentifier, load_catalog,
+    )
+
+    cat = load_catalog(IcebergCatalogConfig("jdbc", "cli_cat", {"uri": str(tmp_path / "cat.db")}))
+    assert cat.table_exists(TableIdentifier.parse("db.t"))
+
+
+def test_main_entrypoint_json_output(spark, sf_dir, tmp_path, capsys, monkeypatch):
+    """python -m onetable_spark.cli prints one JSON line per result."""
+    import onetable_spark.cli as cli
+
+    t1 = _seed_delta(spark, sf_dir, str(tmp_path / "m"))
+    cfg = tmp_path / "c.json"
+    cfg.write_text(json.dumps({
+        "sourceFormat": "DELTA", "targetFormats": ["ICEBERG"],
+        "datasets": [{"tableBasePath": t1, "tableName": "m"}],
+    }))
+    monkeypatch.setattr(cli, "_spark_for_main", lambda: spark, raising=False)
+    monkeypatch.setattr("onetable_spark.session.get_spark", lambda name: spark)
+    rc = cli.main(["--datasetConfig", str(cfg)])
+    out = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 0
+    assert out and all(r["status"] == "SUCCESS" for r in out)
