@@ -160,3 +160,19 @@ def build_inventory(
 def inventory_from_directory(spark: SparkSession, root: str, with_stats: bool = True) -> DataFrame:
     """Inventory a plain parquet directory (possibly hive-partitioned)."""
     return build_inventory(spark, list_parquet_files(root), root=root, with_stats=with_stats)
+
+
+def enrich_missing_stats(files: DataFrame) -> DataFrame:
+    """S5 stats-source selection (HudiFileStatsExtractor.java:87-103): rows
+    that already carry column stats from the METADATA plane (our Hudi
+    commit metadata = the reference's metadata-table col-stats branch) pass
+    through untouched; only rows with NULL stats — e.g. a Hudi table
+    written by an external writer whose commit metadata has no column
+    stats — pay a distributed parquet-footer read. Avoids re-reading every
+    footer on every sync when metadata stats exist."""
+    have = files.filter(F.col("column_stats").isNotNull())
+    missing = files.filter(F.col("column_stats").isNull()).select(
+        "path", "file_format", "partition_values"
+    )
+    enriched = missing.mapInPandas(_stats_batches, FILES_SCHEMA)
+    return have.unionByName(enriched)

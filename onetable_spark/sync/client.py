@@ -160,7 +160,19 @@ class HudiSource:
         self.timeline = HudiTimeline(spark, path)
 
     def current_snapshot(self) -> Snapshot:
-        return self.timeline.current_snapshot()
+        # S5 (HudiFileStatsExtractor.java:87-103): stats come from the
+        # metadata plane when the commit metadata carries them; only files
+        # without metadata stats (externally-written Hudi tables) fall back
+        # to a distributed footer read
+        from onetable_spark.sources.parquet_inventory import enrich_missing_stats
+
+        snap = self.timeline.current_snapshot()
+        return Snapshot(
+            table=snap.table,
+            files=enrich_missing_stats(snap.files),
+            version=snap.version,
+            pending_commits=snap.pending_commits,
+        )
 
     def changes_since(self, millis: int, pending: tuple[int, ...]) -> Iterator[TableChange]:
         # completed-after-watermark ∪ previously-pending now-completed (G4
@@ -230,13 +242,16 @@ class DeltaTarget:
             )
 
     def sync_snapshot(self, snapshot: Snapshot, metadata: TableMetadata) -> None:
+        # a first sync into a fresh table needs no reconciliation: added is
+        # the whole snapshot, nothing is removed — skips two anti-join jobs
+        # per target (matters for sync latency; the diff path only pays off
+        # when there is a current state to diff against)
+        fresh = not self.log.exists()
         self._ensure(snapshot.table)
-        current = (
-            self.log.snapshot_files()
-            if self.log.latest_version() >= 0
-            else self.spark.createDataFrame([], snapshot.files.schema)
-        )
-        added, removed = files_diff(snapshot.files, current)
+        if fresh:
+            added, removed = snapshot.files, None
+        else:
+            added, removed = files_diff(snapshot.files, self.log.snapshot_files())
         meta = self._meta_with_schema(snapshot.table, metadata)
         self.log.commit(adds=added, removes=removed, metadata=meta, operation="SYNC_SNAPSHOT")
 
@@ -377,11 +392,15 @@ class HudiTarget:
             )
 
     def sync_snapshot(self, snapshot: Snapshot, metadata: TableMetadata) -> None:
+        fresh = not self.timeline.exists() or self.timeline.latest_instant() is None
         self._ensure(snapshot.table)
         self._validate_schema(snapshot.table)
-        current = self.timeline.snapshot_files()
-        added, removed = files_diff(snapshot.files, current)
-        replace = self._replace_ids_for(removed)
+        if fresh:
+            # first sync: no diff jobs, no replace-id aggregation
+            added, replace = snapshot.files, {}
+        else:
+            added, removed = files_diff(snapshot.files, self.timeline.snapshot_files())
+            replace = self._replace_ids_for(removed)
         self.timeline.commit(
             adds=added,
             replace_file_ids=replace or None,
@@ -447,10 +466,13 @@ class IcebergTarget:
             _schema_evolved(self.table.table_descriptor().read_schema, table.read_schema)
 
     def sync_snapshot(self, snapshot: Snapshot, metadata: TableMetadata) -> None:
+        fresh = not self.table.exists()
         self._ensure(snapshot.table)
         self._validate_schema(snapshot.table)
-        current = self.table.snapshot_files()
-        added, removed = files_diff(snapshot.files, current)
+        if fresh:
+            added, removed = snapshot.files, None
+        else:
+            added, removed = files_diff(snapshot.files, self.table.snapshot_files())
         self.table.commit_overwrite(
             adds=added,
             removes=removed,

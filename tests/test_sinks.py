@@ -66,3 +66,50 @@ def test_write_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
     assert "Exchange hashpartitioning" not in plan
     spark.sql("DROP TABLE IF EXISTS t_orders_b")
     spark.sql("DROP TABLE IF EXISTS t_li_b")
+
+
+def test_enrich_missing_stats_footer_fallback(spark, sf_dir, tmp_path):
+    """S5 branch selection: metadata-provided stats pass through unread;
+    NULL-stats rows get footer-derived stats (external-writer fallback)."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from onetable_spark.sources.parquet_inventory import (
+        enrich_missing_stats,
+        inventory_from_directory,
+    )
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), os.path.join(root, "a.parquet"))
+    shutil.copy(os.path.join(sf_dir, "nation.parquet"), os.path.join(root, "b.parquet"))
+    inv = inventory_from_directory(spark, root)
+
+    # simulate metadata-plane stats present for one file, absent for the other
+    sentinel = F.array(
+        F.struct(
+            F.lit("marker").alias("field"),
+            F.lit("x").alias("min_value"),
+            F.lit("x").alias("max_value"),
+            F.lit(0).cast("long").alias("num_nulls"),
+            F.lit(1).cast("long").alias("num_values"),
+            F.lit(0).cast("long").alias("total_size"),
+        )
+    )
+    mixed = inv.withColumn(
+        "column_stats",
+        F.when(F.col("path").endswith("a.parquet"), sentinel).otherwise(
+            F.lit(None).cast(inv.schema["column_stats"].dataType)
+        ),
+    )
+    out = {r["path"]: r for r in enrich_missing_stats(mixed).collect()}
+    a = out[os.path.join(root, "a.parquet")]
+    b = out[os.path.join(root, "b.parquet")]
+    # metadata stats untouched (sentinel survived → no footer re-read)
+    assert [s["field"] for s in a["column_stats"]] == ["marker"]
+    # footer fallback produced real per-column stats
+    fields = {s["field"] for s in b["column_stats"]}
+    assert "n_nationkey" in fields
+    assert b["record_count"] == 25
