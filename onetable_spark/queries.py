@@ -493,6 +493,315 @@ def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# The testdata carries no partsupp table; wherever classic TPC-H needs it,
+# the distinct (l_partkey, l_suppkey) pairs of lineitem stand in (with
+# min unit price as the supply cost), keeping each query's JOIN/subquery
+# SHAPE — correlated min, scalar subquery, nested IN, exists/not-exists —
+# intact on the available tables.
+
+
+def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """Min-cost supplier (TPC-H Q2 shape): correlated-min over the
+    pseudo-partsupp, expressed as ONE window min over the part key — the
+    per-part min reuses the candidate shuffle instead of a self-join.
+    Dimension tables broadcast."""
+    from pyspark.sql.window import Window
+
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
+    )
+    eur_sup = supplier.join(
+        F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey
+    ).join(
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+        nation.n_regionkey == F.col("r_regionkey"),
+    )
+    cand = ps.join(
+        F.broadcast(part.filter((F.col("p_size") < 15) & (F.col("p_type") == "LARGE"))),
+        ps.l_partkey == part.p_partkey,
+    ).join(eur_sup, ps.l_suppkey == supplier.s_suppkey)
+    w = Window.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_cost", F.min("supplycost").over(w))
+        .filter(F.col("supplycost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("supplycost", 4).alias("supplycost"),
+        )
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape): 6-table join, share =
+    conditional-sum / sum per year. All dims broadcast; the only big
+    shuffle is lineitem⋈orders."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    supplier = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders")
+    customer = load_table(spark, sf, "customer")
+    nation = load_table(spark, sf, "nation")
+    region = load_table(spark, sf, "region")
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    cust_region = (
+        customer.join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == "AMERICA")),
+            nation.n_regionkey == F.col("r_regionkey"),
+        )
+        .select("c_custkey")
+    )
+    vol = (
+        li.join(F.broadcast(part.filter(F.col("p_type") == "PROMO")), li.l_partkey == part.p_partkey)
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+                & (F.col("o_orderdate") <= F.lit("1996-12-31").cast("timestamp_ntz"))
+            ),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .join(F.broadcast(cust_region), orders.o_custkey == F.col("c_custkey"))
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(supp_nation), supplier.s_nationkey == F.col("sn_key"))
+        .select(
+            F.year("o_orderdate").alias("o_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+            "supp_nation",
+        )
+    )
+    return vol.groupBy("o_year").agg(
+        F.round(
+            F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+            / F.sum("volume"),
+            4,
+        ).alias("mkt_share")
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """Product profit by nation and year (TPC-H Q9 shape): profit =
+    revenue − imputed supply cost (p_retailprice/2 stands in for
+    ps_supplycost). part filter broadcast-pruned before the big join."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    supplier = load_table(spark, sf, "supplier")
+    orders = load_table(spark, sf, "orders")
+    nation = load_table(spark, sf, "nation")
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").like("%widget%"))),
+            li.l_partkey == part.p_partkey,
+        )
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(F.broadcast(nation), supplier.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year")
+        )
+        .agg(
+            # per-row profit is cast to DECIMAL before the SUM so the
+            # aggregation is exact and order-insensitive — a double SUM
+            # differs from the oracle by 1 ulp at .xx5 boundaries because
+            # the two engines add in different orders
+            F.round(
+                F.sum(
+                    (
+                        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                        - 0.5 * F.col("p_retailprice") * F.col("l_quantity")
+                    ).cast("decimal(18,6)")
+                ),
+                2,
+            )
+            .cast("double")
+            .alias("sum_profit")
+        )
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """Important stock (TPC-H Q11 shape): per-part value with a HAVING
+    against a scalar subquery (global total), broadcast as a 1-row cross
+    join so the filter stays in the same stage."""
+    li = load_table(spark, sf, "lineitem")
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    national = (
+        li.join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_7")),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .select("l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("v"))
+    )
+    per_part = national.groupBy("l_partkey").agg(F.sum("v").alias("value"))
+    total = national.agg(F.sum("v").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > 0.001 * F.col("total"))
+        .select("l_partkey", F.round("value", 2).alias("value"))
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """Priority class counts (TPC-H Q12 shape): conditional-sum
+    classification per group — high-priority vs low-priority orders per
+    line status within a ship-date year (l_shipmode stands replaced by
+    l_linestatus; the testdata has no ship mode column)."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """Supplier relationship count (TPC-H Q16 shape): count DISTINCT
+    suppliers per part attribute triple, excluding a NOT-IN supplier set
+    (negative-balance suppliers stand in for the complaints filter)."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    supplier = load_table(spark, sf, "supplier")
+    ps = li.select("l_partkey", "l_suppkey").distinct()
+    excluded = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        ps.join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != "Brand#13")
+                    & (~F.col("p_type").startswith("PROMO"))
+                    & (F.col("p_size") <= 10)
+                )
+            ),
+            ps.l_partkey == part.p_partkey,
+        )
+        .join(F.broadcast(excluded), ps.l_suppkey == excluded.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """Discounted revenue (TPC-H Q19 shape): three disjunctive
+    brand/size/quantity predicate branches ORed in one broadcast-join
+    filter — Catalyst keeps it a single scan."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    branch1 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 5)
+        & F.col("l_quantity").between(1, 11)
+    )
+    branch2 = (
+        (F.col("p_brand") == "Brand#20")
+        & F.col("p_size").between(1, 10)
+        & F.col("l_quantity").between(10, 20)
+    )
+    branch3 = (
+        (F.col("p_brand") == "Brand#25")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return j.filter(branch1 | branch2 | branch3).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """Potential part promotion (TPC-H Q20 shape): nested IN subqueries —
+    suppliers (in one nation) who moved a meaningful volume of matching
+    parts; inner HAVING feeds a semi-join."""
+    li = load_table(spark, sf, "lineitem")
+    part = load_table(spark, sf, "part")
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    movers = (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").like("small%"))),
+            li.l_partkey == part.p_partkey,
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_11")),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .join(movers, supplier.s_suppkey == movers.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape): correlated
+    EXISTS (another supplier on the order) + NOT EXISTS (no OTHER supplier
+    also failed) — a semi-join and an anti-join on the order key
+    (returned lines stand in for late lines; no receipt/commit dates)."""
+    li = load_table(spark, sf, "lineitem")
+    orders = load_table(spark, sf, "orders")
+    supplier = load_table(spark, sf, "supplier")
+    nation = load_table(spark, sf, "nation")
+    pairs = li.select(
+        F.col("l_orderkey").alias("p_orderkey"),
+        F.col("l_suppkey").alias("p_suppkey"),
+        F.col("l_returnflag").alias("p_flag"),
+    ).distinct()
+    failed = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            li.l_orderkey == orders.o_orderkey,
+            "left_semi",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    exists_other = failed.join(
+        pairs,
+        (failed.l_orderkey == pairs.p_orderkey) & (failed.l_suppkey != pairs.p_suppkey),
+        "left_semi",
+    )
+    sole_failer = exists_other.join(
+        pairs.filter(F.col("p_flag") == "R"),
+        (exists_other.l_orderkey == F.col("p_orderkey"))
+        & (exists_other.l_suppkey != F.col("p_suppkey")),
+        "left_anti",
+    )
+    return (
+        sole_failer.join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
+        .join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_5")),
+            supplier.s_nationkey == nation.n_nationkey,
+        )
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
 # ---------------------------------------------------------------------------
 # LLM-data-pipeline operators (SURVEY §2.5 / §7-M6) — dedup, text analysis,
 # similarity search — over documents/embeddings
@@ -1225,6 +1534,125 @@ ORACLE_SQL: dict[str, str] = {
                           AND o.o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY c_nationkey
     """,
+    "tpch_q2": """
+        WITH ps AS (
+            SELECT l_partkey, l_suppkey,
+                   MIN(l_extendedprice / l_quantity) AS supplycost
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ),
+        cand AS (
+            SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_name,
+                   ps.supplycost,
+                   MIN(ps.supplycost) OVER (PARTITION BY p.p_partkey) AS min_cost
+            FROM ps
+            JOIN part p ON ps.l_partkey = p.p_partkey
+                       AND p.p_size < 15 AND p.p_type = 'LARGE'
+            JOIN supplier s ON ps.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey AND r.r_name = 'EUROPE'
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_name,
+               ROUND(supplycost, 4) AS supplycost
+        FROM cand WHERE supplycost = min_cost
+    """,
+    "tpch_q8": """
+        SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               ROUND(SUM(CASE WHEN sn.n_name = 'NATION_3'
+                              THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                     / SUM(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        JOIN orders ON l_orderkey = o_orderkey
+             AND o_orderdate BETWEEN TIMESTAMP '1995-01-01' AND TIMESTAMP '1996-12-31'
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+        GROUP BY year(o_orderdate)
+    """,
+    "tpch_q9": """
+        SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+               CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         - 0.5 * p_retailprice * l_quantity AS DECIMAL(18,6))), 2)
+                    AS DOUBLE) AS sum_profit
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY n_name, year(o_orderdate)
+    """,
+    "tpch_q11": """
+        WITH national AS (
+            SELECT l_partkey, l_extendedprice * l_quantity AS v
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_7'
+        )
+        SELECT l_partkey, ROUND(SUM(v), 2) AS value
+        FROM national GROUP BY l_partkey
+        HAVING SUM(v) > 0.001 * (SELECT SUM(v) FROM national)
+    """,
+    "tpch_q12": """
+        SELECT l_linestatus,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_linestatus
+    """,
+    "tpch_q16": """
+        SELECT p_brand, p_type, p_size,
+               CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+        JOIN part ON ps.l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#13' AND p_type NOT LIKE 'PROMO%' AND p_size <= 10
+          AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        GROUP BY p_brand, p_type, p_size
+    """,
+    "tpch_q19": """
+        SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#25' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "tpch_q20": """
+        SELECT s_suppkey, s_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_11'
+        WHERE s_suppkey IN (
+            SELECT l_suppkey FROM lineitem
+            JOIN part ON l_partkey = p_partkey AND p_name LIKE 'small%'
+            GROUP BY l_suppkey HAVING SUM(l_quantity) > 50)
+    """,
+    "tpch_q21": """
+        WITH failed AS (
+            SELECT DISTINCT l_orderkey, l_suppkey
+            FROM lineitem
+            WHERE l_returnflag = 'R'
+              AND l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_orderstatus = 'F')
+        )
+        SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        FROM failed f
+        JOIN supplier ON f.l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey AND n_name = 'NATION_5'
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = f.l_orderkey
+                        AND l2.l_suppkey <> f.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = f.l_orderkey
+                            AND l3.l_suppkey <> f.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY s_name
+    """,
     "dedup_exact": """
         SELECT md5(text) AS content_hash,
                CAST(MIN(doc_id) AS BIGINT) AS keep_id,
@@ -1459,6 +1887,15 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q14": q_tpch_q14,
     "tpch_q18": q_tpch_q18,
     "tpch_q22": q_tpch_q22,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
     "dedup_exact": q_dedup_exact,
     "fingerprint_dedup": q_fingerprint_dedup,
     "text_features": q_text_features,
