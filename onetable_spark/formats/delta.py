@@ -269,9 +269,7 @@ class DeltaLog:
         from onetable_spark.schema.partitions import partition_fields_from_delta_columns
 
         pfields = tuple(partition_fields_from_delta_columns(list(pcols), schema))
-        commit_millis = int(
-            os.stat(_version_path(self.table_path, info.version)).st_mtime * 1000
-        )
+        commit_millis = self.commit_timestamp(info.version)
         return Table(
             name=name or info.metadata.get("name") or os.path.basename(self.table_path),
             base_path=self.table_path,
@@ -308,7 +306,7 @@ class DeltaLog:
                 .alias("path")
             )
         )
-        commit_millis = int(os.stat(_version_path(self.table_path, version)).st_mtime * 1000)
+        commit_millis = self.commit_timestamp(version)
         return TableChange(
             table=self.table_descriptor(),
             diff=FilesDiff(added=added, removed=removed),
@@ -316,14 +314,27 @@ class DeltaLog:
             commit_id=str(version),
         )
 
+    def commit_timestamp(self, version: int) -> int:
+        """The commit's own timestamp (commitInfo.timestamp, falling back
+        to metaData.createdTime, then file mtime). In-commit timestamps
+        survive log copies/restores; mtimes do not."""
+        path = _version_path(self.table_path, version)
+        try:
+            with open(path) as f:
+                for line in f:
+                    action = json.loads(line)
+                    if "commitInfo" in action and action["commitInfo"].get("timestamp"):
+                        return int(action["commitInfo"]["timestamp"])
+                    if "metaData" in action and action["metaData"].get("createdTime"):
+                        return int(action["metaData"]["createdTime"])
+        except (OSError, ValueError):
+            pass
+        return int(os.stat(path).st_mtime * 1000)
+
     def versions_after_millis(self, millis: int) -> list[int]:
         """Commit backlog by timestamp — DeltaHistoryManager-equivalent
-        (DeltaSourceClient.java:145-157)."""
-        return [
-            v
-            for v in self._versions()
-            if int(os.stat(_version_path(self.table_path, v)).st_mtime * 1000) > millis
-        ]
+        (DeltaSourceClient.java:145-157), keyed on in-commit timestamps."""
+        return [v for v in self._versions() if self.commit_timestamp(v) > millis]
 
     def get_table_properties(self) -> dict[str, str]:
         return dict(self.snapshot_info().metadata.get("configuration") or {})

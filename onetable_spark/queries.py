@@ -1198,6 +1198,18 @@ def q_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming exact dedup: watermarked state-backed dropDuplicates over
+    the event stream (first occurrence per (user, type) key), run through
+    real Structured Streaming execution; oracle twin is SELECT DISTINCT."""
+    from onetable_spark.streaming.events import dedup_stream, read_event_stream, run_available_now
+
+    stream = dedup_stream(read_event_stream(spark, sf))
+    return run_available_now(
+        stream, f"sdedup_{abs(hash(sf)) % 10**8}", output_mode="append"
+    )
+
+
 def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user session windows via Spark's native ``session_window``
     stateful operator, run through Structured Streaming; the oracle derives
@@ -1841,6 +1853,9 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(SUM(value), 2) AS total_value
         FROM events GROUP BY user_id
     """,
+    "streaming_dedup": """
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
     "streaming_sessionize": """
         SELECT user_id,
                CAST(floor(epoch(MIN(ts))) AS BIGINT) AS sess_start_s,
@@ -1917,6 +1932,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "asof_join": q_asof_join,
     "range_join": q_range_join,
     "streaming_window_agg": q_streaming_window_agg,
+    "streaming_dedup": q_streaming_dedup,
     "streaming_sessionize": q_streaming_sessionize,
     "stateful_running_totals": q_stateful_running_totals,
     "sync_inventory": q_sync_inventory,

@@ -177,3 +177,22 @@ def run_available_now(
         )
         q.awaitTermination()
     return spark.table(name)
+
+
+def dedup_stream(
+    events: DataFrame,
+    keys: tuple[str, ...] = ("user_id", "event_type"),
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup — the streaming face of ``exact_dedup``:
+    state-backed ``dropDuplicates`` on the key columns, with the watermark
+    bounding how long per-key state lives (late duplicates beyond the
+    watermark age out of state; Structured Streaming's documented
+    deduplication pattern). Emits each key's first-arriving row once;
+    only the key columns are projected so the result is deterministic
+    under any file/partition arrival order."""
+    return (
+        events.withWatermark("ts", watermark)
+        .dropDuplicates(list(keys))
+        .select(*keys)
+    )

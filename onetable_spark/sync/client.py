@@ -106,15 +106,25 @@ class ParquetSource:
     def current_snapshot(self) -> Snapshot:
         from onetable_spark.model import DataLayoutStrategy
 
+        from pyspark.sql import functions as F
+
+        # persist before the watermark probe: the same files DataFrame is
+        # reused by every target's sync, so the footer scan runs once
         files = inventory_from_directory(self.spark, self.path)
+        files.persist(StorageLevel.MEMORY_AND_DISK)
         schema = self._schema or self.spark.read.parquet(self.path).schema
+        # the "commit instant" of a plain parquet directory is the newest
+        # file's mtime — deterministic for an unchanged directory, so two
+        # syncs over the same data record the same watermark (a wall-clock
+        # stamp made every re-sync look like new data)
+        newest = files.agg(F.max("last_modified_millis").alias("m")).first()["m"]
         table = Table(
             name=self.name,
             base_path=self.path,
             table_format=TableFormat.PARQUET,
             read_schema=schema,
             layout=DataLayoutStrategy.FLAT,
-            latest_commit_millis=int(time.time() * 1000),
+            latest_commit_millis=int(newest or 0),
         )
         return Snapshot(table=table, files=files)
 
@@ -140,16 +150,14 @@ class DeltaSource:
             yield self.log.changes_for_version(v)
 
     def is_incremental_sync_safe_from(self, millis: int) -> bool:
-        # Delta commits are self-describing; safe while the commit files exist
+        # Delta commits are self-describing; safe while the commit files
+        # exist. The probe uses the IN-COMMIT timestamp (commitInfo/
+        # metaData), not file mtime — a copied or restored log keeps its
+        # history, but mtimes reset and would wrongly flip this check.
         versions = self.log._versions()
         if not versions:
             return False
-        import os
-
-        from onetable_spark.formats.delta import _version_path
-
-        earliest = int(os.stat(_version_path(self.log.table_path, versions[0])).st_mtime * 1000)
-        return earliest <= millis
+        return self.log.commit_timestamp(versions[0]) <= millis
 
     def inflight_instants(self, millis: int, pending: tuple[int, ...]) -> tuple[int, ...]:
         return ()  # Delta commits are atomic — never observed in-flight
