@@ -917,6 +917,45 @@ def q_token_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_deterministic_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Reproducible corpus sampling: hash-mod bucketing on a stable key
+    (md5(doc_id) % 1000 < 130 → a 13% sample) — the pattern a training
+    pipeline needs so every re-run, engine, and auditor selects the SAME
+    subset; seeded RNG sampling is engine-specific, content-hash sampling
+    is portable. Pure JVM-side expression, no shuffle."""
+    docs = load_table(spark, sf, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % 1000
+    return docs.filter(bucket < 130).select("doc_id", bucket.alias("sample_bucket"))
+
+
+def q_token_packing(spark: SparkSession, sf: str) -> DataFrame:
+    """Token-budget batch packing: assign documents to training batches by
+    cumulative token count within a shard (batch = floor(running-sum /
+    budget)). The running sum is windowed PER SHARD (hash-mod of doc_id),
+    never globally — a single global cumulative sum would serialize 100 TB
+    through one partition; 32-way sharding keeps each window local."""
+    from onetable_spark.functions.text import token_count
+    from pyspark.sql.window import Window
+
+    budget = 2000
+    docs = load_table(spark, sf, "documents").select(
+        "doc_id",
+        (F.col("doc_id") % 32).alias("shard"),
+        token_count("text").alias("tokens"),
+    )
+    w = Window.partitionBy("shard").orderBy("doc_id")
+    packed = docs.withColumn(
+        "batch_id",
+        F.floor((F.sum("tokens").over(w) - F.col("tokens")) / F.lit(budget)),
+    )
+    return packed.groupBy("shard", "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tokens").cast("long").alias("batch_tokens"),
+    )
+
+
 def q_pivot_events(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot: per-user event counts spread across event-type columns.
     Values enumerated explicitly so Spark skips the extra distinct-scan
@@ -1742,6 +1781,31 @@ ORACLE_SQL: dict[str, str] = {
                    (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_fp
         FROM documents
     """,
+    "deterministic_sample": """
+        SELECT doc_id,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
+                    % 1000 AS INT) AS sample_bucket
+        FROM documents
+        WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 1000 < 130
+    """,
+    "token_packing": """
+        WITH toks AS (
+            SELECT doc_id, doc_id % 32 AS shard,
+                   len(string_split(text, ' ')) AS tokens
+            FROM documents
+        ),
+        packed AS (
+            SELECT shard,
+                   CAST(FLOOR((SUM(tokens) OVER (PARTITION BY shard ORDER BY doc_id)
+                               - tokens) / 2000.0) AS BIGINT) AS batch_id,
+                   tokens
+            FROM toks
+        )
+        SELECT shard, batch_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(tokens) AS BIGINT) AS batch_tokens
+        FROM packed GROUP BY shard, batch_id
+    """,
     "pivot_events": """
         SELECT user_id,
                CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click,
@@ -1920,6 +1984,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups": q_embedding_near_dups,
     "sessionize": q_sessionize,
     "token_stats": q_token_stats,
+    "deterministic_sample": q_deterministic_sample,
+    "token_packing": q_token_packing,
     "pivot_events": q_pivot_events,
     "unpivot_stats": q_unpivot_stats,
     "intersect_keys": q_intersect_keys,
