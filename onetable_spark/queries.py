@@ -1249,6 +1249,18 @@ def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_streaming_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval join through real streaming execution:
+    purchases attributed to same-user clicks in the preceding 4 hours;
+    watermarks + two-sided time bounds keep join state bounded."""
+    from onetable_spark.streaming.events import attribution_join_stream, read_event_stream, run_available_now
+
+    stream = attribution_join_stream(read_event_stream(spark, sf))
+    return run_available_now(
+        stream, f"sjoin_{abs(hash(sf)) % 10**8}", output_mode="append"
+    )
+
+
 def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     """Per-user session windows via Spark's native ``session_window``
     stateful operator, run through Structured Streaming; the oracle derives
@@ -1920,6 +1932,13 @@ ORACLE_SQL: dict[str, str] = {
     "streaming_dedup": """
         SELECT DISTINCT user_id, event_type FROM events
     """,
+    "streaming_join": """
+        SELECT a.event_id AS purchase_id, b.event_id AS click_id
+        FROM events a JOIN events b
+          ON a.user_id = b.user_id
+         AND a.event_type = 'purchase' AND b.event_type = 'click'
+         AND b.ts BETWEEN a.ts - INTERVAL 4 HOUR AND a.ts
+    """,
     "streaming_sessionize": """
         SELECT user_id,
                CAST(floor(epoch(MIN(ts))) AS BIGINT) AS sess_start_s,
@@ -1999,6 +2018,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "range_join": q_range_join,
     "streaming_window_agg": q_streaming_window_agg,
     "streaming_dedup": q_streaming_dedup,
+    "streaming_join": q_streaming_join,
     "streaming_sessionize": q_streaming_sessionize,
     "stateful_running_totals": q_stateful_running_totals,
     "sync_inventory": q_sync_inventory,

@@ -196,3 +196,39 @@ def dedup_stream(
         .dropDuplicates(list(keys))
         .select(*keys)
     )
+
+
+def attribution_join_stream(
+    events: DataFrame, attribution_window: str = "4 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval self-join: each purchase matched to the
+    clicks by the same user in the preceding attribution window.
+
+    Both sides carry watermarks and the join condition bounds event time
+    on BOTH ends — the two requirements that let Structured Streaming
+    expire buffered join state instead of holding both streams forever
+    (the documented stream-stream inner-join pattern). Append output."""
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {attribution_window}"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    ).select("purchase_id", "click_id")
