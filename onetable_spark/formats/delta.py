@@ -381,14 +381,19 @@ class DeltaLog:
         metadata: Optional[dict] = None,
         operation: str = "WRITE",
         max_retries: int = 10,
+        txn: Optional[dict] = None,
     ) -> int:
         """Optimistic commit of add/remove actions (FILES_SCHEMA inputs).
 
         Streams actions through ``toLocalIterator`` so a million-file commit
         never fully materializes on the driver; retries on version races.
+        ``txn`` emits a SetTransaction action (PROTOCOL.md "Transaction
+        Identifiers") — the idempotent-writer handle streaming sinks use.
         """
         now = int(time.time() * 1000)
         lines: list[str] = []
+        if txn is not None:
+            lines.append(json.dumps({"txn": {**txn, "lastUpdated": now}}))
         if metadata is not None:
             lines.append(json.dumps({"metaData": metadata}))
         if adds is not None:

@@ -1170,6 +1170,7 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.functions.similarity import ivf_topk
 
     emb = load_table(spark, sf, "embeddings")
+    # driver-ok: single-row query-vector fetch
     query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
     return ivf_topk(emb.filter(F.col("vec_id") != 0), query, k=10)
 
@@ -1301,6 +1302,7 @@ def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.functions.similarity import ann_lsh_topk
 
     emb = load_table(spark, sf, "embeddings")
+    # driver-ok: single-row query-vector fetch
     query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
     return ann_lsh_topk(emb.filter(F.col("vec_id") != 0), list(query), k=10)
 

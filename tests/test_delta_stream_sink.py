@@ -1,0 +1,62 @@
+"""Streaming ingestion into the native Delta plane (foreachBatch sink):
+exactly-once batch commits via SetTransaction ids, then ordinary sync
+fan-out of the ingested table."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from onetable_spark.formats.delta import DeltaLog
+from onetable_spark.formats.iceberg import IcebergTable
+from onetable_spark.model import SyncStatus, TableFormat
+from onetable_spark.streaming.delta_sink import DeltaStreamWriter, write_stream_to_delta
+from onetable_spark.streaming.events import read_event_stream
+from onetable_spark.sync import SyncClient, source_for, target_for
+
+
+def test_stream_to_delta_ingests_all_events(spark, sf_dir, tmp_path):
+    table_path = str(tmp_path / "ingest")
+    ckpt = str(tmp_path / "ckpt")
+    stream = read_event_stream(spark, sf_dir).select("event_id", "user_id", "event_type")
+    q = write_stream_to_delta(stream, table_path, ckpt, app_id="t1")
+    q.awaitTermination()
+
+    log = DeltaLog(spark, table_path)
+    files = [r["path"] for r in log.snapshot_files().select("path").collect()]
+    assert files
+    got = spark.read.parquet(*files)
+    want = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id", "event_type"
+    )
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+
+    # the batch id is recorded; a replay of the same batch is a no-op
+    writer = DeltaStreamWriter(table_path, app_id="t1")
+    last = writer.last_committed_batch(log)
+    assert last >= 0
+    version_before = log.latest_version()
+    writer(got.limit(5), last)  # simulate a restart replaying batch `last`
+    assert DeltaLog(spark, table_path).latest_version() == version_before
+
+    # a NEW batch id commits
+    writer(got.limit(5), last + 1)
+    assert DeltaLog(spark, table_path).latest_version() == version_before + 1
+
+
+def test_streamed_delta_table_syncs_to_iceberg(spark, sf_dir, tmp_path):
+    table_path = str(tmp_path / "ingest2")
+    stream = read_event_stream(spark, sf_dir).select("event_id", "user_id")
+    q = write_stream_to_delta(stream, table_path, str(tmp_path / "ck2"), app_id="t2")
+    q.awaitTermination()
+
+    res = SyncClient(spark).sync(
+        source_for(spark, TableFormat.DELTA, table_path),
+        [target_for(spark, TableFormat.ICEBERG, table_path)],
+    )
+    assert res[TableFormat.ICEBERG].status == SyncStatus.SUCCESS
+    ice_files = [r["path"] for r in IcebergTable(spark, table_path).snapshot_files().select("path").collect()]
+    delta_files = [r["path"] for r in DeltaLog(spark, table_path).snapshot_files().select("path").collect()]
+    assert sorted(ice_files) == sorted(delta_files)

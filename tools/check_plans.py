@@ -42,7 +42,26 @@ EXPECT_BROADCAST = {
     "tpch_q22",
 }
 # streaming queries execute via writeStream, not a single batch plan
-SKIP = {"streaming_window_agg", "streaming_sessionize"}
+SKIP = {"streaming_window_agg", "streaming_sessionize", "streaming_dedup", "streaming_join"}
+
+# modules whose code runs in the QUERY path — a .collect()/.toLocalIterator()
+# there is a driver-materialization scale bug unless the line above it carries
+# a `# driver-ok:` justification (bounded single-row fetch, capped sample)
+QUERY_PATH_GLOBS = ("onetable_spark/functions/*.py", "onetable_spark/operators/*.py", "onetable_spark/queries.py")
+
+
+def check_no_driver_materialization(repo_root: Path) -> list[str]:
+    problems = []
+    for pattern in QUERY_PATH_GLOBS:
+        for f in sorted(repo_root.glob(pattern)):
+            lines = f.read_text().splitlines()
+            for i, line in enumerate(lines):
+                code = line.split("#")[0]
+                if ".collect()" in code or "toLocalIterator()" in code:
+                    ctx = "\n".join(lines[max(0, i - 2): i])
+                    if "driver-ok:" not in ctx:
+                        problems.append(f"{f.name}:{i + 1} unsanctioned driver materialization: {line.strip()[:80]}")
+    return problems
 
 
 def plan_of(df) -> str:
@@ -59,6 +78,9 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = get_spark("plan-check")
     failures = 0
+    for p in check_no_driver_materialization(Path(__file__).resolve().parent.parent):
+        print(f"FAIL {p}")
+        failures += 1
     for name, fn in SPARK_QUERIES.items():
         if name in SKIP:
             continue
