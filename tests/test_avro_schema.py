@@ -241,3 +241,95 @@ def test_hudi_to_iceberg_sync_is_field_id_stable(spark, sf_dir, tmp_path):
     )
     ice_ids = {f["name"]: f["id"] for f in ice_schema["fields"]}
     assert ice_ids == {name: fid for name, fid in tracked.items() if "." not in name}
+
+
+# ------------------------------------------------------- property tests
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_scalar_types = st.sampled_from(
+    [
+        T.BooleanType(),
+        T.IntegerType(),
+        T.LongType(),
+        T.FloatType(),
+        T.DoubleType(),
+        T.StringType(),
+        T.BinaryType(),
+        T.DateType(),
+        T.TimestampType(),
+        T.TimestampNTZType(),
+        T.DecimalType(20, 4),
+    ]
+)
+_names = st.from_regex(r"[a-z][a-z0-9_]{0,10}", fullmatch=True)
+
+
+def _field(draw_type, name):
+    return T.StructField(name, draw_type, True)
+
+
+_types = st.recursive(
+    _scalar_types,
+    lambda inner: st.one_of(
+        st.builds(lambda t, n: T.ArrayType(t, containsNull=n), inner, st.booleans()),
+        st.builds(
+            lambda t, n: T.MapType(T.StringType(), t, valueContainsNull=n),
+            inner,
+            st.booleans(),
+        ),
+        st.builds(
+            lambda fields: T.StructType(fields),
+            st.lists(
+                st.builds(_field, inner, _names), min_size=1, max_size=3,
+                unique_by=lambda f: f.name,
+            ),
+        ),
+    ),
+    max_leaves=6,
+)
+_schemas = st.builds(
+    lambda fields: T.StructType(fields),
+    st.lists(
+        st.builds(
+            lambda t, n, nullable: T.StructField(n, t, nullable),
+            _types, _names, st.booleans(),
+        ),
+        min_size=1,
+        max_size=5,
+        unique_by=lambda f: f.name,
+    ),
+)
+
+
+def _shape(dt):
+    """Type skeleton ignoring metadata, normalizing what Avro can't carry
+    (byte/short widen to int — not generated here, so pure identity)."""
+    if isinstance(dt, T.StructType):
+        return ("struct", tuple((f.name, _shape(f.dataType), f.nullable) for f in dt.fields))
+    if isinstance(dt, T.ArrayType):
+        return ("array", _shape(dt.elementType), dt.containsNull)
+    if isinstance(dt, T.MapType):
+        return ("map", _shape(dt.valueType), dt.valueContainsNull)
+    return dt.simpleString()
+
+
+@settings(max_examples=60, deadline=None)
+@given(_schemas)
+def test_avro_roundtrip_property(schema):
+    """structtype→avro→structtype preserves every type, nullability flag,
+    and nesting for the full generatable type algebra."""
+    back = avro_to_structtype(structtype_to_avro(schema, name="prop"))
+    assert _shape(back) == _shape(schema)
+
+
+@settings(max_examples=40, deadline=None)
+@given(_schemas)
+def test_id_tracking_total_and_unique(schema):
+    """Every trackable path gets exactly one id; ids are dense 1..last."""
+    tracked = add_id_tracking(structtype_to_avro(schema, name="prop"))
+    ids = id_tracking_to_field_ids(tracked)
+    vals = sorted(ids.values())
+    assert vals == list(range(1, len(vals) + 1))
+    assert tracked[ID_TRACKING_PROP]["lastIdUsed"] == len(vals)
