@@ -336,22 +336,50 @@ class HudiTimeline:
             )
         )
 
+    def _latest_commit_schema(self) -> Optional[dict]:
+        """Avro schema of the newest completed commit carrying one —
+        TableSchemaResolver.getTableAvroSchema parity: after evolution the
+        COMMIT schema is authoritative, hoodie.properties keeps only the
+        create schema."""
+        for instant, action in reversed(self.completed_instants()):
+            try:
+                with open(os.path.join(self.hoodie_path, f"{instant}.{action}")) as f:
+                    meta = json.load(f)
+            except (OSError, ValueError):
+                continue
+            raw = meta.get("schemaString")
+            if raw:
+                avro = json.loads(raw) if isinstance(raw, str) else raw
+                # our own commits store Avro JSON; tolerate StructType JSON
+                # from pre-C1 commits
+                if isinstance(avro, dict) and avro.get("type") == "struct":
+                    return None
+                return avro
+        return None
+
     def table_descriptor(self, name: str | None = None) -> Table:
         props = self.table_properties()
         schema_json = props.get("hoodie.table.schema")
         avro_json = props.get("hoodie.table.create.schema")
-        if schema_json:
+        commit_avro = self._latest_commit_schema()
+        if commit_avro is not None:
+            # schema may have EVOLVED since table creation — the latest
+            # commit wins (TableSchemaResolver), ids from its tracking
+            schema = avro_to_structtype(commit_avro)
+            tracked_ids = id_tracking_to_field_ids(commit_avro)
+        elif schema_json:
             schema = T.StructType.fromJson(json.loads(schema_json))
+            tracked_ids = id_tracking_to_field_ids(json.loads(avro_json)) if avro_json else {}
         elif avro_json:
             # table written by a real Hudi writer: only the Avro create
             # schema exists (C1 logical-type decode)
             schema = avro_to_structtype(json.loads(avro_json))
+            tracked_ids = id_tracking_to_field_ids(json.loads(avro_json))
         else:
             schema = T.StructType([])
-        if avro_json:
-            tracked_ids = id_tracking_to_field_ids(json.loads(avro_json))
-            if tracked_ids:
-                schema = inject_field_ids(schema, tracked_ids)
+            tracked_ids = {}
+        if tracked_ids:
+            schema = inject_field_ids(schema, tracked_ids)
         spec = props.get("onetable.partition.spec", "")
         if spec:
             from onetable_spark.schema.partitions import parse_hudi_partition_config
@@ -516,13 +544,26 @@ class HudiTimeline:
             # real Hudi stores the AVRO schema string in commit metadata;
             # id tracking is threaded from the create schema so evolution
             # keeps prior field ids (IdTracker.addIdTracking previousSchema)
-            prev = self.table_properties().get("hoodie.table.create.schema")
-            meta["schemaString"] = json.dumps(
-                add_id_tracking(
-                    structtype_to_avro(schema, name="record"),
-                    previous=json.loads(prev) if prev else None,
+            from onetable_spark.formats.avro_schema import UnsupportedAvroTypeError
+
+            try:
+                # previous = the latest COMMIT schema (its tracking carries
+                # every id assigned so far — threading from the create
+                # schema would recycle ids across successive evolutions)
+                prev_avro = self._latest_commit_schema()
+                if prev_avro is None:
+                    raw = self.table_properties().get("hoodie.table.create.schema")
+                    prev_avro = json.loads(raw) if raw else None
+                meta["schemaString"] = json.dumps(
+                    add_id_tracking(
+                        structtype_to_avro(schema, name="record"),
+                        previous=prev_avro,
+                    )
                 )
-            )
+            except UnsupportedAvroTypeError:
+                # Avro can't express this schema (e.g. non-string map keys)
+                # — fall back to the StructType JSON form readers tolerate
+                meta["schemaString"] = json.dumps(schema.jsonValue())
         if replace_file_ids:
             meta["partitionToReplaceFileIds"] = replace_file_ids
         completed = os.path.join(self.hoodie_path, f"{instant}.{action}")

@@ -312,3 +312,47 @@ def test_clean_retains_groups_inside_horizon(spark, hudi_table):
     # horizon BEFORE the replacecommit → nothing to clean yet
     assert tl.clean(earliest_instant_to_retain="19700101000000000") is None
     assert tl.cleaned_paths() == set()
+
+
+def test_evolved_schema_read_from_latest_commit(spark, hudi_table):
+    """TableSchemaResolver parity: after a schema-evolving commit, the
+    descriptor reflects the LATEST commit's schemaString, not the create
+    schema pinned in hoodie.properties — with field ids stable across the
+    evolution (IdTracker previousSchema threading)."""
+    from pyspark.sql import types as T
+
+    table_path, table = hudi_table
+    tl = HudiTimeline(spark, table_path)
+    tl.init_table(table)
+    inv = inventory_from_directory(spark, table_path)
+    tl.commit(adds=inv, schema=table.read_schema)
+    ids_before = {
+        f.name: f.metadata["fieldId"] for f in tl.table_descriptor().read_schema.fields
+    }
+
+    evolved = T.StructType(
+        list(table.read_schema.fields) + [T.StructField("o_new_col", T.StringType(), True)]
+    )
+    tl.commit(schema=evolved)
+    desc = tl.table_descriptor()
+    assert "o_new_col" in desc.read_schema.fieldNames()
+    ids_after = {f.name: f.metadata["fieldId"] for f in desc.read_schema.fields}
+    for name, fid in ids_before.items():
+        assert ids_after[name] == fid  # retained fields keep their ids
+    assert ids_after["o_new_col"] == max(ids_before.values()) + 1
+
+
+def test_successive_evolutions_never_recycle_ids(spark, hudi_table):
+    from pyspark.sql import types as T
+
+    table_path, table = hudi_table
+    tl = HudiTimeline(spark, table_path)
+    tl.init_table(table)
+    tl.commit(schema=table.read_schema)
+    s2 = T.StructType(list(table.read_schema.fields) + [T.StructField("c1", T.LongType(), True)])
+    tl.commit(schema=s2)
+    s3 = T.StructType(list(s2.fields) + [T.StructField("c2", T.LongType(), True)])
+    tl.commit(schema=s3)
+    ids = {f.name: f.metadata["fieldId"] for f in tl.table_descriptor().read_schema.fields}
+    assert ids["c2"] != ids["c1"]  # second evolution saw the first's ids
+    assert len(set(ids.values())) == len(ids)
