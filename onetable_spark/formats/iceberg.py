@@ -778,11 +778,13 @@ class IcebergTable:
         now = int(time.time() * 1000)
         snapshot_id = int.from_bytes(os.urandom(7), "big")
         current_schema = self._schema_for(md)
+        schema_changed = False
         if schema is not None:
             ice_schema, next_id = structtype_to_iceberg(schema)
             if _schema_fields_equal(ice_schema, current_schema):
                 ice_schema = current_schema
             else:
+                schema_changed = True
                 # evolution: append under a NEW schema-id (never mutate or
                 # reindex existing entries — ids are stable identifiers)
                 new_sid = (
@@ -795,25 +797,41 @@ class IcebergTable:
                 md["last-column-id"] = max(md.get("last-column-id", 0), next_id - 1)
         else:
             ice_schema = current_schema
+        spec_before = self._spec_for(md)
         if partition_fields is not None:
             spec = self._sync_partition_spec(md, partition_fields, ice_schema)
         else:
-            spec = self._spec_for(md)
+            spec = spec_before
+        spec_changed = spec is not spec_before and spec != spec_before
 
         prev = self.current_snapshot_meta(md)
         carried: list[dict] = []
         deleted_entries: list[dict] = []
+        carried_manifests: list[dict] = []
         if prev is not None:
             removed_paths = set()
             if removes is not None:
                 removed_paths = {r["path"] for r in removes.select("path").toLocalIterator()}
-            for row in self.snapshot_files(prev["snapshot-id"]).toLocalIterator():
-                if row["path"] in removed_paths:
-                    deleted_entries.append(
-                        self._entry_from_row(row, snapshot_id, STATUS_DELETED, ice_schema, spec)
-                    )
-                else:
-                    carried.append(self._entry_from_row(row, snapshot_id, STATUS_EXISTING, ice_schema, spec))
+            if not removed_paths and not schema_changed and not spec_changed:
+                # APPEND fast path — real Iceberg semantics: manifests are
+                # immutable, so the new manifest list references the prior
+                # snapshot's manifests VERBATIM and only a new added-manifest
+                # is written. No O(table) carry-forward rewrite, no driver
+                # materialization of the live set (the old path pulled every
+                # live file through toLocalIterator on every commit).
+                # Readers stay correct: snapshot_files keeps ADDED/EXISTING
+                # and drops DELETED entries whatever manifest they sit in;
+                # changes_for_snapshot keys on each manifest's original
+                # added_snapshot_id.
+                _, carried_manifests = read_container(prev["manifest-list"])
+            else:
+                for row in self.snapshot_files(prev["snapshot-id"]).toLocalIterator():
+                    if row["path"] in removed_paths:
+                        deleted_entries.append(
+                            self._entry_from_row(row, snapshot_id, STATUS_DELETED, ice_schema, spec)
+                        )
+                    else:
+                        carried.append(self._entry_from_row(row, snapshot_id, STATUS_EXISTING, ice_schema, spec))
         added_entries = []
         if adds is not None:
             for row in adds.toLocalIterator():
@@ -846,7 +864,9 @@ class IcebergTable:
                 }
             )
         mlist = os.path.join(self.metadata_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro")
-        write_container(mlist, MANIFEST_LIST_SCHEMA, manifests)
+        # reused prior manifests (append fast path) go after this commit's
+        # own manifests, keeping their original added_snapshot_id
+        write_container(mlist, MANIFEST_LIST_SCHEMA, manifests + carried_manifests)
 
         snapshot = {
             "snapshot-id": snapshot_id,
