@@ -812,7 +812,20 @@ class IcebergTable:
             removed_paths = set()
             if removes is not None:
                 removed_paths = {r["path"] for r in removes.select("path").toLocalIterator()}
-            if not removed_paths and not schema_changed and not spec_changed:
+            _, prev_manifests = (
+                read_container(prev["manifest-list"]) if prev.get("manifest-list") else (None, [])
+            )
+            # compaction guard (ManifestMergeManager parity): past the
+            # threshold the append path would grow the manifest list without
+            # bound — take the rewrite path, which folds everything into one
+            # EXISTING manifest. Amortized O(table/100) per commit.
+            needs_compaction = len(prev_manifests) >= 100
+            if (
+                not removed_paths
+                and not schema_changed
+                and not spec_changed
+                and not needs_compaction
+            ):
                 # APPEND fast path — real Iceberg semantics: manifests are
                 # immutable, so the new manifest list references the prior
                 # snapshot's manifests VERBATIM and only a new added-manifest
@@ -823,7 +836,7 @@ class IcebergTable:
                 # and drops DELETED entries whatever manifest they sit in;
                 # changes_for_snapshot keys on each manifest's original
                 # added_snapshot_id.
-                _, carried_manifests = read_container(prev["manifest-list"])
+                carried_manifests = prev_manifests
             else:
                 for row in self.snapshot_files(prev["snapshot-id"]).toLocalIterator():
                     if row["path"] in removed_paths:
@@ -890,16 +903,45 @@ class IcebergTable:
 
     def _expire(self, md: dict, older_than_millis: int) -> None:
         """Expire snapshots older than the retention horizon, keeping the
-        current one and any ancestor chain integrity."""
+        current one and any ancestor chain integrity. Manifest lists and
+        manifests referenced ONLY by expired snapshots are physically
+        deleted (ExpireSnapshots file-cleanup parity) — without this the
+        append fast path would leak one manifest file per commit forever."""
         current = md.get("current-snapshot-id")
+        all_snaps = md.get("snapshots", [])
         kept = [
             s
-            for s in md.get("snapshots", [])
+            for s in all_snaps
             if s["snapshot-id"] == current or s["timestamp-ms"] >= older_than_millis
         ]
+        expired = [s for s in all_snaps if s not in kept]
         md["snapshots"] = kept
         kept_ids = {s["snapshot-id"] for s in kept}
         md["snapshot-log"] = [e for e in md.get("snapshot-log", []) if e["snapshot-id"] in kept_ids]
+        if not expired:
+            return
+        # reference-counted cleanup: a manifest shared with a live snapshot
+        # (the append fast path reuses them verbatim) must survive
+        still_referenced: set[str] = set()
+        for s in kept:
+            try:
+                _, ms = read_container(s["manifest-list"])
+                still_referenced.update(m["manifest_path"] for m in ms)
+            except (OSError, ValueError):
+                continue
+        for s in expired:
+            mlist = s.get("manifest-list")
+            if not mlist or not os.path.exists(mlist):
+                continue
+            try:
+                _, ms = read_container(mlist)
+            except (OSError, ValueError):
+                continue
+            for m in ms:
+                p = m["manifest_path"]
+                if p not in still_referenced and os.path.exists(p):
+                    os.unlink(p)
+            os.unlink(mlist)
 
     def rollback_to(self, snapshot_id: int) -> None:
         """CALL rollback_to_snapshot parity (IcebergClient.java:251-285)."""

@@ -289,3 +289,90 @@ def test_schema_roundtrip_property(schema):
         return node
 
     assert strip_meta(back.jsonValue()) == strip_meta(schema.jsonValue())
+
+
+def test_append_fast_path_reuses_manifests_and_compacts(spark, sf_dir, tmp_path):
+    """Append commits reference prior manifests verbatim (manifest list
+    grows by ONE per append); the live set stays correct; incremental
+    changes_for_snapshot still isolates each commit's own adds."""
+    import os as _os
+
+    from onetable_spark.formats.avro_codec import read_container
+    from onetable_spark.model import Table as TableModel
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    table_path = str(tmp_path / "appends")
+    _os.makedirs(table_path)
+    import shutil as _shutil
+
+    tbl = IcebergTable(spark, table_path)
+    schema = spark.read.parquet(_os.path.join(sf_dir, "region.parquet")).schema
+    tbl.init_table(
+        TableModel(
+            name="appends",
+            base_path=table_path,
+            table_format=TableFormat.ICEBERG,
+            read_schema=schema,
+        )
+    )
+    snap_ids = []
+    for i in range(3):
+        f = _os.path.join(table_path, f"f{i}.parquet")
+        _shutil.copy(_os.path.join(sf_dir, "region.parquet"), f)
+        inv = build_inventory(spark, [f], root=table_path)
+        snap_ids.append(tbl.commit_overwrite(adds=inv, schema=schema))
+
+    assert tbl.snapshot_files().count() == 3
+    md = tbl.metadata()
+    snap = tbl.current_snapshot_meta(md)
+    _, manifests = read_container(snap["manifest-list"])
+    # one added-manifest per append — no O(table) rewrite happened
+    assert len(manifests) == 3
+    assert sorted({m["added_snapshot_id"] for m in manifests}) == sorted(snap_ids)
+    # per-commit change isolation survives manifest reuse
+    change = tbl.changes_for_snapshot(snap_ids[1])
+    assert [r["path"].rsplit("/", 1)[-1] for r in change.diff.added.collect()] == ["f1.parquet"]
+    assert change.diff.removed.count() == 0
+
+
+def test_expiry_deletes_orphaned_manifest_files(spark, sf_dir, tmp_path):
+    """ExpireSnapshots file cleanup: manifests referenced only by expired
+    snapshots are deleted from disk; manifests shared with live snapshots
+    (append fast-path reuse) survive."""
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    from onetable_spark.model import Table as TableModel
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    table_path = str(tmp_path / "expire")
+    _os.makedirs(table_path)
+    tbl = IcebergTable(spark, table_path)
+    schema = spark.read.parquet(_os.path.join(sf_dir, "region.parquet")).schema
+    tbl.init_table(
+        TableModel(
+            name="expire", base_path=table_path,
+            table_format=TableFormat.ICEBERG, read_schema=schema,
+        )
+    )
+    for i in range(3):
+        f = _os.path.join(table_path, f"f{i}.parquet")
+        _shutil.copy(_os.path.join(sf_dir, "region.parquet"), f)
+        tbl.commit_overwrite(adds=build_inventory(spark, [f], root=table_path), schema=schema)
+
+    meta_dir = tbl.metadata_dir
+    lists_before = [f for f in _os.listdir(meta_dir) if f.startswith("snap-")]
+    assert len(lists_before) == 3
+
+    # expire everything older than "now" — only the current snapshot stays
+    tbl.commit_overwrite(
+        adds=None, schema=schema,
+        expire_older_than_millis=int(_time.time() * 1000) + 1000,
+    )
+    md = tbl.metadata()
+    assert len(md["snapshots"]) == 1
+    lists_after = [f for f in _os.listdir(meta_dir) if f.startswith("snap-")]
+    assert len(lists_after) == 1  # expired manifest lists removed from disk
+    # the shared manifests referenced by the surviving snapshot remain intact
+    assert tbl.snapshot_files().count() == 3
