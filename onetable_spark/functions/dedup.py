@@ -452,3 +452,72 @@ def simhash_near_dup_pairs(
         .withColumn("hamming", F.lit(0))
     )
     return inter.unionByName(intra)
+
+
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components over a pair graph → (node, component) with the
+    component labeled by its MINIMUM node id.
+
+    The last step of a dedup pipeline: near-dup PAIRS become CLUSTERS, and
+    the minimum id is the canonical document kept per cluster.
+
+    Plan: iterative min-label propagation — per round, every node takes
+    the min of its own label and its neighbors' labels (one join + one
+    groupBy per round, both distributed; the driver only sees the
+    converged-yet? count). Rounds needed = graph diameter, which for
+    near-dup clusters is tiny; ``max_iter`` bounds pathological chains.
+    This is the simple form of the large-star/small-star map-reduce CC
+    algorithm (Kiveris et al., "Connected Components in MapReduce"), which
+    at 100 TB would swap in the star operations to shrink high-degree
+    components faster — the per-round dataflow (join on edges, min per
+    node) is identical."""
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # localCheckpoint (eager) per round truncates lineage — without it the
+    # logical plan grows every iteration and Catalyst analysis time goes
+    # quadratic long before the data does
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neighbor_min = (
+            sym.join(labels, sym.b == labels.node)
+            .groupBy("a")
+            .agg(F.min("label").alias("nmin"))
+        )
+        hop = labels.join(neighbor_min, labels.node == neighbor_min.a, "left").select(
+            "node",
+            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
+        )
+        # pointer doubling: follow label→label-of-label, collapsing chains
+        # in O(log diameter) rounds instead of O(diameter)
+        parents = hop.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
+        doubled = (
+            hop.join(parents, hop.label == parents.pnode, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("plabel", F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # driver-ok: convergence probe — one scalar per round
+        changed = (
+            doubled.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = doubled
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("component"))

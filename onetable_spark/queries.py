@@ -863,6 +863,22 @@ def q_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf, "documents"), threshold=0.4)
 
 
+def q_dedup_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs → CLUSTERS via distributed connected components
+    (iterative min-label propagation; large-star/small-star dataflow).
+    The canonical document per cluster is its minimum doc_id — the last
+    step of a real dedup pipeline. Oracle: recursive-CTE transitive
+    closure over the same exact-Jaccard pair set."""
+    from onetable_spark.functions.dedup import connected_components, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(load_table(spark, sf, "documents"), threshold=0.4)
+    comp = connected_components(pairs)
+    return comp.groupBy(F.col("component").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("node").alias("max_member"),
+    )
+
+
 def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-10 nearest to vec_id=0 (exact ANN baseline)."""
     from onetable_spark.functions.similarity import cosine
@@ -1757,6 +1773,34 @@ ORACLE_SQL: dict[str, str] = {
         WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.4
     """,
+    "dedup_clusters": """
+        WITH RECURSIVE sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.4
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(n, m) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+        ),
+        comp AS (SELECT n, MIN(m) AS component FROM reach GROUP BY n)
+        SELECT component AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS n_members,
+               CAST(MAX(n) AS BIGINT) AS max_member
+        FROM comp GROUP BY component
+    """,
     "embedding_topk": f"""
         SELECT b.vec_id, ROUND({_COS_SQL}, 4) AS cos_sim
         FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) a
@@ -2001,6 +2045,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_features": q_text_features,
     "langid_counts": q_langid_counts,
     "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "sessionize": q_sessionize,

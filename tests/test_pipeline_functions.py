@@ -247,3 +247,25 @@ def test_minhash_recall_vs_exact(docs):
     assert exact, "exact pair set must be non-empty for recall to mean anything"
     recall = len(lsh & exact) / len(exact)
     assert recall >= 0.8, f"minhash recall {recall} over {exact}"
+
+
+def test_connected_components_shapes(spark):
+    from onetable_spark.functions.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 1)], "id_a long, id_b long"
+    )
+    comp = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    # chain 9-1-2-3 collapses to min=1; 5-6 to min=5
+    assert comp[1] == comp[2] == comp[3] == comp[9] == 1
+    assert comp[5] == comp[6] == 5
+
+
+def test_connected_components_long_chain_converges(spark):
+    from onetable_spark.functions.dedup import connected_components
+
+    n = 30  # longer than a casual diameter but within max_iter rounds
+    edges = spark.createDataFrame([(i, i + 1) for i in range(n)], "id_a long, id_b long")
+    comp = connected_components(edges, max_iter=40).collect()
+    assert {r["component"] for r in comp} == {0}
+    assert len(comp) == n + 1
