@@ -259,6 +259,22 @@ class DeltaLog:
             if metadata is not None and protocol is not None:
                 break
         if metadata is None:
+            # log-retention cleanup may have deleted the commit carrying the
+            # metaData action — the checkpoint embeds it (protocol too)
+            ckpt = self._last_checkpoint()
+            if ckpt is not None and ckpt <= upper:
+                import pyarrow.parquet as pq
+
+                tbl = pq.read_table(
+                    os.path.join(self.log_path, f"{ckpt:020d}.checkpoint.parquet"),
+                    columns=["metaData", "protocol"],
+                ).to_pylist()
+                for row in tbl:
+                    if metadata is None and row.get("metaData") and row["metaData"].get("schemaString"):
+                        metadata = row["metaData"]
+                    if protocol is None and row.get("protocol") and row["protocol"].get("minReaderVersion"):
+                        protocol = row["protocol"]
+        if metadata is None:
             raise ValueError(f"Delta log {self.log_path} has no metaData action")
         return DeltaSnapshotInfo(version=upper, metadata=metadata, protocol=protocol or {})
 
@@ -445,6 +461,35 @@ class DeltaLog:
         if version == 0 or version % CHECKPOINT_INTERVAL != 0:
             return
         self.checkpoint(version)
+        self.clean_log()
+
+    def clean_log(self, retention_hours: Optional[int] = None) -> int:
+        """Metadata-retention maintenance (delta.logRetentionDuration,
+        PROTOCOL.md log cleanup): delete commit JSONs that are BOTH behind
+        the last checkpoint AND older than the retention horizon. Readers
+        replay from the checkpoint, so reconstruction is unaffected;
+        incremental consumers whose watermark predates the horizon fall
+        back to FULL sync via is_incremental_sync_safe_from. Returns the
+        number of files removed."""
+        ckpt = self._last_checkpoint()
+        if ckpt is None:
+            return 0
+        if retention_hours is None:
+            conf = self.snapshot_info().metadata.get("configuration") or {}
+            raw = conf.get("delta.logRetentionDuration", "interval 168 hours")
+            try:
+                retention_hours = int(raw.split()[1])
+            except (IndexError, ValueError):
+                retention_hours = 168
+        horizon = int(time.time() * 1000) - retention_hours * 3600_000
+        removed = 0
+        for v in self._versions():
+            if v >= ckpt:
+                break
+            if self.commit_timestamp(v) < horizon:
+                os.unlink(_version_path(self.table_path, v))
+                removed += 1
+        return removed
 
     def checkpoint(self, version: Optional[int] = None) -> None:
         """Write a parquet checkpoint of the full reconciled state.

@@ -232,3 +232,31 @@ def test_fused_partition_parse_shapes(spark):
 
     with _pytest.raises(ValueError):
         partition_fields_from_delta_columns(["hr_alone"], schema)
+
+
+def test_log_retention_cleanup(spark, delta_table):
+    """delta.logRetentionDuration maintenance: commits behind the last
+    checkpoint and past retention are deleted; reconstruction and the
+    table descriptor survive via the checkpoint."""
+    table_path, table = delta_table
+    log = DeltaLog(spark, table_path)
+    log.init_table(table)
+    from onetable_spark.sources.parquet_inventory import inventory_from_directory
+
+    inv = inventory_from_directory(spark, table_path)
+    log.commit(adds=inv)
+    for _ in range(10):  # cross the checkpoint interval (10)
+        log.commit(operation="NOOP")
+    assert log._last_checkpoint() is not None
+
+    removed = log.clean_log(retention_hours=0)
+    assert removed > 0
+    kept = log._versions()
+    assert min(kept) == log._last_checkpoint()
+
+    # full replay still works from the checkpoint, as does metaData recovery
+    assert log.snapshot_files().count() == inv.count()
+    desc = log.table_descriptor()
+    assert [f.name for f in desc.read_schema.fields] == [
+        f.name for f in table.read_schema.fields
+    ]
