@@ -972,6 +972,38 @@ def q_token_packing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """The curation pipeline END-TO-END in one declarative plan: language
+    gate → quality gate → exact dedup (canonical = lowest id per content
+    hash) → deterministic hash-mod subsample → per-language token budget
+    rollup. Every stage is a JVM expression; Catalyst fuses the gates into
+    the scan and the two aggregations are the only shuffles."""
+    from onetable_spark.functions.text import predicted_lang, quality_score, token_count
+
+    docs = load_table(spark, sf, "documents")
+    scored = docs.select(
+        "doc_id",
+        "text",
+        predicted_lang("text").alias("lang"),
+        quality_score("text").alias("quality"),
+        token_count("text").alias("toks"),
+    )
+    kept = scored.filter(F.col("lang").isin("en", "de", "fr", "es") & (F.col("quality") >= 0.2))
+    dedup = kept.groupBy(F.md5("text").alias("h")).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.min("toks").alias("toks"),
+        F.min("lang").alias("lang"),
+    )
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % 1000
+    sampled = dedup.filter(bucket < 500)
+    return sampled.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("toks").cast("long").alias("total_tokens"),
+    )
+
+
 def q_pivot_events(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot: per-user event counts spread across event-type columns.
     Values enumerated explicitly so Spark skips the extra distinct-scan
@@ -1839,6 +1871,30 @@ ORACLE_SQL: dict[str, str] = {
                    (acc, h) -> (acc * 31 + h) % 2147483647) AS rolling_fp
         FROM documents
     """,
+    "corpus_curation": f"""
+        WITH scored AS (
+            SELECT doc_id, text,
+                   {_LANG_SQL_PRED} AS lang,
+                   {_QUALITY_SQL} AS quality,
+                   CAST(len(string_split(text, ' ')) AS INT) AS toks
+            FROM (SELECT doc_id, text, {_LANG_SQL_VOTES} FROM documents)
+        ),
+        kept AS (
+            SELECT * FROM scored
+            WHERE lang IN ('en','de','fr','es') AND quality >= 0.2
+        ),
+        dedup AS (
+            SELECT MIN(doc_id) AS doc_id, MIN(toks) AS toks, MIN(lang) AS lang
+            FROM kept GROUP BY md5(text)
+        ),
+        sampled AS (
+            SELECT * FROM dedup
+            WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 1000 < 500
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens
+        FROM sampled GROUP BY lang
+    """,
     "deterministic_sample": """
         SELECT doc_id,
                CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER)
@@ -2050,6 +2106,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "embedding_near_dups": q_embedding_near_dups,
     "sessionize": q_sessionize,
     "token_stats": q_token_stats,
+    "corpus_curation": q_corpus_curation,
     "deterministic_sample": q_deterministic_sample,
     "token_packing": q_token_packing,
     "pivot_events": q_pivot_events,
