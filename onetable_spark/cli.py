@@ -123,6 +123,32 @@ def run_dataset_config(
     return results
 
 
+def sync_hudi_table(spark, base_path: str) -> dict:
+    """OneTableSyncTool parity (hudi-support/.../OneTableSyncTool.java:
+    52-96): the post-commit hook form of the sync loop — target formats and
+    retention are read from the table's OWN ``hoodie.properties``
+    (``onetable.formats.to.sync``, ``onetable.target.metadata.retention.hr``)
+    so a Hudi writer pipeline can call this after every commit with no
+    external config. Incremental mode, exactly like the reference tool."""
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.sync import SyncClient, SyncConfig, source_for, target_for
+    from onetable_spark.model import SyncMode
+
+    props = HudiTimeline(spark, base_path).table_properties()
+    formats = [
+        TableFormat(f.strip().upper())
+        for f in (props.get("onetable.formats.to.sync") or "DELTA,ICEBERG").split(",")
+        if f.strip()
+    ]
+    retention = int(props.get("onetable.target.metadata.retention.hr", "168"))
+    client = SyncClient(spark, SyncConfig(mode=SyncMode.INCREMENTAL, retention_hours=retention))
+    results = client.sync(
+        source_for(spark, TableFormat.HUDI, base_path),
+        [target_for(spark, fmt, base_path) for fmt in formats],
+    )
+    return {fmt.value: res.status.value for fmt, res in results.items()}
+
+
 def main(argv: Optional[list[str]] = None) -> int:
     parser = argparse.ArgumentParser(
         prog="onetable-spark-sync",

@@ -97,3 +97,43 @@ def test_main_entrypoint_json_output(spark, sf_dir, tmp_path, capsys, monkeypatc
     out = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
     assert rc == 0
     assert out and all(r["status"] == "SUCCESS" for r in out)
+
+
+def test_sync_hudi_table_post_commit_hook(spark, sf_dir, tmp_path):
+    """OneTableSyncTool analog: formats read from hoodie.properties, sync
+    runs incrementally after each commit."""
+    import shutil
+
+    from onetable_spark.cli import sync_hudi_table
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.model import Table as TableModel
+    from onetable_spark.sources.parquet_inventory import inventory_from_directory
+
+    table_path = str(tmp_path / "hooked")
+    os.makedirs(table_path)
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), os.path.join(table_path, "r.parquet"))
+    schema = spark.read.parquet(table_path).schema
+    tl = HudiTimeline(spark, table_path)
+    tl.init_table(
+        TableModel(
+            name="hooked", base_path=table_path,
+            table_format=TableFormat.HUDI, read_schema=schema,
+        )
+    )
+    # configure the hook targets in the table's own properties
+    with open(os.path.join(tl.hoodie_path, "hoodie.properties"), "a") as f:
+        f.write("onetable.formats.to.sync=DELTA,ICEBERG\n")
+
+    tl.commit(adds=inventory_from_directory(spark, table_path), schema=schema)
+    out = sync_hudi_table(spark, table_path)
+    assert out == {"DELTA": "SUCCESS", "ICEBERG": "SUCCESS"}
+    assert DeltaLog(spark, table_path).snapshot_files().count() == 1
+    assert IcebergTable(spark, table_path).snapshot_files().count() == 1
+
+    # second commit → incremental hook run
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), os.path.join(table_path, "r2.parquet"))
+    inv2 = inventory_from_directory(spark, table_path).where("path like '%r2.parquet'")
+    tl.commit(adds=inv2)
+    out = sync_hudi_table(spark, table_path)
+    assert out == {"DELTA": "SUCCESS", "ICEBERG": "SUCCESS"}
+    assert DeltaLog(spark, table_path).snapshot_files().count() == 2
