@@ -269,3 +269,39 @@ def test_connected_components_long_chain_converges(spark):
     comp = connected_components(edges, max_iter=40).collect()
     assert {r["component"] for r in comp} == {0}
     assert len(comp) == n + 1
+
+
+def test_connected_components_matches_union_find(spark):
+    """Randomized cross-check: Spark CC must equal a plain union-find on
+    the same edges (20 pinned-seed random graphs)."""
+    import random
+
+    from onetable_spark.functions.dedup import connected_components
+
+    rng = random.Random(7)
+    for _ in range(20):
+        n = rng.randint(2, 24)
+        m = rng.randint(1, 30)
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        want = {x: find(x) for x in touched}
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["node"]: r["component"] for r in connected_components(df).collect()}
+        assert got == want, (edges, got, want)
