@@ -94,3 +94,57 @@ def test_jdbc_catalog_racing_swaps_single_winner(tmp_path):
         t.join()
     assert len(wins) == 1
     assert cat.metadata_location(ident) == f"/m/v2-{wins[0]}.metadata.json"
+
+
+def test_iceberg_commit_overwrite_race_replays(spark, sf_dir, tmp_path):
+    """Full optimistic-concurrency loop: two writers commit different adds
+    concurrently; the loser's CommitConflictError retry re-reads and
+    replays, so BOTH files are live afterwards and no snapshot is lost."""
+    import os
+    import shutil
+
+    from onetable_spark.model import Table as TableModel
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    table_path = str(tmp_path / "race_ow")
+    os.makedirs(table_path)
+    schema_src = os.path.join(sf_dir, "region.parquet")
+    tbl = IcebergTable(spark, table_path)
+    schema = spark.read.parquet(schema_src).schema
+    tbl.init_table(
+        TableModel(
+            name="race_ow", base_path=table_path,
+            table_format=TableFormat.ICEBERG, read_schema=schema,
+        )
+    )
+    paths = []
+    invs = []
+    for i in range(2):
+        f = os.path.join(table_path, f"w{i}.parquet")
+        shutil.copy(schema_src, f)
+        paths.append(f)
+        # materialize inventories up front: the worker threads then race
+        # purely on the metadata commit
+        invs.append(build_inventory(spark, [f], root=table_path).cache())
+        invs[i].count()
+
+    errors = []
+    barrier = threading.Barrier(2)
+
+    def writer(i):
+        try:
+            barrier.wait()
+            IcebergTable(spark, table_path).commit_overwrite(adds=invs[i], schema=schema)
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    live = {r["path"] for r in IcebergTable(spark, table_path).snapshot_files().collect()}
+    assert live == set(paths)  # neither writer's commit was lost
+    md = IcebergTable(spark, table_path).metadata()
+    assert len(md["snapshots"]) == 2
