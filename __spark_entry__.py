@@ -4,14 +4,19 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 1: 54 queries — metadata-plane relational operators
-(G1-G13), 15 TPC-H shapes, grouping sets/percentiles/pivot/unpivot/set
-ops, windowed + session + hopping aggregations (batch AND Structured
-Streaming execution, both oracle-checked), as-of/range joins, a custom
-applyInPandasWithState stateful operator, and the LLM-pipeline layer
-(exact/fingerprint/MinHash-LSH/SimHash/n-gram-Jaccard dedup, brute-force +
-LSH + IVF similarity search, text analysis, multimodal plumbing). 48 carry
-full DuckDB value-hash oracles; 6 are probabilistic/stub-backed rows-only.
+Surface as of round 2: 70 queries — metadata-plane relational operators
+(G1-G13) + the full sync lifecycle under the gate, ALL 22 TPC-H shapes
+(pseudo-partsupp from lineitem pairs), grouping sets/percentiles/pivot/
+unpivot/set ops, windowed + session + hopping aggregations (batch AND
+Structured Streaming execution), streaming dedup + stream-stream interval
+join, as-of/range joins, a custom applyInPandasWithState stateful
+operator, and the LLM-pipeline layer (exact/fingerprint/MinHash-LSH/
+SimHash/n-gram-Jaccard dedup, connected-components near-dup clustering,
+brute-force + multi-probe-LSH + IVF similarity search, text analysis,
+deterministic sampling, token-budget packing, end-to-end corpus curation,
+multimodal plumbing whose deterministic stubs are reproduced in SQL). 66
+carry full DuckDB value-hash oracles; 4 (minhash/simhash/ann×2) are
+probabilistic rows-only with pinned-seed recall bounds in pytest.
 """
 
 from __future__ import annotations
