@@ -413,8 +413,22 @@ class DeltaLog:
         if metadata is not None:
             lines.append(json.dumps({"metaData": metadata}))
         if adds is not None:
+            field_types: dict = {}
+            schema_src = (metadata or {}).get("schemaString")
+            if schema_src is None and self.exists():
+                schema_src = self.snapshot_info().metadata.get("schemaString")
+            if schema_src:
+                try:
+                    field_types = {
+                        f.name: f.dataType
+                        for f in T.StructType.fromJson(json.loads(schema_src)).fields
+                    }
+                except (ValueError, KeyError):
+                    field_types = {}
             for row in adds.toLocalIterator():
-                lines.append(json.dumps({"add": _file_row_to_add(row, self.table_path, now)}))
+                lines.append(
+                    json.dumps({"add": _file_row_to_add(row, self.table_path, now, field_types)})
+                )
         if removes is not None:
             for row in removes.select("path").toLocalIterator():
                 lines.append(
@@ -581,12 +595,42 @@ def _relativize(path: str, table_path: str) -> str:
     return path
 
 
-def _file_row_to_add(row, table_path: str, now: int) -> dict:
+def _typed_stat(value, dtype: Optional[T.DataType]):
+    """Footer stats arrive stringified; Delta stats JSON carries TYPED
+    min/max (numbers unquoted, booleans bare — DeltaStatsExtractor /
+    TestDeltaValueConverter value forms) so engines can data-skip without
+    re-parsing. Unconvertible values stay strings (advisory stats)."""
+    if dtype is None:
+        return value
+    try:
+        if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+            return int(value)
+        if isinstance(dtype, (T.FloatType, T.DoubleType, T.DecimalType)):
+            return float(value)
+        if isinstance(dtype, T.BooleanType):
+            return str(value).lower() == "true"
+    except (TypeError, ValueError):
+        return value
+    return value
+
+
+def _file_row_to_add(
+    row, table_path: str, now: int, field_types: Optional[dict] = None
+) -> dict:
     stats = row["column_stats"]
     stats_json = None
+    ft = field_types or {}
     if stats:
-        min_values = {s["field"]: s["min_value"] for s in stats if s["min_value"] is not None}
-        max_values = {s["field"]: s["max_value"] for s in stats if s["max_value"] is not None}
+        min_values = {
+            s["field"]: _typed_stat(s["min_value"], ft.get(s["field"]))
+            for s in stats
+            if s["min_value"] is not None
+        }
+        max_values = {
+            s["field"]: _typed_stat(s["max_value"], ft.get(s["field"]))
+            for s in stats
+            if s["max_value"] is not None
+        }
         null_count = {s["field"]: s["num_nulls"] for s in stats if s["num_nulls"] is not None}
         stats_json = json.dumps(
             {

@@ -260,3 +260,21 @@ def test_log_retention_cleanup(spark, delta_table):
     assert [f.name for f in desc.read_schema.fields] == [
         f.name for f in table.read_schema.fields
     ]
+
+
+def test_stats_json_is_typed(spark, delta_table):
+    """Delta stats JSON carries typed min/max (numbers unquoted), matching
+    what delta-spark writes and data-skipping engines expect."""
+    table_path, table = delta_table
+    log = DeltaLog(spark, table_path)
+    log.init_table(table)
+    from onetable_spark.sources.parquet_inventory import inventory_from_directory
+
+    v = log.commit(adds=inventory_from_directory(spark, table_path))
+    with open(os.path.join(table_path, "_delta_log", f"{v:020d}.json")) as f:
+        adds = [json.loads(l)["add"] for l in f if '"add"' in l]
+    stats = json.loads(adds[0]["stats"])
+    assert isinstance(stats["minValues"]["l_orderkey"], int)
+    assert isinstance(stats["maxValues"]["l_extendedprice"], float)
+    assert isinstance(stats["minValues"]["l_returnflag"], str)
+    assert isinstance(stats["numRecords"], int)
