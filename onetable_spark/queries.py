@@ -1270,6 +1270,17 @@ def q_sync_inventory(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q_image_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed nearest-neighbor resize to 32×32: REAL vectorized index-
+    map resize over the deterministic stub raster; the oracle recomputes
+    the same gather arithmetic in SQL (exact — the mean divides by a power
+    of two, so no float rounding)."""
+    from onetable_spark.functions.multimodal import resize_images, synth_media_table
+
+    media = synth_media_table(spark, 200).filter(F.col("kind") == "image")
+    return resize_images(media, width=32, height=32)
+
+
 def q_video_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     """Video frame-sampling plumbing: JVM-side timestamp grid (sequence +
     explode) → per-frame stub decode in mapInPandas → per-video feature
@@ -1429,6 +1440,31 @@ ORACLE_SQL: dict[str, str] = {
                CAST(ROUND(CAST(list_sum(list_transform(range(3, 11), i -> {_STUB_FEAT}))
                    AS DECIMAL(18,10)), 4) AS DOUBLE) AS feature_sum
         FROM d
+    """,
+    "image_resize": """
+        WITH d AS (
+            SELECT range AS media_id,
+                   sha256(sha256(CAST(range AS VARCHAR))) AS hh
+            FROM range(200) WHERE range % 3 = 0
+        ),
+        dims AS (
+            SELECT media_id, hh,
+                   64 + 16*(strpos('0123456789abcdef', hh[1])-1)
+                      + strpos('0123456789abcdef', hh[2])-1 AS w,
+                   64 + 16*(strpos('0123456789abcdef', hh[3])-1)
+                      + strpos('0123456789abcdef', hh[4])-1 AS h
+            FROM d
+        ),
+        pix AS (
+            SELECT media_id, hh,
+                   ((((r.range * h) // 32) * w + ((c.range * w) // 32)) % 32) AS p
+            FROM dims, range(32) r, range(32) c
+        )
+        SELECT media_id,
+               CAST(32 AS INT) AS out_width, CAST(32 AS INT) AS out_height,
+               AVG(CAST(16*(strpos('0123456789abcdef', hh[2*p+1])-1)
+                        + strpos('0123456789abcdef', hh[2*p+2])-1 AS DOUBLE)) AS mean_intensity
+        FROM pix GROUP BY media_id
     """,
     "video_frame_sample": f"""
         WITH media AS (
@@ -2132,5 +2168,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_decode": q_multimodal_decode,
+    "image_resize": q_image_resize,
     "video_frame_sample": q_video_frame_sample,
 }

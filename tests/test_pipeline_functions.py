@@ -305,3 +305,30 @@ def test_connected_components_matches_union_find(spark):
         df = spark.createDataFrame(edges, "id_a long, id_b long")
         got = {r["node"]: r["component"] for r in connected_components(df).collect()}
         assert got == want, (edges, got, want)
+
+
+def test_resize_images_real_gather_math(spark):
+    """The resize is real index-map math: identity-size resize reproduces
+    the raster mean exactly; a 1×1 resize picks pixel (0,0) = digest[0]."""
+    import hashlib
+
+    from onetable_spark.functions.multimodal import (
+        _decode_raster_impl,
+        resize_images,
+        synth_media_table,
+    )
+
+    media = synth_media_table(spark, 9).filter(F.col("kind") == "image")
+    rows = {r["media_id"]: r for r in resize_images(media, 32, 32).collect()}
+    assert all(r["out_width"] == 32 and r["out_height"] == 32 for r in rows.values())
+
+    one = media.limit(1).collect()[0]
+    raster = _decode_raster_impl(bytes(one["content"]))
+    h, w = raster.shape
+    # identity resize == full-raster mean
+    ident = resize_images(media.limit(1), w, h).collect()[0]
+    assert abs(ident["mean_intensity"] - float(raster.mean())) < 1e-12
+    # 1x1 nearest-neighbor == top-left pixel == digest[0]
+    tiny = resize_images(media.limit(1), 1, 1).collect()[0]
+    digest = hashlib.sha256(bytes(one["content"])).digest()
+    assert tiny["mean_intensity"] == float(digest[0])
