@@ -1270,6 +1270,22 @@ def q_sync_inventory(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio decode plumbing: mapInPandas stub decode (sample rate + 8-dim
+    feature from the content digest) — deterministic, reproduced exactly by
+    the SQL oracle's sha-chain."""
+    from onetable_spark.functions.multimodal import decode_audio, synth_media_table
+
+    media = synth_media_table(spark, 200).filter(F.col("kind") == "audio")
+    feats = decode_audio(media)
+    return feats.select(
+        "media_id",
+        "sample_rate",
+        "duration_ms",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4).alias("feature_sum"),
+    )
+
+
 def q_image_resize(spark: SparkSession, sf: str) -> DataFrame:
     """Distributed nearest-neighbor resize to 32×32: REAL vectorized index-
     map resize over the deterministic stub raster; the oracle recomputes
@@ -1438,6 +1454,23 @@ ORACLE_SQL: dict[str, str] = {
                CAST(64 + 16*(strpos('0123456789abcdef', h[3])-1)
                        + strpos('0123456789abcdef', h[4])-1 AS INT) AS height,
                CAST(ROUND(CAST(list_sum(list_transform(range(3, 11), i -> {_STUB_FEAT}))
+                   AS DECIMAL(18,10)), 4) AS DOUBLE) AS feature_sum
+        FROM d
+    """,
+    "audio_features": f"""
+        WITH d AS (
+            SELECT range AS media_id,
+                   range * 1000 % 10000 AS duration_ms,
+                   sha256('audio:' || sha256(CAST(range AS VARCHAR))) AS h
+            FROM range(200) WHERE range % 3 = 1
+        )
+        SELECT media_id,
+               CAST(CASE (16*(strpos('0123456789abcdef', h[1])-1)
+                          + strpos('0123456789abcdef', h[2])-1) % 4
+                    WHEN 0 THEN 8000 WHEN 1 THEN 16000
+                    WHEN 2 THEN 22050 ELSE 44100 END AS INT) AS sample_rate,
+               duration_ms,
+               CAST(ROUND(CAST(list_sum(list_transform(range(2, 10), i -> {_STUB_FEAT}))
                    AS DECIMAL(18,10)), 4) AS DOUBLE) AS feature_sum
         FROM d
     """,
@@ -2168,6 +2201,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "multimodal_decode": q_multimodal_decode,
+    "audio_features": q_audio_features,
     "image_resize": q_image_resize,
     "video_frame_sample": q_video_frame_sample,
 }
