@@ -516,22 +516,50 @@ class DeltaLog:
         now = int(time.time() * 1000)
         prefix = self.table_path.rstrip("/") + "/"
 
-        # build add structs in Spark (distributed) — stats map re-serialized
-        # with to_json, path relativized against the table root
+        # build add structs in Spark (distributed) — stats re-serialized
+        # with to_json, path relativized against the table root. min/max
+        # are TYPED per the table schema (same form commits write): numeric
+        # fields cast from their footer strings, so checkpoint and commit
+        # stats agree for external data-skipping readers.
         rel_path = F.when(
             F.col("path").startswith(prefix), F.expr(f"substring(path, {len(prefix) + 1})")
         ).otherwise(F.col("path"))
+        try:
+            tbl_schema = T.StructType.fromJson(json.loads(info.metadata["schemaString"]))
+        except (KeyError, ValueError):
+            tbl_schema = T.StructType([])
+
+        def _typed_bound(map_col: str, f: T.StructField):
+            raw = F.element_at(F.col(map_col), f.name)
+            if isinstance(
+                f.dataType,
+                (T.ByteType, T.ShortType, T.IntegerType, T.LongType, T.FloatType,
+                 T.DoubleType, T.DecimalType, T.BooleanType),
+            ):
+                return raw.cast(f.dataType).alias(f.name)
+            return raw.alias(f.name)
+
+        def _bounds_struct(map_col: str):
+            if not tbl_schema.fields:
+                return F.col(map_col)
+            return F.struct(*[_typed_bound(map_col, f) for f in tbl_schema.fields])
+
+        with_maps = (
+            F.expr(
+                "map_from_entries(transform(filter(coalesce(column_stats, array()),"
+                " s -> s.min_value is not null), s -> struct(s.field, s.min_value)))"
+            ).alias("_mins"),
+            F.expr(
+                "map_from_entries(transform(filter(coalesce(column_stats, array()),"
+                " s -> s.max_value is not null), s -> struct(s.field, s.max_value)))"
+            ).alias("_maxs"),
+        )
+        files = files.select("*", *with_maps)
         stats_json = F.to_json(
             F.struct(
                 F.col("record_count").alias("numRecords"),
-                F.expr(
-                    "map_from_entries(transform(filter(coalesce(column_stats, array()),"
-                    " s -> s.min_value is not null), s -> struct(s.field, s.min_value)))"
-                ).alias("minValues"),
-                F.expr(
-                    "map_from_entries(transform(filter(coalesce(column_stats, array()),"
-                    " s -> s.max_value is not null), s -> struct(s.field, s.max_value)))"
-                ).alias("maxValues"),
+                _bounds_struct("_mins").alias("minValues"),
+                _bounds_struct("_maxs").alias("maxValues"),
                 F.expr(
                     "map_from_entries(transform(coalesce(column_stats, array()),"
                     " s -> struct(s.field, s.num_nulls)))"
