@@ -100,3 +100,129 @@ def write_stream_to_delta(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class IcebergStreamWriter:
+    """foreachBatch sink committing micro-batches to a native Iceberg
+    table. Exactly-once: the committed batch id is recorded in table
+    properties under ``onetable.stream.<appId>`` and checked before each
+    commit — the property rides the same atomic metadata.json swap as the
+    snapshot, so the check-and-commit is one transaction (the same idea as
+    Iceberg's Spark streaming sink, which stores batch ids in snapshot
+    summaries)."""
+
+    def __init__(self, table_path: str, app_id: str | None = None):
+        self.table_path = table_path
+        self.app_id = app_id or f"stream_{uuid.uuid4().hex[:8]}"
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from onetable_spark.formats.iceberg import IcebergTable
+
+        spark = batch_df.sparkSession
+        tbl = IcebergTable(spark, self.table_path)
+        if not tbl.exists():
+            tbl.init_table(
+                Table(
+                    name=os.path.basename(self.table_path),
+                    base_path=self.table_path,
+                    table_format=TableFormat.ICEBERG,
+                    read_schema=batch_df.schema,
+                )
+            )
+        key = f"onetable.stream.{self.app_id}"
+        last = int(tbl.properties().get(key, -1))
+        if batch_id <= last:
+            return
+        out_dir = os.path.join(self.table_path, f"batch={batch_id}")
+        batch_df.write.mode("overwrite").parquet(out_dir)
+        inv = build_inventory(
+            spark,
+            [os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")],
+            root=self.table_path,
+        )
+        tbl.commit_overwrite(
+            adds=inv, schema=batch_df.schema, properties={key: str(batch_id)}
+        )
+
+
+class HudiStreamWriter:
+    """foreachBatch sink committing micro-batches to a native Hudi
+    timeline. Exactly-once: the batch id rides the commit's extraMetadata
+    (the same slot Hudi's DeltaStreamer uses for its checkpoint key); the
+    replay check scans completed commits for this app's high-water mark."""
+
+    def __init__(self, table_path: str, app_id: str | None = None):
+        self.table_path = table_path
+        self.app_id = app_id or f"stream_{uuid.uuid4().hex[:8]}"
+
+    def _last_committed_batch(self, timeline) -> int:
+        import json as _json
+
+        last = -1
+        for instant, action in timeline.completed_instants():
+            try:
+                with open(os.path.join(timeline.hoodie_path, f"{instant}.{action}")) as f:
+                    meta = _json.load(f)
+            except (OSError, ValueError):
+                continue
+            extra = meta.get("extraMetadata") or {}
+            if extra.get("onetable.stream.app") == self.app_id:
+                last = max(last, int(extra.get("onetable.stream.batch", -1)))
+        return last
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from onetable_spark.formats.hudi import HudiTimeline
+
+        spark = batch_df.sparkSession
+        tl = HudiTimeline(spark, self.table_path)
+        if not tl.exists():
+            tl.init_table(
+                Table(
+                    name=os.path.basename(self.table_path),
+                    base_path=self.table_path,
+                    table_format=TableFormat.HUDI,
+                    read_schema=batch_df.schema,
+                )
+            )
+        if batch_id <= self._last_committed_batch(tl):
+            return
+        out_dir = os.path.join(self.table_path, f"batch={batch_id}")
+        batch_df.write.mode("overwrite").parquet(out_dir)
+        inv = build_inventory(
+            spark,
+            [os.path.join(out_dir, f) for f in os.listdir(out_dir) if f.endswith(".parquet")],
+            root=self.table_path,
+        )
+        tl.commit(
+            adds=inv,
+            schema=batch_df.schema,
+            extra_metadata={
+                "onetable.stream.app": self.app_id,
+                "onetable.stream.batch": str(batch_id),
+            },
+        )
+
+
+_WRITERS = {
+    TableFormat.DELTA: DeltaStreamWriter,
+    TableFormat.ICEBERG: IcebergStreamWriter,
+    TableFormat.HUDI: HudiStreamWriter,
+}
+
+
+def write_stream_to_table(
+    stream_df: DataFrame,
+    fmt: TableFormat | str,
+    table_path: str,
+    checkpoint_dir: str,
+    app_id: str | None = None,
+):
+    """Start an available-now streaming write into a native table of ANY
+    supported format; returns the StreamingQuery."""
+    writer = _WRITERS[TableFormat(fmt)](table_path, app_id=app_id)
+    return (
+        stream_df.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -60,3 +60,46 @@ def test_streamed_delta_table_syncs_to_iceberg(spark, sf_dir, tmp_path):
     ice_files = [r["path"] for r in IcebergTable(spark, table_path).snapshot_files().select("path").collect()]
     delta_files = [r["path"] for r in DeltaLog(spark, table_path).snapshot_files().select("path").collect()]
     assert sorted(ice_files) == sorted(delta_files)
+
+
+def test_stream_to_iceberg_and_hudi_exactly_once(spark, sf_dir, tmp_path):
+    """The same micro-batch contract holds for the Iceberg and Hudi sinks:
+    all events land, and a replayed batch id is a no-op."""
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.streaming.delta_sink import (
+        HudiStreamWriter,
+        IcebergStreamWriter,
+        write_stream_to_table,
+    )
+
+    want = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).select(
+        "event_id", "user_id"
+    )
+
+    ice_path = str(tmp_path / "ice")
+    q = write_stream_to_table(
+        read_event_stream(spark, sf_dir).select("event_id", "user_id"),
+        TableFormat.ICEBERG, ice_path, str(tmp_path / "ck_i"), app_id="ai",
+    )
+    q.awaitTermination()
+    tbl = IcebergTable(spark, ice_path)
+    files = [r["path"] for r in tbl.snapshot_files().select("path").collect()]
+    got = spark.read.parquet(*files)
+    assert got.count() == want.count() and got.exceptAll(want).count() == 0
+    v = tbl.current_version()
+    IcebergStreamWriter(ice_path, app_id="ai")(got.limit(3), 0)  # replay
+    assert IcebergTable(spark, ice_path).current_version() == v
+
+    hudi_path = str(tmp_path / "hud")
+    q = write_stream_to_table(
+        read_event_stream(spark, sf_dir).select("event_id", "user_id"),
+        TableFormat.HUDI, hudi_path, str(tmp_path / "ck_h"), app_id="ah",
+    )
+    q.awaitTermination()
+    tl = HudiTimeline(spark, hudi_path)
+    files = [r["path"] for r in tl.snapshot_files().select("path").collect()]
+    got = spark.read.parquet(*files)
+    assert got.count() == want.count() and got.exceptAll(want).count() == 0
+    n = len(tl.completed_instants())
+    HudiStreamWriter(hudi_path, app_id="ah")(got.limit(3), 0)  # replay
+    assert len(HudiTimeline(spark, hudi_path).completed_instants()) == n
