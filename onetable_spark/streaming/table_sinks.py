@@ -1,5 +1,5 @@
-"""Streaming ingestion INTO the native Delta plane: a ``foreachBatch``
-sink that writes each micro-batch as parquet files and commits them to
+"""Streaming ingestion INTO the native table planes: ``foreachBatch``
+sinks that write each micro-batch as parquet files and commit them to
 ``_delta_log`` through :class:`DeltaLog` — exactly-once via Delta's
 version claim keyed by the batch id.
 

@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 from onetable_spark.formats.delta import DeltaLog
 from onetable_spark.formats.iceberg import IcebergTable
 from onetable_spark.model import SyncStatus, TableFormat
-from onetable_spark.streaming.delta_sink import DeltaStreamWriter, write_stream_to_delta
+from onetable_spark.streaming.table_sinks import DeltaStreamWriter, write_stream_to_delta
 from onetable_spark.streaming.events import read_event_stream
 from onetable_spark.sync import SyncClient, source_for, target_for
 
@@ -66,7 +66,7 @@ def test_stream_to_iceberg_and_hudi_exactly_once(spark, sf_dir, tmp_path):
     """The same micro-batch contract holds for the Iceberg and Hudi sinks:
     all events land, and a replayed batch id is a no-op."""
     from onetable_spark.formats.hudi import HudiTimeline
-    from onetable_spark.streaming.delta_sink import (
+    from onetable_spark.streaming.table_sinks import (
         HudiStreamWriter,
         IcebergStreamWriter,
         write_stream_to_table,
