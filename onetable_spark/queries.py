@@ -2130,57 +2130,15 @@ ORACLE_SQL: dict[str, str] = {
 }
 
 
+# Registry order matters: the driver's correctness harness records exactly the
+# FIRST 50 entries.  Round-2 evidence covered the old first 50; round 3 front-loads
+# the 22 queries that had no driver-grade evidence (windows/grouping sets, temporal
+# joins, all streaming, sync_inventory, the probabilistic ANN layer, multimodal),
+# followed by 28 representative already-proven queries.  The 22 entries past
+# position 50 are all TPC-H shapes / trivial G-ops that were driver-green in
+# CORRECTNESS_r02.json and remain covered by tests/tools/check_oracle.py.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    "g1_files_diff": q_g1_files_diff,
-    "g2_group_files": q_g2_group_files,
-    "g3_schema_flatten": q_g3_schema_flatten,
-    "g4_sorted_merge_dedup": q_g4_sorted_merge_dedup,
-    "g5_min_over_group": q_g5_min_over_group,
-    "g6_filter_predicates": q_g6_filter_predicates,
-    "g7_max_agg": q_g7_max_agg,
-    "g8_stats_regroup": q_g8_stats_regroup,
-    "g10_json_flatten": q_g10_json_flatten,
-    "g11_sort_commits": q_g11_sort_commits,
-    "g12_latest_instant": q_g12_latest_instant,
-    "dedup_first_per_key": q_dedup_first_per_key,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
-    "tpch_q4": q_tpch_q4,
-    "tpch_q5": q_tpch_q5,
-    "tpch_q6": q_tpch_q6,
-    "tpch_q7": q_tpch_q7,
-    "tpch_q10": q_tpch_q10,
-    "tpch_q13": q_tpch_q13,
-    "tpch_q15": q_tpch_q15,
-    "tpch_q17": q_tpch_q17,
-    "tpch_q14": q_tpch_q14,
-    "tpch_q18": q_tpch_q18,
-    "tpch_q22": q_tpch_q22,
-    "tpch_q2": q_tpch_q2,
-    "tpch_q8": q_tpch_q8,
-    "tpch_q9": q_tpch_q9,
-    "tpch_q11": q_tpch_q11,
-    "tpch_q12": q_tpch_q12,
-    "tpch_q16": q_tpch_q16,
-    "tpch_q19": q_tpch_q19,
-    "tpch_q20": q_tpch_q20,
-    "tpch_q21": q_tpch_q21,
-    "dedup_exact": q_dedup_exact,
-    "fingerprint_dedup": q_fingerprint_dedup,
-    "text_features": q_text_features,
-    "langid_counts": q_langid_counts,
-    "ngram_jaccard": q_ngram_jaccard,
-    "dedup_clusters": q_dedup_clusters,
-    "embedding_topk": q_embedding_topk,
-    "embedding_near_dups": q_embedding_near_dups,
-    "sessionize": q_sessionize,
-    "token_stats": q_token_stats,
-    "corpus_curation": q_corpus_curation,
-    "deterministic_sample": q_deterministic_sample,
-    "token_packing": q_token_packing,
-    "pivot_events": q_pivot_events,
-    "unpivot_stats": q_unpivot_stats,
-    "intersect_keys": q_intersect_keys,
+    # --- driver-unverified in r2: front-loaded for CORRECTNESS_r03 ---
     "full_outer_balance": q_full_outer_balance,
     "rollup_agg": q_rollup_agg,
     "cube_agg": q_cube_agg,
@@ -2200,8 +2158,62 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash_near_dups": q_simhash_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    # multimodal triad + video: deterministic stubs, fully oracle-checked
     "multimodal_decode": q_multimodal_decode,
     "audio_features": q_audio_features,
     "image_resize": q_image_resize,
     "video_frame_sample": q_video_frame_sample,
+    # --- representative r2-proven set (28) ---
+    "g1_files_diff": q_g1_files_diff,
+    "g2_group_files": q_g2_group_files,
+    "g4_sorted_merge_dedup": q_g4_sorted_merge_dedup,
+    "g6_filter_predicates": q_g6_filter_predicates,
+    "g8_stats_regroup": q_g8_stats_regroup,
+    "g10_json_flatten": q_g10_json_flatten,
+    "g12_latest_instant": q_g12_latest_instant,
+    "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q21": q_tpch_q21,
+    "dedup_exact": q_dedup_exact,
+    "fingerprint_dedup": q_fingerprint_dedup,
+    "text_features": q_text_features,
+    "langid_counts": q_langid_counts,
+    "ngram_jaccard": q_ngram_jaccard,
+    "dedup_clusters": q_dedup_clusters,
+    "embedding_topk": q_embedding_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "sessionize": q_sessionize,
+    "token_stats": q_token_stats,
+    "corpus_curation": q_corpus_curation,
+    "deterministic_sample": q_deterministic_sample,
+    "token_packing": q_token_packing,
+    "pivot_events": q_pivot_events,
+    "unpivot_stats": q_unpivot_stats,
+    "intersect_keys": q_intersect_keys,
+    # --- past the driver's 50-entry window: driver-green in r2, still oracle-
+    # checked by tools/check_oracle.py + tests/test_queries_smoke.py ---
+    "g3_schema_flatten": q_g3_schema_flatten,
+    "g5_min_over_group": q_g5_min_over_group,
+    "g7_max_agg": q_g7_max_agg,
+    "g11_sort_commits": q_g11_sort_commits,
+    "dedup_first_per_key": q_dedup_first_per_key,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q4": q_tpch_q4,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q6": q_tpch_q6,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q17": q_tpch_q17,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q22": q_tpch_q22,
 }
