@@ -27,11 +27,13 @@ def main() -> None:
     spark = get_spark("onetable-bench")
 
     # warm the JVM + parquet footers once so per-query numbers measure the
-    # engine, not first-touch JIT
-    next(iter(SPARK_QUERIES.values()))(spark, sf_dir).count()
+    # engine, not first-touch JIT; pinned to a fixed query (and iteration
+    # below is name-sorted) so timings are independent of registry order
+    SPARK_QUERIES["g1_files_diff"](spark, sf_dir).count()
 
     timings: dict[str, float] = {}
-    for name, fn in SPARK_QUERIES.items():
+    for name in sorted(SPARK_QUERIES):
+        fn = SPARK_QUERIES[name]
         start = time.perf_counter()
         df = fn(spark, sf_dir)
         df.collect()

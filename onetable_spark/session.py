@@ -62,9 +62,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")).cast("timestamp_ntz")
+        # The epoch unit the long carries (nanos vs micros) has varied by
+        # Spark version / read path — normalize by magnitude (see
+        # streaming.events._epoch_micros) so either unit yields the same
+        # timestamp_ntz.
+        micros = (
+            F.when(
+                F.col("ts") > F.lit(400_000_000_000_000_000), (F.col("ts") / 1000).cast("long")
+            )
+            .otherwise(F.col("ts"))
+            .cast("long")
         )
+        df = df.withColumn("ts", F.timestamp_micros(micros).cast("timestamp_ntz"))
     return df
 
 

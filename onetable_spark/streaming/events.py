@@ -36,9 +36,15 @@ EVENT_SCHEMA = T.StructType(
 def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the events parquet.
 
-    The testdata file carries TIMESTAMP(NANOS) (see ``session.load_table``);
-    under ``nanosAsLong`` it arrives as epoch-nanos and is normalized to
-    ``timestamp_ntz`` here, identically to the batch reader.
+    The testdata file carries TIMESTAMP(NANOS). Reading it under an
+    explicit LongType schema yields epoch MICROS in current PySpark
+    (the reader converts nanos→micros before honoring the long cast),
+    while a schema-inferred read under ``nanosAsLong`` yields raw NANOS
+    — and which one arrives has historically depended on the Spark
+    version, not on any session conf. Normalize by magnitude so the
+    stream is correct under any session: epoch-nanos for 2024-era data
+    is ~1.7e18, epoch-micros ~1.7e15; the 4e17 threshold separates them
+    for any date between 1983 and year 14000.
     """
     nanos_schema = T.StructType(
         [f if f.name != "ts" else T.StructField("ts", T.LongType()) for f in EVENT_SCHEMA.fields]
@@ -52,7 +58,16 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # watermarks require TIMESTAMP (with zone); session tz is UTC, so the
     # instant matches the batch reader's timestamp_ntz values exactly
-    return raw.withColumn("ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return raw.withColumn("ts", F.timestamp_micros(_epoch_micros(F.col("ts"))))
+
+
+def _epoch_micros(ts_long):
+    """Normalize an ambiguous epoch long (nanos or micros) to micros."""
+    return (
+        F.when(ts_long > F.lit(400_000_000_000_000_000), (ts_long / 1000).cast("long"))
+        .otherwise(ts_long)
+        .cast("long")
+    )
 
 
 def tumbling_event_counts(

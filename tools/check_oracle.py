@@ -30,6 +30,34 @@ def norm(v):
     return str(v)
 
 
+def compare_result(sdf, sql: str, con) -> str | None:
+    """Compare a Spark DataFrame against a DuckDB oracle query.
+
+    Returns ``None`` on a full match (schema by sorted column name, row
+    count, and order-insensitive normalized values — the same contract as
+    the driver's hash gate), else a human-readable mismatch description.
+    Used by both this CLI and tests/test_queries_smoke.py so value parity
+    stays an automated pytest gate, not just a manual script.
+    """
+    srows = sdf.collect()
+    scols = sorted(sdf.columns)
+    spark_vals = sorted(tuple(norm(r[c]) for c in scols) for r in srows)
+    rel = con.execute(sql)
+    dcols_raw = [d[0] for d in rel.description]
+    drows = rel.fetchall()
+    dorder = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
+    dcols = [dcols_raw[i] for i in dorder]
+    duck_vals = sorted(tuple(norm(r[i]) for i in dorder) for r in drows)
+    if scols != dcols:
+        return f"schema mismatch spark={scols} duckdb={dcols}"
+    if len(spark_vals) != len(duck_vals):
+        return f"rowcount spark={len(spark_vals)} duckdb={len(duck_vals)}"
+    if spark_vals != duck_vals:
+        diffs = [(a, b) for a, b in zip(spark_vals, duck_vals) if a != b]
+        return f"{len(diffs)} differing rows; first: {diffs[:3]}"
+    return None
+
+
 def run(sf_dir: str, only: list[str]) -> int:
     import __spark_entry__ as entry
 
@@ -47,41 +75,24 @@ def run(sf_dir: str, only: list[str]) -> int:
         sql = oracles.get(name)
         try:
             sdf = fn(spark, sf_dir)
-            srows = sdf.collect()
-            scols = sorted(sdf.columns)
-            spark_vals = sorted(tuple(norm(r[c]) for c in scols) for r in srows)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
         if sql is None:
-            print(f"ok   {name}: rows-only ({len(srows)} rows)")
+            print(f"ok   {name}: rows-only ({sdf.count()} rows)")
             continue
         try:
-            rel = con.execute(sql)
-            dcols_raw = [d[0] for d in rel.description]
-            drows = rel.fetchall()
+            msg = compare_result(sdf, sql, con)
         except Exception as e:  # noqa: BLE001
-            print(f"FAIL {name}: duckdb error: {e}")
+            print(f"FAIL {name}: error: {e}")
             failures += 1
             continue
-        dorder = sorted(range(len(dcols_raw)), key=lambda i: dcols_raw[i])
-        dcols = [dcols_raw[i] for i in dorder]
-        duck_vals = sorted(tuple(norm(r[i]) for i in dorder) for r in drows)
-        if scols != dcols:
-            print(f"FAIL {name}: schema mismatch spark={scols} duckdb={dcols}")
+        if msg is not None:
+            print(f"FAIL {name}: {msg}")
             failures += 1
             continue
-        if len(spark_vals) != len(duck_vals):
-            print(f"FAIL {name}: rowcount spark={len(spark_vals)} duckdb={len(duck_vals)}")
-            failures += 1
-            continue
-        if spark_vals != duck_vals:
-            diffs = [(a, b) for a, b in zip(spark_vals, duck_vals) if a != b]
-            print(f"FAIL {name}: {len(diffs)} differing rows; first: {diffs[:3]}")
-            failures += 1
-            continue
-        print(f"ok   {name}: {len(spark_vals)} rows match")
+        print(f"ok   {name}: match")
     print(f"\n{len(queries)} queries, {failures} failures")
     return failures
 
