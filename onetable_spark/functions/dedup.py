@@ -256,6 +256,63 @@ def ngram_jaccard_pairs(
     )
 
 
+# ------------------------------------------------- bounded bucket collects
+
+
+def _bounded_members(
+    df: DataFrame, keys: list[str], payload: str, salt_on: Column, cap: int
+) -> DataFrame:
+    """``groupBy(keys).collect_list(payload)`` with a hard per-array bound.
+
+    The naive collect builds one array per group in ONE task — a
+    pathological hot group (a template cluster spanning millions of docs
+    landing in one LSH bucket) materializes a multi-GB array in a single
+    row. Here groups larger than ``cap`` are hash-split into
+    ``ceil(n/cap)`` salted sub-groups, and the group's MINIMUM payload is
+    added to every sub-group as an anchor: any member connected through
+    the full group stays connected through its sub-group's anchor, so
+    downstream connected-components clustering sees the same clusters.
+    The trade, documented here because it is irreversible: pair-level
+    recall INSIDE an oversized group drops from all-pairs to
+    star-through-anchor (+ intra-sub-group pairs). Groups at or under
+    ``cap`` — every group in a non-adversarial corpus — are untouched.
+
+    Result arrays are bounded by ``cap + 1`` in expectation (hash salting
+    is uniform); singleton groups are dropped (no pairs to make).
+    """
+    stats = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"), F.min(payload).alias("_anchor"))
+        .filter(F.col("_n") > 1)
+    )
+    nsub = F.greatest(F.ceil(F.col("_n") / cap), F.lit(1)).cast("long")
+    members = df.join(stats, keys).select(
+        *keys, F.col(payload), F.pmod(F.xxhash64(salt_on), nsub).alias("_salt")
+    )
+    # anchor rows: one per sub-group of an oversized group, skipping the
+    # slot the anchor's own membership row already occupies
+    anchor_salt_on = salt_on  # same expression evaluated on the anchor row
+    anchors = (
+        stats.filter(F.col("_n") > cap)
+        .select(*keys, F.col("_anchor").alias(payload), nsub.alias("_nsub"))
+        .select(
+            *keys,
+            payload,
+            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_nsub") - 1)).alias("_salt"),
+            F.pmod(F.xxhash64(anchor_salt_on), F.col("_nsub")).alias("_own"),
+        )
+        .filter(F.col("_salt") != F.col("_own"))
+        .drop("_own")
+    )
+    return (
+        members.unionByName(anchors)
+        .groupBy(*keys, "_salt")
+        .agg(F.collect_list(payload).alias("mem"))
+        .filter(F.size("mem") > 1)
+        .drop("_salt")
+    )
+
+
 # ------------------------------------------------------------- MinHash LSH
 
 
@@ -292,23 +349,22 @@ def minhash_lsh_candidates(
 
 
 def minhash_lsh_candidates_from(
-    sh: DataFrame, num_hashes: int = 64, bands: int = 16
+    sh: DataFrame, num_hashes: int = 64, bands: int = 16, max_bucket: int = 1024
 ) -> DataFrame:
     """Candidates from a prebuilt (id, sh) shingle-hash table — lets the
     dedup pipeline share one (persisted) shingle scan between candidate
-    generation and exact-Jaccard verification."""
+    generation and exact-Jaccard verification.
+
+    Pairs are generated within each (band, bucket) via a bounded collect +
+    double explode — one hash agg, no skew-prone sort-merge self-join, and
+    ``max_bucket`` caps how many members any one task materializes (hot
+    buckets split into anchored sub-buckets; see ``_bounded_members`` for
+    the connectivity-preserving recall trade)."""
     # signature + banding fused in one Arrow UDF (tiny JVM expression tree)
     banded = sh.select(
         "id", F.posexplode(_band_bucket_udf(num_hashes, bands)("sh")).alias("band", "bucket")
     )
-    # pairs generated within each (band, bucket) via collect_list + double
-    # explode — one hash agg, no skew-prone sort-merge self-join (a bucket
-    # holding a template cluster would otherwise straggle one join task)
-    buckets = (
-        banded.groupBy("band", "bucket")
-        .agg(F.collect_list("id").alias("mem"))
-        .filter(F.size("mem") > 1)
-    )
+    buckets = _bounded_members(banded, ["band", "bucket"], "id", F.col("id"), max_bucket)
     return (
         buckets.select(F.explode("mem").alias("id_a"), "mem")
         .select("id_a", F.explode("mem").alias("id_b"))
@@ -325,6 +381,7 @@ def minhash_lsh_dedup_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (no false positives;
     recall is the banding curve 1-(1-t^r)^b).
@@ -337,7 +394,7 @@ def minhash_lsh_dedup_pairs(
     from pyspark import StorageLevel
 
     sh = shingle_hash_df(df, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
-    cand = minhash_lsh_candidates_from(sh, num_hashes, bands)
+    cand = minhash_lsh_candidates_from(sh, num_hashes, bands, max_bucket)
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
         cand.join(sh.withColumnsRenamed({"id": "id_a", "sh": "sh_a"}), "id_a")
@@ -384,12 +441,23 @@ def simhash_near_dup_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Pairs with SimHash hamming distance ≤ max_hamming.
 
     Candidates via 16-bit chunk equality (pigeonhole: ≤3 differing bits of
     64 ⇒ at least one of 4 chunks identical), verified with
     bit_count(xor) — the candidate join shuffles only (chunk, id, sig).
+
+    Skew bounds (both documented recall/shape trades, active only above
+    ``max_bucket``): identical-signature groups larger than the cap emit
+    STAR pairs (anchor=min id ↔ every member, hamming 0) instead of all
+    m² pairs and are represented by their anchor in cross-sig candidate
+    generation; chunk buckets holding more than ``max_bucket`` distinct
+    signatures are split into anchored sub-buckets via
+    ``_bounded_members``. Cluster connectivity survives both bounds — the
+    anchor links everything the full group/bucket would have linked — so
+    downstream connected-components output is unchanged.
     """
     spark = df.sparkSession
     # single-file parquet sources open as 1-2 input splits; spread the
@@ -403,12 +471,25 @@ def simhash_near_dup_pairs(
     # with identical signatures; group them so the quadratic candidate
     # stage runs over DISTINCT signatures only, then expand id pairs at
     # the end. Intra-group pairs are hamming-0 by construction.
-    groups = sig.groupBy("sig").agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    gstat = sig.groupBy("sig").agg(
+        F.count(F.lit(1)).alias("n"), F.min("id").alias("anchor")
+    )
+    small = (
+        sig.join(gstat.filter(F.col("n") <= max_bucket).select("sig"), "sig")
+        .groupBy("sig")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    )
+    # oversized identical-sig groups: anchor-only representative (their
+    # members reach cross-sig matches THROUGH the anchor + intra star)
+    large_rep = gstat.filter(F.col("n") > max_bucket).select(
+        "sig", F.array("anchor").alias("ids")
+    )
+    groups = small.unionByName(large_rep)
     # Bucket distinct sigs by 16-bit chunk, then generate pairs WITHIN each
-    # bucket via collect_list + double explode — one hash agg instead of a
-    # sort-merge self-join (whose skewed keys — a hot chunk value shared by
-    # a template cluster — would straggle). The hamming filter runs before
-    # the distinct so dedup sees only surviving pairs.
+    # bucket via a bounded collect + double explode — one hash agg instead
+    # of a sort-merge self-join (whose skewed keys — a hot chunk value
+    # shared by a template cluster — would straggle). The hamming filter
+    # runs before the distinct so dedup sees only surviving pairs.
     chunks = groups.select(
         F.struct("sig", "ids").alias("g"),
         F.explode(
@@ -423,7 +504,7 @@ def simhash_near_dup_pairs(
             )
         ).alias("cc"),
     )
-    buckets = chunks.groupBy("cc").agg(F.collect_list("g").alias("mem")).filter(F.size("mem") > 1)
+    buckets = _bounded_members(chunks, ["cc"], "g", F.col("g.sig"), max_bucket)
     sig_pairs = (
         buckets.select(F.explode("mem").alias("a"), "mem")
         .select("a", F.explode("mem").alias("b"))
@@ -445,17 +526,67 @@ def simhash_near_dup_pairs(
         )
     )
     intra = (
-        groups.filter(F.size("ids") > 1)
+        small.filter(F.size("ids") > 1)
         .select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.lit(0))
     )
-    return inter.unionByName(intra)
+    # star pairs for oversized identical-sig groups: anchor ↔ member
+    intra_star = (
+        sig.join(gstat.filter(F.col("n") > max_bucket).select("sig", "anchor"), "sig")
+        .filter(F.col("id") != F.col("anchor"))
+        .select(
+            F.least("id", "anchor").alias("id_a"),
+            F.greatest("id", "anchor").alias("id_b"),
+            F.lit(0).alias("hamming"),
+        )
+    )
+    return inter.unionByName(intra).unionByName(intra_star)
+
+
+def _large_star(cur: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", alg. 2): per node u, connect every STRICTLY LARGER
+    neighbor to min(Γ(u) ∪ {u}). One groupBy + one explode; high-degree
+    nodes collapse toward their component minimum geometrically."""
+    nbrs = cur.unionByName(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    agg = nbrs.groupBy("a").agg(
+        F.collect_set("b").alias("nb"), F.least(F.min("b"), F.first("a")).alias("m")
+    )
+    return (
+        agg.select("a", "m", F.explode("nb").alias("v"))
+        .filter(F.col("v") > F.col("a"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+
+
+def _small_star(cur: DataFrame) -> DataFrame:
+    """Small-star round (ibid., alg. 3): orient edges (larger → smaller),
+    then per node u connect its smaller-or-equal neighbors to
+    min(Γ(u) ∪ {u})."""
+    oriented = cur.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    )
+    agg = oriented.groupBy("a").agg(
+        F.collect_set("b").alias("nb"), F.min("b").alias("m")
+    )
+    return (
+        agg.select("a", "m", F.explode(F.array_union("nb", F.array("a"))).alias("v"))
+        .filter(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        .distinct()
+    )
 
 
 def connected_components(
-    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    local_edge_threshold: int = 500_000,
 ) -> DataFrame:
     """Connected components over a pair graph → (node, component) with the
     component labeled by its MINIMUM node id.
@@ -463,61 +594,81 @@ def connected_components(
     The last step of a dedup pipeline: near-dup PAIRS become CLUSTERS, and
     the minimum id is the canonical document kept per cluster.
 
-    Plan: iterative min-label propagation — per round, every node takes
-    the min of its own label and its neighbors' labels (one join + one
-    groupBy per round, both distributed; the driver only sees the
-    converged-yet? count). Rounds needed = graph diameter, which for
-    near-dup clusters is tiny; ``max_iter`` bounds pathological chains.
-    This is the simple form of the large-star/small-star map-reduce CC
-    algorithm (Kiveris et al., "Connected Components in MapReduce"), which
-    at 100 TB would swap in the star operations to shrink high-degree
-    components faster — the per-round dataflow (join on edges, min per
-    node) is identical."""
-    sym = (
+    Hybrid plan, sized for both ends of the scale:
+
+    - **Large graph** (edges > ``local_edge_threshold``): alternating
+      large-star/small-star contraction rounds (Kiveris et al.,
+      "Connected Components in MapReduce and Beyond") — each round is one
+      groupBy + explode, components collapse toward their minimum in
+      O(log n) rounds, and every round the edge set shrinks.
+    - **Small graph**: exact union-find over the (contracted) edge list in
+      one task's worth of memory. After near-dup candidate generation the
+      pair graph is already orders of magnitude smaller than the corpus,
+      and star rounds shrink it geometrically, so the finish sees a
+      BOUNDED edge list — two longs per row, ≤ local_edge_threshold rows
+      (≈8 MB at the default) — never the corpus. Contract-distributed /
+      finish-local is the standard production shape (GraphX/GraphFrames
+      do the same); the previous iterate-to-convergence-on-the-cluster
+      form paid ~4 scheduled jobs per round to move kilobytes.
+    """
+    import pandas as pd
+
+    cur = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-        .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # localCheckpoint (eager) per round truncates lineage — without it the
-    # logical plan grows every iteration and Catalyst analysis time goes
-    # quadratic long before the data does
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=True)
-    )
+    # Star rounds preserve the graph's node set (a non-root node always
+    # re-emerges as a spoke of some star), so whichever exit below runs,
+    # every original node gets a label.
+    n_edges = cur.count()  # driver-ok: size probe, one scalar
     for _ in range(max_iter):
-        neighbor_min = (
-            sym.join(labels, sym.b == labels.node)
-            .groupBy("a")
-            .agg(F.min("label").alias("nmin"))
-        )
-        hop = labels.join(neighbor_min, labels.node == neighbor_min.a, "left").select(
-            "node",
-            F.least(F.col("label"), F.coalesce("nmin", F.col("label"))).alias("label"),
-        )
-        # pointer doubling: follow label→label-of-label, collapsing chains
-        # in O(log diameter) rounds instead of O(diameter)
-        parents = hop.select(F.col("node").alias("pnode"), F.col("label").alias("plabel"))
-        doubled = (
-            hop.join(parents, hop.label == parents.pnode, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce("plabel", F.col("label"))).alias("label"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        # driver-ok: convergence probe — one scalar per round
-        changed = (
-            doubled.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = doubled
-        if changed == 0:
+        if n_edges <= local_edge_threshold:
             break
-    return labels.select(F.col("node"), F.col("label").alias("component"))
+        # localCheckpoint (eager) truncates lineage per round — without it
+        # the plan grows per iteration and Catalyst analysis goes quadratic
+        nxt = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        n_next = nxt.count()  # driver-ok: size probe, one scalar
+        if n_next == n_edges and nxt.exceptAll(cur).limit(1).count() == 0:
+            # fixed point: the graph IS a union of stars centered at each
+            # component's minimum (Kiveris et al., thm. 1-2) — labels are
+            # the edges themselves; no local finish needed at any size
+            cur = nxt
+            roots = cur.select(F.col("b").alias("node")).distinct().join(
+                cur.select(F.col("a").alias("node")).distinct(), "node", "left_anti"
+            )
+            return cur.select(F.col("a").alias("node"), F.col("b").alias("component")).unionByName(
+                roots.select("node", F.col("node").alias("component"))
+            )
+        cur, n_edges = nxt, n_next
+    spark = edges.sparkSession
+    # driver-ok: bounded — this finish only runs when the (contracted) edge
+    # list is ≤ local_edge_threshold rows of two longs (≈8 MB default); the
+    # star rounds above contract any larger graph first
+    pdf = cur.toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            # union by MIN so the root is always the component minimum
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    all_nodes = sorted({int(x) for ab in zip(pdf["a"], pdf["b"]) for x in ab})
+    local = pd.DataFrame(
+        {
+            "node": pd.Series(all_nodes, dtype="int64"),
+            "component": pd.Series([find(n) for n in all_nodes], dtype="int64"),
+        }
+    )
+    return spark.createDataFrame(local, "node long, component long")
