@@ -105,6 +105,39 @@ ACTION_SCHEMA = T.StructType(
 # (DeltaPartitionExtractor.java:104-225); our writer emits / parser accepts
 # the same single-column grammar.
 
+def _with_column_mapping_ids(schema: T.StructType) -> T.StructType:
+    """Surface Delta column-mapping field IDs to the IR.
+
+    Tables with column mapping enabled (``delta.columnMapping.mode`` =
+    name/id — any table that ever renamed or dropped a column) carry a
+    stable ``delta.columnMapping.id`` per field in the schemaString's
+    field metadata. Copy it into the ``fieldId`` metadata key that
+    ``structtype_to_iceberg`` honors, so Delta→Iceberg conversions keep
+    ids stable across renames instead of re-assigning by position
+    (reference: DeltaSchemaExtractor.java:193-198 and its
+    testFieldIdsInDeltaSchema fixtures). The original column-mapping keys
+    (id + physicalName) are left in place — the IR is the StructType
+    itself, so they round-trip untouched back to Delta targets."""
+    cm_id = "delta.columnMapping.id"
+
+    def conv_type(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return T.StructType([conv_field(f) for f in dt.fields])
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(conv_type(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(conv_type(dt.keyType), conv_type(dt.valueType), dt.valueContainsNull)
+        return dt
+
+    def conv_field(f: T.StructField) -> T.StructField:
+        md = dict(f.metadata or {})
+        if cm_id in md and "fieldId" not in md:
+            md["fieldId"] = int(md[cm_id])
+        return T.StructField(f.name, conv_type(f.dataType), f.nullable, md)
+
+    return T.StructType([conv_field(f) for f in schema.fields])
+
+
 def _version_path(table_path: str, version: int) -> str:
     return os.path.join(table_path, LOG_DIR, f"{version:020d}.json")
 
@@ -280,7 +313,9 @@ class DeltaLog:
 
     def table_descriptor(self, name: str | None = None) -> Table:
         info = self.snapshot_info()
-        schema = T.StructType.fromJson(json.loads(info.metadata["schemaString"]))
+        schema = _with_column_mapping_ids(
+            T.StructType.fromJson(json.loads(info.metadata["schemaString"]))
+        )
         pcols = info.metadata.get("partitionColumns") or []
         from onetable_spark.schema.partitions import partition_fields_from_delta_columns
 

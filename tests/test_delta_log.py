@@ -278,3 +278,70 @@ def test_stats_json_is_typed(spark, delta_table):
     assert isinstance(stats["maxValues"]["l_extendedprice"], float)
     assert isinstance(stats["minValues"]["l_returnflag"], str)
     assert isinstance(stats["numRecords"], int)
+
+
+def test_column_mapping_ids_flow_to_iceberg(spark, tmp_path):
+    """A Delta table with column mapping enabled keeps its field ids stable
+    into Iceberg — including across a column rename (reference:
+    DeltaSchemaExtractor.java:193-198, testFieldIdsInDeltaSchema)."""
+    from pyspark.sql import types as T
+
+    from onetable_spark.formats.iceberg import structtype_to_iceberg
+
+    def md(i, pn):
+        return {"delta.columnMapping.id": i, "delta.columnMapping.physicalName": pn}
+
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType(), False, md(1, "col-aaa")),
+            T.StructField(
+                "payload",
+                T.StructType(
+                    [
+                        T.StructField("amount", T.DoubleType(), True, md(3, "col-ccc")),
+                        T.StructField("note", T.StringType(), True, md(4, "col-ddd")),
+                    ]
+                ),
+                True,
+                md(2, "col-bbb"),
+            ),
+            T.StructField("renamed_later", T.StringType(), True, md(5, "col-eee")),
+        ]
+    )
+    table_path = str(tmp_path / "cm_delta")
+    table = Table(
+        name="cm",
+        base_path=table_path,
+        table_format=TableFormat.DELTA,
+        read_schema=schema,
+        layout=DataLayoutStrategy.FLAT,
+    )
+    log = DeltaLog(spark, table_path)
+    log.init_table(table, configuration={"delta.columnMapping.mode": "name"})
+
+    desc = DeltaLog(spark, table_path).table_descriptor()
+    assert desc.read_schema["id"].metadata["fieldId"] == 1
+    ice, _ = structtype_to_iceberg(desc.read_schema)
+    top = {f["name"]: f["id"] for f in ice["fields"]}
+    assert top == {"id": 1, "payload": 2, "renamed_later": 5}
+    nested = {
+        f["name"]: f["id"]
+        for f in next(f for f in ice["fields"] if f["name"] == "payload")["type"]["fields"]
+    }
+    assert nested == {"amount": 3, "note": 4}
+
+    # rename renamed_later -> better_name: column mapping keeps id 5 and the
+    # physical name; the Iceberg id must follow the field, not the position
+    renamed = T.StructType(
+        schema.fields[:2]
+        + [T.StructField("better_name", T.StringType(), True, md(5, "col-eee"))]
+    )
+    info = log.snapshot_info()
+    new_meta = dict(info.metadata)
+    new_meta["schemaString"] = json.dumps(renamed.jsonValue())
+    log.commit(metadata=new_meta, operation="RENAME COLUMN")
+
+    desc2 = DeltaLog(spark, table_path).table_descriptor()
+    ice2, _ = structtype_to_iceberg(desc2.read_schema)
+    top2 = {f["name"]: f["id"] for f in ice2["fields"]}
+    assert top2 == {"id": 1, "payload": 2, "better_name": 5}
