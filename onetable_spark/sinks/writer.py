@@ -45,16 +45,24 @@ def write_partitioned(
 ) -> None:
     """Write parquet with the IR layout strategy.
 
-    HIVE_STYLE_PARTITION → Spark's native ``partitionBy`` (col=value dirs);
-    FLAT → no partitioning. DIR_HIERARCHY (bare value dirs) is rejected —
-    Spark cannot read it back without a partition-discovery shim, matching
-    the reference treating it as a Hudi-specific legacy layout.
+    HIVE_STYLE_PARTITION → Spark's native ``partitionBy`` (col=value dirs).
+    DIR_HIERARCHY_PARTITION_VALUES → bare ``value/`` dirs (the reference's
+    first-class Hudi layout, DataLayoutStrategy.java:29-36): the write
+    runs through the same distributed ``partitionBy`` plan, then the
+    driver strips the ``col=`` prefixes with one rename per partition
+    directory — a metadata-scale operation (#partitions, not #files or
+    #rows). Reading such a table back requires naming the levels:
+    ``inventory_from_directory(..., partition_cols=[...])`` or the source
+    schema's declared partition fields — Spark's own partition discovery
+    only understands hive-style.
+    FLAT → no partitioning.
     """
-    if layout is DataLayoutStrategy.DIR_HIERARCHY_PARTITION_VALUES:
-        raise ValueError("bare value-dir layout is not round-trippable in Spark; use hive-style")
     writer_df = with_partition_columns(df, partition_fields)
     names = [pf.name for pf in partition_fields]
-    if layout is DataLayoutStrategy.HIVE_STYLE_PARTITION and names:
+    if names and layout in (
+        DataLayoutStrategy.HIVE_STYLE_PARTITION,
+        DataLayoutStrategy.DIR_HIERARCHY_PARTITION_VALUES,
+    ):
         # one task per partition slice → no NxM small files
         writer_df = writer_df.repartition(*[F.col(n) for n in names])
         (
@@ -63,8 +71,27 @@ def write_partitioned(
             .partitionBy(*names)
             .parquet(path)
         )
+        if layout is DataLayoutStrategy.DIR_HIERARCHY_PARTITION_VALUES:
+            _strip_hive_prefixes(path, names)
     else:
         writer_df.write.mode(mode).option("maxRecordsPerFile", max_records_per_file).parquet(path)
+
+
+def _strip_hive_prefixes(root: str, names: list[str], level: int = 0) -> None:
+    """Rename ``col=value`` partition dirs to bare ``value`` dirs, one
+    level per partition column (driver-side: one rename per partition
+    directory; the data files never move)."""
+    import os
+
+    if level >= len(names):
+        return
+    prefix = names[level] + "="
+    for d in sorted(os.listdir(root)):
+        full = os.path.join(root, d)
+        if os.path.isdir(full) and d.startswith(prefix):
+            target = os.path.join(root, d[len(prefix) :])
+            os.rename(full, target)
+            _strip_hive_prefixes(target, names, level + 1)
 
 
 def write_bucketed(

@@ -38,16 +38,31 @@ def list_parquet_files(root: str) -> list[str]:
     return sorted(out)
 
 
-def partition_values_from_path(path: str, root: str) -> dict[str, str]:
-    """Parse hive-style ``col=value`` directories between root and file.
+def partition_values_from_path(
+    path: str, root: str, partition_cols: list[str] | None = None
+) -> dict[str, str]:
+    """Parse partition directories between root and file.
 
-    Mirrors HudiPartitionValuesExtractor.java:47-171 (hive-style strip +
-    default-partition handling); values stay strings in the IR."""
+    Mirrors HudiPartitionValuesExtractor.java:47-171: each expected
+    partition column consumes one path segment, stripping a hive-style
+    ``col=`` prefix when present — so hive-style and DIR_HIERARCHY (bare
+    ``value/`` dirs, common for Hudi tables in the wild) parse through the
+    same loop, exactly like the reference. Without ``partition_cols``
+    (schema unknown), only hive-style segments can be attributed to a
+    column; bare values are ignored. ``__HIVE_DEFAULT_PARTITION__`` maps
+    to null; values stay strings in the IR."""
     rel = os.path.relpath(os.path.dirname(path), root)
     values: dict[str, str] = {}
     if rel in (".", ""):
         return values
-    for seg in rel.split(os.sep):
+    segs = rel.split(os.sep)
+    if partition_cols:
+        for col, seg in zip(partition_cols, segs):
+            if seg.startswith(col + "="):
+                seg = seg[len(col) + 1 :]
+            values[col] = None if seg == HIVE_DEFAULT_PARTITION else unquote(seg)
+        return values
+    for seg in segs:
         if "=" in seg:
             k, v = seg.split("=", 1)
             values[k] = None if v == HIVE_DEFAULT_PARTITION else unquote(v)
@@ -126,6 +141,7 @@ def build_inventory(
     paths: list[str],
     root: str | None = None,
     with_stats: bool = True,
+    partition_cols: list[str] | None = None,
 ) -> DataFrame:
     """File list → FILES_SCHEMA DataFrame (distributed footer read).
 
@@ -138,7 +154,7 @@ def build_inventory(
         {
             "path": p,
             "file_format": "parquet",
-            "partition_values": partition_values_from_path(p, root) if root else {},
+            "partition_values": partition_values_from_path(p, root, partition_cols) if root else {},
         }
         for p in paths
     ]
@@ -157,9 +173,21 @@ def build_inventory(
     return base.repartition(parallelism).mapInPandas(_stats_batches, FILES_SCHEMA)
 
 
-def inventory_from_directory(spark: SparkSession, root: str, with_stats: bool = True) -> DataFrame:
-    """Inventory a plain parquet directory (possibly hive-partitioned)."""
-    return build_inventory(spark, list_parquet_files(root), root=root, with_stats=with_stats)
+def inventory_from_directory(
+    spark: SparkSession,
+    root: str,
+    with_stats: bool = True,
+    partition_cols: list[str] | None = None,
+) -> DataFrame:
+    """Inventory a plain parquet directory (hive-partitioned, or bare
+    value-dir DIR_HIERARCHY when ``partition_cols`` names the levels)."""
+    return build_inventory(
+        spark,
+        list_parquet_files(root),
+        root=root,
+        with_stats=with_stats,
+        partition_cols=partition_cols,
+    )
 
 
 def enrich_missing_stats(files: DataFrame) -> DataFrame:

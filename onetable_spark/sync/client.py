@@ -95,35 +95,78 @@ class TargetClient(Protocol):
 
 
 class ParquetSource:
-    """A plain parquet directory as a source 'table' (snapshot-only)."""
+    """A plain parquet directory as a source 'table' (snapshot-only).
 
-    def __init__(self, spark: SparkSession, path: str, name: str = "", schema=None):
+    ``partition_cols`` names the directory levels for partitioned layouts
+    — hive-style ``col=value`` or DIR_HIERARCHY bare ``value`` dirs (the
+    reference's HudiPartitionValuesExtractor.java:47-171 handles both
+    through one loop; so does ``partition_values_from_path``). Bare-dir
+    tables cannot self-describe, so the caller must name the levels."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        path: str,
+        name: str = "",
+        schema=None,
+        partition_cols: list[str] | None = None,
+        layout: "DataLayoutStrategy | None" = None,
+    ):
         self.spark = spark
         self.path = path
         self.name = name or path.rstrip("/").rsplit("/", 1)[-1]
         self._schema = schema
+        self.partition_cols = list(partition_cols or [])
+        self._layout = layout
 
     def current_snapshot(self) -> Snapshot:
-        from onetable_spark.model import DataLayoutStrategy
+        from onetable_spark.model import DataLayoutStrategy, PartitionField
 
         from pyspark.sql import functions as F
 
         # persist before the watermark probe: the same files DataFrame is
         # reused by every target's sync, so the footer scan runs once
-        files = inventory_from_directory(self.spark, self.path)
+        files = inventory_from_directory(
+            self.spark, self.path, partition_cols=self.partition_cols or None
+        )
         files.persist(StorageLevel.MEMORY_AND_DISK)
-        schema = self._schema or self.spark.read.parquet(self.path).schema
+        if self._schema is not None:
+            schema = self._schema
+        elif self.partition_cols:
+            # bare value dirs defeat Spark's partition discovery; read one
+            # file's schema and treat partition levels as string columns
+            first = files.select("path").first()
+            schema = self.spark.read.parquet(first["path"]).schema if first else None
+        else:
+            schema = self.spark.read.parquet(self.path).schema
         # the "commit instant" of a plain parquet directory is the newest
         # file's mtime — deterministic for an unchanged directory, so two
         # syncs over the same data record the same watermark (a wall-clock
         # stamp made every re-sync look like new data)
         newest = files.agg(F.max("last_modified_millis").alias("m")).first()["m"]
+        if self.partition_cols:
+            layout = self._layout or DataLayoutStrategy.DIR_HIERARCHY_PARTITION_VALUES
+            pfields = tuple(PartitionField(c) for c in self.partition_cols)
+            # partition values live only in the directory names — surface
+            # the partition columns in the logical schema (string-typed,
+            # like the IR keeps all path-derived values)
+            from pyspark.sql import types as T
+
+            have = {f.name for f in schema.fields} if schema else set()
+            if schema is not None:
+                for c in self.partition_cols:
+                    if c not in have:
+                        schema = schema.add(T.StructField(c, T.StringType(), True))
+        else:
+            layout = self._layout or DataLayoutStrategy.FLAT
+            pfields = ()
         table = Table(
             name=self.name,
             base_path=self.path,
             table_format=TableFormat.PARQUET,
             read_schema=schema,
-            layout=DataLayoutStrategy.FLAT,
+            layout=layout,
+            partition_fields=pfields,
             latest_commit_millis=int(newest or 0),
         )
         return Snapshot(table=table, files=files)

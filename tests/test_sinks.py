@@ -46,12 +46,78 @@ def test_transform_columns_values(spark):
     )
 
 
-def test_dir_hierarchy_rejected(spark, sf_dir, tmp_path):
+def test_dir_hierarchy_write_and_inventory_matches_hive(spark, sf_dir, tmp_path):
+    """DIR_HIERARCHY (bare value dirs, reference DataLayoutStrategy.java:
+    29-36) writes the same data as hive-style and inventories to the same
+    partition values — only the directory names differ."""
+    import os
+
+    from onetable_spark.sources.parquet_inventory import inventory_from_directory
+
     events = load_table(spark, sf_dir, "events")
-    with pytest.raises(ValueError, match="hive-style"):
-        write_partitioned(
-            events, str(tmp_path / "x"), [], layout=DataLayoutStrategy.DIR_HIERARCHY_PARTITION_VALUES
+    hive_out = str(tmp_path / "hive")
+    bare_out = str(tmp_path / "bare")
+    pf = PartitionField("ts", PartitionTransform.DAY, "day")
+    write_partitioned(events, hive_out, [pf])
+    write_partitioned(
+        events, bare_out, [pf], layout=DataLayoutStrategy.DIR_HIERARCHY_PARTITION_VALUES
+    )
+    # bare layout: no col= prefix anywhere
+    subdirs = [d for d in os.listdir(bare_out) if os.path.isdir(os.path.join(bare_out, d))]
+    assert subdirs and all("=" not in d for d in subdirs)
+    inv_hive = inventory_from_directory(spark, hive_out, partition_cols=["day"])
+    inv_bare = inventory_from_directory(spark, bare_out, partition_cols=["day"])
+    h = sorted(
+        (r["partition_values"]["day"], r["record_count"]) for r in inv_hive.collect()
+    )
+    b = sorted(
+        (r["partition_values"]["day"], r["record_count"]) for r in inv_bare.collect()
+    )
+    assert h == b and len(h) > 1
+
+
+def test_dir_hierarchy_source_syncs_to_all_targets(spark, sf_dir, tmp_path):
+    """Sync-matrix over a non-hive-layout table: a bare value-dir parquet
+    source lands in Delta, Iceberg, and Hudi with per-partition file
+    inventories intact."""
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import TableFormat
+    from onetable_spark.sync import SyncClient, source_for, target_for
+
+    base = str(tmp_path / "bare_tbl")
+    events = load_table(spark, sf_dir, "events").limit(2000)
+    pf = PartitionField("ts", PartitionTransform.DAY, "day")
+    write_partitioned(
+        events, base, [pf], layout=DataLayoutStrategy.DIR_HIERARCHY_PARTITION_VALUES
+    )
+    src = source_for(spark, TableFormat.PARQUET, base, partition_cols=["day"])
+    snap = src.current_snapshot()
+    assert snap.table.layout == DataLayoutStrategy.DIR_HIERARCHY_PARTITION_VALUES
+    assert "day" in [f.name for f in snap.table.read_schema.fields]
+    results = SyncClient(spark).sync(
+        src,
+        [
+            target_for(spark, TableFormat.DELTA, base),
+            target_for(spark, TableFormat.ICEBERG, base),
+            target_for(spark, TableFormat.HUDI, base),
+        ],
+    )
+    assert all(r.status.value == "SUCCESS" for r in results.values()), results
+    want = sorted(
+        (r["partition_values"]["day"], r["path"]) for r in snap.files.collect()
+    )
+    for reader in (
+        DeltaLog(spark, base),
+        IcebergTable(spark, base),
+        HudiTimeline(spark, base),
+    ):
+        got = sorted(
+            (r["partition_values"]["day"], r["path"])
+            for r in reader.snapshot_files().collect()
         )
+        assert got == want, type(reader).__name__
 
 
 def test_write_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
