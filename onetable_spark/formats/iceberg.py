@@ -461,6 +461,32 @@ class IcebergTable:
         spec = self._spec_for(md)
         return self._decode_manifests(paths, ice_schema, spec, statuses=(STATUS_ADDED, STATUS_EXISTING))
 
+    def _manifests_containing(self, manifest_paths: list[str], removes: DataFrame) -> set[str]:
+        """Which manifests hold at least one of the removed paths?
+
+        Distributed: executors decode (manifest, file-path) pairs, a join
+        against the removes marks dirty manifests. The returned set is
+        bounded by the manifest count (one string per manifest)."""
+        if not manifest_paths:
+            return set()
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for mp in pdf["p"]:
+                    _, entries = read_container(mp)
+                    for e in entries:
+                        if e["status"] in (STATUS_ADDED, STATUS_EXISTING):
+                            rows.append({"mp": mp, "path": e["data_file"]["file_path"]})
+                yield pd.DataFrame(rows, columns=["mp", "path"])
+
+        base = self.spark.createDataFrame([(p,) for p in manifest_paths], "p string")
+        parallelism = max(1, min(len(manifest_paths), self.spark.sparkContext.defaultParallelism))
+        pairs = base.repartition(parallelism).mapInPandas(scan, "mp string, path string")
+        dirty = pairs.join(removes.select("path"), "path").select("mp").distinct()
+        # driver-ok: bounded — one row per dirty manifest
+        return {r["mp"] for r in dirty.toLocalIterator()}
+
     def _decode_manifests(
         self, paths: list[str], ice_schema: dict, spec: list[dict], statuses: tuple[int, ...]
     ) -> DataFrame:
@@ -837,6 +863,39 @@ class IcebergTable:
                 # changes_for_snapshot keys on each manifest's original
                 # added_snapshot_id.
                 carried_manifests = prev_manifests
+            elif (
+                removed_paths
+                and not schema_changed
+                and not spec_changed
+                and not needs_compaction
+            ):
+                # PARTITION-SCOPED overwrite — same immutability argument as
+                # the append path, applied to deletes: only manifests that
+                # actually CONTAIN a removed path are rewritten; every other
+                # manifest is carried verbatim. An overwrite touching 1% of
+                # partitions rewrites O(changed) entries, not O(table). The
+                # dirty-manifest scan is a distributed decode + join; the
+                # rewrite payload below is bounded by the dirty manifests'
+                # entry count (the commit payload itself).
+                dirty = self._manifests_containing(
+                    [m["manifest_path"] for m in prev_manifests], removes
+                )
+                carried_manifests = [
+                    m for m in prev_manifests if m["manifest_path"] not in dirty
+                ]
+                if dirty:
+                    # driver-ok: bounded — entries of dirty manifests only
+                    for row in self._decode_manifests(
+                        sorted(dirty), ice_schema, spec, statuses=(STATUS_ADDED, STATUS_EXISTING)
+                    ).toLocalIterator():
+                        if row["path"] in removed_paths:
+                            deleted_entries.append(
+                                self._entry_from_row(row, snapshot_id, STATUS_DELETED, ice_schema, spec)
+                            )
+                        else:
+                            carried.append(
+                                self._entry_from_row(row, snapshot_id, STATUS_EXISTING, ice_schema, spec)
+                            )
             else:
                 for row in self.snapshot_files(prev["snapshot-id"]).toLocalIterator():
                     if row["path"] in removed_paths:

@@ -376,3 +376,56 @@ def test_expiry_deletes_orphaned_manifest_files(spark, sf_dir, tmp_path):
     assert len(lists_after) == 1  # expired manifest lists removed from disk
     # the shared manifests referenced by the surviving snapshot remain intact
     assert tbl.snapshot_files().count() == 3
+
+
+def test_partition_scoped_overwrite_carries_clean_manifests(spark, sf_dir, tmp_path):
+    """An overwrite removing files from ONE manifest rewrites only that
+    manifest; the untouched manifests are carried verbatim (same manifest
+    paths), the removal shows as a DELETED change, and the live set is
+    exact — O(changed), not O(table)."""
+    import os as _os
+    import shutil as _shutil
+
+    from onetable_spark.formats.avro_codec import read_container
+    from onetable_spark.model import Table as TableModel
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    table_path = str(tmp_path / "scoped")
+    _os.makedirs(table_path)
+    tbl = IcebergTable(spark, table_path)
+    schema = spark.read.parquet(_os.path.join(sf_dir, "region.parquet")).schema
+    tbl.init_table(
+        TableModel(
+            name="scoped",
+            base_path=table_path,
+            table_format=TableFormat.ICEBERG,
+            read_schema=schema,
+        )
+    )
+    invs = []
+    for i in range(4):
+        f = _os.path.join(table_path, f"f{i}.parquet")
+        _shutil.copy(_os.path.join(sf_dir, "region.parquet"), f)
+        inv = build_inventory(spark, [f], root=table_path)
+        invs.append(inv)
+        tbl.commit_overwrite(adds=inv, schema=schema)
+    md = tbl.metadata()
+    _, before = read_container(tbl.current_snapshot_meta(md)["manifest-list"])
+    assert len(before) == 4
+    by_path = {m["manifest_path"] for m in before}
+
+    # remove the file added by commit 2 only
+    sid = tbl.commit_overwrite(removes=invs[2])
+    md = tbl.metadata()
+    _, after = read_container(tbl.current_snapshot_meta(md)["manifest-list"])
+    carried = [m for m in after if m["manifest_path"] in by_path]
+    fresh = [m for m in after if m["manifest_path"] not in by_path]
+    # 3 clean manifests carried verbatim + 1 new deleted-manifest; the
+    # dirty manifest held ONLY the removed file, so no existing-manifest
+    assert len(carried) == 3
+    assert [m["deleted_data_files_count"] for m in fresh] == [1]
+    live = sorted(r["path"].rsplit("/", 1)[-1] for r in tbl.snapshot_files().collect())
+    assert live == ["f0.parquet", "f1.parquet", "f3.parquet"]
+    change = tbl.changes_for_snapshot(sid)
+    assert [r["path"].rsplit("/", 1)[-1] for r in change.diff.removed.collect()] == ["f2.parquet"]
+    assert change.diff.added.count() == 0
