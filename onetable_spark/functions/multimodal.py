@@ -1,11 +1,19 @@
 """Multimodal column plumbing: image/audio/video as opaque binary + metadata.
 
 The Spark-side machinery is real and tested — schema, batched Arrow
-transfer, partition sizing, UDF signatures; only the *codec* step is
-stubbed (this environment ships no image/audio libraries). Each stub is a
-deterministic fake keyed on the content bytes, so pipelines are testable
-end-to-end; swap ``_decode_*_impl`` for Pillow/torchaudio/pyav in
-production.
+transfer, partition sizing, UDF signatures. The codec step is selected AT
+RUNTIME per record:
+
+- **real decode first**: Pillow when installed; otherwise built-in pure
+  decoders that need no external library — netpbm P5/P6 (PGM/PPM) for
+  images, stdlib ``wave`` for audio. Real media bytes get real pixels /
+  samples, and the downstream math (resize gather, strip features, RMS
+  bands) runs on them.
+- **deterministic stub fallback**: bytes no available codec can decode
+  (including every synthetic test payload) get a sha-derived fake — the
+  contract the SQL oracles reproduce, so correctness checks stay exact
+  wherever the corpus isn't real media. Swap in torchaudio/pyav the same
+  way in production.
 
 Scale design: decode runs in ``mapInPandas`` (Arrow batches, one Python
 worker per core); binary payloads never pass through a groupBy — frame
@@ -16,12 +24,98 @@ as possible so downstream shuffles carry features, not media.
 from __future__ import annotations
 
 import hashlib
+import io
 from collections.abc import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+try:  # optional — not shipped in this container
+    from PIL import Image as _PIL_Image
+except ImportError:  # pragma: no cover - exercised wherever Pillow exists
+    _PIL_Image = None
+
+
+def _parse_netpbm(content: bytes):
+    """Pure-python netpbm decoder (binary PGM ``P5`` / PPM ``P6``): parses
+    the whitespace/comment-delimited header then reshapes the raster.
+    Returns a grayscale uint8 array (P6 collapses RGB by integer mean)."""
+    import numpy as np
+
+    tokens: list[bytes] = []
+    i = 2  # past magic
+    while len(tokens) < 3:
+        while i < len(content) and content[i : i + 1].isspace():
+            i += 1
+        if content[i : i + 1] == b"#":  # comment to end-of-line
+            while i < len(content) and content[i : i + 1] != b"\n":
+                i += 1
+            continue
+        start = i
+        while i < len(content) and not content[i : i + 1].isspace():
+            i += 1
+        tokens.append(content[start:i])
+    i += 1  # single whitespace after maxval, then raster
+    w, h, maxval = (int(t) for t in tokens)
+    if maxval > 255:
+        raise ValueError("16-bit netpbm not supported")
+    if content[:2] == b"P5":
+        raster = np.frombuffer(content, dtype=np.uint8, count=h * w, offset=i).reshape(h, w)
+        return raster.copy()
+    raster = np.frombuffer(content, dtype=np.uint8, count=h * w * 3, offset=i).reshape(h, w, 3)
+    return (raster.sum(axis=2, dtype=np.uint32) // 3).astype(np.uint8)
+
+
+def _try_real_image(content: bytes):
+    """Real image decode: Pillow when installed, else the built-in netpbm
+    parser for P5/P6 magic bytes. Returns a grayscale uint8 raster, or
+    None when the bytes aren't decodable media (→ caller stubs)."""
+    if not content:
+        return None
+    if _PIL_Image is not None:
+        try:
+            import numpy as np
+
+            with _PIL_Image.open(io.BytesIO(content)) as im:
+                return np.asarray(im.convert("L"))
+        except Exception:
+            pass
+    if content[:2] in (b"P5", b"P6"):
+        try:
+            return _parse_netpbm(content)
+        except Exception:
+            return None
+    return None
+
+
+def _try_real_audio(content: bytes):
+    """Real audio decode via stdlib ``wave`` (RIFF/WAVE PCM). Returns
+    (sample_rate, mono float32 samples in [-1, 1]) or None."""
+    if not content or content[:4] != b"RIFF":
+        return None
+    import wave
+
+    import numpy as np
+
+    try:
+        with wave.open(io.BytesIO(content), "rb") as wf:
+            rate = wf.getframerate()
+            nch = wf.getnchannels()
+            width = wf.getsampwidth()
+            raw = wf.readframes(wf.getnframes())
+    except Exception:
+        return None
+    if width == 2:
+        samples = np.frombuffer(raw, dtype="<i2").astype(np.float32) / 32768.0
+    elif width == 1:
+        samples = (np.frombuffer(raw, dtype=np.uint8).astype(np.float32) - 128.0) / 128.0
+    else:
+        return None
+    if nch > 1:
+        samples = samples.reshape(-1, nch).mean(axis=1)
+    return rate, samples
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -54,10 +148,19 @@ IMAGE_FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_image_impl(content: bytes) -> tuple[int, int, list[float]]:
-    """STUB — deterministic fake decode (replace with PIL in production).
+    """Runtime-selected decode: REAL raster when the bytes are decodable
+    media (Pillow if installed, else built-in netpbm) — feature = mean
+    intensity of 8 vertical strips; otherwise the deterministic sha-stub
+    (width/height/feature from the content digest — the contract the SQL
+    oracles reproduce for non-media corpora)."""
+    raster = _try_real_image(content)
+    if raster is not None:
+        import numpy as np
 
-    Derives (width, height, 8-dim feature) from a sha256 of the bytes, so
-    results are stable across runs/executors without any codec library."""
+        h, w = raster.shape
+        strips = np.array_split(raster, 8, axis=1)
+        feature = [float(s.mean()) / 255.0 for s in strips]
+        return w, h, feature
     digest = hashlib.sha256(content or b"").digest()
     width = 64 + digest[0]
     height = 64 + digest[1]
@@ -93,9 +196,18 @@ AUDIO_FEATURES_SCHEMA = T.StructType(
 
 
 def _decode_audio_impl(content: bytes) -> tuple[int, list[float]]:
-    """STUB — deterministic fake decode (replace with torchaudio/soundfile
-    in production). Sample rate + 8-dim spectral-ish feature derived from
-    the content digest."""
+    """Runtime-selected decode: REAL samples for RIFF/WAVE PCM bytes
+    (stdlib ``wave``) — feature = RMS energy of 8 equal time slices;
+    otherwise the deterministic sha-stub (rate + feature from the content
+    digest — the SQL-oracle contract for non-media corpora)."""
+    real = _try_real_audio(content)
+    if real is not None:
+        import numpy as np
+
+        rate, samples = real
+        slices = np.array_split(samples, 8) if samples.size else [np.zeros(1)] * 8
+        feature = [float(np.sqrt(np.mean(np.square(s)))) if s.size else 0.0 for s in slices]
+        return rate, feature
     digest = hashlib.sha256(b"audio:" + (content or b"")).digest()
     sample_rate = (8000, 16000, 22050, 44100)[digest[0] % 4]
     feature = [b / 255.0 for b in digest[1:9]]
@@ -184,12 +296,16 @@ RESIZED_SCHEMA = T.StructType(
 
 
 def _decode_raster_impl(content: bytes):
-    """STUB decode → deterministic grayscale raster (replace with
-    PIL.Image.open in production): dimensions from the digest (like
-    ``_decode_image_impl``), pixels = the 32 digest bytes tiled row-major
-    across h×w. Everything DOWNSTREAM of this fake is real image math."""
+    """Runtime-selected decode → grayscale raster: REAL pixels for
+    decodable media (Pillow / built-in netpbm), else the deterministic
+    stub raster (dimensions from the digest, pixels = the 32 digest bytes
+    tiled row-major across h×w — the SQL-oracle contract). Everything
+    DOWNSTREAM of this selection is real image math either way."""
     import numpy as np
 
+    raster = _try_real_image(content)
+    if raster is not None:
+        return raster
     digest = hashlib.sha256(content or b"").digest()
     w, h = 64 + digest[0], 64 + digest[1]
     idx = np.arange(h * w, dtype=np.int64) % len(digest)

@@ -104,11 +104,37 @@ def main() -> None:
             assert all(x.status.value == "SUCCESS" for x in r.values()), r
         incr_s = round(time.perf_counter() - t0, 2)
 
+        # Scenario 3: partition-scoped overwrite — remove ONE incremental
+        # commit's files (~1/commits of recent data, one dirty manifest)
+        # directly against the Iceberg table; with manifest carry-forward
+        # this commits O(changed), not O(table).
+        from onetable_spark.formats.avro_codec import read_container
+        from onetable_spark.formats.iceberg import IcebergTable
+
+        itbl = IcebergTable(spark, root)
+        _, manifests_before = read_container(
+            itbl.current_snapshot_meta(itbl.metadata())["manifest-list"]
+        )
+        removes = fabricate_inventory(spark, root, partitions, 1, commit=commits // 2)
+        t0 = time.perf_counter()
+        itbl.commit_overwrite(removes=removes)
+        scoped_s = round(time.perf_counter() - t0, 2)
+        _, manifests_after = read_container(
+            itbl.current_snapshot_meta(itbl.metadata())["manifest-list"]
+        )
+        carried = len(
+            {m["manifest_path"] for m in manifests_before}
+            & {m["manifest_path"] for m in manifests_after}
+        )
+
         print(
             json.dumps(
                 {
                     "scenario_full_sync_sec": full_s,
                     "scenario_incremental_sec": incr_s,
+                    "scenario_scoped_overwrite_sec": scoped_s,
+                    "scoped_overwrite_manifests_carried": carried,
+                    "scoped_overwrite_manifests_total": len(manifests_before),
                     "partitions": partitions,
                     "files_per_partition": files_per,
                     "commits": commits,
