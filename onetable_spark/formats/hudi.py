@@ -573,6 +573,16 @@ class HudiTimeline:
         os.replace(tmp, completed)
         os.remove(req)
         os.remove(inflight)
+        if adds is not None:
+            # keep the metadata-table column_stats index fresh when the
+            # table advertises it (real Hudi updates the metadata table as
+            # part of every commit; ours indexes the same stats we just
+            # wrote into partitionToWriteStats)
+            from onetable_spark.formats.hudi_metadata import HudiMetadataTable
+
+            mdt = HudiMetadataTable(self.spark, self.table_path)
+            if mdt.available():
+                mdt.upsert_from_files(adds)
         return instant
 
     def rollback(self, instant: str) -> str:

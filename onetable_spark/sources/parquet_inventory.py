@@ -190,17 +190,32 @@ def inventory_from_directory(
     )
 
 
-def enrich_missing_stats(files: DataFrame) -> DataFrame:
-    """S5 stats-source selection (HudiFileStatsExtractor.java:87-103): rows
-    that already carry column stats from the METADATA plane (our Hudi
-    commit metadata = the reference's metadata-table col-stats branch) pass
-    through untouched; only rows with NULL stats — e.g. a Hudi table
-    written by an external writer whose commit metadata has no column
-    stats — pay a distributed parquet-footer read. Avoids re-reading every
-    footer on every sync when metadata stats exist."""
+def enrich_missing_stats(files: DataFrame, table_path: str | None = None) -> DataFrame:
+    """S5 stats-source selection (HudiFileStatsExtractor.java:87-103), in
+    preference order:
+
+    1. rows already carrying column stats from the commit metadata pass
+       through untouched;
+    2. when ``table_path`` has a populated metadata-table ``column_stats``
+       partition (gated on hoodie.properties advertising it, like the
+       reference's ``isMetadataPartitionAvailable``), missing rows fill
+       from that index — a distributed parquet scan + join, zero footer
+       I/O for a 100k-file table that already stores its stats;
+    3. whatever still has NULL stats pays the distributed footer read.
+    """
     have = files.filter(F.col("column_stats").isNotNull())
     missing = files.filter(F.col("column_stats").isNull()).select(
         "path", "file_format", "partition_values"
     )
+    if table_path is not None:
+        from onetable_spark.formats.hudi_metadata import HudiMetadataTable
+
+        mdt = HudiMetadataTable(files.sparkSession, table_path)
+        if mdt.available():
+            from_index = mdt.stats_for(missing)
+            have = have.unionByName(from_index.filter(F.col("column_stats").isNotNull()))
+            missing = from_index.filter(F.col("column_stats").isNull()).select(
+                "path", "file_format", "partition_values"
+            )
     enriched = missing.mapInPandas(_stats_batches, FILES_SCHEMA)
     return have.unionByName(enriched)

@@ -212,15 +212,16 @@ class HudiSource:
 
     def current_snapshot(self) -> Snapshot:
         # S5 (HudiFileStatsExtractor.java:87-103): stats come from the
-        # metadata plane when the commit metadata carries them; only files
-        # without metadata stats (externally-written Hudi tables) fall back
-        # to a distributed footer read
+        # metadata plane when the commit metadata carries them, then from
+        # the metadata-table column_stats partition when the table
+        # advertises it; only files covered by neither fall back to a
+        # distributed footer read
         from onetable_spark.sources.parquet_inventory import enrich_missing_stats
 
         snap = self.timeline.current_snapshot()
         return Snapshot(
             table=snap.table,
-            files=enrich_missing_stats(snap.files),
+            files=enrich_missing_stats(snap.files, table_path=self.timeline.table_path),
             version=snap.version,
             pending_commits=snap.pending_commits,
         )
