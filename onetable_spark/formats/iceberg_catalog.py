@@ -295,13 +295,35 @@ class StaticCatalog:
 
 def load_catalog(config: IcebergCatalogConfig) -> IcebergCatalog:
     """CatalogUtil.loadCatalog equivalent keyed by implementation name
-    (IcebergTableManager.java:108-121)."""
-    impl = config.catalog_impl.lower()
+    (IcebergTableManager.java:108-121).
+
+    Besides the built-ins, any dotted path loads reflectively — the
+    Python analogue of the reference accepting an arbitrary
+    ``catalogImpl`` class name (IcebergTableManager.java:52-85): the
+    named class is imported, constructed with the catalog options as
+    keyword arguments, and only duck-type-checked against the
+    ``IcebergCatalog`` protocol (``table_path`` + ``swap`` at minimum)."""
+    impl = config.catalog_impl
     opts = config.catalog_options
-    if impl == "hadoop":
+    if impl.lower() == "hadoop":
         return HadoopCatalog(warehouse=opts["warehouse"])
-    if impl == "jdbc":
+    if impl.lower() == "jdbc":
         return JdbcCatalog(catalog_name=config.catalog_name, uri=opts["uri"])
-    if impl == "static":
+    if impl.lower() == "static":
         return StaticCatalog(tables=opts.get("tables", {}))
+    if "." in impl:
+        import importlib
+
+        module_name, _, cls_name = impl.rpartition(".")
+        try:
+            cls = getattr(importlib.import_module(module_name), cls_name)
+        except (ImportError, AttributeError) as e:
+            raise ValueError(f"cannot load catalog implementation {impl!r}: {e}") from e
+        cat = cls(**opts)
+        for required in ("table_path", "metadata_location", "register", "swap"):
+            if not callable(getattr(cat, required, None)):
+                raise TypeError(
+                    f"{impl} does not implement IcebergCatalog.{required}"
+                )
+        return cat
     raise ValueError(f"unknown catalog implementation {config.catalog_impl!r}")

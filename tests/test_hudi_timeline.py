@@ -356,3 +356,48 @@ def test_successive_evolutions_never_recycle_ids(spark, hudi_table):
     ids = {f.name: f.metadata["fieldId"] for f in tl.table_descriptor().read_schema.fields}
     assert ids["c2"] != ids["c1"]  # second evolution saw the first's ids
     assert len(set(ids.values())) == len(ids)
+
+
+def test_savepoint_and_clean_instants_are_source_noops(spark, hudi_table):
+    """Reference parity (HudiClient.java:112-126): SAVEPOINT and CLEAN
+    actions on the timeline are no-ops for the source read path — the
+    live file set, completed-commit list, and per-commit changes must be
+    identical before and after they appear."""
+    import json as _json
+
+    table_path, table = hudi_table
+    tl = HudiTimeline(spark, table_path)
+    tl.init_table(table)
+    inv = inventory_from_directory(spark, table_path)
+    c1 = tl.commit(adds=inv, schema=table.read_schema)
+
+    before_files = sorted(r["path"] for r in tl.snapshot_files().collect())
+    before_instants = tl.completed_instants()
+
+    # drop completed savepoint + clean instants onto the timeline (shapes
+    # real Hudi writes: savepoint has requested/inflight/completed; clean
+    # carries a JSON payload)
+    sp = str(int(c1) + 1).ljust(len(c1), "0")
+    for suffix in (".savepoint.requested", ".savepoint.inflight", ".savepoint"):
+        with open(os.path.join(table_path, ".hoodie", sp + suffix), "w") as f:
+            f.write("{}")
+    cl = str(int(c1) + 2).ljust(len(c1), "0")
+    with open(os.path.join(table_path, ".hoodie", cl + ".clean"), "w") as f:
+        _json.dump({"earliestCommitToRetain": c1, "pathsDeleted": []}, f)
+
+    tl2 = HudiTimeline(spark, table_path)
+    assert sorted(r["path"] for r in tl2.snapshot_files().collect()) == before_files
+    assert tl2.completed_instants() == before_instants
+    assert tl2.latest_instant() == c1
+    # per-commit diff unaffected
+    change = tl2.changes_for_instant(c1)
+    assert change.diff.added.count() == inv.count()
+    # and a sync over the timeline still succeeds
+    from onetable_spark.model import TableFormat as TF
+    from onetable_spark.sync import SyncClient, source_for, target_for
+
+    res = SyncClient(spark).sync(
+        source_for(spark, TF.HUDI, table_path),
+        [target_for(spark, TF.DELTA, table_path)],
+    )
+    assert all(r.status.value == "SUCCESS" for r in res.values()), res

@@ -186,3 +186,68 @@ def test_static_catalog_resolution(spark, sf_dir, tmp_path):
     assert tbl.exists() and tbl.snapshot_files().count() == 1
     with pytest.raises(ValueError):
         IcebergTable.from_catalog(spark, cfg, "a.unknown")
+
+
+class _DummyCatalog:
+    """Minimal IcebergCatalog protocol implementation for reflection tests."""
+
+    def __init__(self, base: str):
+        self.base = base
+        self.locations: dict[str, str] = {}
+
+    def table_path(self, ident):
+        return f"{self.base}/{ident}"
+
+    def table_exists(self, ident):
+        return str(ident) in self.locations
+
+    def metadata_location(self, ident):
+        return self.locations.get(str(ident))
+
+    def register(self, ident, metadata_location):
+        self.locations[str(ident)] = metadata_location
+
+    def swap(self, ident, expected, new):
+        if self.locations.get(str(ident)) != expected:
+            from onetable_spark.formats.iceberg_catalog import CommitConflictError
+
+            raise CommitConflictError(str(ident))
+        self.locations[str(ident)] = new
+
+
+def test_pluggable_catalog_impl_loads_reflectively(tmp_path):
+    """Any dotted catalogImpl path loads like the reference's reflection
+    hook (IcebergTableManager.java:52-85); non-conforming classes are
+    rejected with the missing protocol method named."""
+    from onetable_spark.formats.iceberg_catalog import (
+        IcebergCatalogConfig,
+        TableIdentifier,
+        load_catalog,
+    )
+
+    cfg = IcebergCatalogConfig(
+        catalog_name="x",
+        catalog_impl="tests.test_iceberg_catalog._DummyCatalog",
+        catalog_options={"base": str(tmp_path)},
+    )
+    cat = load_catalog(cfg)
+    ident = TableIdentifier.parse("db.tbl")
+    assert cat.table_path(ident).endswith("db.tbl")
+    cat.register(ident, "v1.metadata.json")
+    cat.swap(ident, "v1.metadata.json", "v2.metadata.json")
+    assert cat.metadata_location(ident) == "v2.metadata.json"
+
+    with pytest.raises(ValueError, match="cannot load"):
+        load_catalog(
+            IcebergCatalogConfig(
+                catalog_name="x", catalog_impl="no.such.module.Cat", catalog_options={}
+            )
+        )
+    with pytest.raises(TypeError, match="table_path"):
+        load_catalog(
+            IcebergCatalogConfig(
+                catalog_name="x",
+                catalog_impl="pathlib.PurePath",
+                catalog_options={},
+            )
+        )
