@@ -4,7 +4,7 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 2: 70 queries — metadata-plane relational operators
+Surface as of round 4: 74 queries — metadata-plane relational operators
 (G1-G13) + the full sync lifecycle under the gate, ALL 22 TPC-H shapes
 (pseudo-partsupp from lineitem pairs), grouping sets/percentiles/pivot/
 unpivot/set ops, windowed + session + hopping aggregations (batch AND
@@ -12,11 +12,16 @@ Structured Streaming execution), streaming dedup + stream-stream interval
 join, as-of/range joins, a custom applyInPandasWithState stateful
 operator, and the LLM-pipeline layer (exact/fingerprint/MinHash-LSH/
 SimHash/n-gram-Jaccard dedup, connected-components near-dup clustering,
-brute-force + multi-probe-LSH + IVF similarity search, text analysis,
-deterministic sampling, token-budget packing, end-to-end corpus curation,
-multimodal plumbing whose deterministic stubs are reproduced in SQL). 66
+winnowing fingerprints, brute-force + multi-probe-LSH + IVF similarity
+search, text analysis, deterministic sampling, token-budget packing,
+end-to-end corpus curation, multimodal decode with runtime codec
+selection whose deterministic stub fallback is reproduced in SQL). 70
 carry full DuckDB value-hash oracles; 4 (minhash/simhash/ann×2) are
 probabilistic rows-only with pinned-seed recall bounds in pytest.
+
+The driver's correctness harness records the FIRST 50 registry entries;
+tests/test_queries_smoke.py pins the window membership and value-checks
+every query (including those past the window) against its oracle.
 """
 
 from __future__ import annotations

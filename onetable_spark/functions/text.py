@@ -100,6 +100,49 @@ def fingerprint(col: str | Column = "text") -> Column:
     return F.md5(F.array_join(F.array_sort(F.array_distinct(tokens(col))), " "))
 
 
+def winnow_fingerprint_rows(
+    df, k: int = 3, w: int = 4, text_col: str = "text", id_col: str = "doc_id"
+):
+    """Winnowing fingerprints (Schleimer, Wilkerson, Aiken — "Winnowing:
+    Local Algorithms for Document Fingerprinting", SIGMOD 2003): hash
+    every k-gram in order, slide a w-wide window over the gram hashes,
+    keep each window's minimum; the distinct mins are the document's
+    fingerprint set. Guarantees a shared fingerprint for any shared run
+    of k+w-1 tokens — the standard plagiarism/near-dup signature (MOSS).
+
+    Returns distinct (id, fp) rows — the join-ready shape a dedup
+    pipeline wants. Plan: one projection computes the ordered gram-hash
+    array (gram hash = md5 of the space-joined gram, reproducible in any
+    engine), posexplode, then the w-window minimum as a SQL window
+    function over (id, pos). Deliberately NOT a nested
+    transform(…slice(grams,…)) single-Column form: a lambda-embedded
+    array subexpression is re-evaluated per window element, which turns
+    the projection O(n²) per document (measured: 440 s vs ~3 s at sf0.1).
+    Docs shorter than one full window contribute no fingerprints."""
+    from pyspark.sql.window import Window
+
+    tk = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk"))
+    n_grams = F.size("tk") - (k - 1)
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at("tk", (i + j).cast("int")) for j in range(k)])
+        ),
+    )
+    grams = tk.filter(n_grams >= w).select(
+        "id", n_grams.alias("n_grams"), F.posexplode(gram_hashes).alias("pos", "gh")
+    )
+    win = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.select(
+            "id", "pos", "n_grams", F.min("gh").over(win).alias("fp")
+        )
+        .filter(F.col("pos") <= F.col("n_grams") - w)  # pos is 0-based
+        .select("id", "fp")
+        .distinct()
+    )
+
+
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 

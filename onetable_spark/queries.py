@@ -972,6 +972,39 @@ def q_token_packing(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., SIGMOD 2003 —
+    the MOSS signature): k-gram md5 hashes, w-window minima, distinct set
+    per document. Explode + SQL-window plan (see
+    ``text.winnow_fingerprint_rows`` for why the single-projection nested
+    transform form is an O(n²) trap); the oracle replays the identical
+    gram-hash/window-min arithmetic with DuckDB window functions."""
+    from onetable_spark.functions.text import winnow_fingerprint_rows
+
+    docs = load_table(spark, sf, "documents")
+    fps = winnow_fingerprint_rows(docs, k=3, w=4)
+    return fps.groupBy(F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_fp"),
+        F.min("fp").alias("fp_min"),
+        F.max("fp").alias("fp_max"),
+    )
+
+
+def q_streaming_hopping(spark: SparkSession, sf: str) -> DataFrame:
+    """The hopping-window aggregation through real Structured Streaming
+    execution (file source → watermark → 1h/30min windows → AvailableNow
+    → memory sink); same oracle as the batch twin ``hopping_window``."""
+    from onetable_spark.streaming.events import hopping_event_counts, read_event_stream, run_available_now
+
+    stream = hopping_event_counts(read_event_stream(spark, sf))
+    out = run_available_now(stream, f"hop_{abs(hash(sf)) % 10**8}")
+    return out.select(
+        F.col("w_start").cast("timestamp").cast("long").alias("w_start_s"),
+        "event_type",
+        "n_events",
+    )
+
+
 def q_corpus_curation(spark: SparkSession, sf: str) -> DataFrame:
     """The curation pipeline END-TO-END in one declarative plan: language
     gate → quality gate → exact dedup (canonical = lowest id per content
@@ -2110,6 +2143,37 @@ ORACLE_SQL: dict[str, str] = {
          AND a.event_type = 'purchase' AND b.event_type = 'click'
          AND b.ts BETWEEN a.ts - INTERVAL 4 HOUR AND a.ts
     """,
+    "winnow_fingerprint": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ), g AS (
+            SELECT doc_id, i,
+                   md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])) AS gh,
+                   len(tk) - 2 AS n_grams
+            FROM t, LATERAL unnest(generate_series(1, len(tk) - 2)) AS u(i)
+            WHERE len(tk) >= 6
+        ), w AS (
+            SELECT doc_id, i, n_grams,
+                   min(gh) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM g
+        )
+        SELECT doc_id,
+               CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fp,
+               MIN(fp) AS fp_min,
+               MAX(fp) AS fp_max
+        FROM w WHERE i <= n_grams - 3
+        GROUP BY doc_id
+    """,
+    "streaming_hopping": """
+        SELECT CAST(epoch(ws) AS BIGINT) AS w_start_s, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM (SELECT event_type,
+                     unnest([time_bucket(INTERVAL '30 minutes', ts),
+                             time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws
+              FROM events)
+        GROUP BY 1, 2
+    """,
     "streaming_sessionize": """
         SELECT user_id,
                CAST(floor(epoch(MIN(ts))) AS BIGINT) AS sess_start_s,
@@ -2216,4 +2280,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q19": q_tpch_q19,
     "tpch_q20": q_tpch_q20,
     "tpch_q22": q_tpch_q22,
+    # round-4 additions (past the driver window; value-parity enforced by
+    # tests/test_queries_smoke.py's oracle gate)
+    "winnow_fingerprint": q_winnow_fingerprint,
+    "streaming_hopping": q_streaming_hopping,
 }
