@@ -32,8 +32,9 @@ METADATA_PARTITIONS_KEY = "hoodie.table.metadata.partitions"
 COLUMN_STATS_PARTITION = "column_stats"
 
 STATS_ROW_SCHEMA = (
-    "file_name string, column_name string, min_value string, max_value string, "
-    "null_count long, value_count long, total_size long, record_count long, file_size long"
+    "rel_path string, column_name string, min_value string, max_value string, "
+    "null_count long, value_count long, total_size long, record_count long, "
+    "file_size long, last_modified_millis long"
 )
 
 
@@ -85,20 +86,31 @@ class HudiMetadataTable:
 
     # ----------------------------------------------------------------- write
 
+    def _rel_path(self):
+        """Table-root-relative path — basenames alone collide across
+        partitions (two ``part-00042-….parquet`` under different
+        ``day=…`` dirs are distinct files)."""
+        prefix = self.table_path.rstrip("/") + "/"
+        return F.when(
+            F.col("path").startswith(prefix),
+            F.expr(f"substring(path, {len(prefix) + 1})"),
+        ).otherwise(F.col("path"))
+
     def upsert_from_files(self, files: DataFrame) -> None:
         """Index a FILES_SCHEMA DataFrame's column stats into the partition.
 
         One distributed write: files explode to (file, column) rows; the
-        merge with pre-existing index rows keys on (file_name, column_name)
+        merge with pre-existing index rows keys on (rel_path, column_name)
         with new rows winning — Hudi metadata-table upsert semantics. The
         shuffle carries stats rows (strings + longs), never file contents."""
         new_rows = files.select(
-            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            self._rel_path().alias("rel_path"),
             F.col("record_count"),
             F.col("size").alias("file_size"),
+            F.col("last_modified_millis"),
             F.explode("column_stats").alias("cs"),
         ).select(
-            "file_name",
+            "rel_path",
             F.col("cs.field").alias("column_name"),
             F.col("cs.min_value").alias("min_value"),
             F.col("cs.max_value").alias("max_value"),
@@ -107,12 +119,13 @@ class HudiMetadataTable:
             F.col("cs.total_size").cast("long").alias("total_size"),
             "record_count",
             "file_size",
+            "last_modified_millis",
         )
         if self.available():
             prior = self.spark.read.schema(STATS_ROW_SCHEMA).parquet(self.partition_dir)
             merged = new_rows.unionByName(
                 prior.join(
-                    new_rows.select("file_name").distinct(), "file_name", "left_anti"
+                    new_rows.select("rel_path").distinct(), "rel_path", "left_anti"
                 )
             )
         else:
@@ -138,10 +151,11 @@ class HudiMetadataTable:
         idx = (
             self.spark.read.schema(STATS_ROW_SCHEMA)
             .parquet(self.partition_dir)
-            .groupBy("file_name")
+            .groupBy("rel_path")
             .agg(
                 F.max("record_count").alias("record_count"),
                 F.max("file_size").alias("size"),
+                F.max("last_modified_millis").alias("last_modified_millis"),
                 F.collect_list(
                     F.struct(
                         F.col("column_name").alias("field"),
@@ -154,14 +168,14 @@ class HudiMetadataTable:
                 ).alias("column_stats"),
             )
         )
-        keyed = files.withColumn("file_name", F.element_at(F.split("path", "/"), -1))
-        return keyed.join(idx, "file_name", "left").select(
+        keyed = files.withColumn("rel_path", self._rel_path())
+        return keyed.join(idx, "rel_path", "left").select(
             "path",
             "file_format",
             "partition_values",
             F.col("size"),
             F.col("record_count"),
-            F.lit(None).cast("long").alias("last_modified_millis"),
+            F.col("last_modified_millis"),
             F.when(
                 F.col("column_stats").isNotNull(),
                 F.transform(

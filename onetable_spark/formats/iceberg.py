@@ -877,8 +877,14 @@ class IcebergTable:
                 # dirty-manifest scan is a distributed decode + join; the
                 # rewrite payload below is bounded by the dirty manifests'
                 # entry count (the commit payload itself).
+                # reuse the already-collected removed set — re-referencing
+                # the removes DataFrame would re-run its lineage (often a
+                # distributed footer inventory) a second time
+                removed_df = self.spark.createDataFrame(
+                    [(p,) for p in sorted(removed_paths)], "path string"
+                )
                 dirty = self._manifests_containing(
-                    [m["manifest_path"] for m in prev_manifests], removes
+                    [m["manifest_path"] for m in prev_manifests], removed_df
                 )
                 carried_manifests = [
                     m for m in prev_manifests if m["manifest_path"] not in dirty

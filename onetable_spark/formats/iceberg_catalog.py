@@ -301,8 +301,9 @@ def load_catalog(config: IcebergCatalogConfig) -> IcebergCatalog:
     Python analogue of the reference accepting an arbitrary
     ``catalogImpl`` class name (IcebergTableManager.java:52-85): the
     named class is imported, constructed with the catalog options as
-    keyword arguments, and only duck-type-checked against the
-    ``IcebergCatalog`` protocol (``table_path`` + ``swap`` at minimum)."""
+    keyword arguments, and duck-type-checked for the four protocol
+    methods commits need (``table_path``, ``metadata_location``,
+    ``register``, ``swap``)."""
     impl = config.catalog_impl
     opts = config.catalog_options
     if impl.lower() == "hadoop":

@@ -34,6 +34,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from onetable_spark.functions.text import tokens
 
@@ -269,13 +270,18 @@ def _bounded_members(
     landing in one LSH bucket) materializes a multi-GB array in a single
     row. Here groups larger than ``cap`` are hash-split into
     ``ceil(n/cap)`` salted sub-groups, and the group's MINIMUM payload is
-    added to every sub-group as an anchor: any member connected through
-    the full group stays connected through its sub-group's anchor, so
-    downstream connected-components clustering sees the same clusters.
-    The trade, documented here because it is irreversible: pair-level
-    recall INSIDE an oversized group drops from all-pairs to
-    star-through-anchor (+ intra-sub-group pairs). Groups at or under
-    ``cap`` — every group in a non-adversarial corpus — are untouched.
+    added to every sub-group as an anchor, so members split across
+    sub-groups can still connect THROUGH the anchor. The trade,
+    documented here because it is irreversible: pair-level recall INSIDE
+    an oversized group drops from all-pairs to star-through-anchor (+
+    intra-sub-group pairs), and the anchor bridge only holds where the
+    anchor itself passes the caller's downstream verification (exact
+    Jaccard / hamming). That covers the case that actually produces hot
+    groups — a near-identical template cluster, where the anchor matches
+    everyone — but a heterogeneous oversized bucket can lose
+    cross-sub-group pairs whose members don't both verify against the
+    anchor. Groups at or under ``cap`` — every group in a
+    non-adversarial corpus — are untouched.
 
     Result arrays are bounded by ``cap + 1`` in expectation (hash salting
     is uniform); singleton groups are dropped (no pairs to make).
@@ -359,7 +365,7 @@ def minhash_lsh_candidates_from(
     double explode — one hash agg, no skew-prone sort-merge self-join, and
     ``max_bucket`` caps how many members any one task materializes (hot
     buckets split into anchored sub-buckets; see ``_bounded_members`` for
-    the connectivity-preserving recall trade)."""
+    the anchored recall trade)."""
     # signature + banding fused in one Arrow UDF (tiny JVM expression tree)
     banded = sh.select(
         "id", F.posexplode(_band_bucket_udf(num_hashes, bands)("sh")).alias("band", "bucket")
@@ -453,11 +459,14 @@ def simhash_near_dup_pairs(
     ``max_bucket``): identical-signature groups larger than the cap emit
     STAR pairs (anchor=min id ↔ every member, hamming 0) instead of all
     m² pairs and are represented by their anchor in cross-sig candidate
-    generation; chunk buckets holding more than ``max_bucket`` distinct
-    signatures are split into anchored sub-buckets via
-    ``_bounded_members``. Cluster connectivity survives both bounds — the
-    anchor links everything the full group/bucket would have linked — so
-    downstream connected-components output is unchanged.
+    generation — connectivity-exact for that case, since every member is
+    hamming-0 to the anchor. Chunk buckets holding more than
+    ``max_bucket`` DISTINCT signatures split into anchored sub-buckets
+    via ``_bounded_members``; there the anchor bridge is best-effort —
+    two sigs in different sub-buckets whose only shared chunk was this
+    bucket, and which are both > max_hamming from the anchor, lose their
+    pair (see the ``_bounded_members`` docstring for the full recall
+    statement).
     """
     spark = df.sparkSession
     # single-file parquet sources open as 1-2 input splits; spread the
@@ -645,12 +654,12 @@ def connected_components(
         cur, n_edges = nxt, n_next
     spark = edges.sparkSession
     # driver-ok: bounded — this finish only runs when the (contracted) edge
-    # list is ≤ local_edge_threshold rows of two longs (≈8 MB default); the
-    # star rounds above contract any larger graph first
+    # list is ≤ local_edge_threshold rows of two ids (≈8 MB default for
+    # longs); the star rounds above contract any larger graph first
     pdf = cur.toPandas()
-    parent: dict[int, int] = {}
+    parent: dict = {}
 
-    def find(x: int) -> int:
+    def find(x):
         r = x
         while parent.get(r, r) != r:
             r = parent[r]
@@ -658,17 +667,20 @@ def connected_components(
             parent[x], x = r, parent[x]
         return r
 
-    for a, b in zip(pdf["a"].to_numpy(), pdf["b"].to_numpy()):
-        ra, rb = find(int(a)), find(int(b))
+    for a, b in zip(pdf["a"], pdf["b"]):
+        ra, rb = find(a), find(b)
         if ra != rb:
             # union by MIN so the root is always the component minimum
             lo, hi = (ra, rb) if ra < rb else (rb, ra)
             parent[hi] = lo
-    all_nodes = sorted({int(x) for ab in zip(pdf["a"], pdf["b"]) for x in ab})
-    local = pd.DataFrame(
-        {
-            "node": pd.Series(all_nodes, dtype="int64"),
-            "component": pd.Series([find(n) for n in all_nodes], dtype="int64"),
-        }
+    all_nodes = sorted({x for ab in zip(pdf["a"], pdf["b"]) for x in ab})
+    local = pd.DataFrame({"node": all_nodes, "component": [find(n) for n in all_nodes]})
+    # id-type-agnostic output: the node/component type follows the edge
+    # column type (long doc ids, string keys, …)
+    id_type = edges.schema[src].dataType
+    out_schema = T.StructType(
+        [T.StructField("node", id_type), T.StructField("component", id_type)]
     )
-    return spark.createDataFrame(local, "node long, component long")
+    if local.empty:
+        return spark.createDataFrame([], out_schema)
+    return spark.createDataFrame(local, out_schema)

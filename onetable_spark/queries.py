@@ -997,7 +997,7 @@ def q_streaming_hopping(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.streaming.events import hopping_event_counts, read_event_stream, run_available_now
 
     stream = hopping_event_counts(read_event_stream(spark, sf))
-    out = run_available_now(stream, f"hop_{abs(hash(sf)) % 10**8}")
+    out = run_available_now(stream, f"hop_{_sf_tag(sf)}")
     return out.select(
         F.col("w_start").cast("timestamp").cast("long").alias("w_start_s"),
         "event_type",
@@ -1216,6 +1216,15 @@ PRICE_BANDS = [
 ]
 
 
+def _sf_tag(sf: str) -> int:
+    """Stable per-sf-dir tag for streaming memory-sink/query names —
+    Python's hash() is PYTHONHASHSEED-randomized across processes, which
+    would make sink names unreproducible between runs."""
+    import zlib
+
+    return zlib.crc32(sf.encode())
+
+
 def q_streaming_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     """The tumbling-window aggregation run through Structured Streaming
     (file source → watermark → window agg → AvailableNow → memory sink) —
@@ -1224,7 +1233,7 @@ def q_streaming_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.streaming.events import read_event_stream, run_available_now, tumbling_event_counts
 
     stream = tumbling_event_counts(read_event_stream(spark, sf))
-    out = run_available_now(stream, f"win_{abs(hash(sf)) % 10**8}")
+    out = run_available_now(stream, f"win_{_sf_tag(sf)}")
     return out.select(
         F.col("w_start").cast("timestamp").cast("long").alias("w_start_s"), "event_type", "n_events", "total_value"
     )
@@ -1238,7 +1247,7 @@ def q_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.streaming.events import read_event_stream, run_available_now, user_running_totals
 
     stream = user_running_totals(read_event_stream(spark, sf))
-    out = run_available_now(stream, f"tot_{abs(hash(sf)) % 10**8}", output_mode="update")
+    out = run_available_now(stream, f"tot_{_sf_tag(sf)}", output_mode="update")
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("total_value", "n_events").alias("total_value"),
@@ -1354,7 +1363,7 @@ def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
     stream = dedup_stream(read_event_stream(spark, sf))
     return run_available_now(
-        stream, f"sdedup_{abs(hash(sf)) % 10**8}", output_mode="append"
+        stream, f"sdedup_{_sf_tag(sf)}", output_mode="append"
     )
 
 
@@ -1366,7 +1375,7 @@ def q_streaming_join(spark: SparkSession, sf: str) -> DataFrame:
 
     stream = attribution_join_stream(read_event_stream(spark, sf))
     return run_available_now(
-        stream, f"sjoin_{abs(hash(sf)) % 10**8}", output_mode="append"
+        stream, f"sjoin_{_sf_tag(sf)}", output_mode="append"
     )
 
 
@@ -1377,7 +1386,7 @@ def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.streaming.events import read_event_stream, run_available_now, sessionize_stream
 
     stream = sessionize_stream(read_event_stream(spark, sf), gap="30 minutes")
-    out = run_available_now(stream, f"sess_{abs(hash(sf)) % 10**8}")
+    out = run_available_now(stream, f"sess_{_sf_tag(sf)}")
     return out.select(
         "user_id",
         F.col("sess_start").cast("timestamp").cast("long").alias("sess_start_s"),

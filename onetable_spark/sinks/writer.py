@@ -80,7 +80,10 @@ def write_partitioned(
 def _strip_hive_prefixes(root: str, names: list[str], level: int = 0) -> None:
     """Rename ``col=value`` partition dirs to bare ``value`` dirs, one
     level per partition column (driver-side: one rename per partition
-    directory; the data files never move)."""
+    directory; the data files never move). When the bare dir already
+    exists (append mode over a partition value written before), the fresh
+    dir's entries are MOVED INTO it instead — a plain rename would raise
+    ENOTEMPTY and strand the table in a half-stripped mixed layout."""
     import os
 
     if level >= len(names):
@@ -90,8 +93,21 @@ def _strip_hive_prefixes(root: str, names: list[str], level: int = 0) -> None:
         full = os.path.join(root, d)
         if os.path.isdir(full) and d.startswith(prefix):
             target = os.path.join(root, d[len(prefix) :])
-            os.rename(full, target)
+            _merge_move(full, target)
             _strip_hive_prefixes(target, names, level + 1)
+
+
+def _merge_move(src: str, dst: str) -> None:
+    """Recursive directory move that merges into an existing destination
+    (task-file names carry UUIDs, so file-level collisions don't occur)."""
+    import os
+
+    if not os.path.isdir(dst):
+        os.rename(src, dst)
+        return
+    for child in os.listdir(src):
+        _merge_move(os.path.join(src, child), os.path.join(dst, child))
+    os.rmdir(src)
 
 
 def write_bucketed(

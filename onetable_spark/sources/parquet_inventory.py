@@ -57,6 +57,14 @@ def partition_values_from_path(
         return values
     segs = rel.split(os.sep)
     if partition_cols:
+        if len(segs) != len(partition_cols):
+            # a mis-placed file would otherwise get a silently-truncated
+            # partition map (reference raises through parseValue too:
+            # HudiPartitionValuesExtractor "Missing partition value")
+            raise ValueError(
+                f"{path}: {len(segs)} partition dir(s) under root but "
+                f"{len(partition_cols)} partition column(s) declared ({partition_cols})"
+            )
         for col, seg in zip(partition_cols, segs):
             if seg.startswith(col + "="):
                 seg = seg[len(col) + 1 :]
@@ -212,7 +220,12 @@ def enrich_missing_stats(files: DataFrame, table_path: str | None = None) -> Dat
 
         mdt = HudiMetadataTable(files.sparkSession, table_path)
         if mdt.available():
-            from_index = mdt.stats_for(missing)
+            from pyspark import StorageLevel
+
+            # persisted: both the covered branch and the residual-missing
+            # branch read this join — without the persist the index scan
+            # plan executes twice
+            from_index = mdt.stats_for(missing).persist(StorageLevel.MEMORY_AND_DISK)
             have = have.unionByName(from_index.filter(F.col("column_stats").isNotNull()))
             missing = from_index.filter(F.col("column_stats").isNull()).select(
                 "path", "file_format", "partition_values"

@@ -98,9 +98,9 @@ def test_commit_maintains_index_when_advertised(spark, sf_dir, tmp_path):
     inv2 = build_inventory(spark, [os.path.join(table_path, "f1.parquet")], root=table_path)
     tl.commit(adds=inv2, schema=schema)
     indexed = (
-        spark.read.parquet(mdt.partition_dir).select("file_name").distinct().collect()
+        spark.read.parquet(mdt.partition_dir).select("rel_path").distinct().collect()
     )
-    assert {r["file_name"] for r in indexed} == {"f0.parquet", "f1.parquet"}
+    assert {r["rel_path"] for r in indexed} == {"f0.parquet", "f1.parquet"}
 
 
 def test_unadvertised_partition_is_ignored(spark, sf_dir, tmp_path):
@@ -125,3 +125,33 @@ def test_unadvertised_partition_is_ignored(spark, sf_dir, tmp_path):
         table_path=table_path,
     ).collect()
     assert out[0]["column_stats"] is not None
+
+
+def test_identical_basenames_across_partitions_do_not_collide(spark, sf_dir, tmp_path):
+    """The index keys on the table-root-relative path: two partitions with
+    identically-named data files keep distinct stats rows."""
+    table_path = str(tmp_path / "mdt4")
+    for part in ("day=a", "day=b"):
+        os.makedirs(os.path.join(table_path, part))
+        shutil.copy(
+            os.path.join(sf_dir, "region.parquet"),
+            os.path.join(table_path, part, "part-00000.parquet"),
+        )
+    inv = inventory_from_directory(spark, table_path)
+    assert inv.count() == 2
+    mdt = HudiMetadataTable(spark, table_path)
+    os.makedirs(os.path.join(table_path, ".hoodie"), exist_ok=True)
+    open(mdt.props_path, "a").close()
+    mdt.upsert_from_files(inv)
+    out = enrich_missing_stats(
+        inv.select("path", "file_format", "partition_values")
+        .withColumn("size", F.lit(None).cast("long"))
+        .withColumn("record_count", F.lit(None).cast("long"))
+        .withColumn("last_modified_millis", F.lit(None).cast("long"))
+        .withColumn("column_stats", F.lit(None).cast(inv.schema["column_stats"].dataType)),
+        table_path=table_path,
+    ).collect()
+    assert len(out) == 2
+    assert all(r["column_stats"] is not None and r["record_count"] == 5 for r in out)
+    paths = {r["path"] for r in out}
+    assert len(paths) == 2

@@ -179,3 +179,27 @@ def test_enrich_missing_stats_footer_fallback(spark, sf_dir, tmp_path):
     fields = {s["field"] for s in b["column_stats"]}
     assert "n_nationkey" in fields
     assert b["record_count"] == 25
+
+
+def test_dir_hierarchy_append_merges_existing_partitions(spark, sf_dir, tmp_path):
+    """Append-mode DIR_HIERARCHY writes must merge into pre-existing bare
+    partition dirs instead of failing the col=value -> value rename."""
+    events = load_table(spark, sf_dir, "events").limit(1000)
+    out = str(tmp_path / "bare_append")
+    pf = PartitionField("ts", PartitionTransform.DAY, "day")
+    write_partitioned(
+        events, out, [pf], layout=DataLayoutStrategy.DIR_HIERARCHY_PARTITION_VALUES
+    )
+    n1 = spark.read.parquet(out + "/*").count()
+    write_partitioned(
+        events,
+        out,
+        [pf],
+        layout=DataLayoutStrategy.DIR_HIERARCHY_PARTITION_VALUES,
+        mode="append",
+    )
+    import os
+
+    subdirs = [d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d))]
+    assert subdirs and all("=" not in d for d in subdirs)
+    assert spark.read.parquet(out + "/*").count() == 2 * n1

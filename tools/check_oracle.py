@@ -80,7 +80,14 @@ def run(sf_dir: str, only: list[str]) -> int:
             failures += 1
             continue
         if sql is None:
-            print(f"ok   {name}: rows-only ({sdf.count()} rows)")
+            try:
+                # DataFrames are lazy — the count() is where errors surface
+                n_rows = sdf.count()
+            except Exception as e:  # noqa: BLE001
+                print(f"FAIL {name}: spark error: {e}")
+                failures += 1
+                continue
+            print(f"ok   {name}: rows-only ({n_rows} rows)")
             continue
         try:
             msg = compare_result(sdf, sql, con)
