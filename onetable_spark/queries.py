@@ -997,7 +997,7 @@ def q_streaming_hopping(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.streaming.events import hopping_event_counts, read_event_stream, run_available_now
 
     stream = hopping_event_counts(read_event_stream(spark, sf))
-    out = run_available_now(stream, f"hop_{_sf_tag(sf)}")
+    out = run_available_now(stream, f"hop_{_sf_tag(sf)}", shuffle_partitions=8)
     return out.select(
         F.col("w_start").cast("timestamp").cast("long").alias("w_start_s"),
         "event_type",
@@ -1233,7 +1233,7 @@ def q_streaming_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.streaming.events import read_event_stream, run_available_now, tumbling_event_counts
 
     stream = tumbling_event_counts(read_event_stream(spark, sf))
-    out = run_available_now(stream, f"win_{_sf_tag(sf)}")
+    out = run_available_now(stream, f"win_{_sf_tag(sf)}", shuffle_partitions=8)
     return out.select(
         F.col("w_start").cast("timestamp").cast("long").alias("w_start_s"), "event_type", "n_events", "total_value"
     )
@@ -1247,7 +1247,7 @@ def q_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.streaming.events import read_event_stream, run_available_now, user_running_totals
 
     stream = user_running_totals(read_event_stream(spark, sf))
-    out = run_available_now(stream, f"tot_{_sf_tag(sf)}", output_mode="update")
+    out = run_available_now(stream, f"tot_{_sf_tag(sf)}", output_mode="update", shuffle_partitions=8)
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("total_value", "n_events").alias("total_value"),
@@ -1363,7 +1363,7 @@ def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
     stream = dedup_stream(read_event_stream(spark, sf))
     return run_available_now(
-        stream, f"sdedup_{_sf_tag(sf)}", output_mode="append"
+        stream, f"sdedup_{_sf_tag(sf)}", output_mode="append", shuffle_partitions=8
     )
 
 
@@ -1375,7 +1375,7 @@ def q_streaming_join(spark: SparkSession, sf: str) -> DataFrame:
 
     stream = attribution_join_stream(read_event_stream(spark, sf))
     return run_available_now(
-        stream, f"sjoin_{_sf_tag(sf)}", output_mode="append"
+        stream, f"sjoin_{_sf_tag(sf)}", output_mode="append", shuffle_partitions=8
     )
 
 
@@ -1386,7 +1386,7 @@ def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.streaming.events import read_event_stream, run_available_now, sessionize_stream
 
     stream = sessionize_stream(read_event_stream(spark, sf), gap="30 minutes")
-    out = run_available_now(stream, f"sess_{_sf_tag(sf)}")
+    out = run_available_now(stream, f"sess_{_sf_tag(sf)}", shuffle_partitions=8)
     return out.select(
         "user_id",
         F.col("sess_start").cast("timestamp").cast("long").alias("sess_start_s"),
