@@ -476,6 +476,25 @@ class HudiTimeline:
             instant = millis_to_instant(instant_to_millis(instant) + 1)
         return instant
 
+    def _claim_instant(self, action: str, max_retries: int = 100) -> tuple[str, str]:
+        """Atomically claim a fresh instant by creating its ``.requested``
+        marker with O_EXCL — ``new_instant`` alone is check-then-act, so two
+        concurrent writers reading the same timeline could pick the same
+        instant and silently overwrite each other's lifecycle files. The
+        create-if-absent claim makes exactly one writer win each instant
+        (the loser bumps and retries), the same single-winner primitive the
+        Delta version claim and Iceberg version-hint CAS use."""
+        for _ in range(max_retries):
+            instant = self.new_instant()
+            req = os.path.join(self.hoodie_path, f"{instant}.{action}.requested")
+            try:
+                fd = os.open(req, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.close(fd)
+                return instant, req
+            except FileExistsError:
+                continue
+        raise RuntimeError(f"could not claim a Hudi instant after {max_retries} attempts")
+
     def commit(
         self,
         adds: DataFrame | None = None,
@@ -493,17 +512,15 @@ class HudiTimeline:
         fileIds to replace → emitted as a replacecommit. ``action`` forces
         the instant action (e.g. ``deltacommit`` to model a MOR writer).
         """
-        instant = self.new_instant()
         if action is None:
             action = "replacecommit" if replace_file_ids else "commit"
-        req = os.path.join(self.hoodie_path, f"{instant}.{action}.requested")
+        instant, req = self._claim_instant(action)
         inflight = os.path.join(
             self.hoodie_path,
             # COW commit inflight has no action infix (Hudi timeline quirk);
             # deltacommit/replacecommit inflights carry it
             f"{instant}.inflight" if action == "commit" else f"{instant}.{action}.inflight",
         )
-        open(req, "w").close()
         open(inflight, "w").close()
 
         partition_to_stats: dict[str, list[dict]] = {}
@@ -571,8 +588,11 @@ class HudiTimeline:
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, completed)
-        os.remove(req)
-        os.remove(inflight)
+        # the requested/inflight markers STAY on the active timeline (real
+        # Hudi keeps all three lifecycle files until archival) — deleting
+        # the O_EXCL-claimed requested marker would reopen the instant to a
+        # racing writer the moment this commit completes; archive_timeline
+        # sweeps them with the completed instant
         if adds is not None:
             # keep the metadata-table column_stats index fresh when the
             # table advertises it (real Hudi updates the metadata table as
@@ -714,6 +734,15 @@ class HudiTimeline:
         for i, a in to_archive:
             src = os.path.join(self.hoodie_path, f"{i}.{a}")
             os.replace(src, os.path.join(self.hoodie_path, "archived", f"{i}.{a}"))
+            # sweep the instant's lifecycle markers with it
+            for marker in (
+                f"{i}.{a}.requested",
+                f"{i}.{a}.inflight",
+                f"{i}.inflight",
+            ):
+                mp = os.path.join(self.hoodie_path, marker)
+                if os.path.exists(mp):
+                    os.remove(mp)
         return len(to_archive)
 
 

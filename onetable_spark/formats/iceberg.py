@@ -713,8 +713,14 @@ class IcebergTable:
             except CommitConflictError:
                 os.unlink(path)  # roll back the file claim; pointer is truth
                 raise
-        with open(os.path.join(self.metadata_dir, "version-hint.text"), "w") as f:
+        # atomic hint update: a plain truncate-then-write lets a concurrent
+        # reader observe an empty file between the two steps (int('') crash
+        # under racing writers); write-beside + rename is atomic on POSIX
+        hint = os.path.join(self.metadata_dir, "version-hint.text")
+        tmp = f"{hint}.{uuid.uuid4().hex}.tmp"
+        with open(tmp, "w") as f:
             f.write(str(version))
+        os.replace(tmp, hint)
 
     def _sync_partition_spec(
         self, md: dict, incoming: tuple, ice_schema: dict

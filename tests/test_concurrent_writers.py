@@ -148,3 +148,44 @@ def test_iceberg_commit_overwrite_race_replays(spark, sf_dir, tmp_path):
     assert live == set(paths)  # neither writer's commit was lost
     md = IcebergTable(spark, table_path).metadata()
     assert len(md["snapshots"]) == 2
+
+
+def test_hudi_racing_writers_get_distinct_instants(spark, tmp_path):
+    """N threads commit concurrently against one Hudi timeline: the
+    O_EXCL requested-marker claim gives every writer its own instant
+    (new_instant alone is check-then-act — two writers reading the same
+    timeline would pick the same instant and clobber lifecycle files)."""
+    from onetable_spark.formats.hudi import HudiTimeline
+
+    path = str(tmp_path / "hrace")
+    os.makedirs(path)
+    tl = HudiTimeline(spark, path)
+    tl.init_table(
+        Table(name="hrace", base_path=path, table_format=TableFormat.HUDI, read_schema=_SCHEMA)
+    )
+    n = 8
+    instants: list[str] = []
+    errors: list[Exception] = []
+    barrier = threading.Barrier(n)
+
+    def writer(i: int) -> None:
+        try:
+            barrier.wait()
+            instants.append(HudiTimeline(spark, path).commit(operation=f"W{i}"))
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=writer, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    assert len(instants) == n and len(set(instants)) == n
+    tl2 = HudiTimeline(spark, path)
+    completed = {i for i, _ in tl2.completed_instants()}
+    assert set(instants) <= completed
+    # lifecycle markers stay on the active timeline (real-Hudi semantics —
+    # and the permanent claim is what makes the instant race-free), but
+    # nothing reads as pending once completed
+    assert tl2.pending_instants() == []
