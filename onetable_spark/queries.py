@@ -990,6 +990,25 @@ def q_winnow_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_winnow_near_dups(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs by shared winnowing fingerprints: documents sharing
+    ≥ 3 fingerprints (i.e. ≥ 3 surviving window-min k-grams — MOSS-style
+    overlap detection). Inverted-index self-join on the fingerprint, so
+    only pairs that actually share a fingerprint materialize; the shuffle
+    carries (fp, id) pairs, never text."""
+    from onetable_spark.functions.text import winnow_fingerprint_rows
+
+    docs = load_table(spark, sf, "documents")
+    fps = winnow_fingerprint_rows(docs, k=3, w=4)
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= 3)
+    )
+
+
 def q_streaming_hopping(spark: SparkSession, sf: str) -> DataFrame:
     """The hopping-window aggregation through real Structured Streaming
     execution (file source → watermark → 1h/30min windows → AvailableNow
@@ -2174,6 +2193,28 @@ ORACLE_SQL: dict[str, str] = {
         FROM w WHERE i <= n_grams - 3
         GROUP BY doc_id
     """,
+    "winnow_near_dups": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ), g AS (
+            SELECT doc_id, i,
+                   md5(concat_ws(' ', tk[i], tk[i+1], tk[i+2])) AS gh,
+                   len(tk) - 2 AS n_grams
+            FROM t, LATERAL unnest(generate_series(1, len(tk) - 2)) AS u(i)
+            WHERE len(tk) >= 6
+        ), w AS (
+            SELECT doc_id, i, n_grams,
+                   min(gh) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+            FROM g
+        ), fps AS (
+            SELECT DISTINCT doc_id, fp FROM w WHERE i <= n_grams - 3
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(COUNT(*) AS BIGINT) AS shared_fp
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING COUNT(*) >= 3
+    """,
     "streaming_hopping": """
         SELECT CAST(epoch(ws) AS BIGINT) AS w_start_s, event_type,
                CAST(COUNT(*) AS BIGINT) AS n_events
@@ -2292,5 +2333,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # round-4 additions (past the driver window; value-parity enforced by
     # tests/test_queries_smoke.py's oracle gate)
     "winnow_fingerprint": q_winnow_fingerprint,
+    "winnow_near_dups": q_winnow_near_dups,
     "streaming_hopping": q_streaming_hopping,
 }
