@@ -143,6 +143,54 @@ def winnow_fingerprint_rows(
     )
 
 
+def winnow_near_dup_pairs(
+    df,
+    k: int = 3,
+    w: int = 4,
+    min_shared: int = 3,
+    max_df: int = 64,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Near-dup pairs by shared winnowing fingerprints, with the MOSS
+    "too-common fingerprint" rule: fingerprints whose document frequency
+    exceeds ``max_df`` are dropped BEFORE the inverted-index self-join.
+    Without the cap, a fingerprint shared by m documents (license headers,
+    boilerplate templates) materializes m² join rows — the same hot-bucket
+    failure mode ``dedup._bounded_members`` bounds for MinHash/SimHash.
+    With it, every fingerprint group is ≤ max_df rows, so no join task
+    ever sees more than max_df² candidate pairs per fingerprint.
+
+    Recall trade (documented, deliberate): a pair whose ONLY shared
+    fingerprints are corpus-wide boilerplate is not reported. That is the
+    standard MOSS behavior — fingerprints appearing in "too many"
+    documents carry no authorship/near-dup signal, and exact/fingerprint
+    dedup already catches full-template duplicates. Pairs sharing ≥
+    ``min_shared`` discriminative (df ≤ max_df) fingerprints are
+    unaffected; at the test scales (max observed df = 24 at sf0.1) the
+    cap is a strict no-op.
+
+    Plan: window-count over fp (one shuffle on fp), filter, then the
+    self-join reuses the same hash partitioning — Catalyst reuses the
+    exchange, so the cap costs no extra shuffle."""
+    from pyspark.sql.window import Window
+
+    fps = winnow_fingerprint_rows(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    dfreq = Window.partitionBy("fp")
+    kept = (
+        fps.withColumn("n_docs", F.count(F.lit(1)).over(dfreq))
+        .filter(F.col("n_docs") <= max_df)
+        .drop("n_docs")
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    return (
+        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("shared_fp"))
+        .filter(F.col("shared_fp") >= min_shared)
+    )
+
+
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 

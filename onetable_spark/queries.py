@@ -995,18 +995,14 @@ def q_winnow_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     ≥ 3 fingerprints (i.e. ≥ 3 surviving window-min k-grams — MOSS-style
     overlap detection). Inverted-index self-join on the fingerprint, so
     only pairs that actually share a fingerprint materialize; the shuffle
-    carries (fp, id) pairs, never text."""
-    from onetable_spark.functions.text import winnow_fingerprint_rows
+    carries (fp, id) pairs, never text. Fingerprints with document
+    frequency > 64 (boilerplate) are dropped before the join — the MOSS
+    too-common rule; see ``text.winnow_near_dup_pairs`` for the bound and
+    the recall statement. A strict no-op at the test scales (max df 24)."""
+    from onetable_spark.functions.text import winnow_near_dup_pairs
 
     docs = load_table(spark, sf, "documents")
-    fps = winnow_fingerprint_rows(docs, k=3, w=4)
-    a, b = fps.alias("a"), fps.alias("b")
-    return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("shared_fp"))
-        .filter(F.col("shared_fp") >= 3)
-    )
+    return winnow_near_dup_pairs(docs, k=3, w=4, min_shared=3, max_df=64)
 
 
 def q_streaming_hopping(spark: SparkSession, sf: str) -> DataFrame:
@@ -2209,10 +2205,13 @@ ORACLE_SQL: dict[str, str] = {
             FROM g
         ), fps AS (
             SELECT DISTINCT doc_id, fp FROM w WHERE i <= n_grams - 3
+        ), kept AS (
+            SELECT doc_id, fp FROM fps
+            QUALIFY COUNT(*) OVER (PARTITION BY fp) <= 64
         )
         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                CAST(COUNT(*) AS BIGINT) AS shared_fp
-        FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING COUNT(*) >= 3
     """,
     "streaming_hopping": """
@@ -2285,10 +2284,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g8_stats_regroup": q_g8_stats_regroup,
     "g10_json_flatten": q_g10_json_flatten,
     "g12_latest_instant": q_g12_latest_instant,
-    "tpch_q1": q_tpch_q1,
-    "tpch_q3": q_tpch_q3,
+    # round-5 window rotation (VERDICT r4 #2): the 3 round-4 queries take
+    # driver slots from tpch_q1/q3/q18, each already hash-green in BOTH the
+    # r02 and r04 windows and still oracle-gated every pytest run.
+    "winnow_fingerprint": q_winnow_fingerprint,
+    "winnow_near_dups": q_winnow_near_dups,
+    "streaming_hopping": q_streaming_hopping,
     "tpch_q9": q_tpch_q9,
-    "tpch_q18": q_tpch_q18,
     "tpch_q21": q_tpch_q21,
     "dedup_exact": q_dedup_exact,
     "fingerprint_dedup": q_fingerprint_dedup,
@@ -2313,7 +2315,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g7_max_agg": q_g7_max_agg,
     "g11_sort_commits": q_g11_sort_commits,
     "dedup_first_per_key": q_dedup_first_per_key,
+    "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
+    "tpch_q3": q_tpch_q3,
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
     "tpch_q6": q_tpch_q6,
@@ -2327,12 +2331,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q15": q_tpch_q15,
     "tpch_q16": q_tpch_q16,
     "tpch_q17": q_tpch_q17,
+    "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
     "tpch_q20": q_tpch_q20,
     "tpch_q22": q_tpch_q22,
-    # round-4 additions (past the driver window; value-parity enforced by
-    # tests/test_queries_smoke.py's oracle gate)
-    "winnow_fingerprint": q_winnow_fingerprint,
-    "winnow_near_dups": q_winnow_near_dups,
-    "streaming_hopping": q_streaming_hopping,
 }

@@ -32,6 +32,8 @@ MUST_BE_DRIVER_MEASURED = {
     "minhash_lsh_dedup", "simhash_near_dups", "ann_lsh_topk",
     "ann_ivf_topk", "multimodal_decode", "audio_features", "image_resize",
     "video_frame_sample",
+    # round-5 rotation: first-ever driver rows for the round-4 queries
+    "winnow_fingerprint", "winnow_near_dups", "streaming_hopping",
 }
 
 

@@ -112,6 +112,46 @@ def test_simhash_bounded_equals_unbounded_below_cap(spark, sf_dir):
     assert a == b, "cap must be a strict no-op when no group exceeds it"
 
 
+def test_winnow_hot_fingerprint_bounded(spark):
+    """10 000 docs sharing one boilerplate block (VERDICT r4 #1): every
+    boilerplate fingerprint has df=10 000 ≫ max_df, so the MOSS cap drops
+    it before the self-join — the join input for any fingerprint is
+    bounded by max_df, never m. Without the cap this materializes ~10⁸
+    join rows; with it the query completes instantly and the template
+    cluster simply yields no winnowing pairs (exact dedup owns full
+    duplicates — the documented recall trade)."""
+    from onetable_spark.functions.text import winnow_fingerprint_rows, winnow_near_dup_pairs
+
+    df = _template_corpus(spark, n_dups=10_000, n_unique=20)
+    cap = 64
+    # the bound the join actually sees: per-fp group size after the cap
+    fps = winnow_fingerprint_rows(df, k=3, w=4)
+    kept_max = (
+        fps.groupBy("fp").count().filter(F.col("count") <= cap)
+        .agg(F.max("count")).collect()[0][0]
+    )
+    assert kept_max is not None and kept_max <= cap
+    pairs = winnow_near_dup_pairs(df, k=3, w=4, min_shared=3, max_df=cap).collect()
+    template_ids = set(range(10_000))
+    assert all(
+        r["id_a"] not in template_ids and r["id_b"] not in template_ids for r in pairs
+    ), "boilerplate-only pairs are dropped by design (MOSS too-common rule)"
+
+
+def test_winnow_cap_noop_below_df(spark, sf_dir):
+    """On the real corpus (max observed df = 24 at sf0.1) the cap must be
+    a strict no-op: capped and uncapped plans return identical pairs."""
+    from onetable_spark.session import load_table
+    from onetable_spark.functions.text import winnow_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = winnow_near_dup_pairs(docs, max_df=64)
+    uncapped = winnow_near_dup_pairs(docs, max_df=1 << 40)
+    a = sorted(map(tuple, capped.collect()))
+    b = sorted(map(tuple, uncapped.collect()))
+    assert a == b and a, "cap must not change results below the df bound"
+
+
 def test_star_rounds_match_local_union_find(spark):
     """Force the distributed large-star/small-star path (threshold=0) on a
     random graph and check it labels identically to the local union-find
