@@ -524,7 +524,16 @@ class HudiTimeline:
         open(inflight, "w").close()
 
         partition_to_stats: dict[str, list[dict]] = {}
+        we_cached_adds = False
         if adds is not None:
+            # commit consumes adds twice (write-stats build here, metadata-
+            # table index below); for a footer-scan inventory each pass
+            # re-runs the distributed footer job — cache it for the commit
+            from pyspark import StorageLevel
+
+            if adds.storageLevel == StorageLevel.NONE:
+                adds = adds.persist(StorageLevel.MEMORY_AND_DISK)
+                we_cached_adds = True
             table_prefix = self.table_path.rstrip("/") + "/"
             for row in adds.toLocalIterator():
                 rel = row["path"]
@@ -603,6 +612,8 @@ class HudiTimeline:
             mdt = HudiMetadataTable(self.spark, self.table_path)
             if mdt.available():
                 mdt.upsert_from_files(adds)
+            if we_cached_adds:
+                adds.unpersist()
         return instant
 
     def rollback(self, instant: str) -> str:

@@ -24,6 +24,8 @@ stores. This module implements that branch Spark-first:
 from __future__ import annotations
 
 import os
+import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -66,9 +68,67 @@ class HudiMetadataTable:
         parts = self._read_props().get(METADATA_PARTITIONS_KEY, "")
         if COLUMN_STATS_PARTITION not in [p.strip() for p in parts.split(",") if p.strip()]:
             return False
-        if not os.path.isdir(self.partition_dir):
+        data_dir = self._data_dir()
+        if data_dir is None:
             return False
-        return any(f.endswith(".parquet") for f in os.listdir(self.partition_dir))
+        return any(f.endswith(".parquet") for f in os.listdir(data_dir))
+
+    # ------------------------------------------------- versioned partition
+
+    def _data_dir(self) -> str | None:
+        """Resolve the CURRENT data directory: the ``_CURRENT`` pointer
+        names a versioned subdir (``v_000042``); a partition written by a
+        pre-pointer version of this module keeps its flat parquet layout
+        readable until the next upsert migrates it."""
+        ptr = os.path.join(self.partition_dir, "_CURRENT")
+        if os.path.exists(ptr):
+            with open(ptr) as f:
+                name = f.read().strip()
+            d = os.path.join(self.partition_dir, name)
+            if os.path.isdir(d):
+                return d
+        if os.path.isdir(self.partition_dir):
+            return self.partition_dir
+        return None
+
+    def _versions(self) -> list[int]:
+        if not os.path.isdir(self.partition_dir):
+            return []
+        out = []
+        for n in os.listdir(self.partition_dir):
+            if n.startswith("v_") and n[2:].isdigit() and os.path.isdir(
+                os.path.join(self.partition_dir, n)
+            ):
+                out.append(int(n[2:]))
+        return sorted(out)
+
+    def _acquire_lock(self, timeout: float = 30.0, stale_after: float = 300.0) -> str:
+        """O_EXCL lock file serializing index rewrites — the same
+        create-if-absent primitive as ``HudiTimeline._claim_instant``.
+        Two concurrent commits both upserting the index re-merge under
+        the lock, so neither's rows are lost. A lock older than
+        ``stale_after`` (crashed writer) is broken and re-claimed."""
+        lock = self.partition_dir + ".lock"
+        os.makedirs(os.path.dirname(lock), exist_ok=True)
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                os.write(fd, str(os.getpid()).encode())
+                os.close(fd)
+                return lock
+            except FileExistsError:
+                try:
+                    if time.time() - os.path.getmtime(lock) > stale_after:
+                        os.unlink(lock)  # crashed holder; re-claim via O_EXCL
+                        continue
+                except OSError:
+                    pass  # holder released between the check and the stat
+                if time.monotonic() >= deadline:
+                    raise TimeoutError(
+                        f"could not acquire column_stats lock {lock} within {timeout}s"
+                    )
+                time.sleep(0.05)
 
     def _advertise(self) -> None:
         """Add column_stats to hoodie.table.metadata.partitions (atomic)."""
@@ -102,7 +162,14 @@ class HudiMetadataTable:
         One distributed write: files explode to (file, column) rows; the
         merge with pre-existing index rows keys on (rel_path, column_name)
         with new rows winning — Hudi metadata-table upsert semantics. The
-        shuffle carries stats rows (strings + longs), never file contents."""
+        shuffle carries stats rows (strings + longs), never file contents.
+
+        Concurrency: the read-merge-publish cycle runs under an O_EXCL
+        lock (two committers both re-merge; neither's rows are lost) and
+        publishes by writing a NEW versioned subdir then atomically
+        replacing the ``_CURRENT`` pointer — readers see the old or the
+        new index, never a missing directory; the immediately-previous
+        version is retained one generation so in-flight scans finish."""
         new_rows = files.select(
             self._rel_path().alias("rel_path"),
             F.col("record_count"),
@@ -121,25 +188,51 @@ class HudiMetadataTable:
             "file_size",
             "last_modified_millis",
         )
-        if self.available():
-            prior = self.spark.read.schema(STATS_ROW_SCHEMA).parquet(self.partition_dir)
-            merged = new_rows.unionByName(
-                prior.join(
-                    new_rows.select("rel_path").distinct(), "rel_path", "left_anti"
+        lock = self._acquire_lock()
+        try:
+            # resolve + read the prior index INSIDE the lock: a concurrent
+            # commit that published between our plan and our lock is merged,
+            # not overwritten (lost-update fix)
+            data_dir = self._data_dir()
+            if data_dir is not None and any(
+                f.endswith(".parquet") for f in os.listdir(data_dir)
+            ):
+                prior = self.spark.read.schema(STATS_ROW_SCHEMA).parquet(data_dir)
+                merged = new_rows.unionByName(
+                    prior.join(
+                        new_rows.select("rel_path").distinct(), "rel_path", "left_anti"
+                    )
                 )
-            )
-        else:
-            merged = new_rows
-        # two-phase: write beside, swap in (the partition is tiny relative
-        # to the data; a staged rewrite keeps readers consistent)
-        staging = self.partition_dir + ".staging"
-        merged.write.mode("overwrite").parquet(staging)
-        import shutil
-
-        if os.path.isdir(self.partition_dir):
-            shutil.rmtree(self.partition_dir)
-        os.replace(staging, self.partition_dir)
-        self._advertise()
+            else:
+                merged = new_rows
+            versions = self._versions()
+            new_v = (versions[-1] + 1) if versions else 1
+            vdir = os.path.join(self.partition_dir, f"v_{new_v:06d}")
+            merged.write.mode("overwrite").parquet(vdir)
+            tmp = os.path.join(self.partition_dir, "_CURRENT.tmp")
+            with open(tmp, "w") as f:
+                f.write(f"v_{new_v:06d}")
+            os.replace(tmp, os.path.join(self.partition_dir, "_CURRENT"))
+            # retire: keep the new version plus the one just replaced (an
+            # in-flight reader may still be scanning it); drop older ones
+            # and any legacy flat-layout files superseded by the pointer
+            keep = {new_v} | ({versions[-1]} if versions else set())
+            for v in versions:
+                if v not in keep:
+                    shutil.rmtree(
+                        os.path.join(self.partition_dir, f"v_{v:06d}"),
+                        ignore_errors=True,
+                    )
+            if data_dir == self.partition_dir:
+                for n in os.listdir(self.partition_dir):
+                    if n.endswith(".parquet") or n == "_SUCCESS":
+                        try:
+                            os.unlink(os.path.join(self.partition_dir, n))
+                        except OSError:
+                            pass
+            self._advertise()
+        finally:
+            os.unlink(lock)
 
     # ------------------------------------------------------------------ read
 
@@ -150,7 +243,7 @@ class HudiMetadataTable:
         caller's footer fallback picks them up)."""
         idx = (
             self.spark.read.schema(STATS_ROW_SCHEMA)
-            .parquet(self.partition_dir)
+            .parquet(self._data_dir() or self.partition_dir)
             .groupBy("rel_path")
             .agg(
                 F.max("record_count").alias("record_count"),

@@ -652,10 +652,21 @@ def connected_components(
                 roots.select("node", F.col("node").alias("component"))
             )
         cur, n_edges = nxt, n_next
+    if n_edges > local_edge_threshold:
+        # the loop exhausted max_iter without contracting below the local
+        # threshold (or hitting a star fixed point) — refuse the unbounded
+        # driver collect rather than silently materializing the edge list
+        raise RuntimeError(
+            f"connected_components: {n_edges} edges remain after {max_iter} "
+            f"star rounds (> local_edge_threshold={local_edge_threshold}); "
+            "raise max_iter (contraction is O(log n) rounds) or "
+            "local_edge_threshold instead of collecting unbounded"
+        )
     spark = edges.sparkSession
     # driver-ok: bounded — this finish only runs when the (contracted) edge
     # list is ≤ local_edge_threshold rows of two ids (≈8 MB default for
-    # longs); the star rounds above contract any larger graph first
+    # longs); the star rounds above contract any larger graph first, and
+    # the max_iter guard above refuses the collect if they could not
     pdf = cur.toPandas()
     parent: dict = {}
 

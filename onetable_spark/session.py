@@ -63,17 +63,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # The epoch unit the long carries (nanos vs micros) has varied by
-        # Spark version / read path — normalize by magnitude (see
-        # streaming.events._epoch_micros) so either unit yields the same
-        # timestamp_ntz.
-        micros = (
-            F.when(
-                F.col("ts") > F.lit(400_000_000_000_000_000), (F.col("ts") / 1000).cast("long")
-            )
-            .otherwise(F.col("ts"))
-            .cast("long")
+        # Spark version / read path — normalize by magnitude with exact
+        # integer arithmetic (shared with streaming) so either unit yields
+        # the same timestamp_ntz.
+        from onetable_spark.streaming.events import _epoch_micros
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros(_epoch_micros(F.col("ts"))).cast("timestamp_ntz")
         )
-        df = df.withColumn("ts", F.timestamp_micros(micros).cast("timestamp_ntz"))
     return df
 
 

@@ -62,9 +62,15 @@ def read_event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _epoch_micros(ts_long):
-    """Normalize an ambiguous epoch long (nanos or micros) to micros."""
+    """Normalize an ambiguous epoch long (nanos or micros) to micros.
+
+    Integer arithmetic only: epoch-nanos ~1.7e18 exceeds double's 2^53
+    exact-integer range, so float division (``ts / 1000``) can land ~1µs
+    off near window boundaries. Exact decimal division + floor keeps the
+    value bit-identical to the DuckDB oracle's integer semantics."""
+    as_micros = F.floor(ts_long.cast("decimal(38,0)") / 1000).cast("long")
     return (
-        F.when(ts_long > F.lit(400_000_000_000_000_000), (ts_long / 1000).cast("long"))
+        F.when(ts_long > F.lit(400_000_000_000_000_000), as_micros)
         .otherwise(ts_long)
         .cast("long")
     )

@@ -98,7 +98,7 @@ def test_commit_maintains_index_when_advertised(spark, sf_dir, tmp_path):
     inv2 = build_inventory(spark, [os.path.join(table_path, "f1.parquet")], root=table_path)
     tl.commit(adds=inv2, schema=schema)
     indexed = (
-        spark.read.parquet(mdt.partition_dir).select("rel_path").distinct().collect()
+        spark.read.parquet(mdt._data_dir()).select("rel_path").distinct().collect()
     )
     assert {r["rel_path"] for r in indexed} == {"f0.parquet", "f1.parquet"}
 
@@ -155,3 +155,109 @@ def test_identical_basenames_across_partitions_do_not_collide(spark, sf_dir, tmp
     assert all(r["column_stats"] is not None and r["record_count"] == 5 for r in out)
     paths = {r["path"] for r in out}
     assert len(paths) == 2
+
+
+def test_upsert_serialized_by_lock_and_versioned_swap(spark, sf_dir, tmp_path):
+    """ADVICE r4: the index rewrite is serialized by an O_EXCL lock and
+    published via an atomically-replaced _CURRENT pointer, so a holder
+    blocks a second writer (no lost update) and readers never see a
+    missing directory — the replaced version survives one generation."""
+    import pytest
+
+    table_path, tl, schema = _hudi_table(spark, sf_dir, tmp_path, name="mdt5")
+    inv = inventory_from_directory(spark, table_path)
+    mdt = HudiMetadataTable(spark, table_path)
+    mdt.upsert_from_files(inv)
+    assert os.path.basename(mdt._data_dir()) == "v_000001"
+
+    # a held lock blocks a second writer until released
+    lock = mdt._acquire_lock()
+    with pytest.raises(TimeoutError):
+        mdt._acquire_lock(timeout=0.3)
+    os.unlink(lock)
+
+    # second upsert: new version published, previous retained one generation
+    mdt.upsert_from_files(inv)
+    assert os.path.basename(mdt._data_dir()) == "v_000002"
+    assert os.path.isdir(os.path.join(mdt.partition_dir, "v_000001"))
+    # third upsert: v1 (two generations back) is retired, v2 retained
+    mdt.upsert_from_files(inv)
+    assert os.path.basename(mdt._data_dir()) == "v_000003"
+    assert not os.path.isdir(os.path.join(mdt.partition_dir, "v_000001"))
+    assert os.path.isdir(os.path.join(mdt.partition_dir, "v_000002"))
+    assert mdt.available()
+
+
+def test_upsert_merges_rows_written_between_plans(spark, sf_dir, tmp_path):
+    """Lost-update fix: the prior index is re-read INSIDE the lock, so
+    rows published by a writer that ran after this writer built its plan
+    still survive the merge."""
+    table_path, tl, schema = _hudi_table(spark, sf_dir, tmp_path, name="mdt6")
+    inv = inventory_from_directory(spark, table_path)
+    mdt = HudiMetadataTable(spark, table_path)
+    mdt.upsert_from_files(inv)
+
+    shutil.copy(
+        os.path.join(sf_dir, "region.parquet"), os.path.join(table_path, "f1.parquet")
+    )
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    inv_f1 = build_inventory(spark, [os.path.join(table_path, "f1.parquet")], root=table_path)
+    shutil.copy(
+        os.path.join(sf_dir, "region.parquet"), os.path.join(table_path, "f2.parquet")
+    )
+    inv_f2 = build_inventory(spark, [os.path.join(table_path, "f2.parquet")], root=table_path)
+    # "concurrent" writers: f2's upsert lands between f1's plan and upsert
+    mdt.upsert_from_files(inv_f2)
+    mdt.upsert_from_files(inv_f1)
+    indexed = (
+        spark.read.parquet(mdt._data_dir()).select("rel_path").distinct().collect()
+    )
+    assert {r["rel_path"] for r in indexed} == {"f0.parquet", "f1.parquet", "f2.parquet"}
+
+
+def test_legacy_flat_layout_migrates_on_upsert(spark, sf_dir, tmp_path):
+    """A partition written by the pre-pointer flat layout stays readable
+    and migrates to the versioned layout on the next upsert."""
+    table_path, tl, schema = _hudi_table(spark, sf_dir, tmp_path, name="mdt7")
+    inv = inventory_from_directory(spark, table_path)
+    mdt = HudiMetadataTable(spark, table_path)
+    # fabricate the legacy layout: flat parquet directly in partition_dir
+    rows = inv.select(
+        mdt._rel_path().alias("rel_path"),
+        F.col("record_count"),
+        F.col("size").alias("file_size"),
+        F.col("last_modified_millis"),
+        F.explode("column_stats").alias("cs"),
+    ).select(
+        "rel_path",
+        F.col("cs.field").alias("column_name"),
+        F.col("cs.min_value").alias("min_value"),
+        F.col("cs.max_value").alias("max_value"),
+        F.col("cs.num_nulls").cast("long").alias("null_count"),
+        F.col("cs.num_values").cast("long").alias("value_count"),
+        F.col("cs.total_size").cast("long").alias("total_size"),
+        "record_count",
+        "file_size",
+        "last_modified_millis",
+    )
+    rows.write.mode("overwrite").parquet(mdt.partition_dir)
+    mdt._advertise()
+    assert mdt.available() and mdt._data_dir() == mdt.partition_dir
+
+    shutil.copy(
+        os.path.join(sf_dir, "region.parquet"), os.path.join(table_path, "f1.parquet")
+    )
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    inv_f1 = build_inventory(spark, [os.path.join(table_path, "f1.parquet")], root=table_path)
+    mdt.upsert_from_files(inv_f1)
+    # migrated: pointer layout, legacy flat files swept, both rows present
+    assert os.path.basename(mdt._data_dir()) == "v_000001"
+    assert not any(
+        n.endswith(".parquet") for n in os.listdir(mdt.partition_dir)
+    )
+    indexed = (
+        spark.read.parquet(mdt._data_dir()).select("rel_path").distinct().collect()
+    )
+    assert {r["rel_path"] for r in indexed} == {"f0.parquet", "f1.parquet"}
