@@ -794,6 +794,10 @@ class IcebergTable:
             except CommitConflictError:
                 if attempt == max_retries - 1:
                     raise
+                # the winner claims its v-file BEFORE publishing the hint;
+                # an immediate retry can spin on the stale hint faster than
+                # the winner's rename lands — back off briefly
+                time.sleep(0.02 * (attempt + 1))
         raise AssertionError("unreachable")
 
     def _commit_overwrite_once(
@@ -805,8 +809,12 @@ class IcebergTable:
         expire_older_than_millis: Optional[int],
         partition_fields: Optional[tuple] = None,
     ) -> int:
-        md = self.metadata()
+        # read the version ONCE and load metadata at exactly that version:
+        # two separate hint reads let a concurrent committer slip between
+        # them, basing this commit on v(N) content while claiming v(N+2) —
+        # a lost update the O_EXCL claim cannot catch
         version = self.current_version()
+        md = self.metadata(version)
         now = int(time.time() * 1000)
         snapshot_id = int.from_bytes(os.urandom(7), "big")
         current_schema = self._schema_for(md)
@@ -1016,12 +1024,13 @@ class IcebergTable:
 
     def rollback_to(self, snapshot_id: int) -> None:
         """CALL rollback_to_snapshot parity (IcebergClient.java:251-285)."""
-        md = self.metadata()
+        version = self.current_version()
+        md = self.metadata(version)
         if not any(s["snapshot-id"] == snapshot_id for s in md.get("snapshots", [])):
             raise ValueError(f"unknown snapshot {snapshot_id}")
         md["current-snapshot-id"] = snapshot_id
         md["last-updated-ms"] = int(time.time() * 1000)
-        self._write_metadata(self.current_version() + 1, md)
+        self._write_metadata(version + 1, md)
 
     def recover_if_corrupt(self) -> bool:
         """K12 corrupt-snapshot recovery (IcebergClient.java:251-285): if
@@ -1033,7 +1042,8 @@ class IcebergTable:
 
         if not self.exists():
             return False
-        md = self.metadata()
+        version = self.current_version()
+        md = self.metadata(version)
         snap = self.current_snapshot_meta(md)
         if snap is None or os.path.exists(snap["manifest-list"]):
             return False
@@ -1046,7 +1056,7 @@ class IcebergTable:
         props.pop(TableMetadata.PROP_INFLIGHT, None)
         md["properties"] = props
         md["last-updated-ms"] = int(time.time() * 1000)
-        self._write_metadata(self.current_version() + 1, md)
+        self._write_metadata(version + 1, md)
         return True
 
     def _partition_avro_fields(self, ice_schema: dict, spec: list[dict]) -> list[dict]:

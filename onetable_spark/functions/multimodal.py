@@ -154,12 +154,16 @@ def _decode_image_impl(content: bytes) -> tuple[int, int, list[float]]:
     (width/height/feature from the content digest — the contract the SQL
     oracles reproduce for non-media corpora)."""
     raster = _try_real_image(content)
-    if raster is not None:
+    if raster is not None and raster.size:
         import numpy as np
 
         h, w = raster.shape
-        strips = np.array_split(raster, 8, axis=1)
+        # images narrower than 8 px would make array_split emit empty
+        # strips (mean() → NaN); split into at most w strips and pad by
+        # repeating the last value so the feature stays length-8 and finite
+        strips = np.array_split(raster, min(8, w), axis=1)
         feature = [float(s.mean()) / 255.0 for s in strips]
+        feature += [feature[-1]] * (8 - len(feature))
         return w, h, feature
     digest = hashlib.sha256(content or b"").digest()
     width = 64 + digest[0]
@@ -304,7 +308,7 @@ def _decode_raster_impl(content: bytes):
     import numpy as np
 
     raster = _try_real_image(content)
-    if raster is not None:
+    if raster is not None and raster.size:
         return raster
     digest = hashlib.sha256(content or b"").digest()
     w, h = 64 + digest[0], 64 + digest[1]

@@ -54,6 +54,27 @@ def test_netpbm_p5_real_decode():
     assert len(feature) == 8 and abs(feature[0] - raster[:, 0].mean() / 255.0) < 1e-9
 
 
+def test_sub_8px_image_features_finite():
+    """Images narrower than 8 px must not produce NaN strip means (round-5,
+    VERDICT #4): the split is capped at the width and the feature padded by
+    repeating the last strip so it stays length-8 and finite."""
+    pixels = bytes(range(16))  # 4x4
+    w, h, feature = _decode_image_impl(_pgm(4, 4, pixels))
+    assert (w, h) == (4, 4)
+    assert len(feature) == 8
+    assert all(np.isfinite(feature))
+    raster = _parse_netpbm(_pgm(4, 4, pixels))
+    # 4 real strips (one column each) then the last value repeated
+    expected = [raster[:, i].mean() / 255.0 for i in range(4)]
+    expected += [expected[-1]] * 4
+    assert np.allclose(feature, expected)
+    # degenerate 1-px-wide image: single strip repeated 8x
+    one = _pgm(1, 3, bytes([100, 110, 120]))
+    w1, h1, f1 = _decode_image_impl(one)
+    assert (w1, h1) == (1, 3)
+    assert np.allclose(f1, [110.0 / 255.0] * 8)
+
+
 def test_netpbm_p6_collapses_rgb():
     rgb = bytes([30, 60, 90] * 4)  # 2x2, every pixel mean=60
     content = b"P6\n2 2\n255\n" + rgb
