@@ -21,9 +21,60 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from onetable_spark.model.core import DataLayoutStrategy, PartitionField
 from onetable_spark.schema.partitions import transform_column
+
+#: Spark's native parquet field-id metadata key: when present on a
+#: StructField and ``spark.sql.parquet.fieldId.write.enabled`` is on (the
+#: default), the parquet writer stamps the id into the file schema — the
+#: Spark-first equivalent of the reference's custom write support
+#: (hudi-support/.../HoodieAvroWriteSupportWithFieldIds.java), which wraps
+#: parquet-avro to inject Iceberg-style ids at Hudi write time.
+PARQUET_FIELD_ID = "parquet.field.id"
+
+
+def stamp_parquet_field_ids(schema: T.StructType) -> tuple[T.StructType, bool]:
+    """Copy IR ``fieldId`` metadata (IdTracker / Delta column-mapping
+    provenance) into Spark's ``parquet.field.id`` key on every struct
+    field, recursively. Returns (stamped schema, anything changed).
+
+    Ids land on named struct fields at every nesting level — the same
+    coverage parquet's own field-id attribute has (list/map *entries* have
+    no StructField to carry metadata, matching Spark's native support)."""
+
+    changed = False
+
+    def walk_type(dt: T.DataType) -> T.DataType:
+        if isinstance(dt, T.StructType):
+            return walk_struct(dt)
+        if isinstance(dt, T.ArrayType):
+            return T.ArrayType(walk_type(dt.elementType), dt.containsNull)
+        if isinstance(dt, T.MapType):
+            return T.MapType(walk_type(dt.keyType), walk_type(dt.valueType), dt.valueContainsNull)
+        return dt
+
+    def walk_struct(st: T.StructType) -> T.StructType:
+        nonlocal changed
+        fields = []
+        for f in st.fields:
+            md = dict(f.metadata or {})
+            if "fieldId" in md and PARQUET_FIELD_ID not in md:
+                md[PARQUET_FIELD_ID] = int(md["fieldId"])
+                changed = True
+            fields.append(T.StructField(f.name, walk_type(f.dataType), f.nullable, md))
+        return T.StructType(fields)
+
+    return walk_struct(schema), changed
+
+
+def with_field_id_stamping(df: DataFrame) -> DataFrame:
+    """Return ``df`` with parquet field-id metadata derived from its IR
+    ``fieldId`` metadata (no-op when the schema carries no ids). Purely a
+    metadata projection — the plan is untouched."""
+    stamped, changed = stamp_parquet_field_ids(df.schema)
+    return df.to(stamped) if changed else df
 
 
 def with_partition_columns(df: DataFrame, partition_fields: list[PartitionField]) -> DataFrame:
@@ -57,7 +108,7 @@ def write_partitioned(
     only understands hive-style.
     FLAT → no partitioning.
     """
-    writer_df = with_partition_columns(df, partition_fields)
+    writer_df = with_field_id_stamping(with_partition_columns(df, partition_fields))
     names = [pf.name for pf in partition_fields]
     if names and layout in (
         DataLayoutStrategy.HIVE_STYLE_PARTITION,
@@ -121,7 +172,7 @@ def write_bucketed(
     """Bucketed managed table: joins/aggregations on ``bucket_col`` between
     tables bucketed the same way run with NO exchange (the co-located join
     play from SURVEY §7-M6 scale notes)."""
-    w = df.write.mode(mode).bucketBy(num_buckets, bucket_col)
+    w = with_field_id_stamping(df).write.mode(mode).bucketBy(num_buckets, bucket_col)
     if sort_col:
         w = w.sortBy(sort_col)
     w.saveAsTable(table_name)

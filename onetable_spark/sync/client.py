@@ -548,31 +548,108 @@ class IcebergTarget:
 
 
 # ----------------------------------------------------------------- factories
+#
+# Plugin registry mirroring the reference's ServiceLoader discovery
+# (TableFormatClientFactory.java:49-73): built-ins are pre-registered,
+# third-party formats plug in either imperatively via register_target /
+# register_source or declaratively via package entry points in the groups
+# "onetable_spark.targets" / "onetable_spark.sources" (entry-point name =
+# format string, value = the client class) — the Pythonic equivalent of
+# META-INF/services. Keys are the TableFormat enum for built-ins and
+# upper-cased strings for external formats, so a new format needs no enum
+# patch.
 
-_SOURCES = {
+_SOURCES: dict = {
     TableFormat.PARQUET: ParquetSource,
     TableFormat.DELTA: DeltaSource,
     TableFormat.HUDI: HudiSource,
     TableFormat.ICEBERG: IcebergSource,
 }
-_TARGETS = {
+_TARGETS: dict = {
     TableFormat.DELTA: DeltaTarget,
     TableFormat.HUDI: HudiTarget,
     TableFormat.ICEBERG: IcebergTarget,
 }
+_EP_GROUPS = (("onetable_spark.sources", _SOURCES), ("onetable_spark.targets", _TARGETS))
+_ep_scanned = False
+
+
+def _fmt_key(fmt: TableFormat | str):
+    try:
+        return TableFormat(fmt)
+    except ValueError:
+        return str(fmt).upper()
+
+
+def register_source(fmt: TableFormat | str, cls: type) -> None:
+    """Register a SourceClient implementation for a format name."""
+    _SOURCES[_fmt_key(fmt)] = cls
+
+
+def register_target(fmt: TableFormat | str, cls: type) -> None:
+    """Register a TargetClient implementation for a format name
+    (TableFormatClientFactory.java:49-73's ServiceLoader hook)."""
+    _TARGETS[_fmt_key(fmt)] = cls
+
+
+def _scan_entry_points() -> None:
+    """One-shot entry-point discovery; explicit register_* calls and the
+    built-ins always win over entry-point declarations (first-wins, like
+    ServiceLoader iteration order with the core provider first)."""
+    global _ep_scanned
+    if _ep_scanned:
+        return
+    _ep_scanned = True
+    try:
+        from importlib.metadata import entry_points
+    except ImportError:  # pragma: no cover - py3.7 only
+        return
+    for group, registry in _EP_GROUPS:
+        try:
+            eps = entry_points(group=group)
+        except TypeError:  # pragma: no cover - pre-3.10 selectable API
+            eps = entry_points().get(group, [])
+        for ep in eps:
+            try:
+                registry.setdefault(_fmt_key(ep.name), ep.load())
+            except Exception:  # noqa: BLE001 - a broken plugin must not break core
+                continue
+
+
+def registered_formats() -> dict[str, tuple[bool, bool]]:
+    """{format: (has_source, has_target)} over built-ins + plugins."""
+    _scan_entry_points()
+    fmts = {str(getattr(k, "value", k)) for k in (*_SOURCES, *_TARGETS)}
+    return {
+        f: (_fmt_key(f) in _SOURCES, _fmt_key(f) in _TARGETS) for f in sorted(fmts)
+    }
 
 
 def source_for(
     spark: SparkSession, fmt: TableFormat | str, path: str, **kwargs
 ) -> SourceClient:
-    return _SOURCES[TableFormat(fmt)](spark, path, **kwargs)
+    _scan_entry_points()
+    key = _fmt_key(fmt)
+    if key not in _SOURCES:
+        raise ValueError(
+            f"no source client registered for format {fmt!r}; "
+            f"known: {sorted(registered_formats())}"
+        )
+    return _SOURCES[key](spark, path, **kwargs)
 
 
 def target_for(
     spark: SparkSession, fmt: TableFormat | str, path: str, **kwargs
 ) -> TargetClient:
     """ServiceLoader-style registry (TableFormatClientFactory.java:49-73)."""
-    return _TARGETS[TableFormat(fmt)](spark, path, **kwargs)
+    _scan_entry_points()
+    key = _fmt_key(fmt)
+    if key not in _TARGETS:
+        raise ValueError(
+            f"no target client registered for format {fmt!r}; "
+            f"known: {sorted(registered_formats())}"
+        )
+    return _TARGETS[key](spark, path, **kwargs)
 
 
 # -------------------------------------------------------------------- client

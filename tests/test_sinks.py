@@ -203,3 +203,69 @@ def test_dir_hierarchy_append_merges_existing_partitions(spark, sf_dir, tmp_path
     subdirs = [d for d in os.listdir(out) if os.path.isdir(os.path.join(out, d))]
     assert subdirs and all("=" not in d for d in subdirs)
     assert spark.read.parquet(out + "/*").count() == 2 * n1
+
+
+def test_parquet_field_id_stamping(spark, tmp_path):
+    """Write-side field-id injection (round-5, VERDICT #7 —
+    HoodieAvroWriteSupportWithFieldIds.java parity): IR ``fieldId``
+    metadata — here produced by the IdTracker pipeline — must land as
+    parquet field ids in the written files' footers, nested fields
+    included, so external id-based readers (Iceberg) map columns by id."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import types as T
+
+    from onetable_spark.formats.avro_schema import (
+        add_id_tracking,
+        id_tracking_to_field_ids,
+        inject_field_ids,
+        structtype_to_avro,
+    )
+    from onetable_spark.sinks.writer import stamp_parquet_field_ids
+
+    schema = T.StructType(
+        [
+            T.StructField("k", T.LongType(), False),
+            T.StructField("name", T.StringType(), True),
+            T.StructField(
+                "addr",
+                T.StructType(
+                    [
+                        T.StructField("city", T.StringType(), True),
+                        T.StructField("zip", T.IntegerType(), True),
+                    ]
+                ),
+                True,
+            ),
+        ]
+    )
+    tracked = add_id_tracking(structtype_to_avro(schema, name="rec"))
+    ids = id_tracking_to_field_ids(tracked)
+    assert ids  # IdTracker assigned ids for every path
+    stamped_input = inject_field_ids(schema, ids)
+
+    df = spark.createDataFrame([(1, "a", ("x", 10)), (2, "b", ("y", 20))], stamped_input)
+    out = str(tmp_path / "fid")
+    write_partitioned(df, out, [])
+
+    files = glob.glob(f"{out}/*.parquet")
+    assert files
+    arrow_schema = pq.read_schema(files[0])
+    # top-level ids
+    footer_ids = {}
+    for fld in arrow_schema:
+        if fld.metadata and b"PARQUET:field_id" in fld.metadata:
+            footer_ids[fld.name] = int(fld.metadata[b"PARQUET:field_id"])
+    assert footer_ids["k"] == ids["k"]
+    assert footer_ids["name"] == ids["name"]
+    assert footer_ids["addr"] == ids["addr"]
+    # nested struct ids survive into the parquet group type
+    addr_type = arrow_schema.field("addr").type
+    nested = {addr_type.field(i).name: addr_type.field(i) for i in range(addr_type.num_fields)}
+    assert int(nested["city"].metadata[b"PARQUET:field_id"]) == ids["addr.city"]
+    assert int(nested["zip"].metadata[b"PARQUET:field_id"]) == ids["addr.zip"]
+
+    # no-op contract: schemas without fieldId metadata are left untouched
+    plain, changed = stamp_parquet_field_ids(T.StructType([T.StructField("a", T.LongType())]))
+    assert not changed
