@@ -181,22 +181,36 @@ def shingles(col: str | Column = "text", n: int = 3) -> Column:
     return F.array_distinct(gram)
 
 
+def token_hash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """(id, th: array<long>) — ordered per-token xxhash64 values, one text
+    pass, JVM-side. The common ancestor of the shingle table (sliding-
+    window gram combine) and the SimHash signature (bit voting): pipelines
+    running both persist THIS table and share the corpus scan. The
+    repartition spreads single-file parquet sources across all cores
+    before the downstream hash work."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("th"),
+    ).repartition(parallelism)
+
+
 def shingle_hash_df(
-    df: DataFrame, n: int = 3, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    th: DataFrame | None = None,
 ) -> DataFrame:
     """(id, sh: array<long>) — distinct 64-bit shingle hashes per document.
 
     Tokenize + per-token xxhash64 JVM-side (one pass over the text), then
     the sliding-window gram combine runs vectorized in numpy
     (``_gram_hash_udf``) — only the compact ``array<long>`` crosses the
-    Arrow boundary. The repartition spreads single-file parquet sources
-    across all cores before the hash work."""
-    spark = df.sparkSession
-    parallelism = spark.sparkContext.defaultParallelism
-    th = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("th"),
-    ).repartition(parallelism)
+    Arrow boundary. Pass a prebuilt ``th`` (``token_hash_df``) to share
+    the tokenize+hash scan with other consumers."""
+    if th is None:
+        th = token_hash_df(df, text_col, id_col)
     return th.select("id", _gram_hash_udf(n)("th").alias("sh"))
 
 
@@ -214,6 +228,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """All document pairs with n-gram Jaccard ≥ threshold — **exact**.
 
@@ -230,15 +245,29 @@ def ngram_jaccard_pairs(
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
-    sh = shingle_hash_df(df, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    if sh is None:
+        sh = shingle_hash_df(df, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     tok = sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("g"))
-    dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    # document frequency, kept only where df ≥ 2: a globally-unique shingle
+    # matches nobody, so it can't contribute a candidate — and in the
+    # rarity-ascending global order every df=1 shingle sorts BEFORE every
+    # shared one, so a shared shingle's overall prefix rank decomposes as
+    #   rank = (#unique shingles in the doc) + (rank among the doc's shared
+    #   shingles by (df, g))
+    # letting both windows below run over the SMALL shared-occurrence table
+    # instead of the full corpus explode (orders of magnitude in a
+    # mostly-unique corpus), while producing the exact same prefix set the
+    # full-table ranking would
+    dfreq = tok.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= 2)
+    shared = tok.join(dfreq, "g")
     w = Window.partitionBy("id").orderBy(F.asc("df"), F.asc("g"))
+    wcnt = Window.partitionBy("id")
     prefix_len = F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1
     prefix = (
-        tok.join(dfreq, "g")
-        .withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") <= prefix_len)
+        shared.withColumn("rk_sh", F.row_number().over(w))
+        .withColumn("n_sh", F.count(F.lit(1)).over(wcnt))
+        # overall rank = (sz - n_sh) unique shingles ahead + rk_sh
+        .filter((F.col("sz") - F.col("n_sh") + F.col("rk_sh")) <= prefix_len)
         .select("id", "g")
     )
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -388,6 +417,7 @@ def minhash_lsh_dedup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 1024,
+    sh: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidates verified with exact Jaccard (no false positives;
     recall is the banding curve 1-(1-t^r)^b).
@@ -396,10 +426,13 @@ def minhash_lsh_dedup_pairs(
     feeds the signature/banding path and both sides of the verification
     join; without the persist each consumer would re-tokenize the corpus.
     At 100 TB this is the same play: materialize (id, shingle_hashes) —
-    orders of magnitude smaller than the text — and reuse it."""
+    orders of magnitude smaller than the text — and reuse it. Callers
+    running several dedup flavors over one corpus pass the table in via
+    ``sh`` so it is built once for ALL of them (see queries._corpus_shingles)."""
     from pyspark import StorageLevel
 
-    sh = shingle_hash_df(df, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+    if sh is None:
+        sh = shingle_hash_df(df, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
     cand = minhash_lsh_candidates_from(sh, num_hashes, bands, max_bucket)
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
@@ -448,6 +481,7 @@ def simhash_near_dup_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_bucket: int = 1024,
+    th: DataFrame | None = None,
 ) -> DataFrame:
     """Pairs with SimHash hamming distance ≤ max_hamming.
 
@@ -468,21 +502,30 @@ def simhash_near_dup_pairs(
     pair (see the ``_bounded_members`` docstring for the full recall
     statement).
     """
-    spark = df.sparkSession
-    # single-file parquet sources open as 1-2 input splits; spread the
-    # signature work across all cores before the Arrow UDF
-    hashed = df.select(
-        F.col(id_col).alias("id"),
-        F.transform(F.array_distinct(tokens(text_col)), lambda t: F.xxhash64(t)).alias("th"),
-    ).repartition(spark.sparkContext.defaultParallelism)
-    sig = hashed.select("id", _simhash_sig_udf()("th").alias("sig"))
+    from pyspark import StorageLevel
+
+    if th is None:
+        # single-file parquet sources open as 1-2 input splits; spread the
+        # signature work across all cores before the Arrow UDF
+        hashed = token_hash_df(df, text_col, id_col)
+    else:
+        hashed = th  # shared tokenize+hash scan (see token_hash_df)
+    # distinct-of-hashes ≡ hashes-of-distinct-tokens as a first-occurrence
+    # sequence (64-bit xxhash; a cross-token collision would merge votes
+    # either way), so the shared ordered token-hash table serves both the
+    # shingle path and this signature. sig feeds THREE consumers (group
+    # stats, the small-group join, the oversized-group star) — persist the
+    # tiny (id, long) table instead of recomputing the UDF per branch.
+    sig = hashed.select(
+        "id", _simhash_sig_udf()(F.array_distinct("th")).alias("sig")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     # CLUSTER COLLAPSE first: duplicate-heavy corpora produce many docs
     # with identical signatures; group them so the quadratic candidate
     # stage runs over DISTINCT signatures only, then expand id pairs at
     # the end. Intra-group pairs are hamming-0 by construction.
     gstat = sig.groupBy("sig").agg(
         F.count(F.lit(1)).alias("n"), F.min("id").alias("anchor")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)  # 3 consumers: small / large_rep / star
     small = (
         sig.join(gstat.filter(F.col("n") <= max_bucket).select("sig"), "sig")
         .groupBy("sig")
@@ -493,7 +536,10 @@ def simhash_near_dup_pairs(
     large_rep = gstat.filter(F.col("n") > max_bucket).select(
         "sig", F.array("anchor").alias("ids")
     )
-    groups = small.unionByName(large_rep)
+    # groups feeds the 4-chunk explode AND the intra-pair expansion;
+    # persist (distinct sigs + member lists — corpus-order-of-magnitude
+    # smaller than the text) so the grouping shuffle runs once
+    groups = small.unionByName(large_rep).persist(StorageLevel.MEMORY_AND_DISK)
     # Bucket distinct sigs by 16-bit chunk, then generate pairs WITHIN each
     # bucket via a bounded collect + double explode — one hash agg instead
     # of a sort-merge self-join (whose skewed keys — a hot chunk value
@@ -534,8 +580,10 @@ def simhash_near_dup_pairs(
             F.least("x", "y").alias("id_a"), F.greatest("x", "y").alias("id_b"), "hamming"
         )
     )
+    # derive from the persisted groups table (large_rep rows are size-1
+    # anchor arrays, so the size>1 filter selects exactly the small groups)
     intra = (
-        small.filter(F.size("ids") > 1)
+        groups.filter(F.size("ids") > 1)
         .select(F.explode("ids").alias("id_a"), "ids")
         .select("id_a", F.explode("ids").alias("id_b"))
         .filter(F.col("id_a") < F.col("id_b"))

@@ -151,6 +151,7 @@ def winnow_near_dup_pairs(
     max_df: int = 64,
     text_col: str = "text",
     id_col: str = "doc_id",
+    fps=None,
 ):
     """Near-dup pairs by shared winnowing fingerprints, with the MOSS
     "too-common fingerprint" rule: fingerprints whose document frequency
@@ -175,7 +176,8 @@ def winnow_near_dup_pairs(
     exchange, so the cap costs no extra shuffle."""
     from pyspark.sql.window import Window
 
-    fps = winnow_fingerprint_rows(df, k=k, w=w, text_col=text_col, id_col=id_col)
+    if fps is None:
+        fps = winnow_fingerprint_rows(df, k=k, w=w, text_col=text_col, id_col=id_col)
     dfreq = Window.partitionBy("fp")
     kept = (
         fps.withColumn("n_docs", F.count(F.lit(1)).over(dfreq))

@@ -23,22 +23,81 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+# Every query with a selective scan filter must show it pushed to parquet.
+# (Queries absent here scan full tables by nature — dedup/text/multimodal
+# pipelines consume every row — or filter only on derived expressions,
+# e.g. corpus_curation's language/quality gates, which parquet can't take.)
 EXPECT_PUSHDOWN = {
     "g1_files_diff",
+    "g3_schema_flatten",
     "g6_filter_predicates",
+    "deterministic_sample",
+    "rollup_agg",
+    "window_agg",
+    "hopping_window",
+    "range_join",
+    "simhash_near_dups",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "embedding_topk",
     "tpch_q1",
+    "tpch_q2",
     "tpch_q3",
     "tpch_q4",
-    "tpch_q6",
-    "tpch_q14",
-}
-EXPECT_BROADCAST = {
-    "tpch_q3",
     "tpch_q5",
+    "tpch_q6",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
     "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
     "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
+    "tpch_q22",
+}
+# Every dimension/small-side join must broadcast (never shuffle the small
+# side). asof_join and corpus_curation are deliberately untagged: the
+# as-of plan is a union-merge window (joinless by design) and curation is
+# one fused scan+agg plan — neither contains a join to broadcast.
+EXPECT_BROADCAST = {
+    "g1_files_diff",
+    "rollup_agg",
     "range_join",
+    "sync_inventory",
+    "minhash_lsh_dedup",
+    "simhash_near_dups",
+    "winnow_near_dups",
+    "ngram_jaccard",
     "embedding_topk",
+    "embedding_near_dups",
+    "intersect_keys",
+    "tpch_q2",
+    "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
+    "tpch_q7",
+    "tpch_q8",
+    "tpch_q9",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q13",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q17",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q20",
+    "tpch_q21",
     "tpch_q22",
 }
 # streaming queries execute via writeStream, not a single batch plan
