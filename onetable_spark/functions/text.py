@@ -193,6 +193,33 @@ def winnow_near_dup_pairs(
     )
 
 
+def ngram_hash_rows(df, n: int = 6, text_col: str = "text", id_col: str = "doc_id"):
+    """Distinct token-n-gram hashes per document: (id, gh) rows where
+    ``gh = md5(space-joined n consecutive tokens)`` — the join-ready shape
+    benchmark-decontamination and substring-overlap pipelines need (the
+    Lee et al. 2022 / GPT-3 appendix-C n-gram overlap check operates on
+    exactly this relation). The gram hash is engine-reproducible (md5 of
+    the text), so the same relation can be built by any engine auditing
+    the contamination report.
+
+    Plan: one projection computes the gram-hash array with
+    ``transform(sequence(...))`` over fixed ``element_at`` offsets (JVM
+    codegen, O(n·tokens) per doc), ``array_distinct`` collapses repeats
+    doc-side BEFORE the explode, and only the 32-char hashes ever shuffle
+    — never the documents."""
+    tk = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("tk"))
+    n_grams = F.size("tk") - (n - 1)
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(
+            F.concat_ws(" ", *[F.element_at("tk", (i + j).cast("int")) for j in range(n)])
+        ),
+    )
+    return tk.filter(n_grams >= 1).select(
+        "id", F.explode(F.array_distinct(gram_hashes)).alias("gh")
+    )
+
+
 BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 

@@ -1082,6 +1082,199 @@ def q_winnow_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_knn_label_vote(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 5-NN majority-vote label prediction over the embedding corpus
+    — the kNN-classifier / retrieval-eval join. All-pairs cosine runs as
+    the checkerboard block-GEMM (O(√P) replication, nothing driver-side;
+    ``similarity.knn_topk_neighbors``), each task pre-prunes to its local
+    top-5 under the FINAL ranking order, and the vote is one groupBy +
+    window (ties: higher vote count, then smaller label)."""
+    from onetable_spark.functions.similarity import knn_topk_neighbors
+
+    emb = load_table(spark, sf, "embeddings")
+    nn = knn_topk_neighbors(emb, k=5)
+    votes = nn.groupBy("id", "id_label", "nbr_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("n_votes"), F.asc("nbr_label"))
+    return (
+        votes.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("id").alias("vec_id"),
+            F.col("id_label").alias("true_label"),
+            F.col("nbr_label").alias("pred_label"),
+            F.col("n_votes").cast("long").alias("n_votes"),
+        )
+    )
+
+
+def q_centroid_similarity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid cohesion: mean/min cosine of each vector to its
+    own label centroid. Centroid = distributed mean via partial-agg'd
+    posexplode (shuffle carries labels×dims running sums, not vectors);
+    scoring = broadcast join of the tiny centroid table + pure Column
+    cosine (``similarity.centroid_similarity``)."""
+    from onetable_spark.functions.similarity import centroid_similarity
+
+    return centroid_similarity(load_table(spark, sf, "embeddings"))
+
+
+def q_semdedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, then
+    near-dup pairs (cosine ≥ 0.45) WITHIN clusters only — ~n_clusters×
+    cheaper than the exact all-pairs search, recall traded at cluster
+    boundaries (probabilistic by design → rows-only driver check; recall
+    vs the exact twin ``embedding_near_dups`` is pinned in pytest with the
+    fixed seed). Skew-safe: pair-gen inside a cluster still runs the
+    checkerboard scheme keyed (cluster, block-combo)."""
+    from onetable_spark.functions.similarity import semdedup_pairs
+
+    return semdedup_pairs(load_table(spark, sf, "embeddings"), n_clusters=8, threshold=0.45)
+
+
+def q_decontam_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / Lee et al. 2022):
+    flag training documents sharing any 3-gram with the benchmark set
+    (here: doc_id % 97 == 0 plays the held-out benchmark; real pipelines
+    use 8-13-gram overlap — this synthetic corpus's small vocabulary makes
+    3 the size with the same sparse-hit profile). The benchmark's
+    distinct gram hashes are SMALL by construction — broadcast them; the
+    training side streams past map-side, so the only shuffle is the
+    per-doc count. Output: contaminated docs with gram counts + ratio."""
+    from onetable_spark.functions.text import ngram_hash_rows
+
+    docs = load_table(spark, sf, "documents")
+    grams = ngram_hash_rows(docs, n=3)
+    bench = grams.filter(F.col("id") % 97 == 0).select("gh").distinct()
+    train = grams.filter(F.col("id") % 97 != 0)
+    totals = train.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    hits = train.join(F.broadcast(bench), "gh").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    return (
+        hits.join(totals, "id")
+        .select(
+            F.col("id").alias("doc_id"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+            F.col("n_contaminated").cast("long").alias("n_contaminated"),
+            F.round(F.col("n_contaminated") / F.col("n_grams"), 4).alias("contaminated_ratio"),
+        )
+    )
+
+
+def q_stratified_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Stratified deterministic sampling — the per-language mixing-weight
+    step of a training-data pipeline: each language gets its own keep-rate
+    (en 10%, de 30%, fr 55%, es 80%, other 5%), membership decided by the
+    same portable content-hash bucket as ``deterministic_sample`` so every
+    engine/re-run selects the identical subset. One scan, one partial-agg
+    groupBy — no shuffle of documents."""
+    docs = load_table(spark, sf, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "int"
+    ) % 1000
+    rate = (
+        F.when(F.col("lang") == "en", 100)
+        .when(F.col("lang") == "de", 300)
+        .when(F.col("lang") == "fr", 550)
+        .when(F.col("lang") == "es", 800)
+        .otherwise(50)
+    )
+    return (
+        docs.select("lang", "source", (bucket < rate).cast("int").alias("sampled"))
+        .groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("sampled").cast("long").alias("n_sampled"),
+        )
+    )
+
+
+def q_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Chunk-level duplication profile: split every document into
+    non-overlapping 16-token chunks (hashed md5), count how many of a
+    doc's chunks recur anywhere in the corpus — the paragraph/boilerplate
+    dup-ratio filter of an LLM curation pipeline (operates where exact
+    dedup is too coarse and shingle near-dup too fine). Chunks are hashed
+    doc-side in one projection; only 32-char hashes shuffle (count per
+    chunk hash, then per-doc rollup)."""
+    from onetable_spark.functions.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    tk = docs.select("doc_id", tokens("text").alias("tk"))
+    chunk_hashes = F.transform(
+        F.sequence(F.lit(0), F.floor((F.size("tk") - 1) / 16).cast("int")),
+        lambda i: F.md5(F.array_join(F.slice("tk", i * 16 + 1, 16), " ")),
+    )
+    chunks = tk.select("doc_id", F.explode(chunk_hashes).alias("ch"))
+    global_cnt = Window.partitionBy("ch")
+    return (
+        chunks.withColumn("n_occ", F.count(F.lit(1)).over(global_cnt))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("n_occ") > 1, 1).otherwise(0)).cast("long").alias("n_dup_chunks"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chunks").cast("long").alias("n_chunks"),
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4).alias("dup_ratio"),
+        )
+    )
+
+
+def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversion funnel over the event stream: users whose FIRST view
+    precedes their first click precedes their first purchase (the standard
+    first-touch funnel simplification — one conditional-min pass per user,
+    no ordered-sequence scan). One groupBy(user) with three conditional
+    mins + one global rollup; partial aggregation makes the shuffle carry
+    3 timestamps per user per partition."""
+    events = load_table(spark, sf, "events")
+    per_user = events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    return per_user.agg(
+        F.count("t_view").cast("long").alias("n_view_users"),
+        F.sum(F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_click_after_view"),
+        F.sum(
+            F.when(
+                (F.col("t_click") > F.col("t_view")) & (F.col("t_purchase") > F.col("t_click")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_full_funnel"),
+    )
+
+
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity day,
+    distinct active users per (cohort, day-offset). First-touch table and
+    the event stream both hash-partition on user_id, so Catalyst reuses
+    one exchange for the self-join; countDistinct is exact (partial
+    distinct aggregation — no driver set)."""
+    events = load_table(spark, sf, "events")
+    first = events.groupBy("user_id").agg(F.min("ts").alias("first_ts"))
+    joined = events.join(first, "user_id").select(
+        "user_id",
+        F.to_date("first_ts").alias("cohort_d"),
+        F.datediff(F.to_date("ts"), F.to_date("first_ts")).alias("day_offset"),
+    )
+    return (
+        joined.groupBy(
+            F.col("cohort_d").cast("string").alias("cohort_date"), "day_offset"
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+    )
+
+
 def q_streaming_hopping(spark: SparkSession, sf: str) -> DataFrame:
     """The hopping-window aggregation through real Structured Streaming
     execution (file source → watermark → 1h/30min windows → AvailableNow
@@ -2299,6 +2492,117 @@ ORACLE_SQL: dict[str, str] = {
         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING COUNT(*) >= 3
     """,
+    "knn_label_vote": f"""
+        WITH pairs AS (
+            SELECT a.vec_id AS vid, a.label AS tl, b.vec_id AS nid, b.label AS nl,
+                   ROUND({_COS_SQL}, 4) AS cs
+            FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+        ), topk AS (
+            SELECT vid, tl, nl FROM (
+                SELECT vid, tl, nl,
+                       row_number() OVER (PARTITION BY vid ORDER BY cs DESC, nid ASC) AS rn
+                FROM pairs) WHERE rn <= 5
+        ), votes AS (
+            SELECT vid, tl, nl, COUNT(*) AS nv FROM topk GROUP BY vid, tl, nl
+        )
+        SELECT vid AS vec_id, CAST(tl AS INT) AS true_label,
+               CAST(nl AS INT) AS pred_label, CAST(nv AS BIGINT) AS n_votes
+        FROM (SELECT *, row_number() OVER (PARTITION BY vid ORDER BY nv DESC, nl ASC) AS rn2
+              FROM votes)
+        WHERE rn2 = 1
+    """,
+    "centroid_similarity": """
+        WITH dims AS (
+            SELECT CAST(label AS INT) AS lbl, vec_id,
+                   CAST(unnest(embedding) AS DOUBLE) AS val,
+                   generate_subscripts(embedding, 1) AS pos
+            FROM embeddings
+        ), cent AS (
+            SELECT lbl, pos, AVG(val) AS cval FROM dims GROUP BY lbl, pos
+        ), percos AS (
+            SELECT d.lbl, d.vec_id,
+                   SUM(d.val * c.cval)
+                   / (sqrt(SUM(d.val * d.val)) * sqrt(SUM(c.cval * c.cval))) AS cs
+            FROM dims d JOIN cent c ON d.lbl = c.lbl AND d.pos = c.pos
+            GROUP BY d.lbl, d.vec_id
+        )
+        SELECT lbl AS label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+               ROUND(AVG(cs), 4) AS avg_cos, ROUND(MIN(cs), 4) AS min_cos
+        FROM percos GROUP BY lbl
+    """,
+    "decontam_overlap": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(tk) - 1),
+                       i -> md5(array_to_string(tk[i:i+2], ' '))))) AS gh
+            FROM t WHERE len(tk) >= 3
+        ), bench AS (
+            SELECT DISTINCT gh FROM grams WHERE doc_id % 97 = 0
+        ), train AS (
+            SELECT doc_id, gh FROM grams WHERE doc_id % 97 <> 0
+        ), tot AS (
+            SELECT doc_id, COUNT(*) AS n_grams FROM train GROUP BY doc_id
+        ), hit AS (
+            SELECT t.doc_id, COUNT(*) AS n_contaminated
+            FROM train t JOIN bench b USING (gh) GROUP BY t.doc_id
+        )
+        SELECT h.doc_id, CAST(t.n_grams AS BIGINT) AS n_grams,
+               CAST(h.n_contaminated AS BIGINT) AS n_contaminated,
+               ROUND(h.n_contaminated / CAST(t.n_grams AS DOUBLE), 4) AS contaminated_ratio
+        FROM hit h JOIN tot t USING (doc_id)
+    """,
+    "stratified_sample": """
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 1000
+                              < CASE lang WHEN 'en' THEN 100 WHEN 'de' THEN 300
+                                          WHEN 'fr' THEN 550 WHEN 'es' THEN 800
+                                          ELSE 50 END
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        FROM documents GROUP BY lang, source
+    """,
+    "chunk_dedup": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ), chunks AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(0, CAST(ceil(len(tk) / 16.0) AS INT)),
+                       i -> md5(array_to_string(tk[(i*16+1):(i*16+16)], ' ')))) AS ch
+            FROM t
+        ), occ AS (
+            SELECT doc_id, ch, COUNT(*) OVER (PARTITION BY ch) AS n_occ FROM chunks
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+               ROUND(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4) AS dup_ratio
+        FROM occ GROUP BY doc_id
+    """,
+    "funnel_steps": """
+        WITH per_user AS (
+            SELECT user_id,
+                   MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+                   MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+                   MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+            FROM events GROUP BY user_id
+        )
+        SELECT CAST(COUNT(t_view) AS BIGINT) AS n_view_users,
+               CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_click_after_view,
+               CAST(SUM(CASE WHEN t_click > t_view AND t_purchase > t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+        FROM per_user
+    """,
+    "cohort_retention": """
+        WITH first AS (
+            SELECT user_id, MIN(ts) AS first_ts FROM events GROUP BY user_id
+        )
+        SELECT CAST(CAST(f.first_ts AS DATE) AS VARCHAR) AS cohort_date,
+               CAST(date_diff('day', CAST(f.first_ts AS DATE), CAST(e.ts AS DATE)) AS INT) AS day_offset,
+               CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS n_users
+        FROM events e JOIN first f USING (user_id)
+        GROUP BY 1, 2
+    """,
     "streaming_hopping": """
         SELECT CAST(epoch(ws) AS BIGINT) AS w_start_s, event_type,
                CAST(COUNT(*) AS BIGINT) AS n_events
@@ -2375,8 +2679,17 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "winnow_fingerprint": q_winnow_fingerprint,
     "winnow_near_dups": q_winnow_near_dups,
     "streaming_hopping": q_streaming_hopping,
-    "tpch_q9": q_tpch_q9,
-    "tpch_q21": q_tpch_q21,
+    # round-5 newcomers: driver slots from tpch_q9/q21, sessionize,
+    # pivot/unpivot/intersect, deterministic_sample, token_packing — all
+    # hash-green in 2+ prior windows, still oracle-gated every pytest run.
+    "knn_label_vote": q_knn_label_vote,
+    "centroid_similarity": q_centroid_similarity,
+    "semdedup_pairs": q_semdedup_pairs,  # rows-only: probabilistic by design
+    "decontam_overlap": q_decontam_overlap,
+    "stratified_sample": q_stratified_sample,
+    "chunk_dedup": q_chunk_dedup,
+    "funnel_steps": q_funnel_steps,
+    "cohort_retention": q_cohort_retention,
     "dedup_exact": q_dedup_exact,
     "fingerprint_dedup": q_fingerprint_dedup,
     "text_features": q_text_features,
@@ -2385,16 +2698,18 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_clusters": q_dedup_clusters,
     "embedding_topk": q_embedding_topk,
     "embedding_near_dups": q_embedding_near_dups,
-    "sessionize": q_sessionize,
     "token_stats": q_token_stats,
     "corpus_curation": q_corpus_curation,
     "deterministic_sample": q_deterministic_sample,
     "token_packing": q_token_packing,
+    # --- past the driver's 50-entry window: driver-green in earlier rounds,
+    # still oracle-checked by tools/check_oracle.py + test_queries_smoke.py ---
     "pivot_events": q_pivot_events,
     "unpivot_stats": q_unpivot_stats,
     "intersect_keys": q_intersect_keys,
-    # --- past the driver's 50-entry window: driver-green in r2, still oracle-
-    # checked by tools/check_oracle.py + tests/test_queries_smoke.py ---
+    "sessionize": q_sessionize,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q21": q_tpch_q21,
     "g3_schema_flatten": q_g3_schema_flatten,
     "g5_min_over_group": q_g5_min_over_group,
     "g7_max_agg": q_g7_max_agg,

@@ -249,6 +249,71 @@ def test_minhash_recall_vs_exact(docs):
     assert recall >= 0.8, f"minhash recall {recall} over {exact}"
 
 
+def test_semdedup_recall_vs_exact(spark, sf_dir):
+    """SemDeDup (cluster-then-pair) must report ONLY true pairs (subset of
+    the exact scan — every candidate is verified with the real cosine) and
+    recover a pinned fraction of them (seeded k-means → deterministic)."""
+    from onetable_spark.functions.similarity import semdedup_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in brute_force_near_dup_pairs(emb, threshold=0.45).collect()
+    }
+    sem = {
+        (r["id_a"], r["id_b"])
+        for r in semdedup_pairs(emb, n_clusters=8, threshold=0.45).collect()
+    }
+    assert exact, "exact pair set must be non-empty for recall to mean anything"
+    assert sem <= exact, f"semdedup reported non-pairs: {sem - exact}"
+    recall = len(sem & exact) / len(exact)
+    assert recall >= 0.7, f"semdedup recall {recall}"
+
+
+def test_knn_topk_neighbors_matches_numpy(spark):
+    """Checkerboard kNN must equal a numpy brute force under the same
+    order (rounded cosine desc, neighbor id asc) — including across-block
+    candidates and diagonal self-masking."""
+    import numpy as np
+
+    from onetable_spark.functions.similarity import knn_topk_neighbors
+
+    rng = np.random.default_rng(7)
+    n, dim, k = 23, 6, 4
+    mat = rng.normal(size=(n, dim))
+    rows = [(i, int(i % 3), [float(x) for x in mat[i]]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+
+    got = {}
+    for r in knn_topk_neighbors(df, k=k, n_blocks=3).collect():
+        got.setdefault(r["id"], []).append((r["nbr_id"], r["nbr_label"], r["cos_sim"]))
+
+    # float32 storage: Spark holds array<float>; replay the same truncation
+    unit32 = np.asarray(mat, dtype=np.float32).astype(np.float64)
+    unit32 /= np.linalg.norm(unit32, axis=1, keepdims=True)
+    sims = np.round(unit32 @ unit32.T, 4)
+    np.fill_diagonal(sims, -2.0)
+    for i in range(n):
+        order = np.lexsort((np.arange(n), -sims[i]))[:k]
+        want = [(int(j), int(j % 3), float(sims[i, j])) for j in order]
+        have = sorted(got[i], key=lambda t: (-t[2], t[0]))
+        assert have == want, f"row {i}: {have} != {want}"
+
+
+def test_ngram_hash_rows_shape(docs):
+    """6-gram hashes: doc 1 and its exact dup 5 share every gram; the
+    9-token docs carry 4 distinct 6-grams each."""
+    from onetable_spark.functions.text import ngram_hash_rows
+
+    rows = ngram_hash_rows(docs, n=6).collect()
+    per_doc = {}
+    for r in rows:
+        per_doc.setdefault(r["id"], set()).add(r["gh"])
+    assert per_doc[1] == per_doc[5]
+    assert len(per_doc[1]) == 4
+    assert per_doc[1] != per_doc[2]
+
+
 def test_connected_components_shapes(spark):
     from onetable_spark.functions.dedup import connected_components
 

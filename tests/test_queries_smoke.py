@@ -34,6 +34,10 @@ MUST_BE_DRIVER_MEASURED = {
     "video_frame_sample",
     # round-5 rotation: first-ever driver rows for the round-4 queries
     "winnow_fingerprint", "winnow_near_dups", "streaming_hopping",
+    # round-5 newcomers: need their first driver rows in CORRECTNESS_r5
+    "knn_label_vote", "centroid_similarity", "semdedup_pairs",
+    "decontam_overlap", "stratified_sample", "chunk_dedup",
+    "funnel_steps", "cohort_retention",
 }
 
 

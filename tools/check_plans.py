@@ -36,7 +36,9 @@ EXPECT_PUSHDOWN = {
     "window_agg",
     "hopping_window",
     "range_join",
-    "simhash_near_dups",
+    # simhash_near_dups untagged in r5: it now consumes the SHARED persisted
+    # token-hash intermediate (queries._corpus_token_hashes) — the scan is an
+    # InMemoryTableScan by design, so parquet PushedFilters no longer apply
     "ann_lsh_topk",
     "ann_ivf_topk",
     "embedding_topk",
@@ -99,6 +101,12 @@ EXPECT_BROADCAST = {
     "tpch_q20",
     "tpch_q21",
     "tpch_q22",
+    # round-5 newcomers: checkerboard combos / benchmark gram set /
+    # centroid table are all broadcast small sides
+    "knn_label_vote",
+    "semdedup_pairs",
+    "decontam_overlap",
+    "centroid_similarity",
 }
 # streaming queries execute via writeStream, not a single batch plan
 SKIP = {"streaming_window_agg", "streaming_sessionize", "streaming_dedup", "streaming_join"}
