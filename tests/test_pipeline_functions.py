@@ -249,6 +249,25 @@ def test_minhash_recall_vs_exact(docs):
     assert recall >= 0.8, f"minhash recall {recall} over {exact}"
 
 
+def test_ngram_jaccard_heavy_regime_matches_light(spark, sf_dir):
+    """The hot-shingle (prefix-filtered) regime must produce EXACTLY the
+    same pair set as the pure count regime: force it by dropping heavy_df
+    to 0 so every shared shingle lands in the hot tier."""
+    from onetable_spark.functions.dedup import ngram_jaccard_pairs
+
+    docs_df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    light = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, threshold=0.4).collect()
+    }
+    heavy = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs_df, threshold=0.4, heavy_df=0).collect()
+    }
+    assert light == heavy
+    assert light, "pair set must be non-empty for the equivalence to mean anything"
+
+
 def test_semdedup_recall_vs_exact(spark, sf_dir):
     """SemDeDup (cluster-then-pair) must report ONLY true pairs (subset of
     the exact scan — every candidate is verified with the real cosine) and
