@@ -1275,6 +1275,93 @@ def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+BM25_TERMS = ("spark", "table", "hash")
+
+
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 keyword search (k1=1.2, b=0.75, Lucene idf): top-20 documents
+    for a fixed conjunctive term set — the retrieval scorer a corpus-
+    quality / search-eval pipeline runs. One projection computes per-term
+    tf and doc length JVM-side; corpus stats (N, avgdl, per-term df) are
+    ONE aggregated row cross-joined back broadcast, so the plan is scan →
+    tiny agg → broadcast → scan-side scoring → TakeOrderedAndProject.
+    Nothing shuffles by document."""
+    from onetable_spark.functions.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    k1, b = 1.2, 0.75
+    base = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("dl"),
+        *[
+            F.size(F.filter(tokens("text"), (lambda term: lambda x: x == term)(t))).alias(
+                f"tf_{t}"
+            )
+            for t in BM25_TERMS
+        ],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.sum((F.col(f"tf_{t}") > 0).cast("int")).cast("double").alias(f"df_{t}")
+            for t in BM25_TERMS
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    score = None
+    for t in BM25_TERMS:
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{t}") + 0.5) / (F.col(f"df_{t}") + 0.5)
+        )
+        tf = F.col(f"tf_{t}").cast("double")
+        part = idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+        score = part if score is None else score + part
+    return (
+        scored.select("doc_id", F.round(score, 4).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental (batch-vs-corpus) near-dup detection: the arriving
+    batch (doc_id % 10 == 0 plays the new delivery) is checked against
+    the EXISTING corpus only — the shape every production ingest runs,
+    where re-deduplicating the whole corpus per delivery would be
+    quadratic in deliveries. The batch's distinct 3-gram hashes broadcast
+    (a batch is small by nature); the corpus inverted index streams past
+    map-side, overlap counts aggregate per (new, existing) pair, and
+    J = ov/(sz_n + sz_e − ov) exactly (distinct gram sets)."""
+    from onetable_spark.functions.text import ngram_hash_rows
+
+    docs = load_table(spark, sf, "documents")
+    grams = ngram_hash_rows(docs, n=3)
+    sz = grams.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    batch = grams.filter(F.col("id") % 10 == 0).select(
+        F.col("id").alias("new_id"), "gh"
+    )
+    corpus = grams.filter(F.col("id") % 10 != 0).select(
+        F.col("id").alias("dup_of"), "gh"
+    )
+    ov = (
+        corpus.join(F.broadcast(batch), "gh")
+        .groupBy("new_id", "dup_of")
+        .agg(F.count(F.lit(1)).alias("ov"))
+    )
+    return (
+        ov.join(sz.select(F.col("id").alias("new_id"), F.col("sz").alias("sz_n")), "new_id")
+        .join(sz.select(F.col("id").alias("dup_of"), F.col("sz").alias("sz_e")), "dup_of")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("ov") / (F.col("sz_n") + F.col("sz_e") - F.col("ov")), 4),
+        )
+        .filter(F.col("jaccard") >= 0.4)
+        .select("new_id", "dup_of", "jaccard")
+    )
+
+
 def q_streaming_hopping(spark: SparkSession, sf: str) -> DataFrame:
     """The hopping-window aggregation through real Structured Streaming
     execution (file source → watermark → 1h/30min windows → AvailableNow
@@ -2492,6 +2579,56 @@ ORACLE_SQL: dict[str, str] = {
         FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING COUNT(*) >= 3
     """,
+    "bm25_search": """
+        WITH base AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                   len(list_filter(string_split(text, ' '), x -> x = 'spark')) AS tf_spark,
+                   len(list_filter(string_split(text, ' '), x -> x = 'table')) AS tf_table,
+                   len(list_filter(string_split(text, ' '), x -> x = 'hash'))  AS tf_hash
+            FROM documents
+        ), stats AS (
+            SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl,
+                   CAST(SUM(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_spark,
+                   CAST(SUM(CASE WHEN tf_table > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_table,
+                   CAST(SUM(CASE WHEN tf_hash  > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_hash
+            FROM base
+        )
+        SELECT doc_id, ROUND(
+              ln(1.0 + (n_docs - df_spark + 0.5) / (df_spark + 0.5))
+                * CAST(tf_spark AS DOUBLE) * 2.2
+                / (CAST(tf_spark AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            + ln(1.0 + (n_docs - df_table + 0.5) / (df_table + 0.5))
+                * CAST(tf_table AS DOUBLE) * 2.2
+                / (CAST(tf_table AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            + ln(1.0 + (n_docs - df_hash + 0.5) / (df_hash + 0.5))
+                * CAST(tf_hash AS DOUBLE) * 2.2
+                / (CAST(tf_hash AS DOUBLE) + 1.2 * (0.25 + 0.75 * dl / avgdl)), 4) AS bm25
+        FROM base, stats
+        ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+    "incremental_dedup": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ), grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, len(tk) - 1),
+                       i -> md5(array_to_string(tk[i:i+2], ' '))))) AS gh
+            FROM t WHERE len(tk) >= 3
+        ), sz AS (
+            SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id
+        ), ov AS (
+            SELECT b.doc_id AS new_id, c.doc_id AS dup_of, COUNT(*) AS ov
+            FROM (SELECT * FROM grams WHERE doc_id % 10 = 0) b
+            JOIN (SELECT * FROM grams WHERE doc_id % 10 <> 0) c USING (gh)
+            GROUP BY 1, 2
+        )
+        SELECT new_id, dup_of,
+               ROUND(ov / CAST(sn.sz + se.sz - ov AS DOUBLE), 4) AS jaccard
+        FROM ov JOIN sz sn ON ov.new_id = sn.doc_id
+                JOIN sz se ON ov.dup_of = se.doc_id
+        WHERE ROUND(ov / CAST(sn.sz + se.sz - ov AS DOUBLE), 4) >= 0.4
+    """,
     "knn_label_vote": f"""
         WITH pairs AS (
             SELECT a.vec_id AS vid, a.label AS tl, b.vec_id AS nid, b.label AS nl,
@@ -2667,11 +2804,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_frame_sample": q_video_frame_sample,
     # --- representative r2-proven set (28) ---
     "g1_files_diff": q_g1_files_diff,
-    "g2_group_files": q_g2_group_files,
     "g4_sorted_merge_dedup": q_g4_sorted_merge_dedup,
     "g6_filter_predicates": q_g6_filter_predicates,
     "g8_stats_regroup": q_g8_stats_regroup,
-    "g10_json_flatten": q_g10_json_flatten,
     "g12_latest_instant": q_g12_latest_instant,
     # round-5 window rotation (VERDICT r4 #2): the 3 round-4 queries take
     # driver slots from tpch_q1/q3/q18, each already hash-green in BOTH the
@@ -2690,6 +2825,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_dedup": q_chunk_dedup,
     "funnel_steps": q_funnel_steps,
     "cohort_retention": q_cohort_retention,
+    "bm25_search": q_bm25_search,
+    "incremental_dedup": q_incremental_dedup,
     "dedup_exact": q_dedup_exact,
     "fingerprint_dedup": q_fingerprint_dedup,
     "text_features": q_text_features,
@@ -2708,6 +2845,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_stats": q_unpivot_stats,
     "intersect_keys": q_intersect_keys,
     "sessionize": q_sessionize,
+    "g2_group_files": q_g2_group_files,
+    "g10_json_flatten": q_g10_json_flatten,
     "tpch_q9": q_tpch_q9,
     "tpch_q21": q_tpch_q21,
     "g3_schema_flatten": q_g3_schema_flatten,

@@ -37,7 +37,7 @@ MUST_BE_DRIVER_MEASURED = {
     # round-5 newcomers: need their first driver rows in CORRECTNESS_r5
     "knn_label_vote", "centroid_similarity", "semdedup_pairs",
     "decontam_overlap", "stratified_sample", "chunk_dedup",
-    "funnel_steps", "cohort_retention",
+    "funnel_steps", "cohort_retention", "bm25_search", "incremental_dedup",
 }
 
 

@@ -107,6 +107,8 @@ EXPECT_BROADCAST = {
     "semdedup_pairs",
     "decontam_overlap",
     "centroid_similarity",
+    "bm25_search",
+    "incremental_dedup",
 }
 # streaming queries execute via writeStream, not a single batch plan
 SKIP = {"streaming_window_agg", "streaming_sessionize", "streaming_dedup", "streaming_join"}
