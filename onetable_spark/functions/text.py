@@ -178,15 +178,20 @@ def winnow_near_dup_pairs(
 
     if fps is None:
         fps = winnow_fingerprint_rows(df, k=k, w=w, text_col=text_col, id_col=id_col)
-    dfreq = Window.partitionBy("fp")
+    # the 32-char md5 string is the cross-engine fingerprint REPRESENTATION
+    # (winnow_fingerprint surfaces it); the join only needs equality, so
+    # shuffle a 64-bit rehash instead of the string — 4× narrower exchange
+    # rows, same pairs (a cross-fp collision at corpus scale is ~|fps|²/2⁶⁴)
+    fpl = fps.select("id", F.xxhash64("fp").alias("fpk"))
+    dfreq = Window.partitionBy("fpk")
     kept = (
-        fps.withColumn("n_docs", F.count(F.lit(1)).over(dfreq))
+        fpl.withColumn("n_docs", F.count(F.lit(1)).over(dfreq))
         .filter(F.col("n_docs") <= max_df)
         .drop("n_docs")
     )
     a, b = kept.alias("a"), kept.alias("b")
     return (
-        a.join(b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.id") < F.col("b.id")))
+        a.join(b, (F.col("a.fpk") == F.col("b.fpk")) & (F.col("a.id") < F.col("b.id")))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("shared_fp"))
         .filter(F.col("shared_fp") >= min_shared)
