@@ -38,6 +38,7 @@ MUST_BE_DRIVER_MEASURED = {
     "knn_label_vote", "centroid_similarity", "semdedup_pairs",
     "decontam_overlap", "stratified_sample", "chunk_dedup",
     "funnel_steps", "cohort_retention", "bm25_search", "incremental_dedup",
+    "gap_fill", "moving_avg",
 }
 
 

@@ -109,6 +109,8 @@ EXPECT_BROADCAST = {
     "centroid_similarity",
     "bm25_search",
     "incremental_dedup",
+    "gap_fill",
+    "moving_avg",
 }
 # streaming queries execute via writeStream, not a single batch plan
 SKIP = {"streaming_window_agg", "streaming_sessionize", "streaming_dedup", "streaming_join"}
@@ -144,15 +146,21 @@ def main() -> int:
     from onetable_spark.queries import SPARK_QUERIES
     from onetable_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    args = sys.argv[1:]
+    sf_dir = "/root/testdata/sf0.01"
+    if args and "/" in args[0]:
+        sf_dir, args = args[0], args[1:]
+    only = set(args)  # optional query-name filter: check_plans.py [sf_dir] [query ...]
     spark = get_spark("plan-check")
     failures = 0
+    checked = 0
     for p in check_no_driver_materialization(Path(__file__).resolve().parent.parent):
         print(f"FAIL {p}")
         failures += 1
     for name, fn in SPARK_QUERIES.items():
-        if name in SKIP:
+        if name in SKIP or (only and name not in only):
             continue
+        checked += 1
         try:
             plan = plan_of(fn(spark, sf_dir))
         except Exception as ex:  # noqa: BLE001
@@ -173,7 +181,7 @@ def main() -> int:
             failures += 1
         else:
             print(f"ok   {name}")
-    print(f"{len(SPARK_QUERIES) - len(SKIP)} plans checked, {failures} failures")
+    print(f"{checked} plans checked, {failures} failures")
     return 1 if failures else 0
 
 
