@@ -252,6 +252,87 @@ def rolling_fingerprint(col: str | Column = "text", prime: int = 2147483647) -> 
     )
 
 
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality metrics (Rae et al. 2021 §A1.1),
+    the filters every LLM pretraining pipeline applies before dedup:
+
+    - ``dup_token_frac``: 1 − distinct_tokens / tokens — how much of the
+      document is repeated vocabulary.
+    - ``top_bigram_frac``: fraction of the document's bigrams accounted
+      for by its single most frequent bigram (Gopher's "top-2-gram"
+      rule; boilerplate and keyword-stuffed spam score high).
+    - ``kept``: the Gopher cut ``top_bigram_frac ≤ 0.18``.
+
+    100 TB plan: no aggregation shuffle. The per-document "most frequent
+    bigram" is computed without a groupBy — sort the doc's bigram array,
+    then a single O(n) ``aggregate`` pass finds the longest equal run
+    (equal bigrams are adjacent after the sort). Everything is a JVM
+    Column expression inside one projection; token arrays never leave
+    their input partition. Each array is materialized once in its own
+    projection step before any lambda touches it (a lambda-embedded
+    array subexpression is re-evaluated per element — the O(n²) trap
+    documented on winnow_fingerprint_rows). The raw-text repartition
+    spreads single-file local sources across all cores before the
+    CPU-heavy projection (same pattern as dedup.token_hash_df); a real
+    multi-file corpus scan already arrives parallel and the round-robin
+    exchange carries only (id, text)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    tk = (
+        df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+        .repartition(parallelism)
+        .select("doc_id", tokens("_text").alias("tk"))
+    )
+    n_tok = F.size("tk")
+    bigram_arr = F.transform(
+        F.sequence(F.lit(1), n_tok - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at("tk", i.cast("int")), F.element_at("tk", (i + 1).cast("int"))
+        ),
+    )
+    staged = tk.select(
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.size(F.array_distinct("tk")).alias("n_distinct"),
+        F.when(n_tok >= 2, F.array_sort(bigram_arr))
+        .otherwise(F.array().cast("array<string>"))
+        .alias("sorted_bg"),
+    )
+    # longest run of equal adjacent elements == max bigram frequency
+    max_bg = F.aggregate(
+        "sorted_bg",
+        F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+        lambda acc: acc["best"],
+    )
+    dup_frac = F.round(
+        F.lit(1.0) - F.col("n_distinct") / F.col("n_tok").cast("double"), 4
+    )
+    top_bg_frac = F.round(
+        F.when(
+            F.col("n_tok") >= 2, max_bg / (F.col("n_tok") - 1).cast("double")
+        ).otherwise(F.lit(0.0)),
+        4,
+    )
+    return staged.select(
+        "doc_id",
+        F.col("n_tok").cast("long").alias("n_tokens"),
+        dup_frac.alias("dup_token_frac"),
+        top_bg_frac.alias("top_bigram_frac"),
+        (top_bg_frac <= 0.18).alias("kept"),
+    )
+
+
 def with_text_features(df: DataFrame, col: str = "text") -> DataFrame:
     """Attach the full feature set in one projection (single scan)."""
     return df.select(

@@ -1415,6 +1415,103 @@ def q_moving_avg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_repetition_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition quality gate over the documents table:
+    duplicate-token fraction, top-bigram fraction, and the keep/drop
+    verdict. Zero-shuffle — see functions.text.repetition_metrics."""
+    from onetable_spark.functions.text import repetition_metrics
+
+    docs = load_table(spark, sf, "documents")
+    return repetition_metrics(docs)
+
+
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    (prev_type → next_type) counts and conditional probabilities. The
+    sequencing is one LAG window per user partition (single shuffle on
+    user_id — the natural key, unskewed); the transition matrix is a
+    |types|² aggregate, so the second shuffle moves k² rows no matter the
+    corpus size. The per-prev normalization runs as a window over that
+    tiny matrix."""
+    events = load_table(spark, sf, "events")
+    seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("next_type"),
+            F.lag("event_type").over(seq).alias("prev_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    norm = Window.partitionBy("prev_type")
+    return pairs.select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.round(
+            F.col("n_trans") / F.sum("n_trans").over(norm).cast("double"), 4
+        ).alias("p_next"),
+    )
+
+
+def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL++ approximate distinct users per event type, with the sketch's
+    error bound asserted INSIDE the plan: the query returns the exact
+    count plus a boolean claiming the approx is within 5% of it, so the
+    cross-engine oracle (whose own sketch would differ) hash-checks the
+    bound rather than the engine-specific estimate. At 100 TB the approx
+    side is the one you'd keep: approx_count_distinct is a fixed-size
+    mergeable sketch (map-side partial, no exact-distinct expand-shuffle
+    of every (type, user) pair)."""
+    events = load_table(spark, sf, "events")
+    # Two separate aggregations, NOT one fused agg: countDistinct forces a
+    # two-phase (type, user) expand, and a fused plan would carry the
+    # ~3 KB HLL sketch through that expand shuffle per (type, user) pair.
+    # Split, the sketch side is one partial-merge exchange of k rows; the
+    # exact side (audit-only — at scale you'd keep just the sketch) pays
+    # its expand without the sketch payload. Both results are k rows, so
+    # the recombine is a broadcast join.
+    approx = events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
+    )
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    agg = exact.join(F.broadcast(approx), "event_type")
+    return agg.select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            / F.col("exact_users").cast("double")
+            <= 0.05
+        ).alias("within_5pct"),
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-20 corpus-wide tokens by exact frequency (vocabulary heavy
+    hitters — the stopword/boilerplate audit every corpus build starts
+    with). Plan: explode tokens, hash-aggregate with map-side partial
+    combine (the explode output never shuffles raw — only (token, count)
+    partials move), then TakeOrderedAndProject for the global top-k with
+    a deterministic (count DESC, token ASC) tie-break."""
+    docs = load_table(spark, sf, "documents")
+    from onetable_spark.functions.text import tokens
+
+    return (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(20)
+    )
+
+
 def q_streaming_hopping(spark: SparkSession, sf: str) -> DataFrame:
     """The hopping-window aggregation through real Structured Streaming
     execution (file source → watermark → 1h/30min windows → AvailableNow
@@ -2669,6 +2766,55 @@ ORACLE_SQL: dict[str, str] = {
                                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS avg_7d
         FROM daily
     """,
+    "repetition_filter": """
+        WITH tk AS (
+            SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        ), bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])) AS bigram
+            FROM tk WHERE len(t) >= 2
+        ), topbg AS (
+            SELECT doc_id, MAX(c) AS max_bg
+            FROM (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2)
+            GROUP BY 1
+        )
+        SELECT k.doc_id,
+               CAST(len(k.t) AS BIGINT) AS n_tokens,
+               ROUND(1.0 - len(list_distinct(k.t)) / CAST(len(k.t) AS DOUBLE), 4) AS dup_token_frac,
+               ROUND(CASE WHEN len(k.t) >= 2
+                          THEN COALESCE(b.max_bg, 0) / CAST(len(k.t) - 1 AS DOUBLE)
+                          ELSE 0.0 END, 4) AS top_bigram_frac,
+               (ROUND(CASE WHEN len(k.t) >= 2
+                           THEN COALESCE(b.max_bg, 0) / CAST(len(k.t) - 1 AS DOUBLE)
+                           ELSE 0.0 END, 4) <= 0.18) AS kept
+        FROM tk k LEFT JOIN topbg b USING (doc_id)
+    """,
+    "event_transitions": """
+        WITH seq AS (
+            SELECT user_id, event_type AS next_type,
+                   LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+            FROM events
+        ), pairs AS (
+            SELECT prev_type, next_type, COUNT(*) AS n_trans
+            FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+        )
+        SELECT prev_type, next_type, CAST(n_trans AS BIGINT) AS n_trans,
+               ROUND(n_trans / CAST(SUM(n_trans) OVER (PARTITION BY prev_type) AS DOUBLE), 4) AS p_next
+        FROM pairs
+    """,
+    "approx_distinct": """
+        SELECT event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS within_5pct
+        FROM events GROUP BY 1
+    """,
+    "heavy_hitters": """
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+        FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+        ORDER BY n_occurrences DESC, token ASC
+        LIMIT 20
+    """,
     "bm25_search": """
         WITH base AS (
             SELECT doc_id, len(string_split(text, ' ')) AS dl,
@@ -2917,10 +3063,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "gap_fill": q_gap_fill,
     "moving_avg": q_moving_avg,
-    "dedup_exact": q_dedup_exact,
-    "fingerprint_dedup": q_fingerprint_dedup,
-    "text_features": q_text_features,
-    "langid_counts": q_langid_counts,
+    # round-5 additions (window slots from dedup_exact/fingerprint_dedup/
+    # text_features/langid_counts — each hash-green in ≥2 driver windows
+    # and still oracle-gated every pytest run)
+    "repetition_filter": q_repetition_filter,
+    "event_transitions": q_event_transitions,
+    "approx_distinct": q_approx_distinct,
+    "heavy_hitters": q_heavy_hitters,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
     "embedding_topk": q_embedding_topk,
@@ -2935,6 +3084,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "unpivot_stats": q_unpivot_stats,
     "intersect_keys": q_intersect_keys,
     "sessionize": q_sessionize,
+    "dedup_exact": q_dedup_exact,
+    "fingerprint_dedup": q_fingerprint_dedup,
+    "text_features": q_text_features,
+    "langid_counts": q_langid_counts,
     "g2_group_files": q_g2_group_files,
     "g8_stats_regroup": q_g8_stats_regroup,
     "g10_json_flatten": q_g10_json_flatten,

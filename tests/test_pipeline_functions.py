@@ -416,3 +416,75 @@ def test_resize_images_real_gather_math(spark):
     tiny = resize_images(media.limit(1), 1, 1).collect()[0]
     digest = hashlib.sha256(bytes(one["content"])).digest()
     assert tiny["mean_intensity"] == float(digest[0])
+
+
+def test_repetition_metrics_matches_python_reference(spark):
+    """repetition_metrics' sorted-run aggregate equals a brute-force
+    Counter-based reference on adversarial docs (all-same, all-distinct,
+    single-token, alternating, repeated-bigram block)."""
+    from collections import Counter
+
+    from onetable_spark.functions.text import repetition_metrics
+
+    docs = [
+        (1, "a a a a a a"),
+        (2, "a b c d e f g"),
+        (3, "solo"),
+        (4, "x y x y x y x y"),
+        (5, "p q r p q r s t p q"),
+        (6, "m n m n o o o m n"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_metrics(df).collect()}
+    for doc_id, text in docs:
+        t = text.split(" ")
+        n = len(t)
+        dup = round(1.0 - len(set(t)) / n, 4)
+        if n >= 2:
+            bg = Counter(zip(t, t[1:]))
+            top = round(max(bg.values()) / (n - 1), 4)
+        else:
+            top = 0.0
+        r = got[doc_id]
+        assert r["n_tokens"] == n
+        assert abs(r["dup_token_frac"] - dup) < 1e-9, (doc_id, r, dup)
+        assert abs(r["top_bigram_frac"] - top) < 1e-9, (doc_id, r, top)
+        assert r["kept"] == (top <= 0.18)
+
+
+def test_repetition_metrics_property(spark):
+    """Random word-stream docs: Spark metrics == Python reference."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(5)
+    vocab = ["aa", "bb", "cc", "dd"]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_rows(df)}
+    for doc_id, text in docs:
+        t = text.split(" ")
+        n = len(t)
+        exp_top = (
+            round(max(Counter(zip(t, t[1:])).values()) / (n - 1), 4) if n >= 2 else 0.0
+        )
+        assert abs(got[doc_id]["top_bigram_frac"] - exp_top) < 1e-9
+
+
+def repetition_rows(df):
+    from onetable_spark.functions.text import repetition_metrics
+
+    return repetition_metrics(df).collect()
+
+
+def test_approx_distinct_bound_holds_both_sfs(spark):
+    """The within_5pct flag q_approx_distinct asserts in-plan must be True
+    at every test sf (deterministic — HLL++ has no RNG)."""
+    from onetable_spark.queries import q_approx_distinct
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = q_approx_distinct(spark, sf).collect()
+        assert rows and all(r["within_5pct"] for r in rows), (sf, rows)

@@ -39,6 +39,7 @@ MUST_BE_DRIVER_MEASURED = {
     "decontam_overlap", "stratified_sample", "chunk_dedup",
     "funnel_steps", "cohort_retention", "bm25_search", "incremental_dedup",
     "gap_fill", "moving_avg",
+    "repetition_filter", "event_transitions", "approx_distinct", "heavy_hitters",
 }
 
 

@@ -112,6 +112,17 @@ EXPECT_BROADCAST = {
     "gap_fill",
     "moving_avg",
 }
+# Shuffle-budget ceilings: queries whose design bounds the number of
+# exchanges (repartition/aggregate/join shuffles) in the physical plan —
+# a regression that sneaks an extra shuffle in fails the gate even though
+# codegen/pushdown still look fine.
+EXPECT_MAX_EXCHANGES = {
+    "repetition_filter": 1,  # the round-robin spread only; metrics are shuffle-free
+    "heavy_hitters": 1,      # one partial→final agg exchange; top-k is TakeOrdered
+    "approx_distinct": 3,    # 1 sketch merge + 2 exact-distinct phases; never fused
+    "text_features": 0,      # pure projection
+    "deterministic_sample": 0,
+}
 # streaming queries execute via writeStream, not a single batch plan
 SKIP = {"streaming_window_agg", "streaming_sessionize", "streaming_dedup", "streaming_join"}
 
@@ -176,6 +187,15 @@ def main() -> int:
             problems.append("expected non-empty PushedFilters")
         if name in EXPECT_BROADCAST and "Broadcast" not in plan:
             problems.append("expected a broadcast join")
+        if name in EXPECT_MAX_EXCHANGES:
+            # AQE's plan string repeats the tree under "== Initial Plan ==";
+            # count shuffle exchanges in the final section only
+            final_section = plan.split("== Initial Plan ==")[0]
+            n_ex = len(re.findall(r"\bExchange ", final_section))
+            if n_ex > EXPECT_MAX_EXCHANGES[name]:
+                problems.append(
+                    f"{n_ex} exchanges, budget {EXPECT_MAX_EXCHANGES[name]}"
+                )
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures += 1
