@@ -1493,6 +1493,98 @@ def q_approx_distinct(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Mergeable-sketch quantiles (approx_percentile, the KLL/GK-family
+    fixed-size sketch) per event type, with the rank guarantee asserted
+    IN-PLAN: for each approximate pN the query computes the true rank
+    fraction of the returned value and checks |rank − N| ≤ 0.01. The
+    hash-checked columns are the exact interpolated quantiles (engine-
+    portable) plus the boolean — the sketch value itself is
+    engine-specific, its *guarantee* is not. At 100 TB the sketch is the
+    plan: fixed-size partial per partition, one k-row merge exchange —
+    no global sort, no full-column shuffle (the exact side here is the
+    audit harness, same pattern as q_approx_distinct)."""
+    events = load_table(spark, sf, "events")
+    approx = events.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("ap")
+    )
+    # rank-audit pass: fraction of values ≤ sketch output, per type
+    audited = (
+        events.join(F.broadcast(approx), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            *[
+                F.sum((F.col("value") <= F.col("ap")[i]).cast("long")).alias(f"le{i}")
+                for i in range(3)
+            ],
+        )
+    )
+    exact = events.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))").alias("ep")
+    )
+    targets = [0.5, 0.95, 0.99]
+    rank_ok = None
+    for i, p in enumerate(targets):
+        ok = (
+            F.abs(F.col(f"le{i}") / F.col("n").cast("double") - F.lit(p)) <= 0.01
+        )
+        rank_ok = ok if rank_ok is None else (rank_ok & ok)
+    return audited.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        F.round(F.col("ep")[0], 4).alias("p50"),
+        F.round(F.col("ep")[1], 4).alias("p95"),
+        F.round(F.col("ep")[2], 4).alias("p99"),
+        rank_ok.alias("rank_within_1pct"),
+    )
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the classic sparse
+    doc-representation every retrieval/clustering pipeline derives.
+    tf = term_count/doc_len, idf = ln(N/df). Plan: one (doc, term)
+    count aggregation (shuffle on the composite key, unskewed), the
+    document-frequency table and corpus size reduce to vocabulary-sized
+    results that join back as broadcasts, then a per-doc row_number
+    window (shuffle on doc_id) takes the top-3 with a deterministic
+    (score DESC, term ASC) tie-break on the ROUNDED score so the cut is
+    engine-portable."""
+    docs = load_table(spark, sf, "documents")
+    from onetable_spark.functions.text import tokens
+
+    tf = (
+        docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # doc length as a window over the tf table: the doc_id hash shuffle it
+    # introduces is the SAME partitioning the final top-3 window needs, so
+    # Catalyst plans one exchange for both (an agg+join would add its own)
+    dl_w = Window.partitionBy("doc_id")
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.withColumn("n_tok", F.sum("c").over(dl_w))
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            F.round(
+                (F.col("c") / F.col("n_tok").cast("double"))
+                * F.log(F.col("n_docs") / F.col("df").cast("double")),
+                4,
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 3)
+        .select("doc_id", "term", "tfidf", F.col("rk").cast("int").alias("rk"))
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 corpus-wide tokens by exact frequency (vocabulary heavy
     hitters — the stopword/boilerplate audit every corpus build starts
@@ -2808,6 +2900,39 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS within_5pct
         FROM events GROUP BY 1
     """,
+    "approx_quantiles": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50,
+               ROUND(quantile_cont(value, 0.95), 4) AS p95,
+               ROUND(quantile_cont(value, 0.99), 4) AS p99,
+               TRUE AS rank_within_1pct
+        FROM events GROUP BY 1
+    """,
+    "tfidf_top_terms": """
+        WITH tf AS (
+            SELECT doc_id, term, COUNT(*) AS c
+            FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+            GROUP BY 1, 2
+        ), dl AS (
+            SELECT doc_id, SUM(c) AS n_tok FROM tf GROUP BY 1
+        ), dfreq AS (
+            SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        ), n AS (
+            SELECT COUNT(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.term,
+                   ROUND((tf.c / CAST(dl.n_tok AS DOUBLE))
+                         * ln(n.n_docs / CAST(dfreq.df AS DOUBLE)), 4) AS tfidf
+            FROM tf JOIN dl USING (doc_id) JOIN dfreq USING (term) CROSS JOIN n
+        ), ranked AS (
+            SELECT doc_id, term, tfidf,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY tfidf DESC, term ASC) AS rk
+            FROM scored
+        )
+        SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk
+        FROM ranked WHERE rk <= 3
+    """,
     "heavy_hitters": """
         SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -3070,16 +3195,19 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions": q_event_transitions,
     "approx_distinct": q_approx_distinct,
     "heavy_hitters": q_heavy_hitters,
+    # window slots from token_stats/embedding_topk (hash-green in ≥2 rounds)
+    "approx_quantiles": q_approx_quantiles,
+    "tfidf_top_terms": q_tfidf_top_terms,
     "ngram_jaccard": q_ngram_jaccard,
     "dedup_clusters": q_dedup_clusters,
-    "embedding_topk": q_embedding_topk,
     "embedding_near_dups": q_embedding_near_dups,
-    "token_stats": q_token_stats,
     "corpus_curation": q_corpus_curation,
     "deterministic_sample": q_deterministic_sample,
     "token_packing": q_token_packing,
     # --- past the driver's 50-entry window: driver-green in earlier rounds,
     # still oracle-checked by tools/check_oracle.py + test_queries_smoke.py ---
+    "embedding_topk": q_embedding_topk,
+    "token_stats": q_token_stats,
     "pivot_events": q_pivot_events,
     "unpivot_stats": q_unpivot_stats,
     "intersect_keys": q_intersect_keys,

@@ -120,6 +120,8 @@ EXPECT_MAX_EXCHANGES = {
     "repetition_filter": 1,  # the round-robin spread only; metrics are shuffle-free
     "heavy_hitters": 1,      # one partial→final agg exchange; top-k is TakeOrdered
     "approx_distinct": 3,    # 1 sketch merge + 2 exact-distinct phases; never fused
+    "approx_quantiles": 3,   # sketch merge + rank-audit agg + exact branch
+    "tfidf_top_terms": 5,    # tf agg, doc window, df agg, corpus count, top-3 sort
     "text_features": 0,      # pure projection
     "deterministic_sample": 0,
 }
