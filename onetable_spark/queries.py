@@ -1585,6 +1585,68 @@ def q_tfidf_top_terms(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_source_mixture(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based source mixing weights (the multinomial-sampling
+    rebalance from the multilingual/multi-source pretraining literature,
+    e.g. XLM-R's α-smoothed sampling): per source, token share p_s and
+    the α=0.7-tempered weight p_s^α / Σ p_s^α, which upsamples small
+    sources relative to raw proportion. One aggregation to source-level
+    rows (map-side partial over the corpus scan), then the normalizers
+    join back as a single broadcast row — at any corpus size only
+    |sources| rows exist past the first agg."""
+    from onetable_spark.functions.text import token_count
+
+    docs = load_table(spark, sf, "documents")
+    per_source = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count("text").cast("long")).alias("n_tokens"),
+    )
+    # normalizers as windows over the |sources|-row table (post-reduction,
+    # so the unpartitioned window sees k rows, never the corpus)
+    w_all = Window.partitionBy()
+    mix = per_source.withColumn(
+        "share_raw", F.col("n_tokens") / F.sum("n_tokens").over(w_all).cast("double")
+    ).withColumn("z", F.sum(F.pow("share_raw", F.lit(0.7))).over(w_all))
+    return mix.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round("share_raw", 4).alias("share"),
+        F.round(F.pow("share_raw", F.lit(0.7)) / F.col("z"), 4).alias("weight_a07"),
+    )
+
+
+def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram LM — the cheap stand-in for the CCNet/KenLM perplexity
+    filter: documents whose tokens are globally rare score low; the
+    score buckets drive keep/sample decisions. p(t) = count(t)/T over
+    the whole corpus.
+
+    100 TB plan: the LM is the vocabulary-sized (term, count) aggregate
+    — bounded by vocabulary (≤ a top-V cap in a real deployment), so it
+    joins back as a BROADCAST; per-token rows then reduce straight to
+    per-doc means (partial agg). Nothing document-sized ever shuffles
+    except the (doc_id, token) stream itself."""
+    from onetable_spark.functions.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    lm = vocab.crossJoin(total).select(
+        "term", F.log(F.col("c") / F.col("t").cast("double")).alias("logp")
+    )
+    return (
+        toks.join(F.broadcast(lm), "term")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("logp"), 4).alias("avg_logprob"),
+        )
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 corpus-wide tokens by exact frequency (vocabulary heavy
     hitters — the stopword/boilerplate audit every corpus build starts
@@ -2933,6 +2995,36 @@ ORACLE_SQL: dict[str, str] = {
         SELECT doc_id, term, tfidf, CAST(rk AS INT) AS rk
         FROM ranked WHERE rk <= 3
     """,
+    "source_mixture": """
+        WITH per_source AS (
+            SELECT source, COUNT(*) AS n_docs,
+                   CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY 1
+        ), shared AS (
+            SELECT source, n_docs, n_tokens,
+                   n_tokens / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS share_raw
+            FROM per_source
+        )
+        SELECT source, n_docs, n_tokens,
+               ROUND(share_raw, 4) AS share,
+               ROUND(pow(share_raw, 0.7) / SUM(pow(share_raw, 0.7)) OVER (), 4) AS weight_a07
+        FROM shared
+    """,
+    "unigram_logprob": """
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        ), vocab AS (
+            SELECT term, COUNT(*) AS c FROM toks GROUP BY 1
+        ), lm AS (
+            SELECT term, ln(c / CAST((SELECT SUM(c) FROM vocab) AS DOUBLE)) AS logp
+            FROM vocab
+        )
+        SELECT t.doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               ROUND(AVG(l.logp), 4) AS avg_logprob
+        FROM toks t JOIN lm l USING (term)
+        GROUP BY 1
+    """,
     "heavy_hitters": """
         SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -3198,14 +3290,17 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window slots from token_stats/embedding_topk (hash-green in ≥2 rounds)
     "approx_quantiles": q_approx_quantiles,
     "tfidf_top_terms": q_tfidf_top_terms,
-    "ngram_jaccard": q_ngram_jaccard,
+    # window slots from ngram_jaccard/embedding_near_dups (ditto)
+    "source_mixture": q_source_mixture,
+    "unigram_logprob": q_unigram_logprob,
     "dedup_clusters": q_dedup_clusters,
-    "embedding_near_dups": q_embedding_near_dups,
     "corpus_curation": q_corpus_curation,
     "deterministic_sample": q_deterministic_sample,
     "token_packing": q_token_packing,
     # --- past the driver's 50-entry window: driver-green in earlier rounds,
     # still oracle-checked by tools/check_oracle.py + test_queries_smoke.py ---
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_near_dups": q_embedding_near_dups,
     "embedding_topk": q_embedding_topk,
     "token_stats": q_token_stats,
     "pivot_events": q_pivot_events,

@@ -40,7 +40,7 @@ MUST_BE_DRIVER_MEASURED = {
     "funnel_steps", "cohort_retention", "bm25_search", "incremental_dedup",
     "gap_fill", "moving_avg",
     "repetition_filter", "event_transitions", "approx_distinct", "heavy_hitters",
-    "approx_quantiles", "tfidf_top_terms",
+    "approx_quantiles", "tfidf_top_terms", "source_mixture", "unigram_logprob",
 }
 
 

@@ -111,6 +111,7 @@ EXPECT_BROADCAST = {
     "incremental_dedup",
     "gap_fill",
     "moving_avg",
+    "unigram_logprob",
 }
 # Shuffle-budget ceilings: queries whose design bounds the number of
 # exchanges (repartition/aggregate/join shuffles) in the physical plan —
@@ -122,6 +123,8 @@ EXPECT_MAX_EXCHANGES = {
     "approx_distinct": 3,    # 1 sketch merge + 2 exact-distinct phases; never fused
     "approx_quantiles": 3,   # sketch merge + rank-audit agg + exact branch
     "tfidf_top_terms": 5,    # tf agg, doc window, df agg, corpus count, top-3 sort
+    "source_mixture": 2,     # source agg + k-row normalizer window
+    "unigram_logprob": 4,    # vocab agg, total, LM broadcast build, doc agg
     "text_features": 0,      # pure projection
     "deterministic_sample": 0,
 }
