@@ -1915,6 +1915,49 @@ def q_streaming_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_streaming_approx_reach(spark: SparkSession, sf: str) -> DataFrame:
+    """Windowed unique-user reach through real Structured Streaming with
+    the HLL++ sketch (the only distinct-count that exists on unbounded
+    streams), audited per window: the batch side recomputes the exact
+    distinct count and every streaming-emitted window must land within the
+    sketch's 3-sigma envelope (rsd 0.02 → 6% relative), with an absolute
+    floor of 4 because Spark's HLL++ has no sparse-exact mode — a
+    two-user window can legitimately read 3. The inner join means a
+    window the stream failed to emit shows up as a row-count mismatch
+    against the oracle — emission completeness is part of the check."""
+    from onetable_spark.streaming.events import (
+        read_event_stream,
+        run_available_now,
+        windowed_approx_reach,
+    )
+
+    stream = windowed_approx_reach(read_event_stream(spark, sf))
+    out = run_available_now(stream, f"reach_{_sf_tag(sf)}", shuffle_partitions=8)
+    approx = out.select(
+        F.col("w_start").cast("timestamp").cast("long").alias("w_start_s"),
+        "event_type",
+        "approx_users",
+    )
+    events = load_table(spark, sf, "events")
+    exact = events.groupBy(
+        F.date_trunc("hour", "ts").alias("wd"), "event_type"
+    ).agg(F.countDistinct("user_id").alias("exact_users"))
+    exact = exact.select(
+        F.col("wd").cast("timestamp").cast("long").alias("w_start_s"),
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+    )
+    return exact.join(approx, ["w_start_s", "event_type"]).select(
+        "w_start_s",
+        "event_type",
+        "exact_users",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(4.0), F.ceil(F.col("exact_users") * 0.06).cast("double"))
+        ).alias("within_bound"),
+    )
+
+
 def q_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful streaming operator (applyInPandasWithState): per-user
     running totals; after draining the backlog the final state equals the
@@ -1985,6 +2028,92 @@ def q_sync_inventory(spark: SparkSession, sf: str) -> DataFrame:
             F.col("record_count"),
         )
         out = part if out is None else out.unionByName(part)
+    return out
+
+
+def q_sync_changes(spark: SparkSession, sf: str) -> DataFrame:
+    """The CHANGE-SCAN plane under the correctness gate (S2/S7/S11 —
+    HudiDataFileExtractor.java:146-255, DeltaSourceClient.java:106-142,
+    IcebergSourceClient.java:169-194): full sync of a Delta source into
+    Iceberg + Hudi, then a second source commit synced INCREMENTALLY, then
+    each format's change scan for its latest commit read back. The result
+    is (format, change, file_name, record_count) for the incremental
+    commit — the oracle knows exactly what must have happened: every
+    format reports ADD of the second file with the source table's row
+    count, and nothing removed. File record counts must survive three
+    independent commit encodings (Delta stats JSON, Iceberg manifest avro,
+    Hudi commit metadata)."""
+    import os
+    import shutil
+    import tempfile
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+    from onetable_spark.sync import SyncClient, source_for, target_for
+
+    base = os.path.join(
+        tempfile.gettempdir(), "otb_changes_q", os.path.basename(sf.rstrip("/"))
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    shutil.copy(os.path.join(sf, "region.parquet"), os.path.join(base, "f1.parquet"))
+    schema = spark.read.parquet(base).schema
+    log = DeltaLog(spark, base)
+    log.init_table(
+        Table(
+            name="tbl",
+            base_path=base,
+            table_format=TableFormat.DELTA,
+            read_schema=schema,
+        )
+    )
+    log.commit(adds=build_inventory(spark, [os.path.join(base, "f1.parquet")], root=base))
+
+    client = SyncClient(spark)
+    source = source_for(spark, TableFormat.DELTA, base)
+    targets = [
+        target_for(spark, TableFormat.ICEBERG, base),
+        target_for(spark, TableFormat.HUDI, base),
+    ]
+    r1 = client.sync(source, targets)
+    assert all(r.status.value == "SUCCESS" for r in r1.values()), r1
+
+    # second source commit: one more file
+    f2 = os.path.join(base, "f2.parquet")
+    shutil.copy(os.path.join(sf, "region.parquet"), f2)
+    log.commit(adds=build_inventory(spark, [f2], root=base))
+    r2 = client.sync(source, targets)
+    assert all(r.status.value == "SUCCESS" for r in r2.values()), r2
+    assert all(r.mode.value == "INCREMENTAL" for r in r2.values()), r2
+
+    changes = {
+        "DELTA": log.changes_for_version(log.latest_version()),
+        "ICEBERG": IcebergTable(spark, base).changes_for_snapshot(
+            IcebergTable(spark, base).metadata()["current-snapshot-id"]
+        ),
+        "HUDI": HudiTimeline(spark, base).changes_for_instant(
+            HudiTimeline(spark, base).latest_instant()
+        ),
+    }
+    out = None
+    for fmt, tc in changes.items():
+        part = tc.diff.added.select(
+            F.lit(fmt).alias("fmt"),
+            F.lit("add").alias("change"),
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("record_count"),
+        )
+        removed = tc.diff.removed.select(
+            F.lit(fmt).alias("fmt"),
+            F.lit("remove").alias("change"),
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.lit(None).cast("long").alias("record_count"),
+        )
+        both = part.unionByName(removed)
+        out = both if out is None else out.unionByName(both)
     return out
 
 
@@ -2821,6 +2950,19 @@ ORACLE_SQL: dict[str, str] = {
         FROM region CROSS JOIN (VALUES ('DELTA'), ('ICEBERG'), ('HUDI')) f(fmt)
         GROUP BY fmt
     """,
+    "streaming_approx_reach": """
+        SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start_s,
+               event_type,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+               TRUE AS within_bound
+        FROM events GROUP BY 1, 2
+    """,
+    "sync_changes": """
+        SELECT fmt, 'add' AS change, 'f2.parquet' AS file_name,
+               CAST(COUNT(*) AS BIGINT) AS record_count
+        FROM region CROSS JOIN (VALUES ('DELTA'), ('ICEBERG'), ('HUDI')) f(fmt)
+        GROUP BY fmt
+    """,
     "stateful_running_totals": """
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
                ROUND(SUM(value), 2) AS total_value
@@ -3244,7 +3386,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_join": q_streaming_join,
     "streaming_sessionize": q_streaming_sessionize,
     "stateful_running_totals": q_stateful_running_totals,
+    # window slot from g6_filter_predicates (hash-green in r02 AND r04)
+    "streaming_approx_reach": q_streaming_approx_reach,
     "sync_inventory": q_sync_inventory,
+    # window slot from g4_sorted_merge_dedup (hash-green in r02 AND r04)
+    "sync_changes": q_sync_changes,
     # probabilistic / stub-backed — rows-only driver check (no oracle entry)
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash_near_dups": q_simhash_near_dups,
@@ -3257,8 +3403,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "video_frame_sample": q_video_frame_sample,
     # --- representative r2-proven set (28) ---
     "g1_files_diff": q_g1_files_diff,
-    "g4_sorted_merge_dedup": q_g4_sorted_merge_dedup,
-    "g6_filter_predicates": q_g6_filter_predicates,
     # round-5 window rotation (VERDICT r4 #2): the 3 round-4 queries take
     # driver slots from tpch_q1/q3/q18, each already hash-green in BOTH the
     # r02 and r04 windows and still oracle-gated every pytest run.
@@ -3299,6 +3443,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_packing": q_token_packing,
     # --- past the driver's 50-entry window: driver-green in earlier rounds,
     # still oracle-checked by tools/check_oracle.py + test_queries_smoke.py ---
+    "g4_sorted_merge_dedup": q_g4_sorted_merge_dedup,
+    "g6_filter_predicates": q_g6_filter_predicates,
     "ngram_jaccard": q_ngram_jaccard,
     "embedding_near_dups": q_embedding_near_dups,
     "embedding_topk": q_embedding_topk,

@@ -138,6 +138,24 @@ def sessionize_stream(
     )
 
 
+def windowed_approx_reach(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Windowed unique-user reach via the HLL++ sketch in STREAMING
+    execution: exact distinct aggregation is unsupported (and unscalable)
+    over unbounded streams, so approx_count_distinct's fixed-size
+    mergeable sketch is the production pattern — per-window state is a
+    few KB regardless of user cardinality. The batch twin in
+    ``queries.q_streaming_approx_reach`` audits every emitted window
+    against the exact batch count."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "approx_users")
+    )
+
+
 def user_running_totals(
     events: DataFrame, watermark: str = "30 minutes"
 ) -> DataFrame:

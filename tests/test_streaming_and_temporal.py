@@ -151,3 +151,13 @@ def test_ivf_topk_recall(spark, sf_dir):
     assert overlap >= 5
     # scores reported by IVF are true cosines → any shared id has equal rank order
     assert approx[0] in exact
+
+
+def test_streaming_approx_reach_bound_holds(spark):
+    """Every streaming-emitted window's HLL estimate is inside the 3-sigma/
+    absolute-floor envelope the query asserts in-plan, at both test sfs."""
+    from onetable_spark.queries import q_streaming_approx_reach
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        rows = q_streaming_approx_reach(spark, sf).collect()
+        assert rows and all(r["within_bound"] for r in rows), (sf, [r for r in rows if not r["within_bound"]][:3])
