@@ -36,7 +36,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from onetable_spark.functions.text import tokens
+from onetable_spark.functions.text import spread_if_narrow, tokens
 
 
 @lru_cache(maxsize=None)
@@ -179,14 +179,13 @@ def token_hash_df(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     """(id, th: array<long>) — ordered per-token xxhash64 values, one text
     pass, JVM-side. The common ancestor of the shingle table (sliding-
     window gram combine) and the SimHash signature (bit voting): pipelines
-    running both persist THIS table and share the corpus scan. The
-    repartition spreads single-file parquet sources across all cores
-    before the downstream hash work."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    return df.select(
-        F.col(id_col).alias("id"),
-        F.transform(tokens(text_col), lambda t: F.xxhash64(t)).alias("th"),
-    ).repartition(parallelism)
+    running both persist THIS table and share the corpus scan.
+    ``spread_if_narrow`` spreads single-file parquet sources across all
+    cores before the downstream hash work — and skips the shuffle when a
+    multi-file corpus scan already arrives at full width."""
+    return spread_if_narrow(
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+    ).select("id", F.transform(tokens("_text"), lambda t: F.xxhash64(t)).alias("th"))
 
 
 def shingle_hash_df(

@@ -22,6 +22,20 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 PUNCT_PATTERN = r"[.,;:!?]"
 
 
+def spread_if_narrow(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Round-robin repartition ONLY when the input arrives with
+    materially fewer partitions than the cluster can use (single-file
+    local parquet → 1 scan task). A real multi-file corpus scan already
+    arrives at full width, and an unconditional repartition there would
+    shuffle the entire corpus for nothing — the conditional keeps the
+    local-test ergonomics without baking a 100 TB anti-pattern into the
+    hot path. The partition-count probe is plan analysis only (no job)."""
+    parallelism = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() * factor <= parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 def tokens(col: str | Column = "text") -> Column:
     """Whitespace tokenization (single-space corpus convention)."""
     return F.split(col if isinstance(col, Column) else F.col(col), " ")
@@ -276,14 +290,11 @@ def repetition_metrics(
     documented on winnow_fingerprint_rows). The raw-text repartition
     spreads single-file local sources across all cores before the
     CPU-heavy projection (same pattern as dedup.token_hash_df); a real
-    multi-file corpus scan already arrives parallel and the round-robin
-    exchange carries only (id, text)."""
-    parallelism = df.sparkSession.sparkContext.defaultParallelism
-    tk = (
+    multi-file corpus scan already arrives parallel and skips the
+    exchange entirely (spread_if_narrow)."""
+    tk = spread_if_narrow(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
-        .repartition(parallelism)
-        .select("doc_id", tokens("_text").alias("tk"))
-    )
+    ).select("doc_id", tokens("_text").alias("tk"))
     n_tok = F.size("tk")
     bigram_arr = F.transform(
         F.sequence(F.lit(1), n_tok - 1),

