@@ -1647,6 +1647,33 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order (Morton) clustering keys — the space-filling-curve layout
+    primitive behind Delta OPTIMIZE ZORDER and Hudi z-order clustering:
+    sorting on the interleaved key co-locates rows close in BOTH
+    dimensions, so min/max file stats prune multi-column range predicates.
+    The 16-bit key interleaves the low 8 bits of (user_id, event_id);
+    integer bit math only, identical in any engine. Returns the 100
+    lowest-z rows (tie-break event_id) plus each row's z — at corpus
+    scale the same expression feeds a range-partitioned write, and the
+    plan is a pure projection + TakeOrderedAndProject: ZERO shuffle
+    exchanges, partial top-k per partition merged at the driver."""
+    events = load_table(spark, sf, "events")
+    x = F.col("user_id").bitwiseAND(F.lit(255))
+    y = F.col("event_id").bitwiseAND(F.lit(255))
+    z = None
+    for i in range(8):
+        bx = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        by = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        term = bx + by
+        z = term if z is None else z + term
+    return (
+        events.select("event_id", "user_id", z.cast("long").alias("zval"))
+        .orderBy(F.asc("zval"), F.asc("event_id"))
+        .limit(100)
+    )
+
+
 def q_heavy_hitters(spark: SparkSession, sf: str) -> DataFrame:
     """Top-20 corpus-wide tokens by exact frequency (vocabulary heavy
     hitters — the stopword/boilerplate audit every corpus build starts
@@ -3219,6 +3246,26 @@ ORACLE_SQL: dict[str, str] = {
         FROM toks t JOIN lm l USING (term)
         GROUP BY 1
     """,
+    "zorder_layout": """
+        WITH z AS (
+            SELECT event_id, user_id,
+                   (user_id & 255) AS x, (event_id & 255) AS y
+            FROM events
+        )
+        SELECT event_id, user_id, CAST(
+               (((x >> 0) & 1) << 0)  + (((y >> 0) & 1) << 1)  +
+               (((x >> 1) & 1) << 2)  + (((y >> 1) & 1) << 3)  +
+               (((x >> 2) & 1) << 4)  + (((y >> 2) & 1) << 5)  +
+               (((x >> 3) & 1) << 6)  + (((y >> 3) & 1) << 7)  +
+               (((x >> 4) & 1) << 8)  + (((y >> 4) & 1) << 9)  +
+               (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11) +
+               (((x >> 6) & 1) << 12) + (((y >> 6) & 1) << 13) +
+               (((x >> 7) & 1) << 14) + (((y >> 7) & 1) << 15)
+               AS BIGINT) AS zval
+        FROM z
+        ORDER BY zval ASC, event_id ASC
+        LIMIT 100
+    """,
     "heavy_hitters": """
         SELECT token, CAST(COUNT(*) AS BIGINT) AS n_occurrences
         FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
@@ -3425,7 +3472,8 @@ ORACLE_SQL: dict[str, str] = {
 # CORRECTNESS_r02.json and remain covered by tests/tools/check_oracle.py.
 SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver-unverified in r2: front-loaded for CORRECTNESS_r03 ---
-    "full_outer_balance": q_full_outer_balance,
+    # window slot from full_outer_balance (hash-green in r03 AND r04)
+    "zorder_layout": q_zorder_layout,
     "rollup_agg": q_rollup_agg,
     "cube_agg": q_cube_agg,
     "percentile_agg": q_percentile_agg,
@@ -3522,6 +3570,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g7_max_agg": q_g7_max_agg,
     "g11_sort_commits": q_g11_sort_commits,
     "dedup_first_per_key": q_dedup_first_per_key,
+    "full_outer_balance": q_full_outer_balance,
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
     "tpch_q3": q_tpch_q3,

@@ -125,6 +125,15 @@ EXPECT_MAX_EXCHANGES = {
     "tfidf_top_terms": 5,    # tf agg, doc window, df agg, corpus count, top-3 sort
     "source_mixture": 2,     # source agg + k-row normalizer window
     "unigram_logprob": 4,    # vocab agg, total, LM broadcast build, doc agg
+    "zorder_layout": 0,      # projection + TakeOrderedAndProject only
+    "tpch_q1": 1,            # one partial→final agg exchange (sort rides AQE output)
+    "tpch_q6": 1,            # single global agg
+    "window_agg": 1,         # one window/agg exchange
+    "sessionize": 1,         # one user-partition window exchange
+    "event_transitions": 3,  # user window + pair agg + k²-row normalizer
+    "g2_group_files": 1,     # one grouping exchange
+    "gap_fill": 3,           # daily agg + spine build + spine join
+    "moving_avg": 3,         # gap_fill plan; trailing window rides the join output
     "text_features": 0,      # pure projection
     "deterministic_sample": 0,
 }
