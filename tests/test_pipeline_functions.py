@@ -502,3 +502,17 @@ def test_spread_if_narrow_conditional(spark):
     assert spread_if_narrow(wide).rdd.getNumPartitions() == par  # untouched, not re-shuffled
     # identity of results either way
     assert sorted(r[0] for r in spread_if_narrow(narrow).collect()) == list(range(100))
+
+
+def test_ivf_centroids_cached_per_session(spark):
+    """q_ann_ivf_topk reuses one trained quantizer per (session, sf) — the
+    index-reuse contract — and repeated calls return identical rows."""
+    from onetable_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    a = Q.q_ann_ivf_topk(spark, sf).collect()
+    c1 = Q._CORPUS_CACHE[("ivf", id(spark), sf, 16)]
+    b = Q.q_ann_ivf_topk(spark, sf).collect()
+    c2 = Q._CORPUS_CACHE[("ivf", id(spark), sf, 16)]
+    assert c1 is c2
+    assert a == b
