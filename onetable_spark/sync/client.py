@@ -659,6 +659,13 @@ def target_for(
 class SyncConfig:
     mode: SyncMode = SyncMode.INCREMENTAL
     retention_hours: int = 168  # PerTableConfigImpl.java:126 default
+    # Sync the N targets of one snapshot/change concurrently. Safe because
+    # each target owns a disjoint metadata directory and the shared inputs
+    # (snapshot.files / change.diff.added) are persisted DataFrames, which
+    # Spark allows concurrent actions on; multi-sink latency becomes the
+    # slowest target instead of the sum. Per-target ORDER of changes is
+    # preserved — only the fan-out across targets is parallel.
+    parallel_targets: bool = True
 
 
 @dataclass
@@ -696,10 +703,14 @@ class SyncClient:
                     last_instant_synced_millis=snapshot.table.latest_commit_millis,
                     inflight_commits=snapshot.pending_commits,
                 )
-                for t in full:
-                    results[t.table_format] = self._run(
-                        t, SyncMode.FULL, lambda tt=t: tt.sync_snapshot(snapshot, metadata)
+                results.update(
+                    self._run_targets(
+                        [
+                            (t, SyncMode.FULL, lambda tt=t: tt.sync_snapshot(snapshot, metadata))
+                            for t in full
+                        ]
                     )
+                )
             finally:
                 snapshot.files.unpersist()
 
@@ -733,6 +744,7 @@ class SyncClient:
                         last_instant_synced_millis=change.commit_millis,
                         inflight_commits=inflight,
                     )
+                    due = []
                     for fmt, t in list(alive.items()):
                         mark = watermarks[fmt]
                         # commit pruning (G6, TableFormatSync.java:135-144)
@@ -740,9 +752,10 @@ class SyncClient:
                             change.commit_millis not in mark.inflight_commits
                         ):
                             continue
-                        result = self._run(
-                            t, SyncMode.INCREMENTAL, lambda tt=t: tt.sync_change(change, metadata)
+                        due.append(
+                            (t, SyncMode.INCREMENTAL, lambda tt=t: tt.sync_change(change, metadata))
                         )
+                    for fmt, result in self._run_targets(due).items():
                         results[fmt] = result
                         if result.status == SyncStatus.ERROR:
                             # drop target after first failure (TableFormatSync.java:93-133)
@@ -751,6 +764,21 @@ class SyncClient:
                     change.diff.added.unpersist()
 
         return results
+
+    def _run_targets(self, work) -> dict[TableFormat, SyncResult]:
+        """Fan one snapshot/change out to its targets — concurrently when
+        configured (each ``_run`` already isolates per-target failures, so
+        a thread raising is impossible; errors come back as SyncResult)."""
+        if len(work) > 1 and self.config.parallel_targets:
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=len(work)) as pool:
+                futures = [
+                    (t.table_format, pool.submit(self._run, t, mode, action))
+                    for t, mode, action in work
+                ]
+                return {fmt: f.result() for fmt, f in futures}
+        return {t.table_format: self._run(t, mode, action) for t, mode, action in work}
 
     @staticmethod
     def _run(target: TargetClient, mode: SyncMode, action) -> SyncResult:

@@ -245,3 +245,59 @@ def test_iceberg_corrupt_snapshot_recovery(spark, sf_dir, seeded_delta):
     base = read_via(spark, TableFormat.DELTA, table_path)
     via = read_via(spark, TableFormat.ICEBERG, table_path)
     assert via.count() == base.count() and via.exceptAll(base).count() == 0
+
+
+def test_serial_and_parallel_target_fanout_equivalent(spark, sf_dir, tmp_path):
+    """parallel_targets=True (default) and =False must produce identical
+    table state on every target — full then incremental round on each."""
+    from onetable_spark.sync import SyncConfig
+
+    states = {}
+    for parallel in (False, True):
+        table_path = str(tmp_path / f"tbl_{parallel}")
+        os.makedirs(table_path)
+        shutil.copy(os.path.join(sf_dir, "nation.parquet"), os.path.join(table_path, "f1.parquet"))
+        schema = spark.read.parquet(table_path).schema
+        log = DeltaLog(spark, table_path)
+        log.init_table(
+            Table(
+                name="tbl",
+                base_path=table_path,
+                table_format=TableFormat.DELTA,
+                read_schema=schema,
+            )
+        )
+        log.commit(adds=inventory_from_directory(spark, table_path))
+        client = SyncClient(spark, SyncConfig(parallel_targets=parallel))
+        source = source_for(spark, TableFormat.DELTA, table_path)
+        targets = [
+            target_for(spark, TableFormat.ICEBERG, table_path),
+            target_for(spark, TableFormat.HUDI, table_path),
+        ]
+        r1 = client.sync(source, targets)
+        assert all(r.status == SyncStatus.SUCCESS for r in r1.values())
+        time.sleep(0.05)
+        f2 = os.path.join(table_path, "f2.parquet")
+        shutil.copy(os.path.join(sf_dir, "region.parquet"), f2)
+        log.commit(adds=build_inventory(spark, [f2], root=table_path))
+        r2 = client.sync(source, targets)
+        assert all(r.status == SyncStatus.SUCCESS for r in r2.values())
+        assert all(r.mode == SyncMode.INCREMENTAL for r in r2.values())
+        states[parallel] = {
+            fmt: sorted(
+                (os.path.basename(r["path"]), r["record_count"])
+                for r in read_files(spark, fmt, table_path)
+            )
+            for fmt in (TableFormat.ICEBERG, TableFormat.HUDI)
+        }
+    assert states[False] == states[True]
+    assert all(len(v) == 2 for v in states[False].values())  # f1 + f2 on each target
+
+
+def read_files(spark, fmt, path):
+    files = (
+        HudiTimeline(spark, path).snapshot_files()
+        if fmt == TableFormat.HUDI
+        else IcebergTable(spark, path).snapshot_files()
+    )
+    return files.select("path", "record_count").collect()
