@@ -301,3 +301,38 @@ def read_files(spark, fmt, path):
         else IcebergTable(spark, path).snapshot_files()
     )
     return files.select("path", "record_count").collect()
+
+
+class _FailingTarget:
+    """TargetClient whose every sync op raises — per-target isolation probe
+    (RunSync.java:169-171: one bad target must not poison its siblings)."""
+
+    def __init__(self, fmt):
+        self.table_format = fmt
+
+    def get_sync_metadata(self):
+        return None
+
+    def sync_snapshot(self, snapshot, metadata):
+        raise RuntimeError("target down")
+
+    def sync_change(self, change, metadata):
+        raise RuntimeError("target down")
+
+
+def test_failing_target_isolated_under_parallel_fanout(spark, seeded_delta):
+    """With the concurrent fan-out, a raising target yields SyncResult
+    ERROR for itself only; the healthy sibling completes FULL sync."""
+    table_path = seeded_delta
+    client = SyncClient(spark)
+    source = source_for(spark, TableFormat.DELTA, table_path)
+    targets = [
+        target_for(spark, TableFormat.ICEBERG, table_path),
+        _FailingTarget(TableFormat.HUDI),
+    ]
+    results = client.sync(source, targets)
+    assert results[TableFormat.ICEBERG].status == SyncStatus.SUCCESS
+    assert results[TableFormat.HUDI].status == SyncStatus.ERROR
+    assert "target down" in results[TableFormat.HUDI].error
+    via = read_via(spark, TableFormat.ICEBERG, table_path)
+    assert via is not None and via.count() == 25
