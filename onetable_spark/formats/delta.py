@@ -436,8 +436,10 @@ class DeltaLog:
     ) -> int:
         """Optimistic commit of add/remove actions (FILES_SCHEMA inputs).
 
-        Streams actions through ``toLocalIterator`` so a million-file commit
-        never fully materializes on the driver; retries on version races.
+        Actions are materialized once on the driver — the driver must hold
+        the serialized log payload it writes anyway, so collect() has the
+        same O(changed files) memory bound with one Spark job instead of
+        one per partition; retries on version races reuse the payload.
         ``txn`` emits a SetTransaction action (PROTOCOL.md "Transaction
         Identifiers") — the idempotent-writer handle streaming sinks use.
         """
@@ -460,12 +462,15 @@ class DeltaLog:
                     }
                 except (ValueError, KeyError):
                     field_types = {}
-            for row in adds.toLocalIterator():
+            # driver-ok: O(changed files) — the payload string below holds
+            # every action regardless; single job
+            for row in adds.collect():
                 lines.append(
                     json.dumps({"add": _file_row_to_add(row, self.table_path, now, field_types)})
                 )
         if removes is not None:
-            for row in removes.select("path").toLocalIterator():
+            # driver-ok: O(removed files), same payload bound
+            for row in removes.select("path").collect():
                 lines.append(
                     json.dumps(
                         {

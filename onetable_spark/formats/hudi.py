@@ -535,7 +535,10 @@ class HudiTimeline:
                 adds = adds.persist(StorageLevel.MEMORY_AND_DISK)
                 we_cached_adds = True
             table_prefix = self.table_path.rstrip("/") + "/"
-            for row in adds.toLocalIterator():
+            # driver-ok: O(changed files) — partitionToWriteStats holds
+            # every row in the commit JSON anyway; collect() is one job
+            # where toLocalIterator runs one job per partition
+            for row in adds.collect():
                 rel = row["path"]
                 if rel.startswith(table_prefix):
                     rel = rel[len(table_prefix):]

@@ -484,8 +484,9 @@ class IcebergTable:
         parallelism = max(1, min(len(manifest_paths), self.spark.sparkContext.defaultParallelism))
         pairs = base.repartition(parallelism).mapInPandas(scan, "mp string, path string")
         dirty = pairs.join(removes.select("path"), "path").select("mp").distinct()
-        # driver-ok: bounded — one row per dirty manifest
-        return {r["mp"] for r in dirty.toLocalIterator()}
+        # driver-ok: bounded — one row per dirty manifest; collect() is one
+        # job where toLocalIterator would run one job per partition
+        return {r["mp"] for r in dirty.collect()}
 
     def _decode_manifests(
         self, paths: list[str], ice_schema: dict, spec: list[dict], statuses: tuple[int, ...]
@@ -851,7 +852,9 @@ class IcebergTable:
         if prev is not None:
             removed_paths = set()
             if removes is not None:
-                removed_paths = {r["path"] for r in removes.select("path").toLocalIterator()}
+                # driver-ok: O(removed files) — the commit must name every
+                # removed path in the new manifests anyway; single job
+                removed_paths = {r["path"] for r in removes.select("path").collect()}
             _, prev_manifests = (
                 read_container(prev["manifest-list"]) if prev.get("manifest-list") else (None, [])
             )
@@ -904,10 +907,11 @@ class IcebergTable:
                     m for m in prev_manifests if m["manifest_path"] not in dirty
                 ]
                 if dirty:
-                    # driver-ok: bounded — entries of dirty manifests only
+                    # driver-ok: bounded — entries of dirty manifests only,
+                    # all of which this commit re-serializes anyway
                     for row in self._decode_manifests(
                         sorted(dirty), ice_schema, spec, statuses=(STATUS_ADDED, STATUS_EXISTING)
-                    ).toLocalIterator():
+                    ).collect():
                         if row["path"] in removed_paths:
                             deleted_entries.append(
                                 self._entry_from_row(row, snapshot_id, STATUS_DELETED, ice_schema, spec)
@@ -917,7 +921,9 @@ class IcebergTable:
                                 self._entry_from_row(row, snapshot_id, STATUS_EXISTING, ice_schema, spec)
                             )
             else:
-                for row in self.snapshot_files(prev["snapshot-id"]).toLocalIterator():
+                # driver-ok: rewrite path — every carried entry is written
+                # into the new manifest by this driver regardless
+                for row in self.snapshot_files(prev["snapshot-id"]).collect():
                     if row["path"] in removed_paths:
                         deleted_entries.append(
                             self._entry_from_row(row, snapshot_id, STATUS_DELETED, ice_schema, spec)
@@ -926,7 +932,8 @@ class IcebergTable:
                         carried.append(self._entry_from_row(row, snapshot_id, STATUS_EXISTING, ice_schema, spec))
         added_entries = []
         if adds is not None:
-            for row in adds.toLocalIterator():
+            # driver-ok: O(added files) — the manifest rows being written
+            for row in adds.collect():
                 added_entries.append(self._entry_from_row(row, snapshot_id, STATUS_ADDED, ice_schema, spec))
 
         entry_schema = _manifest_entry_schema(self._partition_avro_fields(ice_schema, spec))
