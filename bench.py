@@ -40,17 +40,28 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 4)
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    doc = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_val,
+    }
+    # Durable local copy (full 4-decimal precision): the driver's recorded
+    # BENCH_r*.json captures only a tail window of stdout and has truncated
+    # before (round 5 parsed to 0 queries); this committed file keeps bench
+    # history complete for tools/bench_adjudicate.py. Only the default-sf
+    # run is history-comparable, so other sf dirs don't overwrite it.
+    if sf_val == 0.1:
+        (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(
+            json.dumps(doc, indent=1) + "\n"
         )
-    )
+    # stdout line stays compact (2-decimal, no spaces) so the driver's tail
+    # window captures the whole JSON object, not a fragment
+    doc["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    doc["value"] = round(total, 2)
+    print(json.dumps(doc, separators=(",", ":")))
     spark.stop()
 
 

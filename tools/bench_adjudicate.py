@@ -34,19 +34,34 @@ REAL_REGRESSION_FACTOR = 1.5
 
 def _queries_of(doc: dict) -> dict[str, float]:
     """Unwrap a bench document: bench.py prints {"queries": ...} directly;
-    the driver's recorded BENCH_r*.json nests that under "parsed"."""
+    the driver's recorded BENCH_r*.json nests that under "parsed". When the
+    driver's tail window truncated the stdout line (BENCH_r05.json has
+    ``parsed: null``), fall back to regex-scavenging ``"name": sec`` pairs
+    from the raw ``tail`` fragment so the round still contributes history."""
     if isinstance(doc.get("queries"), dict):
         return doc["queries"]
     parsed = doc.get("parsed")
     if isinstance(parsed, dict) and isinstance(parsed.get("queries"), dict):
         return parsed["queries"]
+    tail = doc.get("tail")
+    if isinstance(tail, str):
+        out: dict[str, float] = {}
+        for name, sec in re.findall(r'"([A-Za-z0-9_]+)":\s*([0-9]+(?:\.[0-9]+)?)', tail):
+            # every query name contains an interior underscore; this drops
+            # the driver's meta keys (n/rc/cpus/sf/value) and the leading
+            # half-name at the truncation boundary (e.g. "_transitions")
+            if "_" in name and not name.startswith("_"):
+                out[name] = float(sec)
+        return out
     return {}
 
 
 def load_history() -> dict[str, float]:
-    """Best-known (min) per-query seconds across every recorded round."""
+    """Best-known (min) per-query seconds across every recorded round,
+    plus the committed local bench snapshot (BENCH_LOCAL.json, written by
+    every bench.py run — survives driver-side truncation)."""
     best: dict[str, float] = {}
-    for path in sorted(REPO.glob("BENCH_r*.json")):
+    for path in sorted(REPO.glob("BENCH_r*.json")) + [REPO / "BENCH_LOCAL.json"]:
         try:
             doc = json.loads(path.read_text())
         except (OSError, json.JSONDecodeError):
