@@ -4,25 +4,29 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 5: 93 queries — metadata-plane relational operators
-(G1-G13) + the full sync lifecycle under the gate, ALL 22 TPC-H shapes
-(pseudo-partsupp from lineitem pairs), grouping sets/percentiles/pivot/
-unpivot/set ops, windowed + session + hopping aggregations (batch AND
-Structured Streaming execution), streaming dedup + stream-stream interval
-join, as-of/range joins, a custom applyInPandasWithState stateful
-operator, and the LLM-pipeline layer (exact/fingerprint/MinHash-LSH/
-SimHash/n-gram-Jaccard dedup, connected-components near-dup clustering,
-winnowing fingerprints, brute-force + multi-probe-LSH + IVF similarity
-search, text analysis, deterministic sampling, token-budget packing,
-end-to-end corpus curation, multimodal decode with runtime codec
-selection whose deterministic stub fallback is reproduced in SQL; round 5
-adds kNN label vote, SemDeDup, decontamination, stratified sampling,
-chunk dedup, funnel/cohort/BM25/incremental-dedup analytics, gap-fill
-resample + moving average, Gopher repetition gate, Markov event
-transitions, HLL/quantile sketches with in-plan error-bound assertions,
-heavy hitters, and per-doc TF-IDF top terms). 89 carry full DuckDB
-value-hash oracles; 4 (minhash/simhash/ann×2) are probabilistic
-rows-only with pinned-seed recall bounds in pytest.
+Surface as of round 6: 101 queries — metadata-plane relational operators
+(G1-G13) + the full sync lifecycle under the gate (inventory, change
+scans, exactly-once streaming sinks; round 6 adds TIME-TRAVEL reads
+across all three formats and SCHEMA-EVOLUTION sync, both e2e), ALL 22
+TPC-H shapes (pseudo-partsupp from lineitem pairs), grouping sets/
+percentiles/pivot/unpivot/set ops, windowed + session + hopping
+aggregations (batch AND Structured Streaming execution), streaming dedup
++ stream-stream interval join, as-of/range joins, a custom
+applyInPandasWithState stateful operator, and the LLM-pipeline layer
+(exact/fingerprint/MinHash-LSH/SimHash/n-gram-Jaccard dedup,
+connected-components near-dup clustering, winnowing fingerprints,
+brute-force + multi-probe-LSH + IVF similarity search, kNN label vote,
+SemDeDup, decontamination, stratified sampling, chunk dedup,
+funnel/cohort/BM25/incremental-dedup analytics, gap-fill resample +
+moving average, Gopher repetition gate, Markov event transitions,
+HLL/quantile sketches with in-plan error-bound assertions, heavy
+hitters, per-doc TF-IDF top terms, text analysis, deterministic
+sampling, token-budget packing, end-to-end corpus curation, multimodal
+decode with runtime codec selection whose deterministic stub fallback is
+reproduced in SQL). 96 carry full DuckDB value-hash oracles; 5
+(minhash_lsh_dedup / simhash_near_dups / ann_lsh_topk / ann_ivf_topk /
+semdedup_pairs) are probabilistic rows-only with pinned-seed recall
+bounds in pytest.
 
 The driver's correctness harness records the FIRST 50 registry entries;
 tests/test_queries_smoke.py pins the window membership and value-checks

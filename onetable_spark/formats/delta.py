@@ -463,10 +463,17 @@ class DeltaLog:
                 except (ValueError, KeyError):
                     field_types = {}
             # driver-ok: O(changed files) — the payload string below holds
-            # every action regardless; single job
-            for row in adds.collect():
+            # every action regardless; single job. Rows are popped as their
+            # JSON line is built so the driver never holds the full Row
+            # list AND the serialized payload simultaneously (the peak is
+            # one representation plus the row being encoded).
+            rows = adds.collect()
+            rows.reverse()
+            while rows:
                 lines.append(
-                    json.dumps({"add": _file_row_to_add(row, self.table_path, now, field_types)})
+                    json.dumps(
+                        {"add": _file_row_to_add(rows.pop(), self.table_path, now, field_types)}
+                    )
                 )
         if removes is not None:
             # driver-ok: O(removed files), same payload bound

@@ -38,6 +38,11 @@ from pyspark.sql import types as T
 
 from onetable_spark.functions.text import spread_if_narrow, tokens
 
+# ngram_jaccard_pairs' persisted intermediates from the MOST RECENT call;
+# the next call unpersists them so repeated calls in one session hold at
+# most one call's cache footprint (see the cache-ownership note there).
+_NGRAM_SCRATCH: list[DataFrame] = []
+
 
 @lru_cache(maxsize=None)
 def _simhash_sig_udf():
@@ -254,8 +259,17 @@ def ngram_jaccard_pairs(
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
+    # Cache ownership: the persisted intermediates below are referenced by
+    # the RETURNED (lazy) plan, so they cannot be unpersisted here. Instead
+    # each call releases the previous call's scratch, bounding a session to
+    # ONE call's footprint instead of accumulating per call (ADVICE r5).
+    # Unpersist is recompute-safe, so even an interleaved concurrent call
+    # only loses cache hits, never correctness.
+    while _NGRAM_SCRATCH:
+        _NGRAM_SCRATCH.pop().unpersist()
     if sh is None:
         sh = shingle_hash_df(df, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+        _NGRAM_SCRATCH.append(sh)
     tok = sh.select("id", F.size("sh").alias("sz"), F.explode("sh").alias("g"))
     # df ≥ 2 only: a globally-unique shingle matches nobody — the shared-
     # occurrence table is orders of magnitude smaller than the full explode
@@ -268,6 +282,7 @@ def ngram_jaccard_pairs(
         .filter(F.col("df") >= 2)
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    _NGRAM_SCRATCH.append(dfreq)
     shared = tok.join(dfreq, "g")
     light = shared.filter(F.col("df") <= heavy_df)
     la, lb = light.alias("la"), light.alias("lb")

