@@ -1347,14 +1347,24 @@ def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Broadcasting the arriving batch's gram table is only right while it is
+# small (~16 B/row → ~32 MB at this limit); above it the plan falls back
+# to a plain equi-join that AQE can shuffle/skew-split. Tests shrink this
+# to 0 to exercise the shuffle branch.
+_INCR_BROADCAST_GRAM_LIMIT = 2_000_000
+
+
 def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental (batch-vs-corpus) near-dup detection: the arriving
     batch (doc_id % 10 == 0 plays the new delivery) is checked against
     the EXISTING corpus only — the shape every production ingest runs,
     where re-deduplicating the whole corpus per delivery would be
-    quadratic in deliveries. The batch's distinct 3-gram hashes broadcast
-    (a batch is small by nature); the corpus inverted index streams past
-    map-side, overlap counts aggregate per (new, existing) pair, and
+    quadratic in deliveries. When the batch is genuinely small its
+    distinct 3-gram hashes broadcast and the corpus inverted index
+    streams past map-side; a LARGE delivery (a multi-TB crawl drop) would
+    blow the broadcast, so a one-scalar size probe switches to a plain
+    equi-join and lets AQE pick the strategy (skew-splittable both ways).
+    Overlap counts aggregate per (new, existing) pair and
     J = ov/(sz_n + sz_e − ov) exactly (distinct gram sets)."""
     from onetable_spark.functions.text import ngram_hash_rows
 
@@ -1367,8 +1377,13 @@ def q_incremental_dedup(spark: SparkSession, sf: str) -> DataFrame:
     corpus = grams.filter(F.col("id") % 10 != 0).select(
         F.col("id").alias("dup_of"), "gh"
     )
+    # driver-ok: one-scalar size probe picks the join strategy; both
+    # branches are value-identical (pytest covers the shuffle branch by
+    # shrinking the limit to 0)
+    small_batch = batch.count() <= _INCR_BROADCAST_GRAM_LIMIT
+    probe = F.broadcast(batch) if small_batch else batch
     ov = (
-        corpus.join(F.broadcast(batch), "gh")
+        corpus.join(probe, "gh")
         .groupBy("new_id", "dup_of")
         .agg(F.count(F.lit(1)).alias("ov"))
     )

@@ -136,6 +136,23 @@ EXPECT_MAX_EXCHANGES = {
     "moving_avg": 3,         # gap_fill plan; trailing window rides the join output
     "text_features": 0,      # pure projection
     "deterministic_sample": 0,
+    # round-6 (VERDICT r5 #7): the dedup/similarity families get explicit
+    # ceilings — budgets measured at sf0.01 with the shared corpus caches
+    # warm (registry order guarantees dedup_clusters builds them first)
+    "minhash_lsh_dedup": 2,   # band-bucket agg + pair dedup agg
+    "simhash_near_dups": 2,   # sig-cluster collapse + pigeonhole bucket agg
+    "knn_label_vote": 2,      # checkerboard GEMM partial + per-query top-k
+    "semdedup_pairs": 2,      # cluster assign agg + within-cluster pairs
+    "incremental_dedup": 3,   # sz agg, overlap agg, size join-back
+    "chunk_dedup": 2,         # chunk-count agg + per-doc rollup (no window)
+    "decontam_overlap": 3,    # gram agg, probe agg, doc rollup
+    "centroid_similarity": 3, # posexplode partial mean + assign + score agg
+    "bm25_search": 1,         # one stats row + TakeOrdered
+    "stratified_sample": 1,   # one (lang, source) grouping exchange
+    "winnow_fingerprint": 1,  # window fingerprint agg over cached grams
+    "winnow_near_dups": 3,    # fp join + pair agg + df cap agg
+    "dedup_clusters": 1,      # CC over cached pairs; one label agg
+    "ngram_jaccard": 3,       # dfreq agg, light self-join, pair agg
 }
 # streaming queries execute via writeStream, not a single batch plan
 SKIP = {"streaming_window_agg", "streaming_sessionize", "streaming_dedup", "streaming_join"}
