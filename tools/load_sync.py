@@ -127,12 +127,31 @@ def main() -> None:
             & {m["manifest_path"] for m in manifests_after}
         )
 
+        # Scenario 4 (round 6): FORCED compaction/rewrite — a schema-change
+        # commit takes the rewrite path, which now writes the carried live
+        # set as executor-side manifest shards; the driver holds one stats
+        # row per shard instead of O(table) entries.
+        evolved = T.StructType(list(schema.fields) + [T.StructField("note", T.StringType())])
+        t0 = time.perf_counter()
+        itbl.commit_overwrite(
+            adds=fabricate_inventory(spark, root, partitions, 1, commit=commits + 1),
+            schema=evolved,
+        )
+        rewrite_s = round(time.perf_counter() - t0, 2)
+        _, manifests_rw = read_container(
+            itbl.current_snapshot_meta(itbl.metadata())["manifest-list"]
+        )
+        live_after_rewrite = itbl.snapshot_files().count()
+
         print(
             json.dumps(
                 {
                     "scenario_full_sync_sec": full_s,
                     "scenario_incremental_sec": incr_s,
                     "scenario_scoped_overwrite_sec": scoped_s,
+                    "scenario_forced_rewrite_sec": rewrite_s,
+                    "forced_rewrite_manifests": len(manifests_rw),
+                    "forced_rewrite_live_files": live_after_rewrite,
                     "scoped_overwrite_manifests_carried": carried,
                     "scoped_overwrite_manifests_total": len(manifests_before),
                     "partitions": partitions,
