@@ -4,7 +4,7 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 6: 101 queries — metadata-plane relational operators
+Surface as of round 6: 105 queries — metadata-plane relational operators
 (G1-G13) + the full sync lifecycle under the gate (inventory, change
 scans, exactly-once streaming sinks; round 6 adds TIME-TRAVEL reads
 across all three formats and SCHEMA-EVOLUTION sync, both e2e), ALL 22
@@ -21,9 +21,11 @@ funnel/cohort/BM25/incremental-dedup analytics, gap-fill resample +
 moving average, Gopher repetition gate, Markov event transitions,
 HLL/quantile sketches with in-plan error-bound assertions, heavy
 hitters, per-doc TF-IDF top terms, text analysis, deterministic
-sampling, token-budget packing, end-to-end corpus curation, multimodal
+sampling, token-budget packing, PII redaction, contiguous-span
+decontamination, near-dup cluster survivorship, CCNet perplexity
+partition, end-to-end corpus curation, multimodal
 decode with runtime codec selection whose deterministic stub fallback is
-reproduced in SQL). 96 carry full DuckDB value-hash oracles; 5
+reproduced in SQL). 100 carry full DuckDB value-hash oracles; 5
 (minhash_lsh_dedup / simhash_near_dups / ann_lsh_topk / ann_ivf_topk /
 semdedup_pairs) are probabilistic rows-only with pinned-seed recall
 bounds in pytest.

@@ -1693,6 +1693,199 @@ def q_unigram_logprob(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IPV4 = r"\d+\.\d+\.\d+\.\d+"
+
+
+def q_pii_redaction(spark: SparkSession, sf: str) -> DataFrame:
+    """PII detection + redaction report — the scrubbing stage every LLM
+    training pipeline runs before text leaves curation (emails, IPv4
+    addresses → typed placeholder tokens). The synthetic corpus carries no
+    PII, so the query SEEDS deterministic identifiers in-plan (doc_id % 7
+    → an email, doc_id % 11 → an IP; the oracle seeds identically), then
+    detects with engine-portable regexes (no backrefs/lookaround — valid
+    in both Java regex and RE2) and reports per-language doc coverage,
+    match counts, and characters removed by redaction.
+
+    100 TB plan: pure Column expressions (regexp_count / regexp_replace,
+    JVM codegen, no UDF) inside one projection; the only shuffle is the
+    5-language partial-agg rollup. Redacted text would be written back
+    out colocated with its input partition — nothing document-sized moves."""
+    docs = load_table(spark, sf, "documents")
+    seeded = F.concat(
+        F.col("text"),
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.lit(" contact user"), F.col("doc_id").cast("string"), F.lit("@example.com now")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 11 == 0,
+            F.concat(F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0.1 logged")),
+        ).otherwise(F.lit("")),
+    )
+    st = docs.select(
+        "lang",
+        F.regexp_count(seeded, F.lit(_PII_EMAIL)).alias("n_em"),
+        F.regexp_count(seeded, F.lit(_PII_IPV4)).alias("n_ip"),
+        (
+            F.length(seeded)
+            - F.length(
+                F.regexp_replace(
+                    F.regexp_replace(seeded, _PII_EMAIL, "<EMAIL>"), _PII_IPV4, "<IP>"
+                )
+            )
+        ).alias("chars_delta"),
+    )
+    return st.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((F.col("n_em") + F.col("n_ip") > 0).cast("int")).cast("long").alias("docs_with_pii"),
+        F.sum("n_em").cast("long").alias("n_emails"),
+        F.sum("n_ip").cast("long").alias("n_ips"),
+        F.sum("chars_delta").cast("long").alias("chars_redacted"),
+    )
+
+
+def q_contamination_span(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark contamination by LONGEST CONTIGUOUS overlap span — the
+    stricter sibling of `decontam_overlap`: a doc sharing 30 scattered
+    3-grams with the benchmark is noise, one sharing a 30-gram contiguous
+    RUN is a verbatim leak (Lee et al. 2022 exact-substring criterion,
+    approximated on the gram lattice). Benchmark = doc_id % 97 == 0, same
+    split as decontam_overlap.
+
+    100 TB plan: gram hashes are computed doc-side in one projection and
+    posexploded WITH position; the benchmark's distinct grams broadcast
+    (benchmark-sized, tiny); only HIT positions — a sparse subset — reach
+    the per-doc rollup, where the sorted position array reduces to its
+    longest consecutive run with one O(hits) `aggregate` pass (the
+    repetition_filter sorted-run idiom). No window functions, one shuffle
+    of (doc_id, pos) hit rows."""
+    from onetable_spark.functions.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    tk = docs.select("doc_id", tokens("text").alias("tk"))
+    n_grams = F.size("tk") - 2
+    gram_arr = F.transform(
+        F.sequence(F.lit(1), n_grams),
+        lambda i: F.md5(
+            F.concat_ws(
+                " ",
+                F.element_at("tk", i.cast("int")),
+                F.element_at("tk", (i + 1).cast("int")),
+                F.element_at("tk", (i + 2).cast("int")),
+            )
+        ),
+    )
+    grams = tk.filter(n_grams >= 1).select(
+        "doc_id", F.posexplode(gram_arr).alias("pos", "gh")
+    )
+    bench = grams.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
+    hits = (
+        grams.filter(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("pos")).alias("ps"))
+    )
+    run = F.aggregate(
+        "ps",
+        F.struct(F.lit(-2).alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x - acc.prev == 1, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best, F.when(x - acc.prev == 1, acc.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    return hits.select(
+        "doc_id",
+        F.size("ps").cast("long").alias("n_hits"),
+        run.cast("long").alias("max_span"),
+        (run >= 5).alias("flagged"),
+    )
+
+
+def q_cluster_representatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Survivorship after near-dup clustering: per cluster, KEEP the
+    highest-quality member (longest text, doc_id as tie-break) — the
+    "which copy do we train on" decision that follows connected
+    components in every dedup pipeline, plus the bytes saved by dropping
+    the rest. Consumes the same exact-Jaccard pair set + CC labels as
+    `dedup_clusters` (shared `_corpus_neardup_pairs` intermediate).
+
+    100 TB plan: the representative is an ARG-MAX BY STRUCT inside the
+    per-cluster aggregate — max(struct(n_chars, -doc_id)) gets map-side
+    partial aggregation and never materializes members, unlike a
+    rank-1-per-partition window (window partitions skew on mega-clusters
+    and cannot be AQE-split; partial aggs can)."""
+    from onetable_spark.functions.dedup import connected_components
+
+    pairs = _corpus_neardup_pairs(spark, sf, threshold=0.4)
+    comp = connected_components(pairs)
+    docs = load_table(spark, sf, "documents").select("doc_id", "n_chars")
+    m = comp.join(docs, comp["node"] == docs["doc_id"]).select("component", "doc_id", "n_chars")
+    best = F.max(F.struct(F.col("n_chars").alias("c"), (-F.col("doc_id")).alias("neg_id")))
+    return (
+        m.groupBy(F.col("component").alias("cluster_id"))
+        .agg(
+            best.alias("b"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "cluster_id",
+            (-F.col("b.neg_id")).cast("long").alias("rep_doc"),
+            F.col("b.c").cast("long").alias("rep_chars"),
+            F.col("n_members").cast("long").alias("n_members"),
+            (F.col("total_chars") - F.col("b.c")).cast("long").alias("chars_saved"),
+        )
+    )
+
+
+def q_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
+    """CCNet-style perplexity partition (Wenzek et al. 2020): score every
+    document under the corpus unigram LM (the `unigram_logprob` model),
+    then split into head / middle / tail quality buckets on fixed
+    log-probability cuts (head ≥ −3.40 > middle ≥ −3.41 > tail) and
+    report the per-(source, bucket) mixture — the table a data-mixing run
+    reads to decide per-bucket sampling temperatures.
+
+    100 TB plan: the LM is vocabulary-bounded → broadcast join; per-token
+    rows partial-agg to per-doc means; bucketing is a pure projection on
+    the 4-dp-rounded score (both engines hash the identical rounded
+    double, so the cut is engine-stable); final rollup is a tiny
+    (source × 3)-row partial agg. One document-stream shuffle total."""
+    from onetable_spark.functions.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    toks = docs.select("doc_id", "source", F.explode(tokens("text")).alias("term"))
+    vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    lm = vocab.crossJoin(total).select(
+        "term", F.log(F.col("c") / F.col("t").cast("double")).alias("logp")
+    )
+    per_doc = (
+        toks.join(F.broadcast(lm), "term")
+        .groupBy("doc_id", "source")
+        .agg(F.count(F.lit(1)).alias("n_tokens"), F.round(F.avg("logp"), 4).alias("lp"))
+    )
+    bucket = (
+        F.when(F.col("lp") >= -3.40, "head")
+        .when(F.col("lp") >= -3.41, "middle")
+        .otherwise("tail")
+    )
+    return (
+        per_doc.select("source", bucket.alias("bucket"), "n_tokens", "lp")
+        .groupBy("source", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("avg_lp"),
+        )
+    )
+
+
 def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order (Morton) clustering keys — the space-filling-curve layout
     primitive behind Delta OPTIMIZE ZORDER and Hudi z-order clustering:
@@ -3714,6 +3907,128 @@ ORACLE_SQL: dict[str, str] = {
                 FROM events))
         GROUP BY user_id, sess_id
     """,
+    # --- round-6 additions ---
+    "pii_redaction": r"""
+        WITH seeded AS (
+            SELECT lang,
+                   text
+                   || CASE WHEN doc_id % 7 = 0
+                           THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 11 = 0
+                           THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 logged'
+                           ELSE '' END AS s
+            FROM documents
+        ), st AS (
+            SELECT lang,
+                   len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_em,
+                   len(regexp_extract_all(s, '\d+\.\d+\.\d+\.\d+')) AS n_ip,
+                   length(s) - length(
+                       regexp_replace(
+                           regexp_replace(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                           '\d+\.\d+\.\d+\.\d+', '<IP>', 'g')) AS chars_delta
+            FROM seeded
+        )
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN n_em + n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+               CAST(SUM(n_em) AS BIGINT) AS n_emails,
+               CAST(SUM(n_ip) AS BIGINT) AS n_ips,
+               CAST(SUM(chars_delta) AS BIGINT) AS chars_redacted
+        FROM st GROUP BY lang
+    """,
+    "contamination_span": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ), g AS (
+            SELECT doc_id, unnest(range(1, len(tk) - 1)) AS i, tk
+            FROM t WHERE len(tk) >= 3
+        ), grams AS (
+            SELECT doc_id, i - 1 AS pos, md5(array_to_string(tk[i:i+2], ' ')) AS gh FROM g
+        ), bench AS (
+            SELECT DISTINCT gh FROM grams WHERE doc_id % 97 = 0
+        ), hits AS (
+            SELECT g.doc_id, g.pos FROM grams g JOIN bench b USING (gh)
+            WHERE g.doc_id % 97 <> 0
+        ), runs AS (
+            SELECT doc_id, pos,
+                   pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+            FROM hits
+        ), spans AS (
+            SELECT doc_id, grp, COUNT(*) AS span FROM runs GROUP BY 1, 2
+        )
+        SELECT doc_id, CAST(SUM(span) AS BIGINT) AS n_hits,
+               CAST(MAX(span) AS BIGINT) AS max_span,
+               (MAX(span) >= 5) AS flagged
+        FROM spans GROUP BY doc_id
+    """,
+    "cluster_representatives": """
+        WITH RECURSIVE sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        ),
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                        / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.4
+        ),
+        edges AS (
+            SELECT id_a AS a, id_b AS b FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(n, m) AS (
+            SELECT a, a FROM edges
+            UNION
+            SELECT r.n, e.b FROM reach r JOIN edges e ON r.m = e.a
+        ),
+        comp AS (SELECT n, MIN(m) AS component FROM reach GROUP BY n),
+        mem AS (
+            SELECT c.component, c.n AS doc_id, d.n_chars
+            FROM comp c JOIN documents d ON d.doc_id = c.n
+        ),
+        rk AS (
+            SELECT component, doc_id, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY component
+                                      ORDER BY n_chars DESC, doc_id ASC) AS r
+            FROM mem
+        ),
+        g AS (
+            SELECT component, COUNT(*) AS n_members, SUM(n_chars) AS total_chars
+            FROM mem GROUP BY 1
+        )
+        SELECT g.component AS cluster_id,
+               CAST(rk.doc_id AS BIGINT) AS rep_doc,
+               CAST(rk.n_chars AS BIGINT) AS rep_chars,
+               CAST(g.n_members AS BIGINT) AS n_members,
+               CAST(g.total_chars - rk.n_chars AS BIGINT) AS chars_saved
+        FROM g JOIN rk ON rk.component = g.component AND rk.r = 1
+    """,
+    "perplexity_buckets": """
+        WITH toks AS (
+            SELECT doc_id, source, unnest(string_split(text, ' ')) AS term FROM documents
+        ), vocab AS (
+            SELECT term, COUNT(*) AS c FROM toks GROUP BY 1
+        ), lm AS (
+            SELECT term, ln(c / CAST((SELECT SUM(c) FROM vocab) AS DOUBLE)) AS logp
+            FROM vocab
+        ), d AS (
+            SELECT t.doc_id, t.source, COUNT(*) AS n_tokens, ROUND(AVG(l.logp), 4) AS lp
+            FROM toks t JOIN lm l USING (term) GROUP BY 1, 2
+        ), b AS (
+            SELECT source,
+                   CASE WHEN lp >= -3.40 THEN 'head'
+                        WHEN lp >= -3.41 THEN 'middle'
+                        ELSE 'tail' END AS bucket,
+                   n_tokens, lp
+            FROM d
+        )
+        SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               ROUND(AVG(lp), 4) AS avg_lp
+        FROM b GROUP BY 1, 2
+    """,
 }
 
 
@@ -3728,11 +4043,18 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # --- driver-unverified in r2: front-loaded for CORRECTNESS_r03 ---
     # window slot from full_outer_balance (hash-green in r03 AND r04)
     "zorder_layout": q_zorder_layout,
-    "percentile_agg": q_percentile_agg,
+    # round-6 newcomers (batch 2): PII scrub, contiguous-span
+    # decontamination, cluster survivorship, CCNet perplexity partition —
+    # window slots from percentile_agg / range_join / dedup_clusters /
+    # corpus_curation (each hash-green in 4 driver rounds, still
+    # oracle-gated every pytest run)
+    "pii_redaction": q_pii_redaction,
+    "contamination_span": q_contamination_span,
+    "cluster_representatives": q_cluster_representatives,
+    "perplexity_buckets": q_perplexity_buckets,
     "window_agg": q_window_agg,
     "hopping_window": q_hopping_window,
     "asof_join": q_asof_join,
-    "range_join": q_range_join,
     "streaming_window_agg": q_streaming_window_agg,
     "streaming_dedup": q_streaming_dedup,
     "streaming_join": q_streaming_join,
@@ -3796,12 +4118,14 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window slots from ngram_jaccard/embedding_near_dups (ditto)
     "source_mixture": q_source_mixture,
     "unigram_logprob": q_unigram_logprob,
-    "dedup_clusters": q_dedup_clusters,
-    "corpus_curation": q_corpus_curation,
     "deterministic_sample": q_deterministic_sample,
     "token_packing": q_token_packing,
     # --- past the driver's 50-entry window: driver-green in earlier rounds,
     # still oracle-checked by tools/check_oracle.py + test_queries_smoke.py ---
+    "dedup_clusters": q_dedup_clusters,
+    "corpus_curation": q_corpus_curation,
+    "percentile_agg": q_percentile_agg,
+    "range_join": q_range_join,
     "rollup_agg": q_rollup_agg,
     "cube_agg": q_cube_agg,
     "g1_files_diff": q_g1_files_diff,

@@ -27,9 +27,10 @@ from tools.check_oracle import compare_result
 MUST_BE_DRIVER_MEASURED = {
     # full_outer_balance retired from this set in r5 (hash-green in r03 AND
     # r04); rollup_agg/cube_agg retired in r6 (hash-green in r1/r3/r4/r5) —
-    # their slots went to the round-6 sync_time_travel/sync_schema_evolution
-    "percentile_agg",
-    "window_agg", "hopping_window", "asof_join", "range_join",
+    # their slots went to the round-6 sync_time_travel/sync_schema_evolution;
+    # percentile_agg/range_join (4 green rounds each) retired mid-r6 for the
+    # batch-2 newcomers below
+    "window_agg", "hopping_window", "asof_join",
     "streaming_window_agg", "streaming_dedup", "streaming_join",
     "streaming_sessionize", "stateful_running_totals", "sync_inventory",
     "minhash_lsh_dedup", "simhash_near_dups", "ann_lsh_topk",
@@ -48,6 +49,8 @@ MUST_BE_DRIVER_MEASURED = {
     "zorder_layout",
     # round-6 newcomers: need their first driver rows in CORRECTNESS_r6
     "sync_time_travel", "sync_schema_evolution",
+    "pii_redaction", "contamination_span", "cluster_representatives",
+    "perplexity_buckets",
 }
 
 

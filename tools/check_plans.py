@@ -112,6 +112,11 @@ EXPECT_BROADCAST = {
     "gap_fill",
     "moving_avg",
     "unigram_logprob",
+    # round-6 batch 2: benchmark gram set / CC labels / LM vocabulary are
+    # all broadcast small sides
+    "contamination_span",
+    "cluster_representatives",
+    "perplexity_buckets",
 }
 # Shuffle-budget ceilings: queries whose design bounds the number of
 # exchanges (repartition/aggregate/join shuffles) in the physical plan —
@@ -153,6 +158,11 @@ EXPECT_MAX_EXCHANGES = {
     "winnow_near_dups": 3,    # fp join + pair agg + df cap agg
     "dedup_clusters": 1,      # CC over cached pairs; one label agg
     "ngram_jaccard": 3,       # dfreq agg, light self-join, pair agg
+    # round-6 batch-2 newcomers
+    "pii_redaction": 1,       # pure regex projection + 5-language partial agg
+    "contamination_span": 2,  # bench-gram distinct agg + per-doc hit rollup
+    "cluster_representatives": 1,  # arg-max-by-struct agg over cached CC labels
+    "perplexity_buckets": 5,  # unigram_logprob's 4 + the (source × 3) rollup
 }
 # streaming queries execute via writeStream, not a single batch plan
 SKIP = {"streaming_window_agg", "streaming_sessionize", "streaming_dedup", "streaming_join"}
