@@ -1852,10 +1852,18 @@ def q_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     reads to decide per-bucket sampling temperatures.
 
     100 TB plan: the LM is vocabulary-bounded → broadcast join; per-token
-    rows partial-agg to per-doc means; bucketing is a pure projection on
-    the 4-dp-rounded score (both engines hash the identical rounded
-    double, so the cut is engine-stable); final rollup is a tiny
-    (source × 3)-row partial agg. One document-stream shuffle total."""
+    rows partial-agg to per-doc scores; final rollup is a tiny
+    (source × 3)-row partial agg. One document-stream shuffle total.
+
+    Engine-stability contract: the per-doc score is an EXACT integer —
+    each token's logp is fixed to micro units (round(logp*1e6) as long),
+    summed with exact (associative, order-independent) integer addition,
+    then divided once by n_tokens and rounded to the nearest micro.
+    AVG(double) is summation-order-dependent across engines, so a doc
+    whose true mean sat within an ulp of a cut used to flip buckets
+    between Spark and DuckDB (round-6 red pytest); bucketing on the
+    integer micro score makes the cut bit-identical in both engines at
+    every scale. avg_lp is likewise an exact long sum divided once."""
     from onetable_spark.functions.text import tokens
 
     docs = load_table(spark, sf, "documents")
@@ -1863,25 +1871,35 @@ def q_perplexity_buckets(spark: SparkSession, sf: str) -> DataFrame:
     vocab = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
     total = vocab.agg(F.sum("c").alias("t"))
     lm = vocab.crossJoin(total).select(
-        "term", F.log(F.col("c") / F.col("t").cast("double")).alias("logp")
+        "term",
+        F.round(F.log(F.col("c") / F.col("t").cast("double")) * 1e6)
+        .cast("long")
+        .alias("logp_micro"),
     )
     per_doc = (
         toks.join(F.broadcast(lm), "term")
         .groupBy("doc_id", "source")
-        .agg(F.count(F.lit(1)).alias("n_tokens"), F.round(F.avg("logp"), 4).alias("lp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("logp_micro").alias("s_micro"),
+        )
+        .withColumn(
+            "lp_micro",
+            F.round(F.col("s_micro") / F.col("n_tokens")).cast("long"),
+        )
     )
     bucket = (
-        F.when(F.col("lp") >= -3.40, "head")
-        .when(F.col("lp") >= -3.41, "middle")
+        F.when(F.col("lp_micro") >= -3400000, "head")
+        .when(F.col("lp_micro") >= -3410000, "middle")
         .otherwise("tail")
     )
     return (
-        per_doc.select("source", bucket.alias("bucket"), "n_tokens", "lp")
+        per_doc.select("source", bucket.alias("bucket"), "n_tokens", "lp_micro")
         .groupBy("source", "bucket")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_tokens").cast("long").alias("n_tokens"),
-            F.round(F.avg("lp"), 4).alias("avg_lp"),
+            F.round(F.sum("lp_micro") / F.count(F.lit(1)) / 1e6, 4).alias("avg_lp"),
         )
     )
 
@@ -4014,19 +4032,24 @@ ORACLE_SQL: dict[str, str] = {
             SELECT term, ln(c / CAST((SELECT SUM(c) FROM vocab) AS DOUBLE)) AS logp
             FROM vocab
         ), d AS (
-            SELECT t.doc_id, t.source, COUNT(*) AS n_tokens, ROUND(AVG(l.logp), 4) AS lp
+            SELECT t.doc_id, t.source, COUNT(*) AS n_tokens,
+                   SUM(CAST(ROUND(l.logp * 1e6) AS BIGINT)) AS s_micro
             FROM toks t JOIN lm l USING (term) GROUP BY 1, 2
+        ), d2 AS (
+            SELECT source, n_tokens,
+                   CAST(ROUND(CAST(s_micro AS DOUBLE) / n_tokens) AS BIGINT) AS lp_micro
+            FROM d
         ), b AS (
             SELECT source,
-                   CASE WHEN lp >= -3.40 THEN 'head'
-                        WHEN lp >= -3.41 THEN 'middle'
+                   CASE WHEN lp_micro >= -3400000 THEN 'head'
+                        WHEN lp_micro >= -3410000 THEN 'middle'
                         ELSE 'tail' END AS bucket,
-                   n_tokens, lp
-            FROM d
+                   n_tokens, lp_micro
+            FROM d2
         )
         SELECT source, bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
                CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-               ROUND(AVG(lp), 4) AS avg_lp
+               ROUND(CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*) / 1e6, 4) AS avg_lp
         FROM b GROUP BY 1, 2
     """,
 }

@@ -76,6 +76,41 @@ def test_query_matches_oracle_values(spark, sf_dir, oracle_con, name):
     assert msg is None, f"{name}: {msg}"
 
 
+# Round-6 lesson: a query can be driver-green at sf0.01 yet oracle-RED at
+# sf0.001 (perplexity_buckets' old AVG(double) bucket key). Any query whose
+# output depends on threshold / bucket / rounding logic must therefore prove
+# parity at BOTH scales — a boundary document that doesn't exist at one scale
+# can exist at the other. Kept to the threshold-sensitive set so the matrix
+# stays in CI time.
+SF_LARGE = "/root/testdata/sf0.01"
+BOUNDARY_SENSITIVE = [
+    "perplexity_buckets",   # bucket cuts on a rounded score
+    "repetition_filter",    # ratio thresholds
+    "approx_quantiles",     # interpolated percentiles, rounded
+    "source_mixture",       # rounded shares
+    "unigram_logprob",      # rounded log-prob sums
+    "stratified_sample",    # hash-threshold sampling
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_con_large():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_LARGE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", BOUNDARY_SENSITIVE)
+def test_boundary_query_matches_oracle_at_sf001(spark, oracle_con_large, name):
+    df = SPARK_QUERIES[name](spark, SF_LARGE)
+    msg = compare_result(df, ORACLE_SQL[name], oracle_con_large)
+    assert msg is None, f"{name}@sf0.01: {msg}"
+
+
 def test_every_oracle_has_a_query():
     assert set(ORACLE_SQL) <= set(SPARK_QUERIES)
 
