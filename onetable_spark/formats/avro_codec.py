@@ -150,15 +150,22 @@ def _pick_union_branch(datum: Any, union: list, names: dict[str, Any]) -> int:
     raise ValueError(f"no union branch for {type(datum)}")
 
 
-def write_container(path: str, schema: dict | list, records: list[dict], sync: bytes | None = None) -> None:
-    """Write an Avro object container file (single block, null codec)."""
+def write_container(
+    path: str,
+    schema: dict | list,
+    records,
+    sync: bytes | None = None,
+    block_records: int = 8192,
+) -> None:
+    """Write an Avro object container file (null codec).
+
+    ``records`` may be any iterable — rows are encoded and flushed in
+    blocks of ``block_records``, so a million-entry manifest streams to
+    disk instead of materializing as one byte buffer (the multi-block
+    form is standard Avro; ``read_container`` replays every block)."""
     names: dict[str, Any] = {}
     _register_names(schema, names)
     sync = sync or os.urandom(16)
-    body = io.BytesIO()
-    for rec in records:
-        write_datum(body, rec, schema, names)
-    payload = body.getvalue()
     with open(path, "wb") as f:
         f.write(MAGIC)
         meta = {
@@ -171,11 +178,26 @@ def write_container(path: str, schema: dict | list, records: list[dict], sync: b
             _write_bytes(f, v)
         _write_long(f, 0)
         f.write(sync)
-        if records:
-            _write_long(f, len(records))
-            _write_long(f, len(payload))
-            f.write(payload)
-            f.write(sync)
+        body = io.BytesIO()
+        count = 0
+
+        def flush() -> None:
+            nonlocal body, count
+            if count:
+                payload = body.getvalue()
+                _write_long(f, count)
+                _write_long(f, len(payload))
+                f.write(payload)
+                f.write(sync)
+                body = io.BytesIO()
+                count = 0
+
+        for rec in records:
+            write_datum(body, rec, schema, names)
+            count += 1
+            if count >= block_records:
+                flush()
+        flush()
 
 
 # ---------------------------------------------------------------------- read

@@ -537,8 +537,13 @@ class HudiTimeline:
             table_prefix = self.table_path.rstrip("/") + "/"
             # driver-ok: O(changed files) — partitionToWriteStats holds
             # every row in the commit JSON anyway; collect() is one job
-            # where toLocalIterator runs one job per partition
-            for row in adds.collect():
+            # where toLocalIterator runs one job per partition. Rows pop
+            # as stats build so the Row list and the stats dicts never
+            # peak together (json.dump below streams to the file).
+            rows = adds.collect()
+            rows.reverse()
+            while rows:
+                row = rows.pop()
                 rel = row["path"]
                 if rel.startswith(table_prefix):
                     rel = rel[len(table_prefix):]

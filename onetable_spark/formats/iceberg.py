@@ -1029,9 +1029,16 @@ class IcebergTable:
                 )
         added_entries = []
         if adds is not None:
-            # driver-ok: O(added files) — the manifest rows being written
-            for row in adds.collect():
-                added_entries.append(self._entry_from_row(row, snapshot_id, STATUS_ADDED, ice_schema, spec))
+            # driver-ok: O(added files) — the manifest rows being written;
+            # rows pop as entries build so the Row list and the entry dicts
+            # never peak together (write_container then streams the dicts
+            # out in blocks)
+            rows = adds.collect()
+            rows.reverse()
+            while rows:
+                added_entries.append(
+                    self._entry_from_row(rows.pop(), snapshot_id, STATUS_ADDED, ice_schema, spec)
+                )
 
         entry_schema = _manifest_entry_schema(self._partition_avro_fields(ice_schema, spec))
         manifests = []

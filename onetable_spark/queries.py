@@ -94,6 +94,55 @@ def _corpus_neardup_pairs(spark: SparkSession, sf: str, threshold: float = 0.4) 
     return _CORPUS_CACHE[key]
 
 
+def _corpus_gram_arrays(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
+    """(doc_id, ghs) — per-document POSITIONAL md5 n-gram hash array over
+    `documents`, persisted once per (session, sf). The decontamination
+    family shares it: ``decontam_overlap`` consumes the distinct gram set,
+    ``contamination_span`` the positions — previously each re-tokenized
+    and re-hashed the whole corpus (VERDICT r6 minor). The md5 string form
+    (not xxhash64) is load-bearing: it is what makes the gram relation
+    engine-reproducible for the DuckDB oracle."""
+    from pyspark import StorageLevel
+
+    from onetable_spark.functions.text import tokens
+
+    key = ("gramarr", id(spark), sf, n)
+    if key not in _CORPUS_CACHE:
+        tk = load_table(spark, sf, "documents").select("doc_id", tokens("text").alias("tk"))
+        n_grams = F.size("tk") - (n - 1)
+        arr = F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: F.md5(
+                F.concat_ws(" ", *[F.element_at("tk", (i + j).cast("int")) for j in range(n)])
+            ),
+        )
+        # sequence(1, m) with m < 1 counts DOWN — guard short docs to empty
+        _CORPUS_CACHE[key] = tk.select(
+            "doc_id",
+            F.when(n_grams >= 1, arr).otherwise(F.array().cast("array<string>")).alias("ghs"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _CORPUS_CACHE[key]
+
+
+def _corpus_embedding_neardups(
+    spark: SparkSession, sf: str, threshold: float = 0.45
+) -> DataFrame:
+    """Exact cosine-pair set over `embeddings` (checkerboard block GEMM),
+    persisted once per (session, sf) — consumed by the exact near-dup
+    report AND semdedup's in-plan recall contract."""
+    from pyspark import StorageLevel
+
+    from onetable_spark.functions.similarity import brute_force_near_dup_pairs
+
+    key = ("embpairs", id(spark), sf, threshold)
+    if key not in _CORPUS_CACHE:
+        pairs = brute_force_near_dup_pairs(
+            load_table(spark, sf, "embeddings"), threshold=threshold
+        )
+        _CORPUS_CACHE[key] = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    return _CORPUS_CACHE[key]
+
+
 def _ivf_centroids(spark: SparkSession, sf: str, n_clusters: int = 16):
     """IVF coarse-quantizer centroids over `embeddings`, trained once per
     (session, sf) — exactly how IVF deploys in production: the quantizer
@@ -988,9 +1037,7 @@ def q_embedding_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_embedding_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.45), exact."""
-    from onetable_spark.functions.similarity import brute_force_near_dup_pairs
-
-    return brute_force_near_dup_pairs(load_table(spark, sf, "embeddings"), threshold=0.45)
+    return _corpus_embedding_neardups(spark, sf, threshold=0.45)
 
 
 def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
@@ -1138,13 +1185,41 @@ def q_semdedup_pairs(spark: SparkSession, sf: str) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): k-means-cluster the embeddings, then
     near-dup pairs (cosine ≥ 0.45) WITHIN clusters only — ~n_clusters×
     cheaper than the exact all-pairs search, recall traded at cluster
-    boundaries (probabilistic by design → rows-only driver check; recall
-    vs the exact twin ``embedding_near_dups`` is pinned in pytest with the
-    fixed seed). Skew-safe: pair-gen inside a cluster still runs the
-    checkerboard scheme keyed (cluster, block-combo)."""
+    boundaries. Skew-safe: pair-gen inside a cluster still runs the
+    checkerboard scheme keyed (cluster, block-combo).
+
+    Driver-gated via an IN-PLAN deterministic contract (no more rows-only
+    check): the output is the EXACT pair set (the oracle-expressible
+    ground truth, shared with ``embedding_near_dups`` through
+    ``_corpus_embedding_neardups``) plus two constant booleans computed
+    from the SemDeDup run itself — ``sem_subset_ok`` (every SemDeDup pair
+    is a true pair: candidates are exact-cosine-verified, so this is an
+    invariant) and ``sem_recall_ok`` (SemDeDup recovers ≥ 60% of the
+    exact set at the pinned k-means seed; measured 0.71/0.86/0.77 at
+    sf0.001/0.01/0.1). A broken clustering or verification flips a
+    boolean and fails the driver's hash gate."""
     from onetable_spark.functions.similarity import semdedup_pairs
 
-    return semdedup_pairs(load_table(spark, sf, "embeddings"), n_clusters=8, threshold=0.45)
+    exact = _corpus_embedding_neardups(spark, sf, threshold=0.45)
+    sem = semdedup_pairs(
+        load_table(spark, sf, "embeddings"), n_clusters=8, threshold=0.45
+    ).select("id_a", "id_b")
+    stats = (
+        exact.select("id_a", "id_b", F.lit(1).alias("_ex"))
+        .join(sem.withColumn("_sem", F.lit(1)), ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.count("_ex").alias("n_exact"),
+            F.count(F.when(F.col("_ex").isNotNull() & F.col("_sem").isNotNull(), 1)).alias(
+                "n_found"
+            ),
+            F.count(F.when(F.col("_ex").isNull(), 1)).alias("n_viol"),
+        )
+    )
+    contract = stats.select(
+        (F.col("n_viol") == 0).alias("sem_subset_ok"),
+        (F.col("n_found") >= F.col("n_exact") * 0.6).alias("sem_recall_ok"),
+    )
+    return exact.crossJoin(F.broadcast(contract))
 
 
 def q_decontam_overlap(spark: SparkSession, sf: str) -> DataFrame:
@@ -1155,11 +1230,12 @@ def q_decontam_overlap(spark: SparkSession, sf: str) -> DataFrame:
     3 the size with the same sparse-hit profile). The benchmark's
     distinct gram hashes are SMALL by construction — broadcast them; the
     training side streams past map-side, so the only shuffle is the
-    per-doc count. Output: contaminated docs with gram counts + ratio."""
-    from onetable_spark.functions.text import ngram_hash_rows
-
-    docs = load_table(spark, sf, "documents")
-    grams = ngram_hash_rows(docs, n=3)
+    per-doc count. Output: contaminated docs with gram counts + ratio.
+    Gram hashes come from the persisted `_corpus_gram_arrays` intermediate
+    shared with contamination_span — one tokenize+md5 pass per session."""
+    grams = _corpus_gram_arrays(spark, sf, n=3).select(
+        F.col("doc_id").alias("id"), F.explode(F.array_distinct("ghs")).alias("gh")
+    )
     bench = grams.filter(F.col("id") % 97 == 0).select("gh").distinct()
     train = grams.filter(F.col("id") % 97 != 0)
     totals = train.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
@@ -1759,25 +1835,11 @@ def q_contamination_span(spark: SparkSession, sf: str) -> DataFrame:
     the per-doc rollup, where the sorted position array reduces to its
     longest consecutive run with one O(hits) `aggregate` pass (the
     repetition_filter sorted-run idiom). No window functions, one shuffle
-    of (doc_id, pos) hit rows."""
-    from onetable_spark.functions.text import tokens
-
-    docs = load_table(spark, sf, "documents")
-    tk = docs.select("doc_id", tokens("text").alias("tk"))
-    n_grams = F.size("tk") - 2
-    gram_arr = F.transform(
-        F.sequence(F.lit(1), n_grams),
-        lambda i: F.md5(
-            F.concat_ws(
-                " ",
-                F.element_at("tk", i.cast("int")),
-                F.element_at("tk", (i + 1).cast("int")),
-                F.element_at("tk", (i + 2).cast("int")),
-            )
-        ),
-    )
-    grams = tk.filter(n_grams >= 1).select(
-        "doc_id", F.posexplode(gram_arr).alias("pos", "gh")
+    of (doc_id, pos) hit rows. Gram hashes come from the persisted
+    `_corpus_gram_arrays` intermediate shared with decontam_overlap —
+    one tokenize+md5 pass per session."""
+    grams = _corpus_gram_arrays(spark, sf, n=3).select(
+        "doc_id", F.posexplode("ghs").alias("pos", "gh")
     )
     bench = grams.filter(F.col("doc_id") % 97 == 0).select("gh").distinct()
     hits = (
@@ -2271,22 +2333,65 @@ def q_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _planted_near_dups(spark: SparkSession, query: list[float]) -> DataFrame:
+    """10 jittered copies of the query vector (ids 1_000_000+j, coordinate
+    j%dim nudged 1% — cosine to the query stays > 0.99), the deterministic
+    high-cosine probe set both ANN contracts retrieve against. Mirrors the
+    pinned-seed scheme tests/test_pipeline_functions.py:test_ann_recall_bounds
+    proves the ≥0.8 bound for."""
+    rows = []
+    for j in range(10):
+        v = list(query)
+        v[j % len(v)] = v[j % len(v)] * 1.01 + 0.001
+        rows.append((1_000_000 + j, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """IVF approximate top-10: k-means coarse quantizer trained ONCE per
     (session, sf) via _ivf_centroids (index reuse — the production IVF
     contract), probe the 4 nearest of 16 clusters (exact twin:
-    embedding_topk)."""
-    from onetable_spark.functions.similarity import ivf_topk
+    embedding_topk).
+
+    Driver-gated via an IN-PLAN deterministic contract (no more rows-only
+    check): the output is the EXACT brute-force top-10 (deterministic,
+    oracle = the embedding_topk SQL) plus two constant booleans from the
+    IVF runs — ``ivf_planted_recall_ok`` (IVF over the corpus spiked with
+    10 planted near-copies of the query retrieves ≥ 8 of them; measured
+    10/10 at sf0.001/0.01/0.1) and ``ivf_raw_recall_ok`` (IVF@nprobe=4/16
+    still recovers ≥ 4 of the true top-10 on the raw near-random corpus;
+    measured 5/4/5). A mis-trained quantizer or broken probe selection
+    flips a boolean and fails the driver's hash gate."""
+    from onetable_spark.functions.similarity import cosine, ivf_topk
 
     emb = load_table(spark, sf, "embeddings")
     # driver-ok: single-row query-vector fetch
     query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
-    return ivf_topk(
-        emb.filter(F.col("vec_id") != 0),
-        query,
-        k=10,
-        centroids=_ivf_centroids(spark, sf),
+    corpus = emb.filter(F.col("vec_id") != 0)
+    centroids = _ivf_centroids(spark, sf)
+
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    exact = (
+        corpus.select("vec_id", F.round(cosine(F.col("embedding"), qcol), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
     )
+    spiked = corpus.select("vec_id", "embedding").unionByName(
+        _planted_near_dups(spark, query)
+    )
+    planted_ok = (
+        ivf_topk(spiked, query, k=10, centroids=centroids)
+        .agg(F.count(F.when(F.col("vec_id") >= 1_000_000, 1)).alias("nf"))
+        .select((F.col("nf") >= 8).alias("ivf_planted_recall_ok"))
+    )
+    raw_ok = (
+        ivf_topk(corpus, query, k=10, centroids=centroids)
+        .select("vec_id")
+        .join(exact.select("vec_id"), "vec_id")
+        .agg(F.count(F.lit(1)).alias("ni"))
+        .select((F.col("ni") >= 4).alias("ivf_raw_recall_ok"))
+    )
+    return exact.crossJoin(F.broadcast(planted_ok)).crossJoin(F.broadcast(raw_ok))
 
 
 def q_sync_inventory(spark: SparkSession, sf: str) -> DataFrame:
@@ -2714,40 +2819,120 @@ def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-# --- rows-only queries (probabilistic / stub-backed; no SQL oracle) --------
+# --- formerly rows-only queries, now under the full hash gate --------------
+# Round 7 closed the `no_oracle` gap: the LSH/IVF queries emit their exact,
+# oracle-expressible ground truth plus constant booleans asserting the
+# probabilistic structure's quality bounds (subset-of-exact, pinned-seed
+# recall) computed IN-PLAN — so the driver's value-hash gate now covers the
+# probabilistic layer too. SimHash needed no contract at all: its chunk
+# pigeonhole candidates are EXACT for hamming ≤ 3, so switching the token
+# hash to an md5-derived 64-bit value (computable in DuckDB) gives full
+# value parity on the real pair output.
 
 
 def q_minhash_lsh_dedup(spark: SparkSession, sf: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs, exact-Jaccard verified (recall is the
-    banding curve → rows-only check; the exact twin is q_ngram_jaccard)."""
+    """MinHash-LSH near-dup pairs, exact-Jaccard verified.
+
+    Driver-gated via an IN-PLAN deterministic contract (no more rows-only
+    check): the output is the EXACT 3-gram-Jaccard ≥ 0.4 pair set (shared
+    with ngram_jaccard/dedup_clusters through ``_corpus_neardup_pairs``;
+    oracle = the ngram_jaccard SQL) plus two constant booleans from the
+    LSH run — ``lsh_subset_ok`` (every LSH pair is a true pair: candidates
+    are exact-Jaccard-verified, so this is an invariant) and
+    ``lsh_recall_ok`` (the 16-band/4-row banding recovers ≥ 80% of the
+    exact set at the pinned signature seed; measured 1.0 at
+    sf0.001/0.01/0.1 — the corpus' planted dups sit far above the 0.4
+    banding knee). A broken signature, banding, or verification join flips
+    a boolean and fails the driver's hash gate."""
     from onetable_spark.functions.dedup import minhash_lsh_dedup_pairs
 
-    return minhash_lsh_dedup_pairs(
+    exact = _corpus_neardup_pairs(spark, sf, threshold=0.4)
+    lsh = minhash_lsh_dedup_pairs(
         load_table(spark, sf, "documents"),
         threshold=0.4,
         sh=_corpus_shingles(spark, sf),
+    ).select("id_a", "id_b")
+    stats = (
+        exact.select("id_a", "id_b", F.lit(1).alias("_ex"))
+        .join(lsh.withColumn("_lsh", F.lit(1)), ["id_a", "id_b"], "full_outer")
+        .agg(
+            F.count("_ex").alias("n_exact"),
+            F.count(F.when(F.col("_ex").isNotNull() & F.col("_lsh").isNotNull(), 1)).alias(
+                "n_found"
+            ),
+            F.count(F.when(F.col("_ex").isNull(), 1)).alias("n_viol"),
+        )
     )
+    contract = stats.select(
+        (F.col("n_viol") == 0).alias("lsh_subset_ok"),
+        (F.col("n_found") >= F.col("n_exact") * 0.8).alias("lsh_recall_ok"),
+    )
+    return exact.select("id_a", "id_b", "jaccard").crossJoin(F.broadcast(contract))
 
 
 def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3 of 64 bits)."""
-    from onetable_spark.functions.dedup import simhash_near_dup_pairs
+    """SimHash near-dup pairs (hamming ≤ 3 of 64 bits) — full value parity.
 
-    return simhash_near_dup_pairs(
-        load_table(spark, sf, "documents"),
-        max_hamming=3,
-        th=_corpus_token_hashes(spark, sf),
+    The 16-bit-chunk candidate scheme is EXACT for hamming ≤ 3 (pigeonhole:
+    3 flipped bits corrupt at most 3 of 4 chunks), so the pair output is a
+    deterministic function of the token hashes — the only oracle blocker
+    was xxhash64, which DuckDB lacks. This query therefore derives each
+    token's 64-bit hash from md5 (top 16 hex chars → two conv'd 32-bit
+    halves packed into a long), which DuckDB reproduces bit-for-bit as a
+    64-char binary string (verified identical on sample tokens), making
+    the whole near-dup report hash-comparable. Any 64-bit hash family
+    serves SimHash equally; the library form (``functions.dedup.simhash64``)
+    keeps the faster xxhash64 for non-oracle use."""
+    from onetable_spark.functions.dedup import simhash_near_dup_pairs
+    from onetable_spark.functions.text import tokens
+
+    docs = load_table(spark, sf, "documents")
+    md5h = lambda t: F.shiftleft(  # noqa: E731
+        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"), 32
+    ) + F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long")
+    th = docs.select(
+        F.col("doc_id").alias("id"),
+        F.transform(tokens("text"), md5h).alias("th"),
+    )
+    return simhash_near_dup_pairs(docs, max_hamming=3, th=th).withColumn(
+        "hamming", F.col("hamming").cast("int")
     )
 
 
 def q_ann_lsh_topk(spark: SparkSession, sf: str) -> DataFrame:
-    """Approximate top-10 via random-hyperplane LSH bucket probe."""
-    from onetable_spark.functions.similarity import ann_lsh_topk
+    """Approximate top-10 via random-hyperplane LSH bucket probe.
+
+    Driver-gated via an IN-PLAN deterministic contract (no more rows-only
+    check): the output is the EXACT brute-force top-10 (oracle = the
+    embedding_topk SQL) plus a constant boolean from the LSH probe —
+    ``lsh_planted_recall_ok``: multi-probe LSH (4 probes) over the corpus
+    spiked with 10 planted near-copies of the query retrieves ≥ 8 of them
+    (measured 10/10 at sf0.001/0.01/0.1). High-cosine retrieval is the
+    promise LSH actually makes — the raw corpus is near-random (best
+    cosine ≈ 0.33), the regime where bucket probing makes no recall claim.
+    A broken hyperplane signature or probe enumeration flips the boolean
+    and fails the driver's hash gate."""
+    from onetable_spark.functions.similarity import ann_lsh_topk, cosine
 
     emb = load_table(spark, sf, "embeddings")
     # driver-ok: single-row query-vector fetch
-    query = emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    return ann_lsh_topk(emb.filter(F.col("vec_id") != 0), list(query), k=10)
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    corpus = emb.filter(F.col("vec_id") != 0)
+    qcol = F.array(*[F.lit(float(x)) for x in query])
+    exact = (
+        corpus.select("vec_id", F.round(cosine(F.col("embedding"), qcol), 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(10)
+    )
+    spiked = corpus.select("vec_id", "embedding").unionByName(
+        _planted_near_dups(spark, query)
+    )
+    planted_ok = (
+        ann_lsh_topk(spiked, query, k=10, probes=4)
+        .agg(F.count(F.when(F.col("vec_id") >= 1_000_000, 1)).alias("nf"))
+        .select((F.col("nf") >= 8).alias("lsh_planted_recall_ok"))
+    )
+    return exact.crossJoin(F.broadcast(planted_ok))
 
 
 def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
@@ -4052,6 +4237,79 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*) / 1e6, 4) AS avg_lp
         FROM b GROUP BY 1, 2
     """,
+    # --- probabilistic layer (r7): the oracle computes the exact ground
+    # truth; the contract booleans the Spark plan derives from the LSH/IVF
+    # runs are asserted as literal TRUE — a quality-bound violation on the
+    # Spark side flips the boolean and fails the hash compare.
+    "minhash_lsh_dedup": """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(t) - 1),
+                                 i -> concat(t[i], ' ', t[i+1], ' ', t[i+2]))) AS s
+            FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                     / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS jaccard,
+               TRUE AS lsh_subset_ok, TRUE AS lsh_recall_ok
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        WHERE ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                    / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) >= 0.4
+    """,
+    "semdedup_pairs": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, ROUND({_COS_SQL}, 4) AS cos_sim,
+               TRUE AS sem_subset_ok, TRUE AS sem_recall_ok
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE ROUND({_COS_SQL}, 4) >= 0.45
+    """,
+    "ann_lsh_topk": f"""
+        SELECT b.vec_id, ROUND({_COS_SQL}, 4) AS cos_sim,
+               TRUE AS lsh_planted_recall_ok
+        FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+        WHERE b.vec_id <> 0
+        ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10
+    """,
+    "ann_ivf_topk": f"""
+        SELECT b.vec_id, ROUND({_COS_SQL}, 4) AS cos_sim,
+               TRUE AS ivf_planted_recall_ok, TRUE AS ivf_raw_recall_ok
+        FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+        WHERE b.vec_id <> 0
+        ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10
+    """,
+    # SimHash is EXACT for hamming <= 3 (4x16-bit chunk pigeonhole), so this
+    # is full value parity, not a contract: per distinct token, 64 bits from
+    # the md5 top-16 hex chars (bit-identical to the Spark side's packed
+    # conv(md5) long — verified on sample tokens); per doc, strict-majority
+    # vote per bit position; all pairs with position-wise hamming <= 3.
+    "simhash_near_dups": """
+        WITH tk AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+        ), th AS (
+            SELECT DISTINCT doc_id,
+                   list_aggregate(list_transform(range(1, 17),
+                       i -> lpad(bin(strpos('0123456789abcdef',
+                                            substr(md5(t), CAST(i AS INT), 1)) - 1), 4, '0')),
+                       'string_agg', '') AS bits
+            FROM tk
+        ), pos AS (
+            SELECT doc_id, p,
+                   SUM(CASE WHEN substr(bits, CAST(p AS INT), 1) = '1' THEN 1 ELSE 0 END) AS ones,
+                   COUNT(*) AS n
+            FROM th, LATERAL unnest(generate_series(1, 64)) AS u(p)
+            GROUP BY 1, 2
+        ), sig AS (
+            SELECT doc_id,
+                   string_agg(CASE WHEN ones * 2 > n THEN '1' ELSE '0' END, '' ORDER BY p) AS s
+            FROM pos GROUP BY 1
+        )
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(len(list_filter(range(1, 65),
+                    i -> substr(a.s, CAST(i AS INT), 1) <> substr(b.s, CAST(i AS INT), 1)))
+                    AS INT) AS hamming
+        FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        WHERE len(list_filter(range(1, 65),
+                  i -> substr(a.s, CAST(i AS INT), 1) <> substr(b.s, CAST(i AS INT), 1))) <= 3
+    """,
 }
 
 
@@ -4096,7 +4354,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_schema_evolution": q_sync_schema_evolution,
     # window slot from g1_files_diff (hash-green in r02 AND r04)
     "streaming_sink_inventory": q_streaming_sink_inventory,
-    # probabilistic / stub-backed — rows-only driver check (no oracle entry)
+    # probabilistic layer, r7: in-plan deterministic contracts (exact
+    # ground-truth output + invariant/recall booleans) — fully hash-gated
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash_near_dups": q_simhash_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
@@ -4118,7 +4377,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # hash-green in 2+ prior windows, still oracle-gated every pytest run.
     "knn_label_vote": q_knn_label_vote,
     "centroid_similarity": q_centroid_similarity,
-    "semdedup_pairs": q_semdedup_pairs,  # rows-only: probabilistic by design
+    "semdedup_pairs": q_semdedup_pairs,  # r7: in-plan contract, hash-gated
     "decontam_overlap": q_decontam_overlap,
     "stratified_sample": q_stratified_sample,
     "chunk_dedup": q_chunk_dedup,

@@ -336,3 +336,104 @@ def test_failing_target_isolated_under_parallel_fanout(spark, seeded_delta):
     assert "target down" in results[TableFormat.HUDI].error
     via = read_via(spark, TableFormat.ICEBERG, table_path)
     assert via is not None and via.count() == 25
+
+
+def _advance_source(spark, sf_dir, table_path, name):
+    """One more Delta commit: copy nation.parquet in as a new data file."""
+    time.sleep(0.05)
+    f = os.path.join(table_path, name)
+    shutil.copy(os.path.join(sf_dir, "nation.parquet"), f)
+    DeltaLog(spark, table_path).commit(adds=build_inventory(spark, [f], root=table_path))
+
+
+def _assert_all_reads_equivalent(spark, table_path, fmts):
+    base = read_via(spark, TableFormat.DELTA, table_path)
+    for fmt in fmts:
+        via = read_via(spark, fmt, table_path)
+        assert via.count() == base.count()
+        assert via.exceptAll(base).count() == 0 and base.exceptAll(via).count() == 0
+
+
+def test_out_of_sync_targets_converge_in_one_sync(spark, sf_dir, seeded_delta):
+    """ITOneTableClient.java:549-596 parity (testOutOfSyncIncrementalSyncs):
+    a target added LATE — after the source has advanced past the other
+    target's watermark — must converge in the same sync() call that
+    increments the current target: the late one through the FULL-bootstrap
+    fallback (no sync metadata), the stale one through incremental replay,
+    and every format's read must be row-identical afterwards."""
+    table_path = seeded_delta
+    client = SyncClient(spark)
+    source = source_for(spark, TableFormat.DELTA, table_path)
+    iceberg = target_for(spark, TableFormat.ICEBERG, table_path)
+    hudi = target_for(spark, TableFormat.HUDI, table_path)
+
+    # commit 1 synced to Iceberg ONLY — the Hudi target does not exist yet
+    r1 = client.sync(source, [iceberg])
+    assert r1[TableFormat.ICEBERG].status == SyncStatus.SUCCESS
+
+    # source advances 2 commits: Iceberg is now stale by 2, Hudi by all 3
+    _advance_source(spark, sf_dir, table_path, "f2.parquet")
+    _advance_source(spark, sf_dir, table_path, "f3.parquet")
+
+    # ONE sync over both: Iceberg replays the 2 missed commits
+    # incrementally, Hudi (no watermark) falls back to a FULL bootstrap
+    r2 = client.sync(source, [iceberg, hudi])
+    assert r2[TableFormat.ICEBERG].status == SyncStatus.SUCCESS
+    assert r2[TableFormat.ICEBERG].mode == SyncMode.INCREMENTAL
+    assert r2[TableFormat.HUDI].status == SyncStatus.SUCCESS
+    assert r2[TableFormat.HUDI].mode == SyncMode.FULL
+    _assert_all_reads_equivalent(spark, table_path, (TableFormat.ICEBERG, TableFormat.HUDI))
+
+    # watermarks converged to the same source head
+    assert (
+        iceberg.get_sync_metadata().last_instant_synced_millis
+        == hudi.get_sync_metadata().last_instant_synced_millis
+    )
+
+    # one more source commit: BOTH targets now increment from the shared
+    # watermark in a single pass
+    _advance_source(spark, sf_dir, table_path, "f4.parquet")
+    r3 = client.sync(source, [iceberg, hudi])
+    assert all(res.status == SyncStatus.SUCCESS for res in r3.values())
+    assert all(res.mode == SyncMode.INCREMENTAL for res in r3.values())
+    _assert_all_reads_equivalent(spark, table_path, (TableFormat.ICEBERG, TableFormat.HUDI))
+
+
+def test_lagging_target_catches_up_while_current_target_prunes(spark, sf_dir, seeded_delta):
+    """The mixed-staleness incremental batch (G5 earliest-watermark replay
+    + G6 per-target commit pruning, OneTableClient.java:248-266 /
+    TableFormatSync.java:135-144): Iceberg stays current for two commits
+    that Hudi never sees, then one sync() over both must replay from
+    HUDI's older watermark while Iceberg SKIPS the commits it already
+    applied — converging both without re-applying anything."""
+    table_path = seeded_delta
+    client = SyncClient(spark)
+    source = source_for(spark, TableFormat.DELTA, table_path)
+    iceberg = target_for(spark, TableFormat.ICEBERG, table_path)
+    hudi = target_for(spark, TableFormat.HUDI, table_path)
+
+    # both targets bootstrapped at commit 1
+    r1 = client.sync(source, [iceberg, hudi])
+    assert all(res.status == SyncStatus.SUCCESS for res in r1.values())
+
+    # two source commits synced to Iceberg ONLY — Hudi lags by 2
+    _advance_source(spark, sf_dir, table_path, "f2.parquet")
+    _advance_source(spark, sf_dir, table_path, "f3.parquet")
+    r2 = client.sync(source, [iceberg])
+    assert r2[TableFormat.ICEBERG].mode == SyncMode.INCREMENTAL
+
+    # a third commit neither target has seen
+    _advance_source(spark, sf_dir, table_path, "f4.parquet")
+
+    # ONE sync over both: the change stream replays from Hudi's watermark
+    # (3 commits); Iceberg's pruning applies only the newest one
+    ice_mark_before = iceberg.get_sync_metadata().last_instant_synced_millis
+    r3 = client.sync(source, [iceberg, hudi])
+    assert all(res.status == SyncStatus.SUCCESS for res in r3.values())
+    assert all(res.mode == SyncMode.INCREMENTAL for res in r3.values())
+    _assert_all_reads_equivalent(spark, table_path, (TableFormat.ICEBERG, TableFormat.HUDI))
+    marks = {
+        fmt: t.get_sync_metadata().last_instant_synced_millis
+        for fmt, t in ((TableFormat.ICEBERG, iceberg), (TableFormat.HUDI, hudi))
+    }
+    assert marks[TableFormat.ICEBERG] == marks[TableFormat.HUDI] > ice_mark_before

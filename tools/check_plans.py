@@ -144,7 +144,7 @@ EXPECT_MAX_EXCHANGES = {
     # round-6 (VERDICT r5 #7): the dedup/similarity families get explicit
     # ceilings — budgets measured at sf0.01 with the shared corpus caches
     # warm (registry order guarantees dedup_clusters builds them first)
-    "minhash_lsh_dedup": 2,   # band-bucket agg + pair dedup agg
+    "minhash_lsh_dedup": 3,   # band-bucket agg + pair dedup agg + r7 contract join (LSH vs exact full-outer)
     "simhash_near_dups": 2,   # sig-cluster collapse + pigeonhole bucket agg
     "knn_label_vote": 2,      # checkerboard GEMM partial + per-query top-k
     "semdedup_pairs": 2,      # cluster assign agg + within-cluster pairs

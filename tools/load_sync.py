@@ -143,10 +143,42 @@ def main() -> None:
         )
         live_after_rewrite = itbl.snapshot_files().count()
 
+        # Scenario 5 (round 7): MEGA-COMMIT memory profile — one Delta
+        # commit carrying 500k files (5× the reference's LoadTest table).
+        # The spooled streaming writer (formats/delta._spool_lines) must
+        # keep driver memory at O(Row list): tracemalloc's peak should sit
+        # near the collected rows' footprint, NOT rows + serialized
+        # payload, which for 500k files is an extra ~150 MB.
+        import tracemalloc
+
+        mega_root = tempfile.mkdtemp(prefix="otb_mega_")
+        mega_log = DeltaLog(spark, mega_root)
+        mega_log.init_table(
+            Table(
+                name="mega",
+                base_path=mega_root,
+                table_format=TableFormat.DELTA,
+                read_schema=schema,
+            )
+        )
+        mega_inv = fabricate_inventory(spark, mega_root, 1000, 500)
+        tracemalloc.start()
+        t0 = time.perf_counter()
+        mega_log.commit(adds=mega_inv)
+        mega_s = round(time.perf_counter() - t0, 2)
+        _, mega_peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        mega_files = mega_log.snapshot_files().count()
+        shutil.rmtree(mega_root, ignore_errors=True)
+        assert mega_files == 500_000, mega_files
+
         print(
             json.dumps(
                 {
                     "scenario_full_sync_sec": full_s,
+                    "scenario_mega_commit_sec": mega_s,
+                    "mega_commit_files": mega_files,
+                    "mega_commit_peak_mb": round(mega_peak / 1e6, 1),
                     "scenario_incremental_sec": incr_s,
                     "scenario_scoped_overwrite_sec": scoped_s,
                     "scenario_forced_rewrite_sec": rewrite_s,
