@@ -2691,6 +2691,35 @@ def q_sync_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sync_validation(spark: SparkSession, sf: str) -> DataFrame:
+    """The VALIDATION plane under the correctness gate (api/.../model/
+    validation/{ValidationCheck,Checker,Result}.java — declared but never
+    implemented by the reference; sync/validation.py implements it for
+    real): over the shared two-commit sync stage, run all four checks of
+    each target's read-back against the Delta source — partition-spec
+    parity, schema parity, file/row counts, per-file statistics — and
+    report (fmt, check_name, success). The comparisons are DataFrame aggs
+    and a full-outer per-file join (driver sees counters only), so the
+    same validator runs unchanged on a million-file table. A drift in any
+    of the three commit-plane encodings flips a FALSE into the hash."""
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.sync.validation import SyncValidator
+
+    base = _two_commit_delta_stage(spark, sf)["base"]
+    source = DeltaLog(spark, base)
+    validator = SyncValidator()
+    rows = []
+    for fmt, reader in (
+        ("ICEBERG", IcebergTable(spark, base)),
+        ("HUDI", HudiTimeline(spark, base)),
+    ):
+        for check, res in validator.validate(source, reader).items():
+            rows.append((fmt, check.value, res.success))
+    return spark.createDataFrame(rows, "fmt string, check_name string, success boolean")
+
+
 def q_streaming_sink_inventory(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-once streaming ingestion under the correctness gate: the
     events stream is written through the foreachBatch sinks into native
@@ -4248,6 +4277,14 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*) / 1e6, 4) AS avg_lp
         FROM b GROUP BY 1, 2
     """,
+    # r7: the validator's ground truth is static — a healthy sync passes
+    # every check for every target; any drift flips a FALSE into the hash
+    "sync_validation": """
+        SELECT f.fmt, c.check_name, TRUE AS success
+        FROM (VALUES ('ICEBERG'), ('HUDI')) f(fmt)
+        CROSS JOIN (VALUES ('CHECK_TABLE_SPEC'), ('CHECK_SCHEMA'),
+                           ('CHECK_BASIC_COUNTS'), ('COMPARE_STATISTICS')) c(check_name)
+    """,
     # --- probabilistic layer (r7): the oracle computes the exact ground
     # truth; the contract booleans the Spark plan derives from the LSH/IVF
     # runs are asserted as literal TRUE — a quality-bound violation on the
@@ -4344,7 +4381,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "contamination_span": q_contamination_span,
     "cluster_representatives": q_cluster_representatives,
     "perplexity_buckets": q_perplexity_buckets,
-    "window_agg": q_window_agg,
+    # round-7 newcomer: the post-sync validation plane (window slot from
+    # window_agg, hash-green in r3/r4/r5/r6, still oracle-gated every
+    # pytest run)
+    "sync_validation": q_sync_validation,
     "hopping_window": q_hopping_window,
     "asof_join": q_asof_join,
     "streaming_window_agg": q_streaming_window_agg,
@@ -4411,6 +4451,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window slots from ngram_jaccard/embedding_near_dups (ditto)
     "source_mixture": q_source_mixture,
     "unigram_logprob": q_unigram_logprob,
+    # rotated out of the driver window in r7 for sync_validation
+    # (hash-green in r3/r4/r5/r6, still oracle-gated every pytest run)
+    "window_agg": q_window_agg,
     "deterministic_sample": q_deterministic_sample,
     "token_packing": q_token_packing,
     # --- past the driver's 50-entry window: driver-green in earlier rounds,
