@@ -2927,13 +2927,18 @@ def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.functions.text import tokens
 
     docs = load_table(spark, sf, "documents")
-    md5h = lambda t: F.shiftleft(  # noqa: E731
-        F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"), 32
-    ) + F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long")
-    th = docs.select(
+    # two chained selects so `m` is a plain attribute when the packing
+    # transform consumes it — md5 runs ONCE per token, and an inlined
+    # computed array would re-evaluate per element (the documented
+    # O(n²) trap, see dedup._gram_hash_col)
+    md5s = docs.select(
         F.col("doc_id").alias("id"),
-        F.transform(tokens("text"), md5h).alias("th"),
+        F.transform(tokens("text"), lambda t: F.md5(t)).alias("m"),
     )
+    pack = lambda h: F.shiftleft(  # noqa: E731
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("long"), 32
+    ) + F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    th = md5s.select("id", F.transform("m", pack).alias("th"))
     return simhash_near_dup_pairs(docs, max_hamming=3, th=th).withColumn(
         "hamming", F.col("hamming").cast("int")
     )

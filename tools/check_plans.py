@@ -147,7 +147,6 @@ EXPECT_MAX_EXCHANGES = {
     "minhash_lsh_dedup": 3,   # band-bucket agg + pair dedup agg + r7 contract join (LSH vs exact full-outer)
     "simhash_near_dups": 2,   # sig-cluster collapse + pigeonhole bucket agg
     "knn_label_vote": 2,      # checkerboard GEMM partial + per-query top-k
-    "semdedup_pairs": 2,      # cluster assign agg + within-cluster pairs
     "incremental_dedup": 3,   # sz agg, overlap agg, size join-back
     "chunk_dedup": 2,         # chunk-count agg + per-doc rollup (no window)
     "decontam_overlap": 3,    # gram agg, probe agg, doc rollup
@@ -158,6 +157,14 @@ EXPECT_MAX_EXCHANGES = {
     "winnow_near_dups": 3,    # fp join + pair agg + df cap agg
     "dedup_clusters": 1,      # CC over cached pairs; one label agg
     "ngram_jaccard": 3,       # dfreq agg, light self-join, pair agg
+    # round-7 contract shapes: the exact ground truth + broadcast contract
+    # row(s); the ANN exact top-k is TakeOrdered (no shuffle), contract
+    # aggs ride broadcast crossJoins
+    "ann_lsh_topk": 0,
+    "ann_ivf_topk": 0,
+    "semdedup_pairs": 1,      # checkerboard GEMM partial agg (contract row broadcast)
+    "sync_validation": 0,     # local 8-row result; validator aggs run inside the build
+    "embedding_near_dups": 1, # checkerboard GEMM partial agg
     # round-6 batch-2 newcomers
     "pii_redaction": 1,       # pure regex projection + 5-language partial agg
     "contamination_span": 2,  # bench-gram distinct agg + per-doc hit rollup
