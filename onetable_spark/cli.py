@@ -64,16 +64,36 @@ def _catalog_config(raw: Optional[dict]):
     )
 
 
+def _metadata_reader(spark, fmt: TableFormat, base_path: str):
+    """The standalone metadata reader for a target format (what validation
+    reads each target back through)."""
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.iceberg import IcebergTable
+
+    return {
+        TableFormat.DELTA: DeltaLog,
+        TableFormat.ICEBERG: IcebergTable,
+        TableFormat.HUDI: HudiTimeline,
+    }[fmt](spark, base_path)
+
+
 def run_dataset_config(
     spark,
     config: dict,
     iceberg_catalog: Optional[dict] = None,
     mode: str = "incremental",
+    validate: bool = False,
 ) -> list[dict[str, Any]]:
     """Run the sync loop over every dataset; returns one result record per
-    (table, target-format) pair. Importable for tests; the ``main`` entry
-    wraps it with arg parsing and a SparkSession."""
+    (table, target-format) pair. With ``validate=True``, every successful
+    target is audited by the post-sync validation plane (all four
+    ValidationChecks of the target's read-back against the source) and
+    the records carry a ``validation`` map plus a downgraded status on
+    drift. Importable for tests; the ``main`` entry wraps it with arg
+    parsing and a SparkSession."""
     from onetable_spark.sync import SyncClient, SyncConfig, source_for, target_for
+    from onetable_spark.sync.validation import SnapshotReaderAdapter, SyncValidator
 
     source_format = TableFormat(config["sourceFormat"])
     target_formats = [TableFormat(t) for t in config.get("targetFormats", [])]
@@ -101,15 +121,23 @@ def run_dataset_config(
                 targets.append(target_for(spark, fmt, base_path, **kwargs))
             outcome = client.sync(source, targets)
             for fmt, res in outcome.items():
-                results.append(
-                    {
-                        "tableBasePath": base_path,
-                        "target": fmt.value,
-                        "status": res.status.value,
-                        "mode": res.mode.value,
-                        "error": res.error,
+                record: dict[str, Any] = {
+                    "tableBasePath": base_path,
+                    "target": fmt.value,
+                    "status": res.status.value,
+                    "mode": res.mode.value,
+                    "error": res.error,
+                }
+                if validate and res.status.value == "SUCCESS":
+                    checks = SyncValidator().validate(
+                        SnapshotReaderAdapter(source), _metadata_reader(spark, fmt, base_path)
+                    )
+                    record["validation"] = {
+                        c.value: (r.error_message or "ok") for c, r in checks.items()
                     }
-                )
+                    if not all(r.success for r in checks.values()):
+                        record["status"] = "VALIDATION_FAILED"
+                results.append(record)
         except Exception as e:  # noqa: BLE001 — per-table isolation (RunSync.java:168-170)
             results.append(
                 {
@@ -167,6 +195,13 @@ def main(argv: Optional[list[str]] = None) -> int:
     parser.add_argument(
         "--mode", choices=("incremental", "full"), default="incremental"
     )
+    parser.add_argument(
+        "--validate",
+        action="store_true",
+        help="after each successful sync, audit the target's read-back against "
+        "the source (spec/schema/counts/per-file stats); drift downgrades the "
+        "record to VALIDATION_FAILED",
+    )
     args = parser.parse_args(argv)
 
     from onetable_spark.session import get_spark
@@ -174,7 +209,9 @@ def main(argv: Optional[list[str]] = None) -> int:
     config = _load_config_file(args.datasetConfig)
     catalog = _load_config_file(args.icebergCatalogConfig) if args.icebergCatalogConfig else None
     spark = get_spark("onetable-spark-sync")
-    results = run_dataset_config(spark, config, iceberg_catalog=catalog, mode=args.mode)
+    results = run_dataset_config(
+        spark, config, iceberg_catalog=catalog, mode=args.mode, validate=args.validate
+    )
     for r in results:
         print(json.dumps(r))
     return 0 if all(r["status"] == "SUCCESS" for r in results) else 1

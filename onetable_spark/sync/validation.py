@@ -69,6 +69,22 @@ def _file_key(files: DataFrame) -> DataFrame:
     return files.withColumn("file_name", F.element_at(F.split("path", "/"), -1))
 
 
+class SnapshotReaderAdapter:
+    """Adapts any SourceClient (ParquetSource/DeltaSource/HudiSource/
+    IcebergSource — everything sync() can read from) into the TableReader
+    protocol, so a sync source can be validated against its targets even
+    when it has no standalone metadata reader (plain parquet)."""
+
+    def __init__(self, source) -> None:
+        self._source = source
+
+    def table_descriptor(self) -> Table:
+        return self._source.current_snapshot().table
+
+    def snapshot_files(self) -> DataFrame:
+        return self._source.current_snapshot().files
+
+
 class SyncValidator:
     """Runs the requested checks of a TARGET's read-back against the
     SOURCE (ValidationChecker.validate parity, with the OneTable argument

@@ -137,3 +137,23 @@ def test_sync_hudi_table_post_commit_hook(spark, sf_dir, tmp_path):
     out = sync_hudi_table(spark, table_path)
     assert out == {"DELTA": "SUCCESS", "ICEBERG": "SUCCESS"}
     assert DeltaLog(spark, table_path).snapshot_files().count() == 2
+
+
+def test_cli_validate_flag_audits_targets(spark, sf_dir, tmp_path):
+    """--validate: every successful target carries a validation map with
+    all four checks 'ok'; a PARQUET source (no standalone metadata reader)
+    validates through the SnapshotReaderAdapter the same way."""
+    t1 = _seed_delta(spark, sf_dir, str(tmp_path / "v"))
+    config = {
+        "sourceFormat": "DELTA",
+        "targetFormats": ["ICEBERG", "HUDI"],
+        "datasets": [{"tableBasePath": t1, "tableName": "v"}],
+    }
+    results = run_dataset_config(spark, config, validate=True)
+    assert len(results) == 2
+    for r in results:
+        assert r["status"] == "SUCCESS", r
+        assert set(r["validation"]) == {
+            "CHECK_TABLE_SPEC", "CHECK_SCHEMA", "CHECK_BASIC_COUNTS", "COMPARE_STATISTICS",
+        }
+        assert all(v == "ok" for v in r["validation"].values()), r["validation"]
