@@ -169,8 +169,47 @@ def main() -> None:
         _, mega_peak = tracemalloc.get_traced_memory()
         tracemalloc.stop()
         mega_files = mega_log.snapshot_files().count()
-        shutil.rmtree(mega_root, ignore_errors=True)
         assert mega_files == 500_000, mega_files
+
+        # same mega commit through the OTHER two commit planes (Iceberg
+        # manifests stream through the multi-block avro writer; Hudi's
+        # write-stats dicts stream through json.dump)
+        from onetable_spark.formats.hudi import HudiTimeline
+
+        mega_ice = IcebergTable(spark, mega_root)
+        mega_ice.init_table(
+            Table(
+                name="mega",
+                base_path=mega_root,
+                table_format=TableFormat.ICEBERG,
+                read_schema=schema,
+            )
+        )
+        tracemalloc.start()
+        t0 = time.perf_counter()
+        mega_ice.commit_overwrite(adds=mega_inv)
+        mega_ice_s = round(time.perf_counter() - t0, 2)
+        _, mega_ice_peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert mega_ice.snapshot_files().count() == 500_000
+
+        mega_hudi = HudiTimeline(spark, mega_root)
+        mega_hudi.init_table(
+            Table(
+                name="mega",
+                base_path=mega_root,
+                table_format=TableFormat.HUDI,
+                read_schema=schema,
+            )
+        )
+        tracemalloc.start()
+        t0 = time.perf_counter()
+        mega_hudi.commit(adds=mega_inv)
+        mega_hudi_s = round(time.perf_counter() - t0, 2)
+        _, mega_hudi_peak = tracemalloc.get_traced_memory()
+        tracemalloc.stop()
+        assert mega_hudi.snapshot_files().count() == 500_000
+        shutil.rmtree(mega_root, ignore_errors=True)
 
         print(
             json.dumps(
@@ -179,6 +218,10 @@ def main() -> None:
                     "scenario_mega_commit_sec": mega_s,
                     "mega_commit_files": mega_files,
                     "mega_commit_peak_mb": round(mega_peak / 1e6, 1),
+                    "mega_commit_iceberg_sec": mega_ice_s,
+                    "mega_commit_iceberg_peak_mb": round(mega_ice_peak / 1e6, 1),
+                    "mega_commit_hudi_sec": mega_hudi_s,
+                    "mega_commit_hudi_peak_mb": round(mega_hudi_peak / 1e6, 1),
                     "scenario_incremental_sec": incr_s,
                     "scenario_scoped_overwrite_sec": scoped_s,
                     "scenario_forced_rewrite_sec": rewrite_s,
