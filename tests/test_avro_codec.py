@@ -105,3 +105,56 @@ def test_property_roundtrip(tmp_path_factory, records):
     write_container(path, SCHEMA, records)
     _, out = read_container(path)
     assert out == records
+
+
+def test_multi_block_streaming_roundtrip(tmp_path):
+    """r7: write_container streams records in blocks (block_records) —
+    the multi-block container form must read back identically, including
+    a final partial block and a generator (non-list) record source."""
+    records = [
+        {
+            "status": i,
+            "snapshot_id": i * 7,
+            "name": f"r{i}",
+            "payload": bytes([i % 256]),
+            "score": float(i),
+            "ratio": float(i % 3),
+            "flag": i % 2 == 0,
+            "tags": [f"t{i % 4}"],
+            "counts": {"k": i},
+            "nested": {"x": i} if i % 5 == 0 else None,
+        }
+        for i in range(10)
+    ]
+    path = str(tmp_path / "blocks.avro")
+    # block size 3 → blocks of 3/3/3/1; records passed as a GENERATOR
+    write_container(path, SCHEMA, iter(records), block_records=3)
+    schema, out = read_container(path)
+    assert schema == SCHEMA
+    assert out == records
+
+
+def test_large_container_crosses_default_block_boundary(tmp_path):
+    """20k records > the 8192 default block size → 3 blocks; count and
+    order must survive exactly."""
+    records = [
+        {
+            "status": i % 1000,
+            "snapshot_id": None,
+            "name": "",
+            "payload": b"",
+            "score": 0.0,
+            "ratio": 0.0,
+            "flag": False,
+            "tags": [],
+            "counts": {},
+            "nested": None,
+        }
+        for i in range(20_000)
+    ]
+    path = str(tmp_path / "big.avro")
+    write_container(path, SCHEMA, records)
+    _, out = read_container(path)
+    assert len(out) == 20_000
+    assert [r["status"] for r in out[:5]] == [0, 1, 2, 3, 4]
+    assert out == records
