@@ -189,3 +189,35 @@ def test_hudi_racing_writers_get_distinct_instants(spark, tmp_path):
     # and the permanent claim is what makes the instant race-free), but
     # nothing reads as pending once completed
     assert tl2.pending_instants() == []
+
+
+def test_delta_spool_files_never_leak(spark, tmp_path):
+    """r7 spool-file commit path: after racing commits (link() contention)
+    every spool temp is unlinked — only NNN.json commit files remain in
+    the log directory."""
+    path = str(tmp_path / "spool")
+    log = DeltaLog(spark, path)
+    log.init_table(
+        Table(name="spool", base_path=path, table_format=TableFormat.DELTA, read_schema=_SCHEMA)
+    )
+    n = 6
+    barrier = threading.Barrier(n)
+    errors: list[Exception] = []
+
+    def commit_one():
+        try:
+            barrier.wait()
+            log.commit(metadata=None, operation="WRITE")
+        except Exception as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=commit_one) for _ in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors
+    leftovers = [f for f in os.listdir(log.log_path) if not f.endswith(".json")]
+    assert leftovers == [], leftovers
+    # every racer landed at a distinct version
+    assert len(log._versions()) == n + 1  # init + n commits
