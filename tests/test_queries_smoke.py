@@ -94,6 +94,13 @@ BOUNDARY_SENSITIVE = [
     "source_mixture",       # rounded shares
     "unigram_logprob",      # rounded log-prob sums
     "stratified_sample",    # hash-threshold sampling
+    # r7 contract queries: their booleans are recall/subset thresholds
+    # (ivf_raw_recall_ok sits EXACTLY at its >=4 bound at sf0.01)
+    "minhash_lsh_dedup",
+    "simhash_near_dups",
+    "ann_lsh_topk",
+    "ann_ivf_topk",
+    "semdedup_pairs",
 ]
 
 
