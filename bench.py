@@ -30,6 +30,13 @@ def main() -> None:
     # engine, not first-touch JIT; pinned to a fixed query (and iteration
     # below is name-sorted) so timings are independent of registry order
     SPARK_QUERIES["g1_files_diff"](spark, sf_dir).count()
+    # ...and the Arrow python-worker pool: its one-time spin-up (~1.5 s)
+    # otherwise lands entirely on whichever pandas-path query sorts first
+    # (ann_ivf_topk), misattributing a session constant to one query
+    from pyspark.sql import functions as F
+
+    spark.range(4).mapInPandas(lambda it: it, "id long").count()
+    spark.range(4).select(F.pandas_udf(lambda s: s, "long")("id")).count()
 
     timings: dict[str, float] = {}
     for name in sorted(SPARK_QUERIES):

@@ -56,17 +56,46 @@ def _queries_of(doc: dict) -> dict[str, float]:
     return {}
 
 
+# Queries whose registered SHAPE changed in a given round — they now do
+# strictly MORE work by design, so pre-change history is not comparable
+# and must not seed best-known (it would flag the intentional change as a
+# "real regression" forever). Maps query → first round whose artifact is
+# comparable.
+RESHAPED_AT: dict[str, int] = {
+    # r7: the probabilistic layer moved under the oracle gate — each query
+    # now ALSO computes its exact ground truth + in-plan contract
+    # (previously: the approximate result alone, rows-only checked)
+    "minhash_lsh_dedup": 7,
+    "simhash_near_dups": 7,   # md5-derived hashes for oracle parity
+    "ann_lsh_topk": 7,
+    "ann_ivf_topk": 7,
+    "semdedup_pairs": 7,
+    # r7: sync_changes now builds the stage SHARED with sync_time_travel
+    # (handle capture moved into its first call)
+    "sync_changes": 7,
+}
+
+
 def load_history() -> dict[str, float]:
     """Best-known (min) per-query seconds across every recorded round,
     plus the committed local bench snapshot (BENCH_LOCAL.json, written by
-    every bench.py run — survives driver-side truncation)."""
+    every bench.py run — survives driver-side truncation). Rounds before
+    a query's RESHAPED_AT entry are skipped for that query."""
+
+    def round_of(p: Path) -> int:
+        m = re.search(r"BENCH_r(\d+)\.json$", p.name)
+        return int(m.group(1)) if m else 10**6  # BENCH_LOCAL: always current
+
     best: dict[str, float] = {}
     for path in sorted(REPO.glob("BENCH_r*.json")) + [REPO / "BENCH_LOCAL.json"]:
         try:
             doc = json.loads(path.read_text())
         except (OSError, json.JSONDecodeError):
             continue
+        rnd = round_of(path)
         for name, sec in _queries_of(doc).items():
+            if rnd < RESHAPED_AT.get(name, 0):
+                continue
             if isinstance(sec, (int, float)):
                 best[name] = min(best.get(name, float("inf")), float(sec))
     return best
