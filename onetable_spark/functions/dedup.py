@@ -43,6 +43,11 @@ from onetable_spark.functions.text import spread_if_narrow, tokens
 # most one call's cache footprint (see the cache-ownership note there).
 _NGRAM_SCRATCH: list[DataFrame] = []
 
+# simhash_near_dup_pairs' persisted intermediates (sig/gstat/groups) from
+# the MOST RECENT call, released by the next call — same ownership contract
+# as _NGRAM_SCRATCH above.
+_SIMHASH_SCRATCH: list[DataFrame] = []
+
 
 @lru_cache(maxsize=None)
 def _simhash_sig_udf():
@@ -579,6 +584,12 @@ def simhash_near_dup_pairs(
     """
     from pyspark import StorageLevel
 
+    # Cache ownership (the _NGRAM_SCRATCH pattern): sig/gstat/groups are
+    # referenced by the RETURNED lazy plan, so each call releases the
+    # PREVIOUS call's scratch instead — a session holds one call's
+    # footprint, not one per call. Unpersist is recompute-safe.
+    while _SIMHASH_SCRATCH:
+        _SIMHASH_SCRATCH.pop().unpersist()
     if th is None:
         # single-file parquet sources open as 1-2 input splits; spread the
         # signature work across all cores before the Arrow UDF
@@ -594,6 +605,7 @@ def simhash_near_dup_pairs(
     sig = hashed.select(
         "id", _simhash_sig_udf()(F.array_distinct("th")).alias("sig")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    _SIMHASH_SCRATCH.append(sig)
     # CLUSTER COLLAPSE first: duplicate-heavy corpora produce many docs
     # with identical signatures; group them so the quadratic candidate
     # stage runs over DISTINCT signatures only, then expand id pairs at
@@ -601,6 +613,7 @@ def simhash_near_dup_pairs(
     gstat = sig.groupBy("sig").agg(
         F.count(F.lit(1)).alias("n"), F.min("id").alias("anchor")
     ).persist(StorageLevel.MEMORY_AND_DISK)  # 3 consumers: small / large_rep / star
+    _SIMHASH_SCRATCH.append(gstat)
     small = (
         sig.join(gstat.filter(F.col("n") <= max_bucket).select("sig"), "sig")
         .groupBy("sig")
@@ -615,6 +628,7 @@ def simhash_near_dup_pairs(
     # persist (distinct sigs + member lists — corpus-order-of-magnitude
     # smaller than the text) so the grouping shuffle runs once
     groups = small.unionByName(large_rep).persist(StorageLevel.MEMORY_AND_DISK)
+    _SIMHASH_SCRATCH.append(groups)
     # Bucket distinct sigs by 16-bit chunk, then generate pairs WITHIN each
     # bucket via a bounded collect + double explode — one hash agg instead
     # of a sort-merge self-join (whose skewed keys — a hot chunk value
