@@ -48,6 +48,10 @@ _NGRAM_SCRATCH: list[DataFrame] = []
 # as _NGRAM_SCRATCH above.
 _SIMHASH_SCRATCH: list[DataFrame] = []
 
+# minhash_lsh_dedup_pairs' self-built shingle table (only when the caller
+# did not pass one), same ownership contract.
+_MINHASH_SCRATCH: list[DataFrame] = []
+
 
 @lru_cache(maxsize=None)
 def _simhash_sig_udf():
@@ -512,7 +516,13 @@ def minhash_lsh_dedup_pairs(
     from pyspark import StorageLevel
 
     if sh is None:
+        # self-built shingle table: released at the NEXT default-build call
+        # (the _NGRAM_SCRATCH ownership pattern); caller-passed tables stay
+        # caller-owned
+        while _MINHASH_SCRATCH:
+            _MINHASH_SCRATCH.pop().unpersist()
         sh = shingle_hash_df(df, n, text_col, id_col).persist(StorageLevel.MEMORY_AND_DISK)
+        _MINHASH_SCRATCH.append(sh)
     cand = minhash_lsh_candidates_from(sh, num_hashes, bands, max_bucket)
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
