@@ -2720,6 +2720,72 @@ def q_sync_validation(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, "fmt string, check_name string, success boolean")
 
 
+def q_sync_recovery(spark: SparkSession, sf: str) -> DataFrame:
+    """K12 CORRUPT-SNAPSHOT RECOVERY under the correctness gate
+    (IcebergClient.java:251-285 / formats/iceberg.py recover_if_corrupt):
+    sync a Delta source to Iceberg, then delete the current snapshot's
+    manifest list (the crashed-writer / rename-race corruption the
+    reference defends against). The watermark read must detect the
+    corruption, roll the table back, and clear the sync watermark; the
+    next sync must fall back to FULL and re-converge. The output pins the
+    observable lifecycle: both syncs' modes, whether the watermark was
+    cleared by recovery, and the files/records the recovered table reads
+    back — which the oracle derives from the source table, so a recovery
+    that loses or duplicates data hash-mismatches."""
+    import os
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+    from onetable_spark.sync import SyncClient, source_for, target_for
+
+    def build(base: str) -> dict:
+        import shutil
+
+        shutil.copy(os.path.join(sf, "region.parquet"), os.path.join(base, "f1.parquet"))
+        schema = spark.read.parquet(base).schema
+        log = DeltaLog(spark, base)
+        log.init_table(
+            Table(name="rec", base_path=base, table_format=TableFormat.DELTA, read_schema=schema)
+        )
+        log.commit(adds=build_inventory(spark, [os.path.join(base, "f1.parquet")], root=base))
+        client = SyncClient(spark)
+        source = source_for(spark, TableFormat.DELTA, base)
+        target = target_for(spark, TableFormat.ICEBERG, base)
+        r1 = client.sync(source, [target])
+        assert r1[TableFormat.ICEBERG].status.value == "SUCCESS", r1
+        mode1 = r1[TableFormat.ICEBERG].mode.value
+
+        # corrupt: delete the current snapshot's manifest list
+        ice = IcebergTable(spark, base)
+        os.remove(ice.current_snapshot_meta()["manifest-list"])
+
+        # the watermark read performs the rollback + watermark clear
+        watermark_cleared = target.get_sync_metadata() is None
+        r2 = client.sync(source, [target])
+        assert r2[TableFormat.ICEBERG].status.value == "SUCCESS", r2
+        return {
+            "base": base,
+            "mode1": mode1,
+            "mode2": r2[TableFormat.ICEBERG].mode.value,
+            "watermark_cleared": watermark_cleared,
+        }
+
+    stage = _staged_once(spark, sf, "otb_rec_q", build)
+    files = IcebergTable(spark, stage["base"]).snapshot_files()
+    return files.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("record_count").cast("long").alias("n_records"),
+    ).select(
+        F.lit(stage["mode1"]).alias("initial_mode"),
+        F.lit(stage["mode2"]).alias("recovered_mode"),
+        F.lit(stage["watermark_cleared"]).alias("watermark_cleared"),
+        "n_files",
+        "n_records",
+    )
+
+
 def q_streaming_sink_inventory(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-once streaming ingestion under the correctness gate: the
     events stream is written through the foreachBatch sinks into native
@@ -4282,6 +4348,14 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(CAST(SUM(lp_micro) AS DOUBLE) / COUNT(*) / 1e6, 4) AS avg_lp
         FROM b GROUP BY 1, 2
     """,
+    # r7: the recovery lifecycle's observable facts are fully determined —
+    # initial FULL bootstrap, corruption clears the watermark, recovery
+    # re-syncs FULL, and the recovered table reads back exactly the source
+    "sync_recovery": """
+        SELECT 'FULL' AS initial_mode, 'FULL' AS recovered_mode,
+               TRUE AS watermark_cleared, CAST(1 AS BIGINT) AS n_files,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM region) AS n_records
+    """,
     # r7: the validator's ground truth is static — a healthy sync passes
     # every check for every target; any drift flips a FALSE into the hash
     "sync_validation": """
@@ -4390,7 +4464,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window_agg, hash-green in r3/r4/r5/r6, still oracle-gated every
     # pytest run)
     "sync_validation": q_sync_validation,
-    "hopping_window": q_hopping_window,
+    # round-7 newcomer: K12 corrupt-snapshot recovery e2e (window slot from
+    # hopping_window, hash-green in r3/r4/r5/r6, still oracle-gated every
+    # pytest run)
+    "sync_recovery": q_sync_recovery,
     "asof_join": q_asof_join,
     "streaming_window_agg": q_streaming_window_agg,
     "streaming_dedup": q_streaming_dedup,
@@ -4456,9 +4533,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window slots from ngram_jaccard/embedding_near_dups (ditto)
     "source_mixture": q_source_mixture,
     "unigram_logprob": q_unigram_logprob,
-    # rotated out of the driver window in r7 for sync_validation
-    # (hash-green in r3/r4/r5/r6, still oracle-gated every pytest run)
+    # rotated out of the driver window in r7 for sync_validation /
+    # sync_recovery (each hash-green in r3/r4/r5/r6, still oracle-gated
+    # every pytest run)
     "window_agg": q_window_agg,
+    "hopping_window": q_hopping_window,
     "deterministic_sample": q_deterministic_sample,
     "token_packing": q_token_packing,
     # --- past the driver's 50-entry window: driver-green in earlier rounds,

@@ -30,9 +30,10 @@ MUST_BE_DRIVER_MEASURED = {
     # their slots went to the round-6 sync_time_travel/sync_schema_evolution;
     # percentile_agg/range_join (4 green rounds each) retired mid-r6 for the
     # batch-2 newcomers below
-    # window_agg retired from this set in r7 (hash-green in r3/r4/r5/r6) —
-    # its slot went to the round-7 sync_validation newcomer
-    "hopping_window", "asof_join",
+    # window_agg + hopping_window retired from this set in r7 (each
+    # hash-green in r3/r4/r5/r6) — their slots went to the round-7
+    # sync_validation / sync_recovery newcomers
+    "asof_join",
     "streaming_window_agg", "streaming_dedup", "streaming_join",
     "streaming_sessionize", "stateful_running_totals", "sync_inventory",
     "minhash_lsh_dedup", "simhash_near_dups", "ann_lsh_topk",
@@ -53,8 +54,8 @@ MUST_BE_DRIVER_MEASURED = {
     "sync_time_travel", "sync_schema_evolution",
     "pii_redaction", "contamination_span", "cluster_representatives",
     "perplexity_buckets",
-    # round-7 newcomer: needs its first driver row in CORRECTNESS_r7
-    "sync_validation",
+    # round-7 newcomers: need their first driver rows in CORRECTNESS_r7
+    "sync_validation", "sync_recovery",
 }
 
 
