@@ -4,12 +4,13 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 7: 106 queries — metadata-plane relational operators
+Surface as of round 7: 107 queries — metadata-plane relational operators
 (G1-G13) + the full sync lifecycle under the gate (inventory, change
 scans, exactly-once streaming sinks, TIME-TRAVEL reads across all three
 formats, SCHEMA-EVOLUTION sync, and round 7's POST-SYNC VALIDATION plane
 — the four ValidationCheck audits the reference declares but never
-implements, run for real as distributed comparisons), ALL 22
+implements, run for real as distributed comparisons — and K12
+corrupt-snapshot recovery driven e2e), ALL 22
 TPC-H shapes (pseudo-partsupp from lineitem pairs), grouping sets/
 percentiles/pivot/unpivot/set ops, windowed + session + hopping
 aggregations (batch AND Structured Streaming execution), streaming dedup
@@ -27,7 +28,7 @@ sampling, token-budget packing, PII redaction, contiguous-span
 decontamination, near-dup cluster survivorship, CCNet perplexity
 partition, end-to-end corpus curation, multimodal
 decode with runtime codec selection whose deterministic stub fallback is
-reproduced in SQL). ALL 106 carry DuckDB value-hash oracles — round 7
+reproduced in SQL). ALL 107 carry DuckDB value-hash oracles — round 7
 closed the last 5 `no_oracle` gaps: the LSH/IVF queries emit their exact
 ground truth plus IN-PLAN contract booleans (subset-of-exact, pinned
 recall bounds), and simhash_near_dups moved to md5-derived token hashes
