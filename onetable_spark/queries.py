@@ -2786,6 +2786,107 @@ def q_sync_recovery(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sync_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """K7 PARTITION-SPEC EVOLUTION + K11 Hudi guardrail under the
+    correctness gate (IcebergPartitionSpecSync.java:43-68 remove/add-by-
+    name with fresh field-ids; HudiTableManager.java:190-240 pinned table
+    config): sync the orders table partitioned by VALUE(o_orderpriority),
+    then re-sync with MONTH(o_orderdate) — Iceberg must APPEND an
+    immutable spec v1 (default moves, spec v0 untouched, new field-id
+    above the old), Delta must replay its partitionColumns through the
+    generated-column encoding, and the Hudi target must REJECT the change
+    (its partition config is pinned at table creation). The output pins
+    every observable: per-format final (source_field, transform), the
+    Iceberg spec history + field-id monotonicity, the Delta physical
+    column name, the Hudi rejection, and the per-format file counts."""
+    import os
+    import shutil
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import (
+        PartitionField,
+        PartitionTransform,
+        Snapshot,
+        Table,
+        TableFormat,
+        TableMetadata,
+    )
+    from onetable_spark.sources.parquet_inventory import inventory_from_directory
+    from onetable_spark.sync import target_for
+
+    def build(base: str) -> dict:
+        shutil.copy(os.path.join(sf, "orders.parquet"), os.path.join(base, "o1.parquet"))
+        schema = spark.read.parquet(base).schema
+        inv = inventory_from_directory(spark, base)
+
+        def snap(pfields):
+            return Snapshot(
+                table=Table(
+                    name="orders",
+                    base_path=base,
+                    table_format=TableFormat.PARQUET,
+                    read_schema=schema,
+                    partition_fields=pfields,
+                ),
+                files=inv,
+                version="1",
+            )
+
+        v1 = (PartitionField(source_field="o_orderpriority"),)
+        v2 = (
+            PartitionField(
+                source_field="o_orderdate",
+                transform=PartitionTransform.MONTH,
+                partition_field_name="order_month",
+            ),
+        )
+        ice_t = target_for(spark, TableFormat.ICEBERG, base)
+        del_t = target_for(spark, TableFormat.DELTA, base)
+        hudi_t = target_for(spark, TableFormat.HUDI, base)
+        for t in (ice_t, del_t, hudi_t):
+            t.sync_snapshot(snap(v1), TableMetadata(1))
+        ice_t.sync_snapshot(snap(v2), TableMetadata(2))
+        del_t.sync_snapshot(snap(v2), TableMetadata(2))
+        hudi_rejected = False
+        try:
+            hudi_t.sync_snapshot(snap(v2), TableMetadata(2))
+        except Exception:  # noqa: BLE001 — the guardrail IS the assertion
+            hudi_rejected = True
+
+        ice = IcebergTable(spark, base)
+        md = ice.metadata()
+        old_spec = next(s for s in md["partition-specs"] if s["spec-id"] == 0)
+        new_spec = ice._spec_for(md)
+        facts = {
+            "iceberg_default_spec": str(md["default-spec-id"]),
+            "iceberg_n_specs": str(len(md["partition-specs"])),
+            "iceberg_spec0_fields": ",".join(f["name"] for f in old_spec["fields"]),
+            "iceberg_spec1_fields": ",".join(f["name"] for f in new_spec),
+            "iceberg_spec1_transform": new_spec[0]["transform"],
+            "iceberg_field_id_monotonic": str(
+                new_spec[0]["field-id"] > old_spec["fields"][0]["field-id"]
+            ).lower(),
+            "iceberg_descriptor": ";".join(
+                f"{p.source_field}:{p.transform.value}"
+                for p in ice.table_descriptor().partition_fields
+            ),
+            "delta_partition_columns": ",".join(
+                DeltaLog(spark, base).snapshot_info().metadata["partitionColumns"]
+            ),
+            "delta_descriptor": ";".join(
+                f"{p.source_field}:{p.transform.value}"
+                for p in DeltaLog(spark, base).table_descriptor().partition_fields
+            ),
+            "hudi_spec_change_rejected": str(hudi_rejected).lower(),
+        }
+        return {"base": base, "facts": facts}
+
+    stage = _staged_once(spark, sf, "otb_pspec_q", build)
+    rows = sorted(stage["facts"].items())
+    return spark.createDataFrame(rows, "item string, value string")
+
+
 def q_streaming_sink_inventory(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-once streaming ingestion under the correctness gate: the
     events stream is written through the foreachBatch sinks into native
@@ -4356,6 +4457,23 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS watermark_cleared, CAST(1 AS BIGINT) AS n_files,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM region) AS n_records
     """,
+    # r7: the spec-evolution lifecycle's observable facts are fully
+    # determined — Iceberg appends an immutable spec, Delta replays the
+    # generated partition column, Hudi's pinned config rejects the change
+    "sync_partition_evolution": """
+        SELECT * FROM (VALUES
+            ('delta_descriptor', 'o_orderdate:MONTH'),
+            ('delta_partition_columns', 'order_month'),
+            ('hudi_spec_change_rejected', 'true'),
+            ('iceberg_default_spec', '1'),
+            ('iceberg_descriptor', 'o_orderdate:MONTH'),
+            ('iceberg_field_id_monotonic', 'true'),
+            ('iceberg_n_specs', '2'),
+            ('iceberg_spec0_fields', 'o_orderpriority'),
+            ('iceberg_spec1_fields', 'order_month'),
+            ('iceberg_spec1_transform', 'month')
+        ) t(item, value)
+    """,
     # r7: the validator's ground truth is static — a healthy sync passes
     # every check for every target; any drift flips a FALSE into the hash
     "sync_validation": """
@@ -4468,7 +4586,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # hopping_window, hash-green in r3/r4/r5/r6, still oracle-gated every
     # pytest run)
     "sync_recovery": q_sync_recovery,
-    "asof_join": q_asof_join,
+    # round-7 newcomer: K7 spec evolution + K11 guardrail e2e (window slot
+    # from asof_join, hash-green in r3/r4/r5/r6, still oracle-gated every
+    # pytest run)
+    "sync_partition_evolution": q_sync_partition_evolution,
     "streaming_window_agg": q_streaming_window_agg,
     "streaming_dedup": q_streaming_dedup,
     "streaming_join": q_streaming_join,
@@ -4538,6 +4659,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # every pytest run)
     "window_agg": q_window_agg,
     "hopping_window": q_hopping_window,
+    "asof_join": q_asof_join,
     "deterministic_sample": q_deterministic_sample,
     "token_packing": q_token_packing,
     # --- past the driver's 50-entry window: driver-green in earlier rounds,

@@ -30,10 +30,9 @@ MUST_BE_DRIVER_MEASURED = {
     # their slots went to the round-6 sync_time_travel/sync_schema_evolution;
     # percentile_agg/range_join (4 green rounds each) retired mid-r6 for the
     # batch-2 newcomers below
-    # window_agg + hopping_window retired from this set in r7 (each
-    # hash-green in r3/r4/r5/r6) — their slots went to the round-7
-    # sync_validation / sync_recovery newcomers
-    "asof_join",
+    # window_agg + hopping_window + asof_join retired from this set in r7
+    # (each hash-green in r3/r4/r5/r6) — their slots went to the round-7
+    # sync_validation / sync_recovery / sync_partition_evolution newcomers
     "streaming_window_agg", "streaming_dedup", "streaming_join",
     "streaming_sessionize", "stateful_running_totals", "sync_inventory",
     "minhash_lsh_dedup", "simhash_near_dups", "ann_lsh_topk",
@@ -55,7 +54,7 @@ MUST_BE_DRIVER_MEASURED = {
     "pii_redaction", "contamination_span", "cluster_representatives",
     "perplexity_buckets",
     # round-7 newcomers: need their first driver rows in CORRECTNESS_r7
-    "sync_validation", "sync_recovery",
+    "sync_validation", "sync_recovery", "sync_partition_evolution",
 }
 
 
