@@ -64,18 +64,17 @@ def _catalog_config(raw: Optional[dict]):
     )
 
 
-def _metadata_reader(spark, fmt: TableFormat, base_path: str):
-    """The standalone metadata reader for a target format (what validation
-    reads each target back through)."""
-    from onetable_spark.formats.delta import DeltaLog
-    from onetable_spark.formats.hudi import HudiTimeline
-    from onetable_spark.formats.iceberg import IcebergTable
-
-    return {
-        TableFormat.DELTA: DeltaLog,
-        TableFormat.ICEBERG: IcebergTable,
-        TableFormat.HUDI: HudiTimeline,
-    }[fmt](spark, base_path)
+def _target_reader(target):
+    """The target's OWN metadata reader (what validation reads it back
+    through): DeltaTarget.log / IcebergTarget.table / HudiTarget.timeline.
+    Using the target's reader — not a fresh reader built from the base
+    path — keeps validation correct for catalog-addressed Iceberg tables,
+    whose resolved location can differ from tableBasePath."""
+    for attr in ("table", "log", "timeline"):
+        reader = getattr(target, attr, None)
+        if reader is not None:
+            return reader
+    raise TypeError(f"target {type(target).__name__} exposes no metadata reader")
 
 
 def run_dataset_config(
@@ -120,6 +119,7 @@ def run_dataset_config(
                     kwargs = {"catalog_config": catalog_cfg, "identifier": ident}
                 targets.append(target_for(spark, fmt, base_path, **kwargs))
             outcome = client.sync(source, targets)
+            target_by_fmt = {t.table_format: t for t in targets}
             for fmt, res in outcome.items():
                 record: dict[str, Any] = {
                     "tableBasePath": base_path,
@@ -130,7 +130,7 @@ def run_dataset_config(
                 }
                 if validate and res.status.value == "SUCCESS":
                     checks = SyncValidator().validate(
-                        SnapshotReaderAdapter(source), _metadata_reader(spark, fmt, base_path)
+                        SnapshotReaderAdapter(source), _target_reader(target_by_fmt[fmt])
                     )
                     record["validation"] = {
                         c.value: (r.error_message or "ok") for c, r in checks.items()

@@ -165,6 +165,12 @@ def _spool_lines(dir_path: str, line_iter) -> str:
 
     fd, tmp = tempfile.mkstemp(prefix="_commit_", suffix=".json.tmp", dir=dir_path)
     try:
+        # mkstemp creates 0600; the published commit must stay readable by
+        # other principals exactly like the pre-spool O_CREAT path (which
+        # honored the umask) — link() preserves the spool's mode
+        umask = os.umask(0)
+        os.umask(umask)
+        os.fchmod(fd, 0o666 & ~umask)
         with os.fdopen(fd, "w", encoding="utf-8", buffering=1024 * 1024) as f:
             for line in line_iter:
                 f.write(line)

@@ -177,11 +177,12 @@ class SyncValidator:
         s = _file_key(source.snapshot_files()).select(*cols)
         t = _file_key(target.snapshot_files()).select(*cols)
         joined = s.alias("s").join(t.alias("t"), "file_name", "full_outer")
+        # null-SAFE comparisons: a commit plane that DROPS a stat (NULL on
+        # one side) is drift, and a plain != would evaluate to NULL and
+        # slip through the filter
         bad = joined.filter(
-            F.col("s.record_count").isNull()
-            | F.col("t.record_count").isNull()
-            | (F.col("s.record_count") != F.col("t.record_count"))
-            | (F.col("s.size") != F.col("t.size"))
+            ~F.col("s.record_count").eqNullSafe(F.col("t.record_count"))
+            | ~F.col("s.size").eqNullSafe(F.col("t.size"))
         )
         # driver-ok: bounded 3-row example sample + one count
         examples = [r["file_name"] for r in bad.select("file_name").limit(3).collect()]
