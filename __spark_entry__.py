@@ -4,7 +4,7 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 7: 108 queries — metadata-plane relational operators
+Surface as of round 7: 109 queries — metadata-plane relational operators
 (G1-G13) + the full sync lifecycle under the gate (inventory, change
 scans, exactly-once streaming sinks, TIME-TRAVEL reads across all three
 formats, SCHEMA-EVOLUTION sync, and round 7's POST-SYNC VALIDATION plane
@@ -28,7 +28,7 @@ sampling, token-budget packing, PII redaction, contiguous-span
 decontamination, near-dup cluster survivorship, CCNet perplexity
 partition, end-to-end corpus curation, multimodal
 decode with runtime codec selection whose deterministic stub fallback is
-reproduced in SQL). ALL 108 carry DuckDB value-hash oracles — round 7
+reproduced in SQL). ALL 109 carry DuckDB value-hash oracles — round 7
 closed the last 5 `no_oracle` gaps: the LSH/IVF queries emit their exact
 ground truth plus IN-PLAN contract booleans (subset-of-exact, pinned
 recall bounds), and simhash_near_dups moved to md5-derived token hashes

@@ -2930,6 +2930,81 @@ def q_sync_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, "item string, value string")
 
 
+def q_sync_safety_fallback(spark: SparkSession, sf: str) -> DataFrame:
+    """S8/S9 HISTORY-CLEANUP SAFETY under the correctness gate
+    (DeltaSourceClient safety probe / sync/client.py DeltaSource.
+    is_incremental_sync_safe_from + the planner's FULL fallback,
+    OneTableClient.java:84-139): sync a Delta source to Iceberg, advance
+    the source three commits, then CHECKPOINT and CLEAN the log with zero
+    retention — the commits the target's watermark points into are gone.
+    The safety probe (in-commit timestamps, not file mtimes) must report
+    the incremental path unsafe, and the next sync must fall back to a
+    FULL snapshot re-sync that still converges the target to the exact
+    source inventory (replayed from the checkpoint). Output pins the
+    lifecycle: both sync modes, the safety verdict, commits surviving the
+    clean, and the recovered table's files/records (oracle-derived from
+    the source table)."""
+    import os
+    import shutil
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+    from onetable_spark.sync import SyncClient, source_for, target_for
+
+    def build(base: str) -> dict:
+        import time as _time
+
+        shutil.copy(os.path.join(sf, "region.parquet"), os.path.join(base, "f1.parquet"))
+        schema = spark.read.parquet(base).schema
+        log = DeltaLog(spark, base)
+        log.init_table(
+            Table(name="safe", base_path=base, table_format=TableFormat.DELTA, read_schema=schema)
+        )
+        log.commit(adds=build_inventory(spark, [os.path.join(base, "f1.parquet")], root=base))
+        client = SyncClient(spark)
+        source = source_for(spark, TableFormat.DELTA, base)
+        target = target_for(spark, TableFormat.ICEBERG, base)
+        r1 = client.sync(source, [target])
+        assert r1[TableFormat.ICEBERG].status.value == "SUCCESS", r1
+        watermark = target.get_sync_metadata().last_instant_synced_millis
+
+        # source advances 3 commits, then history maintenance removes the
+        # pre-checkpoint commit files the watermark points into
+        for i in (2, 3, 4):
+            _time.sleep(0.05)  # distinct in-commit timestamps
+            f = os.path.join(base, f"f{i}.parquet")
+            shutil.copy(os.path.join(sf, "region.parquet"), f)
+            log.commit(adds=build_inventory(spark, [f], root=base))
+        log.checkpoint()
+        n_cleaned = log.clean_log(retention_hours=0)
+        assert n_cleaned > 0, "log cleanup removed nothing — staging is broken"
+
+        safe = source.is_incremental_sync_safe_from(watermark)
+        r2 = client.sync(source, [target])
+        assert r2[TableFormat.ICEBERG].status.value == "SUCCESS", r2
+        return {
+            "base": base,
+            "mode1": r1[TableFormat.ICEBERG].mode.value,
+            "safe_after_cleanup": safe,
+            "mode2": r2[TableFormat.ICEBERG].mode.value,
+        }
+
+    stage = _staged_once(spark, sf, "otb_safe_q", build)
+    files = IcebergTable(spark, stage["base"]).snapshot_files()
+    return files.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum("record_count").cast("long").alias("n_records"),
+    ).select(
+        F.lit(stage["mode1"]).alias("initial_mode"),
+        F.lit(stage["safe_after_cleanup"]).alias("safe_after_cleanup"),
+        F.lit(stage["mode2"]).alias("fallback_mode"),
+        "n_files",
+        "n_records",
+    )
+
+
 def q_streaming_sink_inventory(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-once streaming ingestion under the correctness gate: the
     events stream is written through the foreachBatch sinks into native
@@ -4489,6 +4564,14 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS watermark_cleared, CAST(1 AS BIGINT) AS n_files,
                (SELECT CAST(COUNT(*) AS BIGINT) FROM region) AS n_records
     """,
+    # r7: the safety-fallback lifecycle's observable facts are fully
+    # determined — cleanup strands the watermark, the probe reports
+    # unsafe, the fallback FULL-recovers to an exact 4-file read-back
+    "sync_safety_fallback": """
+        SELECT 'FULL' AS initial_mode, FALSE AS safe_after_cleanup,
+               'FULL' AS fallback_mode, CAST(4 AS BIGINT) AS n_files,
+               (SELECT CAST(4 * COUNT(*) AS BIGINT) FROM region) AS n_records
+    """,
     # r7: the spec-evolution lifecycle's observable facts are fully
     # determined — Iceberg appends an immutable spec, Delta replays the
     # generated partition column, Hudi's pinned config rejects the change
@@ -4622,7 +4705,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # from asof_join, hash-green in r3/r4/r5/r6, still oracle-gated every
     # pytest run)
     "sync_partition_evolution": q_sync_partition_evolution,
-    "streaming_window_agg": q_streaming_window_agg,
+    # round-7 newcomer: S8/S9 history-cleanup safety fallback e2e (window
+    # slot from streaming_window_agg, hash-green in r1/r4/r5/r6, still
+    # oracle-gated every pytest run)
+    "sync_safety_fallback": q_sync_safety_fallback,
     "streaming_dedup": q_streaming_dedup,
     "streaming_join": q_streaming_join,
     "streaming_sessionize": q_streaming_sessionize,
@@ -4692,6 +4778,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "window_agg": q_window_agg,
     "hopping_window": q_hopping_window,
     "asof_join": q_asof_join,
+    "streaming_window_agg": q_streaming_window_agg,
     "deterministic_sample": q_deterministic_sample,
     "token_packing": q_token_packing,
     # --- past the driver's 50-entry window: driver-green in earlier rounds,

@@ -33,7 +33,9 @@ MUST_BE_DRIVER_MEASURED = {
     # window_agg + hopping_window + asof_join retired from this set in r7
     # (each hash-green in r3/r4/r5/r6) — their slots went to the round-7
     # sync_validation / sync_recovery / sync_partition_evolution newcomers
-    "streaming_window_agg", "streaming_dedup", "streaming_join",
+    # streaming_window_agg retired in r7 (hash-green r1/r4/r5/r6) — slot
+    # went to the round-7 sync_safety_fallback newcomer
+    "streaming_dedup", "streaming_join",
     "streaming_sessionize", "stateful_running_totals", "sync_inventory",
     "minhash_lsh_dedup", "simhash_near_dups", "ann_lsh_topk",
     "ann_ivf_topk", "multimodal_decode", "audio_features", "image_resize",
@@ -55,6 +57,7 @@ MUST_BE_DRIVER_MEASURED = {
     "perplexity_buckets",
     # round-7 newcomers: need their first driver rows in CORRECTNESS_r7
     "sync_validation", "sync_recovery", "sync_partition_evolution",
+    "sync_safety_fallback",
 }
 
 
