@@ -4,13 +4,16 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 7: 109 queries — metadata-plane relational operators
+Surface as of round 7: 111 queries — metadata-plane relational operators
 (G1-G13) + the full sync lifecycle under the gate (inventory, change
 scans, exactly-once streaming sinks, TIME-TRAVEL reads across all three
 formats, SCHEMA-EVOLUTION sync, and round 7's POST-SYNC VALIDATION plane
 — the four ValidationCheck audits the reference declares but never
-implements, run for real as distributed comparisons — and K12
-corrupt-snapshot recovery driven e2e), ALL 22
+implements, run for real as distributed comparisons — K12
+corrupt-snapshot recovery driven e2e, and OUT-OF-SYNC-TARGET catch-up:
+a stale target replays incrementally while a late-added target
+FULL-bootstraps in one sync() call, ITOneTableClient.java:549-596
+parity), ALL 22
 TPC-H shapes (pseudo-partsupp from lineitem pairs), grouping sets/
 percentiles/pivot/unpivot/set ops, windowed + session + hopping
 aggregations (batch AND Structured Streaming execution), streaming dedup
@@ -28,7 +31,9 @@ sampling, token-budget packing, PII redaction, contiguous-span
 decontamination, near-dup cluster survivorship, CCNet perplexity
 partition, end-to-end corpus curation, multimodal
 decode with runtime codec selection whose deterministic stub fallback is
-reproduced in SQL). ALL 109 carry DuckDB value-hash oracles — round 7
+reproduced in SQL, and EXACT REPEATED-SUBSTRING dedup — the Lee et al.
+2022 ExactSubstr criterion as a diagonal-run detection over rolling
+window hashes). ALL 111 carry DuckDB value-hash oracles — round 7
 closed the last 5 `no_oracle` gaps: the LSH/IVF queries emit their exact
 ground truth plus IN-PLAN contract booleans (subset-of-exact, pinned
 recall bounds), and simhash_near_dups moved to md5-derived token hashes

@@ -124,6 +124,26 @@ def _corpus_gram_arrays(spark: SparkSession, sf: str, n: int = 3) -> DataFrame:
     return _CORPUS_CACHE[key]
 
 
+def _corpus_window_hits(spark: SparkSession, sf: str, n: int = 8, max_df: int = 20) -> DataFrame:
+    """(doc_id, pos, wh) — positional n-token rolling-window hash table
+    over `documents`, document-frequency-capped (windows seen in more than
+    ``max_df`` docs are boilerplate and dropped BEFORE any join), persisted
+    once per (session, sf). Consumed by `substring_dedup`; materializing it
+    once means the self-join's two sides share one build instead of each
+    re-running the gram explode + distinct-doc-count aggregation."""
+    from pyspark import StorageLevel
+
+    key = ("winhits", id(spark), sf, n, max_df)
+    if key not in _CORPUS_CACHE:
+        grams = _corpus_gram_arrays(spark, sf, n=n).select(
+            "doc_id", F.posexplode("ghs").alias("pos", "wh")
+        )
+        docfreq = grams.groupBy("wh").agg(F.count_distinct("doc_id").alias("ndocs"))
+        keep = grams.join(docfreq.filter(F.col("ndocs") <= max_df).select("wh"), "wh")
+        _CORPUS_CACHE[key] = keep.persist(StorageLevel.MEMORY_AND_DISK)
+    return _CORPUS_CACHE[key]
+
+
 def _corpus_embedding_neardups(
     spark: SparkSession, sf: str, threshold: float = 0.45
 ) -> DataFrame:
@@ -1303,6 +1323,69 @@ def q_chunk_dedup(spark: SparkSession, sf: str) -> DataFrame:
             F.col("n_chunks").cast("long").alias("n_chunks"),
             "n_dup_chunks",
             F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4).alias("dup_ratio"),
+        )
+    )
+
+
+def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact repeated-substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"): document pairs sharing a
+    VERBATIM run of >= 20 consecutive tokens — the ExactSubstr criterion
+    that catches verbatim reuse document-level MinHash misses and
+    scattered-gram Jaccard over-counts. The reference engine has no such
+    operator; this is the Spark-native formulation of the suffix-array
+    join: 8-token rolling window hashes (the shared `_corpus_gram_arrays`
+    intermediate at n=8), an equi-join on window hash, and per-(pair,
+    diagonal) longest-consecutive-run detection — a run of r consecutive
+    matching windows certifies an exact span of r+7 shared tokens.
+
+    100 TB plan: window hashes are computed doc-side in ONE projection
+    over the persisted gram-array table, so only 32-char hashes shuffle,
+    never text. A document-frequency cap (<= 20 docs per window, the
+    ngram_jaccard hot-shingle guard) drops boilerplate windows BEFORE the
+    self-join, bounding its largest group — a viral window never produces
+    the quadratic blowup, and what remains is AQE-skew-splittable; the
+    capped window table is materialized ONCE (`_corpus_window_hits`) so
+    both join sides share the build. Diagonal grouping (pa - pb) turns
+    2-D span detection into a 1-D sorted-run `aggregate` (O(hits), the
+    contamination_span idiom): no window functions, no driver-side
+    suffix array."""
+    keep = _corpus_window_hits(spark, sf, n=8, max_df=20)
+    left = keep.select(F.col("doc_id").alias("id_a"), F.col("pos").alias("pa"), "wh")
+    right = keep.select(F.col("doc_id").alias("id_b"), F.col("pos").alias("pb"), "wh")
+    pairs = (
+        left.join(right, "wh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "pa", (F.col("pa") - F.col("pb")).alias("diag"))
+    )
+    diags = pairs.groupBy("id_a", "id_b", "diag").agg(
+        F.sort_array(F.collect_list("pa")).alias("ps")
+    )
+    run = F.aggregate(
+        "ps",
+        F.struct(F.lit(-2).alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x - acc.prev == 1, acc.run + 1).otherwise(F.lit(1)).alias("run"),
+            F.greatest(
+                acc.best, F.when(x - acc.prev == 1, acc.run + 1).otherwise(F.lit(1))
+            ).alias("best"),
+        ),
+        lambda acc: acc.best,
+    )
+    per_diag = diags.select("id_a", "id_b", run.alias("best_run"), F.size("ps").alias("nw"))
+    return (
+        per_diag.groupBy("id_a", "id_b")
+        .agg(
+            (F.max("best_run") + F.lit(7)).cast("long").alias("max_span"),
+            F.sum("nw").cast("long").alias("n_windows"),
+        )
+        .filter(F.col("max_span") >= 20)
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            "max_span",
+            "n_windows",
         )
     )
 
@@ -3005,6 +3088,99 @@ def q_sync_safety_fallback(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sync_catchup(spark: SparkSession, sf: str) -> DataFrame:
+    """Out-of-sync-target convergence under the correctness gate
+    (ITOneTableClient.java:549-596 parity — the reference's
+    testOutOfSyncIncrementalSyncs, the last unported IT scenario): sync a
+    Delta source's first commit to Iceberg ONLY, advance the source two
+    commits, then add a never-synced Hudi target and run ONE sync() over
+    both. The planner must converge them in that single call — Iceberg
+    replays its two missed commits INCREMENTALLY (per-target mode planning
+    + commit pruning, OneTableClient.java:149-173 / TableFormatSync.java:
+    135-144) while Hudi, having no watermark, falls back to a FULL
+    bootstrap — and both watermarks must land on the same source head.
+    Output pins each target's catch-up mode, its post-sync inventory
+    (files + records, oracle-derived from the staged source lifecycle),
+    and the watermark-convergence boolean; a planner that re-applied or
+    skipped a commit changes n_files/n_records, one that picked the wrong
+    mode changes catchup_mode — either flips the hash."""
+    import os
+    import shutil
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+    from onetable_spark.sync import SyncClient, source_for, target_for
+
+    def build(base: str) -> dict:
+        import time as _time
+
+        shutil.copy(os.path.join(sf, "region.parquet"), os.path.join(base, "f1.parquet"))
+        schema = spark.read.parquet(base).schema
+        log = DeltaLog(spark, base)
+        log.init_table(
+            Table(
+                name="catchup", base_path=base, table_format=TableFormat.DELTA, read_schema=schema
+            )
+        )
+        log.commit(adds=build_inventory(spark, [os.path.join(base, "f1.parquet")], root=base))
+
+        client = SyncClient(spark)
+        source = source_for(spark, TableFormat.DELTA, base)
+        iceberg = target_for(spark, TableFormat.ICEBERG, base)
+        hudi = target_for(spark, TableFormat.HUDI, base)
+
+        # commit 1 reaches Iceberg only — the Hudi target does not exist yet
+        r1 = client.sync(source, [iceberg])
+        assert r1[TableFormat.ICEBERG].status.value == "SUCCESS", r1
+
+        # source advances 2 commits: Iceberg is stale by 2, Hudi by all 3
+        for i in (2, 3):
+            _time.sleep(0.05)  # distinct in-commit timestamps
+            f = os.path.join(base, f"f{i}.parquet")
+            shutil.copy(os.path.join(sf, "region.parquet"), f)
+            log.commit(adds=build_inventory(spark, [f], root=base))
+
+        # ONE sync call over both targets converges them
+        r2 = client.sync(source, [iceberg, hudi])
+        assert all(r.status.value == "SUCCESS" for r in r2.values()), r2
+        converged = (
+            iceberg.get_sync_metadata().last_instant_synced_millis
+            == hudi.get_sync_metadata().last_instant_synced_millis
+        )
+        return {
+            "base": base,
+            "modes": {
+                "ICEBERG": r2[TableFormat.ICEBERG].mode.value,
+                "HUDI": r2[TableFormat.HUDI].mode.value,
+            },
+            "converged": bool(converged),
+        }
+
+    stage = _staged_once(spark, sf, "otb_catchup_q", build)
+    readers = {
+        "ICEBERG": lambda p: IcebergTable(spark, p),
+        "HUDI": lambda p: HudiTimeline(spark, p),
+    }
+    out = None
+    for fmt, mk in readers.items():
+        files = mk(stage["base"]).snapshot_files()
+        part = files.agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("record_count").cast("long").alias("n_records"),
+        ).select(
+            F.lit(fmt).alias("fmt"),
+            F.lit(stage["modes"][fmt]).alias("catchup_mode"),
+            "n_files",
+            "n_records",
+            F.lit(stage["converged"]).alias("watermarks_converged"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def q_streaming_sink_inventory(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-once streaming ingestion under the correctness gate: the
     events stream is written through the foreachBatch sinks into native
@@ -4380,6 +4556,37 @@ ORACLE_SQL: dict[str, str] = {
                ROUND(SUM(CASE WHEN n_occ > 1 THEN 1 ELSE 0 END) / CAST(COUNT(*) AS DOUBLE), 4) AS dup_ratio
         FROM occ GROUP BY doc_id
     """,
+    "substring_dedup": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS tk FROM documents
+        ), w AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(0, len(tk) - 7),
+                       i -> struct_pack(pos := i,
+                                        wh := md5(array_to_string(tk[(i+1):(i+8)], ' '))))) AS s
+            FROM t WHERE len(tk) >= 8
+        ), wh AS (
+            SELECT doc_id, s.pos AS pos, s.wh AS wh FROM w
+        ), df AS (
+            SELECT wh, COUNT(DISTINCT doc_id) AS ndocs FROM wh GROUP BY 1
+        ), keep AS (
+            SELECT w.* FROM wh w JOIN df USING (wh) WHERE ndocs <= 20
+        ), pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa, a.pos - b.pos AS diag
+            FROM keep a JOIN keep b ON a.wh = b.wh AND a.doc_id < b.doc_id
+        ), isl AS (
+            SELECT id_a, id_b, diag, pa,
+                   pa - row_number() OVER (PARTITION BY id_a, id_b, diag ORDER BY pa) AS grp
+            FROM pairs
+        ), runs AS (
+            SELECT id_a, id_b, diag, grp, COUNT(*) AS run FROM isl GROUP BY 1, 2, 3, 4
+        )
+        SELECT id_a, id_b,
+               CAST(MAX(run) + 7 AS BIGINT) AS max_span,
+               CAST(SUM(run) AS BIGINT) AS n_windows
+        FROM runs GROUP BY 1, 2
+        HAVING MAX(run) + 7 >= 20
+    """,
     "funnel_steps": """
         WITH per_user AS (
             SELECT user_id,
@@ -4572,6 +4779,15 @@ ORACLE_SQL: dict[str, str] = {
                'FULL' AS fallback_mode, CAST(4 AS BIGINT) AS n_files,
                (SELECT CAST(4 * COUNT(*) AS BIGINT) FROM region) AS n_records
     """,
+    # r7: the catch-up lifecycle's observable facts are fully determined —
+    # the stale Iceberg target replays incrementally, the late-added Hudi
+    # target FULL-bootstraps, both converge to the same 3-file head
+    "sync_catchup": """
+        SELECT f.fmt, f.catchup_mode, CAST(3 AS BIGINT) AS n_files,
+               (SELECT CAST(3 * COUNT(*) AS BIGINT) FROM region) AS n_records,
+               TRUE AS watermarks_converged
+        FROM (VALUES ('HUDI', 'FULL'), ('ICEBERG', 'INCREMENTAL')) f(fmt, catchup_mode)
+    """,
     # r7: the spec-evolution lifecycle's observable facts are fully
     # determined — Iceberg appends an immutable spec, Delta replays the
     # generated partition column, Hudi's pinned config rejects the change
@@ -4709,6 +4925,16 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # slot from streaming_window_agg, hash-green in r1/r4/r5/r6, still
     # oracle-gated every pytest run)
     "sync_safety_fallback": q_sync_safety_fallback,
+    # round-7 newcomer: out-of-sync-target convergence e2e — stale target
+    # replays incrementally while a late-added target FULL-bootstraps in
+    # the same sync() call (window slot from funnel_steps, hash-green in
+    # r5/r6, still oracle-gated every pytest run)
+    "sync_catchup": q_sync_catchup,
+    # round-7 newcomer: exact repeated-substring dedup (Lee et al. 2022
+    # ExactSubstr criterion) — diagonal-run detection over 8-token window
+    # hashes (window slot from cohort_retention, hash-green in r5/r6,
+    # still oracle-gated every pytest run)
+    "substring_dedup": q_substring_dedup,
     "streaming_dedup": q_streaming_dedup,
     "streaming_join": q_streaming_join,
     "streaming_sessionize": q_streaming_sessionize,
@@ -4753,8 +4979,6 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontam_overlap": q_decontam_overlap,
     "stratified_sample": q_stratified_sample,
     "chunk_dedup": q_chunk_dedup,
-    "funnel_steps": q_funnel_steps,
-    "cohort_retention": q_cohort_retention,
     "bm25_search": q_bm25_search,
     "incremental_dedup": q_incremental_dedup,
     "gap_fill": q_gap_fill,
@@ -4772,6 +4996,11 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # window slots from ngram_jaccard/embedding_near_dups (ditto)
     "source_mixture": q_source_mixture,
     "unigram_logprob": q_unigram_logprob,
+    # rotated out of the driver window in r7 for sync_catchup /
+    # substring_dedup (each hash-green in r5/r6, still oracle-gated every
+    # pytest run)
+    "funnel_steps": q_funnel_steps,
+    "cohort_retention": q_cohort_retention,
     # rotated out of the driver window in r7 for sync_validation /
     # sync_recovery (each hash-green in r3/r4/r5/r6, still oracle-gated
     # every pytest run)

@@ -43,9 +43,12 @@ MUST_BE_DRIVER_MEASURED = {
     # round-5 rotation: first-ever driver rows for the round-4 queries
     "winnow_fingerprint", "winnow_near_dups", "streaming_hopping",
     # round-5 newcomers: need their first driver rows in CORRECTNESS_r5
+    # funnel_steps + cohort_retention retired from this set late in r7
+    # (each hash-green in r5/r6) — their slots went to the round-7
+    # sync_catchup / substring_dedup newcomers
     "knn_label_vote", "centroid_similarity", "semdedup_pairs",
     "decontam_overlap", "stratified_sample", "chunk_dedup",
-    "funnel_steps", "cohort_retention", "bm25_search", "incremental_dedup",
+    "bm25_search", "incremental_dedup",
     "gap_fill", "moving_avg",
     "repetition_filter", "event_transitions", "approx_distinct", "heavy_hitters",
     "approx_quantiles", "tfidf_top_terms", "source_mixture", "unigram_logprob",
@@ -57,7 +60,7 @@ MUST_BE_DRIVER_MEASURED = {
     "perplexity_buckets",
     # round-7 newcomers: need their first driver rows in CORRECTNESS_r7
     "sync_validation", "sync_recovery", "sync_partition_evolution",
-    "sync_safety_fallback",
+    "sync_safety_fallback", "sync_catchup", "substring_dedup",
 }
 
 

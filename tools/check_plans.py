@@ -166,6 +166,11 @@ EXPECT_MAX_EXCHANGES = {
     "sync_validation": 0,     # local 8-row result; validator aggs run inside the build
     "embedding_near_dups": 1, # checkerboard GEMM partial agg
     # round-6 batch-2 newcomers
+    # round-7: diag agg + pair agg + the cached window table's build
+    # subtree (docfreq agg + distinct pre-agg, printed under the
+    # InMemoryRelation); headroom for the self-join's AQE broadcast
+    # flipping to a shuffle join at larger sf (+2)
+    "substring_dedup": 6,
     "pii_redaction": 1,       # pure regex projection + 5-language partial agg
     "contamination_span": 2,  # bench-gram distinct agg + per-doc hit rollup
     "cluster_representatives": 1,  # arg-max-by-struct agg over cached CC labels
