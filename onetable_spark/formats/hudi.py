@@ -248,8 +248,19 @@ class HudiTimeline:
         return [os.path.join(self.hoodie_path, f"{i}.{a}") for i, a in instants]
 
     def _commits_df(self, instants: list[tuple[str, str]]) -> DataFrame:
-        """Completed commit metadata as a DataFrame tagged with instant."""
-        df = self.spark.read.schema(COMMIT_META_SCHEMA).json(self._commit_paths(instants))
+        """Completed commit metadata as a DataFrame tagged with instant.
+
+        ``multiLine`` because real Hudi writers pretty-print commit JSON
+        (HoodieCommitMetadata serializes with an indenting ObjectMapper);
+        our own single-line commits parse identically as one-document
+        files. Commit files are never split either way — they are small
+        except for mega-commits, which are one task regardless.
+        """
+        df = (
+            self.spark.read.schema(COMMIT_META_SCHEMA)
+            .option("multiLine", "true")
+            .json(self._commit_paths(instants))
+        )
         return df.withColumn(
             "instant",
             F.regexp_extract(
@@ -347,7 +358,12 @@ class HudiTimeline:
                     meta = json.load(f)
             except (OSError, ValueError):
                 continue
-            raw = meta.get("schemaString")
+            # real Hudi writers store the Avro schema under
+            # extraMetadata["schema"] (HoodieCommitMetadata SCHEMA_KEY);
+            # our own commits also mirror it to top-level schemaString
+            raw = meta.get("schemaString") or (meta.get("extraMetadata") or {}).get(
+                "schema"
+            )
             if raw:
                 avro = json.loads(raw) if isinstance(raw, str) else raw
                 # our own commits store Avro JSON; tolerate StructType JSON
@@ -594,6 +610,9 @@ class HudiTimeline:
                         previous=prev_avro,
                     )
                 )
+                # mirror to the key real Hudi readers look up
+                # (HoodieCommitMetadata SCHEMA_KEY = "schema")
+                meta["extraMetadata"]["schema"] = meta["schemaString"]
             except UnsupportedAvroTypeError:
                 # Avro can't express this schema (e.g. non-string map keys)
                 # — fall back to the StructType JSON form readers tolerate

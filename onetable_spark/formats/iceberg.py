@@ -52,14 +52,21 @@ from onetable_spark.model import (
 # ------------------------------------------------------------ schema convert
 
 
-def structtype_to_iceberg(schema: T.StructType, next_id: int = 1) -> tuple[dict, int]:
+def structtype_to_iceberg(
+    schema: T.StructType, next_id: int = 1, record_keys: tuple[str, ...] = ()
+) -> tuple[dict, int]:
     """Spark StructType → Iceberg schema JSON with assigned field IDs.
 
     Field-id assignment parity: IcebergSchemaExtractor.java:143-165 (existing
     IDs in StructField.metadata['fieldId'] are honored, missing IDs assigned
     from an incrementing counter; the counter starts above every pre-assigned
     id so source-tracked ids — e.g. Hudi IdTracker injection — never collide
-    with counter-assigned list/map/child ids)."""
+    with counter-assigned list/map/child ids).
+
+    ``record_keys`` → ``identifier-field-ids``, but only when EVERY key
+    field is a required top-level field (IcebergSchemaExtractor.java:69-99
+    maps recordKeyFields to identifierFieldIds only if all keys are
+    required; Iceberg rejects optional identifier fields)."""
 
     def _max_preassigned(st: T.StructType) -> int:
         m = 0
@@ -126,7 +133,13 @@ def structtype_to_iceberg(schema: T.StructType, next_id: int = 1) -> tuple[dict,
         raise ValueError(f"unsupported Spark type for Iceberg: {dt}")
 
     fields = [convert_field(f) for f in schema.fields]
-    return {"type": "struct", "schema-id": 0, "fields": fields}, counter[0]
+    out = {"type": "struct", "schema-id": 0, "fields": fields}
+    if record_keys:
+        by_name = {f["name"]: f for f in fields}
+        keyed = [by_name.get(k) for k in record_keys]
+        if all(f is not None and f["required"] for f in keyed):
+            out["identifier-field-ids"] = [f["id"] for f in keyed]
+    return out, counter[0]
 
 
 def iceberg_to_structtype(ice: dict) -> T.StructType:
@@ -651,12 +664,20 @@ class IcebergTable:
             )
             for p in spec
         )
+        # identifier-field-ids → recordKeyFields (reverse of the
+        # IcebergSchemaExtractor.java:69-99 mapping), id-list order kept
+        record_keys = tuple(
+            id_to_name[i]
+            for i in ice_schema.get("identifier-field-ids", [])
+            if i in id_to_name
+        )
         return Table(
             name=name or os.path.basename(md.get("location", self.table_path)),
             base_path=self.table_path,
             table_format=TableFormat.ICEBERG,
             read_schema=schema,
             partition_fields=pfields,
+            record_key_fields=record_keys,
             layout=DataLayoutStrategy.HIVE_STYLE_PARTITION if pfields else DataLayoutStrategy.FLAT,
             latest_commit_millis=md.get("last-updated-ms", 0),
         )
@@ -726,7 +747,9 @@ class IcebergTable:
         if self.exists():
             return
         os.makedirs(self.metadata_dir, exist_ok=True)
-        ice_schema, next_id = structtype_to_iceberg(table.read_schema)
+        ice_schema, next_id = structtype_to_iceberg(
+            table.read_schema, record_keys=tuple(table.record_key_fields)
+        )
         name_to_id = _flat_fields(ice_schema)
         spec_fields = []
         field_id = 1000
@@ -913,6 +936,15 @@ class IcebergTable:
                     max((s.get("schema-id", 0) for s in md.get("schemas", [])), default=-1) + 1
                 )
                 ice_schema = {**ice_schema, "schema-id": new_sid}
+                # identifier fields survive evolution while their ids still
+                # resolve to required fields in the new schema
+                prior_ids = current_schema.get("identifier-field-ids")
+                if prior_ids:
+                    new_by_id = {f["id"]: f for f in ice_schema["fields"]}
+                    if all(
+                        i in new_by_id and new_by_id[i]["required"] for i in prior_ids
+                    ):
+                        ice_schema["identifier-field-ids"] = list(prior_ids)
                 md["schemas"] = md.get("schemas", [current_schema]) + [ice_schema]
                 md["current-schema-id"] = new_sid
                 md["schema"] = ice_schema

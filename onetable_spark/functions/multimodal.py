@@ -357,6 +357,61 @@ def resize_images(
     return df.select(id_col, content_col).mapInPandas(worker, RESIZED_SCHEMA)
 
 
+def write_media_corpus(media: DataFrame, base_dir: str) -> None:
+    """Materialize a media DataFrame as REAL files on disk in hive-style
+    partition layout (``kind=image/<media_id>.bin``) — the fixture writer
+    for the ``binaryFile`` ingestion path (SURVEY §2.5: a production
+    pipeline ingests a directory of media files, not an in-memory table).
+
+    The write runs EXECUTOR-SIDE (foreachPartition): each task writes its
+    own partition's files, so a 100 TB corpus writes with full
+    parallelism and no driver collect. Deterministic names make the write
+    idempotent. A ``_staging.tmp`` decoy per kind dir proves downstream
+    globs actually filter."""
+    import os
+
+    kinds = [r["kind"] for r in media.select("kind").distinct().collect()]
+    for kind in kinds:
+        os.makedirs(os.path.join(base_dir, f"kind={kind}"), exist_ok=True)
+        # a file the ingest glob MUST skip
+        with open(os.path.join(base_dir, f"kind={kind}", "_staging.tmp"), "wb") as f:
+            f.write(b"not media")
+
+    def write_partition(rows) -> None:
+        import os as _os
+
+        for row in rows:
+            d = _os.path.join(base_dir, f"kind={row['kind']}")
+            _os.makedirs(d, exist_ok=True)
+            tmp = _os.path.join(d, f".{row['media_id']}.bin.tmp")
+            with open(tmp, "wb") as f:
+                f.write(bytes(row["content"]) if row["content"] is not None else b"")
+            _os.replace(tmp, _os.path.join(d, f"{row['media_id']}.bin"))
+
+    media.select("media_id", "kind", "content").foreachPartition(write_partition)
+
+
+def ingest_media(spark, base_dir: str) -> DataFrame:
+    """Directory of media files → DataFrame via Spark's ``binaryFile``
+    source: (path, modificationTime, length, content) + hive-partition
+    discovery for ``kind``; ``pathGlobFilter`` excludes non-media files
+    and ``media_id`` is parsed from the file name. Filters on ``kind``
+    partition-prune at the file listing — no decode, no full scan."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(base_dir)
+    )
+    return raw.select(
+        F.regexp_extract(F.element_at(F.split("path", "/"), -1), r"^(\d+)", 1)
+        .cast("long")
+        .alias("media_id"),
+        F.col("kind").cast("string").alias("kind"),
+        F.col("length").alias("file_bytes"),
+        F.col("content"),
+    )
+
+
 def synth_media_table(spark, n: int = 100) -> DataFrame:
     """Deterministic synthetic media table for tests/demos (binary payloads
     derived from the id — no external data needed)."""

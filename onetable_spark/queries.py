@@ -3181,6 +3181,85 @@ def q_sync_catchup(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+FOREIGN_FIXTURES = "/root/reference/demo/data/db"
+
+
+def q_sync_foreign_table(spark: SparkSession, sf: str) -> DataFrame:
+    """FOREIGN-TABLE conformance under the correctness gate (the
+    reference's equivalence oracle, ITOneTableClient.java:716-813, run in
+    reverse): the native planes read metadata they did NOT write. The
+    reference ships two genuine real-runtime fixture tables —
+    demo/data/db/delta_dimGeography (real delta-spark 3.2 ``_delta_log``)
+    and demo/data/db/hudi_dimCustomer (real Hudi 0.14: pretty-printed
+    commit JSON, Avro schema in extraMetadata, HFILE metadata table,
+    full 3-file timeline). Each is copied to scratch, opened with the
+    native DeltaLog/HudiTimeline reader, synced into the other two
+    formats, and ALL THREE formats' snapshot read-backs are emitted as
+    (tbl, fmt, file_name, record_count, validation_ok) where
+    validation_ok ANDs the four SyncValidator checks of each target
+    against its foreign source. The oracle is DuckDB counting rows of
+    the SAME parquet files directly — our record counts come only from
+    decoding the foreign metadata (Delta stats JSON / Hudi write stats)
+    and surviving our own three commit planes, so the hash is a genuine
+    cross-engine conformance check. sf-independent by construction (the
+    fixtures are fixed); staged once per session."""
+    import os
+    import shutil
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import TableFormat
+    from onetable_spark.sync import SyncClient, source_for, target_for
+    from onetable_spark.sync.validation import SyncValidator
+
+    def build(base: str) -> list[tuple]:
+        dd = os.path.join(base, "delta_dimGeography")
+        hd = os.path.join(base, "hudi_dimCustomer")
+        shutil.copytree(os.path.join(FOREIGN_FIXTURES, "delta_dimGeography"), dd)
+        shutil.copytree(os.path.join(FOREIGN_FIXTURES, "hudi_dimCustomer"), hd)
+        client = SyncClient(spark)
+        r1 = client.sync(
+            source_for(spark, TableFormat.DELTA, dd),
+            [target_for(spark, TableFormat.ICEBERG, dd), target_for(spark, TableFormat.HUDI, dd)],
+        )
+        r2 = client.sync(
+            source_for(spark, TableFormat.HUDI, hd),
+            [target_for(spark, TableFormat.DELTA, hd), target_for(spark, TableFormat.ICEBERG, hd)],
+        )
+        for r in list(r1.values()) + list(r2.values()):
+            if r.status.value != "SUCCESS":
+                raise RuntimeError(f"foreign-table sync failed: {r}")
+        validator = SyncValidator()
+        rows: list[tuple] = []
+        for tbl, path, src_fmt in (
+            ("dimGeography", dd, "DELTA"),
+            ("dimCustomer", hd, "HUDI"),
+        ):
+            readers = {
+                "DELTA": DeltaLog(spark, path),
+                "ICEBERG": IcebergTable(spark, path),
+                "HUDI": HudiTimeline(spark, path),
+            }
+            for fmt, reader in readers.items():
+                ok = fmt == src_fmt or all(
+                    v.success
+                    for v in validator.validate(readers[src_fmt], reader).values()
+                )
+                # driver-ok: each fixture holds exactly one data file
+                for f in reader.snapshot_files().select("path", "record_count").collect():
+                    rows.append(
+                        (tbl, fmt, os.path.basename(f["path"]), f["record_count"], ok)
+                    )
+        return rows
+
+    rows = _staged_once(spark, sf, "otb_foreign_q", build)
+    return spark.createDataFrame(
+        rows,
+        "tbl string, fmt string, file_name string, record_count long, validation_ok boolean",
+    )
+
+
 def q_streaming_sink_inventory(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-once streaming ingestion under the correctness gate: the
     events stream is written through the foreachBatch sinks into native
@@ -3442,6 +3521,50 @@ def q_multimodal_decode(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_ingest(spark: SparkSession, sf: str) -> DataFrame:
+    """``binaryFile`` INGESTION under the correctness gate (SURVEY §2.5's
+    "binary-file data source" promise): the synthetic media corpus is
+    materialized as REAL files in a hive-partitioned directory
+    (``kind=image/42.bin``, written executor-side), then ingested with
+    ``spark.read.format("binaryFile")`` — pathGlobFilter (a ``_staging.tmp``
+    decoy per dir must be skipped), hive partition discovery for ``kind``,
+    media_id parsed from the file name — and the image subset decoded with
+    the same mapInPandas codec as multimodal_decode. Output carries the
+    decoded features PLUS file_bytes (binaryFile's length column must
+    equal the 64-byte payload) and n_ingested (all 200 files across the
+    three kind partitions — a glob or discovery miss changes the
+    constant). The kind filter partition-prunes at file listing; no
+    driver-side per-file work anywhere in the read path."""
+    from onetable_spark.functions.multimodal import (
+        decode_images,
+        ingest_media,
+        synth_media_table,
+        write_media_corpus,
+    )
+
+    def build(base: str) -> str:
+        write_media_corpus(synth_media_table(spark, 200), base)
+        return base
+
+    base = _staged_once(spark, sf, "otb_media_q", build)
+    media = ingest_media(spark, base)
+    n_ingested = media.groupBy().agg(F.count(F.lit(1)).alias("n_ingested"))
+    images = media.filter(F.col("kind") == "image")
+    feats = decode_images(images)
+    return (
+        feats.select(
+            "media_id",
+            "width",
+            "height",
+            F.round(
+                F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 4
+            ).alias("feature_sum"),
+        )
+        .join(images.select("media_id", "kind", "file_bytes"), "media_id")
+        .crossJoin(F.broadcast(n_ingested))
+    )
+
+
 _LANG_SQL_VOTES = """
             len(list_filter(string_split(text, ' '), x -> x IN ('the','and','of','to','is'))) AS v_en,
             len(list_filter(string_split(text, ' '), x -> x IN ('der','die','und','das','nicht'))) AS v_de,
@@ -3503,6 +3626,27 @@ ORACLE_SQL: dict[str, str] = {
                        + strpos('0123456789abcdef', h[4])-1 AS INT) AS height,
                CAST(ROUND(CAST(list_sum(list_transform(range(3, 11), i -> {_STUB_FEAT}))
                    AS DECIMAL(18,10)), 4) AS DOUBLE) AS feature_sum
+        FROM d
+    """,
+    # same stub-decode contract as multimodal_decode, plus the binaryFile
+    # plumbing facts: 64-byte payloads (hex digest as utf8), kind from
+    # partition discovery, and all 200 files seen by the glob
+    "multimodal_ingest": f"""
+        WITH d AS (
+            SELECT range AS media_id,
+                   sha256(sha256(CAST(range AS VARCHAR))) AS h
+            FROM range(200) WHERE range % 3 = 0
+        )
+        SELECT media_id,
+               CAST(64 + 16*(strpos('0123456789abcdef', h[1])-1)
+                       + strpos('0123456789abcdef', h[2])-1 AS INT) AS width,
+               CAST(64 + 16*(strpos('0123456789abcdef', h[3])-1)
+                       + strpos('0123456789abcdef', h[4])-1 AS INT) AS height,
+               CAST(ROUND(CAST(list_sum(list_transform(range(3, 11), i -> {_STUB_FEAT}))
+                   AS DECIMAL(18,10)), 4) AS DOUBLE) AS feature_sum,
+               'image' AS kind,
+               CAST(64 AS BIGINT) AS file_bytes,
+               CAST(200 AS BIGINT) AS n_ingested
         FROM d
     """,
     "audio_features": f"""
@@ -4142,6 +4286,29 @@ ORACLE_SQL: dict[str, str] = {
                CAST(COUNT(*) AS BIGINT) AS record_count
         FROM region CROSS JOIN (VALUES ('DELTA'), ('ICEBERG'), ('HUDI')) f(fmt)
         GROUP BY fmt
+    """,
+    # DuckDB counts the REAL-runtime-written fixture parquet directly;
+    # the Spark side must reproduce those counts purely from decoding the
+    # foreign Delta log / Hudi commit metadata (and from our own targets'
+    # re-encodings of it) — a genuine cross-engine conformance oracle.
+    "sync_foreign_table": """
+        SELECT 'dimGeography' AS tbl, fmt,
+               'part-00000-6ccb71bc-9cc1-4226-a7b5-f752edbedee6-c000.snappy.parquet'
+                   AS file_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM read_parquet(
+                   '/root/reference/demo/data/db/delta_dimGeography/*.parquet'))
+                   AS record_count,
+               TRUE AS validation_ok
+        FROM (VALUES ('DELTA'), ('ICEBERG'), ('HUDI')) f(fmt)
+        UNION ALL
+        SELECT 'dimCustomer' AS tbl, fmt,
+               'b1ee44c7-255b-47bf-b788-1e7017790326-0_0-80-172_20231105172136406.parquet'
+                   AS file_name,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM read_parquet(
+                   '/root/reference/demo/data/db/hudi_dimCustomer/*.parquet'))
+                   AS record_count,
+               TRUE AS validation_ok
+        FROM (VALUES ('DELTA'), ('ICEBERG'), ('HUDI')) f(fmt)
     """,
     "streaming_approx_reach": """
         SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start_s,
@@ -4930,6 +5097,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the same sync() call (window slot from funnel_steps, hash-green in
     # r5/r6, still oracle-gated every pytest run)
     "sync_catchup": q_sync_catchup,
+    # round-8 newcomer: foreign-table conformance — the native planes
+    # read REAL delta-spark / Hudi runtime metadata they did not write
+    "sync_foreign_table": q_sync_foreign_table,
     # round-7 newcomer: exact repeated-substring dedup (Lee et al. 2022
     # ExactSubstr criterion) — diagonal-run detection over 8-token window
     # hashes (window slot from cohort_retention, hash-green in r5/r6,
@@ -4960,6 +5130,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivf_topk": q_ann_ivf_topk,
     # multimodal triad + video: deterministic stubs, fully oracle-checked
     "multimodal_decode": q_multimodal_decode,
+    # round-8 newcomer: binaryFile directory ingestion (SURVEY §2.5)
+    "multimodal_ingest": q_multimodal_ingest,
     "audio_features": q_audio_features,
     "image_resize": q_image_resize,
     "video_frame_sample": q_video_frame_sample,

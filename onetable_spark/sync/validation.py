@@ -27,7 +27,7 @@ from typing import Optional, Protocol
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from onetable_spark.model import Table
+from onetable_spark.model import Table, TableFormat
 
 
 class ValidationCheck(str, enum.Enum):
@@ -128,7 +128,16 @@ class SyncValidator:
         t_spec = [(p.source_field, p.transform.value) for p in t.partition_fields]
         if s_spec != t_spec:
             return f"partition spec drift: source={s_spec} target={t_spec}"
-        if tuple(s.record_key_fields) != tuple(t.record_key_fields):
+        # Record keys: Delta has no protocol-level key concept, so an empty
+        # target key set is legal there (the reference consumes
+        # recordKeyFields only in the Hudi table config and the Iceberg
+        # identifierFieldIds mapping, IcebergSchemaExtractor.java:69-99 —
+        # DeltaClient has no equivalent). An Iceberg target may also be
+        # legitimately empty when a key field is optional (the extractor's
+        # all-required gate). A NON-empty target key set must always match.
+        if tuple(s.record_key_fields) != tuple(t.record_key_fields) and not (
+            not t.record_key_fields and t.table_format != TableFormat.HUDI
+        ):
             return (
                 f"record keys drift: source={s.record_key_fields} "
                 f"target={t.record_key_fields}"

@@ -128,3 +128,51 @@ def test_stub_raster_unchanged_for_non_media_bytes():
     raster = _decode_raster_impl(content)
     assert raster.shape == (64 + digest[1], 64 + digest[0])
     assert raster.flatten()[: len(digest)].tolist() == list(digest)
+
+
+# ---------------------------------------------------- binaryFile ingestion
+
+
+def test_media_corpus_roundtrip_through_binary_file_source(spark, tmp_path):
+    """write_media_corpus (executor-side) → binaryFile ingest: every file
+    comes back with its exact payload, kind from partition discovery,
+    media_id from the name, and the glob skips the _staging.tmp decoys."""
+    from onetable_spark.functions.multimodal import (
+        ingest_media,
+        synth_media_table,
+        write_media_corpus,
+    )
+
+    base = str(tmp_path / "corpus")
+    media = synth_media_table(spark, 30)
+    write_media_corpus(media, base)
+
+    back = ingest_media(spark, base)
+    rows = {r["media_id"]: r for r in back.collect()}
+    src = {r["media_id"]: r for r in media.collect()}
+    assert set(rows) == set(src)  # 30 files, zero decoys ingested
+    for mid, r in rows.items():
+        assert r["kind"] == src[mid]["kind"]
+        assert bytes(r["content"]) == bytes(src[mid]["content"])
+        assert r["file_bytes"] == len(bytes(src[mid]["content"]))
+
+
+def test_ingest_kind_filter_partition_prunes(spark, tmp_path):
+    """A kind filter must prune at file listing (PartitionFilters), never
+    scan-and-discard the other kinds' bytes."""
+    from onetable_spark.functions.multimodal import (
+        ingest_media,
+        synth_media_table,
+        write_media_corpus,
+    )
+
+    base = str(tmp_path / "corpus")
+    write_media_corpus(synth_media_table(spark, 30), base)
+    plan = (
+        ingest_media(spark, base)
+        .filter(F.col("kind") == "image")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters: [" in plan and "kind" in plan.split("PartitionFilters")[1][:80]
