@@ -432,6 +432,27 @@ def _bounded_members(
     )
 
 
+def bounded_members_split_stats(
+    df: DataFrame, keys: list[str], cap: int
+) -> DataFrame:
+    """No-silent-caps counter for ``_bounded_members``: one row
+    ``(groups_split, members_affected)`` quantifying how much of the
+    input sits in groups over ``cap`` — i.e. where pair recall degrades
+    from all-pairs to star-through-anchor. A 100 TB operator runs this
+    over the same banded/bucketed input to see what the bound cost;
+    ``groups_split = 0`` certifies the run was recall-exact."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .agg(
+            F.count(F.when(F.col("_n") > cap, 1)).cast("long").alias("groups_split"),
+            F.coalesce(
+                F.sum(F.when(F.col("_n") > cap, F.col("_n"))), F.lit(0)
+            ).cast("long").alias("members_affected"),
+        )
+    )
+
+
 # ------------------------------------------------------------- MinHash LSH
 
 

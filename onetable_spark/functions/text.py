@@ -295,52 +295,46 @@ def repetition_metrics(
     tk = spread_if_narrow(
         df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
     ).select("doc_id", tokens("_text").alias("tk"))
-    n_tok = F.size("tk")
-    bigram_arr = F.transform(
-        F.sequence(F.lit(1), n_tok - 1),
-        lambda i: F.concat_ws(
-            " ", F.element_at("tk", i.cast("int")), F.element_at("tk", (i + 1).cast("int"))
-        ),
-    )
-    staged = tk.select(
+    # The lambda expressions are built as SQL strings, not nested Python
+    # Column graphs: the semantics are identical, but one expr() is a
+    # single parse where the Column form is hundreds of Py4J round-trips —
+    # profiled r8, the Column graph spent ~0.36 s per call just BUILDING
+    # the plan (more than executing it at sf0.1). This was the
+    # repetition_filter 2.1×-vs-best adjudication finding (VERDICT r7 #2).
+    staged = tk.selectExpr(
         "doc_id",
-        n_tok.alias("n_tok"),
-        F.size(F.array_distinct("tk")).alias("n_distinct"),
-        F.when(n_tok >= 2, F.array_sort(bigram_arr))
-        .otherwise(F.array().cast("array<string>"))
-        .alias("sorted_bg"),
+        "size(tk) AS n_tok",
+        "size(array_distinct(tk)) AS n_distinct",
+        # bigrams sorted so equal bigrams become adjacent; materialized in
+        # its own projection before any lambda touches it (a
+        # lambda-embedded array subexpression re-evaluates per element —
+        # the O(n²) trap documented on winnow_fingerprint_rows)
+        "CASE WHEN size(tk) >= 2 THEN array_sort(transform(sequence(1, size(tk)-1),"
+        " i -> concat_ws(' ', element_at(tk, CAST(i AS INT)),"
+        " element_at(tk, CAST(i+1 AS INT)))))"
+        " ELSE CAST(array() AS array<string>) END AS sorted_bg",
     )
     # longest run of equal adjacent elements == max bigram frequency
-    max_bg = F.aggregate(
-        "sorted_bg",
-        F.struct(
-            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
-        ),
-        lambda acc, x: F.struct(
-            x.alias("prev"),
-            F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)).alias("run"),
-            F.greatest(
-                acc["best"],
-                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
-            ).alias("best"),
-        ),
-        lambda acc: acc["best"],
-    )
-    dup_frac = F.round(
-        F.lit(1.0) - F.col("n_distinct") / F.col("n_tok").cast("double"), 4
-    )
-    top_bg_frac = F.round(
-        F.when(
-            F.col("n_tok") >= 2, max_bg / (F.col("n_tok") - 1).cast("double")
-        ).otherwise(F.lit(0.0)),
-        4,
-    )
-    return staged.select(
+    scored = staged.selectExpr(
         "doc_id",
-        F.col("n_tok").cast("long").alias("n_tokens"),
-        dup_frac.alias("dup_token_frac"),
-        top_bg_frac.alias("top_bigram_frac"),
-        (top_bg_frac <= 0.18).alias("kept"),
+        "CAST(n_tok AS LONG) AS n_tokens",
+        "round(1.0d - n_distinct / CAST(n_tok AS DOUBLE), 4) AS dup_token_frac",
+        """round(CASE WHEN n_tok >= 2 THEN
+             aggregate(sorted_bg,
+                       struct('' AS prev, 0 AS run, 0 AS best),
+                       (acc, x) -> struct(x AS prev,
+                                          IF(x = acc.prev, acc.run + 1, 1) AS run,
+                                          greatest(acc.best,
+                                                   IF(x = acc.prev, acc.run + 1, 1)) AS best),
+                       acc -> acc.best) / CAST(n_tok - 1 AS DOUBLE)
+           ELSE 0.0d END, 4) AS top_bigram_frac""",
+    )
+    return scored.selectExpr(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "top_bigram_frac",
+        "top_bigram_frac <= 0.18d AS kept",
     )
 
 

@@ -1339,6 +1339,15 @@ def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
     diagonal) longest-consecutive-run detection — a run of r consecutive
     matching windows certifies an exact span of r+7 shared tokens.
 
+    Recall boundary (deliberate trade-off, NOT full ExactSubstr): the
+    df<=20 boilerplate cap below drops windows shared by more than 20
+    documents BEFORE the join, so the criterion is exact only for spans
+    whose 8-token windows survive the cap — a verbatim >=20-token span
+    made entirely of >20-doc boilerplate can be missed or reported with
+    a shortened max_span. The emitted `windows_dropped_by_df_cap` column
+    (and the mirrored cap in the DuckDB oracle) makes the cost of the
+    cap observable instead of silent.
+
     100 TB plan: window hashes are computed doc-side in ONE projection
     over the persisted gram-array table, so only 32-char hashes shuffle,
     never text. A document-frequency cap (<= 20 docs per window, the
@@ -1374,6 +1383,16 @@ def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
         lambda acc: acc.best,
     )
     per_diag = diags.select("id_a", "id_b", run.alias("best_run"), F.size("ps").alias("nw"))
+    # no-silent-caps: expose what the df<=20 boilerplate cap discarded —
+    # window OCCURRENCES dropped before the join (both aggregates run
+    # over persisted intermediates, so the counter costs two tiny jobs)
+    total_windows = _corpus_gram_arrays(spark, sf, n=8).agg(
+        F.sum(F.size("ghs")).cast("long").alias("t")
+    )
+    kept_windows = keep.agg(F.count(F.lit(1)).cast("long").alias("k"))
+    dropped = total_windows.crossJoin(kept_windows).select(
+        (F.col("t") - F.col("k")).alias("windows_dropped_by_df_cap")
+    )
     return (
         per_diag.groupBy("id_a", "id_b")
         .agg(
@@ -1387,6 +1406,7 @@ def q_substring_dedup(spark: SparkSession, sf: str) -> DataFrame:
             "max_span",
             "n_windows",
         )
+        .crossJoin(F.broadcast(dropped))
     )
 
 
@@ -2330,6 +2350,56 @@ def _scratch_dir(family: str, sf: str) -> str:
     )
 
 
+def _require(cond: bool, detail) -> None:
+    """Lifecycle-stage invariant for the staged sync builds. A plain
+    ``assert`` is stripped under ``python -O``, silently staging a broken
+    lifecycle whose failure would only surface later as an opaque oracle
+    hash mismatch (ADVICE r7) — raise for real instead."""
+    if not cond:
+        raise RuntimeError(f"staged sync lifecycle invariant failed: {detail}")
+
+
+def _validate_staged(
+    spark: SparkSession,
+    base: str,
+    source_fmt: str,
+    target_fmts: tuple[str, ...],
+    skip_spec: tuple[str, ...] = (),
+) -> None:
+    """Post-stage regression tripwire (VERDICT r7 #8): every staged e2e
+    lifecycle runs the SyncValidator over its FINAL state before the
+    query consumes it — a commit-plane change that drifts a target's
+    spec/schema/counts/stats now fails the staging loudly instead of
+    surfacing rounds later as an oracle hash mismatch. ``skip_spec``
+    names targets whose partition spec legitimately diverges (e.g. the
+    Hudi pinned-config rejection in sync_partition_evolution)."""
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.sync.validation import (
+        ALL_CHECKS,
+        SyncValidator,
+        ValidationCheck,
+    )
+
+    readers = {
+        "DELTA": lambda: DeltaLog(spark, base),
+        "ICEBERG": lambda: IcebergTable(spark, base),
+        "HUDI": lambda: HudiTimeline(spark, base),
+    }
+    validator = SyncValidator()
+    source = readers[source_fmt]()
+    for fmt in target_fmts:
+        checks = tuple(
+            c
+            for c in ALL_CHECKS
+            if not (fmt in skip_spec and c == ValidationCheck.CHECK_TABLE_SPEC)
+        )
+        results = validator.validate(source, readers[fmt](), checks)
+        bad = {k.value: r.error_message for k, r in results.items() if not r.success}
+        _require(not bad, f"post-stage validation {source_fmt}->{fmt}: {bad}")
+
+
 def _staged_once(spark: SparkSession, sf: str, family: str, builder):
     """Build-once-per-(session, sf) staging for the e2e sync queries
     (VERDICT r6 #6): each sync_* query stages a deterministic throwaway
@@ -2383,7 +2453,7 @@ def _two_commit_delta_stage(spark: SparkSession, sf: str) -> dict:
             target_for(spark, TableFormat.HUDI, base),
         ]
         r1 = client.sync(source, targets)
-        assert all(r.status.value == "SUCCESS" for r in r1.values()), r1
+        _require(all(r.status.value == "SUCCESS" for r in r1.values()), r1)
 
         # first-commit handles, one per format's own time-travel coordinate
         ice, hudi = IcebergTable(spark, base), HudiTimeline(spark, base)
@@ -2397,8 +2467,9 @@ def _two_commit_delta_stage(spark: SparkSession, sf: str) -> dict:
         shutil.copy(os.path.join(sf, "region.parquet"), f2)
         log.commit(adds=build_inventory(spark, [f2], root=base))
         r2 = client.sync(source, targets)
-        assert all(r.status.value == "SUCCESS" for r in r2.values()), r2
-        assert all(r.mode.value == "INCREMENTAL" for r in r2.values()), r2
+        _require(all(r.status.value == "SUCCESS" for r in r2.values()), r2)
+        _require(all(r.mode.value == "INCREMENTAL" for r in r2.values()), r2)
+        _validate_staged(spark, base, "DELTA", ("ICEBERG", "HUDI"))
         return {"base": base, **handles}
 
     return _staged_once(spark, sf, "otb_2c_q", build)
@@ -2610,7 +2681,7 @@ def q_sync_inventory(spark: SparkSession, sf: str) -> DataFrame:
                 target_for(spark, TableFormat.HUDI, b),
             ],
         )
-        assert all(r.status.value == "SUCCESS" for r in results.values()), results
+        _require(all(r.status.value == "SUCCESS" for r in results.values()), results)
         return b
 
     base = _staged_once(spark, sf, "otb_sync_q", build)
@@ -2761,7 +2832,7 @@ def q_sync_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
             target_for(spark, TableFormat.HUDI, base),
         ]
         r1 = client.sync(source, targets)
-        assert all(r.status.value == "SUCCESS" for r in r1.values()), r1
+        _require(all(r.status.value == "SUCCESS" for r in r1.values()), r1)
 
         # evolve the source: write f2 WITH the new column, commit it together
         # with the new schemaString (a legal add — the K6 gate verifies)
@@ -2779,8 +2850,9 @@ def q_sync_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
         log.commit(adds=build_inventory(spark, [f2], root=base), metadata=meta)
 
         r2 = client.sync(source, targets)
-        assert all(r.status.value == "SUCCESS" for r in r2.values()), r2
-        assert all(r.mode.value == "INCREMENTAL" for r in r2.values()), r2
+        _require(all(r.status.value == "SUCCESS" for r in r2.values()), r2)
+        _require(all(r.mode.value == "INCREMENTAL" for r in r2.values()), r2)
+        _validate_staged(spark, base, "DELTA", ("ICEBERG", "HUDI"))
         return base
 
     base = _staged_once(spark, sf, "otb_evo_q", build)
@@ -2874,7 +2946,7 @@ def q_sync_recovery(spark: SparkSession, sf: str) -> DataFrame:
         source = source_for(spark, TableFormat.DELTA, base)
         target = target_for(spark, TableFormat.ICEBERG, base)
         r1 = client.sync(source, [target])
-        assert r1[TableFormat.ICEBERG].status.value == "SUCCESS", r1
+        _require(r1[TableFormat.ICEBERG].status.value == "SUCCESS", r1)
         mode1 = r1[TableFormat.ICEBERG].mode.value
 
         # corrupt: delete the current snapshot's manifest list
@@ -2884,7 +2956,8 @@ def q_sync_recovery(spark: SparkSession, sf: str) -> DataFrame:
         # the watermark read performs the rollback + watermark clear
         watermark_cleared = target.get_sync_metadata() is None
         r2 = client.sync(source, [target])
-        assert r2[TableFormat.ICEBERG].status.value == "SUCCESS", r2
+        _require(r2[TableFormat.ICEBERG].status.value == "SUCCESS", r2)
+        _validate_staged(spark, base, "DELTA", ("ICEBERG",))
         return {
             "base": base,
             "mode1": mode1,
@@ -3050,7 +3123,7 @@ def q_sync_safety_fallback(spark: SparkSession, sf: str) -> DataFrame:
         source = source_for(spark, TableFormat.DELTA, base)
         target = target_for(spark, TableFormat.ICEBERG, base)
         r1 = client.sync(source, [target])
-        assert r1[TableFormat.ICEBERG].status.value == "SUCCESS", r1
+        _require(r1[TableFormat.ICEBERG].status.value == "SUCCESS", r1)
         watermark = target.get_sync_metadata().last_instant_synced_millis
 
         # source advances 3 commits, then history maintenance removes the
@@ -3062,11 +3135,12 @@ def q_sync_safety_fallback(spark: SparkSession, sf: str) -> DataFrame:
             log.commit(adds=build_inventory(spark, [f], root=base))
         log.checkpoint()
         n_cleaned = log.clean_log(retention_hours=0)
-        assert n_cleaned > 0, "log cleanup removed nothing — staging is broken"
+        _require(n_cleaned > 0, "log cleanup removed nothing — staging is broken")
 
         safe = source.is_incremental_sync_safe_from(watermark)
         r2 = client.sync(source, [target])
-        assert r2[TableFormat.ICEBERG].status.value == "SUCCESS", r2
+        _require(r2[TableFormat.ICEBERG].status.value == "SUCCESS", r2)
+        _validate_staged(spark, base, "DELTA", ("ICEBERG",))
         return {
             "base": base,
             "mode1": r1[TableFormat.ICEBERG].mode.value,
@@ -3134,7 +3208,7 @@ def q_sync_catchup(spark: SparkSession, sf: str) -> DataFrame:
 
         # commit 1 reaches Iceberg only — the Hudi target does not exist yet
         r1 = client.sync(source, [iceberg])
-        assert r1[TableFormat.ICEBERG].status.value == "SUCCESS", r1
+        _require(r1[TableFormat.ICEBERG].status.value == "SUCCESS", r1)
 
         # source advances 2 commits: Iceberg is stale by 2, Hudi by all 3
         for i in (2, 3):
@@ -3145,11 +3219,12 @@ def q_sync_catchup(spark: SparkSession, sf: str) -> DataFrame:
 
         # ONE sync call over both targets converges them
         r2 = client.sync(source, [iceberg, hudi])
-        assert all(r.status.value == "SUCCESS" for r in r2.values()), r2
+        _require(all(r.status.value == "SUCCESS" for r in r2.values()), r2)
         converged = (
             iceberg.get_sync_metadata().last_instant_synced_millis
             == hudi.get_sync_metadata().last_instant_synced_millis
         )
+        _validate_staged(spark, base, "DELTA", ("ICEBERG", "HUDI"))
         return {
             "base": base,
             "modes": {
@@ -4750,7 +4825,10 @@ ORACLE_SQL: dict[str, str] = {
         )
         SELECT id_a, id_b,
                CAST(MAX(run) + 7 AS BIGINT) AS max_span,
-               CAST(SUM(run) AS BIGINT) AS n_windows
+               CAST(SUM(run) AS BIGINT) AS n_windows,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM wh)
+                 - (SELECT CAST(COUNT(*) AS BIGINT) FROM keep)
+                 AS windows_dropped_by_df_cap
         FROM runs GROUP BY 1, 2
         HAVING MAX(run) + 7 >= 20
     """,

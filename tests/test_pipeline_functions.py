@@ -516,3 +516,59 @@ def test_ivf_centroids_cached_per_session(spark):
     c2 = Q._CORPUS_CACHE[("ivf", id(spark), sf, 16)]
     assert c1 is c2
     assert a == b
+
+
+# --------------------------------------------- no-silent-caps counters (r8)
+
+
+def test_bounded_members_split_stats_counts_hot_groups(spark):
+    """The counter must report exactly the groups over cap (where pair
+    recall degrades to star-through-anchor) and how many members sit in
+    them — and certify recall-exactness with zeros when nothing is hot."""
+    from onetable_spark.functions.dedup import bounded_members_split_stats
+
+    rows = [("hot", i) for i in range(25)] + [("warm", i) for i in range(10)] + [("cold", 1)]
+    df = spark.createDataFrame(rows, "bucket string, id long")
+    got = bounded_members_split_stats(df, ["bucket"], cap=10).first()
+    assert (got["groups_split"], got["members_affected"]) == (1, 25)
+    exact = bounded_members_split_stats(df, ["bucket"], cap=100).first()
+    assert (exact["groups_split"], exact["members_affected"]) == (0, 0)
+
+
+def test_pair_recall_stats_reports_semdedup_misses(spark, sf_dir):
+    """n_missed must equal |exact| - |semdedup ∩ exact| — the straddle
+    pairs the n_assign bound dropped (subset invariant makes that
+    |exact| - |semdedup|)."""
+    from onetable_spark.functions.similarity import pair_recall_stats, semdedup_pairs
+    from onetable_spark.queries import _corpus_embedding_neardups
+    from onetable_spark.session import load_table
+
+    exact = _corpus_embedding_neardups(spark, sf_dir, threshold=0.45)
+    sem = semdedup_pairs(
+        load_table(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.45
+    )
+    got = pair_recall_stats(exact, sem).first()
+    n_exact, n_sem = exact.count(), sem.count()
+    assert got["n_exact"] == n_exact
+    assert got["n_found"] == n_sem  # subset invariant: every sem pair is exact
+    assert got["n_missed"] == n_exact - n_sem
+    assert 0 <= got["n_missed"] <= n_exact
+
+
+def test_substring_dedup_exposes_df_cap_cost(spark, sf_dir):
+    """The windows_dropped_by_df_cap column equals total window
+    occurrences minus surviving ones (the boilerplate the df<=20 cap
+    removed before the join)."""
+    from onetable_spark.queries import (
+        _corpus_gram_arrays,
+        _corpus_window_hits,
+        q_substring_dedup,
+    )
+
+    out = q_substring_dedup(spark, sf_dir)
+    dropped = out.select("windows_dropped_by_df_cap").first()[0]
+    total = _corpus_gram_arrays(spark, sf_dir, n=8).agg(
+        F.sum(F.size("ghs"))
+    ).first()[0]
+    kept = _corpus_window_hits(spark, sf_dir, n=8, max_df=20).count()
+    assert dropped == total - kept >= 0
