@@ -4,7 +4,21 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 7: 111 queries — metadata-plane relational operators
+Surface as of round 8: 113 queries. New this round: FOREIGN-TABLE
+CONFORMANCE (`sync_foreign_table` — the native Delta/Hudi planes read
+REAL delta-spark / Hudi-runtime fixture tables from the reference's
+demo data, sync them into the other two formats, and hash the
+read-backs against DuckDB counting the same parquet directly — the
+ITOneTableClient.java:716-813 equivalence oracle in reverse) and
+BINARYFILE INGESTION (`multimodal_ingest` — a hive-partitioned media
+directory ingested via spark.read.format("binaryFile") with glob
+filtering + partition pruning, decoded by the mapInPandas codecs).
+The driver window is ROTATED this round (VERDICT r7 #4): the first 50
+registry entries re-sample the 35 stalest queries (all 22 tpch_*, the
+g-ops, dedup basics — last driver rows r1-r5) plus the r8 newcomers
+and the single-green r7 cohort.
+
+Round-7 surface summary: metadata-plane relational operators
 (G1-G13) + the full sync lifecycle under the gate (inventory, change
 scans, exactly-once streaming sinks, TIME-TRAVEL reads across all three
 formats, SCHEMA-EVOLUTION sync, and round 7's POST-SYNC VALIDATION plane
@@ -33,7 +47,7 @@ partition, end-to-end corpus curation, multimodal
 decode with runtime codec selection whose deterministic stub fallback is
 reproduced in SQL, and EXACT REPEATED-SUBSTRING dedup — the Lee et al.
 2022 ExactSubstr criterion as a diagonal-run detection over rolling
-window hashes). ALL 111 carry DuckDB value-hash oracles — round 7
+window hashes). ALL 113 carry DuckDB value-hash oracles — round 7
 closed the last 5 `no_oracle` gaps: the LSH/IVF queries emit their exact
 ground truth plus IN-PLAN contract booleans (subset-of-exact, pinned
 recall bounds), and simhash_near_dups moved to md5-derived token hashes

@@ -471,16 +471,16 @@ class DeltaLog:
     ) -> int:
         """Optimistic commit of add/remove actions (FILES_SCHEMA inputs).
 
-        Actions are materialized once on the driver (collect() bounds the
-        job count at one; the Row list is O(changed files)) and STREAMED
-        into a spool file line-by-line — rows are popped as their JSON is
-        encoded and every encoded line goes straight to the OS buffer, so
-        the serialized payload never coexists with the Row list (a
-        million-file commit materializes each representation at most
-        once). Version races republish the same spool via link(), no
-        re-serialization. ``txn`` emits a SetTransaction action
-        (PROTOCOL.md "Transaction Identifiers") — the idempotent-writer
-        handle streaming sinks use.
+        Actions STREAM into a spool file line-by-line straight off Arrow
+        record batches (``iter_inventory_rows``): the driver holds one
+        columnar Arrow table (~10× smaller than a Row list — r8; the r7
+        Row-popping scheme peaked at ~380 MB per 500k files, the Arrow
+        path at ~60 MB per million) plus O(batch) Python dicts, and every
+        encoded line goes to the OS buffer immediately, so no payload-
+        sized buffer ever exists. Version races republish the same spool
+        via link(), no re-serialization. ``txn`` emits a SetTransaction
+        action (PROTOCOL.md "Transaction Identifiers") — the
+        idempotent-writer handle streaming sinks use.
         """
         now = int(time.time() * 1000)
         field_types: dict = {}
@@ -513,13 +513,13 @@ class DeltaLog:
             if metadata is not None:
                 yield json.dumps({"metaData": metadata})
             if adds is not None:
-                # driver-ok: O(changed files) Row list — single job; rows
-                # pop as their line is spooled (see commit docstring)
-                rows = adds.collect()
-                rows.reverse()
-                while rows:
+                # driver-ok: Arrow-batched — one job, O(batch) Python
+                # objects (see commit docstring)
+                from onetable_spark.model import iter_inventory_rows
+
+                for row in iter_inventory_rows(adds):
                     yield json.dumps(
-                        {"add": _file_row_to_add(rows.pop(), self.table_path, now, field_types)}
+                        {"add": _file_row_to_add(row, self.table_path, now, field_types)}
                     )
             if removes is not None:
                 # driver-ok: O(removed files), same streaming bound

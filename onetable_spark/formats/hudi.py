@@ -539,10 +539,10 @@ class HudiTimeline:
         )
         open(inflight, "w").close()
 
-        partition_to_stats: dict[str, list[dict]] = {}
         we_cached_adds = False
+        sorted_adds = None
         if adds is not None:
-            # commit consumes adds twice (write-stats build here, metadata-
+            # commit consumes adds twice (write-stats stream here, metadata-
             # table index below); for a footer-scan inventory each pass
             # re-runs the distributed footer job — cache it for the commit
             from pyspark import StorageLevel
@@ -550,42 +550,25 @@ class HudiTimeline:
             if adds.storageLevel == StorageLevel.NONE:
                 adds = adds.persist(StorageLevel.MEMORY_AND_DISK)
                 we_cached_adds = True
-            table_prefix = self.table_path.rstrip("/") + "/"
-            # driver-ok: O(changed files) — partitionToWriteStats holds
-            # every row in the commit JSON anyway; collect() is one job
-            # where toLocalIterator runs one job per partition. Rows pop
-            # as stats build so the Row list and the stats dicts never
-            # peak together (json.dump below streams to the file).
-            rows = adds.collect()
-            rows.reverse()
-            while rows:
-                row = rows.pop()
-                rel = row["path"]
-                if rel.startswith(table_prefix):
-                    rel = rel[len(table_prefix):]
-                pvals = dict(row["partition_values"] or {})
-                partition = "/".join(f"{k}={v}" for k, v in pvals.items())
-                file_id = _file_id_for(rel)
-                stats_json = (
-                    json.dumps([s.asDict() if hasattr(s, "asDict") else dict(s) for s in row["column_stats"]])
-                    if row["column_stats"]
-                    else None
-                )
-                partition_to_stats.setdefault(partition, []).append(
-                    {
-                        "fileId": file_id,
-                        "path": rel,
-                        "prevCommit": "null",
-                        "numWrites": row["record_count"] or 0,
-                        "numInserts": row["record_count"] or 0,
-                        "totalWriteBytes": row["size"] or 0,
-                        "fileSizeInBytes": row["size"] or 0,
-                        "partitionPath": partition,
-                        "columnStats": stats_json,
-                    }
-                )
+            # partition path derived SPARK-SIDE and globally sorted so one
+            # streaming pass over the Arrow batches sees each partition's
+            # write-stats contiguously — partitionToWriteStats then writes
+            # straight to the commit file without ever holding the O(table)
+            # stats dict (r8; the r7 dict+Row scheme peaked at ~380 MB per
+            # 500k files — the Arrow stream is O(batch))
+            sorted_adds = adds.withColumn(
+                "_pp",
+                F.concat_ws(
+                    "/",
+                    F.transform(
+                        F.map_entries("partition_values"),
+                        lambda e: F.concat_ws("=", e["key"], e["value"]),
+                    ),
+                ),
+            ).orderBy("_pp")
+        # the non-stats commit keys, built up-front; partitionToWriteStats
+        # streams separately in the writer below
         meta = {
-            "partitionToWriteStats": partition_to_stats,
             "compacted": False,
             "operationType": operation,
             "extraMetadata": dict(extra_metadata or {}),
@@ -621,8 +604,51 @@ class HudiTimeline:
             meta["partitionToReplaceFileIds"] = replace_file_ids
         completed = os.path.join(self.hoodie_path, f"{instant}.{action}")
         tmp = completed + ".tmp"
+        table_prefix = self.table_path.rstrip("/") + "/"
         with open(tmp, "w") as f:
-            json.dump(meta, f)
+            # streaming JSON emitter: write-stats go to the OS buffer as
+            # Arrow batches arrive (grouped by the pre-sorted partition
+            # path); only the bounded non-stats keys are json.dump'd whole
+            f.write('{"partitionToWriteStats": {')
+            if sorted_adds is not None:
+                from onetable_spark.model import iter_inventory_rows
+
+                current_pp: str | None = None
+                for row in iter_inventory_rows(sorted_adds):
+                    rel = row["path"]
+                    if rel.startswith(table_prefix):
+                        rel = rel[len(table_prefix):]
+                    pp = row["_pp"] or ""
+                    stats_json = (
+                        json.dumps([dict(s) for s in row["column_stats"]])
+                        if row["column_stats"]
+                        else None
+                    )
+                    stat = {
+                        "fileId": _file_id_for(rel),
+                        "path": rel,
+                        "prevCommit": "null",
+                        "numWrites": row["record_count"] or 0,
+                        "numInserts": row["record_count"] or 0,
+                        "totalWriteBytes": row["size"] or 0,
+                        "fileSizeInBytes": row["size"] or 0,
+                        "partitionPath": pp,
+                        "columnStats": stats_json,
+                    }
+                    if pp != current_pp:
+                        if current_pp is not None:
+                            f.write("], ")
+                        f.write(f"{json.dumps(pp)}: [")
+                        current_pp = pp
+                    else:
+                        f.write(", ")
+                    f.write(json.dumps(stat))
+                if current_pp is not None:
+                    f.write("]")
+            f.write("}")
+            for k, v in meta.items():
+                f.write(f", {json.dumps(k)}: {json.dumps(v)}")
+            f.write("}")
         os.replace(tmp, completed)
         # the requested/inflight markers STAY on the active timeline (real
         # Hudi keeps all three lifecycle files until archival) — deleting

@@ -198,6 +198,23 @@ def _flat_fields(ice_schema: dict) -> dict[str, int]:
     return {f["name"]: f["id"] for f in ice_schema["fields"]}
 
 
+class _CountingEntries:
+    """Single-use iterable that counts manifest entries and rows as
+    ``write_container`` streams them to disk — the manifest-list row needs
+    the totals AFTER the write, without ever holding the entry list."""
+
+    def __init__(self, it) -> None:
+        self._it = it
+        self.count = 0
+        self.rows = 0
+
+    def __iter__(self):
+        for e in self._it:
+            self.count += 1
+            self.rows += e["data_file"]["record_count"] or 0
+            yield e
+
+
 def _entry_from_data(
     row,
     snapshot_id: int,
@@ -205,14 +222,21 @@ def _entry_from_data(
     ice_schema: dict,
     spec: list[dict],
     avro_part_types: dict[str, str],
+    name_to_id: dict | None = None,
+    id_to_type: dict | None = None,
 ) -> dict:
     """One manifest entry from a FILES_SCHEMA row — Spark Row OR a plain
     dict (a ``to_json`` round-trip on an executor, where Spark omits null
     fields, hence the ``.get`` access). Pure function of its arguments so
-    the distributed manifest-shard writer can ship it to executors."""
+    the distributed manifest-shard writer can ship it to executors.
+    ``name_to_id``/``id_to_type`` are per-row invariants — pass them
+    precomputed on O(table) hot paths (the mega-commit entry stream) so a
+    million entries don't rebuild the schema maps a million times."""
     get = row.get if isinstance(row, dict) else row.__getitem__
-    name_to_id = _flat_fields(ice_schema)
-    id_to_type = {f["id"]: f["type"] for f in ice_schema["fields"]}
+    if name_to_id is None:
+        name_to_id = _flat_fields(ice_schema)
+    if id_to_type is None:
+        id_to_type = {f["id"]: f["type"] for f in ice_schema["fields"]}
     value_counts = []
     null_counts = []
     lowers = []
@@ -1059,18 +1083,26 @@ class IcebergTable:
                     live, snapshot_id, ice_schema, spec,
                     spec_id=md.get("default-spec-id", 0),
                 )
-        added_entries = []
+        added_entries = None
         if adds is not None:
-            # driver-ok: O(added files) — the manifest rows being written;
-            # rows pop as entries build so the Row list and the entry dicts
-            # never peak together (write_container then streams the dicts
-            # out in blocks)
-            rows = adds.collect()
-            rows.reverse()
-            while rows:
-                added_entries.append(
-                    self._entry_from_row(rows.pop(), snapshot_id, STATUS_ADDED, ice_schema, spec)
+            # driver-ok: Arrow-batched stream — one job, O(batch) Python
+            # dicts; each entry is encoded into the manifest avro block as
+            # it is produced (write_container consumes any iterable), so
+            # neither a Row list nor an entry list ever materializes
+            from onetable_spark.model import iter_inventory_rows
+
+            apt = {
+                f["name"]: f["type"][1]
+                for f in self._partition_avro_fields(ice_schema, spec)
+            }
+            n2i = _flat_fields(ice_schema)
+            i2t = {f["id"]: f["type"] for f in ice_schema["fields"]}
+            added_entries = _CountingEntries(
+                _entry_from_data(
+                    row, snapshot_id, STATUS_ADDED, ice_schema, spec, apt, n2i, i2t
                 )
+                for row in iter_inventory_rows(adds)
+            )
 
         entry_schema = _manifest_entry_schema(self._partition_avro_fields(ice_schema, spec))
         manifests = []
@@ -1079,20 +1111,27 @@ class IcebergTable:
             ("existing", carried),
             ("deleted", deleted_entries),
         ):
-            if not entries:
+            if entries is None or (isinstance(entries, list) and not entries):
                 continue
             mpath = os.path.join(self.metadata_dir, f"{uuid.uuid4().hex}-m-{tag}.avro")
             write_container(mpath, entry_schema, entries)
-            rows_count = sum(e["data_file"]["record_count"] for e in entries)
+            if isinstance(entries, _CountingEntries):
+                n_entries, rows_count = entries.count, entries.rows
+                if n_entries == 0:  # adds DataFrame was empty
+                    os.remove(mpath)
+                    continue
+            else:
+                n_entries = len(entries)
+                rows_count = sum(e["data_file"]["record_count"] for e in entries)
             manifests.append(
                 {
                     "manifest_path": mpath,
                     "manifest_length": os.path.getsize(mpath),
                     "partition_spec_id": md.get("default-spec-id", 0),
                     "added_snapshot_id": snapshot_id,
-                    "added_data_files_count": len(entries) if tag == "added" else 0,
-                    "existing_data_files_count": len(entries) if tag == "existing" else 0,
-                    "deleted_data_files_count": len(entries) if tag == "deleted" else 0,
+                    "added_data_files_count": n_entries if tag == "added" else 0,
+                    "existing_data_files_count": n_entries if tag == "existing" else 0,
+                    "deleted_data_files_count": n_entries if tag == "deleted" else 0,
                     "added_rows_count": rows_count if tag == "added" else 0,
                     "existing_rows_count": rows_count if tag == "existing" else 0,
                     "deleted_rows_count": rows_count if tag == "deleted" else 0,

@@ -368,21 +368,16 @@ def write_media_corpus(media: DataFrame, base_dir: str) -> None:
     parallelism and no driver collect. Deterministic names make the write
     idempotent. A ``_staging.tmp`` decoy per kind dir proves downstream
     globs actually filter."""
-    import os
-
-    kinds = [r["kind"] for r in media.select("kind").distinct().collect()]
-    for kind in kinds:
-        os.makedirs(os.path.join(base_dir, f"kind={kind}"), exist_ok=True)
-        # a file the ingest glob MUST skip
-        with open(os.path.join(base_dir, f"kind={kind}", "_staging.tmp"), "wb") as f:
-            f.write(b"not media")
-
     def write_partition(rows) -> None:
         import os as _os
 
         for row in rows:
             d = _os.path.join(base_dir, f"kind={row['kind']}")
             _os.makedirs(d, exist_ok=True)
+            decoy = _os.path.join(d, "_staging.tmp")
+            if not _os.path.exists(decoy):  # a file the ingest glob MUST skip
+                with open(decoy, "wb") as f:
+                    f.write(b"not media")
             tmp = _os.path.join(d, f".{row['media_id']}.bin.tmp")
             with open(tmp, "wb") as f:
                 f.write(bytes(row["content"]) if row["content"] is not None else b"")

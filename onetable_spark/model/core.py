@@ -245,3 +245,30 @@ class TableMetadata:
             int(x) for x in props.get(cls.PROP_INFLIGHT, "").split(",") if x
         )
         return cls(last_instant_synced_millis=int(raw), inflight_commits=inflight)
+
+
+def iter_inventory_rows(files: DataFrame, batch_rows: int = 65536):
+    """Driver-side iteration of a file inventory as plain dicts, batched
+    through Arrow.
+
+    The commit planes must serialize every changed file's descriptor into
+    their commit payload on the driver (the reference does the same —
+    commit metadata IS a driver-side artifact). ``collect()`` materializes
+    O(table) JVM Row objects (~760 MB per million files); this instead
+    pulls ONE Arrow table (columnar, ~10× smaller) in a single job and
+    converts to Python dicts one ``batch_rows`` batch at a time, so the
+    Python-object footprint is O(batch) and a million-file commit stays
+    far under a driver's memory. Arrow map columns arrive as (key, value)
+    tuple lists — normalized to dicts here so consumers see the same
+    shape ``collect()`` gave them.
+    """
+    tbl = files.toArrow()
+    map_cols = [
+        f.name for f in files.schema.fields if isinstance(f.dataType, T.MapType)
+    ]
+    for batch in tbl.to_batches(max_chunksize=batch_rows):
+        for row in batch.to_pylist():
+            for c in map_cols:
+                if isinstance(row.get(c), list):
+                    row[c] = dict(row[c])
+            yield row

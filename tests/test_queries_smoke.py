@@ -25,42 +25,27 @@ from tools.check_oracle import compare_result
 # alphabetizing or appending to SPARK_QUERIES should trip this list, not
 # silently drop driver coverage.
 MUST_BE_DRIVER_MEASURED = {
-    # full_outer_balance retired from this set in r5 (hash-green in r03 AND
-    # r04); rollup_agg/cube_agg retired in r6 (hash-green in r1/r3/r4/r5) —
-    # their slots went to the round-6 sync_time_travel/sync_schema_evolution;
-    # percentile_agg/range_join (4 green rounds each) retired mid-r6 for the
-    # batch-2 newcomers below
-    # window_agg + hopping_window + asof_join retired from this set in r7
-    # (each hash-green in r3/r4/r5/r6) — their slots went to the round-7
-    # sync_validation / sync_recovery / sync_partition_evolution newcomers
-    # streaming_window_agg retired in r7 (hash-green r1/r4/r5/r6) — slot
-    # went to the round-7 sync_safety_fallback newcomer
-    "streaming_dedup", "streaming_join",
-    "streaming_sessionize", "stateful_running_totals", "sync_inventory",
+    # r8 bulk rotation (VERDICT r7 #4): the 35 r5-r7-proven queries that
+    # held this window (streaming suite, sync_inventory/changes/
+    # time_travel/schema_evolution, multimodal quartet, winnow/knn/
+    # centroid/decontam/sampling/sketch family, pii/contamination/
+    # cluster_representatives, zorder) all retired at once — each
+    # hash-green in >=2 driver rounds and still oracle-gated on every
+    # pytest run. Their slots re-sample the 35 STALEST entries (all 22
+    # tpch_*, the 11 g-ops, dedup_exact/fingerprint_dedup — last driver
+    # rows r1-r5), which need no pinning here: their evidence is already
+    # on file, while these entries' is not yet.
+    #
+    # round-8 newcomers: need their first driver rows in CORRECTNESS_r8
+    "sync_foreign_table", "multimodal_ingest",
+    # changed in r8 (selectExpr rewrite / new counter column): re-gate
+    "repetition_filter", "substring_dedup",
+    # r7 single-green holdovers: one more driver round before retiring
+    "perplexity_buckets", "sync_validation", "sync_recovery",
+    "sync_partition_evolution", "sync_safety_fallback", "sync_catchup",
+    # probabilistic layer: full hash contracts first green in r7 only
     "minhash_lsh_dedup", "simhash_near_dups", "ann_lsh_topk",
-    "ann_ivf_topk", "multimodal_decode", "audio_features", "image_resize",
-    "video_frame_sample",
-    # round-5 rotation: first-ever driver rows for the round-4 queries
-    "winnow_fingerprint", "winnow_near_dups", "streaming_hopping",
-    # round-5 newcomers: need their first driver rows in CORRECTNESS_r5
-    # funnel_steps + cohort_retention retired from this set late in r7
-    # (each hash-green in r5/r6) — their slots went to the round-7
-    # sync_catchup / substring_dedup newcomers
-    "knn_label_vote", "centroid_similarity", "semdedup_pairs",
-    "decontam_overlap", "stratified_sample", "chunk_dedup",
-    "bm25_search", "incremental_dedup",
-    "gap_fill", "moving_avg",
-    "repetition_filter", "event_transitions", "approx_distinct", "heavy_hitters",
-    "approx_quantiles", "tfidf_top_terms", "source_mixture", "unigram_logprob",
-    "sync_changes", "streaming_approx_reach", "streaming_sink_inventory",
-    "zorder_layout",
-    # round-6 newcomers: need their first driver rows in CORRECTNESS_r6
-    "sync_time_travel", "sync_schema_evolution",
-    "pii_redaction", "contamination_span", "cluster_representatives",
-    "perplexity_buckets",
-    # round-7 newcomers: need their first driver rows in CORRECTNESS_r7
-    "sync_validation", "sync_recovery", "sync_partition_evolution",
-    "sync_safety_fallback", "sync_catchup", "substring_dedup",
+    "ann_ivf_topk", "semdedup_pairs",
 }
 
 

@@ -57,6 +57,50 @@ def fabricate_inventory(spark, root: str, partitions: int, files_per: int, commi
     )
 
 
+class _RssSampler:
+    """Background peak-RSS sampler for the mega-commit scenarios.
+
+    tracemalloc sees only Python-object allocations — the r8 Arrow-batched
+    commit path keeps its payload in pyarrow C buffers, which tracemalloc
+    reports as ~0. Sampling /proc/self/status VmRSS captures the real
+    driver-process peak (Python + Arrow; the JVM is a separate process in
+    local mode and holds at most a few in-flight Arrow batches)."""
+
+    def __init__(self, interval: float = 0.02) -> None:
+        self.interval = interval
+        self.base = self.peak = self._read()
+
+    @staticmethod
+    def _read() -> int:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return int(line.split()[1]) * 1024
+        return 0
+
+    def __enter__(self):
+        import threading
+
+        self._stop = threading.Event()
+
+        def run():
+            while not self._stop.wait(self.interval):
+                self.peak = max(self.peak, self._read())
+
+        self._t = threading.Thread(target=run, daemon=True)
+        self._t.start()
+        return self
+
+    def __exit__(self, *exc):
+        self._stop.set()
+        self._t.join()
+        self.peak = max(self.peak, self._read())
+
+    @property
+    def delta_mb(self) -> float:
+        return round((self.peak - self.base) / 1e6, 1)
+
+
 def main() -> None:
     partitions = int(sys.argv[1]) if len(sys.argv) > 1 else 100
     files_per = int(sys.argv[2]) if len(sys.argv) > 2 else 10
@@ -143,14 +187,16 @@ def main() -> None:
         )
         live_after_rewrite = itbl.snapshot_files().count()
 
-        # Scenario 5 (round 7): MEGA-COMMIT memory profile — one Delta
-        # commit carrying 500k files (5× the reference's LoadTest table).
-        # The spooled streaming writer (formats/delta._spool_lines) must
-        # keep driver memory at O(Row list): tracemalloc's peak should sit
-        # near the collected rows' footprint, NOT rows + serialized
-        # payload, which for 500k files is an extra ~150 MB.
-        import tracemalloc
-
+        # Scenario 5 (r7, extended to 1M in r8): MEGA-COMMIT memory
+        # profile — ONE commit carrying a million files (10× the
+        # reference's LoadTest table) through each commit plane. The r8
+        # Arrow-batched payload builds (model.iter_inventory_rows) keep
+        # the Python-object footprint at O(batch); the real driver peak
+        # (Python + Arrow C buffers) is captured by the RSS sampler.
+        # tracemalloc is deliberately NOT used here: instrumenting every
+        # Python allocation slows the million-row dict/json stream ~8×
+        # (measured 20.6 s → 161.5 s for the Delta plane), so it would
+        # corrupt the TIME metric; RSS is the honest memory number anyway.
         mega_root = tempfile.mkdtemp(prefix="otb_mega_")
         mega_log = DeltaLog(spark, mega_root)
         mega_log.init_table(
@@ -161,15 +207,14 @@ def main() -> None:
                 read_schema=schema,
             )
         )
-        mega_inv = fabricate_inventory(spark, mega_root, 1000, 500)
-        tracemalloc.start()
+        mega_files_target = 1_000_000
+        mega_inv = fabricate_inventory(spark, mega_root, 1000, mega_files_target // 1000)
         t0 = time.perf_counter()
-        mega_log.commit(adds=mega_inv)
+        with _RssSampler() as rss_delta:
+            mega_log.commit(adds=mega_inv)
         mega_s = round(time.perf_counter() - t0, 2)
-        _, mega_peak = tracemalloc.get_traced_memory()
-        tracemalloc.stop()
         mega_files = mega_log.snapshot_files().count()
-        assert mega_files == 500_000, mega_files
+        assert mega_files == mega_files_target, mega_files
 
         # same mega commit through the OTHER two commit planes (Iceberg
         # manifests stream through the multi-block avro writer; Hudi's
@@ -185,13 +230,11 @@ def main() -> None:
                 read_schema=schema,
             )
         )
-        tracemalloc.start()
         t0 = time.perf_counter()
-        mega_ice.commit_overwrite(adds=mega_inv)
+        with _RssSampler() as rss_ice:
+            mega_ice.commit_overwrite(adds=mega_inv)
         mega_ice_s = round(time.perf_counter() - t0, 2)
-        _, mega_ice_peak = tracemalloc.get_traced_memory()
-        tracemalloc.stop()
-        assert mega_ice.snapshot_files().count() == 500_000
+        assert mega_ice.snapshot_files().count() == mega_files_target
 
         mega_hudi = HudiTimeline(spark, mega_root)
         mega_hudi.init_table(
@@ -202,13 +245,11 @@ def main() -> None:
                 read_schema=schema,
             )
         )
-        tracemalloc.start()
         t0 = time.perf_counter()
-        mega_hudi.commit(adds=mega_inv)
+        with _RssSampler() as rss_hudi:
+            mega_hudi.commit(adds=mega_inv)
         mega_hudi_s = round(time.perf_counter() - t0, 2)
-        _, mega_hudi_peak = tracemalloc.get_traced_memory()
-        tracemalloc.stop()
-        assert mega_hudi.snapshot_files().count() == 500_000
+        assert mega_hudi.snapshot_files().count() == mega_files_target
         shutil.rmtree(mega_root, ignore_errors=True)
 
         print(
@@ -217,11 +258,11 @@ def main() -> None:
                     "scenario_full_sync_sec": full_s,
                     "scenario_mega_commit_sec": mega_s,
                     "mega_commit_files": mega_files,
-                    "mega_commit_peak_mb": round(mega_peak / 1e6, 1),
+                    "mega_commit_rss_delta_mb": rss_delta.delta_mb,
                     "mega_commit_iceberg_sec": mega_ice_s,
-                    "mega_commit_iceberg_peak_mb": round(mega_ice_peak / 1e6, 1),
+                    "mega_commit_iceberg_rss_delta_mb": rss_ice.delta_mb,
                     "mega_commit_hudi_sec": mega_hudi_s,
-                    "mega_commit_hudi_peak_mb": round(mega_hudi_peak / 1e6, 1),
+                    "mega_commit_hudi_rss_delta_mb": rss_hudi.delta_mb,
                     "scenario_incremental_sec": incr_s,
                     "scenario_scoped_overwrite_sec": scoped_s,
                     "scenario_forced_rewrite_sec": rewrite_s,
