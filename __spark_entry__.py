@@ -4,18 +4,26 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 8: 113 queries. New this round: FOREIGN-TABLE
+Surface as of round 8: 116 queries. New this round: FOREIGN-TABLE
 CONFORMANCE (`sync_foreign_table` — the native Delta/Hudi planes read
 REAL delta-spark / Hudi-runtime fixture tables from the reference's
 demo data, sync them into the other two formats, and hash the
 read-backs against DuckDB counting the same parquet directly — the
-ITOneTableClient.java:716-813 equivalence oracle in reverse) and
+ITOneTableClient.java:716-813 equivalence oracle in reverse),
 BINARYFILE INGESTION (`multimodal_ingest` — a hive-partitioned media
 directory ingested via spark.read.format("binaryFile") with glob
-filtering + partition pruning, decoded by the mapInPandas codecs).
+filtering + partition pruning, decoded by the mapInPandas codecs),
+STREAMING CDC over the native Delta log (`streaming_cdc_feed` — the
+reference's batch change pull as a checkpointed Structured Streaming
+file source over _delta_log; resume = lastSyncedInstant), an
+OPTIMIZE-style COMPACTION PLANNER (`compaction_bins` — stride
+bin-packing as one window + same-keyed groupBy, plan→rewrite loop
+tested on a real Delta table), and exact-integer OLS TOKEN-COST
+CALIBRATION (`token_calibration` — sufficient statistics in one
+partial-aggregable pass, closed-form slope/intercept/r²).
 The driver window is ROTATED this round (VERDICT r7 #4): the first 50
-registry entries re-sample the 35 stalest queries (all 22 tpch_*, the
-g-ops, dedup basics — last driver rows r1-r5) plus the r8 newcomers
+registry entries re-sample the 32 stalest queries (all 22 tpch_*, the
+g-ops through g11 — last driver rows r1-r5) plus the r8 newcomers
 and the single-green r7 cohort.
 
 Round-7 surface summary: metadata-plane relational operators
@@ -47,7 +55,7 @@ partition, end-to-end corpus curation, multimodal
 decode with runtime codec selection whose deterministic stub fallback is
 reproduced in SQL, and EXACT REPEATED-SUBSTRING dedup — the Lee et al.
 2022 ExactSubstr criterion as a diagonal-run detection over rolling
-window hashes). ALL 113 carry DuckDB value-hash oracles — round 7
+window hashes). ALL 116 carry DuckDB value-hash oracles — round 7
 closed the last 5 `no_oracle` gaps: the LSH/IVF queries emit their exact
 ground truth plus IN-PLAN contract booleans (subset-of-exact, pinned
 recall bounds), and simhash_near_dups moved to md5-derived token hashes

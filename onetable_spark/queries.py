@@ -3647,6 +3647,114 @@ def q_multimodal_ingest(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_streaming_cdc_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming CDC from the NATIVE Delta log: the reference replays
+    `deltaLog.getChanges(versionToStartFrom)` as a batch pull loop
+    (DeltaIncrementalChangesState.java:53-69); here the same per-version
+    add/remove feed is a Structured Streaming file source over
+    ``_delta_log`` itself (streaming/cdc.py) — Spark's checkpointed
+    seen-files ledger IS the incremental offset, so restarts resume like
+    the reference resumes from ``lastSyncedInstant``. The staged lifecycle
+    commits add(f1), add(f2), then remove(f1); the feed must surface all
+    four actions with the stats-plane record counts (never a data-file
+    re-read) and the versions recovered from the commit file names."""
+    import os
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.model import Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+    from onetable_spark.streaming.cdc import read_delta_log_stream
+    from onetable_spark.streaming.events import run_available_now
+
+    def build(base: str) -> str:
+        import shutil
+
+        shutil.copy(os.path.join(sf, "region.parquet"), os.path.join(base, "f1.parquet"))
+        schema = spark.read.parquet(base).schema
+        log = DeltaLog(spark, base)
+        log.init_table(
+            Table(name="cdc", base_path=base, table_format=TableFormat.DELTA, read_schema=schema)
+        )
+        f1_inv = build_inventory(spark, [os.path.join(base, "f1.parquet")], root=base)
+        log.commit(adds=f1_inv)
+        f2 = os.path.join(base, "f2.parquet")
+        shutil.copy(os.path.join(sf, "region.parquet"), f2)
+        log.commit(adds=build_inventory(spark, [f2], root=base))
+        log.commit(removes=f1_inv, operation="DELETE")
+        return base
+
+    base = _staged_once(spark, sf, "otb_cdc_q", build)
+    # stateless projection feed → append mode; one micro-batch via
+    # AvailableNow drains the staged log exactly once
+    return run_available_now(
+        read_delta_log_stream(spark, base), output_mode="append", shuffle_partitions=4
+    )
+
+
+def q_token_calibration(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokens-per-byte cost calibration: per-source ordinary least squares
+    of whitespace-token count on character count — the model a 100 TB
+    pipeline uses to budget tokenizer cost from raw byte sizes before
+    decoding anything. Spark-first linear algebra: the five sufficient
+    statistics (n, Σx, Σy, Σxy, Σx², Σy²) are ONE partial-aggregable
+    groupBy in exact DECIMAL(38,0) arithmetic (map-side combine, no second
+    pass over the data, no MLlib, no driver matrix); slope/intercept/r²
+    come from the closed form on the per-group statistics. Exact integer
+    sums make the result bit-identical across engines; only the final
+    division is floating point (then the decimal-hop round, see
+    _QUALITY_SQL's note)."""
+    docs = load_table(spark, sf, "documents")
+    from onetable_spark.functions.text import token_count
+
+    dec = "decimal(38,0)"
+    # per-row products stay in LONG (documents are < 2^26 chars, so x*y,
+    # x², y² are < 2^53); only the corpus-scale SUMS go through
+    # decimal(38,0), where a 100 TB corpus still has ~18 digits of headroom
+    x = F.col("n_chars").cast("long")
+    y = token_count("text").cast("long")
+    stats = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(x.cast(dec)).alias("sx"),
+        F.sum(y.cast(dec)).alias("sy"),
+        F.sum((x * y).cast(dec)).alias("sxy"),
+        F.sum((x * x).cast(dec)).alias("sxx"),
+        F.sum((y * y).cast(dec)).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    var_x = (n * sxx - sx * sx).cast("double")
+    cov = (n * sxy - sx * sy).cast("double")
+    var_y = (n * syy - sy * sy).cast("double")
+    return stats.select(
+        "source",
+        n.cast("long").alias("n_docs"),
+        F.round(cov / var_x, 6).alias("slope"),
+        F.round((sy * sxx - sx * sxy).cast("double") / var_x, 6).alias("intercept"),
+        F.round(cov * cov / (var_x * var_y), 6).alias("r2"),
+    )
+
+
+def q_compaction_bins(spark: SparkSession, sf: str) -> DataFrame:
+    """OPTIMIZE-style compaction planning (operators/maintenance.py): bin
+    small files into ~32 KB rewrite groups per partition via the
+    fixed-stride cumulative-sum relaxation — one window + one same-keyed
+    groupBy, no sequential scan. The documents table stands in as the file
+    inventory at volume (doc_id≡path, n_chars≡size, source≡partition);
+    tests/test_maintenance.py applies the identical planner to a real
+    ``snapshot_files()`` inventory and feeds a planned bin through the
+    Hudi replace-commit writer (the consumer the reference reads back,
+    HudiDataFileExtractor.java:181-198)."""
+    from onetable_spark.operators.maintenance import plan_compaction_bins
+
+    docs = load_table(spark, sf, "documents")
+    return plan_compaction_bins(
+        docs.select("source", "doc_id", "n_chars"),
+        target_bytes=32768,
+        part_cols=("source",),
+        size_col="n_chars",
+        order_col="doc_id",
+    )
+
+
 _LANG_SQL_VOTES = """
             len(list_filter(string_split(text, ' '), x -> x IN ('the','and','of','to','is'))) AS v_en,
             len(list_filter(string_split(text, ' '), x -> x IN ('der','die','und','das','nicht'))) AS v_de,
@@ -4404,6 +4512,54 @@ ORACLE_SQL: dict[str, str] = {
         FROM events CROSS JOIN (VALUES ('DELTA'), ('ICEBERG'), ('HUDI')) f(fmt)
         GROUP BY fmt
     """,
+    # the staged CDC lifecycle is deterministic: v1 add f1, v2 add f2
+    # (both region copies, so the stats-plane record counts equal the
+    # region row count), v3 remove f1 (no stats on removes)
+    "streaming_cdc_feed": """
+        SELECT CAST(1 AS BIGINT) AS version, 'add' AS change,
+               'f1.parquet' AS file_name, CAST(COUNT(*) AS BIGINT) AS record_count
+        FROM region
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'add', 'f2.parquet', CAST(COUNT(*) AS BIGINT)
+        FROM region
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'remove', 'f1.parquet', CAST(NULL AS BIGINT)
+    """,
+    "token_calibration": """
+        WITH s AS (
+            SELECT source,
+                   CAST(COUNT(*) AS HUGEINT) AS n,
+                   CAST(SUM(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sx,
+                   CAST(SUM(CAST(len(string_split(text, ' ')) AS HUGEINT)) AS HUGEINT) AS sy,
+                   CAST(SUM(CAST(n_chars AS HUGEINT) * len(string_split(text, ' '))) AS HUGEINT) AS sxy,
+                   CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sxx,
+                   CAST(SUM(CAST(len(string_split(text, ' ')) AS HUGEINT) * len(string_split(text, ' '))) AS HUGEINT) AS syy
+            FROM documents GROUP BY source)
+        SELECT source, CAST(n AS BIGINT) AS n_docs,
+               CAST(ROUND(CAST(CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+                    AS DECIMAL(18,10)), 6) AS DOUBLE) AS slope,
+               CAST(ROUND(CAST(CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE)
+                    AS DECIMAL(18,10)), 6) AS DOUBLE) AS intercept,
+               CAST(ROUND(CAST(CAST(n*sxy - sx*sy AS DOUBLE) * CAST(n*sxy - sx*sy AS DOUBLE)
+                    / (CAST(n*sxx - sx*sx AS DOUBLE) * CAST(n*syy - sy*sy AS DOUBLE))
+                    AS DECIMAL(18,10)), 6) AS DOUBLE) AS r2
+        FROM s
+    """,
+    "compaction_bins": """
+        WITH f AS (
+            SELECT source, doc_id, n_chars FROM documents WHERE n_chars < 32768),
+        b AS (
+            SELECT source, doc_id, n_chars,
+                   CAST(FLOOR(COALESCE(SUM(n_chars) OVER (
+                       PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     / CAST(32768 AS DOUBLE)) AS BIGINT) AS bin_id
+            FROM f)
+        SELECT source, bin_id, CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(n_chars) AS BIGINT) AS total_bytes,
+               MIN(doc_id) AS first_file, MAX(doc_id) AS last_file
+        FROM b GROUP BY source, bin_id HAVING COUNT(*) >= 2
+    """,
     "sync_changes": """
         SELECT fmt, 'add' AS change, 'f2.parquet' AS file_name,
                CAST(COUNT(*) AS BIGINT) AS record_count
@@ -5156,6 +5312,9 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-8 newcomers: need their first driver rows in CORRECTNESS_r8
     "sync_foreign_table": q_sync_foreign_table,
     "multimodal_ingest": q_multimodal_ingest,
+    "streaming_cdc_feed": q_streaming_cdc_feed,
+    "token_calibration": q_token_calibration,
+    "compaction_bins": q_compaction_bins,
     # -- changed in r8 (selectExpr rewrite / new counter column): re-gate
     "repetition_filter": q_repetition_filter,
     "substring_dedup": q_substring_dedup,

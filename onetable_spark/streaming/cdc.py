@@ -1,0 +1,90 @@
+"""Streaming change-data-capture over the NATIVE Delta log.
+
+The reference pulls a Delta table's incremental changes as a batch loop:
+`core/src/main/java/io/onetable/delta/DeltaIncrementalChangesState.java:53-69`
+replays `deltaLog.getChanges(versionToStartFrom)` into a per-version action
+map, and `OneTableClient` re-runs that pull on every sync invocation. This
+module expresses the same change feed as a CONTINUOUS Structured Streaming
+source instead: the commit JSONs under ``_delta_log`` are themselves an
+append-only file stream, so Spark's file source — with its own checkpointed
+"seen files" ledger — IS the incremental pull. A `readStream.json` over the
+log directory discovers each new ``<version>.json`` exactly once, yielding
+the add/remove feed without any bespoke offset bookkeeping; restarts resume
+from the checkpoint the way the reference resumes from
+``lastSyncedInstant``.
+
+Design for 100 TB: this streams the METADATA plane, not the data — a
+million-file table's log is a few GB of JSON, and the file source lists
+only the log directory (one RPC per micro-batch against a growing dir;
+at real scale the directory is bounded by log cleanup/checkpointing).
+Parsing is whole-stage-codegen JSON projection; no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# subset of the Delta action schema the change feed projects; unknown
+# action keys (metaData, protocol, txn, commitInfo) simply parse to null
+# structs and are filtered out
+_ACTION_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "add",
+            T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField("size", T.LongType()),
+                    T.StructField("stats", T.StringType()),
+                    T.StructField(
+                        "partitionValues", T.MapType(T.StringType(), T.StringType())
+                    ),
+                ]
+            ),
+        ),
+        T.StructField(
+            "remove",
+            T.StructType([T.StructField("path", T.StringType())]),
+        ),
+    ]
+)
+
+
+def read_delta_log_stream(spark: SparkSession, table_path: str) -> DataFrame:
+    """Streaming add/remove change feed from a Delta table's ``_delta_log``.
+
+    Returns a streaming DataFrame with columns
+    ``(version long, change string, file_name string, record_count long)``
+    — one row per add/remove action, record counts taken from the commit's
+    own stats JSON (the stats plane, not a re-read of data files), exactly
+    what the reference's `DeltaSourceClient` extracts per version.
+
+    The version is recovered from the commit file's name (the
+    zero-padded-20-digit Delta convention) via the ``_metadata`` column,
+    so no ordering assumption is placed on micro-batch arrival.
+    """
+    log_dir = table_path.rstrip("/") + "/_delta_log"
+    raw = (
+        spark.readStream.schema(_ACTION_SCHEMA)
+        # version files only: never checkpoint parquet, _last_checkpoint,
+        # or in-flight spool/tmp files
+        .option("pathGlobFilter", "[0-9]*.json")
+        .json(log_dir)
+        .select("add", "remove", F.col("_metadata.file_path").alias("_path"))
+    )
+    version = F.element_at(F.split("_path", "/"), -1).substr(1, 20).cast("long")
+    return (
+        raw.where(F.col("add").isNotNull() | F.col("remove").isNotNull())
+        .select(
+            version.alias("version"),
+            F.when(F.col("add").isNotNull(), F.lit("add")).otherwise("remove").alias("change"),
+            F.element_at(
+                F.split(F.coalesce("add.path", "remove.path"), "/"), -1
+            ).alias("file_name"),
+            F.get_json_object("add.stats", "$.numRecords").cast("long").alias(
+                "record_count"
+            ),
+        )
+    )

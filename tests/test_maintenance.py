@@ -1,0 +1,173 @@
+"""Compaction planner (operators/maintenance.py): stride-bin semantics on a
+synthetic inventory, then the full OPTIMIZE loop on a REAL Delta table —
+plan bins over ``snapshot_files()``, execute the rewrite as a
+remove+add commit, verify the snapshot converged."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from onetable_spark.formats.delta import DeltaLog
+from onetable_spark.model import DataLayoutStrategy, Table, TableFormat
+from onetable_spark.operators.maintenance import plan_compaction_bins
+from onetable_spark.sources.parquet_inventory import build_inventory
+
+
+def _files_df(spark, rows):
+    return spark.createDataFrame(rows, "part string, path string, size long")
+
+
+def test_stride_bins_deterministic(spark):
+    # target 25: exclusive cumsums 0,10,20,30 -> bins 0,0,0,1; the stride
+    # relaxation overshoots bin 0 by one file (30 bytes), bin 1 is a
+    # singleton and dropped by min_files=2
+    files = _files_df(
+        spark,
+        [("a", f"f{i}", 10) for i in range(4)],
+    )
+    plan = plan_compaction_bins(
+        files, target_bytes=25, part_cols=("part",), order_col="path"
+    ).collect()
+    assert len(plan) == 1
+    row = plan[0]
+    assert (row["bin_id"], row["n_files"], row["total_bytes"]) == (0, 3, 30)
+    assert (row["first_file"], row["last_file"]) == ("f0", "f2")
+
+
+def test_large_files_excluded_and_partitions_independent(spark):
+    files = _files_df(
+        spark,
+        [
+            ("a", "big", 1000),  # >= target: already compacted, excluded
+            ("a", "s1", 10),
+            ("a", "s2", 10),
+            ("b", "s3", 10),
+            ("b", "s4", 10),
+        ],
+    )
+    plan = {
+        (r["part"], r["bin_id"]): r["n_files"]
+        for r in plan_compaction_bins(
+            files, target_bytes=100, part_cols=("part",), order_col="path"
+        ).collect()
+    }
+    # the 1000-byte file neither joins a bin nor shifts partition a's cumsum
+    assert plan == {("a", 0): 2, ("b", 0): 2}
+
+
+def test_optimize_loop_on_real_delta_table(spark, sf_dir, tmp_path):
+    """plan over snapshot_files() -> rewrite commit -> converged snapshot."""
+    base = str(tmp_path / "opt")
+    os.makedirs(base)
+    src = os.path.join(sf_dir, "region.parquet")
+    for i in range(4):
+        shutil.copy(src, os.path.join(base, f"small{i}.parquet"))
+    schema = spark.read.parquet(base).schema
+    log = DeltaLog(spark, base)
+    log.init_table(
+        Table(
+            name="opt",
+            base_path=base,
+            table_format=TableFormat.DELTA,
+            read_schema=schema,
+            layout=DataLayoutStrategy.FLAT,
+        )
+    )
+    log.commit(
+        adds=build_inventory(
+            spark, [os.path.join(base, f"small{i}.parquet") for i in range(4)], root=base
+        )
+    )
+
+    files = log.snapshot_files()
+    # every small file lands in one bin: target far above 4x the file size
+    target = files.agg(F.sum("size")).collect()[0][0] * 2
+    plan = plan_compaction_bins(
+        files,
+        target_bytes=int(target),
+        part_cols=(),
+        size_col="size",
+        order_col="path",
+    ).collect()
+    assert len(plan) == 1 and plan[0]["n_files"] == 4
+
+    # execute the rewrite: one merged file replaces the bin's members
+    merged_dir = os.path.join(base, "merged")
+    spark.read.parquet(base).coalesce(1).write.parquet(merged_dir)
+    merged = [
+        os.path.join(merged_dir, f)
+        for f in os.listdir(merged_dir)
+        if f.endswith(".parquet")
+    ]
+    assert len(merged) == 1
+    n_before = spark.read.parquet(base).count()
+    log.commit(
+        adds=build_inventory(spark, merged, root=base),
+        removes=files,
+        operation="OPTIMIZE",
+    )
+    live = log.snapshot_files()
+    assert live.count() == 1
+    # record count is preserved through the rewrite (stats plane)
+    assert live.agg(F.sum("record_count")).collect()[0][0] == n_before
+
+
+def test_plan_feeds_hudi_replace_commit(spark, sf_dir, tmp_path):
+    """The planner's output drives a Hudi CLUSTERING replace-commit — the
+    consumer the reference reads back (HudiDataFileExtractor.java:181-198):
+    the bin's members become replaced file groups, the merged file the new
+    group, and the snapshot converges to it."""
+    from onetable_spark.formats.hudi import HudiTimeline, _file_id_for
+
+    base = str(tmp_path / "clust")
+    os.makedirs(base)
+    src = os.path.join(sf_dir, "region.parquet")
+    for i in range(3):
+        shutil.copy(src, os.path.join(base, f"small{i}.parquet"))
+    schema = spark.read.parquet(base).schema
+    tl = HudiTimeline(spark, base)
+    tl.init_table(
+        Table(
+            name="clust",
+            base_path=base,
+            table_format=TableFormat.HUDI,
+            read_schema=schema,
+            record_key_fields=("r_regionkey",),
+            layout=DataLayoutStrategy.FLAT,
+        )
+    )
+    small = [os.path.join(base, f"small{i}.parquet") for i in range(3)]
+    tl.commit(adds=build_inventory(spark, small, root=base), schema=schema)
+
+    files = tl.snapshot_files()
+    target = int(files.agg(F.sum("size")).collect()[0][0]) * 2
+    plan = plan_compaction_bins(
+        files, target_bytes=target, part_cols=(), size_col="size", order_col="path"
+    ).collect()
+    assert len(plan) == 1 and plan[0]["n_files"] == 3
+
+    merged = os.path.join(base, "clustered-00000.parquet")
+    spark.read.parquet(*small).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(base, "_m")
+    )
+    shutil.copy(
+        next(
+            os.path.join(base, "_m", f)
+            for f in os.listdir(os.path.join(base, "_m"))
+            if f.endswith(".parquet")
+        ),
+        merged,
+    )
+    replaced = [
+        _file_id_for(os.path.basename(r["path"]))
+        for r in files.select("path").collect()
+    ]
+    tl.commit(
+        adds=build_inventory(spark, [merged], root=base),
+        replace_file_ids={"": replaced},
+    )
+    live = [r["path"] for r in tl.snapshot_files().select("path").collect()]
+    assert live == [merged]

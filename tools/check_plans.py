@@ -176,8 +176,17 @@ EXPECT_MAX_EXCHANGES = {
     "cluster_representatives": 1,  # arg-max-by-struct agg over cached CC labels
     "perplexity_buckets": 5,  # unigram_logprob's 4 + the (source × 3) rollup
 }
-# streaming queries execute via writeStream, not a single batch plan
-SKIP = {"streaming_window_agg", "streaming_sessionize", "streaming_dedup", "streaming_join"}
+# streaming queries execute via writeStream, not a single batch plan;
+# streaming_cdc_feed additionally RETURNS the bare memory-sink table (a
+# local scan with nothing to codegen — the projection work happened in
+# the stream)
+SKIP = {
+    "streaming_window_agg",
+    "streaming_sessionize",
+    "streaming_dedup",
+    "streaming_join",
+    "streaming_cdc_feed",
+}
 
 # modules whose code runs in the QUERY path — a .collect()/.toLocalIterator()
 # there is a driver-materialization scale bug unless the line above it carries
