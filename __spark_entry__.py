@@ -4,7 +4,7 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 8: 116 queries. New this round: FOREIGN-TABLE
+Surface as of round 8: 117 queries. New this round: FOREIGN-TABLE
 CONFORMANCE (`sync_foreign_table` — the native Delta/Hudi planes read
 REAL delta-spark / Hudi-runtime fixture tables from the reference's
 demo data, sync them into the other two formats, and hash the
@@ -15,7 +15,10 @@ directory ingested via spark.read.format("binaryFile") with glob
 filtering + partition pruning, decoded by the mapInPandas codecs),
 STREAMING CDC over the native Delta log (`streaming_cdc_feed` — the
 reference's batch change pull as a checkpointed Structured Streaming
-file source over _delta_log; resume = lastSyncedInstant), an
+file source over _delta_log; resume = lastSyncedInstant), CONTINUOUS
+SYNC (`sync_continuous` — the RunSync cron loop as a streaming service:
+the CDC stream triggers the idempotent incremental sync per landed
+commit, exactly-once per commit file, race-safe; cli.py --watch), an
 OPTIMIZE-style COMPACTION PLANNER (`compaction_bins` — stride
 bin-packing as one window + same-keyed groupBy, plan→rewrite loop
 tested on a real Delta table), and exact-integer OLS TOKEN-COST
@@ -55,7 +58,7 @@ partition, end-to-end corpus curation, multimodal
 decode with runtime codec selection whose deterministic stub fallback is
 reproduced in SQL, and EXACT REPEATED-SUBSTRING dedup — the Lee et al.
 2022 ExactSubstr criterion as a diagonal-run detection over rolling
-window hashes). ALL 116 carry DuckDB value-hash oracles — round 7
+window hashes). ALL 117 carry DuckDB value-hash oracles — round 7
 closed the last 5 `no_oracle` gaps: the LSH/IVF queries emit their exact
 ground truth plus IN-PLAN contract booleans (subset-of-exact, pinned
 recall bounds), and simhash_near_dups moved to md5-derived token hashes

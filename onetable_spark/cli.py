@@ -202,6 +202,16 @@ def main(argv: Optional[list[str]] = None) -> int:
         "the source (spec/schema/counts/per-file stats); drift downgrades the "
         "record to VALIDATION_FAILED",
     )
+    parser.add_argument(
+        "--watch",
+        default=None,
+        metavar="INTERVAL",
+        help="run as a CONTINUOUS sync service instead of one batch pass: a "
+        "streaming CDC source over each dataset's _delta_log triggers an "
+        "incremental sync whenever a commit lands (sync/continuous.py). "
+        "INTERVAL is a Structured Streaming processing-time trigger, e.g. "
+        "'30 seconds'. DELTA sources only; blocks until interrupted",
+    )
     args = parser.parse_args(argv)
 
     from onetable_spark.session import get_spark
@@ -209,12 +219,41 @@ def main(argv: Optional[list[str]] = None) -> int:
     config = _load_config_file(args.datasetConfig)
     catalog = _load_config_file(args.icebergCatalogConfig) if args.icebergCatalogConfig else None
     spark = get_spark("onetable-spark-sync")
+    if args.watch is not None:
+        return run_watch(spark, config, interval=args.watch)
     results = run_dataset_config(
         spark, config, iceberg_catalog=catalog, mode=args.mode, validate=args.validate
     )
     for r in results:
         print(json.dumps(r))
     return 0 if all(r["status"] == "SUCCESS" for r in results) else 1
+
+
+def run_watch(spark, config: dict, interval: str) -> int:
+    """Start one ContinuousSync service per dataset and block.
+
+    Checkpoints live under ``<tableBasePath>/_onetable_watch_ckpt`` so a
+    restarted service resumes from the last commit it already synced."""
+    import os
+
+    from onetable_spark.sync.continuous import ContinuousSync
+
+    if TableFormat(config["sourceFormat"]) is not TableFormat.DELTA:
+        raise ValueError("--watch requires sourceFormat: DELTA (CDC log stream)")
+    target_formats = tuple(TableFormat(t) for t in config.get("targetFormats", []))
+    queries = []
+    for ds in config.get("datasets", []):
+        base = ds["tableBasePath"]
+        cs = ContinuousSync(
+            spark,
+            base,
+            target_formats,
+            checkpoint_dir=os.path.join(base, "_onetable_watch_ckpt"),
+        )
+        queries.append(cs.start(interval=interval))
+    for q in queries:
+        q.awaitTermination()
+    return 0
 
 
 if __name__ == "__main__":

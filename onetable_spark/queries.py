@@ -3691,6 +3691,77 @@ def q_streaming_cdc_feed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sync_continuous(spark: SparkSession, sf: str) -> DataFrame:
+    """CONTINUOUS sync under the correctness gate (sync/continuous.py):
+    the reference runs RunSync from cron; here the CDC stream over the
+    source's _delta_log triggers the same idempotent incremental sync the
+    moment a commit lands. Staged lifecycle: drain 1 FULL-bootstraps both
+    targets from the f1 commit; f2 lands; drain 2 (a NEW service instance
+    resuming the SAME checkpoint) must trigger exactly once with exactly
+    one action and replay INCREMENTALLY. Output pins each drain's
+    (n_actions, per-format status+mode) plus the targets' final inventory
+    — a service that re-delivered a commit, missed one, or FULL-resynced
+    flips the hash."""
+    import os
+    import shutil
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+    from onetable_spark.sync.continuous import ContinuousSync
+
+    def build(base: str) -> dict:
+        shutil.copy(os.path.join(sf, "region.parquet"), os.path.join(base, "f1.parquet"))
+        schema = spark.read.parquet(base).schema
+        log = DeltaLog(spark, base)
+        log.init_table(
+            Table(
+                name="csvc", base_path=base, table_format=TableFormat.DELTA, read_schema=schema
+            )
+        )
+        log.commit(adds=build_inventory(spark, [os.path.join(base, "f1.parquet")], root=base))
+
+        ckpt = os.path.join(base, "_watch_ckpt")
+        targets = (TableFormat.ICEBERG, TableFormat.HUDI)
+        j1 = ContinuousSync(spark, base, targets, ckpt, validate=True).run_available_now()
+        _require(len(j1) == 1, j1)
+
+        f2 = os.path.join(base, "f2.parquet")
+        shutil.copy(os.path.join(sf, "region.parquet"), f2)
+        log.commit(adds=build_inventory(spark, [f2], root=base))
+        j2 = ContinuousSync(spark, base, targets, ckpt, validate=True).run_available_now()
+        _require(len(j2) == 1, j2)
+        return {"base": base, "drains": [j1[0], j2[0]]}
+
+    stage = _staged_once(spark, sf, "otb_csvc_q", build)
+    readers = {
+        "ICEBERG": lambda p: IcebergTable(spark, p),
+        "HUDI": lambda p: HudiTimeline(spark, p),
+    }
+    out = None
+    for fmt, mk in readers.items():
+        files = mk(stage["base"]).snapshot_files()
+        inv = files.agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("record_count").cast("long").alias("n_records"),
+        )
+        for phase, drain in enumerate(stage["drains"], start=1):
+            status, mode = drain["results"][fmt]
+            part = inv.select(
+                F.lit(phase).alias("drain"),
+                F.lit(fmt).alias("fmt"),
+                F.lit(status).alias("status"),
+                F.lit(mode).alias("sync_mode"),
+                F.lit(drain["n_actions"]).cast("long").alias("n_actions"),
+                "n_files",
+                "n_records",
+            )
+            out = part if out is None else out.unionByName(part)
+    return out
+
+
 def q_token_calibration(spark: SparkSession, sf: str) -> DataFrame:
     """Tokens-per-byte cost calibration: per-source ordinary least squares
     of whitespace-token count on character count — the model a 100 TB
@@ -4525,6 +4596,16 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT CAST(3 AS BIGINT), 'remove', 'f1.parquet', CAST(NULL AS BIGINT)
     """,
+    # deterministic lifecycle: drain1 FULL syncs f1 (1 action), drain2
+    # INCREMENTAL syncs f2 (1 action); final inventory = 2 region copies
+    "sync_continuous": """
+        SELECT d.drain, f.fmt, 'SUCCESS' AS status, d.sync_mode,
+               CAST(1 AS BIGINT) AS n_actions,
+               CAST(2 AS BIGINT) AS n_files,
+               CAST(2 * (SELECT COUNT(*) FROM region) AS BIGINT) AS n_records
+        FROM (VALUES (1, 'FULL'), (2, 'INCREMENTAL')) d(drain, sync_mode)
+        CROSS JOIN (VALUES ('ICEBERG'), ('HUDI')) f(fmt)
+    """,
     "token_calibration": """
         WITH s AS (
             SELECT source,
@@ -5313,6 +5394,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_foreign_table": q_sync_foreign_table,
     "multimodal_ingest": q_multimodal_ingest,
     "streaming_cdc_feed": q_streaming_cdc_feed,
+    "sync_continuous": q_sync_continuous,
     "token_calibration": q_token_calibration,
     "compaction_bins": q_compaction_bins,
     # -- changed in r8 (selectExpr rewrite / new counter column): re-gate

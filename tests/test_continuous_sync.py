@@ -1,0 +1,128 @@
+"""Continuous sync (sync/continuous.py): the CDC stream over the source's
+Delta log triggers incremental SyncClient runs — first drain FULL-syncs,
+later drains sync INCREMENTALLY exactly the commits that landed since the
+checkpoint, an empty drain triggers nothing, and the composition stays
+idempotent when a manual sync races the service."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from onetable_spark.formats.delta import DeltaLog
+from onetable_spark.formats.hudi import HudiTimeline
+from onetable_spark.formats.iceberg import IcebergTable
+from onetable_spark.model import DataLayoutStrategy, Table, TableFormat
+from onetable_spark.sources.parquet_inventory import build_inventory
+from onetable_spark.sync import SyncClient, source_for, target_for
+from onetable_spark.sync.continuous import ContinuousSync
+
+
+def _stage(spark, sf_dir, base):
+    os.makedirs(base)
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), os.path.join(base, "f1.parquet"))
+    schema = spark.read.parquet(base).schema
+    log = DeltaLog(spark, base)
+    log.init_table(
+        Table(
+            name="cs",
+            base_path=base,
+            table_format=TableFormat.DELTA,
+            read_schema=schema,
+            layout=DataLayoutStrategy.FLAT,
+        )
+    )
+    log.commit(adds=build_inventory(spark, [os.path.join(base, "f1.parquet")], root=base))
+    return log
+
+
+def test_continuous_sync_full_then_incremental(spark, sf_dir, tmp_path):
+    base = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+    log = _stage(spark, sf_dir, base)
+    targets = (TableFormat.ICEBERG, TableFormat.HUDI)
+
+    j1 = ContinuousSync(spark, base, targets, ckpt, validate=True).run_available_now()
+    assert len(j1) == 1
+    assert j1[0]["results"] == {
+        "ICEBERG": ("SUCCESS", "FULL"),
+        "HUDI": ("SUCCESS", "FULL"),
+    }
+    assert IcebergTable(spark, base).snapshot_files().count() == 1
+    assert HudiTimeline(spark, base).snapshot_files().count() == 1
+
+    # two commits land; a NEW service instance on the SAME checkpoint
+    # drains only them and replays incrementally
+    for name in ("f2.parquet", "f3.parquet"):
+        shutil.copy(os.path.join(sf_dir, "region.parquet"), os.path.join(base, name))
+        log.commit(adds=build_inventory(spark, [os.path.join(base, name)], root=base))
+    j2 = ContinuousSync(spark, base, targets, ckpt, validate=True).run_available_now()
+    assert len(j2) == 1
+    assert j2[0]["n_actions"] == 2  # exactly the two new adds, no v1 replay
+    assert j2[0]["results"] == {
+        "ICEBERG": ("SUCCESS", "INCREMENTAL"),
+        "HUDI": ("SUCCESS", "INCREMENTAL"),
+    }
+    assert IcebergTable(spark, base).snapshot_files().count() == 3
+
+    # nothing new: the drain triggers no sync at all
+    assert ContinuousSync(spark, base, targets, ckpt).run_available_now() == []
+
+
+def test_live_service_picks_up_commit(spark, sf_dir, tmp_path):
+    """The long-lived service path (processingTime trigger, what
+    cli.py --watch starts): a commit made while the service runs is
+    synced without any manual drain."""
+    import time
+
+    base = str(tmp_path / "live")
+    ckpt = str(tmp_path / "ckpt_live")
+    log = _stage(spark, sf_dir, base)
+    cs = ContinuousSync(spark, base, (TableFormat.ICEBERG,), ckpt)
+    q = cs.start(interval="1 seconds")
+    try:
+        deadline = time.time() + 90
+        while time.time() < deadline and not cs.journal:
+            time.sleep(0.5)
+        assert cs.journal and cs.journal[0]["results"]["ICEBERG"] == ("SUCCESS", "FULL")
+
+        shutil.copy(os.path.join(sf_dir, "region.parquet"), os.path.join(base, "f2.parquet"))
+        log.commit(adds=build_inventory(spark, [os.path.join(base, "f2.parquet")], root=base))
+        while time.time() < deadline and len(cs.journal) < 2:
+            time.sleep(0.5)
+        assert len(cs.journal) >= 2
+        assert cs.journal[1]["results"]["ICEBERG"] == ("SUCCESS", "INCREMENTAL")
+        assert IcebergTable(spark, base).snapshot_files().count() == 2
+    finally:
+        q.stop()
+
+
+def test_continuous_sync_idempotent_under_manual_race(spark, sf_dir, tmp_path):
+    """A manual cron-style sync between commit and drain must not break
+    the service: the triggered sync sees watermarks already advanced and
+    converges as an (empty) incremental run."""
+    base = str(tmp_path / "tbl2")
+    ckpt = str(tmp_path / "ckpt2")
+    log = _stage(spark, sf_dir, base)
+    targets = (TableFormat.ICEBERG,)
+
+    ContinuousSync(spark, base, targets, ckpt).run_available_now()
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), os.path.join(base, "f2.parquet"))
+    log.commit(adds=build_inventory(spark, [os.path.join(base, "f2.parquet")], root=base))
+
+    # the manual sync lands first (the reference's cron racing the service)
+    SyncClient(spark).sync(
+        source_for(spark, TableFormat.DELTA, base),
+        [target_for(spark, TableFormat.ICEBERG, base)],
+    )
+    ice_before = IcebergTable(spark, base).metadata()["current-snapshot-id"]
+
+    j = ContinuousSync(spark, base, targets, ckpt).run_available_now()
+    # the trigger fired (one journal entry for the new commit) but every
+    # change was pruned by the advanced watermark — no target result, no
+    # re-application (TableFormatSync.java:135-144 commit pruning)
+    assert len(j) == 1 and j[0]["n_actions"] == 1 and j[0]["results"] == {}
+    ice = IcebergTable(spark, base)
+    assert ice.snapshot_files().count() == 2
+    # idempotent: the raced trigger did not double-apply the commit
+    assert ice.metadata()["current-snapshot-id"] == ice_before

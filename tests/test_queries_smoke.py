@@ -38,12 +38,13 @@ MUST_BE_DRIVER_MEASURED = {
     #
     # round-8 newcomers: need their first driver rows in CORRECTNESS_r8
     "sync_foreign_table", "multimodal_ingest",
-    # late-r8 newcomers (streaming CDC over the native Delta log, OLS
-    # token-cost calibration, OPTIMIZE-style compaction planner); their
-    # window slots displace g12_latest_instant / dedup_exact /
-    # fingerprint_dedup back into the stale pool (driver-green r1-r5,
-    # still oracle-gated every pytest run)
-    "streaming_cdc_feed", "token_calibration", "compaction_bins",
+    # late-r8 newcomers (streaming CDC over the native Delta log,
+    # continuous sync service, OLS token-cost calibration, OPTIMIZE-style
+    # compaction planner); their window slots displace g11_sort_commits /
+    # g12_latest_instant / dedup_exact / fingerprint_dedup back into the
+    # stale pool (driver-green r1-r5, still oracle-gated every pytest run)
+    "streaming_cdc_feed", "sync_continuous", "token_calibration",
+    "compaction_bins",
     # changed in r8 (selectExpr rewrite / new counter column): re-gate
     "repetition_filter", "substring_dedup",
     # r7 single-green holdovers: one more driver round before retiring
