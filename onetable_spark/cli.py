@@ -207,10 +207,11 @@ def main(argv: Optional[list[str]] = None) -> int:
         default=None,
         metavar="INTERVAL",
         help="run as a CONTINUOUS sync service instead of one batch pass: a "
-        "streaming CDC source over each dataset's _delta_log triggers an "
-        "incremental sync whenever a commit lands (sync/continuous.py). "
+        "streaming source over each dataset's commit log (_delta_log JSONs, "
+        ".hoodie completed instants, or Iceberg metadata versions) triggers "
+        "an incremental sync whenever a commit lands (sync/continuous.py). "
         "INTERVAL is a Structured Streaming processing-time trigger, e.g. "
-        "'30 seconds'. DELTA sources only; blocks until interrupted",
+        "'30 seconds'; blocks until interrupted",
     )
     args = parser.parse_args(argv)
 
@@ -238,8 +239,7 @@ def run_watch(spark, config: dict, interval: str) -> int:
 
     from onetable_spark.sync.continuous import ContinuousSync
 
-    if TableFormat(config["sourceFormat"]) is not TableFormat.DELTA:
-        raise ValueError("--watch requires sourceFormat: DELTA (CDC log stream)")
+    source_format = TableFormat(config["sourceFormat"])
     target_formats = tuple(TableFormat(t) for t in config.get("targetFormats", []))
     queries = []
     for ds in config.get("datasets", []):
@@ -249,6 +249,7 @@ def run_watch(spark, config: dict, interval: str) -> int:
             base,
             target_formats,
             checkpoint_dir=os.path.join(base, "_onetable_watch_ckpt"),
+            source_format=source_format,
         )
         queries.append(cs.start(interval=interval))
     for q in queries:

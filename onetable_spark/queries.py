@@ -3699,7 +3699,7 @@ def q_sync_continuous(spark: SparkSession, sf: str) -> DataFrame:
     targets from the f1 commit; f2 lands; drain 2 (a NEW service instance
     resuming the SAME checkpoint) must trigger exactly once with exactly
     one action and replay INCREMENTALLY. Output pins each drain's
-    (n_actions, per-format status+mode) plus the targets' final inventory
+    (n_commits, per-format status+mode) plus the targets' final inventory
     — a service that re-delivered a commit, missed one, or FULL-resynced
     flips the hash."""
     import os
@@ -3754,7 +3754,7 @@ def q_sync_continuous(spark: SparkSession, sf: str) -> DataFrame:
                 F.lit(fmt).alias("fmt"),
                 F.lit(status).alias("status"),
                 F.lit(mode).alias("sync_mode"),
-                F.lit(drain["n_actions"]).cast("long").alias("n_actions"),
+                F.lit(drain["n_commits"]).cast("long").alias("n_commits"),
                 "n_files",
                 "n_records",
             )
@@ -4600,7 +4600,7 @@ ORACLE_SQL: dict[str, str] = {
     # INCREMENTAL syncs f2 (1 action); final inventory = 2 region copies
     "sync_continuous": """
         SELECT d.drain, f.fmt, 'SUCCESS' AS status, d.sync_mode,
-               CAST(1 AS BIGINT) AS n_actions,
+               CAST(1 AS BIGINT) AS n_commits,
                CAST(2 AS BIGINT) AS n_files,
                CAST(2 * (SELECT COUNT(*) FROM region) AS BIGINT) AS n_records
         FROM (VALUES (1, 'FULL'), (2, 'INCREMENTAL')) d(drain, sync_mode)

@@ -52,6 +52,49 @@ _ACTION_SCHEMA = T.StructType(
 )
 
 
+def read_commit_marker_stream(
+    spark: SparkSession, directory: str, glob: str, ref_end: int | None = None
+) -> DataFrame:
+    """Streaming feed of COMPLETED commit marker files under ``directory``.
+
+    Format-agnostic trigger plane for the continuous-sync service: one text
+    stream over the metadata directory, ``commit_ref`` recovered from the
+    marker file's name (the first ``ref_end`` chars, or the whole name).
+    Consumers must treat rows as at-least-one-per-commit-file (a marker's
+    line count is a format detail) and count DISTINCT commit_refs.
+
+    Used for Hudi (``.hoodie/*.{commit,deltacommit,replacecommit}`` —
+    completed instants only; ``.requested``/``.inflight`` markers and
+    ``hoodie.properties`` never match the glob) and Iceberg
+    (``metadata/*.metadata.json`` — the atomically-claimed version files).
+    """
+    name = F.element_at(F.split("_metadata.file_path", "/"), -1)
+    ref = name.substr(1, ref_end) if ref_end else name
+    return (
+        spark.readStream.option("pathGlobFilter", glob)
+        .text(directory)
+        .select(ref.alias("commit_ref"))
+    )
+
+
+def read_hudi_commit_stream(spark: SparkSession, table_path: str) -> DataFrame:
+    """Completed-instant feed from a Hudi timeline (commit_ref = instant)."""
+    return read_commit_marker_stream(
+        spark,
+        table_path.rstrip("/") + "/.hoodie",
+        "*.{commit,deltacommit,replacecommit}",
+    )
+
+
+def read_iceberg_metadata_stream(spark: SparkSession, table_path: str) -> DataFrame:
+    """Metadata-version feed from an Iceberg table (commit_ref = vN file)."""
+    return read_commit_marker_stream(
+        spark,
+        table_path.rstrip("/") + "/metadata",
+        "v*.metadata.json",
+    )
+
+
 def read_delta_log_stream(spark: SparkSession, table_path: str) -> DataFrame:
     """Streaming add/remove change feed from a Delta table's ``_delta_log``.
 

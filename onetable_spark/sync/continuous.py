@@ -29,56 +29,82 @@ from onetable_spark.sync.client import SyncClient, source_for, target_for
 
 @dataclass
 class ContinuousSync:
-    """Watch one Delta-source table and keep N targets in sync.
+    """Watch one source table (any of the three formats) and keep N
+    targets in sync.
 
     ``run_available_now()`` drains pending commits and returns (the cron
     replacement for tests and backfills); ``start(interval)`` runs as a
     long-lived service. Both share the checkpoint, so a backfill drain and
     the service resume from each other.
+
+    The stream is only a TRIGGER: every sync replays "everything since the
+    target watermarks", never the batch contents — so a trigger lost to a
+    transient sync error (journaled, stream kept alive, RunSync.java's
+    per-run isolation) is caught up in full by the next one.
     """
 
     spark: SparkSession
     table_path: str
     target_formats: tuple[TableFormat, ...]
     checkpoint_dir: str
+    source_format: TableFormat = TableFormat.DELTA
     validate: bool = False
     # driver-side journal of per-trigger sync outcomes (bounded: one entry
     # per micro-batch that contained commits)
     journal: list[dict] = field(default_factory=list)
 
-    def _sync_once(self, n_actions: int) -> None:
+    def _sync_once(self, n_commits: int) -> None:
         from onetable_spark.cli import _target_reader
         from onetable_spark.sync.validation import SnapshotReaderAdapter, SyncValidator
 
-        client = SyncClient(self.spark)
-        source = source_for(self.spark, TableFormat.DELTA, self.table_path)
-        targets = [
-            target_for(self.spark, fmt, self.table_path) for fmt in self.target_formats
-        ]
-        results = client.sync(source, targets)
-        target_by_fmt = {t.table_format: t for t in targets}
-        entry: dict = {"n_actions": n_actions, "results": {}}
-        for fmt, r in results.items():
-            status = r.status.value
-            if self.validate and status == "SUCCESS":
-                checks = SyncValidator().validate(
-                    SnapshotReaderAdapter(source), _target_reader(target_by_fmt[fmt])
-                )
-                if not all(v.success for v in checks.values()):
-                    status = "VALIDATION_FAILED"
-            entry["results"][fmt.value] = (status, r.mode.value)
+        entry: dict = {"n_commits": n_commits, "results": {}}
+        try:
+            client = SyncClient(self.spark)
+            source = source_for(self.spark, self.source_format, self.table_path)
+            targets = [
+                target_for(self.spark, fmt, self.table_path)
+                for fmt in self.target_formats
+            ]
+            results = client.sync(source, targets)
+            target_by_fmt = {t.table_format: t for t in targets}
+            for fmt, r in results.items():
+                status = r.status.value
+                if self.validate and status == "SUCCESS":
+                    checks = SyncValidator().validate(
+                        SnapshotReaderAdapter(source), _target_reader(target_by_fmt[fmt])
+                    )
+                    if not all(v.success for v in checks.values()):
+                        status = "VALIDATION_FAILED"
+                entry["results"][fmt.value] = (status, r.mode.value)
+        except Exception as e:  # noqa: BLE001 — keep the service alive;
+            # the next trigger replays from the watermark, losing nothing
+            entry["error"] = str(e)
         self.journal.append(entry)
 
     def _foreach_batch(self, batch_df, _batch_id) -> None:
         # driver-ok: bounded single-row aggregate — the trigger needs only
-        # "did any commit land", not the actions themselves
-        n = batch_df.count()
+        # "how many commits landed", not the actions themselves (a marker
+        # file can surface as several rows; Delta surfaces one per action)
+        ref = "version" if self.source_format is TableFormat.DELTA else "commit_ref"
+        n = batch_df.select(ref).distinct().count()
         if n:
             self._sync_once(n)
 
+    def _stream(self):
+        from onetable_spark.streaming.cdc import (
+            read_hudi_commit_stream,
+            read_iceberg_metadata_stream,
+        )
+
+        if self.source_format is TableFormat.HUDI:
+            return read_hudi_commit_stream(self.spark, self.table_path)
+        if self.source_format is TableFormat.ICEBERG:
+            return read_iceberg_metadata_stream(self.spark, self.table_path)
+        return read_delta_log_stream(self.spark, self.table_path)
+
     def _writer(self):
         return (
-            read_delta_log_stream(self.spark, self.table_path)
+            self._stream()
             .writeStream.foreachBatch(self._foreach_batch)
             .outputMode("append")
             .option("checkpointLocation", self.checkpoint_dir)

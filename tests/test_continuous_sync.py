@@ -58,7 +58,7 @@ def test_continuous_sync_full_then_incremental(spark, sf_dir, tmp_path):
         log.commit(adds=build_inventory(spark, [os.path.join(base, name)], root=base))
     j2 = ContinuousSync(spark, base, targets, ckpt, validate=True).run_available_now()
     assert len(j2) == 1
-    assert j2[0]["n_actions"] == 2  # exactly the two new adds, no v1 replay
+    assert j2[0]["n_commits"] == 2  # exactly the two new commits, no v1 replay
     assert j2[0]["results"] == {
         "ICEBERG": ("SUCCESS", "INCREMENTAL"),
         "HUDI": ("SUCCESS", "INCREMENTAL"),
@@ -97,6 +97,81 @@ def test_live_service_picks_up_commit(spark, sf_dir, tmp_path):
         q.stop()
 
 
+def test_continuous_sync_hudi_source(spark, sf_dir, tmp_path):
+    """Omni-directional: HUDI as the watched source (commit-marker stream
+    over the .hoodie timeline), Delta + Iceberg as targets."""
+    base = str(tmp_path / "hsrc")
+    os.makedirs(base)
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), os.path.join(base, "f1.parquet"))
+    schema = spark.read.parquet(base).schema
+    tl = HudiTimeline(spark, base)
+    tl.init_table(
+        Table(name="hsrc", base_path=base, table_format=TableFormat.HUDI, read_schema=schema)
+    )
+    tl.commit(adds=build_inventory(spark, [os.path.join(base, "f1.parquet")], root=base), schema=schema)
+
+    ckpt = str(tmp_path / "hckpt")
+    targets = (TableFormat.DELTA, TableFormat.ICEBERG)
+    j1 = ContinuousSync(
+        spark, base, targets, ckpt, source_format=TableFormat.HUDI, validate=True
+    ).run_available_now()
+    assert len(j1) == 1 and j1[0]["n_commits"] == 1
+    assert j1[0]["results"] == {
+        "DELTA": ("SUCCESS", "FULL"),
+        "ICEBERG": ("SUCCESS", "FULL"),
+    }
+
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), os.path.join(base, "f2.parquet"))
+    tl.commit(adds=build_inventory(spark, [os.path.join(base, "f2.parquet")], root=base))
+    j2 = ContinuousSync(
+        spark, base, targets, ckpt, source_format=TableFormat.HUDI
+    ).run_available_now()
+    assert j2[0]["n_commits"] == 1
+    assert j2[0]["results"]["DELTA"] == ("SUCCESS", "INCREMENTAL")
+    assert DeltaLog(spark, base).snapshot_files().count() == 2
+    assert IcebergTable(spark, base).snapshot_files().count() == 2
+
+
+def test_continuous_sync_iceberg_source(spark, sf_dir, tmp_path):
+    """Omni-directional: ICEBERG as the watched source (metadata-version
+    stream), Delta + Hudi as targets."""
+    base = str(tmp_path / "isrc")
+    os.makedirs(base)
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), os.path.join(base, "f1.parquet"))
+    schema = spark.read.parquet(base).schema
+    ice = IcebergTable(spark, base)
+    ice.init_table(
+        Table(name="isrc", base_path=base, table_format=TableFormat.ICEBERG, read_schema=schema)
+    )
+    ice.commit_overwrite(
+        adds=build_inventory(spark, [os.path.join(base, "f1.parquet")], root=base)
+    )
+
+    ckpt = str(tmp_path / "ickpt")
+    targets = (TableFormat.DELTA, TableFormat.HUDI)
+    j1 = ContinuousSync(
+        spark, base, targets, ckpt, source_format=TableFormat.ICEBERG, validate=True
+    ).run_available_now()
+    # n_commits counts metadata versions in the batch: v1 (init) + v2
+    assert len(j1) == 1 and j1[0]["n_commits"] == 2
+    assert j1[0]["results"] == {
+        "DELTA": ("SUCCESS", "FULL"),
+        "HUDI": ("SUCCESS", "FULL"),
+    }
+
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), os.path.join(base, "f2.parquet"))
+    ice.commit_overwrite(
+        adds=build_inventory(spark, [os.path.join(base, "f2.parquet")], root=base)
+    )
+    j2 = ContinuousSync(
+        spark, base, targets, ckpt, source_format=TableFormat.ICEBERG
+    ).run_available_now()
+    assert j2[0]["n_commits"] == 1
+    assert j2[0]["results"]["DELTA"] == ("SUCCESS", "INCREMENTAL")
+    assert DeltaLog(spark, base).snapshot_files().count() == 2
+    assert HudiTimeline(spark, base).snapshot_files().count() == 2
+
+
 def test_continuous_sync_idempotent_under_manual_race(spark, sf_dir, tmp_path):
     """A manual cron-style sync between commit and drain must not break
     the service: the triggered sync sees watermarks already advanced and
@@ -121,7 +196,7 @@ def test_continuous_sync_idempotent_under_manual_race(spark, sf_dir, tmp_path):
     # the trigger fired (one journal entry for the new commit) but every
     # change was pruned by the advanced watermark — no target result, no
     # re-application (TableFormatSync.java:135-144 commit pruning)
-    assert len(j) == 1 and j[0]["n_actions"] == 1 and j[0]["results"] == {}
+    assert len(j) == 1 and j[0]["n_commits"] == 1 and j[0]["results"] == {}
     ice = IcebergTable(spark, base)
     assert ice.snapshot_files().count() == 2
     # idempotent: the raced trigger did not double-apply the commit
