@@ -28,10 +28,34 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def assign_compaction_bins(
+    files: DataFrame,
+    target_bytes: int,
+    part_cols: Sequence[str] = (),
+    size_col: str = "size",
+    order_col: str = "path",
+) -> DataFrame:
+    """Tag each small file with its compaction ``bin_id`` (the
+    pre-aggregation step ``compact_table`` executes from).
+
+    Files at or above ``target_bytes`` are excluded up front: they are
+    already "compacted" and would each occupy a full stride anyway.
+    """
+    parts = [F.col(c) for c in part_cols]
+    w = Window.partitionBy(*parts).orderBy(order_col)
+    size = F.col(size_col).cast("long")
+    cum_excl = F.coalesce(
+        F.sum(size).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    )
+    return files.where(size < target_bytes).withColumn(
+        "bin_id", F.floor(cum_excl / F.lit(target_bytes))
+    )
+
+
 def plan_compaction_bins(
     files: DataFrame,
     target_bytes: int,
-    part_cols: Sequence[str] = ("partition_values",),
+    part_cols: Sequence[str] = (),
     size_col: str = "size",
     order_col: str = "path",
     min_files: int = 2,
@@ -44,22 +68,11 @@ def plan_compaction_bins(
     making the plan itself testable and idempotent). Bins with fewer than
     ``min_files`` members are dropped — rewriting a lone file is a no-op
     that real OPTIMIZE implementations skip.
-
-    Files at or above ``target_bytes`` are excluded up front: they are
-    already "compacted" and would each occupy a full stride anyway.
     """
-    parts = [F.col(c) for c in part_cols]
-    w = Window.partitionBy(*parts).orderBy(order_col)
+    binned = assign_compaction_bins(files, target_bytes, part_cols, size_col, order_col)
     size = F.col(size_col).cast("long")
-    cum_excl = F.coalesce(
-        F.sum(size).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
-    )
-    binned = (
-        files.where(size < target_bytes)
-        .withColumn("bin_id", F.floor(cum_excl / F.lit(target_bytes)))
-    )
     return (
-        binned.groupBy(*parts, "bin_id")
+        binned.groupBy(*[F.col(c) for c in part_cols], "bin_id")
         .agg(
             F.count("*").alias("n_files"),
             F.sum(size).alias("total_bytes"),
@@ -68,3 +81,115 @@ def plan_compaction_bins(
         )
         .where(F.col("n_files") >= min_files)
     )
+
+
+def compact_table(
+    spark,
+    fmt,
+    table_path: str,
+    target_bytes: int,
+    min_files: int = 2,
+) -> dict:
+    """Execute OPTIMIZE end-to-end on a native table: plan bins over
+    ``snapshot_files()``, rewrite each bin into one merged data file, and
+    publish ONE transactional metadata commit in the table's own format —
+    Delta remove+add (operation OPTIMIZE), Iceberg OverwriteFiles, Hudi
+    clustering replace-commit (the exact commit shape the reference reads
+    back, HudiDataFileExtractor.java:181-198).
+
+    The merged file is written next to its bin's members, so hive-derived
+    partition values carry over unchanged. Returns
+    ``{"bins", "files_removed", "files_added"}``; a table with nothing to
+    compact returns zeros and commits nothing (idempotent — a second run
+    right after a first is a no-op because the merged files now sit at or
+    above ``target_bytes`` or form singleton bins).
+
+    Scale note: bin PLANNING is fully distributed; bin EXECUTION is one
+    bounded Spark job per bin issued from a driver loop over the planned
+    bins (driver state is O(bins), the same order as the commit payload
+    itself). At 100 TB you bound the loop with a max-bins-per-run knob the
+    way real OPTIMIZE jobs do — the commit is transactional either way.
+    """
+    import os
+    import uuid
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.hudi import HudiTimeline, _file_id_for
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    fmt = TableFormat(fmt) if not isinstance(fmt, TableFormat) else fmt
+    reader = {
+        TableFormat.DELTA: DeltaLog,
+        TableFormat.ICEBERG: IcebergTable,
+        TableFormat.HUDI: HudiTimeline,
+    }[fmt](spark, table_path)
+
+    files = reader.snapshot_files()
+    # a MapType column cannot key a window partition — derive the hive
+    # partition string (same derivation the Hudi commit plane uses)
+    assigned = assign_compaction_bins(
+        files.withColumn(
+            "_pp",
+            F.concat_ws(
+                "/",
+                F.transform(
+                    F.map_entries("partition_values"),
+                    lambda e: F.concat_ws("=", e["key"], e["value"]),
+                ),
+            ),
+        ),
+        target_bytes,
+        part_cols=("_pp",),
+    )
+    # driver-ok: O(planned bins + their member paths) — the same rows the
+    # commit payload must hold anyway
+    bins = (
+        assigned.groupBy("_pp", "bin_id")
+        .agg(F.collect_list("path").alias("members"))
+        .where(F.size("members") >= min_files)
+        .collect()
+    )
+    if not bins:
+        return {"bins": 0, "files_removed": 0, "files_added": 0}
+
+    merged_paths: list[str] = []
+    removed_paths: list[str] = []
+    for b in bins:
+        members = sorted(b["members"])
+        dest_dir = os.path.dirname(members[0])
+        scratch = os.path.join(table_path, f"_compact_{uuid.uuid4().hex[:12]}")
+        spark.read.parquet(*members).coalesce(1).write.parquet(scratch)
+        part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+        merged = os.path.join(dest_dir, f"compacted-{uuid.uuid4().hex[:12]}.parquet")
+        os.replace(os.path.join(scratch, part), merged)
+        import shutil as _shutil
+
+        _shutil.rmtree(scratch, ignore_errors=True)
+        merged_paths.append(merged)
+        removed_paths.extend(members)
+
+    adds = build_inventory(spark, merged_paths, root=table_path)
+    removes = files.where(F.col("path").isin(removed_paths))
+    if fmt is TableFormat.DELTA:
+        reader.commit(adds=adds, removes=removes, operation="OPTIMIZE")
+    elif fmt is TableFormat.ICEBERG:
+        reader.commit_overwrite(adds=adds, removes=removes)
+    else:
+        # Hudi file-group ids derive from the TABLE-RELATIVE path (the same
+        # derivation the commit plane applies to adds) — basename alone
+        # would mis-id files under hive partition dirs
+        prefix = table_path.rstrip("/") + "/"
+        replace: dict[str, list[str]] = {}
+        for b in bins:
+            replace.setdefault(b["_pp"], []).extend(
+                _file_id_for(p[len(prefix):] if p.startswith(prefix) else p)
+                for p in sorted(b["members"])
+            )
+        reader.commit(adds=adds, replace_file_ids=replace)
+    return {
+        "bins": len(bins),
+        "files_removed": len(removed_paths),
+        "files_added": len(merged_paths),
+    }

@@ -115,6 +115,113 @@ def test_optimize_loop_on_real_delta_table(spark, sf_dir, tmp_path):
     assert live.agg(F.sum("record_count")).collect()[0][0] == n_before
 
 
+def _stage_native(spark, sf_dir, base, fmt, n_small=4):
+    import pyspark.sql.functions as _F
+
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import TableFormat
+
+    os.makedirs(base)
+    src = os.path.join(sf_dir, "region.parquet")
+    small = []
+    for i in range(n_small):
+        p = os.path.join(base, f"small{i}.parquet")
+        shutil.copy(src, p)
+        small.append(p)
+    schema = spark.read.parquet(base).schema
+    cls = {
+        TableFormat.DELTA: DeltaLog,
+        TableFormat.ICEBERG: IcebergTable,
+        TableFormat.HUDI: HudiTimeline,
+    }[fmt]
+    reader = cls(spark, base)
+    reader.init_table(
+        Table(
+            name="opt",
+            base_path=base,
+            table_format=fmt,
+            read_schema=schema,
+            layout=DataLayoutStrategy.FLAT,
+        )
+    )
+    inv = build_inventory(spark, small, root=base)
+    if fmt is TableFormat.ICEBERG:
+        reader.commit_overwrite(adds=inv)
+    else:
+        reader.commit(adds=inv)
+    return reader
+
+
+def test_compact_table_all_formats(spark, sf_dir, tmp_path):
+    """compact_table executes the full OPTIMIZE loop in each format's own
+    commit plane and converges the snapshot to the merged file with the
+    record count preserved; an immediate second run is a no-op."""
+    from onetable_spark.model import TableFormat
+    from onetable_spark.operators.maintenance import compact_table
+
+    for fmt in (TableFormat.DELTA, TableFormat.ICEBERG, TableFormat.HUDI):
+        base = str(tmp_path / fmt.value.lower())
+        reader = _stage_native(spark, sf_dir, base, fmt)
+        before = reader.snapshot_files()
+        n_files = before.count()
+        n_records = before.agg(F.sum("record_count")).collect()[0][0]
+        target = int(before.agg(F.sum("size")).collect()[0][0]) * 2
+
+        out = compact_table(spark, fmt, base, target_bytes=target)
+        assert out == {"bins": 1, "files_removed": n_files, "files_added": 1}, fmt
+
+        live = reader.snapshot_files()
+        assert live.count() == 1, fmt
+        assert live.agg(F.sum("record_count")).collect()[0][0] == n_records, fmt
+        assert "compacted-" in live.first()["path"], fmt
+
+        # idempotent: the merged file is a singleton bin -> nothing to do
+        assert compact_table(spark, fmt, base, target_bytes=target) == {
+            "bins": 0,
+            "files_removed": 0,
+            "files_added": 0,
+        }, fmt
+
+
+def test_compact_table_partitioned_hudi(spark, sf_dir, tmp_path):
+    """Partitioned compaction: bins never cross partitions, merged files
+    land INSIDE their partition dir (hive values carry over), and the Hudi
+    replace-commit ids the replaced groups by table-relative path."""
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.model import TableFormat
+    from onetable_spark.operators.maintenance import compact_table
+
+    base = str(tmp_path / "part_hudi")
+    src = os.path.join(sf_dir, "region.parquet")
+    small = []
+    for part in ("k=a", "k=b"):
+        d = os.path.join(base, part)
+        os.makedirs(d)
+        for i in range(2):
+            p = os.path.join(d, f"small{i}.parquet")
+            shutil.copy(src, p)
+            small.append(p)
+    schema = spark.read.parquet(os.path.join(base, "k=a")).schema
+    tl = HudiTimeline(spark, base)
+    tl.init_table(
+        Table(name="ph", base_path=base, table_format=TableFormat.HUDI, read_schema=schema)
+    )
+    tl.commit(adds=build_inventory(spark, small, root=base), schema=schema)
+
+    target = int(tl.snapshot_files().agg(F.sum("size")).collect()[0][0]) * 2
+    out = compact_table(spark, TableFormat.HUDI, base, target_bytes=target)
+    assert out == {"bins": 2, "files_removed": 4, "files_added": 2}
+
+    live = tl.snapshot_files().collect()
+    assert len(live) == 2
+    by_part = {tuple(sorted((r["partition_values"] or {}).items())): r for r in live}
+    assert set(by_part) == {(("k", "a"),), (("k", "b"),)}
+    for key, r in by_part.items():
+        part_dir = "=".join(key[0])
+        assert f"/{part_dir}/compacted-" in r["path"]
+
+
 def test_plan_feeds_hudi_replace_commit(spark, sf_dir, tmp_path):
     """The planner's output drives a Hudi CLUSTERING replace-commit — the
     consumer the reference reads back (HudiDataFileExtractor.java:181-198):
