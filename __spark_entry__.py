@@ -4,7 +4,7 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 8: 117 queries. New this round: FOREIGN-TABLE
+Surface as of round 8: 118 queries. New this round: FOREIGN-TABLE
 CONFORMANCE (`sync_foreign_table` — the native Delta/Hudi planes read
 REAL delta-spark / Hudi-runtime fixture tables from the reference's
 demo data, sync them into the other two formats, and hash the
@@ -23,7 +23,10 @@ OPTIMIZE-style COMPACTION PLANNER (`compaction_bins` — stride
 bin-packing as one window + same-keyed groupBy, plan→rewrite loop
 tested on a real Delta table), and exact-integer OLS TOKEN-COST
 CALIBRATION (`token_calibration` — sufficient statistics in one
-partial-aggregable pass, closed-form slope/intercept/r²).
+partial-aggregable pass, closed-form slope/intercept/r²), plus
+DISTRIBUTED BPE TRAINING (`bpe_pair_counts` + functions/bpe.py — vocab-
+collapsed pair statistics and an aggregate-fold merge loop proven
+against a pure-Python Sennrich reference).
 The driver window is ROTATED this round (VERDICT r7 #4): the first 50
 registry entries re-sample the 32 stalest queries (all 22 tpch_*, the
 g-ops through g11 — last driver rows r1-r5) plus the r8 newcomers
@@ -58,7 +61,7 @@ partition, end-to-end corpus curation, multimodal
 decode with runtime codec selection whose deterministic stub fallback is
 reproduced in SQL, and EXACT REPEATED-SUBSTRING dedup — the Lee et al.
 2022 ExactSubstr criterion as a diagonal-run detection over rolling
-window hashes). ALL 117 carry DuckDB value-hash oracles — round 7
+window hashes). ALL 118 carry DuckDB value-hash oracles — round 7
 closed the last 5 `no_oracle` gaps: the LSH/IVF queries emit their exact
 ground truth plus IN-PLAN contract booleans (subset-of-exact, pinned
 recall bounds), and simhash_near_dups moved to md5-derived token hashes

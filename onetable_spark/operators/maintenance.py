@@ -143,12 +143,12 @@ def compact_table(
         target_bytes,
         part_cols=("_pp",),
     )
-    # driver-ok: O(planned bins + their member paths) — the same rows the
-    # commit payload must hold anyway
     bins = (
         assigned.groupBy("_pp", "bin_id")
         .agg(F.collect_list("path").alias("members"))
         .where(F.size("members") >= min_files)
+        # driver-ok: O(planned bins + their member paths) — the same rows
+        # the commit payload must hold anyway
         .collect()
     )
     if not bins:

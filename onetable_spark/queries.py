@@ -3804,6 +3804,22 @@ def q_token_calibration(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_bpe_pair_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-training statistics (functions/bpe.py): the corpus
+    collapses to DISTINCT words × frequency, then frequency-weighted
+    adjacent CHARACTER-pair counts — the sufficient statistic for the
+    first BPE merge decision (Sennrich et al. 2016). Two aggregations
+    total, both over the vocabulary (not the corpus); top-50 with a fully
+    deterministic (cnt desc, a, b) tiebreak so the would-be merge order is
+    reproducible across partitionings. tests/test_bpe.py drives the full
+    iterative merge LOOP against a pure-Python reference."""
+    from onetable_spark.functions.bpe import pair_stats, word_frequencies
+
+    docs = load_table(spark, sf, "documents")
+    vocab = word_frequencies(docs).withColumn("syms", F.split("word", ""))
+    return pair_stats(vocab).orderBy(F.desc("cnt"), "a", "b").limit(50)
+
+
 def q_compaction_bins(spark: SparkSession, sf: str) -> DataFrame:
     """OPTIMIZE-style compaction planning (operators/maintenance.py): bin
     small files into ~32 KB rewrite groups per partition via the
@@ -4626,6 +4642,21 @@ ORACLE_SQL: dict[str, str] = {
                     AS DECIMAL(18,10)), 6) AS DOUBLE) AS r2
         FROM s
     """,
+    # ORDER BY is part of the contract (top-50 with deterministic ties) —
+    # the driver compare is order-insensitive but the LIMIT depends on it
+    "bpe_pair_counts": """
+        WITH w AS (
+            SELECT t AS word, CAST(COUNT(*) AS BIGINT) AS freq
+            FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+            WHERE t <> '' GROUP BY t),
+        c AS (SELECT freq, string_split(word, '') AS cs FROM w),
+        p AS (
+            SELECT freq, unnest(list_zip(cs[1:len(cs)-1], cs[2:len(cs)])) AS z
+            FROM c WHERE len(cs) >= 2)
+        SELECT z[1] AS a, z[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+        FROM p GROUP BY z[1], z[2]
+        ORDER BY cnt DESC, a, b LIMIT 50
+    """,
     "compaction_bins": """
         WITH f AS (
             SELECT source, doc_id, n_chars FROM documents WHERE n_chars < 32768),
@@ -5397,6 +5428,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_continuous": q_sync_continuous,
     "token_calibration": q_token_calibration,
     "compaction_bins": q_compaction_bins,
+    "bpe_pair_counts": q_bpe_pair_counts,
     # -- changed in r8 (selectExpr rewrite / new counter column): re-gate
     "repetition_filter": q_repetition_filter,
     "substring_dedup": q_substring_dedup,

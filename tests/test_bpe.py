@@ -1,0 +1,81 @@
+"""Distributed BPE training (functions/bpe.py) against a pure-Python
+reference implementation of Sennrich et al. 2016 — same greedy leftmost
+non-overlapping merge application, same (count desc, a, b) tiebreak."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from onetable_spark.functions.bpe import (
+    apply_merge,
+    learn_merges,
+    pair_stats,
+    word_frequencies,
+)
+
+
+def _ref_bpe(corpus: list[str], n_merges: int) -> list[tuple[str, str]]:
+    vocab = Counter()
+    for line in corpus:
+        for w in line.split(" "):
+            if w:
+                vocab[w] += 1
+    syms = {w: list(w) for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pairs: Counter = Counter()
+        for w, f in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pairs[(s[i], s[i + 1])] += f
+        if not pairs:
+            break
+        # (count desc, a, b) — identical tiebreak to the Spark path
+        (a, b), _ = min(pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((a, b))
+        for w in syms:
+            s, out, i = syms[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = out
+    return merges
+
+
+CORPUS = [
+    "low low low low low",
+    "lower lower newest newest",
+    "newest newest newest newest",
+    "wider wider wider new new",
+]
+
+
+def test_learn_merges_matches_reference(spark):
+    docs = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    got = learn_merges(docs, n_merges=8)
+    want = _ref_bpe(CORPUS, 8)
+    assert got == want
+    # sanity: 'ew' dominates (lower 2 + newest 8 + new 2 occurrences)
+    assert len(got) == 8 and got[0] == ("e", "w")
+
+
+def test_apply_merge_greedy_leftmost_nonoverlapping(spark):
+    # 'aaa' under merge (a, a) -> [aa, a], never [a, aa] or [aa, aa]
+    vocab = spark.createDataFrame([("aaa", 1)], "word string, freq long").withColumn(
+        "syms", F.split("word", "")
+    )
+    out = apply_merge(vocab, "a", "a").first()["syms"]
+    assert out == ["aa", "a"]
+
+
+def test_pair_stats_weighted_by_word_frequency(spark):
+    docs = spark.createDataFrame([("ab ab ab cd",)], "text string")
+    vocab = word_frequencies(docs).withColumn("syms", F.split("word", ""))
+    stats = {(r["a"], r["b"]): r["cnt"] for r in pair_stats(vocab).collect()}
+    assert stats == {("a", "b"): 3, ("c", "d"): 1}

@@ -44,7 +44,7 @@ MUST_BE_DRIVER_MEASURED = {
     # g12_latest_instant / dedup_exact / fingerprint_dedup back into the
     # stale pool (driver-green r1-r5, still oracle-gated every pytest run)
     "streaming_cdc_feed", "sync_continuous", "token_calibration",
-    "compaction_bins",
+    "compaction_bins", "bpe_pair_counts",
     # changed in r8 (selectExpr rewrite / new counter column): re-gate
     "repetition_filter", "substring_dedup",
     # r7 single-green holdovers: one more driver round before retiring
