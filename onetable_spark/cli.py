@@ -203,6 +203,17 @@ def main(argv: Optional[list[str]] = None) -> int:
         "record to VALIDATION_FAILED",
     )
     parser.add_argument(
+        "--optimize",
+        default=None,
+        type=int,
+        metavar="TARGET_BYTES",
+        help="instead of syncing, COMPACT each dataset in its source format: "
+        "bin-pack small files to ~TARGET_BYTES, rewrite each bin into one "
+        "merged file, and publish one transactional commit per table "
+        "(operators/maintenance.py compact_table). Prints one JSON record "
+        "per table",
+    )
+    parser.add_argument(
         "--watch",
         default=None,
         metavar="INTERVAL",
@@ -220,6 +231,8 @@ def main(argv: Optional[list[str]] = None) -> int:
     config = _load_config_file(args.datasetConfig)
     catalog = _load_config_file(args.icebergCatalogConfig) if args.icebergCatalogConfig else None
     spark = get_spark("onetable-spark-sync")
+    if args.optimize is not None:
+        return run_optimize(spark, config, target_bytes=args.optimize)
     if args.watch is not None:
         return run_watch(spark, config, interval=args.watch)
     results = run_dataset_config(
@@ -228,6 +241,27 @@ def main(argv: Optional[list[str]] = None) -> int:
     for r in results:
         print(json.dumps(r))
     return 0 if all(r["status"] == "SUCCESS" for r in results) else 1
+
+
+def run_optimize(spark, config: dict, target_bytes: int) -> int:
+    """OPTIMIZE every dataset in its source format (per-table isolation,
+    same error contract as the sync loop)."""
+    from onetable_spark.operators.maintenance import compact_table
+
+    source_format = TableFormat(config["sourceFormat"])
+    ok = True
+    for ds in config.get("datasets", []):
+        base = ds["tableBasePath"]
+        record: dict[str, Any] = {"tableBasePath": base, "format": source_format.value}
+        try:
+            record.update(compact_table(spark, source_format, base, target_bytes))
+            record["status"] = "SUCCESS"
+        except Exception as e:  # noqa: BLE001 — per-table isolation
+            record["status"] = "ERROR"
+            record["error"] = str(e)
+            ok = False
+        print(json.dumps(record))
+    return 0 if ok else 1
 
 
 def run_watch(spark, config: dict, interval: str) -> int:

@@ -157,3 +157,39 @@ def test_cli_validate_flag_audits_targets(spark, sf_dir, tmp_path):
             "CHECK_TABLE_SPEC", "CHECK_SCHEMA", "CHECK_BASIC_COUNTS", "COMPARE_STATISTICS",
         }
         assert all(v == "ok" for v in r["validation"].values()), r["validation"]
+
+
+def test_cli_optimize_mode(spark, sf_dir, tmp_path, capsys):
+    """--optimize compacts each dataset in its source format with the
+    sync loop's per-table error isolation."""
+    from onetable_spark.cli import run_optimize
+
+    base = str(tmp_path / "opt_tbl")
+    _seed_delta(spark, sf_dir, base)
+    # add three more small files in a second commit so there is a bin
+    log = DeltaLog(spark, base)
+    more = []
+    for i in (2, 3, 4):
+        p = os.path.join(base, f"f{i}.parquet")
+        shutil.copy(os.path.join(sf_dir, "nation.parquet"), p)
+        more.append(p)
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    log.commit(adds=build_inventory(spark, more, root=base))
+    total = log.snapshot_files().agg({"size": "sum"}).collect()[0][0]
+
+    config = {
+        "sourceFormat": "DELTA",
+        "datasets": [
+            {"tableBasePath": base},
+            {"tableBasePath": f"{tmp_path}/missing_opt"},
+        ],
+    }
+    rc = run_optimize(spark, config, target_bytes=int(total) * 2)
+    records = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 1  # the missing table errored
+    by_base = {r["tableBasePath"]: r for r in records}
+    assert by_base[base]["status"] == "SUCCESS"
+    assert by_base[base]["bins"] == 1 and by_base[base]["files_removed"] == 4
+    assert by_base[f"{tmp_path}/missing_opt"]["status"] == "ERROR"
+    assert log.snapshot_files().count() == 1

@@ -78,3 +78,38 @@ def test_cdc_feed_and_checkpoint_resume(spark, sf_dir, tmp_path):
 
     # nothing new -> empty micro-batch, not a replay
     assert _drain(spark, feed, ckpt) == {}
+
+
+def test_cdc_feed_ignores_delta_checkpoints(spark, sf_dir, tmp_path):
+    """Crossing CHECKPOINT_INTERVAL drops a checkpoint parquet and
+    _last_checkpoint into _delta_log; the [0-9]*.json glob must keep the
+    feed on commit files only — every version exactly once, no crash on
+    the parquet."""
+    from onetable_spark.formats.delta import CHECKPOINT_INTERVAL
+
+    base = str(tmp_path / "ckpted")
+    os.makedirs(base)
+    src = os.path.join(sf_dir, "region.parquet")
+    shutil.copy(src, os.path.join(base, "f1.parquet"))
+    schema = spark.read.parquet(base).schema
+    log = DeltaLog(spark, base)
+    log.init_table(
+        Table(
+            name="ck",
+            base_path=base,
+            table_format=TableFormat.DELTA,
+            read_schema=schema,
+            layout=DataLayoutStrategy.FLAT,
+        )
+    )
+    n = CHECKPOINT_INTERVAL + 2
+    for i in range(1, n + 1):
+        f = os.path.join(base, f"f{i}.parquet")
+        shutil.copy(src, f)
+        log.commit(adds=build_inventory(spark, [f], root=base))
+    log_dir = os.path.join(base, "_delta_log")
+    assert any(f.endswith(".checkpoint.parquet") for f in os.listdir(log_dir))
+
+    got = _drain(spark, read_delta_log_stream(spark, base), str(tmp_path / "ck_ckpt"))
+    assert {k[0] for k in got} == set(range(1, n + 1))
+    assert all(k[1] == "add" for k in got)
