@@ -147,8 +147,7 @@ def compact_table(
         assigned.groupBy("_pp", "bin_id")
         .agg(F.collect_list("path").alias("members"))
         .where(F.size("members") >= min_files)
-        # driver-ok: O(planned bins + their member paths) — the same rows
-        # the commit payload must hold anyway
+        # driver-ok: O(planned bins + member paths), the commit payload's own size
         .collect()
     )
     if not bins:

@@ -189,8 +189,10 @@ def test_iceberg_metadata_version_claim_is_exclusive(spark, sf_dir, tmp_path):
 
 def test_no_driver_collect_in_query_paths():
     """Scale guard: no unbounded driver materialization in operator/query
-    code. The single allowed site is the IVF trainer's bounded sample
-    (max_train_rows-capped)."""
+    code. A site is sanctioned only by a ``# driver-ok:`` justification on
+    the same or preceding line (the convention tools/check_plans.py
+    enforces — this test keeps the two gates agreeing) or by the explicit
+    allowlist (the IVF trainer's max_train_rows-capped sample)."""
     import pathlib
 
     root = pathlib.Path(__file__).parent.parent / "onetable_spark"
@@ -200,11 +202,16 @@ def test_no_driver_collect_in_query_paths():
         root / "queries.py"
     ]:
         rel = str(py.relative_to(root))
-        for i, line in enumerate(py.read_text().splitlines(), 1):
+        lines = py.read_text().splitlines()
+        for i, line in enumerate(lines, 1):
             code = line.split("#", 1)[0]
             if ".collect()" in code or "toLocalIterator" in code:
-                if not any(rel == f and frag in code for f, frag in allowed):
-                    offenders.append(f"{rel}:{i}: {line.strip()}")
+                justified = "# driver-ok:" in line or (
+                    i >= 2 and "# driver-ok:" in lines[i - 2]
+                )
+                if justified or any(rel == f and frag in code for f, frag in allowed):
+                    continue
+                offenders.append(f"{rel}:{i}: {line.strip()}")
     assert not offenders, "driver-side materialization in query path:\n" + "\n".join(offenders)
 
 
