@@ -4612,14 +4612,16 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT CAST(3 AS BIGINT), 'remove', 'f1.parquet', CAST(NULL AS BIGINT)
     """,
-    # deterministic lifecycle: drain1 FULL syncs f1 (1 action), drain2
-    # INCREMENTAL syncs f2 (1 action); final inventory = 2 region copies
+    # deterministic lifecycle: drain1 FULL-bootstraps after 2 marker files
+    # (v0 init + v1 add f1 — the trigger watches RAW commit markers so
+    # metadata-only commits count too), drain2 INCREMENTAL after 1 (v2 add
+    # f2); final inventory = 2 region copies
     "sync_continuous": """
         SELECT d.drain, f.fmt, 'SUCCESS' AS status, d.sync_mode,
-               CAST(1 AS BIGINT) AS n_commits,
+               CAST(d.n_commits AS BIGINT) AS n_commits,
                CAST(2 AS BIGINT) AS n_files,
                CAST(2 * (SELECT COUNT(*) FROM region) AS BIGINT) AS n_records
-        FROM (VALUES (1, 'FULL'), (2, 'INCREMENTAL')) d(drain, sync_mode)
+        FROM (VALUES (1, 'FULL', 2), (2, 'INCREMENTAL', 1)) d(drain, sync_mode, n_commits)
         CROSS JOIN (VALUES ('ICEBERG'), ('HUDI')) f(fmt)
     """,
     "token_calibration": """

@@ -23,7 +23,6 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from onetable_spark.model import TableFormat
-from onetable_spark.streaming.cdc import read_delta_log_stream
 from onetable_spark.sync.client import SyncClient, source_for, target_for
 
 
@@ -84,14 +83,14 @@ class ContinuousSync:
     def _foreach_batch(self, batch_df, _batch_id) -> None:
         # driver-ok: bounded single-row aggregate — the trigger needs only
         # "how many commits landed", not the actions themselves (a marker
-        # file can surface as several rows; Delta surfaces one per action)
-        ref = "version" if self.source_format is TableFormat.DELTA else "commit_ref"
-        n = batch_df.select(ref).distinct().count()
+        # file surfaces as one row per text line)
+        n = batch_df.select("commit_ref").distinct().count()
         if n:
             self._sync_once(n)
 
     def _stream(self):
         from onetable_spark.streaming.cdc import (
+            read_commit_marker_stream,
             read_hudi_commit_stream,
             read_iceberg_metadata_stream,
         )
@@ -100,7 +99,13 @@ class ContinuousSync:
             return read_hudi_commit_stream(self.spark, self.table_path)
         if self.source_format is TableFormat.ICEBERG:
             return read_iceberg_metadata_stream(self.spark, self.table_path)
-        return read_delta_log_stream(self.spark, self.table_path)
+        # Delta watches the RAW commit markers, not the filtered add/remove
+        # feed (streaming/cdc.read_delta_log_stream): a schema-change
+        # commit carries only a metaData action, which the data feed
+        # filters to zero rows — it must still trigger a sync
+        return read_commit_marker_stream(
+            self.spark, self.table_path.rstrip("/") + "/_delta_log", "[0-9]*.json"
+        )
 
     def _writer(self):
         return (

@@ -97,6 +97,36 @@ def test_live_service_picks_up_commit(spark, sf_dir, tmp_path):
         q.stop()
 
 
+def test_metadata_only_commit_triggers_sync(spark, sf_dir, tmp_path):
+    """A Delta SCHEMA-CHANGE commit carries only a metaData action — the
+    filtered add/remove feed sees zero rows, so the service watches raw
+    commit markers instead. The schema evolution must reach the target
+    without waiting for the next data commit."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    base = str(tmp_path / "meta_only")
+    ckpt = str(tmp_path / "meta_ckpt")
+    log = _stage(spark, sf_dir, base)
+    targets = (TableFormat.ICEBERG,)
+    ContinuousSync(spark, base, targets, ckpt).run_available_now()
+
+    schema_v2 = T.StructType(
+        list(spark.read.parquet(os.path.join(base, "f1.parquet")).schema.fields)
+        + [T.StructField("note", T.StringType(), True)]
+    )
+    meta = log.update_configuration({})
+    meta["schemaString"] = _json.dumps(schema_v2.jsonValue())
+    log.commit(metadata=meta)  # no adds, no removes
+
+    j = ContinuousSync(spark, base, targets, ckpt).run_available_now()
+    assert len(j) == 1 and j[0]["n_commits"] == 1
+    assert j[0]["results"]["ICEBERG"][0] == "SUCCESS"
+    evolved = {f.name for f in IcebergTable(spark, base).table_descriptor().read_schema.fields}
+    assert "note" in evolved
+
+
 def test_continuous_sync_hudi_source(spark, sf_dir, tmp_path):
     """Omni-directional: HUDI as the watched source (commit-marker stream
     over the .hoodie timeline), Delta + Iceberg as targets."""
