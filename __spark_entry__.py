@@ -28,9 +28,10 @@ DISTRIBUTED BPE TRAINING (`bpe_pair_counts` + functions/bpe.py — vocab-
 collapsed pair statistics and an aggregate-fold merge loop proven
 against a pure-Python Sennrich reference).
 The driver window is ROTATED this round (VERDICT r7 #4): the first 50
-registry entries re-sample the 32 stalest queries (all 22 tpch_*, the
-g-ops through g11 — last driver rows r1-r5) plus the r8 newcomers
-and the single-green r7 cohort.
+registry entries re-sample the 30 stalest queries (all 22 tpch_* and
+g1-g8 — last driver rows r1-r5) plus the r8 newcomers and the
+single-green r7 cohort; g10/g11/g12/dedup_exact/fingerprint_dedup
+stay in the stale pool for the next rotation.
 
 Round-7 surface summary: metadata-plane relational operators
 (G1-G13) + the full sync lifecycle under the gate (inventory, change

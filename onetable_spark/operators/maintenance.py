@@ -170,7 +170,10 @@ def compact_table(
         removed_paths.extend(members)
 
     adds = build_inventory(spark, merged_paths, root=table_path)
-    removes = files.where(F.col("path").isin(removed_paths))
+    # semi-join, not isin(): tens of thousands of removed paths as Catalyst
+    # literals would bloat the plan; a broadcast join keeps it O(1)
+    removed_df = spark.createDataFrame([(p,) for p in removed_paths], "path string")
+    removes = files.join(F.broadcast(removed_df), "path", "left_semi")
     if fmt is TableFormat.DELTA:
         reader.commit(adds=adds, removes=removes, operation="OPTIMIZE")
     elif fmt is TableFormat.ICEBERG:

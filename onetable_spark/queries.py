@@ -2365,6 +2365,7 @@ def _validate_staged(
     source_fmt: str,
     target_fmts: tuple[str, ...],
     skip_spec: tuple[str, ...] = (),
+    skip_schema: tuple[str, ...] = (),
 ) -> None:
     """Post-stage regression tripwire (VERDICT r7 #8): every staged e2e
     lifecycle runs the SyncValidator over its FINAL state before the
@@ -2372,7 +2373,11 @@ def _validate_staged(
     spec/schema/counts/stats now fails the staging loudly instead of
     surfacing rounds later as an oracle hash mismatch. ``skip_spec``
     names targets whose partition spec legitimately diverges (e.g. the
-    Hudi pinned-config rejection in sync_partition_evolution)."""
+    Hudi pinned-config rejection in sync_partition_evolution);
+    ``skip_schema`` names targets whose schema legitimately diverges
+    (Delta materializes generated partition columns as physical schema
+    fields — schema/partitions.py C5 — where Iceberg/Hudi carry only the
+    transform)."""
     from onetable_spark.formats.delta import DeltaLog
     from onetable_spark.formats.hudi import HudiTimeline
     from onetable_spark.formats.iceberg import IcebergTable
@@ -2394,6 +2399,7 @@ def _validate_staged(
             c
             for c in ALL_CHECKS
             if not (fmt in skip_spec and c == ValidationCheck.CHECK_TABLE_SPEC)
+            and not (fmt in skip_schema and c == ValidationCheck.CHECK_SCHEMA)
         )
         results = validator.validate(source, readers[fmt](), checks)
         bad = {k.value: r.error_message for k, r in results.items() if not r.success}
@@ -2682,6 +2688,9 @@ def q_sync_inventory(spark: SparkSession, sf: str) -> DataFrame:
             ],
         )
         _require(all(r.status.value == "SUCCESS" for r in results.values()), results)
+        # regression tripwire: the three freshly-bootstrapped targets must
+        # agree with each other on schema/spec/counts/stats
+        _validate_staged(spark, b, "DELTA", ("ICEBERG", "HUDI"))
         return b
 
     base = _staged_once(spark, sf, "otb_sync_q", build)
@@ -3052,6 +3061,22 @@ def q_sync_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
             if "partition spec change rejected" not in str(e):
                 raise
             hudi_rejected = True
+
+        # regression tripwire over the FINAL staged state, sourced from
+        # Iceberg: Hudi's spec check is skipped because its spec DIVERGING
+        # is the very behavior under test (pinned-config rejection); the
+        # Delta schema check is skipped because Delta materializes the
+        # generated partition column (order_month) as a physical schema
+        # field by design (C5) — spec/counts/stats must still agree, and
+        # v1/v2 carry the identical file inventory
+        _validate_staged(
+            spark,
+            base,
+            "ICEBERG",
+            ("DELTA", "HUDI"),
+            skip_spec=("HUDI",),
+            skip_schema=("DELTA",),
+        )
 
         ice = IcebergTable(spark, base)
         md = ice.metadata()
@@ -5483,14 +5508,17 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g6_filter_predicates": q_g6_filter_predicates,
     "g7_max_agg": q_g7_max_agg,
     "g8_stats_regroup": q_g8_stats_regroup,
+    # ============ past the driver's 50-entry window (the boundary falls
+    # EXACTLY after g8 — position 50; late-r8 newcomers displaced
+    # g10/g11/g12/dedup_exact/fingerprint_dedup back into the stale
+    # pool): driver-green in earlier rounds, still oracle-checked by
+    # tools/check_oracle.py + test_queries_smoke.py on every pytest
+    # run ============
     "g10_json_flatten": q_g10_json_flatten,
     "g11_sort_commits": q_g11_sort_commits,
     "g12_latest_instant": q_g12_latest_instant,
     "dedup_exact": q_dedup_exact,
     "fingerprint_dedup": q_fingerprint_dedup,
-    # ============ past the driver's 50-entry window: driver-green in
-    # >=2 earlier rounds, still oracle-checked by tools/check_oracle.py +
-    # test_queries_smoke.py on every pytest run ============
     # rotated out in r8 (hash-green r6+r7):
     "pii_redaction": q_pii_redaction,
     "contamination_span": q_contamination_span,

@@ -78,11 +78,16 @@ def read_commit_marker_stream(
 
 
 def read_hudi_commit_stream(spark: SparkSession, table_path: str) -> DataFrame:
-    """Completed-instant feed from a Hudi timeline (commit_ref = instant)."""
+    """Completed-instant feed from a Hudi timeline (commit_ref = instant).
+
+    Rollback and restore are snapshot-CHANGING undo actions (they remove
+    files from the live view — formats/hudi.py applies them in replay), so
+    they must trigger a continuous sync just like commits; clean and
+    savepoint are no-ops for the file view and stay excluded."""
     return read_commit_marker_stream(
         spark,
         table_path.rstrip("/") + "/.hoodie",
-        "*.{commit,deltacommit,replacecommit}",
+        "*.{commit,deltacommit,replacecommit,rollback,restore}",
     )
 
 

@@ -37,9 +37,12 @@ class ContinuousSync:
     the service resume from each other.
 
     The stream is only a TRIGGER: every sync replays "everything since the
-    target watermarks", never the batch contents — so a trigger lost to a
-    transient sync error (journaled, stream kept alive, RunSync.java's
-    per-run isolation) is caught up in full by the next one.
+    target watermarks", never the batch contents. Transient sync errors
+    retry in-batch (``max_sync_attempts``); if they exhaust, the error is
+    journaled and RE-RAISED so the micro-batch never checkpoints — a
+    consumed trigger would strand the commit until an unrelated later one,
+    whereas failing the query lets a restart from the same checkpoint
+    replay this exact trigger (the cron this replaces retries every run).
     """
 
     spark: SparkSession
@@ -52,33 +55,52 @@ class ContinuousSync:
     # per micro-batch that contained commits)
     journal: list[dict] = field(default_factory=list)
 
+    #: in-batch retries before the trigger is surfaced as a failure
+    max_sync_attempts = 3
+
     def _sync_once(self, n_commits: int) -> None:
         from onetable_spark.cli import _target_reader
         from onetable_spark.sync.validation import SnapshotReaderAdapter, SyncValidator
 
         entry: dict = {"n_commits": n_commits, "results": {}}
-        try:
-            client = SyncClient(self.spark)
-            source = source_for(self.spark, self.source_format, self.table_path)
-            targets = [
-                target_for(self.spark, fmt, self.table_path)
-                for fmt in self.target_formats
-            ]
-            results = client.sync(source, targets)
-            target_by_fmt = {t.table_format: t for t in targets}
-            for fmt, r in results.items():
-                status = r.status.value
-                if self.validate and status == "SUCCESS":
-                    checks = SyncValidator().validate(
-                        SnapshotReaderAdapter(source), _target_reader(target_by_fmt[fmt])
-                    )
-                    if not all(v.success for v in checks.values()):
-                        status = "VALIDATION_FAILED"
-                entry["results"][fmt.value] = (status, r.mode.value)
-        except Exception as e:  # noqa: BLE001 — keep the service alive;
-            # the next trigger replays from the watermark, losing nothing
-            entry["error"] = str(e)
+        last_err: Exception | None = None
+        for attempt in range(self.max_sync_attempts):
+            try:
+                client = SyncClient(self.spark)
+                source = source_for(self.spark, self.source_format, self.table_path)
+                targets = [
+                    target_for(self.spark, fmt, self.table_path)
+                    for fmt in self.target_formats
+                ]
+                results = client.sync(source, targets)
+                target_by_fmt = {t.table_format: t for t in targets}
+                for fmt, r in results.items():
+                    status = r.status.value
+                    if self.validate and status == "SUCCESS":
+                        checks = SyncValidator().validate(
+                            SnapshotReaderAdapter(source),
+                            _target_reader(target_by_fmt[fmt]),
+                        )
+                        if not all(v.success for v in checks.values()):
+                            status = "VALIDATION_FAILED"
+                    entry["results"][fmt.value] = (status, r.mode.value)
+                self.journal.append(entry)
+                return
+            except Exception as e:  # noqa: BLE001 — transient sync errors
+                # (CAS contention with a racing manual sync, FS hiccups)
+                # retry within the batch
+                last_err = e
+                import time as _time
+
+                _time.sleep(0.1 * (attempt + 1))
+        # exhausted: journal AND re-raise so the micro-batch does NOT
+        # checkpoint — consuming the trigger here would strand the commit
+        # until an unrelated future commit lands (the cron it replaces
+        # retries on every run; failing the query is our equivalent, and
+        # a restart from the same checkpoint replays this exact trigger)
+        entry["error"] = str(last_err)
         self.journal.append(entry)
+        raise last_err
 
     def _foreach_batch(self, batch_df, _batch_id) -> None:
         # driver-ok: bounded single-row aggregate — the trigger needs only

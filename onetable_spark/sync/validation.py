@@ -129,19 +129,28 @@ class SyncValidator:
         if s_spec != t_spec:
             return f"partition spec drift: source={s_spec} target={t_spec}"
         # Record keys: Delta has no protocol-level key concept, so an empty
-        # target key set is legal there (the reference consumes
+        # target key set is always legal there (the reference consumes
         # recordKeyFields only in the Hudi table config and the Iceberg
         # identifierFieldIds mapping, IcebergSchemaExtractor.java:69-99 —
-        # DeltaClient has no equivalent). An Iceberg target may also be
-        # legitimately empty when a key field is optional (the extractor's
-        # all-required gate). A NON-empty target key set must always match.
-        if tuple(s.record_key_fields) != tuple(t.record_key_fields) and not (
-            not t.record_key_fields and t.table_format != TableFormat.HUDI
-        ):
-            return (
-                f"record keys drift: source={s.record_key_fields} "
-                f"target={t.record_key_fields}"
-            )
+        # DeltaClient has no equivalent). An EMPTY Iceberg key set is legal
+        # ONLY when some source key field is nullable in the target schema
+        # (identifier fields must be required — the extractor's
+        # all-required gate); with all key fields required, an empty set
+        # means the identifier-field-id mapping was dropped, which is the
+        # drift this check exists to catch.
+        if tuple(s.record_key_fields) != tuple(t.record_key_fields):
+            waived = False
+            if not t.record_key_fields and s.record_key_fields:
+                if t.table_format is TableFormat.DELTA:
+                    waived = True
+                elif t.table_format is TableFormat.ICEBERG:
+                    nullable = {f.name for f in t.read_schema.fields if f.nullable}
+                    waived = any(k in nullable for k in s.record_key_fields)
+            if not waived:
+                return (
+                    f"record keys drift: source={s.record_key_fields} "
+                    f"target={t.record_key_fields}"
+                )
         return None
 
     @staticmethod

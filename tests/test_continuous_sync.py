@@ -97,6 +97,39 @@ def test_live_service_picks_up_commit(spark, sf_dir, tmp_path):
         q.stop()
 
 
+def test_failed_sync_does_not_consume_the_trigger(spark, sf_dir, tmp_path, monkeypatch):
+    """A sync that exhausts its retries must FAIL the micro-batch so the
+    checkpoint never records the trigger — the commit is replayed on the
+    next drain instead of stranding until an unrelated future commit."""
+    import pytest as _pytest
+
+    from onetable_spark.sync import continuous as cont_mod
+
+    base = str(tmp_path / "failtbl")
+    ckpt = str(tmp_path / "failckpt")
+    _stage(spark, sf_dir, base)
+    targets = (TableFormat.ICEBERG,)
+
+    class _Boom(RuntimeError):
+        pass
+
+    def boom(self, source, targets):
+        raise _Boom("transient")
+
+    monkeypatch.setattr(cont_mod.SyncClient, "sync", boom)
+    failing = ContinuousSync(spark, base, targets, ckpt)
+    failing.max_sync_attempts = 1
+    with _pytest.raises(Exception):
+        failing.run_available_now()
+    assert failing.journal and "error" in failing.journal[0]
+    monkeypatch.undo()
+
+    # same checkpoint, healthy client: the ORIGINAL trigger replays
+    j = ContinuousSync(spark, base, targets, ckpt).run_available_now()
+    assert len(j) == 1 and j[0]["results"]["ICEBERG"] == ("SUCCESS", "FULL")
+    assert IcebergTable(spark, base).snapshot_files().count() == 1
+
+
 def test_metadata_only_commit_triggers_sync(spark, sf_dir, tmp_path):
     """A Delta SCHEMA-CHANGE commit carries only a metaData action — the
     filtered add/remove feed sees zero rows, so the service watches raw
@@ -152,7 +185,7 @@ def test_continuous_sync_hudi_source(spark, sf_dir, tmp_path):
     }
 
     shutil.copy(os.path.join(sf_dir, "region.parquet"), os.path.join(base, "f2.parquet"))
-    tl.commit(adds=build_inventory(spark, [os.path.join(base, "f2.parquet")], root=base))
+    i2 = tl.commit(adds=build_inventory(spark, [os.path.join(base, "f2.parquet")], root=base))
     j2 = ContinuousSync(
         spark, base, targets, ckpt, source_format=TableFormat.HUDI
     ).run_available_now()
@@ -160,6 +193,18 @@ def test_continuous_sync_hudi_source(spark, sf_dir, tmp_path):
     assert j2[0]["results"]["DELTA"] == ("SUCCESS", "INCREMENTAL")
     assert DeltaLog(spark, base).snapshot_files().count() == 2
     assert IcebergTable(spark, base).snapshot_files().count() == 2
+
+    # a ROLLBACK is a snapshot-changing undo action: it must trigger a
+    # sync (the marker glob includes *.rollback) and the targets must
+    # drop back to the pre-i2 view
+    tl.rollback(i2)
+    j3 = ContinuousSync(
+        spark, base, targets, ckpt, source_format=TableFormat.HUDI
+    ).run_available_now()
+    assert len(j3) == 1 and j3[0]["n_commits"] == 1
+    assert tl.snapshot_files().count() == 1
+    assert DeltaLog(spark, base).snapshot_files().count() == 1
+    assert IcebergTable(spark, base).snapshot_files().count() == 1
 
 
 def test_continuous_sync_iceberg_source(spark, sf_dir, tmp_path):

@@ -189,15 +189,25 @@ def test_iceberg_metadata_version_claim_is_exclusive(spark, sf_dir, tmp_path):
 
 def test_no_driver_collect_in_query_paths():
     """Scale guard: no unbounded driver materialization in operator/query
-    code. A site is sanctioned only by a ``# driver-ok:`` justification on
-    the same or preceding line (the convention tools/check_plans.py
-    enforces — this test keeps the two gates agreeing) or by the explicit
-    allowlist (the IVF trainer's max_train_rows-capped sample)."""
+    code. A site must carry a ``# driver-ok:`` justification (same or
+    preceding line — the tools/check_plans.py convention) AND appear in
+    the reviewed per-file allowance below; a glib marker alone cannot
+    self-certify a new collect — adding one forces an edit here, i.e. a
+    review of its boundedness argument."""
     import pathlib
+    from collections import Counter
 
+    # file -> number of sanctioned driver-materialization sites:
+    #   similarity.py: IVF trainer's max_train_rows-capped sample
+    #   bpe.py: per-iteration limit(1) arg-max fetch
+    #   maintenance.py: O(planned bins) compaction plan
+    sanctioned = {
+        "functions/similarity.py": 1,
+        "functions/bpe.py": 1,
+        "operators/maintenance.py": 1,
+    }
     root = pathlib.Path(__file__).parent.parent / "onetable_spark"
-    allowed = {("functions/similarity.py", "sample.collect()")}
-    offenders = []
+    offenders, marked = [], Counter()
     for py in list((root / "functions").glob("*.py")) + list((root / "operators").glob("*.py")) + [
         root / "queries.py"
     ]:
@@ -209,9 +219,20 @@ def test_no_driver_collect_in_query_paths():
                 justified = "# driver-ok:" in line or (
                     i >= 2 and "# driver-ok:" in lines[i - 2]
                 )
-                if justified or any(rel == f and frag in code for f, frag in allowed):
-                    continue
-                offenders.append(f"{rel}:{i}: {line.strip()}")
+                # similarity.py's capped sample predates the marker style
+                justified = justified or (
+                    rel == "functions/similarity.py" and "sample.collect()" in code
+                )
+                if not justified:
+                    offenders.append(f"{rel}:{i}: {line.strip()} (no driver-ok marker)")
+                else:
+                    marked[rel] += 1
+    for rel, n in marked.items():
+        if n > sanctioned.get(rel, 0):
+            offenders.append(
+                f"{rel}: {n} marked collect sites but only "
+                f"{sanctioned.get(rel, 0)} sanctioned — review and extend the allowance"
+            )
     assert not offenders, "driver-side materialization in query path:\n" + "\n".join(offenders)
 
 
