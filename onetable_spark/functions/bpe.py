@@ -69,6 +69,43 @@ def apply_merge(vocab: DataFrame, a: str, b: str, syms_col: str = "syms") -> Dat
     return vocab.withColumn(syms_col, fold)
 
 
+def encode_words(
+    vocab: DataFrame, merges: list[tuple[str, str]], word_col: str = "word"
+) -> DataFrame:
+    """Tokenize each word with a learned merge list (adds ``tokens``).
+
+    Applies merges by RANK (lowest learned rank first) — the standard BPE
+    encode, equivalent to replaying the merges in learned order. A
+    32k-merge vocabulary cannot be a Column-expression chain (32k nested
+    folds), so this is the sanctioned Python path: one Arrow-batched
+    pandas_udf with the rank dict broadcast in the closure, vectorized
+    over whole batches — never a row-at-a-time Python UDF.
+    """
+    import pandas as pd  # noqa: F401 — pandas_udf contract
+    from pyspark.sql.functions import pandas_udf
+
+    ranks = {pair: i for i, pair in enumerate(merges)}
+
+    @pandas_udf("array<string>")
+    def enc(words):
+        def one(w: str) -> list[str]:
+            syms = list(w)
+            while len(syms) >= 2:
+                best_rank, best_i = None, -1
+                for i in range(len(syms) - 1):
+                    r = ranks.get((syms[i], syms[i + 1]))
+                    if r is not None and (best_rank is None or r < best_rank):
+                        best_rank, best_i = r, i
+                if best_rank is None:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            return syms
+
+        return words.map(one)
+
+    return vocab.withColumn("tokens", enc(F.col(word_col)))
+
+
 def learn_merges(docs: DataFrame, n_merges: int, text_col: str = "text") -> list[tuple[str, str]]:
     """Learn ``n_merges`` BPE merges from the corpus; returns them in order.
 

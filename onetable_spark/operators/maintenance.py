@@ -89,6 +89,7 @@ def compact_table(
     table_path: str,
     target_bytes: int,
     min_files: int = 2,
+    max_bins: int | None = None,
 ) -> dict:
     """Execute OPTIMIZE end-to-end on a native table: plan bins over
     ``snapshot_files()``, rewrite each bin into one merged data file, and
@@ -107,8 +108,11 @@ def compact_table(
     Scale note: bin PLANNING is fully distributed; bin EXECUTION is one
     bounded Spark job per bin issued from a driver loop over the planned
     bins (driver state is O(bins), the same order as the commit payload
-    itself). At 100 TB you bound the loop with a max-bins-per-run knob the
-    way real OPTIMIZE jobs do — the commit is transactional either way.
+    itself). At 100 TB, bound the loop with ``max_bins`` the way real
+    OPTIMIZE jobs do — the deterministic (partition, bin_id) order makes
+    repeated bounded runs converge, and each run's commit is transactional
+    either way. The result reports ``bins_deferred`` so a bounded run
+    never silently reads as "fully compacted" (the no-silent-caps rule).
     """
     import os
     import uuid
@@ -147,11 +151,16 @@ def compact_table(
         assigned.groupBy("_pp", "bin_id")
         .agg(F.collect_list("path").alias("members"))
         .where(F.size("members") >= min_files)
+        .orderBy("_pp", "bin_id")
         # driver-ok: O(planned bins + member paths), the commit payload's own size
         .collect()
     )
+    deferred = 0
+    if max_bins is not None and len(bins) > max_bins:
+        deferred = len(bins) - max_bins
+        bins = bins[:max_bins]
     if not bins:
-        return {"bins": 0, "files_removed": 0, "files_added": 0}
+        return {"bins": 0, "files_removed": 0, "files_added": 0, "bins_deferred": deferred}
 
     merged_paths: list[str] = []
     removed_paths: list[str] = []
@@ -194,4 +203,5 @@ def compact_table(
         "bins": len(bins),
         "files_removed": len(removed_paths),
         "files_added": len(merged_paths),
+        "bins_deferred": deferred,
     }

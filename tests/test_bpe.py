@@ -74,6 +74,36 @@ def test_apply_merge_greedy_leftmost_nonoverlapping(spark):
     assert out == ["aa", "a"]
 
 
+def test_encode_matches_sequential_merge_replay(spark):
+    """Rank-priority encoding (encode_words) must equal replaying the
+    learned merges in order — the classic BPE equivalence — and the
+    tokens must reassemble the word exactly."""
+    from onetable_spark.functions.bpe import encode_words
+
+    docs = spark.createDataFrame([(t,) for t in CORPUS], "text string")
+    merges = learn_merges(docs, n_merges=6)
+
+    def replay(w: str) -> list[str]:
+        syms = list(w)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    vocab = word_frequencies(docs)
+    got = {r["word"]: r["tokens"] for r in encode_words(vocab, merges).collect()}
+    for word, tokens in got.items():
+        assert tokens == replay(word), word
+        assert "".join(tokens) == word
+
+
 def test_pair_stats_weighted_by_word_frequency(spark):
     docs = spark.createDataFrame([("ab ab ab cd",)], "text string")
     vocab = word_frequencies(docs).withColumn("syms", F.split("word", ""))

@@ -169,7 +169,7 @@ def test_compact_table_all_formats(spark, sf_dir, tmp_path):
         target = int(before.agg(F.sum("size")).collect()[0][0]) * 2
 
         out = compact_table(spark, fmt, base, target_bytes=target)
-        assert out == {"bins": 1, "files_removed": n_files, "files_added": 1}, fmt
+        assert out == {"bins": 1, "files_removed": n_files, "files_added": 1, "bins_deferred": 0}, fmt
 
         live = reader.snapshot_files()
         assert live.count() == 1, fmt
@@ -181,7 +181,42 @@ def test_compact_table_all_formats(spark, sf_dir, tmp_path):
             "bins": 0,
             "files_removed": 0,
             "files_added": 0,
+            "bins_deferred": 0,
         }, fmt
+
+
+def test_compact_table_max_bins_bounded_runs_converge(spark, sf_dir, tmp_path):
+    """max_bins bounds one run's work and REPORTS the deferral; repeated
+    bounded runs converge because the (partition, bin_id) order is
+    deterministic."""
+    from onetable_spark.model import TableFormat
+    from onetable_spark.operators.maintenance import compact_table
+
+    base = str(tmp_path / "bounded")
+    src = os.path.join(sf_dir, "region.parquet")
+    for part in ("k=a", "k=b"):
+        d = os.path.join(base, part)
+        os.makedirs(d)
+        for i in range(2):
+            shutil.copy(src, os.path.join(d, f"small{i}.parquet"))
+    schema = spark.read.parquet(os.path.join(base, "k=a")).schema
+    log = DeltaLog(spark, base)
+    log.init_table(
+        Table(name="b", base_path=base, table_format=TableFormat.DELTA, read_schema=schema)
+    )
+    inv = build_inventory(
+        spark,
+        [os.path.join(base, p, f"small{i}.parquet") for p in ("k=a", "k=b") for i in range(2)],
+        root=base,
+    )
+    log.commit(adds=inv)
+    target = int(log.snapshot_files().agg(F.sum("size")).collect()[0][0]) * 2
+
+    r1 = compact_table(spark, TableFormat.DELTA, base, target_bytes=target, max_bins=1)
+    assert r1 == {"bins": 1, "files_removed": 2, "files_added": 1, "bins_deferred": 1}
+    r2 = compact_table(spark, TableFormat.DELTA, base, target_bytes=target, max_bins=1)
+    assert r2 == {"bins": 1, "files_removed": 2, "files_added": 1, "bins_deferred": 0}
+    assert log.snapshot_files().count() == 2  # one merged file per partition
 
 
 def test_compact_table_partitioned_hudi(spark, sf_dir, tmp_path):
@@ -211,7 +246,7 @@ def test_compact_table_partitioned_hudi(spark, sf_dir, tmp_path):
 
     target = int(tl.snapshot_files().agg(F.sum("size")).collect()[0][0]) * 2
     out = compact_table(spark, TableFormat.HUDI, base, target_bytes=target)
-    assert out == {"bins": 2, "files_removed": 4, "files_added": 2}
+    assert out == {"bins": 2, "files_removed": 4, "files_added": 2, "bins_deferred": 0}
 
     live = tl.snapshot_files().collect()
     assert len(live) == 2
