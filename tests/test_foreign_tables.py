@@ -219,3 +219,50 @@ def test_foreign_tables_three_format_read_equivalence(spark, foreign):
             inventories.append(inv)
         assert inventories[0] == inventories[1] == inventories[2]
         assert sum(rc for _, rc in inventories[0]) == n_rows
+
+
+def test_foreign_fixtures_through_continuous_sync(spark, tmp_path):
+    """The continuous-sync service watches REAL-runtime-written metadata:
+    fresh fixture copies (never synced) are bootstrapped by one
+    availableNow drain in each direction — the marker streams parse real
+    delta-spark commit naming and real Hudi instant naming, and an empty
+    second drain triggers nothing."""
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import TableFormat
+    from onetable_spark.sync.continuous import ContinuousSync
+
+    dd = str(tmp_path / "delta_geo")
+    hd = str(tmp_path / "hudi_cust")
+    shutil.copytree(DELTA_FIXTURE, dd)
+    shutil.copytree(HUDI_FIXTURE, hd)
+
+    jd = ContinuousSync(
+        spark, dd, (TableFormat.ICEBERG, TableFormat.HUDI),
+        str(tmp_path / "dckpt"), validate=True,
+    ).run_available_now()
+    assert len(jd) == 1 and jd[0]["results"] == {
+        "ICEBERG": ("SUCCESS", "FULL"),
+        "HUDI": ("SUCCESS", "FULL"),
+    }
+    assert IcebergTable(spark, dd).snapshot_files().count() == 1
+
+    jh = ContinuousSync(
+        spark, hd, (TableFormat.DELTA, TableFormat.ICEBERG),
+        str(tmp_path / "hckpt"), source_format=TableFormat.HUDI, validate=True,
+    ).run_available_now()
+    assert len(jh) == 1 and jh[0]["n_commits"] == 1
+    assert jh[0]["results"] == {
+        "DELTA": ("SUCCESS", "FULL"),
+        "ICEBERG": ("SUCCESS", "FULL"),
+    }
+    assert DeltaLog(spark, hd).snapshot_files().count() == 1
+
+    # drained: nothing left to trigger in either direction
+    assert ContinuousSync(
+        spark, dd, (TableFormat.ICEBERG,), str(tmp_path / "dckpt")
+    ).run_available_now() == []
+    assert ContinuousSync(
+        spark, hd, (TableFormat.ICEBERG,), str(tmp_path / "hckpt"),
+        source_format=TableFormat.HUDI,
+    ).run_available_now() == []
