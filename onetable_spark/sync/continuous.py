@@ -146,3 +146,57 @@ class ContinuousSync:
     def start(self, interval: str = "30 seconds"):
         """Long-lived service: sync whenever new commits appear."""
         return self._writer().trigger(processingTime=interval).start()
+
+
+@dataclass
+class AutoOptimize(ContinuousSync):
+    """Auto-compaction service: the same commit-marker trigger, but the
+    action is ``compact_table`` on the watched table itself (instead of a
+    cross-format sync) — the standing OPTIMIZE job every real lakehouse
+    deployment schedules, here push-driven by the table's own commit log.
+
+    Fires only when the live small-file count reaches ``min_small_files``
+    (one metadata aggregate per trigger, no data read), so a healthy table
+    costs one snapshot scan per commit and nothing else. The compaction
+    commit itself lands on the watched log and re-triggers one evaluation,
+    which finds merged-or-singleton files and does nothing — the loop is
+    self-quenching, not self-amplifying. ``max_bins_per_run`` bounds each
+    run the way compact_table's ``max_bins`` documents.
+    """
+
+    target_bytes: int = 128 * 1024 * 1024
+    min_small_files: int = 8
+    max_bins_per_run: int | None = None
+
+    def _sync_once(self, n_commits: int) -> None:  # noqa: D401 — action override
+        from pyspark.sql import functions as F
+
+        from onetable_spark.formats.delta import DeltaLog
+        from onetable_spark.formats.hudi import HudiTimeline
+        from onetable_spark.formats.iceberg import IcebergTable
+        from onetable_spark.operators.maintenance import compact_table
+
+        reader = {
+            TableFormat.DELTA: DeltaLog,
+            TableFormat.ICEBERG: IcebergTable,
+            TableFormat.HUDI: HudiTimeline,
+        }[self.source_format](self.spark, self.table_path)
+        entry: dict = {"n_commits": n_commits}
+        # driver-ok: single-row metadata aggregate (small-file count)
+        n_small = (
+            reader.snapshot_files()
+            .where(F.col("size").cast("long") < self.target_bytes)
+            .count()
+        )
+        entry["n_small_files"] = n_small
+        if n_small >= self.min_small_files:
+            entry.update(
+                compact_table(
+                    self.spark,
+                    self.source_format,
+                    self.table_path,
+                    target_bytes=self.target_bytes,
+                    max_bins=self.max_bins_per_run,
+                )
+            )
+        self.journal.append(entry)

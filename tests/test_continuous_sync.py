@@ -276,3 +276,42 @@ def test_continuous_sync_idempotent_under_manual_race(spark, sf_dir, tmp_path):
     assert ice.snapshot_files().count() == 2
     # idempotent: the raced trigger did not double-apply the commit
     assert ice.metadata()["current-snapshot-id"] == ice_before
+
+
+def test_auto_optimize_service(spark, sf_dir, tmp_path):
+    """AutoOptimize: commit-triggered compaction that fires only past the
+    small-file threshold, compacts, and self-quenches (its own rewrite
+    commit re-triggers one evaluation that finds nothing to do)."""
+    from pyspark.sql import functions as F
+
+    from onetable_spark.sync.continuous import AutoOptimize
+
+    base = str(tmp_path / "autoopt")
+    ckpt = str(tmp_path / "aockpt")
+    log = _stage(spark, sf_dir, base)  # 1 small file
+
+    total = int(log.snapshot_files().agg(F.sum("size")).collect()[0][0])
+    svc = lambda: AutoOptimize(  # noqa: E731
+        spark, base, (), ckpt, target_bytes=total * 8, min_small_files=3
+    )
+
+    # below threshold: evaluated, not compacted
+    j1 = svc().run_available_now()
+    assert j1 == [{"n_commits": 2, "n_small_files": 1}]  # v0 init + v1 add
+
+    for i in (2, 3):
+        p = os.path.join(base, f"f{i}.parquet")
+        shutil.copy(os.path.join(sf_dir, "region.parquet"), p)
+        log.commit(adds=build_inventory(spark, [p], root=base))
+
+    # threshold reached: one compaction run merges all three
+    j2 = svc().run_available_now()
+    assert j2[0]["n_small_files"] == 3 and j2[0]["bins"] == 1
+    assert j2[0]["files_removed"] == 3 and j2[0]["files_added"] == 1
+    assert log.snapshot_files().count() == 1
+
+    # self-quenching: the rewrite commit triggers ONE evaluation that
+    # finds a single (already-merged) small file and does nothing
+    j3 = svc().run_available_now()
+    assert j3 == [{"n_commits": 1, "n_small_files": 1}]
+    assert svc().run_available_now() == []
