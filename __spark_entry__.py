@@ -4,7 +4,7 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 8: 118 queries. New this round: FOREIGN-TABLE
+Surface as of round 8: 119 queries. New this round: FOREIGN-TABLE
 CONFORMANCE (`sync_foreign_table` — the native Delta/Hudi planes read
 REAL delta-spark / Hudi-runtime fixture tables from the reference's
 demo data, sync them into the other two formats, and hash the
@@ -15,7 +15,8 @@ directory ingested via spark.read.format("binaryFile") with glob
 filtering + partition pruning, decoded by the mapInPandas codecs),
 STREAMING CDC over the native Delta log (`streaming_cdc_feed` — the
 reference's batch change pull as a checkpointed Structured Streaming
-file source over _delta_log; resume = lastSyncedInstant), CONTINUOUS
+file source over _delta_log, plus the rich per-file Hudi timeline feed
+streaming_cdc_hudi; resume = lastSyncedInstant), CONTINUOUS
 SYNC (`sync_continuous` — the RunSync cron loop as a streaming service:
 the CDC stream triggers the idempotent incremental sync per landed
 commit, exactly-once per commit file, race-safe; cli.py --watch), an
@@ -28,9 +29,9 @@ DISTRIBUTED BPE TRAINING (`bpe_pair_counts` + functions/bpe.py — vocab-
 collapsed pair statistics and an aggregate-fold merge loop proven
 against a pure-Python Sennrich reference).
 The driver window is ROTATED this round (VERDICT r7 #4): the first 50
-registry entries re-sample the 30 stalest queries (all 22 tpch_* and
-g1-g8 — last driver rows r1-r5) plus the r8 newcomers and the
-single-green r7 cohort; g10/g11/g12/dedup_exact/fingerprint_dedup
+registry entries re-sample the 29 stalest queries (all 22 tpch_* and
+g1-g7 — last driver rows r1-r5) plus the r8 newcomers and the
+single-green r7 cohort; g8/g10/g11/g12/dedup_exact/fingerprint_dedup
 stay in the stale pool for the next rotation.
 
 Round-7 surface summary: metadata-plane relational operators
@@ -62,7 +63,7 @@ partition, end-to-end corpus curation, multimodal
 decode with runtime codec selection whose deterministic stub fallback is
 reproduced in SQL, and EXACT REPEATED-SUBSTRING dedup — the Lee et al.
 2022 ExactSubstr criterion as a diagonal-run detection over rolling
-window hashes). ALL 118 carry DuckDB value-hash oracles — round 7
+window hashes). ALL 119 carry DuckDB value-hash oracles — round 7
 closed the last 5 `no_oracle` gaps: the LSH/IVF queries emit their exact
 ground truth plus IN-PLAN contract booleans (subset-of-exact, pinned
 recall bounds), and simhash_near_dups moved to md5-derived token hashes

@@ -3716,6 +3716,52 @@ def q_streaming_cdc_feed(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_streaming_cdc_hudi(spark: SparkSession, sf: str) -> DataFrame:
+    """Rich streaming CDC from the HUDI timeline (streaming/cdc.py
+    read_hudi_change_stream): per-file adds with stats-plane record counts
+    parsed from the commit JSON (HoodieCommitMetadata — what
+    HudiDataFileExtractor consumes batch-side), multiLine-tolerant of real
+    Hudi's pretty-printed form. Instants are wall-clock timestamps, so the
+    output pins their ORDER (dense_rank → commit_seq) rather than their
+    values; the staged lifecycle commits f1 then f2 and the feed must
+    surface exactly those two adds in commit order."""
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.model import Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+    from onetable_spark.streaming.cdc import read_hudi_change_stream
+    from onetable_spark.streaming.events import run_available_now
+
+    def build(base: str) -> str:
+        import os as _os
+        import shutil as _shutil
+
+        _shutil.copy(_os.path.join(sf, "region.parquet"), _os.path.join(base, "f1.parquet"))
+        schema = spark.read.parquet(base).schema
+        tl = HudiTimeline(spark, base)
+        tl.init_table(
+            Table(name="hcdc", base_path=base, table_format=TableFormat.HUDI, read_schema=schema)
+        )
+        tl.commit(
+            adds=build_inventory(spark, [_os.path.join(base, "f1.parquet")], root=base),
+            schema=schema,
+        )
+        f2 = _os.path.join(base, "f2.parquet")
+        _shutil.copy(_os.path.join(sf, "region.parquet"), f2)
+        tl.commit(adds=build_inventory(spark, [f2], root=base))
+        return base
+
+    base = _staged_once(spark, sf, "otb_hcdc_q", build)
+    feed = run_available_now(
+        read_hudi_change_stream(spark, base), output_mode="append", shuffle_partitions=4
+    )
+    return feed.select(
+        F.dense_rank().over(Window.orderBy("instant")).alias("commit_seq"),
+        "change",
+        "file_name",
+        "record_count",
+    )
+
+
 def q_sync_continuous(spark: SparkSession, sf: str) -> DataFrame:
     """CONTINUOUS sync under the correctness gate (sync/continuous.py):
     the reference runs RunSync from cron; here the CDC stream over the
@@ -4637,6 +4683,14 @@ ORACLE_SQL: dict[str, str] = {
         UNION ALL
         SELECT CAST(3 AS BIGINT), 'remove', 'f1.parquet', CAST(NULL AS BIGINT)
     """,
+    # staged lifecycle: f1 then f2 (region copies) — the feed surfaces
+    # exactly those adds in commit order with stats-plane record counts
+    "streaming_cdc_hudi": """
+        SELECT CAST(s AS INT) AS commit_seq, 'add' AS change,
+               'f' || s || '.parquet' AS file_name,
+               CAST((SELECT COUNT(*) FROM region) AS BIGINT) AS record_count
+        FROM (VALUES (1), (2)) t(s)
+    """,
     # deterministic lifecycle: drain1 FULL-bootstraps after 2 marker files
     # (v0 init + v1 add f1 — the trigger watches RAW commit markers so
     # metadata-only commits count too), drain2 INCREMENTAL after 1 (v2 add
@@ -5452,6 +5506,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_foreign_table": q_sync_foreign_table,
     "multimodal_ingest": q_multimodal_ingest,
     "streaming_cdc_feed": q_streaming_cdc_feed,
+    "streaming_cdc_hudi": q_streaming_cdc_hudi,
     "sync_continuous": q_sync_continuous,
     "token_calibration": q_token_calibration,
     "compaction_bins": q_compaction_bins,
@@ -5507,13 +5562,13 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g5_min_over_group": q_g5_min_over_group,
     "g6_filter_predicates": q_g6_filter_predicates,
     "g7_max_agg": q_g7_max_agg,
-    "g8_stats_regroup": q_g8_stats_regroup,
     # ============ past the driver's 50-entry window (the boundary falls
-    # EXACTLY after g8 — position 50; late-r8 newcomers displaced
-    # g10/g11/g12/dedup_exact/fingerprint_dedup back into the stale
+    # EXACTLY after g7 — position 50; late-r8 newcomers displaced
+    # g8/g10/g11/g12/dedup_exact/fingerprint_dedup back into the stale
     # pool): driver-green in earlier rounds, still oracle-checked by
     # tools/check_oracle.py + test_queries_smoke.py on every pytest
     # run ============
+    "g8_stats_regroup": q_g8_stats_regroup,
     "g10_json_flatten": q_g10_json_flatten,
     "g11_sort_commits": q_g11_sort_commits,
     "g12_latest_instant": q_g12_latest_instant,

@@ -100,6 +100,72 @@ def read_iceberg_metadata_stream(spark: SparkSession, table_path: str) -> DataFr
     )
 
 
+_HUDI_STAT = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("numWrites", T.LongType()),
+    ]
+)
+_HUDI_COMMIT_SCHEMA = T.StructType(
+    [
+        T.StructField(
+            "partitionToWriteStats",
+            T.MapType(T.StringType(), T.ArrayType(_HUDI_STAT)),
+        ),
+        T.StructField(
+            "partitionToReplaceFileIds",
+            T.MapType(T.StringType(), T.ArrayType(T.StringType())),
+        ),
+    ]
+)
+
+
+def read_hudi_change_stream(spark: SparkSession, table_path: str) -> DataFrame:
+    """RICH streaming change feed from a Hudi timeline: one row per
+    written file (``change='add'``, record count from the commit's own
+    write stats — `HoodieCommitMetadata`, the payload
+    `HudiDataFileExtractor.java` consumes batch-side) and one per replaced
+    file GROUP (``change='remove'``, ``file_name`` = the fileId, the unit
+    replace-commits address). ``multiLine`` handles both this engine's
+    single-line commit JSON and real Hudi's pretty-printed form; the
+    instant is recovered from the marker file name. Columns:
+    ``(instant string, change string, file_name string, record_count long)``.
+    """
+    hoodie = table_path.rstrip("/") + "/.hoodie"
+    raw = (
+        spark.readStream.schema(_HUDI_COMMIT_SCHEMA)
+        .option("multiLine", "true")
+        .option("pathGlobFilter", "*.{commit,deltacommit,replacecommit}")
+        .json(hoodie)
+        .select(
+            "partitionToWriteStats",
+            "partitionToReplaceFileIds",
+            F.element_at(
+                F.split(F.element_at(F.split("_metadata.file_path", "/"), -1), "\\."), 1
+            ).alias("instant"),
+        )
+    )
+    adds = raw.select(
+        "instant",
+        F.explode(F.flatten(F.map_values("partitionToWriteStats"))).alias("s"),
+    ).select(
+        "instant",
+        F.lit("add").alias("change"),
+        F.element_at(F.split("s.path", "/"), -1).alias("file_name"),
+        F.col("s.numWrites").alias("record_count"),
+    )
+    removes = raw.where(F.col("partitionToReplaceFileIds").isNotNull()).select(
+        "instant",
+        F.explode(F.flatten(F.map_values("partitionToReplaceFileIds"))).alias("fid"),
+    ).select(
+        "instant",
+        F.lit("remove").alias("change"),
+        F.col("fid").alias("file_name"),
+        F.lit(None).cast("long").alias("record_count"),
+    )
+    return adds.unionByName(removes)
+
+
 def read_delta_log_stream(spark: SparkSession, table_path: str) -> DataFrame:
     """Streaming add/remove change feed from a Delta table's ``_delta_log``.
 

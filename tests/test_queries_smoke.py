@@ -40,13 +40,14 @@ MUST_BE_DRIVER_MEASURED = {
     "sync_foreign_table", "multimodal_ingest",
     # late-r8 newcomers (streaming CDC over the native Delta log,
     # continuous sync service, OLS token-cost calibration, OPTIMIZE-style
-    # compaction planner, BPE pair stats); their 5 window slots displace
-    # g10_json_flatten / g11_sort_commits / g12_latest_instant /
-    # dedup_exact / fingerprint_dedup back into the stale pool
-    # (driver-green r1-r5, still oracle-gated every pytest run) — the
-    # window boundary falls exactly after g8_stats_regroup
-    "streaming_cdc_feed", "sync_continuous", "token_calibration",
-    "compaction_bins", "bpe_pair_counts",
+    # compaction planner, BPE pair stats, rich Hudi CDC feed); their 6
+    # window slots displace g8_stats_regroup / g10_json_flatten /
+    # g11_sort_commits / g12_latest_instant / dedup_exact /
+    # fingerprint_dedup back into the stale pool (driver-green r1-r5,
+    # still oracle-gated every pytest run) — the window boundary falls
+    # exactly after g7_max_agg
+    "streaming_cdc_feed", "streaming_cdc_hudi", "sync_continuous",
+    "token_calibration", "compaction_bins", "bpe_pair_counts",
     # changed in r8 (selectExpr rewrite / new counter column): re-gate
     "repetition_filter", "substring_dedup",
     # r7 single-green holdovers: one more driver round before retiring
