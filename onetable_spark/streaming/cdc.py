@@ -92,7 +92,17 @@ def read_hudi_commit_stream(spark: SparkSession, table_path: str) -> DataFrame:
 
 
 def read_iceberg_metadata_stream(spark: SparkSession, table_path: str) -> DataFrame:
-    """Metadata-version feed from an Iceberg table (commit_ref = vN file)."""
+    """Metadata-version feed from an Iceberg table (commit_ref = vN file).
+
+    Deliberately trigger-only (no rich per-file variant like
+    ``read_hudi_change_stream``): Iceberg metadata is a DAG — a version
+    file points at a manifest LIST which points at manifests, and a
+    file's add/delete status is only meaningful relative to the snapshot
+    that references it — not a log of self-contained commit documents, so
+    a flat file stream over the avro cannot reconstruct changes. The
+    correct composition is this trigger plus the batch incremental scan
+    (`formats/iceberg.py changes_for_snapshot`), which is exactly what
+    `sync/continuous.py` runs per trigger."""
     return read_commit_marker_stream(
         spark,
         table_path.rstrip("/") + "/metadata",
