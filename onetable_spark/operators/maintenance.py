@@ -34,12 +34,15 @@ def assign_compaction_bins(
     part_cols: Sequence[str] = (),
     size_col: str = "size",
     order_col: str = "path",
+    pick_bytes: int | None = None,
 ) -> DataFrame:
     """Tag each small file with its compaction ``bin_id`` (the
     pre-aggregation step ``compact_table`` executes from).
 
-    Files at or above ``target_bytes`` are excluded up front: they are
-    already "compacted" and would each occupy a full stride anyway.
+    Files at or above ``pick_bytes`` (default: the bin stride
+    ``target_bytes``) are excluded up front: they are already "compacted"
+    and would each occupy a full stride anyway. ``compact_table`` passes
+    ``pick_bytes = target_bytes // 2`` (the min-file-size heuristic).
     """
     parts = [F.col(c) for c in part_cols]
     w = Window.partitionBy(*parts).orderBy(order_col)
@@ -47,7 +50,7 @@ def assign_compaction_bins(
     cum_excl = F.coalesce(
         F.sum(size).over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
     )
-    return files.where(size < target_bytes).withColumn(
+    return files.where(size < (pick_bytes if pick_bytes is not None else target_bytes)).withColumn(
         "bin_id", F.floor(cum_excl / F.lit(target_bytes))
     )
 
@@ -83,6 +86,34 @@ def plan_compaction_bins(
     )
 
 
+def reader_for(spark, fmt, table_path: str):
+    """The format's native metadata reader (one registry for every
+    maintenance consumer — compact_table, AutoOptimize)."""
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import TableFormat
+
+    fmt = TableFormat(fmt) if not isinstance(fmt, TableFormat) else fmt
+    return {
+        TableFormat.DELTA: DeltaLog,
+        TableFormat.ICEBERG: IcebergTable,
+        TableFormat.HUDI: HudiTimeline,
+    }[fmt](spark, table_path)
+
+
+def hive_partition_path(col: str = "partition_values"):
+    """Hive partition string from a partition_values map — a MapType
+    column cannot key a window/group partition, so inventories derive this
+    (same derivation the Hudi commit plane uses)."""
+    return F.concat_ws(
+        "/",
+        F.transform(
+            F.map_entries(col), lambda e: F.concat_ws("=", e["key"], e["value"])
+        ),
+    ).alias("_pp")
+
+
 def compact_table(
     spark,
     fmt,
@@ -90,6 +121,8 @@ def compact_table(
     target_bytes: int,
     min_files: int = 2,
     max_bins: int | None = None,
+    reader=None,
+    files: DataFrame | None = None,
 ) -> dict:
     """Execute OPTIMIZE end-to-end on a native table: plan bins over
     ``snapshot_files()``, rewrite each bin into one merged data file, and
@@ -100,10 +133,15 @@ def compact_table(
 
     The merged file is written next to its bin's members, so hive-derived
     partition values carry over unchanged. Returns
-    ``{"bins", "files_removed", "files_added"}``; a table with nothing to
-    compact returns zeros and commits nothing (idempotent — a second run
-    right after a first is a no-op because the merged files now sit at or
-    above ``target_bytes`` or form singleton bins).
+    ``{"bins", "files_removed", "files_added", "bins_deferred"}``; a table
+    with nothing to compact returns zeros and commits nothing (idempotent).
+
+    Only files under ``target_bytes // 2`` are picked — the standard
+    OPTIMIZE min-file-size heuristic. This bounds rewrite amplification
+    under bounded runs: an under-target merged file re-enters a later bin
+    only while it is still below HALF the target, so every byte's rewrite
+    count follows a doubling ladder (O(log) rewrites) instead of being
+    re-merged with each new batch of smalls.
 
     Scale note: bin PLANNING is fully distributed; bin EXECUTION is one
     bounded Spark job per bin issued from a driver loop over the planned
@@ -113,39 +151,26 @@ def compact_table(
     repeated bounded runs converge, and each run's commit is transactional
     either way. The result reports ``bins_deferred`` so a bounded run
     never silently reads as "fully compacted" (the no-silent-caps rule).
+    ``reader``/``files`` let a caller that already materialized the
+    snapshot (AutoOptimize's gate) pass it through instead of re-scanning.
     """
     import os
     import uuid
 
-    from onetable_spark.formats.delta import DeltaLog
-    from onetable_spark.formats.hudi import HudiTimeline, _file_id_for
-    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.formats.hudi import _file_id_for
     from onetable_spark.model import TableFormat
     from onetable_spark.sources.parquet_inventory import build_inventory
 
     fmt = TableFormat(fmt) if not isinstance(fmt, TableFormat) else fmt
-    reader = {
-        TableFormat.DELTA: DeltaLog,
-        TableFormat.ICEBERG: IcebergTable,
-        TableFormat.HUDI: HudiTimeline,
-    }[fmt](spark, table_path)
-
-    files = reader.snapshot_files()
-    # a MapType column cannot key a window partition — derive the hive
-    # partition string (same derivation the Hudi commit plane uses)
+    if reader is None:
+        reader = reader_for(spark, fmt, table_path)
+    if files is None:
+        files = reader.snapshot_files()
     assigned = assign_compaction_bins(
-        files.withColumn(
-            "_pp",
-            F.concat_ws(
-                "/",
-                F.transform(
-                    F.map_entries("partition_values"),
-                    lambda e: F.concat_ws("=", e["key"], e["value"]),
-                ),
-            ),
-        ),
+        files.withColumn("_pp", hive_partition_path()),
         target_bytes,
         part_cols=("_pp",),
+        pick_bytes=max(1, target_bytes // 2),
     )
     bins = (
         assigned.groupBy("_pp", "bin_id")

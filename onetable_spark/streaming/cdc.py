@@ -126,6 +126,11 @@ _HUDI_COMMIT_SCHEMA = T.StructType(
             "partitionToReplaceFileIds",
             T.MapType(T.StringType(), T.ArrayType(T.StringType())),
         ),
+        # rollback/restore markers (this engine's JSON form): the undone
+        # instants, emitted as retraction rows (rollback uses
+        # commitsRollback, restore uses instantsToRollback — hudi.py)
+        T.StructField("commitsRollback", T.ArrayType(T.StringType())),
+        T.StructField("instantsToRollback", T.ArrayType(T.StringType())),
     ]
 )
 
@@ -134,27 +139,38 @@ def read_hudi_change_stream(spark: SparkSession, table_path: str) -> DataFrame:
     """RICH streaming change feed from a Hudi timeline: one row per
     written file (``change='add'``, record count from the commit's own
     write stats — `HoodieCommitMetadata`, the payload
-    `HudiDataFileExtractor.java` consumes batch-side) and one per replaced
+    `HudiDataFileExtractor.java` consumes batch-side), one per replaced
     file GROUP (``change='remove'``, ``file_name`` = the fileId, the unit
-    replace-commits address). ``multiLine`` handles both this engine's
-    single-line commit JSON and real Hudi's pretty-printed form; the
-    instant is recovered from the marker file name. Columns:
+    replace-commits address), and one RETRACTION per undone instant
+    (``change='rollback'``, ``file_name`` = the rolled-back instant —
+    consumers drop that instant's adds). ``multiLine`` handles both this
+    engine's single-line commit JSON and real Hudi's pretty-printed form;
+    the instant is recovered from the marker file name. Columns:
     ``(instant string, change string, file_name string, record_count long)``.
+
+    Known limit: REAL Hudi writes rollback/restore metadata as avro, which
+    the JSON parse reduces to a null struct — foreign rollbacks surface as
+    a bare trigger row-less marker here; the continuous-sync service
+    (which replays the batch snapshot per trigger) is the correct consumer
+    for those tables, as its Hudi-source rollback test proves.
     """
     hoodie = table_path.rstrip("/") + "/.hoodie"
     raw = (
         spark.readStream.schema(_HUDI_COMMIT_SCHEMA)
         .option("multiLine", "true")
-        .option("pathGlobFilter", "*.{commit,deltacommit,replacecommit}")
+        .option("pathGlobFilter", "*.{commit,deltacommit,replacecommit,rollback,restore}")
         .json(hoodie)
         .select(
             "partitionToWriteStats",
             "partitionToReplaceFileIds",
+            F.coalesce("commitsRollback", "instantsToRollback").alias("undone_instants"),
             F.element_at(
                 F.split(F.element_at(F.split("_metadata.file_path", "/"), -1), "\\."), 1
             ).alias("instant"),
         )
     )
+    # explode() drops null maps/arrays on its own — no null guards needed
+    # on any branch
     adds = raw.select(
         "instant",
         F.explode(F.flatten(F.map_values("partitionToWriteStats"))).alias("s"),
@@ -164,7 +180,7 @@ def read_hudi_change_stream(spark: SparkSession, table_path: str) -> DataFrame:
         F.element_at(F.split("s.path", "/"), -1).alias("file_name"),
         F.col("s.numWrites").alias("record_count"),
     )
-    removes = raw.where(F.col("partitionToReplaceFileIds").isNotNull()).select(
+    removes = raw.select(
         "instant",
         F.explode(F.flatten(F.map_values("partitionToReplaceFileIds"))).alias("fid"),
     ).select(
@@ -173,7 +189,15 @@ def read_hudi_change_stream(spark: SparkSession, table_path: str) -> DataFrame:
         F.col("fid").alias("file_name"),
         F.lit(None).cast("long").alias("record_count"),
     )
-    return adds.unionByName(removes)
+    rollbacks = raw.select(
+        "instant", F.explode("undone_instants").alias("undone")
+    ).select(
+        "instant",
+        F.lit("rollback").alias("change"),
+        F.col("undone").alias("file_name"),
+        F.lit(None).cast("long").alias("record_count"),
+    )
+    return adds.unionByName(removes).unionByName(rollbacks)
 
 
 def read_delta_log_stream(spark: SparkSession, table_path: str) -> DataFrame:

@@ -59,32 +59,14 @@ class ContinuousSync:
     max_sync_attempts = 3
 
     def _sync_once(self, n_commits: int) -> None:
-        from onetable_spark.cli import _target_reader
-        from onetable_spark.sync.validation import SnapshotReaderAdapter, SyncValidator
-
-        entry: dict = {"n_commits": n_commits, "results": {}}
+        """Retry/journal wrapper around ``_action`` — the contract every
+        subclass action inherits: transient errors retry in-batch, an
+        exhausted trigger is journaled AND re-raised so the micro-batch
+        never checkpoints (the trigger replays on restart)."""
         last_err: Exception | None = None
         for attempt in range(self.max_sync_attempts):
             try:
-                client = SyncClient(self.spark)
-                source = source_for(self.spark, self.source_format, self.table_path)
-                targets = [
-                    target_for(self.spark, fmt, self.table_path)
-                    for fmt in self.target_formats
-                ]
-                results = client.sync(source, targets)
-                target_by_fmt = {t.table_format: t for t in targets}
-                for fmt, r in results.items():
-                    status = r.status.value
-                    if self.validate and status == "SUCCESS":
-                        checks = SyncValidator().validate(
-                            SnapshotReaderAdapter(source),
-                            _target_reader(target_by_fmt[fmt]),
-                        )
-                        if not all(v.success for v in checks.values()):
-                            status = "VALIDATION_FAILED"
-                    entry["results"][fmt.value] = (status, r.mode.value)
-                self.journal.append(entry)
+                self.journal.append(self._action(n_commits))
                 return
             except Exception as e:  # noqa: BLE001 — transient sync errors
                 # (CAS contention with a racing manual sync, FS hiccups)
@@ -98,9 +80,32 @@ class ContinuousSync:
         # until an unrelated future commit lands (the cron it replaces
         # retries on every run; failing the query is our equivalent, and
         # a restart from the same checkpoint replays this exact trigger)
-        entry["error"] = str(last_err)
-        self.journal.append(entry)
+        self.journal.append({"n_commits": n_commits, "error": str(last_err)})
         raise last_err
+
+    def _action(self, n_commits: int) -> dict:
+        """One triggered unit of work; returns the journal entry."""
+        from onetable_spark.cli import _target_reader
+        from onetable_spark.sync.validation import SnapshotReaderAdapter, SyncValidator
+
+        entry: dict = {"n_commits": n_commits, "results": {}}
+        client = SyncClient(self.spark)
+        source = source_for(self.spark, self.source_format, self.table_path)
+        targets = [
+            target_for(self.spark, fmt, self.table_path) for fmt in self.target_formats
+        ]
+        results = client.sync(source, targets)
+        target_by_fmt = {t.table_format: t for t in targets}
+        for fmt, r in results.items():
+            status = r.status.value
+            if self.validate and status == "SUCCESS":
+                checks = SyncValidator().validate(
+                    SnapshotReaderAdapter(source), _target_reader(target_by_fmt[fmt])
+                )
+                if not all(v.success for v in checks.values()):
+                    status = "VALIDATION_FAILED"
+            entry["results"][fmt.value] = (status, r.mode.value)
+        return entry
 
     def _foreach_batch(self, batch_df, _batch_id) -> None:
         # driver-ok: bounded single-row aggregate — the trigger needs only
@@ -155,48 +160,59 @@ class AutoOptimize(ContinuousSync):
     cross-format sync) — the standing OPTIMIZE job every real lakehouse
     deployment schedules, here push-driven by the table's own commit log.
 
-    Fires only when the live small-file count reaches ``min_small_files``
-    (one metadata aggregate per trigger, no data read), so a healthy table
-    costs one snapshot scan per commit and nothing else. The compaction
-    commit itself lands on the watched log and re-triggers one evaluation,
-    which finds merged-or-singleton files and does nothing — the loop is
-    self-quenching, not self-amplifying. ``max_bins_per_run`` bounds each
-    run the way compact_table's ``max_bins`` documents.
+    Fires only when some partition holds at least ``min_small_files``
+    small files — the precondition for any bin to form — computed as one
+    metadata aggregate per trigger, no data read. Below the gate (healthy
+    table, or smalls scattered one-per-partition) a trigger costs exactly
+    that one snapshot aggregate and nothing else; above it, the trigger
+    pays compact_table's planning pass (metadata-only) plus the rewrites
+    it actually commits. The compaction commit itself lands on the watched
+    log and re-triggers one evaluation, which finds merged-or-singleton
+    files and falls back below the gate — self-quenching, not
+    self-amplifying. ``max_bins_per_run`` bounds each run the way
+    compact_table's ``max_bins`` documents. Errors follow the base-class
+    trigger contract: in-batch retries, then journal + re-raise so the
+    trigger replays on restart.
     """
 
     target_bytes: int = 128 * 1024 * 1024
     min_small_files: int = 8
     max_bins_per_run: int | None = None
 
-    def _sync_once(self, n_commits: int) -> None:  # noqa: D401 — action override
+    def _action(self, n_commits: int) -> dict:
         from pyspark.sql import functions as F
 
-        from onetable_spark.formats.delta import DeltaLog
-        from onetable_spark.formats.hudi import HudiTimeline
-        from onetable_spark.formats.iceberg import IcebergTable
-        from onetable_spark.operators.maintenance import compact_table
-
-        reader = {
-            TableFormat.DELTA: DeltaLog,
-            TableFormat.ICEBERG: IcebergTable,
-            TableFormat.HUDI: HudiTimeline,
-        }[self.source_format](self.spark, self.table_path)
-        entry: dict = {"n_commits": n_commits}
-        # driver-ok: single-row metadata aggregate (small-file count)
-        n_small = (
-            reader.snapshot_files()
-            .where(F.col("size").cast("long") < self.target_bytes)
-            .count()
+        from onetable_spark.operators.maintenance import (
+            compact_table,
+            hive_partition_path,
+            reader_for,
         )
-        entry["n_small_files"] = n_small
-        if n_small >= self.min_small_files:
+
+        reader = reader_for(self.spark, self.source_format, self.table_path)
+        files = reader.snapshot_files()
+        entry: dict = {"n_commits": n_commits}
+        # the gate mirrors compact_table's binning precondition: a bin can
+        # only form where ONE partition holds >= min_small_files smalls
+        # driver-ok: single-row metadata aggregate (max per-partition count)
+        gate = (
+            files.where(F.col("size").cast("long") < self.target_bytes)
+            .groupBy(hive_partition_path())
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.coalesce(F.max("n"), F.lit(0)).alias("m"))
+            .first()["m"]
+        )
+        entry["max_partition_small_files"] = int(gate)
+        if gate >= self.min_small_files:
             entry.update(
                 compact_table(
                     self.spark,
                     self.source_format,
                     self.table_path,
                     target_bytes=self.target_bytes,
+                    min_files=self.min_small_files,
                     max_bins=self.max_bins_per_run,
+                    reader=reader,
+                    files=files,
                 )
             )
-        self.journal.append(entry)
+        return entry

@@ -297,7 +297,7 @@ def test_auto_optimize_service(spark, sf_dir, tmp_path):
 
     # below threshold: evaluated, not compacted
     j1 = svc().run_available_now()
-    assert j1 == [{"n_commits": 2, "n_small_files": 1}]  # v0 init + v1 add
+    assert j1 == [{"n_commits": 2, "max_partition_small_files": 1}]  # v0 init + v1 add
 
     for i in (2, 3):
         p = os.path.join(base, f"f{i}.parquet")
@@ -306,12 +306,12 @@ def test_auto_optimize_service(spark, sf_dir, tmp_path):
 
     # threshold reached: one compaction run merges all three
     j2 = svc().run_available_now()
-    assert j2[0]["n_small_files"] == 3 and j2[0]["bins"] == 1
+    assert j2[0]["max_partition_small_files"] == 3 and j2[0]["bins"] == 1
     assert j2[0]["files_removed"] == 3 and j2[0]["files_added"] == 1
     assert log.snapshot_files().count() == 1
 
-    # self-quenching: the rewrite commit triggers ONE evaluation that
-    # finds a single (already-merged) small file and does nothing
+    # self-quenching: the rewrite commit triggers ONE evaluation whose
+    # gate (a single merged file < min_small_files) skips planning
     j3 = svc().run_available_now()
-    assert j3 == [{"n_commits": 1, "n_small_files": 1}]
+    assert j3 == [{"n_commits": 1, "max_partition_small_files": 1}]
     assert svc().run_available_now() == []

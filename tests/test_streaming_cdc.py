@@ -9,6 +9,8 @@ from __future__ import annotations
 import os
 import shutil
 
+import pytest
+
 from onetable_spark.formats.delta import DeltaLog
 from onetable_spark.model import DataLayoutStrategy, Table, TableFormat
 from onetable_spark.sources.parquet_inventory import build_inventory
@@ -147,15 +149,29 @@ def test_hudi_change_stream_adds_removes_and_real_fixture(spark, sf_dir, tmp_pat
     assert sorted(by_change["add"]) == [("clustered.parquet", n), ("f1.parquet", n)]
     assert by_change["remove"] == [(_file_id_for("f1.parquet"), None)]
 
-    # REAL Hudi fixture: pretty-printed multiline commit JSON, one add
-    fixture = "/root/reference/demo/data/db/hudi_dimCustomer"
-    if os.path.isdir(fixture):
-        fd = str(tmp_path / "fixture")
-        shutil.copytree(fixture, fd)
-        real = _drain(
-            spark, read_hudi_change_stream(spark, fd), str(tmp_path / "fx_ck")
-        )
-        assert len(real) == 1
-        ((_, change, fname),) = real.keys()
-        assert change == "add" and fname.endswith(".parquet")
-        assert all(rc and rc > 0 for rc in real.values())
+    # a rollback must surface as a RETRACTION of the undone instant so a
+    # feed consumer can drop that instant's adds
+    i3 = tl.commit(
+        adds=build_inventory(spark, [os.path.join(base, "f1.parquet")], root=base)
+    )
+    tl.rollback(i3)
+    later = _drain(spark, read_hudi_change_stream(spark, base), str(tmp_path / "hf_ck"))
+    assert {(c, f) for (_, c, f) in later} == {("add", "f1.parquet"), ("rollback", i3)}
+
+
+@pytest.mark.skipif(
+    not os.path.isdir("/root/reference/demo/data/db/hudi_dimCustomer"),
+    reason="reference demo fixtures not present",
+)
+def test_hudi_change_stream_parses_real_fixture(spark, tmp_path):
+    """REAL Hudi fixture: pretty-printed multiline commit JSON, one add
+    with a positive stats-plane record count."""
+    from onetable_spark.streaming.cdc import read_hudi_change_stream
+
+    fd = str(tmp_path / "fixture")
+    shutil.copytree("/root/reference/demo/data/db/hudi_dimCustomer", fd)
+    real = _drain(spark, read_hudi_change_stream(spark, fd), str(tmp_path / "fx_ck"))
+    assert len(real) == 1
+    ((_, change, fname),) = real.keys()
+    assert change == "add" and fname.endswith(".parquet")
+    assert all(rc and rc > 0 for rc in real.values())
