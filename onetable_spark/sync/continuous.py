@@ -18,6 +18,7 @@ full-snapshot re-extraction it pays when the cron interval drifts.
 
 from __future__ import annotations
 
+from collections import deque
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
@@ -51,22 +52,38 @@ class ContinuousSync:
     checkpoint_dir: str
     source_format: TableFormat = TableFormat.DELTA
     validate: bool = False
-    # driver-side journal of per-trigger sync outcomes (bounded: one entry
-    # per micro-batch that contained commits)
-    journal: list[dict] = field(default_factory=list)
+    #: journal retention — a long-lived service (30 s triggers ≈ 1M/year)
+    #: must not accrete driver memory per trigger, so the journal is a ring
+    #: of the most recent entries; lifetime totals live in the counters
+    journal_maxlen: int = 256
+    # driver-side journal of the MOST RECENT per-trigger sync outcomes
+    # (deque(maxlen=journal_maxlen) built in __post_init__ — bounded for
+    # the lifetime of the service, not just per batch)
+    journal: deque[dict] = field(default_factory=deque)
+    #: lifetime counters — O(1) state that survives journal eviction
+    triggers_total: int = 0
+    syncs_ok: int = 0
+    sync_errors: int = 0
 
     #: in-batch retries before the trigger is surfaced as a failure
     max_sync_attempts = 3
+
+    def __post_init__(self) -> None:
+        # rebind with the configured bound (dataclass default_factory can't
+        # see journal_maxlen); preserves any entries passed in by callers
+        self.journal = deque(self.journal, maxlen=self.journal_maxlen)
 
     def _sync_once(self, n_commits: int) -> None:
         """Retry/journal wrapper around ``_action`` — the contract every
         subclass action inherits: transient errors retry in-batch, an
         exhausted trigger is journaled AND re-raised so the micro-batch
         never checkpoints (the trigger replays on restart)."""
+        self.triggers_total += 1
         last_err: Exception | None = None
         for attempt in range(self.max_sync_attempts):
             try:
                 self.journal.append(self._action(n_commits))
+                self.syncs_ok += 1
                 return
             except Exception as e:  # noqa: BLE001 — transient sync errors
                 # (CAS contention with a racing manual sync, FS hiccups)
@@ -81,6 +98,7 @@ class ContinuousSync:
         # retries on every run; failing the query is our equivalent, and
         # a restart from the same checkpoint replays this exact trigger)
         self.journal.append({"n_commits": n_commits, "error": str(last_err)})
+        self.sync_errors += 1
         raise last_err
 
     def _action(self, n_commits: int) -> dict:

@@ -66,7 +66,7 @@ def test_continuous_sync_full_then_incremental(spark, sf_dir, tmp_path):
     assert IcebergTable(spark, base).snapshot_files().count() == 3
 
     # nothing new: the drain triggers no sync at all
-    assert ContinuousSync(spark, base, targets, ckpt).run_available_now() == []
+    assert list(ContinuousSync(spark, base, targets, ckpt).run_available_now()) == []
 
 
 def test_live_service_picks_up_commit(spark, sf_dir, tmp_path):
@@ -297,7 +297,7 @@ def test_auto_optimize_service(spark, sf_dir, tmp_path):
 
     # below threshold: evaluated, not compacted
     j1 = svc().run_available_now()
-    assert j1 == [{"n_commits": 2, "max_partition_small_files": 1}]  # v0 init + v1 add
+    assert list(j1) == [{"n_commits": 2, "max_partition_small_files": 1}]  # v0 init + v1 add
 
     for i in (2, 3):
         p = os.path.join(base, f"f{i}.parquet")
@@ -313,5 +313,30 @@ def test_auto_optimize_service(spark, sf_dir, tmp_path):
     # self-quenching: the rewrite commit triggers ONE evaluation whose
     # gate (a single merged file < min_small_files) skips planning
     j3 = svc().run_available_now()
-    assert j3 == [{"n_commits": 1, "max_partition_small_files": 1}]
-    assert svc().run_available_now() == []
+    assert list(j3) == [{"n_commits": 1, "max_partition_small_files": 1}]
+    assert list(svc().run_available_now()) == []
+
+
+def test_journal_bounded_over_service_lifetime(spark, tmp_path):
+    """Soak: a long-lived service must hold O(journal_maxlen) driver state,
+    not O(triggers). 5k triggers (≈2 days of 30 s intervals) through the
+    real retry/journal wrapper — the journal stays a fixed-size ring while
+    the lifetime counters keep the full history."""
+    cs = ContinuousSync(
+        spark, str(tmp_path / "t"), (TableFormat.ICEBERG,), str(tmp_path / "c"),
+        journal_maxlen=64,
+    )
+    cs._action = lambda n: {"n_commits": n, "results": {}}  # type: ignore[method-assign]
+    for i in range(5000):
+        cs._sync_once(1)
+    assert len(cs.journal) == 64  # ring bound, not 5000
+    assert cs.triggers_total == 5000 and cs.syncs_ok == 5000 and cs.sync_errors == 0
+    # the ring holds the MOST RECENT entries and errors still count
+    cs._action = lambda n: (_ for _ in ()).throw(RuntimeError("boom"))  # type: ignore[method-assign]
+    cs.max_sync_attempts = 1
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        cs._sync_once(9)
+    assert cs.sync_errors == 1 and len(cs.journal) == 64
+    assert cs.journal[-1] == {"n_commits": 9, "error": "boom"}
