@@ -6,6 +6,7 @@ from __future__ import annotations
 
 from collections import Counter
 
+import pytest
 from pyspark.sql import functions as F
 
 from onetable_spark.functions.bpe import (
@@ -109,3 +110,43 @@ def test_pair_stats_weighted_by_word_frequency(spark):
     vocab = word_frequencies(docs).withColumn("syms", F.split("word", ""))
     stats = {(r["a"], r["b"]): r["cnt"] for r in pair_stats(vocab).collect()}
     assert stats == {("a", "b"): 3, ("c", "d"): 1}
+
+
+# Batched learning (r10): one iteration applies a provably-safe PREFIX of
+# the top pairs (see bpe._select_batch's exactness argument). These corpora
+# are chosen to stress every guard: self-pairs ('aaaa'), merged-string
+# collisions (words already containing the concatenation of a later merge),
+# count ties (the strict-bound truncation), and heavy symbol sharing (the
+# disjointness stop).
+ADVERSARIAL_CORPORA = [
+    ["aaaa aaa aa a", "aaaa aaaa", "aa aa aa"],                      # self-pair ladder
+    ["ab ab ab", "xaby xaby", "a b a b", "abab abab abab"],          # 'ab' collision
+    ["ab cd ab cd", "ef gh ef gh", "ij kl ij kl"],                   # all-tied counts
+    CORPUS,                                                          # natural text
+    ["the cat sat on the mat", "the bat and the rat", "that cat"],   # shared letters
+    ["ee ee eee eeee", "ed ed de de", "deed deed exceed"],           # e-dominated ties
+]
+
+
+@pytest.mark.parametrize("corpus", ADVERSARIAL_CORPORA)
+@pytest.mark.parametrize("top_n", [2, 64])
+def test_batched_learning_exactly_matches_reference(spark, corpus, top_n):
+    """Batched == per-merge Sennrich, merge for merge, at a batch budget
+    that forces many tiny batches (2) and one that allows wide ones (64)."""
+    docs = spark.createDataFrame([(t,) for t in corpus], "text string")
+    stats: dict = {}
+    got = learn_merges(docs, n_merges=30, batch_top_n=top_n, stats=stats)
+    want = _ref_bpe(corpus, 30)
+    assert got == want
+    assert stats["merges"] == len(got)
+    assert stats["iterations"] <= len(got) or not got
+
+
+def test_batching_reduces_driver_roundtrips(spark):
+    """The scaling fix itself: wide batches must learn the same merges in
+    strictly fewer Spark iterations than one-per-merge."""
+    docs = spark.createDataFrame([(t,) for t in CORPUS * 4], "text string")
+    wide: dict = {}
+    got = learn_merges(docs, n_merges=12, batch_top_n=64, stats=wide)
+    assert got == _ref_bpe(CORPUS * 4, 12)
+    assert wide["iterations"] < wide["merges"]  # actually batched
