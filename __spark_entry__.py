@@ -4,7 +4,20 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 8: 119 queries. New this round: FOREIGN-TABLE
+Surface as of round 10: 120 queries. New in round 10:
+`sync_foreign_iceberg` — ICEBERG FOREIGN-TABLE CONFORMANCE WITHOUT AN
+ICEBERG RUNTIME: the source table's v2 metadata (metadata.json,
+deflate-compressed manifest list + manifests with v2-only fields and
+real Appendix-D bounds) is authored by tools/foreign_iceberg.py through
+the Apache Avro REFERENCE implementation on the JVM — zero metadata
+bytes from this repo's codec — then read, time-traveled, and synced
+into Delta + Hudi with SyncValidator 4/4; the oracle recomputes counts
+AND decoded bounds from the region table itself. The driver window is
+ROTATED for r10 (VERDICT r9 #2): the newcomer plus the 20 stalest
+queries (last driver rows r2-r4) lead, then the r5/r6/r7 cohorts;
+everything green in r8+r9 retired to the stale pool.
+
+Round-8 summary (all still green): FOREIGN-TABLE
 CONFORMANCE (`sync_foreign_table` — the native Delta/Hudi planes read
 REAL delta-spark / Hudi-runtime fixture tables from the reference's
 demo data, sync them into the other two formats, and hash the

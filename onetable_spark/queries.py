@@ -3367,6 +3367,89 @@ def q_sync_foreign_table(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q_sync_foreign_iceberg(spark: SparkSession, sf: str) -> DataFrame:
+    """ICEBERG foreign-table conformance WITHOUT an Iceberg runtime (the
+    r10 closure of the last self-certification hole): the source table's
+    v2 metadata — metadata.json, deflate-compressed manifest list and
+    manifests with v2-only fields and real Appendix-D column bounds — is
+    authored by tools/foreign_iceberg.py through the Apache Avro REFERENCE
+    implementation (org.apache.avro on the JVM), so not one metadata byte
+    comes from this repo's codec or writer. The native Iceberg plane reads
+    it (2 snapshots, carried EXISTING entries, identifier-field-ids →
+    record keys), syncs it into Delta + Hudi, and all three formats emit
+    (fmt, file_name, record_count, min_rk, max_rk, validation_ok) where
+    the bounds surface ONLY from decoding the foreign manifests (source
+    rows) and validation_ok ANDs the four SyncValidator checks per target.
+    The oracle recomputes every number from the region table itself — the
+    data files are true r_regionkey<2 / >=2 row-subsets — so record counts
+    AND decoded bounds are cross-engine checked (ITOneTableClient.java:
+    716-813 equivalence with the write side replaced by an independent
+    author). sf-correct by construction; staged once per session."""
+    import os
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import TableFormat
+    from onetable_spark.sync import SyncClient, source_for, target_for
+    from onetable_spark.sync.validation import SnapshotReaderAdapter, SyncValidator
+
+    def build(base: str) -> dict:
+        from tools.foreign_iceberg import write_foreign_iceberg_table
+
+        tbl_dir = os.path.join(base, "region")
+        os.makedirs(tbl_dir)
+        write_foreign_iceberg_table(spark, tbl_dir, os.path.join(sf, "region.parquet"))
+        client = SyncClient(spark)
+        source = source_for(spark, TableFormat.ICEBERG, tbl_dir)
+        targets = [
+            target_for(spark, TableFormat.DELTA, tbl_dir),
+            target_for(spark, TableFormat.HUDI, tbl_dir),
+        ]
+        results = client.sync(source, targets)
+        for r in results.values():
+            if r.status.value != "SUCCESS":
+                raise RuntimeError(f"foreign-iceberg sync failed: {r}")
+        validator = SyncValidator()
+        ok: dict[str, bool] = {"ICEBERG": True}
+        for fmt, reader in (
+            ("DELTA", DeltaLog(spark, tbl_dir)),
+            ("HUDI", HudiTimeline(spark, tbl_dir)),
+        ):
+            ok[fmt] = all(
+                v.success
+                for v in validator.validate(SnapshotReaderAdapter(source), reader).values()
+            )
+        return {"dir": tbl_dir, "ok": ok}
+
+    stage = _staged_once(spark, sf, "otb_fice_q", build)
+    rk_stat = F.filter("column_stats", lambda s: s["field"] == F.lit("r_regionkey"))
+    out = None
+    for fmt, reader in (
+        ("ICEBERG", IcebergTable(spark, stage["dir"])),
+        ("DELTA", DeltaLog(spark, stage["dir"])),
+        ("HUDI", HudiTimeline(spark, stage["dir"])),
+    ):
+        part = reader.snapshot_files().select(
+            F.lit(fmt).alias("fmt"),
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("record_count"),
+            (
+                F.element_at(rk_stat, 1)["min_value"]
+                if fmt == "ICEBERG"
+                else F.lit(None).cast("string")
+            ).alias("min_rk"),
+            (
+                F.element_at(rk_stat, 1)["max_value"]
+                if fmt == "ICEBERG"
+                else F.lit(None).cast("string")
+            ).alias("max_rk"),
+            F.lit(stage["ok"][fmt]).alias("validation_ok"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
 def q_streaming_sink_inventory(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-once streaming ingestion under the correctness gate: the
     events stream is written through the foreachBatch sinks into native
@@ -4658,6 +4741,26 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS validation_ok
         FROM (VALUES ('DELTA'), ('ICEBERG'), ('HUDI')) f(fmt)
     """,
+    # the foreign fixture's data files are exact row-subsets of region
+    # (A: r_regionkey < 2, B: >= 2), so DuckDB recomputes the counts AND
+    # the manifest bounds the Spark side decodes from reference-written
+    # Avro; bounds surface only on the ICEBERG (source-read) rows
+    "sync_foreign_iceberg": """
+        WITH per_file AS (
+            SELECT CASE WHEN r_regionkey < 2 THEN 'A.parquet'
+                        ELSE 'B.parquet' END AS file_name,
+                   CAST(COUNT(*) AS BIGINT) AS record_count,
+                   CAST(MIN(r_regionkey) AS VARCHAR) AS min_rk,
+                   CAST(MAX(r_regionkey) AS VARCHAR) AS max_rk
+            FROM region GROUP BY 1
+        )
+        SELECT fmt, file_name, record_count,
+               CASE WHEN fmt = 'ICEBERG' THEN min_rk END AS min_rk,
+               CASE WHEN fmt = 'ICEBERG' THEN max_rk END AS max_rk,
+               TRUE AS validation_ok
+        FROM per_file
+        CROSS JOIN (VALUES ('ICEBERG'), ('DELTA'), ('HUDI')) f(fmt)
+    """,
     "streaming_approx_reach": """
         SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start_s,
                event_type,
@@ -5502,7 +5605,95 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # harness records exactly these; membership pinned by
     # tests/test_queries_smoke.py::MUST_BE_DRIVER_MEASURED) ============
     #
-    # -- round-8 newcomers: need their first driver rows in CORRECTNESS_r8
+    # round-10 rotation (VERDICT r9 #2): the window re-samples by
+    # staleness — the r10 newcomer first (needs its first driver row),
+    # then the 20 queries whose last driver hash row was <= r4 (two from
+    # r2), then the r5/r6 cohorts, then 17 of the r7-greens. Everything
+    # green in r8/r9 (the previous window: the full tpch_*/g1-g7 sweep,
+    # the r8 newcomers, the probabilistic contracts) rotates to the stale
+    # pool — still value-checked against DuckDB on every pytest run.
+    #
+    # -- round-10 newcomer: Iceberg foreign-table conformance
+    "sync_foreign_iceberg": q_sync_foreign_iceberg,
+    # -- last driver rows r2-r4 (the 20 stalest)
+    "g8_stats_regroup": q_g8_stats_regroup,
+    "g10_json_flatten": q_g10_json_flatten,
+    "g11_sort_commits": q_g11_sort_commits,
+    "g12_latest_instant": q_g12_latest_instant,
+    "dedup_exact": q_dedup_exact,
+    "fingerprint_dedup": q_fingerprint_dedup,
+    "dedup_first_per_key": q_dedup_first_per_key,
+    "deterministic_sample": q_deterministic_sample,
+    "token_packing": q_token_packing,
+    "ngram_jaccard": q_ngram_jaccard,
+    "embedding_near_dups": q_embedding_near_dups,
+    "embedding_topk": q_embedding_topk,
+    "token_stats": q_token_stats,
+    "pivot_events": q_pivot_events,
+    "unpivot_stats": q_unpivot_stats,
+    "intersect_keys": q_intersect_keys,
+    "sessionize": q_sessionize,
+    "text_features": q_text_features,
+    "langid_counts": q_langid_counts,
+    "full_outer_balance": q_full_outer_balance,
+    # -- last driver rows r5
+    "dedup_clusters": q_dedup_clusters,
+    "corpus_curation": q_corpus_curation,
+    "percentile_agg": q_percentile_agg,
+    "range_join": q_range_join,
+    "rollup_agg": q_rollup_agg,
+    "cube_agg": q_cube_agg,
+    # -- last driver rows r6
+    "funnel_steps": q_funnel_steps,
+    "cohort_retention": q_cohort_retention,
+    "window_agg": q_window_agg,
+    "hopping_window": q_hopping_window,
+    "asof_join": q_asof_join,
+    "streaming_window_agg": q_streaming_window_agg,
+    # -- last driver rows r7 (17 of 37; the rest lead the next rotation)
+    "sync_inventory": q_sync_inventory,
+    "sync_changes": q_sync_changes,
+    "sync_time_travel": q_sync_time_travel,
+    "sync_schema_evolution": q_sync_schema_evolution,
+    "streaming_sink_inventory": q_streaming_sink_inventory,
+    "zorder_layout": q_zorder_layout,
+    "pii_redaction": q_pii_redaction,
+    "contamination_span": q_contamination_span,
+    "cluster_representatives": q_cluster_representatives,
+    "streaming_dedup": q_streaming_dedup,
+    "streaming_join": q_streaming_join,
+    "streaming_sessionize": q_streaming_sessionize,
+    "stateful_running_totals": q_stateful_running_totals,
+    "streaming_approx_reach": q_streaming_approx_reach,
+    "multimodal_decode": q_multimodal_decode,
+    "audio_features": q_audio_features,
+    "image_resize": q_image_resize,
+    # ============ past the driver's 50-entry window (the boundary falls
+    # EXACTLY after image_resize — position 50): driver-green in earlier
+    # rounds, still oracle-checked by tools/check_oracle.py +
+    # test_queries_smoke.py on every pytest run ============
+    # -- r7-green remainder (next rotation's first pick)
+    "video_frame_sample": q_video_frame_sample,
+    "winnow_fingerprint": q_winnow_fingerprint,
+    "winnow_near_dups": q_winnow_near_dups,
+    "streaming_hopping": q_streaming_hopping,
+    "knn_label_vote": q_knn_label_vote,
+    "centroid_similarity": q_centroid_similarity,
+    "decontam_overlap": q_decontam_overlap,
+    "stratified_sample": q_stratified_sample,
+    "chunk_dedup": q_chunk_dedup,
+    "bm25_search": q_bm25_search,
+    "incremental_dedup": q_incremental_dedup,
+    "gap_fill": q_gap_fill,
+    "moving_avg": q_moving_avg,
+    "event_transitions": q_event_transitions,
+    "approx_distinct": q_approx_distinct,
+    "heavy_hitters": q_heavy_hitters,
+    "approx_quantiles": q_approx_quantiles,
+    "tfidf_top_terms": q_tfidf_top_terms,
+    "source_mixture": q_source_mixture,
+    "unigram_logprob": q_unigram_logprob,
+    # -- green in r8 AND r9 (the previous driver window)
     "sync_foreign_table": q_sync_foreign_table,
     "multimodal_ingest": q_multimodal_ingest,
     "streaming_cdc_feed": q_streaming_cdc_feed,
@@ -5511,28 +5702,19 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_calibration": q_token_calibration,
     "compaction_bins": q_compaction_bins,
     "bpe_pair_counts": q_bpe_pair_counts,
-    # -- changed in r8 (selectExpr rewrite / new counter column): re-gate
     "repetition_filter": q_repetition_filter,
     "substring_dedup": q_substring_dedup,
-    # -- r7 single-green holdovers: one more driver round before retiring
     "perplexity_buckets": q_perplexity_buckets,
     "sync_validation": q_sync_validation,
     "sync_recovery": q_sync_recovery,
     "sync_partition_evolution": q_sync_partition_evolution,
     "sync_safety_fallback": q_sync_safety_fallback,
     "sync_catchup": q_sync_catchup,
-    # -- probabilistic layer: full hash contracts first green in r7 only
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "simhash_near_dups": q_simhash_near_dups,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "semdedup_pairs": q_semdedup_pairs,
-    # -- round-8 stale-rotation (VERDICT r7 #4): re-sample the queries
-    # whose last driver hash rows predate r6 — all 22 TPC-H shapes (last
-    # driver rows r1-r5, before the Spark-4 surface growth), the G-ops,
-    # and the dedup basics. Slots come from the 35 rotated-out queries
-    # below, each hash-green in >=2 driver rounds (r6+r7 or earlier) and
-    # still oracle-gated on every pytest run.
     "tpch_q1": q_tpch_q1,
     "tpch_q2": q_tpch_q2,
     "tpch_q3": q_tpch_q3,
@@ -5562,82 +5744,5 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g5_min_over_group": q_g5_min_over_group,
     "g6_filter_predicates": q_g6_filter_predicates,
     "g7_max_agg": q_g7_max_agg,
-    # ============ past the driver's 50-entry window (the boundary falls
-    # EXACTLY after g7 — position 50; late-r8 newcomers displaced
-    # g8/g10/g11/g12/dedup_exact/fingerprint_dedup back into the stale
-    # pool): driver-green in earlier rounds, still oracle-checked by
-    # tools/check_oracle.py + test_queries_smoke.py on every pytest
-    # run ============
-    "g8_stats_regroup": q_g8_stats_regroup,
-    "g10_json_flatten": q_g10_json_flatten,
-    "g11_sort_commits": q_g11_sort_commits,
-    "g12_latest_instant": q_g12_latest_instant,
-    "dedup_exact": q_dedup_exact,
-    "fingerprint_dedup": q_fingerprint_dedup,
-    # rotated out in r8 (hash-green r6+r7):
-    "pii_redaction": q_pii_redaction,
-    "contamination_span": q_contamination_span,
-    "cluster_representatives": q_cluster_representatives,
-    "sync_time_travel": q_sync_time_travel,
-    "sync_schema_evolution": q_sync_schema_evolution,
-    # rotated out in r8 (hash-green r3/r4/r5/r6/r7 spans):
-    "zorder_layout": q_zorder_layout,
-    "streaming_dedup": q_streaming_dedup,
-    "streaming_join": q_streaming_join,
-    "streaming_sessionize": q_streaming_sessionize,
-    "stateful_running_totals": q_stateful_running_totals,
-    "streaming_approx_reach": q_streaming_approx_reach,
-    "sync_inventory": q_sync_inventory,
-    "sync_changes": q_sync_changes,
-    "streaming_sink_inventory": q_streaming_sink_inventory,
-    "multimodal_decode": q_multimodal_decode,
-    "audio_features": q_audio_features,
-    "image_resize": q_image_resize,
-    "video_frame_sample": q_video_frame_sample,
-    "winnow_fingerprint": q_winnow_fingerprint,
-    "winnow_near_dups": q_winnow_near_dups,
-    "streaming_hopping": q_streaming_hopping,
-    "knn_label_vote": q_knn_label_vote,
-    "centroid_similarity": q_centroid_similarity,
-    "decontam_overlap": q_decontam_overlap,
-    "stratified_sample": q_stratified_sample,
-    "chunk_dedup": q_chunk_dedup,
-    "bm25_search": q_bm25_search,
-    "incremental_dedup": q_incremental_dedup,
-    "gap_fill": q_gap_fill,
-    "moving_avg": q_moving_avg,
-    "event_transitions": q_event_transitions,
-    "approx_distinct": q_approx_distinct,
-    "heavy_hitters": q_heavy_hitters,
-    "approx_quantiles": q_approx_quantiles,
-    "tfidf_top_terms": q_tfidf_top_terms,
-    "source_mixture": q_source_mixture,
-    "unigram_logprob": q_unigram_logprob,
-    # rotated out in earlier rounds:
-    "funnel_steps": q_funnel_steps,
-    "cohort_retention": q_cohort_retention,
-    "window_agg": q_window_agg,
-    "hopping_window": q_hopping_window,
-    "asof_join": q_asof_join,
-    "streaming_window_agg": q_streaming_window_agg,
-    "deterministic_sample": q_deterministic_sample,
-    "token_packing": q_token_packing,
-    "dedup_clusters": q_dedup_clusters,
-    "corpus_curation": q_corpus_curation,
-    "percentile_agg": q_percentile_agg,
-    "range_join": q_range_join,
-    "rollup_agg": q_rollup_agg,
-    "cube_agg": q_cube_agg,
-    "ngram_jaccard": q_ngram_jaccard,
-    "embedding_near_dups": q_embedding_near_dups,
-    "embedding_topk": q_embedding_topk,
-    "token_stats": q_token_stats,
-    "pivot_events": q_pivot_events,
-    "unpivot_stats": q_unpivot_stats,
-    "intersect_keys": q_intersect_keys,
-    "sessionize": q_sessionize,
-    "text_features": q_text_features,
-    "langid_counts": q_langid_counts,
-    "dedup_first_per_key": q_dedup_first_per_key,
-    "full_outer_balance": q_full_outer_balance,
 }
+

@@ -25,37 +25,24 @@ from tools.check_oracle import compare_result
 # alphabetizing or appending to SPARK_QUERIES should trip this list, not
 # silently drop driver coverage.
 MUST_BE_DRIVER_MEASURED = {
-    # r8 bulk rotation (VERDICT r7 #4): the 35 r5-r7-proven queries that
-    # held this window (streaming suite, sync_inventory/changes/
-    # time_travel/schema_evolution, multimodal quartet, winnow/knn/
-    # centroid/decontam/sampling/sketch family, pii/contamination/
-    # cluster_representatives, zorder) all retired at once — each
-    # hash-green in >=2 driver rounds and still oracle-gated on every
-    # pytest run. Their slots re-sample the 35 STALEST entries (all 22
-    # tpch_*, the 11 g-ops, dedup_exact/fingerprint_dedup — last driver
-    # rows r1-r5), which need no pinning here: their evidence is already
-    # on file, while these entries' is not yet.
+    # round-10 rotation (VERDICT r9 #2): everything green in the r8/r9
+    # windows (the tpch_*/g1-g7 sweep, the r8 newcomers, the
+    # probabilistic contracts — each hash-green in two driver rounds)
+    # retired at once; the window re-samples by staleness. Pinned here:
+    # the r10 newcomer (no driver evidence yet) and the 20 queries whose
+    # last driver hash row was <= r4 (g11_sort_commits and
+    # dedup_first_per_key date to r2) — the rotation IS the round's
+    # deliverable, so falling out of the window must fail loudly.
     #
-    # round-8 newcomers: need their first driver rows in CORRECTNESS_r8
-    "sync_foreign_table", "multimodal_ingest",
-    # late-r8 newcomers (streaming CDC over the native Delta log,
-    # continuous sync service, OLS token-cost calibration, OPTIMIZE-style
-    # compaction planner, BPE pair stats, rich Hudi CDC feed); their 6
-    # window slots displace g8_stats_regroup / g10_json_flatten /
-    # g11_sort_commits / g12_latest_instant / dedup_exact /
-    # fingerprint_dedup back into the stale pool (driver-green r1-r5,
-    # still oracle-gated every pytest run) — the window boundary falls
-    # exactly after g7_max_agg
-    "streaming_cdc_feed", "streaming_cdc_hudi", "sync_continuous",
-    "token_calibration", "compaction_bins", "bpe_pair_counts",
-    # changed in r8 (selectExpr rewrite / new counter column): re-gate
-    "repetition_filter", "substring_dedup",
-    # r7 single-green holdovers: one more driver round before retiring
-    "perplexity_buckets", "sync_validation", "sync_recovery",
-    "sync_partition_evolution", "sync_safety_fallback", "sync_catchup",
-    # probabilistic layer: full hash contracts first green in r7 only
-    "minhash_lsh_dedup", "simhash_near_dups", "ann_lsh_topk",
-    "ann_ivf_topk", "semdedup_pairs",
+    # round-10 newcomer: foreign-Iceberg conformance, first driver row
+    "sync_foreign_iceberg",
+    # last driver rows r2-r4
+    "g8_stats_regroup", "g10_json_flatten", "g11_sort_commits",
+    "g12_latest_instant", "dedup_exact", "fingerprint_dedup",
+    "dedup_first_per_key", "deterministic_sample", "token_packing",
+    "ngram_jaccard", "embedding_near_dups", "embedding_topk",
+    "token_stats", "pivot_events", "unpivot_stats", "intersect_keys",
+    "sessionize", "text_features", "langid_counts", "full_outer_balance",
 }
 
 
