@@ -86,6 +86,25 @@ def plan_compaction_bins(
     )
 
 
+def morton_key(cols: Sequence, bits_per_col: int = 8):
+    """Z-order (Morton) clustering key: interleave the low ``bits_per_col``
+    bits of each column — bit ``i`` of column ``j`` lands at position
+    ``i * k + j`` — so rows close in EVERY dimension get close keys. The
+    space-filling-curve primitive behind Delta OPTIMIZE ZORDER and Hudi
+    z-order clustering; pure integer bit math, engine-identical. Columns
+    beyond the masked low bits need a rank/bucket normalization upstream
+    (the usual production refinement); the low-bit form is exact for
+    id-like columns and is what the zorder_layout oracle pins."""
+    k = len(cols)
+    masked = [F.col(c).bitwiseAND(F.lit((1 << bits_per_col) - 1)) if isinstance(c, str) else c.bitwiseAND(F.lit((1 << bits_per_col) - 1)) for c in cols]
+    z = None
+    for i in range(bits_per_col):
+        for j, x in enumerate(masked):
+            term = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), i * k + j)
+            z = term if z is None else z + term
+    return z.cast("long")
+
+
 def reader_for(spark, fmt, table_path: str):
     """The format's native metadata reader (one registry for every
     maintenance consumer — compact_table, AutoOptimize)."""
@@ -123,6 +142,7 @@ def compact_table(
     max_bins: int | None = None,
     reader=None,
     files: DataFrame | None = None,
+    zorder_by: Sequence[str] | None = None,
 ) -> dict:
     """Execute OPTIMIZE end-to-end on a native table: plan bins over
     ``snapshot_files()``, rewrite each bin into one merged data file, and
@@ -153,7 +173,20 @@ def compact_table(
     never silently reads as "fully compacted" (the no-silent-caps rule).
     ``reader``/``files`` let a caller that already materialized the
     snapshot (AutoOptimize's gate) pass it through instead of re-scanning.
+
+    ``zorder_by`` switches the rewrite to OPTIMIZE ZORDER: per table
+    partition, ALL picked files' rows are globally sorted by the Morton
+    key of the given columns and re-split into ~``target_bytes`` files
+    along DISJOINT z ranges (``repartitionByRange`` on the key + in-range
+    sort). Sorting within one merged file cannot change its min/max — the
+    stats win comes from the disjoint range SPLIT, which shrinks every
+    output file's bounding box on the z-order columns so multi-column
+    range predicates prune files. Picks everything under ``target_bytes``
+    (a layout rewrite, not just a size fix); one rewrite unit = one table
+    partition, so ``max_bins`` bounds partitions per run and the commit
+    stays one transaction.
     """
+    import math
     import os
     import uuid
 
@@ -166,20 +199,37 @@ def compact_table(
         reader = reader_for(spark, fmt, table_path)
     if files is None:
         files = reader.snapshot_files()
-    assigned = assign_compaction_bins(
-        files.withColumn("_pp", hive_partition_path()),
-        target_bytes,
-        part_cols=("_pp",),
-        pick_bytes=max(1, target_bytes // 2),
-    )
-    bins = (
-        assigned.groupBy("_pp", "bin_id")
-        .agg(F.collect_list("path").alias("members"))
-        .where(F.size("members") >= min_files)
-        .orderBy("_pp", "bin_id")
-        # driver-ok: O(planned bins + member paths), the commit payload's own size
-        .collect()
-    )
+    if zorder_by:
+        # one rewrite unit per PARTITION: the z-sort must be global across
+        # the partition's files or the range split tightens nothing
+        bins = (
+            files.withColumn("_pp", hive_partition_path())
+            .where(F.col("size").cast("long") < target_bytes)
+            .groupBy("_pp")
+            .agg(
+                F.collect_list("path").alias("members"),
+                F.sum(F.col("size").cast("long")).alias("total_bytes"),
+            )
+            .where(F.size("members") >= min_files)
+            .orderBy("_pp")
+            # driver-ok: O(partitions + member paths), commit-payload order
+            .collect()
+        )
+    else:
+        assigned = assign_compaction_bins(
+            files.withColumn("_pp", hive_partition_path()),
+            target_bytes,
+            part_cols=("_pp",),
+            pick_bytes=max(1, target_bytes // 2),
+        )
+        bins = (
+            assigned.groupBy("_pp", "bin_id")
+            .agg(F.collect_list("path").alias("members"))
+            .where(F.size("members") >= min_files)
+            .orderBy("_pp", "bin_id")
+            # driver-ok: O(planned bins + member paths), the commit payload's own size
+            .collect()
+        )
     deferred = 0
     if max_bins is not None and len(bins) > max_bins:
         deferred = len(bins) - max_bins
@@ -187,20 +237,35 @@ def compact_table(
     if not bins:
         return {"bins": 0, "files_removed": 0, "files_added": 0, "bins_deferred": deferred}
 
+    import shutil as _shutil
+
     merged_paths: list[str] = []
     removed_paths: list[str] = []
     for b in bins:
         members = sorted(b["members"])
         dest_dir = os.path.dirname(members[0])
         scratch = os.path.join(table_path, f"_compact_{uuid.uuid4().hex[:12]}")
-        spark.read.parquet(*members).coalesce(1).write.parquet(scratch)
-        part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
-        merged = os.path.join(dest_dir, f"compacted-{uuid.uuid4().hex[:12]}.parquet")
-        os.replace(os.path.join(scratch, part), merged)
-        import shutil as _shutil
-
+        if zorder_by:
+            n_out = max(1, math.ceil(int(b["total_bytes"]) / target_bytes))
+            (
+                spark.read.parquet(*members)
+                .withColumn("_z", morton_key(list(zorder_by)))
+                .repartitionByRange(n_out, "_z")
+                .sortWithinPartitions("_z")
+                .drop("_z")
+                .write.parquet(scratch)
+            )
+            for part in sorted(f for f in os.listdir(scratch) if f.endswith(".parquet")):
+                out = os.path.join(dest_dir, f"zordered-{uuid.uuid4().hex[:12]}.parquet")
+                os.replace(os.path.join(scratch, part), out)
+                merged_paths.append(out)
+        else:
+            spark.read.parquet(*members).coalesce(1).write.parquet(scratch)
+            part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+            merged = os.path.join(dest_dir, f"compacted-{uuid.uuid4().hex[:12]}.parquet")
+            os.replace(os.path.join(scratch, part), merged)
+            merged_paths.append(merged)
         _shutil.rmtree(scratch, ignore_errors=True)
-        merged_paths.append(merged)
         removed_paths.extend(members)
 
     adds = build_inventory(spark, merged_paths, root=table_path)

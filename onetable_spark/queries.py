@@ -2066,17 +2066,12 @@ def q_zorder_layout(spark: SparkSession, sf: str) -> DataFrame:
     scale the same expression feeds a range-partitioned write, and the
     plan is a pure projection + TakeOrderedAndProject: ZERO shuffle
     exchanges, partial top-k per partition merged at the driver."""
+    from onetable_spark.operators.maintenance import morton_key
+
     events = load_table(spark, sf, "events")
-    x = F.col("user_id").bitwiseAND(F.lit(255))
-    y = F.col("event_id").bitwiseAND(F.lit(255))
-    z = None
-    for i in range(8):
-        bx = F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
-        by = F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
-        term = bx + by
-        z = term if z is None else z + term
+    z = morton_key(["user_id", "event_id"])
     return (
-        events.select("event_id", "user_id", z.cast("long").alias("zval"))
+        events.select("event_id", "user_id", z.alias("zval"))
         .orderBy(F.asc("zval"), F.asc("event_id"))
         .limit(100)
     )
@@ -3450,6 +3445,115 @@ def q_sync_foreign_iceberg(spark: SparkSession, sf: str) -> DataFrame:
     return out
 
 
+def q_zorder_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """OPTIMIZE ZORDER end-to-end under the correctness gate (r10: the
+    zorder_layout Morton key composed into compact_table): four staged
+    Delta files each spanning the FULL (user_id, event_id) domain — the
+    worst case for stats pruning, every file intersects every range
+    predicate — are rewritten in ONE transactional Delta commit into two
+    files covering DISJOINT Morton-key ranges. Emits the read-back plus
+    in-plan layout contract booleans: n_records (summed from the Delta
+    stats plane, never a data re-read), files_after (snapshot read-back),
+    zspans_disjoint_ok (the output z ranges do not overlap),
+    span_tightened_ok (summed per-file z-span < half the before layout,
+    where each file covered ~the whole curve), prune_improved_ok (a small
+    value box that intersected ALL four before-files prunes at least one
+    after-file on its min/max stats). The oracle recomputes n_records from
+    events and pins the deterministic layout facts. Staged once per
+    (session, sf)."""
+    import os
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.model import DataLayoutStrategy, Table, TableFormat
+    from onetable_spark.operators.maintenance import compact_table, morton_key
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    def z_bounds(paths: list[str]) -> dict[str, tuple[int, int]]:
+        # one distributed job for all files: group per input file
+        df = (
+            spark.read.parquet(*paths)
+            .select(
+                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("f"),
+                morton_key(["user_id", "event_id"]).alias("z"),
+            )
+            .groupBy("f")
+            .agg(F.min("z").alias("lo"), F.max("z").alias("hi"))
+        )
+        # driver-ok: one row per data file of a 4-file staged table
+        return {r["f"]: (r["lo"], r["hi"]) for r in df.collect()}
+
+    def build(base: str) -> dict:
+        import shutil as _sh
+
+        tbl = os.path.join(base, "ztbl")
+        os.makedirs(tbl)
+        events = load_table(spark, sf, "events").select("user_id", "event_id")
+        paths = []
+        for i in range(4):
+            # row-number slices: every file spans the full value domain
+            p = os.path.join(tbl, f"slice{i}.parquet")
+            events.where((F.col("event_id") % 4) == i).coalesce(1).write.parquet(p + ".d")
+            part = next(f for f in os.listdir(p + ".d") if f.endswith(".parquet"))
+            os.replace(os.path.join(p + ".d", part), p)
+            _sh.rmtree(p + ".d", ignore_errors=True)
+            paths.append(p)
+        log = DeltaLog(spark, tbl)
+        log.init_table(
+            Table(
+                name="ztbl",
+                base_path=tbl,
+                table_format=TableFormat.DELTA,
+                read_schema=spark.read.parquet(paths[0]).schema,
+                layout=DataLayoutStrategy.FLAT,
+            )
+        )
+        log.commit(adds=build_inventory(spark, paths, root=tbl))
+        before = z_bounds(paths)
+        total = sum(os.path.getsize(p) for p in paths)
+        result = compact_table(
+            spark,
+            TableFormat.DELTA,
+            tbl,
+            target_bytes=(total // 2) + 1,  # two disjoint z-range files
+            zorder_by=("user_id", "event_id"),
+        )
+        # driver-ok: bounded file inventory (commit-payload order)
+        after_paths = [r["path"] for r in log.snapshot_files().collect()]
+        after = z_bounds(after_paths)
+        spans = sorted(after.values())
+        disjoint = all(hi1 < lo2 for (_, hi1), (lo2, _) in zip(spans, spans[1:]))
+        span_of = lambda b: sum(hi - lo for lo, hi in b.values())  # noqa: E731
+        tightened = span_of(after) < span_of(before) / 2
+        # probe = the lowest after-file's own z range: by disjointness it
+        # hits exactly ONE after-file, while every before-file (a
+        # row-number slice of the same distribution, so each spans ~the
+        # whole curve) must intersect it — the pruning win stated on the
+        # exact min/max stats a scan would use, scale-independent
+        lo1, hi1 = spans[0]
+        hit_before = sum(
+            1 for lo, hi in before.values() if not (hi < lo1 or lo > hi1)
+        )
+        pruned = hit_before == len(before) and len(after) >= 2
+        return {
+            "dir": tbl,
+            "files_removed": result["files_removed"],
+            "disjoint": disjoint,
+            "tightened": tightened,
+            "pruned": pruned,
+        }
+
+    stage = _staged_once(spark, sf, "otb_zord_q", build)
+    files = DeltaLog(spark, stage["dir"]).snapshot_files()
+    return files.agg(
+        F.sum("record_count").cast("long").alias("n_records"),
+        F.lit(stage["files_removed"]).alias("files_before"),
+        F.count(F.lit(1)).cast("int").alias("files_after"),
+        F.lit(stage["disjoint"]).alias("zspans_disjoint_ok"),
+        F.lit(stage["tightened"]).alias("span_tightened_ok"),
+        F.lit(stage["pruned"]).alias("prune_improved_ok"),
+    )
+
+
 def q_streaming_sink_inventory(spark: SparkSession, sf: str) -> DataFrame:
     """Exactly-once streaming ingestion under the correctness gate: the
     events stream is written through the foreachBatch sinks into native
@@ -4741,6 +4845,19 @@ ORACLE_SQL: dict[str, str] = {
                TRUE AS validation_ok
         FROM (VALUES ('DELTA'), ('ICEBERG'), ('HUDI')) f(fmt)
     """,
+    # the staged ZORDER lifecycle is deterministic: 4 row-number slices of
+    # events -> one OPTIMIZE ZORDER commit -> 2 disjoint z-range files;
+    # the layout contract booleans are computed in-plan from real file
+    # bounds, the record total from the Delta stats plane
+    "zorder_compaction": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_records,
+               4 AS files_before,
+               2 AS files_after,
+               TRUE AS zspans_disjoint_ok,
+               TRUE AS span_tightened_ok,
+               TRUE AS prune_improved_ok
+        FROM events
+    """,
     # the foreign fixture's data files are exact row-subsets of region
     # (A: r_regionkey < 2, B: >= 2), so DuckDB recomputes the counts AND
     # the manifest bounds the Spark side decodes from reference-written
@@ -5613,8 +5730,10 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # the r8 newcomers, the probabilistic contracts) rotates to the stale
     # pool — still value-checked against DuckDB on every pytest run.
     #
-    # -- round-10 newcomer: Iceberg foreign-table conformance
+    # -- round-10 newcomers: Iceberg foreign-table conformance + the
+    # OPTIMIZE ZORDER lifecycle (morton_key composed into compact_table)
     "sync_foreign_iceberg": q_sync_foreign_iceberg,
+    "zorder_compaction": q_zorder_compaction,
     # -- last driver rows r2-r4 (the 20 stalest)
     "g8_stats_regroup": q_g8_stats_regroup,
     "g10_json_flatten": q_g10_json_flatten,
@@ -5667,12 +5786,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_approx_reach": q_streaming_approx_reach,
     "multimodal_decode": q_multimodal_decode,
     "audio_features": q_audio_features,
-    "image_resize": q_image_resize,
     # ============ past the driver's 50-entry window (the boundary falls
-    # EXACTLY after image_resize — position 50): driver-green in earlier
+    # EXACTLY after audio_features — position 50): driver-green in earlier
     # rounds, still oracle-checked by tools/check_oracle.py +
     # test_queries_smoke.py on every pytest run ============
     # -- r7-green remainder (next rotation's first pick)
+    "image_resize": q_image_resize,
     "video_frame_sample": q_video_frame_sample,
     "winnow_fingerprint": q_winnow_fingerprint,
     "winnow_near_dups": q_winnow_near_dups,

@@ -34,8 +34,8 @@ MUST_BE_DRIVER_MEASURED = {
     # dedup_first_per_key date to r2) — the rotation IS the round's
     # deliverable, so falling out of the window must fail loudly.
     #
-    # round-10 newcomer: foreign-Iceberg conformance, first driver row
-    "sync_foreign_iceberg",
+    # round-10 newcomers: first driver rows needed
+    "sync_foreign_iceberg", "zorder_compaction",
     # last driver rows r2-r4
     "g8_stats_regroup", "g10_json_flatten", "g11_sort_commits",
     "g12_latest_instant", "dedup_exact", "fingerprint_dedup",
@@ -89,6 +89,8 @@ BOUNDARY_SENSITIVE = [
     "ann_lsh_topk",
     "ann_ivf_topk",
     "semdedup_pairs",
+    # r10: layout-contract booleans (span halving, probe-box pruning)
+    "zorder_compaction",
 ]
 
 
