@@ -1,10 +1,16 @@
 """Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
 (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+"queries": {name: sec}, "staging": {family: sec}, "staging_total": sec,
+"sf": ...}.
 
-Each query is executed to completion (count + a cheap materialization) so
-the measured time covers the full scan/shuffle/agg, not plan construction.
+Each query is executed to completion (collect) so the measured time covers
+the full scan/shuffle/agg, not plan construction. As of r10 the e2e
+lifecycle STAGING (multi-commit table builds under _staged_once) runs
+before the timed loop and is reported separately per family: "queries"
+times measure each query's own read-back plan and are therefore
+plan-attributable round-over-round; "staging" carries the build cost that
+previously landed on whichever consumer ran first.
 """
 
 from __future__ import annotations
@@ -62,6 +68,18 @@ def main() -> None:
     _corpus_winnow_fps(spark, sf_dir).count()
     _ivf_centroids(spark, sf_dir)
 
+    # Pre-stage the e2e lifecycle tables (r10, VERDICT r9 #7): each
+    # sync_*/streaming-sink/zorder query's first call builds a multi-commit
+    # staged table via _staged_once, so in a cold loop whichever consumer
+    # runs first absorbs the build and its number is not plan-attributable
+    # round-over-round. The builds run here UNTIMED-per-query; their
+    # wall-clock is reported separately under "staging" (per family) so the
+    # timed loop below measures every query's own read-back plan.
+    from onetable_spark.queries import STAGED_QUERIES, STAGING_SECONDS
+
+    for name in STAGED_QUERIES:
+        SPARK_QUERIES[name](spark, sf_dir).count()
+
     timings: dict[str, float] = {}
     for name in sorted(SPARK_QUERIES):
         fn = SPARK_QUERIES[name]
@@ -71,12 +89,15 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 4)
 
     total = round(sum(timings.values()), 4)
+    staging_total = round(sum(STAGING_SECONDS.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     doc = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "staging": dict(sorted(STAGING_SECONDS.items())),
+        "staging_total": staging_total,
         "sf": sf_val,
     }
     # Durable local copy (full 4-decimal precision): the driver's recorded
@@ -91,7 +112,9 @@ def main() -> None:
     # stdout line stays compact (2-decimal, no spaces) so the driver's tail
     # window captures the whole JSON object, not a fragment
     doc["queries"] = {k: round(v, 2) for k, v in timings.items()}
+    doc["staging"] = {k: round(v, 2) for k, v in STAGING_SECONDS.items()}
     doc["value"] = round(total, 2)
+    doc["staging_total"] = round(staging_total, 2)
     print(json.dumps(doc, separators=(",", ":")))
     spark.stop()
 
