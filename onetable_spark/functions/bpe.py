@@ -199,8 +199,8 @@ def learn_merges(
     vocab.count()  # materialize before the loop
     # symbol universe = live symbols (alphabet-sized: initial characters)
     # plus every merged string we create; guards merged-string collisions.
-    # driver-ok: bounded by |alphabet| + n_merges, not by the vocab
     universe = {
+        # driver-ok: bounded by |alphabet| + n_merges, not by the vocab
         r["s"] for r in vocab.select(F.explode("syms").alias("s")).distinct().collect()
     }
     merges: list[tuple[str, str]] = []

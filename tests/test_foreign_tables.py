@@ -259,10 +259,10 @@ def test_foreign_fixtures_through_continuous_sync(spark, tmp_path):
     assert DeltaLog(spark, hd).snapshot_files().count() == 1
 
     # drained: nothing left to trigger in either direction
-    assert ContinuousSync(
+    assert list(ContinuousSync(
         spark, dd, (TableFormat.ICEBERG,), str(tmp_path / "dckpt")
-    ).run_available_now() == []
-    assert ContinuousSync(
+    ).run_available_now()) == []
+    assert list(ContinuousSync(
         spark, hd, (TableFormat.ICEBERG,), str(tmp_path / "hckpt"),
         source_format=TableFormat.HUDI,
-    ).run_available_now() == []
+    ).run_available_now()) == []

@@ -199,12 +199,17 @@ def test_no_driver_collect_in_query_paths():
 
     # file -> number of sanctioned driver-materialization sites:
     #   similarity.py: IVF trainer's max_train_rows-capped sample
-    #   bpe.py: per-iteration limit(1) arg-max fetch
-    #   maintenance.py: O(planned bins) compaction plan
+    #   bpe.py: per-iteration bounded top-(N+1) fetch + the alphabet-sized
+    #     symbol universe (|alphabet| + n_merges entries)
+    #   maintenance.py: O(planned bins) compaction plan + the per-partition
+    #     zorder rewrite plan (same commit-payload order)
+    #   queries.py: zorder_compaction's per-file z-bounds (4 staged files)
+    #     and its snapshot read-back (commit-payload order)
     sanctioned = {
         "functions/similarity.py": 1,
-        "functions/bpe.py": 1,
-        "operators/maintenance.py": 1,
+        "functions/bpe.py": 2,
+        "operators/maintenance.py": 2,
+        "queries.py": 2,
     }
     root = pathlib.Path(__file__).parent.parent / "onetable_spark"
     offenders, marked = [], Counter()
