@@ -434,6 +434,27 @@ STATUS_EXISTING = 0
 STATUS_ADDED = 1
 STATUS_DELETED = 2
 
+
+def _data_manifests_only(manifests: list[dict]) -> list[dict]:
+    """Refuse Iceberg v2 DELETE manifests loudly (r10 guard).
+
+    A v2 manifest list tags delete manifests with ``content = 1``
+    (position/equality delete files — merge-on-read). Reading only the
+    data manifests of such a table would silently RESURRECT deleted rows,
+    the worst possible failure at 100 TB. The reference's Iceberg plane is
+    copy-on-write-only too (no ITOneTableClient scenario covers delete
+    files), so the correct parity behavior is an explicit refusal, never
+    wrong data. v1 lists have no content field → all data."""
+    deletes = [m for m in manifests if m.get("content") == 1]
+    if deletes:
+        raise ValueError(
+            f"table has {len(deletes)} Iceberg v2 DELETE manifest(s) "
+            "(merge-on-read position/equality deletes); reading it as "
+            "copy-on-write would resurrect deleted rows — compact the "
+            "deletes away (rewrite_data_files) before syncing"
+        )
+    return manifests
+
 # Carried-entry fan-in per manifest shard on the distributed rewrite path:
 # ~100k entries ≈ a few MB of avro per shard (Iceberg's own manifest
 # target), small enough per executor task, large enough that a compacted
@@ -572,7 +593,7 @@ class IcebergTable:
         if snap is None:
             return self.spark.createDataFrame([], FILES_SCHEMA)
         _, manifests = read_container(snap["manifest-list"])
-        paths = [m["manifest_path"] for m in manifests]
+        paths = [m["manifest_path"] for m in _data_manifests_only(manifests)]
         if not paths:
             return self.spark.createDataFrame([], FILES_SCHEMA)
         ice_schema = self._schema_for(md)
@@ -747,7 +768,11 @@ class IcebergTable:
         md = self.metadata()
         snap = next(s for s in md["snapshots"] if s["snapshot-id"] == snapshot_id)
         _, manifests = read_container(snap["manifest-list"])
-        own = [m["manifest_path"] for m in manifests if m.get("added_snapshot_id") == snapshot_id]
+        own = [
+            m["manifest_path"]
+            for m in _data_manifests_only(manifests)
+            if m.get("added_snapshot_id") == snapshot_id
+        ]
         ice_schema = self._schema_for(md)
         spec = self._spec_for(md)
         added = self._decode_manifests(own, ice_schema, spec, statuses=(STATUS_ADDED,)) if own else self.spark.createDataFrame([], FILES_SCHEMA)

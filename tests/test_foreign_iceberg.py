@@ -108,3 +108,49 @@ def test_foreign_iceberg_syncs_into_delta_and_hudi_validated(spark, foreign):
     direct = spark.read.parquet(os.path.join(base, "data"))
     assert synced.exceptAll(direct).count() == 0
     assert direct.exceptAll(synced).count() == 0
+
+
+def test_v2_delete_manifests_refused_loudly(spark, foreign, tmp_path):
+    """A v2 table with DELETE manifests (merge-on-read) must be REFUSED,
+    never read as copy-on-write — data manifests alone would resurrect
+    deleted rows. The guard fires on both the snapshot and change-scan
+    paths."""
+    import json
+
+    from tools.foreign_iceberg import _write_manifest_list
+
+    base, truth = foreign
+    # clone the table dir, then point snapshot 2 at a manifest list that
+    # ALSO carries a delete manifest (content = 1)
+    import shutil
+
+    clone = str(tmp_path / "mor")
+    shutil.copytree(base, clone)
+    meta = os.path.join(clone, "metadata")
+    ml = os.path.join(meta, "snap-2-del.avro")
+    m2 = os.path.join(meta, "m2.avro")
+    _write_manifest_list(spark._jvm, ml, [
+        {"manifest_path": m2, "manifest_length": os.path.getsize(m2),
+         "sequence_number": 2, "min_sequence_number": 1,
+         "added_snapshot_id": truth["snapshots"]["s2"], "added": 1,
+         "existing": 1, "added_rows": 3, "existing_rows": 2},
+        {"manifest_path": os.path.join(meta, "pos-deletes.avro"),
+         "manifest_length": 100, "content": 1, "sequence_number": 2,
+         "min_sequence_number": 2,
+         "added_snapshot_id": truth["snapshots"]["s2"], "added": 1,
+         "existing": 0, "added_rows": 1, "existing_rows": 0},
+    ])
+    md_path = os.path.join(meta, "v2.metadata.json")
+    md = json.loads(open(md_path).read())
+    for s in md["snapshots"]:
+        if s["snapshot-id"] == truth["snapshots"]["s2"]:
+            s["manifest-list"] = ml
+    json.dump(md, open(md_path, "w"))
+
+    tbl = IcebergTable(spark, clone)
+    with pytest.raises(ValueError, match="DELETE manifest"):
+        tbl.snapshot_files()
+    with pytest.raises(ValueError, match="DELETE manifest"):
+        tbl.changes_for_snapshot(truth["snapshots"]["s2"])
+    # the untouched COW fixture still reads fine through the same guard
+    assert IcebergTable(spark, base).snapshot_files().count() == 2

@@ -283,7 +283,7 @@ def _write_manifest_list(jvm, path: str, manifests: list[dict]) -> None:
             "manifest_path": m["manifest_path"],
             "manifest_length": m["manifest_length"],
             "partition_spec_id": 0,
-            "content": 0,  # data manifests
+            "content": m.get("content", 0),  # 0 = data, 1 = deletes
             "sequence_number": m["sequence_number"],
             "min_sequence_number": m["min_sequence_number"],
             "added_snapshot_id": m["added_snapshot_id"],
