@@ -57,6 +57,7 @@ def main() -> None:
         _corpus_gram_arrays,
         _corpus_neardup_pairs,
         _corpus_token_hashes,
+        _corpus_window_hits,
         _corpus_winnow_fps,
         _ivf_centroids,
     )
@@ -66,6 +67,7 @@ def main() -> None:
     _corpus_neardup_pairs(spark, sf_dir).count()
     _corpus_embedding_neardups(spark, sf_dir).count()
     _corpus_winnow_fps(spark, sf_dir).count()
+    _corpus_window_hits(spark, sf_dir).count()
     _ivf_centroids(spark, sf_dir)
 
     # Pre-stage the e2e lifecycle tables (r10, VERDICT r9 #7): each
