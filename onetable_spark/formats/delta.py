@@ -196,6 +196,38 @@ class DeltaSnapshotInfo:
     protocol: dict
 
 
+#: reader features this log replay actually implements. Per the Delta
+#: protocol, a reader MUST refuse a table whose readerFeatures it does not
+#: support — reading anyway produces WRONG DATA, not an error:
+#: deletionVectors would silently resurrect deleted rows (the add actions
+#: alone look like live files), v2Checkpoint hides actions in sidecars the
+#: classic replay never reads. columnMapping is supported for the id plane
+#: (ids flow to Iceberg field-ids; stats keys degrade to physical names,
+#: which starves pruning but never mis-reads values); timestampNtz is the
+#: type plane we already convert.
+SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
+MAX_READER_VERSION = 3
+
+
+def _check_reader_protocol(protocol: dict, log_path: str) -> None:
+    """Refuse protocol versions/features this replay cannot honor (r10
+    guard — the Delta twin of the Iceberg delete-manifest refusal)."""
+    mrv = protocol.get("minReaderVersion") or 1
+    if mrv > MAX_READER_VERSION:
+        raise ValueError(
+            f"{log_path}: minReaderVersion {mrv} exceeds the supported "
+            f"{MAX_READER_VERSION}; refusing rather than mis-reading"
+        )
+    unsupported = set(protocol.get("readerFeatures") or ()) - SUPPORTED_READER_FEATURES
+    if unsupported:
+        raise ValueError(
+            f"{log_path}: unsupported Delta reader features "
+            f"{sorted(unsupported)} (e.g. deletionVectors would resurrect "
+            "deleted rows if read as plain adds); refusing rather than "
+            "returning wrong data"
+        )
+
+
 class DeltaLog:
     """Reader/writer for one table's ``_delta_log``."""
 
@@ -203,6 +235,15 @@ class DeltaLog:
         self.spark = spark
         self.table_path = table_path
         self.log_path = os.path.join(table_path, LOG_DIR)
+        self._reader_checked = False
+
+    def _ensure_reader_supported(self) -> None:
+        """Once per DeltaLog instance: materialize the protocol action and
+        run the reader-feature guard (snapshot_info checks inline; this
+        covers snapshot_files-only consumers like the maintenance planner)."""
+        if not self._reader_checked:
+            self.snapshot_info()  # raises via _check_reader_protocol
+            self._reader_checked = True
 
     # ------------------------------------------------------------------ read
 
@@ -251,6 +292,7 @@ class DeltaLog:
         window shuffle on path — fully distributed, mirrors what
         ``snapshot.allFiles()`` gives delta-spark.
         """
+        self._ensure_reader_supported()
         upper = self.latest_version() if version is None else version
         ckpt = self._last_checkpoint()
         if ckpt is not None and ckpt <= upper:
@@ -344,6 +386,7 @@ class DeltaLog:
                         protocol = row["protocol"]
         if metadata is None:
             raise ValueError(f"Delta log {self.log_path} has no metaData action")
+        _check_reader_protocol(protocol or {}, self.log_path)
         return DeltaSnapshotInfo(version=upper, metadata=metadata, protocol=protocol or {})
 
     def table_descriptor(self, name: str | None = None) -> Table:

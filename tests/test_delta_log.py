@@ -345,3 +345,54 @@ def test_column_mapping_ids_flow_to_iceberg(spark, tmp_path):
     ice2, _ = structtype_to_iceberg(desc2.read_schema)
     top2 = {f["name"]: f["id"] for f in ice2["fields"]}
     assert top2 == {"id": 1, "payload": 2, "better_name": 5}
+
+
+def test_reader_refuses_deletion_vectors_and_unknown_features(spark, delta_table):
+    """Per the Delta protocol a reader MUST refuse tables whose
+    readerFeatures it does not support — reading a deletion-vector table
+    as plain adds silently resurrects deleted rows (r10 guard, the Delta
+    twin of the Iceberg delete-manifest refusal). The upgraded protocol
+    action is authored as raw protocol JSON, not by our writer."""
+    table_path, table = delta_table
+    log = DeltaLog(spark, table_path)
+    log.init_table(table)
+    log.commit(adds=inventory_from_directory(spark, table_path))
+    assert log.snapshot_files().count() >= 1  # pre-upgrade: reads fine
+
+    # a later writer upgrades the table to deletion vectors and commits a
+    # DV-carrying add (spec shape: protocol + add.deletionVector)
+    v = log.latest_version() + 1
+    with open(os.path.join(table_path, "_delta_log", f"{v:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"]}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "part-00000.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True,
+            "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
+                               "offset": 1, "sizeInBytes": 40, "cardinality": 2}}}) + "\n")
+
+    fresh = DeltaLog(spark, table_path)
+    with pytest.raises(ValueError, match="deletionVectors"):
+        fresh.snapshot_files()
+    with pytest.raises(ValueError, match="deletionVectors"):
+        fresh.snapshot_info()
+    with pytest.raises(ValueError, match="unsupported Delta reader features"):
+        fresh.table_descriptor()
+
+    # supported features pass the same guard
+    with open(os.path.join(table_path, "_delta_log", f"{v:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["timestampNtz", "columnMapping"],
+            "writerFeatures": ["timestampNtz"]}}) + "\n")
+    ok = DeltaLog(spark, table_path)
+    assert ok.snapshot_files().count() >= 1
+
+    # a reader version from the future is refused outright
+    with open(os.path.join(table_path, "_delta_log", f"{v:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 9, "minWriterVersion": 9}}) + "\n")
+    with pytest.raises(ValueError, match="minReaderVersion 9"):
+        DeltaLog(spark, table_path).snapshot_files()
