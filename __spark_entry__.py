@@ -4,7 +4,14 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 10: 120 queries. New in round 10:
+Surface as of round 10: 122 queries. New in round 10:
+`ann_pq_topk` — PRODUCT-QUANTIZATION ANN (Jegou et al. 2011): per-
+subspace codebooks, 8 one-byte codes per 64-dim vector (32x), ADC scan
+over codes only + exact top-64 rerank, gated by planted/raw recall
+contract booleans; `zorder_compaction` — OPTIMIZE ZORDER end-to-end
+(morton_key composed into compact_table: per-partition global z-sort
+split into DISJOINT z-range files, layout-contract booleans proving
+tighter per-file bounds);
 `sync_foreign_iceberg` — ICEBERG FOREIGN-TABLE CONFORMANCE WITHOUT AN
 ICEBERG RUNTIME: the source table's v2 metadata (metadata.json,
 deflate-compressed manifest list + manifests with v2-only fields and

@@ -177,6 +177,19 @@ def _ivf_centroids(spark: SparkSession, sf: str, n_clusters: int = 16):
     return _CORPUS_CACHE[key]
 
 
+def _pq_codebooks(spark: SparkSession, sf: str, m: int = 8, n_codes: int = 16):
+    """Product-quantization codebooks over `embeddings`, trained once per
+    (session, sf) — like _ivf_centroids, the codebooks are index-time
+    state every query reuses."""
+    from onetable_spark.functions.similarity import pq_train_codebooks
+
+    key = ("pq", id(spark), sf, m, n_codes)
+    if key not in _CORPUS_CACHE:
+        emb = load_table(spark, sf, "embeddings").filter(F.col("vec_id") != 0)
+        _CORPUS_CACHE[key] = pq_train_codebooks(emb, m=m, n_codes=n_codes)
+    return _CORPUS_CACHE[key]
+
+
 def _corpus_winnow_fps(spark: SparkSession, sf: str, k: int = 3, w: int = 4) -> DataFrame:
     """(id, fp) winnowing fingerprint rows over `documents`, persisted once
     per (session, sf) — shared by the fingerprint report and the near-dup
@@ -2674,6 +2687,46 @@ def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
         .join(exact.select("vec_id"), "vec_id")
         .agg(F.count(F.lit(1)).alias("ni"))
         .select((F.col("ni") >= 4).alias("ivf_raw_recall_ok"))
+    )
+    return exact.crossJoin(F.broadcast(planted_ok)).crossJoin(F.broadcast(raw_ok))
+
+
+def q_ann_pq_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization approximate top-10 (Jégou et al. 2011, r10):
+    per-subspace codebooks trained ONCE per (session, sf) via
+    _pq_codebooks, 8 one-byte codes per 64-dim vector (32x compression),
+    asymmetric-distance scan over the CODES only, exact cosine rerank of
+    the top-64 candidates (exact twin: embedding_topk).
+
+    Driver-gated via the same in-plan contract as the LSH/IVF queries:
+    the output is the EXACT brute-force top-10 plus two constant booleans
+    — ``pq_planted_recall_ok`` (PQ over the corpus spiked with 10 planted
+    near-copies retrieves ≥ 8; measured 10/10 at sf0.001/0.01/0.1) and
+    ``pq_raw_recall_ok`` (the ADC+rerank pipeline recovers ≥ 6 of the
+    true top-10 on the raw corpus; measured 8/9/7). Mis-trained
+    codebooks, a broken distance table, or a broken rerank flip a boolean
+    and fail the driver's hash gate."""
+    from onetable_spark.functions.similarity import pq_topk
+
+    emb = load_table(spark, sf, "embeddings")
+    # driver-ok: single-row query-vector fetch
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    corpus = emb.filter(F.col("vec_id") != 0)
+    books = _pq_codebooks(spark, sf)
+
+    exact = _exact_embedding_topk(corpus, query)
+    spiked = corpus.select("vec_id", "embedding").unionByName(
+        _planted_near_dups(spark, query)
+    )
+    planted_ok = _planted_recall_flag(
+        pq_topk(spiked, query, k=10, codebooks=books), "pq_planted_recall_ok"
+    )
+    raw_ok = (
+        pq_topk(corpus, query, k=10, codebooks=books)
+        .select("vec_id")
+        .join(exact.select("vec_id"), "vec_id")
+        .agg(F.count(F.lit(1)).alias("np"))
+        .select((F.col("np") >= 6).alias("pq_raw_recall_ok"))
     )
     return exact.crossJoin(F.broadcast(planted_ok)).crossJoin(F.broadcast(raw_ok))
 
@@ -5697,6 +5750,13 @@ ORACLE_SQL: dict[str, str] = {
         WHERE b.vec_id <> 0
         ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10
     """,
+    "ann_pq_topk": f"""
+        SELECT b.vec_id, ROUND({_COS_SQL}, 4) AS cos_sim,
+               TRUE AS pq_planted_recall_ok, TRUE AS pq_raw_recall_ok
+        FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+        WHERE b.vec_id <> 0
+        ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10
+    """,
     # SimHash is EXACT for hamming <= 3 (4x16-bit chunk pigeonhole), so this
     # is full value parity, not a contract: per distinct token, 64 bits from
     # the md5 top-16 hex chars (bit-identical to the Spark side's packed
@@ -5758,6 +5818,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # OPTIMIZE ZORDER lifecycle (morton_key composed into compact_table)
     "sync_foreign_iceberg": q_sync_foreign_iceberg,
     "zorder_compaction": q_zorder_compaction,
+    "ann_pq_topk": q_ann_pq_topk,
     # -- last driver rows r2-r4 (the 20 stalest)
     "g8_stats_regroup": q_g8_stats_regroup,
     "g10_json_flatten": q_g10_json_flatten,
@@ -5809,12 +5870,12 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stateful_running_totals": q_stateful_running_totals,
     "streaming_approx_reach": q_streaming_approx_reach,
     "multimodal_decode": q_multimodal_decode,
-    "audio_features": q_audio_features,
     # ============ past the driver's 50-entry window (the boundary falls
-    # EXACTLY after audio_features — position 50): driver-green in earlier
-    # rounds, still oracle-checked by tools/check_oracle.py +
+    # EXACTLY after multimodal_decode — position 50): driver-green in
+    # earlier rounds, still oracle-checked by tools/check_oracle.py +
     # test_queries_smoke.py on every pytest run ============
     # -- r7-green remainder (next rotation's first pick)
+    "audio_features": q_audio_features,
     "image_resize": q_image_resize,
     "video_frame_sample": q_video_frame_sample,
     "winnow_fingerprint": q_winnow_fingerprint,
