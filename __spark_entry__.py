@@ -4,7 +4,12 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 10: 122 queries. New in round 10:
+Surface as of round 10: 123 queries. New in round 10:
+`vacuum_orphans` — ORPHAN-FILE VACUUM (Delta VACUUM / Iceberg
+remove_orphan_files shape): distributed per-directory listing anti-
+joined against EVERY retained metadata version's referenced paths in
+all three formats, retention-window safety, executor-side deletes,
+time-travel-protective;
 `ann_pq_topk` — PRODUCT-QUANTIZATION ANN (Jegou et al. 2011): per-
 subspace codebooks, 8 one-byte codes per 64-dim vector (32x), ADC scan
 over codes only + exact top-64 rerank, gated by planted/raw recall

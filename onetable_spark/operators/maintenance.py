@@ -22,8 +22,9 @@ full inventory).
 
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Iterator, Sequence
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -131,6 +132,186 @@ def hive_partition_path(col: str = "partition_values"):
             F.map_entries(col), lambda e: F.concat_ws("=", e["key"], e["value"])
         ),
     ).alias("_pp")
+
+
+#: directories the lister never descends into — each format's metadata
+#: plane plus compaction scratch
+_METADATA_DIRS = ("_delta_log", ".hoodie", "metadata")
+
+
+def list_table_files(spark, table_path: str) -> DataFrame:
+    """Distributed data-file listing: the driver enumerates DIRECTORIES
+    (bounded by the partition-directory count, thousands at 100 TB — never
+    the file count, millions), executors list each directory's files.
+    Hidden/marker files (leading ``.`` or ``_``) and the metadata dirs are
+    excluded — those belong to the formats' own retention machinery."""
+    import os
+
+    dirs = []
+    for root, dnames, _ in os.walk(table_path):
+        dnames[:] = [
+            d for d in dnames if d not in _METADATA_DIRS and not d.startswith((".", "_"))
+        ]
+        dirs.append(root)
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for d in pdf["d"]:
+                for name in sorted(os.listdir(d)):
+                    p = os.path.join(d, name)
+                    if name.startswith((".", "_")) or not os.path.isfile(p):
+                        continue
+                    st = os.stat(p)
+                    rows.append(
+                        {"path": p, "size": st.st_size,
+                         "mtime_millis": int(st.st_mtime * 1000)}
+                    )
+            yield pd.DataFrame(rows, columns=["path", "size", "mtime_millis"])
+
+    base = spark.createDataFrame([(d,) for d in dirs], "d string")
+    par = max(1, min(len(dirs), spark.sparkContext.defaultParallelism))
+    return base.repartition(par).mapInPandas(
+        scan, "path string, size long, mtime_millis long"
+    )
+
+
+def referenced_paths(spark, fmt, table_path: str, reader=None) -> DataFrame:
+    """Every data-file path ANY retained metadata version references — not
+    just the live snapshot, so time travel survives a vacuum. One string
+    column ``path`` (absolute), distinct-able by the caller.
+
+    Delta: add actions across ALL log versions plus the checkpoint's adds
+    (tombstoned files stay protected until the remove action itself ages
+    out of the log — clean_log owns that). Iceberg: every snapshot's
+    manifests, every entry status (an entry DELETED in snapshot N is still
+    readable at N-1). Hudi: every completed commit's write stats, log
+    files included."""
+    import os
+
+    from onetable_spark.model import TableFormat
+
+    fmt = TableFormat(fmt) if not isinstance(fmt, TableFormat) else fmt
+    if reader is None:
+        reader = reader_for(spark, fmt, table_path)
+    prefix = table_path.rstrip("/") + "/"
+
+    def absolute(col):
+        return F.when(
+            F.col(col).startswith("/") | F.col(col).contains("://"), F.col(col)
+        ).otherwise(F.concat(F.lit(prefix), F.url_decode(col)))
+
+    if fmt is TableFormat.DELTA:
+        refs = (
+            reader._actions_df(reader._versions())
+            .select(F.col("add.path").alias("p"))
+            .where(F.col("p").isNotNull())
+        )
+        ckpt = reader._last_checkpoint()
+        if ckpt is not None:
+            ck = spark.read.parquet(
+                os.path.join(reader.log_path, f"{ckpt:020d}.checkpoint.parquet")
+            ).select(F.col("add.path").alias("p")).where(F.col("p").isNotNull())
+            refs = refs.unionByName(ck)
+        return refs.select(absolute("p").alias("path"))
+    if fmt is TableFormat.ICEBERG:
+        from onetable_spark.formats.avro_codec import read_container
+
+        md = reader.metadata()
+        manifest_paths = []
+        for snap in md.get("snapshots", []):
+            # driver-ok: bounded by the manifest count per snapshot
+            _, manifests = read_container(snap["manifest-list"])
+            manifest_paths.extend(m["manifest_path"] for m in manifests)
+        if not manifest_paths:
+            return spark.createDataFrame([], "path string")
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for mp in pdf["p"]:
+                    _, entries = read_container(mp)
+                    rows.extend(
+                        {"path": e["data_file"]["file_path"]} for e in entries
+                    )
+                yield pd.DataFrame(rows, columns=["path"])
+
+        base = spark.createDataFrame(
+            [(p,) for p in sorted(set(manifest_paths))], "p string"
+        )
+        par = max(1, min(base.count(), spark.sparkContext.defaultParallelism))
+        return base.repartition(par).mapInPandas(scan, "path string")
+    # HUDI: all completed commits' write stats (no base/log filtering)
+    instants = reader.completed_instants()
+    if not instants:
+        return spark.createDataFrame([], "path string")
+    return (
+        reader._commits_df(instants)
+        .select(F.explode_outer("partitionToWriteStats").alias("partition", "stats"))
+        .select(F.explode("stats").alias("ws"))
+        .select(absolute("ws.path").alias("path"))
+    )
+
+
+def vacuum_table(
+    spark,
+    fmt,
+    table_path: str,
+    retention_hours: float = 168.0,
+    dry_run: bool = False,
+    reader=None,
+    now_millis: int | None = None,
+) -> DataFrame:
+    """Remove ORPHAN data files: files under the table path that no
+    retained metadata version references and that are older than the
+    retention window (Delta VACUUM / Iceberg ``remove_orphan_files`` — the
+    one maintenance operator the reference leaves to the table's own
+    services; completes this engine's clean/archive/expiry/log-retention
+    plane).
+
+    Returns one row per scanned file: ``(path, status)`` with status in
+    ``referenced`` / ``kept_recent`` (orphan inside the retention window —
+    a writer may be mid-commit) / ``removed`` (``orphan`` in dry-run).
+    Everything is distributed: the listing fans out per directory, the
+    reference set is the formats' own metadata as DataFrames, the
+    anti-join classifies, and deletion happens inside the executors —
+    driver state never holds a file list."""
+    import os
+    import time
+
+    from onetable_spark.model import TableFormat
+
+    fmt = TableFormat(fmt) if not isinstance(fmt, TableFormat) else fmt
+    cutoff = (now_millis or int(time.time() * 1000)) - int(retention_hours * 3600_000)
+    listing = list_table_files(spark, table_path)
+    refs = referenced_paths(spark, fmt, table_path, reader=reader).distinct()
+    classified = (
+        listing.join(refs.withColumn("_ref", F.lit(True)), "path", "left_outer")
+        .select(
+            "path",
+            F.when(F.col("_ref").isNotNull(), "referenced")
+            .when(F.col("mtime_millis") >= cutoff, "kept_recent")
+            .otherwise("orphan")
+            .alias("status"),
+        )
+    )
+    if dry_run:
+        return classified
+
+    def delete(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for path, status in zip(pdf["path"], pdf["status"]):
+                if status == "orphan":
+                    try:
+                        os.remove(path)
+                        status = "removed"
+                    except FileNotFoundError:
+                        status = "removed"  # racing vacuum won; same outcome
+                out.append({"path": path, "status": status})
+            yield pd.DataFrame(out, columns=["path", "status"])
+
+    return classified.mapInPandas(delete, "path string, status string")
 
 
 def compact_table(

@@ -428,3 +428,70 @@ def test_compact_table_zorder_tightens_file_bounds(spark, tmp_path):
 
     assert files_hit(before, (0, 3), (0, 3)) == 4  # every file intersects
     assert files_hit(after, (0, 3), (0, 3)) < len(after)  # some file prunes
+
+
+def test_vacuum_orphans_all_formats(spark, sf_dir, tmp_path):
+    """Orphan-file vacuum (r10): files no retained metadata version
+    references and older than retention are removed; referenced files —
+    including files only OLDER versions reference (time travel) — and
+    recent orphans survive. Runs against each format's own reference set."""
+    from onetable_spark.model import TableFormat
+    from onetable_spark.operators.maintenance import vacuum_table
+
+    for fmt in (TableFormat.DELTA, TableFormat.ICEBERG, TableFormat.HUDI):
+        base = str(tmp_path / f"vac_{fmt.value.lower()}")
+        reader = _stage_native(spark, sf_dir, base, fmt, n_small=2)
+        # an orphan outside the retention window and one inside it
+        old_orphan = os.path.join(base, "orphan_old.parquet")
+        new_orphan = os.path.join(base, "orphan_new.parquet")
+        shutil.copy(os.path.join(sf_dir, "region.parquet"), old_orphan)
+        shutil.copy(os.path.join(sf_dir, "region.parquet"), new_orphan)
+        os.utime(old_orphan, (946684800, 946684800))  # 2000-01-01
+        hidden = os.path.join(base, "_SUCCESS")
+        open(hidden, "w").write("")
+
+        plan = {
+            os.path.basename(r["path"]): r["status"]
+            for r in vacuum_table(spark, fmt, base, retention_hours=1,
+                                  dry_run=True, reader=reader).collect()
+        }
+        assert plan["orphan_old.parquet"] == "orphan"
+        assert plan["orphan_new.parquet"] == "kept_recent"
+        assert plan["small0.parquet"] == plan["small1.parquet"] == "referenced"
+        assert "_SUCCESS" not in plan  # marker files invisible to vacuum
+
+        got = {
+            os.path.basename(r["path"]): r["status"]
+            for r in vacuum_table(spark, fmt, base, retention_hours=1,
+                                  reader=reader).collect()
+        }
+        assert got["orphan_old.parquet"] == "removed"
+        assert not os.path.exists(old_orphan)
+        assert os.path.exists(new_orphan) and os.path.exists(hidden)
+        # the table itself is untouched and fully readable
+        assert reader.snapshot_files().count() == 2
+        assert spark.read.parquet(os.path.join(base, "small0.parquet")).count() > 0
+
+
+def test_vacuum_protects_time_travel_files(spark, sf_dir, tmp_path):
+    """A file REMOVED from the live Delta snapshot but still present in
+    older log versions stays 'referenced' — vacuum must not break time
+    travel; aging tombstones out is clean_log's job, not vacuum's."""
+    from onetable_spark.model import TableFormat
+    from onetable_spark.operators.maintenance import vacuum_table
+
+    base = str(tmp_path / "vac_tt")
+    reader = _stage_native(spark, sf_dir, base, TableFormat.DELTA, n_small=2)
+    removed_path = os.path.join(base, "small0.parquet")
+    removes = reader.snapshot_files().where(F.col("path") == removed_path)
+    reader.commit(removes=removes)
+    os.utime(removed_path, (946684800, 946684800))  # old enough to delete
+
+    plan = {
+        os.path.basename(r["path"]): r["status"]
+        for r in vacuum_table(
+            spark, TableFormat.DELTA, base, retention_hours=1, dry_run=True
+        ).collect()
+    }
+    assert plan["small0.parquet"] == "referenced"  # an old version needs it
+    assert reader.snapshot_files(version=1).count() == 2  # time travel intact

@@ -36,6 +36,7 @@ MUST_BE_DRIVER_MEASURED = {
     #
     # round-10 newcomers: first driver rows needed
     "sync_foreign_iceberg", "zorder_compaction", "ann_pq_topk",
+    "vacuum_orphans",
     # last driver rows r2-r4
     "g8_stats_regroup", "g10_json_flatten", "g11_sort_commits",
     "g12_latest_instant", "dedup_exact", "fingerprint_dedup",

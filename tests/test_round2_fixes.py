@@ -204,12 +204,15 @@ def test_no_driver_collect_in_query_paths():
     #   maintenance.py: O(planned bins) compaction plan + the per-partition
     #     zorder rewrite plan (same commit-payload order)
     #   queries.py: zorder_compaction's per-file z-bounds (4 staged files)
-    #     and its snapshot read-back (commit-payload order)
+    #     and its snapshot read-back (commit-payload order), plus
+    #     vacuum_orphans' 4-file staged status fetch
+    #   maintenance.py third site: Iceberg referenced_paths' manifest-list
+    #     walk (bounded by manifest count per snapshot)
     sanctioned = {
         "functions/similarity.py": 1,
         "functions/bpe.py": 2,
-        "operators/maintenance.py": 2,
-        "queries.py": 2,
+        "operators/maintenance.py": 3,
+        "queries.py": 3,
     }
     root = pathlib.Path(__file__).parent.parent / "onetable_spark"
     offenders, marked = [], Counter()
