@@ -214,6 +214,17 @@ def main(argv: Optional[list[str]] = None) -> int:
         "per table",
     )
     parser.add_argument(
+        "--vacuum",
+        default=None,
+        type=float,
+        metavar="RETENTION_HOURS",
+        help="instead of syncing, VACUUM each dataset in its source format: "
+        "remove orphan data files no retained metadata version references "
+        "and older than RETENTION_HOURS (operators/maintenance.py "
+        "vacuum_table — the Delta VACUUM / Iceberg remove_orphan_files "
+        "shape). Prints one JSON record per table",
+    )
+    parser.add_argument(
         "--watch",
         default=None,
         metavar="INTERVAL",
@@ -233,6 +244,8 @@ def main(argv: Optional[list[str]] = None) -> int:
     spark = get_spark("onetable-spark-sync")
     if args.optimize is not None:
         return run_optimize(spark, config, target_bytes=args.optimize)
+    if args.vacuum is not None:
+        return run_vacuum(spark, config, retention_hours=args.vacuum)
     if args.watch is not None:
         return run_watch(spark, config, interval=args.watch)
     results = run_dataset_config(
@@ -255,6 +268,33 @@ def run_optimize(spark, config: dict, target_bytes: int) -> int:
         record: dict[str, Any] = {"tableBasePath": base, "format": source_format.value}
         try:
             record.update(compact_table(spark, source_format, base, target_bytes))
+            record["status"] = "SUCCESS"
+        except Exception as e:  # noqa: BLE001 — per-table isolation
+            record["status"] = "ERROR"
+            record["error"] = str(e)
+            ok = False
+        print(json.dumps(record))
+    return 0 if ok else 1
+
+
+def run_vacuum(spark, config: dict, retention_hours: float) -> int:
+    """VACUUM every dataset in its source format (per-table isolation,
+    same error contract as the sync loop)."""
+    from onetable_spark.operators.maintenance import vacuum_table
+
+    source_format = TableFormat(config["sourceFormat"])
+    ok = True
+    for ds in config.get("datasets", []):
+        base = ds["tableBasePath"]
+        record: dict[str, Any] = {"tableBasePath": base, "format": source_format.value}
+        try:
+            counts = (
+                vacuum_table(spark, source_format, base, retention_hours=retention_hours)
+                .groupBy("status")
+                .count()
+                .collect()
+            )
+            record.update({r["status"]: r["count"] for r in counts})
             record["status"] = "SUCCESS"
         except Exception as e:  # noqa: BLE001 — per-table isolation
             record["status"] = "ERROR"

@@ -282,6 +282,12 @@ def vacuum_table(
     from onetable_spark.model import TableFormat
 
     fmt = TableFormat(fmt) if not isinstance(fmt, TableFormat) else fmt
+    if reader is None:
+        reader = reader_for(spark, fmt, table_path)
+    if not reader.exists():
+        # refusing beats an empty no-op: with no metadata there is no
+        # reference set, and "vacuum" would just mean "delete everything"
+        raise ValueError(f"no {fmt.value} table at {table_path}")
     cutoff = (now_millis or int(time.time() * 1000)) - int(retention_hours * 3600_000)
     listing = list_table_files(spark, table_path)
     refs = referenced_paths(spark, fmt, table_path, reader=reader).distinct()

@@ -193,3 +193,32 @@ def test_cli_optimize_mode(spark, sf_dir, tmp_path, capsys):
     assert by_base[base]["bins"] == 1 and by_base[base]["files_removed"] == 4
     assert by_base[f"{tmp_path}/missing_opt"]["status"] == "ERROR"
     assert log.snapshot_files().count() == 1
+
+
+def test_cli_vacuum_mode(spark, sf_dir, tmp_path, capsys):
+    """--vacuum removes aged orphans per dataset with the sync loop's
+    per-table error isolation and prints per-status counts."""
+    from onetable_spark.cli import run_vacuum
+
+    base = str(tmp_path / "vac_tbl")
+    _seed_delta(spark, sf_dir, base)
+    orphan = os.path.join(base, "stray.parquet")
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), orphan)
+    os.utime(orphan, (946684800, 946684800))  # 2000-01-01
+
+    config = {
+        "sourceFormat": "DELTA",
+        "datasets": [
+            {"tableBasePath": base},
+            {"tableBasePath": f"{tmp_path}/missing_vac"},
+        ],
+    }
+    rc = run_vacuum(spark, config, retention_hours=1)
+    records = [json.loads(line) for line in capsys.readouterr().out.strip().splitlines()]
+    assert rc == 1  # the missing table errored
+    by_base = {r["tableBasePath"]: r for r in records}
+    assert by_base[base]["status"] == "SUCCESS"
+    assert by_base[base]["removed"] == 1 and by_base[base]["referenced"] >= 1
+    assert by_base[f"{tmp_path}/missing_vac"]["status"] == "ERROR"
+    assert not os.path.exists(orphan)
+    assert DeltaLog(spark, base).snapshot_files().count() >= 1
