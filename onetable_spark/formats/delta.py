@@ -138,6 +138,27 @@ def _with_column_mapping_ids(schema: T.StructType) -> T.StructType:
     return T.StructType([conv_field(f) for f in schema.fields])
 
 
+def _physical_to_logical(metadata: dict) -> Optional[dict[str, str]]:
+    """physical-name → logical-name map from the metaData schemaString
+    (``delta.columnMapping.physicalName``, top-level fields).
+
+    Real column-mapping tables (mode = name/id, i.e. any delta-spark
+    table that ever renamed a column) key ``add.stats`` and
+    ``add.partitionValues`` by PHYSICAL names like ``col-<uuid>``;
+    surfacing those raw starves every stats consumer downstream (pruning,
+    the stats sync into Iceberg/Hudi, the validator). Nested stats paths
+    keep their physical names (documented gap: the fixtures and the sync
+    stats plane are flat). Returns None when no field carries a distinct
+    physical name (keys already logical)."""
+    schema = json.loads(metadata["schemaString"])
+    out = {}
+    for f in schema.get("fields", []):
+        pn = (f.get("metadata") or {}).get("delta.columnMapping.physicalName")
+        if pn and pn != f["name"]:
+            out[pn] = f["name"]
+    return out or None
+
+
 def _version_path(table_path: str, version: int) -> str:
     return os.path.join(table_path, LOG_DIR, f"{version:020d}.json")
 
@@ -236,13 +257,21 @@ class DeltaLog:
         self.table_path = table_path
         self.log_path = os.path.join(table_path, LOG_DIR)
         self._reader_checked = False
+        #: physical→logical stats/partition key map (column-mapping tables)
+        self._cm_map: Optional[dict[str, str]] = None
 
     def _ensure_reader_supported(self) -> None:
-        """Once per DeltaLog instance: materialize the protocol action and
-        run the reader-feature guard (snapshot_info checks inline; this
-        covers snapshot_files-only consumers like the maintenance planner)."""
+        """Once per DeltaLog instance: materialize the protocol action, run
+        the reader-feature guard (snapshot_info checks inline; this covers
+        snapshot_files-only consumers like the maintenance planner), and
+        cache the column-mapping physical→logical key map."""
         if not self._reader_checked:
-            self.snapshot_info()  # raises via _check_reader_protocol
+            info = self.snapshot_info()  # raises via _check_reader_protocol
+            # dict() normalizes the checkpoint-recovered form, where
+            # pyarrow renders the configuration map as (key, value) tuples
+            cfg = dict(info.metadata.get("configuration") or {})
+            if cfg.get("delta.columnMapping.mode") in ("name", "id"):
+                self._cm_map = _physical_to_logical(info.metadata)
             self._reader_checked = True
 
     # ------------------------------------------------------------------ read
@@ -323,6 +352,18 @@ class DeltaLog:
         )
         return self._adds_to_files(live.select("add.*"))
 
+    def _logical_key(self, key):
+        """Rename a stats/partitionValues key from its column-mapping
+        PHYSICAL name to the logical one (identity when mapping is off or
+        the key is already logical — our own writer keys logically even on
+        mode=name tables)."""
+        if not self._cm_map:
+            return key
+        mlit = F.create_map(
+            *[F.lit(x) for pn, ln in sorted(self._cm_map.items()) for x in (pn, ln)]
+        )
+        return F.coalesce(F.try_element_at(mlit, key), key)
+
     def _adds_to_files(self, adds: DataFrame) -> DataFrame:
         stats = F.from_json(
             "stats",
@@ -333,23 +374,28 @@ class DeltaLog:
             F.col("path").startswith("/") | F.col("path").contains("://"), F.col("path")
         ).otherwise(F.concat(F.lit(table_path + "/"), F.url_decode("path")))
         with_stats = adds.withColumn("st", stats)
+        part_values = F.col("partitionValues")
+        if self._cm_map:
+            part_values = F.transform_keys(
+                "partitionValues", lambda k, _v: self._logical_key(k)
+            )
         return with_stats.select(
             abs_path.alias("path"),
             F.lit("parquet").alias("file_format"),
-            F.col("partitionValues").alias("partition_values"),
+            part_values.alias("partition_values"),
             F.col("size").alias("size"),
             F.col("st.numRecords").alias("record_count"),
             F.col("modificationTime").alias("last_modified_millis"),
-            F.expr(
-                """
-                transform(map_keys(st.minValues), k -> struct(
-                    k as field,
-                    st.minValues[k] as min_value,
-                    st.maxValues[k] as max_value,
-                    st.nullCount[k] as num_nulls,
-                    st.numRecords as num_values,
-                    cast(null as long) as total_size))
-                """
+            F.transform(
+                F.map_keys(F.col("st.minValues")),
+                lambda k: F.struct(
+                    self._logical_key(k).alias("field"),
+                    F.element_at(F.col("st.minValues"), k).alias("min_value"),
+                    F.element_at(F.col("st.maxValues"), k).alias("max_value"),
+                    F.element_at(F.col("st.nullCount"), k).alias("num_nulls"),
+                    F.col("st.numRecords").alias("num_values"),
+                    F.lit(None).cast("long").alias("total_size"),
+                ),
             ).alias("column_stats"),
         )
 

@@ -396,3 +396,113 @@ def test_reader_refuses_deletion_vectors_and_unknown_features(spark, delta_table
             "minReaderVersion": 9, "minWriterVersion": 9}}) + "\n")
     with pytest.raises(ValueError, match="minReaderVersion 9"):
         DeltaLog(spark, table_path).snapshot_files()
+
+
+def test_column_mapping_stats_rekeyed_to_logical_names(spark, sf_dir, tmp_path):
+    """A real columnMapping table keys add.stats and partitionValues by
+    PHYSICAL names (col-<uuid>); the reader must surface LOGICAL names so
+    stats pruning, the cross-format stats sync, and the validator see the
+    schema's vocabulary (r10). The log is authored as raw protocol JSON —
+    physical names everywhere, like delta-spark writes them."""
+    base = str(tmp_path / "cmtbl")
+    log_dir = os.path.join(base, "_delta_log")
+    os.makedirs(log_dir)
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), os.path.join(base, "f1.parquet"))
+
+    phys_k, phys_n = "col-8d2a11aa", "col-77b0e3f1"
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "r_regionkey", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": phys_k}},
+            {"name": "r_name", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": phys_n}},
+        ],
+    })
+    stats = json.dumps({
+        "numRecords": 5,
+        "minValues": {phys_k: "0", phys_n: "AFRICA"},
+        "maxValues": {phys_k: "4", phys_n: "MIDDLE EAST"},
+        "nullCount": {phys_k: 0, phys_n: 0},
+    })
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 2,
+                                         "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "cm-test", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": [],
+            "configuration": {"delta.columnMapping.mode": "name",
+                              "delta.columnMapping.maxColumnId": "2"},
+            "createdTime": 1700000000000}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "f1.parquet", "partitionValues": {},
+            "size": 1828, "modificationTime": 1700000000000,
+            "dataChange": True, "stats": stats}}) + "\n")
+
+    log = DeltaLog(spark, base)
+    [row] = log.snapshot_files().collect()
+    got = {s["field"]: s for s in row["column_stats"]}
+    assert set(got) == {"r_regionkey", "r_name"}  # logical, not col-<uuid>
+    assert got["r_regionkey"]["min_value"] == "0"
+    assert got["r_regionkey"]["max_value"] == "4"
+    assert got["r_name"]["max_value"] == "MIDDLE EAST"
+    assert row["record_count"] == 5
+
+    # the ids flow to Iceberg as field-ids, and the synced stats keep the
+    # logical vocabulary end-to-end
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.sync import SyncClient, source_for, target_for
+
+    results = SyncClient(spark).sync(
+        source_for(spark, TableFormat.DELTA, base),
+        [target_for(spark, TableFormat.ICEBERG, base)],
+    )
+    assert all(r.status.value == "SUCCESS" for r in results.values())
+    ice = IcebergTable(spark, base)
+    md = ice.metadata()
+    fields = {f["name"]: f["id"] for f in ice._schema_for(md)["fields"]}
+    assert fields == {"r_regionkey": 1, "r_name": 2}  # columnMapping ids kept
+    [irow] = ice.snapshot_files().collect()
+    istats = {s["field"]: s for s in irow["column_stats"]}
+    assert istats["r_regionkey"]["min_value"] == "0"
+    assert istats["r_name"]["min_value"] == "AFRICA"
+
+
+def test_column_mapping_partition_values_rekeyed(spark, sf_dir, tmp_path):
+    """Hive partition keys in partitionValues also arrive physical-named
+    on columnMapping tables; the inventory must carry logical keys."""
+    base = str(tmp_path / "cmpart")
+    log_dir = os.path.join(base, "_delta_log")
+    os.makedirs(os.path.join(base, "part-0"))
+    os.makedirs(log_dir)
+    shutil.copy(os.path.join(sf_dir, "region.parquet"),
+                os.path.join(base, "part-0", "f1.parquet"))
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "r_name", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-aa"}},
+            {"name": "bucket", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-bb"}},
+        ],
+    })
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 2,
+                                         "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "cmp", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": ["bucket"],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 1700000000000}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "part-0/f1.parquet",
+            "partitionValues": {"col-bb": "0"},
+            "size": 1828, "modificationTime": 1700000000000,
+            "dataChange": True, "stats": json.dumps({"numRecords": 5})}}) + "\n")
+
+    [row] = DeltaLog(spark, base).snapshot_files().collect()
+    assert row["partition_values"] == {"bucket": "0"}  # logical key
