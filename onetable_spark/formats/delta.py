@@ -221,12 +221,13 @@ class DeltaSnapshotInfo:
 #: protocol, a reader MUST refuse a table whose readerFeatures it does not
 #: support — reading anyway produces WRONG DATA, not an error:
 #: deletionVectors would silently resurrect deleted rows (the add actions
-#: alone look like live files), v2Checkpoint hides actions in sidecars the
-#: classic replay never reads. columnMapping is supported for the id plane
+#: alone look like live files). v2Checkpoint is SUPPORTED as of r10: the
+#: replay resolves uuid-named checkpoints and their _sidecars/ files
+#: (_checkpoint_actions). columnMapping is supported for the id plane
 #: (ids flow to Iceberg field-ids; stats keys degrade to physical names,
 #: which starves pruning but never mis-reads values); timestampNtz is the
 #: type plane we already convert.
-SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz"}
+SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz", "v2Checkpoint"}
 MAX_READER_VERSION = 3
 
 
@@ -277,7 +278,9 @@ class DeltaLog:
     # ------------------------------------------------------------------ read
 
     def exists(self) -> bool:
-        return os.path.isdir(self.log_path) and bool(self._versions())
+        return os.path.isdir(self.log_path) and (
+            bool(self._versions()) or self._last_checkpoint() is not None
+        )
 
     def _versions(self) -> list[int]:
         if not os.path.isdir(self.log_path):
@@ -290,9 +293,14 @@ class DeltaLog:
 
     def latest_version(self) -> int:
         versions = self._versions()
-        if not versions:
-            raise FileNotFoundError(f"no Delta log at {self.log_path}")
-        return versions[-1]
+        if versions:
+            return versions[-1]
+        # log cleanup removes commits <= the checkpoint, so a quiesced
+        # table may hold ONLY the checkpoint — that version is the latest
+        ckpt = self._last_checkpoint()
+        if ckpt is not None:
+            return ckpt
+        raise FileNotFoundError(f"no Delta log at {self.log_path}")
 
     def _last_checkpoint(self) -> Optional[int]:
         p = os.path.join(self.log_path, "_last_checkpoint")
@@ -300,6 +308,64 @@ class DeltaLog:
             return None
         with open(p) as f:
             return int(json.load(f)["version"])
+
+    def _checkpoint_files(self, v: int) -> list[str]:
+        """Every parquet part of the checkpoint at version ``v``: the
+        classic single file, classic multi-part
+        (``.checkpoint.{i:010d}.{n:010d}.parquet``), or the V2 uuid-named
+        form (``.checkpoint.{uuid}.parquet``) — all from PROTOCOL.md
+        §Checkpoints."""
+        import glob as _glob
+
+        single = os.path.join(self.log_path, f"{v:020d}.checkpoint.parquet")
+        if os.path.exists(single):
+            return [single]
+        return sorted(
+            _glob.glob(os.path.join(self.log_path, f"{v:020d}.checkpoint.*.parquet"))
+        )
+
+    def _checkpoint_actions(self, v: int) -> DataFrame:
+        """(add, remove) actions of the checkpoint at ``v``, resolving V2
+        SIDECARS: a v2 checkpoint file carries ``sidecar`` actions naming
+        parquet files under ``_delta_log/_sidecars/`` that hold the file
+        actions (the main file may also carry them inline — both sides are
+        unioned). Classic checkpoints fall straight through."""
+        files = self._checkpoint_files(v)
+        if not files:
+            raise FileNotFoundError(f"no checkpoint files for v{v} in {self.log_path}")
+        df = self.spark.read.parquet(*files)
+
+        def pad(d: DataFrame) -> DataFrame:
+            for name, schema in (("add", ADD_SCHEMA), ("remove", REMOVE_SCHEMA)):
+                if name not in d.columns:
+                    d = d.withColumn(name, F.lit(None).cast(schema))
+            return d.select("add", "remove")
+
+        parts = []
+        if "add" in df.columns or "remove" in df.columns:
+            parts.append(pad(df))
+        if "sidecar" in df.columns:
+            # driver-ok: one row per sidecar FILE (same order as a manifest
+            # list), never per data file
+            names = [
+                r["p"]
+                for r in df.select(F.col("sidecar.path").alias("p"))
+                .where(F.col("p").isNotNull())
+                .collect()
+            ]
+            if names:
+                paths = [
+                    p if os.path.isabs(p) or "://" in p
+                    else os.path.join(self.log_path, "_sidecars", p)
+                    for p in names
+                ]
+                parts.append(pad(self.spark.read.parquet(*paths)))
+        if not parts:
+            raise ValueError(f"checkpoint v{v} carries no file actions or sidecars")
+        out = parts[0]
+        for extra in parts[1:]:
+            out = out.unionByName(extra, allowMissingColumns=True)
+        return out.where(F.col("add").isNotNull() | F.col("remove").isNotNull())
 
     def _actions_df(self, versions: list[int]) -> DataFrame:
         """All actions in the given commit files, tagged with version."""
@@ -326,11 +392,8 @@ class DeltaLog:
         ckpt = self._last_checkpoint()
         if ckpt is not None and ckpt <= upper:
             json_versions = [v for v in self._versions() if ckpt < v <= upper]
-            ckpt_file = os.path.join(self.log_path, f"{ckpt:020d}.checkpoint.parquet")
-            base = (
-                self.spark.read.parquet(ckpt_file)
-                .select("add", "remove")
-                .withColumn("version", F.lit(ckpt).cast("long"))
+            base = self._checkpoint_actions(ckpt).withColumn(
+                "version", F.lit(ckpt).cast("long")
             )
             actions = base.unionByName(
                 self._actions_df(json_versions).select("add", "remove", "version"),
@@ -421,15 +484,19 @@ class DeltaLog:
             if ckpt is not None and ckpt <= upper:
                 import pyarrow.parquet as pq
 
-                tbl = pq.read_table(
-                    os.path.join(self.log_path, f"{ckpt:020d}.checkpoint.parquet"),
-                    columns=["metaData", "protocol"],
-                ).to_pylist()
-                for row in tbl:
-                    if metadata is None and row.get("metaData") and row["metaData"].get("schemaString"):
-                        metadata = row["metaData"]
-                    if protocol is None and row.get("protocol") and row["protocol"].get("minReaderVersion"):
-                        protocol = row["protocol"]
+                for part in self._checkpoint_files(ckpt):
+                    pf = pq.ParquetFile(part)
+                    cols = [
+                        c for c in ("metaData", "protocol")
+                        if c in pf.schema_arrow.names
+                    ]
+                    if not cols:
+                        continue
+                    for row in pq.read_table(part, columns=cols).to_pylist():
+                        if metadata is None and row.get("metaData") and row["metaData"].get("schemaString"):
+                            metadata = row["metaData"]
+                        if protocol is None and row.get("protocol") and row["protocol"].get("minReaderVersion"):
+                            protocol = row["protocol"]
         if metadata is None:
             raise ValueError(f"Delta log {self.log_path} has no metaData action")
         _check_reader_protocol(protocol or {}, self.log_path)
