@@ -195,12 +195,37 @@ class HudiTimeline:
         rollback still sees the rolled-back commit)."""
         if not os.path.isdir(self.hoodie_path):
             return []
+        self._ensure_table_version_supported()
         events: list[tuple[str, str]] = []
         for f in os.listdir(self.hoodie_path):
             parts = f.split(".")
             if len(parts) == 2 and parts[1] in COMMIT_ACTIONS + UNDO_ACTIONS:
                 events.append((parts[0], parts[1]))
         return sorted(events)
+
+    #: highest hoodie.table.version this timeline reader implements —
+    #: 6 is the 0.14.x layout the demo fixture certifies. Hudi 1.0 (table
+    #: version 8) RENAMES completed instants to
+    #: ``<instant>_<completion>.<action>`` under ``.hoodie/timeline/``, so
+    #: reading it with the 0.x layout would see ZERO instants and report a
+    #: healthy-looking EMPTY table — the silent-wrong-data failure the r10
+    #: guard family refuses.
+    MAX_TABLE_VERSION = 6
+
+    def _ensure_table_version_supported(self) -> None:
+        if getattr(self, "_tv_checked", False):
+            return
+        props_file = os.path.join(self.hoodie_path, "hoodie.properties")
+        if os.path.exists(props_file):
+            tv = int(self.table_properties().get("hoodie.table.version", "6") or 6)
+            if tv > self.MAX_TABLE_VERSION:
+                raise ValueError(
+                    f"hoodie.table.version {tv} at {self.table_path} exceeds "
+                    f"the supported {self.MAX_TABLE_VERSION} (the 1.0 "
+                    "timeline layout moves/renames completed instants); "
+                    "refusing rather than reading an empty timeline"
+                )
+        self._tv_checked = True
 
     def _undone_instants(self, events: list[tuple[str, str]]) -> set[str]:
         """Commits undone by a rollback/restore within the given window

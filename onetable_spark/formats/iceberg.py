@@ -550,7 +550,17 @@ class IcebergTable:
     def metadata(self, version: Optional[int] = None) -> dict:
         v = self.current_version() if version is None else version
         with open(os.path.join(self.metadata_dir, f"v{v}.metadata.json")) as f:
-            return json.load(f)
+            md = json.load(f)
+        fv = md.get("format-version", 1)
+        if fv > 2:
+            # v3 adds binary deletion vectors and row lineage; reading it
+            # with v2 semantics would resurrect deleted rows — refuse
+            # loudly (the r10 guard family: never wrong data)
+            raise ValueError(
+                f"Iceberg format-version {fv} at {self.table_path} exceeds "
+                "the supported v2; refusing rather than mis-reading"
+            )
+        return md
 
     def current_snapshot_meta(self, md: Optional[dict] = None) -> Optional[dict]:
         md = md or self.metadata()

@@ -401,3 +401,22 @@ def test_savepoint_and_clean_instants_are_source_noops(spark, hudi_table):
         [target_for(spark, TF.DELTA, table_path)],
     )
     assert all(r.status.value == "SUCCESS" for r in res.values()), res
+
+
+def test_unsupported_table_version_refused(spark, hudi_table):
+    """Hudi 1.0 (hoodie.table.version 8) renames completed instants into
+    .hoodie/timeline/, so the 0.x reader would see ZERO instants and
+    report a healthy-looking empty table — refuse loudly instead."""
+    import pytest as _pytest
+
+    table_path, table = hudi_table
+    tl = HudiTimeline(spark, table_path)
+    tl.init_table(table)
+    props = os.path.join(table_path, ".hoodie", "hoodie.properties")
+    content = open(props).read().replace(
+        "hoodie.table.version=6", "hoodie.table.version=8"
+    )
+    open(props, "w").write(content)
+    fresh = HudiTimeline(spark, table_path)
+    with _pytest.raises(ValueError, match="hoodie.table.version 8"):
+        fresh.completed_instants()

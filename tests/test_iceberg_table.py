@@ -490,3 +490,22 @@ def test_rewrite_path_writes_sharded_manifests_distributed(spark, sf_dir, tmp_pa
     # change isolation: the evolving commit's own add is just f5
     change = tbl.changes_for_snapshot(snap2)
     assert [r["path"].rsplit("/", 1)[-1] for r in change.diff.added.collect()] == ["f5.parquet"]
+
+
+def test_unsupported_format_version_refused(spark, tmp_path):
+    """Iceberg v3 (deletion vectors, row lineage) read with v2 semantics
+    would resurrect deleted rows — refuse at the metadata gate."""
+    import json
+
+    import pytest as _pytest
+
+    base = str(tmp_path / "v3tbl")
+    meta = os.path.join(base, "metadata")
+    os.makedirs(meta)
+    with open(os.path.join(meta, "v1.metadata.json"), "w") as f:
+        json.dump({"format-version": 3, "table-uuid": "x", "location": base,
+                   "schemas": [], "snapshots": []}, f)
+    with open(os.path.join(meta, "version-hint.text"), "w") as f:
+        f.write("1")
+    with _pytest.raises(ValueError, match="format-version 3"):
+        IcebergTable(spark, base).metadata()
