@@ -532,6 +532,11 @@ class DeltaLog:
 
     def changes_for_version(self, version: int) -> TableChange:
         """One commit's add/remove partition — DeltaSourceClient.java:106-142."""
+        # the reader guard + column-mapping key map must be materialized
+        # BEFORE _adds_to_files builds its expressions, or an incremental
+        # sync of a columnMapping table would emit physical stats keys
+        # while the snapshot path emits logical ones
+        self._ensure_reader_supported()
         actions = self._actions_df([version])
         added = self._adds_to_files(
             actions.filter(F.col("add").isNotNull()).select("add.*")
@@ -571,6 +576,12 @@ class DeltaLog:
                         return int(action["metaData"]["createdTime"])
         except (OSError, ValueError):
             pass
+        if not os.path.exists(path):
+            # log cleanup removed the commit JSON (checkpoint-only table):
+            # the checkpoint part file's mtime is the best surviving signal
+            parts = self._checkpoint_files(version)
+            if parts:
+                return int(os.stat(parts[0]).st_mtime * 1000)
         return int(os.stat(path).st_mtime * 1000)
 
     def versions_after_millis(self, millis: int) -> list[int]:

@@ -97,7 +97,13 @@ def morton_key(cols: Sequence, bits_per_col: int = 8):
     (the usual production refinement); the low-bit form is exact for
     id-like columns and is what the zorder_layout oracle pins."""
     k = len(cols)
-    masked = [F.col(c).bitwiseAND(F.lit((1 << bits_per_col) - 1)) if isinstance(c, str) else c.bitwiseAND(F.lit((1 << bits_per_col) - 1)) for c in cols]
+    mask = F.lit((1 << bits_per_col) - 1)
+    # widen to long BEFORE shifting: with k >= 4 int columns, bit position
+    # i*k+j reaches 31 and a 32-bit shiftleft would sign-flip the term
+    masked = [
+        (F.col(c) if isinstance(c, str) else c).cast("long").bitwiseAND(mask)
+        for c in cols
+    ]
     z = None
     for i in range(bits_per_col):
         for j, x in enumerate(masked):
@@ -202,16 +208,21 @@ def referenced_paths(spark, fmt, table_path: str, reader=None) -> DataFrame:
         ).otherwise(F.concat(F.lit(prefix), F.url_decode(col)))
 
     if fmt is TableFormat.DELTA:
+        versions = reader._versions()
         refs = (
-            reader._actions_df(reader._versions())
+            reader._actions_df(versions)
             .select(F.col("add.path").alias("p"))
             .where(F.col("p").isNotNull())
-        )
+        ) if versions else spark.createDataFrame([], "p string")
         ckpt = reader._last_checkpoint()
         if ckpt is not None:
-            ck = spark.read.parquet(
-                os.path.join(reader.log_path, f"{ckpt:020d}.checkpoint.parquet")
-            ).select(F.col("add.path").alias("p")).where(F.col("p").isNotNull())
+            # _checkpoint_actions resolves every checkpoint form (classic,
+            # multi-part, V2 + sidecars) — never hardcode the file name
+            ck = (
+                reader._checkpoint_actions(ckpt)
+                .select(F.col("add.path").alias("p"))
+                .where(F.col("p").isNotNull())
+            )
             refs = refs.unionByName(ck)
         return refs.select(absolute("p").alias("path"))
     if fmt is TableFormat.ICEBERG:
@@ -236,10 +247,9 @@ def referenced_paths(spark, fmt, table_path: str, reader=None) -> DataFrame:
                     )
                 yield pd.DataFrame(rows, columns=["path"])
 
-        base = spark.createDataFrame(
-            [(p,) for p in sorted(set(manifest_paths))], "p string"
-        )
-        par = max(1, min(base.count(), spark.sparkContext.defaultParallelism))
+        uniq = sorted(set(manifest_paths))
+        base = spark.createDataFrame([(p,) for p in uniq], "p string")
+        par = max(1, min(len(uniq), spark.sparkContext.defaultParallelism))
         return base.repartition(par).mapInPandas(scan, "path string")
     # HUDI: all completed commits' write stats (no base/log filtering)
     instants = reader.completed_instants()
@@ -288,7 +298,8 @@ def vacuum_table(
         # refusing beats an empty no-op: with no metadata there is no
         # reference set, and "vacuum" would just mean "delete everything"
         raise ValueError(f"no {fmt.value} table at {table_path}")
-    cutoff = (now_millis or int(time.time() * 1000)) - int(retention_hours * 3600_000)
+    now = now_millis if now_millis is not None else int(time.time() * 1000)
+    cutoff = now - int(retention_hours * 3600_000)
     listing = list_table_files(spark, table_path)
     refs = referenced_paths(spark, fmt, table_path, reader=reader).distinct()
     classified = (

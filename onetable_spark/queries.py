@@ -2427,8 +2427,8 @@ STAGED_QUERIES: tuple[str, ...] = (
     "sync_inventory", "sync_schema_evolution", "sync_recovery",
     "sync_partition_evolution", "sync_safety_fallback", "sync_catchup",
     "sync_foreign_table", "sync_foreign_iceberg", "zorder_compaction",
-    "streaming_sink_inventory", "multimodal_ingest", "streaming_cdc_feed",
-    "streaming_cdc_hudi", "sync_continuous",
+    "vacuum_orphans", "streaming_sink_inventory", "multimodal_ingest",
+    "streaming_cdc_feed", "streaming_cdc_hudi", "sync_continuous",
 )
 
 

@@ -161,10 +161,12 @@ class ContinuousSync:
         )
 
     def run_available_now(self) -> list[dict]:
-        """Drain all pending commits, sync, and stop. Returns the journal."""
+        """Drain all pending commits, sync, and stop. Returns a LIST copy
+        of the journal ring (the most recent ``journal_maxlen`` entries;
+        lifetime totals live in the counters)."""
         q = self._writer().trigger(availableNow=True).start()
         q.awaitTermination()
-        return self.journal
+        return list(self.journal)
 
     def start(self, interval: str = "30 seconds"):
         """Long-lived service: sync whenever new commits appear."""

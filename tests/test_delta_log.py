@@ -506,3 +506,80 @@ def test_column_mapping_partition_values_rekeyed(spark, sf_dir, tmp_path):
 
     [row] = DeltaLog(spark, base).snapshot_files().collect()
     assert row["partition_values"] == {"bucket": "0"}  # logical key
+
+
+def test_column_mapping_rekeying_covers_incremental_changes(spark, sf_dir, tmp_path):
+    """Review fix (r10): changes_for_version must emit LOGICAL stats and
+    partition keys on columnMapping tables exactly like snapshot_files —
+    the incremental sync path was building its plan before the key map
+    was materialized."""
+    base = str(tmp_path / "cminc")
+    log_dir = os.path.join(base, "_delta_log")
+    os.makedirs(os.path.join(base, "b-0"))
+    os.makedirs(log_dir)
+    shutil.copy(os.path.join(sf_dir, "region.parquet"),
+                os.path.join(base, "b-0", "f1.parquet"))
+    schema_string = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "r_regionkey", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 1,
+                          "delta.columnMapping.physicalName": "col-k"}},
+            {"name": "bucket", "type": "integer", "nullable": True,
+             "metadata": {"delta.columnMapping.id": 2,
+                          "delta.columnMapping.physicalName": "col-b"}},
+        ],
+    })
+    with open(os.path.join(log_dir, f"{0:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {"minReaderVersion": 2,
+                                         "minWriterVersion": 5}}) + "\n")
+        f.write(json.dumps({"metaData": {
+            "id": "cminc", "format": {"provider": "parquet", "options": {}},
+            "schemaString": schema_string, "partitionColumns": ["bucket"],
+            "configuration": {"delta.columnMapping.mode": "name"},
+            "createdTime": 1700000000000}}) + "\n")
+    with open(os.path.join(log_dir, f"{1:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 1700000001000}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "b-0/f1.parquet", "partitionValues": {"col-b": "0"},
+            "size": 1828, "modificationTime": 1700000001000,
+            "dataChange": True,
+            "stats": json.dumps({"numRecords": 5,
+                                 "minValues": {"col-k": "0"},
+                                 "maxValues": {"col-k": "4"},
+                                 "nullCount": {"col-k": 0}})}}) + "\n")
+
+    change = DeltaLog(spark, base).changes_for_version(1)
+    [row] = change.diff.added.collect()
+    assert row["partition_values"] == {"bucket": "0"}
+    stats = {s["field"]: s for s in row["column_stats"]}
+    assert set(stats) == {"r_regionkey"} and stats["r_regionkey"]["max_value"] == "4"
+
+
+def test_checkpoint_only_table_full_sync_path(spark, sf_dir, tmp_path):
+    """Review fix (r10): a quiesced table holding ONLY its checkpoint
+    (commits cleaned) must serve the whole sync entry path —
+    table_descriptor/current_snapshot need commit_timestamp, whose commit
+    JSON is gone; it falls back to the checkpoint file's mtime."""
+    from onetable_spark.model import DataLayoutStrategy, Table, TableFormat
+
+    base = str(tmp_path / "ckonly")
+    os.makedirs(base)
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), os.path.join(base, "f1.parquet"))
+    schema = spark.read.parquet(base).schema
+    log = DeltaLog(spark, base)
+    log.init_table(Table(name="ck", base_path=base, table_format=TableFormat.DELTA,
+                         read_schema=schema, layout=DataLayoutStrategy.FLAT))
+    log.commit(adds=inventory_from_directory(spark, base))
+    log.checkpoint()
+    # simulate aggressive log cleanup: every commit JSON removed
+    for f in os.listdir(os.path.join(base, "_delta_log")):
+        if f.endswith(".json") and f[:20].isdigit():
+            os.remove(os.path.join(base, "_delta_log", f))
+
+    fresh = DeltaLog(spark, base)
+    assert fresh.exists()
+    assert fresh.latest_version() == 1
+    snap = fresh.current_snapshot()  # used to raise FileNotFoundError
+    assert snap.files.count() == 1
+    assert fresh.table_descriptor().name  # full descriptor path works
