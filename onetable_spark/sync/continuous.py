@@ -174,6 +174,41 @@ class ContinuousSync:
 
 
 @dataclass
+class AutoVacuum(ContinuousSync):
+    """Standing orphan-file cleanup: the same commit-marker trigger, but
+    the action is ``vacuum_table`` on the watched table — the scheduled
+    VACUUM job every real lakehouse deployment pairs with its OPTIMIZE.
+    Push-driven by the table's own commit log: failed/abandoned writer
+    files age past ``retention_hours`` and the next landed commit sweeps
+    them. Self-quenching by construction (vacuum deletes data files, never
+    writes a commit, so it cannot re-trigger itself). Journal entries
+    carry per-status counts; errors follow the base trigger contract."""
+
+    retention_hours: float = 168.0
+
+    def _action(self, n_commits: int) -> dict:
+        from pyspark.sql import functions as F
+
+        from onetable_spark.operators.maintenance import vacuum_table
+
+        counts = (
+            vacuum_table(
+                self.spark,
+                self.source_format,
+                self.table_path,
+                retention_hours=self.retention_hours,
+            )
+            .groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"))
+            # driver-ok: at most three status rows
+            .collect()
+        )
+        entry: dict = {"n_commits": n_commits}
+        entry.update({r["status"]: r["n"] for r in counts})
+        return entry
+
+
+@dataclass
 class AutoOptimize(ContinuousSync):
     """Auto-compaction service: the same commit-marker trigger, but the
     action is ``compact_table`` on the watched table itself (instead of a

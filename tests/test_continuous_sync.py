@@ -340,3 +340,28 @@ def test_journal_bounded_over_service_lifetime(spark, tmp_path):
         cs._sync_once(9)
     assert cs.sync_errors == 1 and len(cs.journal) == 64
     assert cs.journal[-1] == {"n_commits": 9, "error": "boom"}
+
+
+def test_auto_vacuum_service(spark, sf_dir, tmp_path):
+    """AutoVacuum: each landed commit triggers one vacuum pass — aged
+    orphans sweep, fresh orphans and referenced files survive, and the
+    service cannot re-trigger itself (vacuum writes no commit)."""
+    from onetable_spark.sync.continuous import AutoVacuum
+
+    base = str(tmp_path / "avtbl")
+    ckpt = str(tmp_path / "avckpt")
+    log = _stage(spark, sf_dir, base)
+    old_orphan = os.path.join(base, "orphan_old.parquet")
+    new_orphan = os.path.join(base, "orphan_new.parquet")
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), old_orphan)
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), new_orphan)
+    os.utime(old_orphan, (946684800, 946684800))  # 2000-01-01
+
+    svc = lambda: AutoVacuum(spark, base, (), ckpt, retention_hours=1)  # noqa: E731
+    j1 = svc().run_available_now()
+    assert j1 == [{"n_commits": 2, "referenced": 1, "kept_recent": 1, "removed": 1}]
+    assert not os.path.exists(old_orphan) and os.path.exists(new_orphan)
+    # no new commit landed -> nothing to trigger (self-quenching)
+    assert svc().run_available_now() == []
+    # table untouched
+    assert log.snapshot_files().count() == 1
