@@ -4,7 +4,11 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 10: 123 queries. New in round 10:
+Surface as of round 10: 124 queries. New in round 10:
+`ann_ivfpq_topk` — IVF-PQ ANN (Jegou et al. 2011 IVFADC, the canonical
+billion-scale layout): coarse quantizer + RESIDUAL PQ codebooks,
+per-probed-cluster ADC lookup tables, probe pruning + exact rerank,
+gated by planted/raw recall contract booleans;
 `vacuum_orphans` — ORPHAN-FILE VACUUM (Delta VACUUM / Iceberg
 remove_orphan_files shape): distributed per-directory listing anti-
 joined against EVERY retained metadata version's referenced paths in

@@ -613,3 +613,49 @@ def test_pq_compression_recall_and_determinism(spark, sf_dir):
     exact = {r["vec_id"] for r in cosine_topk(corpus, q, k=10).collect()}
     raw = {r["vec_id"] for r in pq_topk(corpus, q, k=10, codebooks=books).collect()}
     assert len(exact & raw) >= 6  # measured 8 at sf0.001
+
+
+def test_ivfpq_residual_recall_and_probe_pruning(spark, sf_dir):
+    """IVF-PQ (r10): residual encoding retrieves every planted
+    near-duplicate through the probe+ADC+rerank pipeline, and the probe
+    filter actually prunes (rows outside the probed clusters never reach
+    the candidate set)."""
+    from onetable_spark.functions.similarity import (
+        ivf_assign,
+        ivfpq_topk,
+        ivfpq_train,
+    )
+    from onetable_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    corpus = emb.filter(F.col("vec_id") != 0)
+    index = ivfpq_train(corpus)
+    centroids, books = index
+    assert books.shape == (8, 16, 8)
+
+    planted_rows = []
+    for j in range(10):
+        v = list(q)
+        v[j % len(v)] = v[j % len(v)] * 1.01 + 0.001
+        planted_rows.append((1_000_000 + j, [float(x) for x in v]))
+    spiked = corpus.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(planted_rows, "vec_id long, embedding array<float>")
+    )
+    got = {r["vec_id"] for r in ivfpq_topk(spiked, q, k=10, index=index).collect()}
+    assert len(got & {r[0] for r in planted_rows}) >= 8  # measured 10/10
+
+    # probe pruning: with n_probe=1 every result must live in the single
+    # probed cluster
+    import numpy as np
+
+    qv = np.asarray(q, dtype=np.float64)
+    qv /= np.linalg.norm(qv)
+    top_cluster = int((np.asarray(centroids) @ qv).argmax())
+    one = ivfpq_topk(corpus, q, k=10, n_probe=1, index=index)
+    assigned = {
+        r["id"]: r["cluster"]
+        for r in ivf_assign(corpus, centroids).select("id", "cluster").collect()
+    }
+    for r in one.collect():
+        assert assigned[r["vec_id"]] == top_cluster

@@ -36,7 +36,7 @@ MUST_BE_DRIVER_MEASURED = {
     #
     # round-10 newcomers: first driver rows needed
     "sync_foreign_iceberg", "zorder_compaction", "ann_pq_topk",
-    "vacuum_orphans",
+    "ann_ivfpq_topk", "vacuum_orphans",
     # last driver rows r2-r4
     "g8_stats_regroup", "g10_json_flatten", "g11_sort_commits",
     "g12_latest_instant", "dedup_exact", "fingerprint_dedup",
@@ -92,8 +92,9 @@ BOUNDARY_SENSITIVE = [
     "semdedup_pairs",
     # r10: layout-contract booleans (span halving, probe-box pruning)
     "zorder_compaction",
-    # r10: PQ recall-contract booleans
+    # r10: PQ / IVF-PQ recall-contract booleans
     "ann_pq_topk",
+    "ann_ivfpq_topk",
 ]
 
 
