@@ -303,26 +303,73 @@ class DeltaLog:
         raise FileNotFoundError(f"no Delta log at {self.log_path}")
 
     def _last_checkpoint(self) -> Optional[int]:
+        doc = self._last_checkpoint_doc()
+        return None if doc is None else int(doc["version"])
+
+    def _last_checkpoint_doc(self) -> Optional[dict]:
         p = os.path.join(self.log_path, "_last_checkpoint")
         if not os.path.exists(p):
             return None
         with open(p) as f:
-            return int(json.load(f)["version"])
+            return json.load(f)
 
     def _checkpoint_files(self, v: int) -> list[str]:
         """Every parquet part of the checkpoint at version ``v``: the
         classic single file, classic multi-part
         (``.checkpoint.{i:010d}.{n:010d}.parquet``), or the V2 uuid-named
         form (``.checkpoint.{uuid}.parquet``) — all from PROTOCOL.md
-        §Checkpoints."""
+        §Checkpoints.
+
+        Completeness is VERIFIED before anything is replayed (r11, per
+        the protocol's multi-part rule): a torn multi-part checkpoint —
+        one part missing — would otherwise silently replay a PARTIAL
+        snapshot (dropped live files, wrong data, no error). The total
+        embedded in the part names (``{n:010d}``) and the ``parts`` field
+        of _last_checkpoint must both agree with what the listing found.
+        JSON-format v2 checkpoints (``{v}.checkpoint.{uuid}.json``) are
+        refused explicitly rather than surfacing as a confusing
+        'no checkpoint files' error."""
         import glob as _glob
+        import re as _re
 
         single = os.path.join(self.log_path, f"{v:020d}.checkpoint.parquet")
         if os.path.exists(single):
             return [single]
-        return sorted(
+        found = sorted(
             _glob.glob(os.path.join(self.log_path, f"{v:020d}.checkpoint.*.parquet"))
         )
+        if not found and _glob.glob(
+            os.path.join(self.log_path, f"{v:020d}.checkpoint.*.json")
+        ):
+            raise ValueError(
+                f"{self.log_path}: v{v} checkpoint is a JSON-format v2 "
+                "checkpoint; only the parquet form is supported — refusing "
+                "rather than mis-reading"
+            )
+        # classic multi-part names embed (index, total); validate them
+        multi = _re.compile(r"\.checkpoint\.(\d{10})\.(\d{10})\.parquet$")
+        matches = [m for f in found if (m := multi.search(f))]
+        if matches:
+            totals = {int(m.group(2)) for m in matches}
+            indices = sorted(int(m.group(1)) for m in matches)
+            n = totals.pop() if len(totals) == 1 else None
+            if n is None or indices != list(range(1, n + 1)):
+                raise ValueError(
+                    f"{self.log_path}: v{v} multi-part checkpoint is "
+                    f"incomplete/torn — found part indices {indices} "
+                    f"(declared totals {sorted(totals) if totals else [n]}); "
+                    "replaying a partial checkpoint would drop live files; "
+                    "refusing rather than returning wrong data"
+                )
+            doc = self._last_checkpoint_doc()
+            if doc and int(doc.get("version", -1)) == v and doc.get("parts") is not None:
+                if int(doc["parts"]) != n:
+                    raise ValueError(
+                        f"{self.log_path}: v{v} checkpoint has {n} parts on "
+                        f"disk but _last_checkpoint declares {doc['parts']}; "
+                        "refusing rather than replaying a torn checkpoint"
+                    )
+        return found
 
     def _checkpoint_actions(self, v: int) -> DataFrame:
         """(add, remove) actions of the checkpoint at ``v``, resolving V2

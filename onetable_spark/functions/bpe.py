@@ -144,10 +144,14 @@ def _select_batch(
     - **pairwise symbol-disjoint**: merging (a, b) cannot create or destroy
       an occurrence of a pair sharing no symbol with it, so every selected
       pair keeps its exact count throughout the batch;
-    - **merged string brand-new** (not in the symbol universe): the only
-      pairs whose counts can RISE during the batch are those containing a
-      new merged symbol, and each such occurrence consumed an occurrence of
-      an unselected pair (e.g. count(x, ab) <= count_before(x, a), which
+    - **merged string brand-new** (not in the symbol universe, AND not the
+      merged string of any earlier pair in the same batch — two
+      symbol-disjoint pairs like ('a','bc') and ('ab','c') both yield
+      'abc', and pairs containing the collided symbol would then gain
+      count from two sources and could exceed B): the only pairs whose
+      counts can RISE during the batch are those containing a new merged
+      symbol, and each such occurrence consumed an occurrence of an
+      unselected pair (e.g. count(x, ab) <= count_before(x, a), which
       shares `a` and is therefore unselected) — so risen counts stay <= B;
     - **strict-count truncation** (keep only cnt > B, B = count of the
       first pair left out): at every intermediate step the next selected
@@ -156,14 +160,16 @@ def _select_batch(
     """
     batch: list[tuple[str, str, int]] = []
     used: set[str] = set()
+    produced: set[str] = set()
     bound = overflow_cnt
     for r in rows:
         a, b, cnt = r["a"], r["b"], int(r["cnt"])
-        if a in used or b in used or (a + b) in universe:
+        if a in used or b in used or (a + b) in universe or (a + b) in produced:
             bound = cnt  # first conflict: stop (contiguity), it sets B
             break
         batch.append((a, b, cnt))
         used.update((a, b))
+        produced.add(a + b)
     while batch and batch[-1][2] <= bound:
         batch.pop()
     if not batch and rows:

@@ -145,34 +145,94 @@ def hive_partition_path(col: str = "partition_values"):
 _METADATA_DIRS = ("_delta_log", ".hoodie", "metadata")
 
 
-def list_table_files(spark, table_path: str) -> DataFrame:
+class LocalFilesystem:
+    """Filesystem seam for the maintenance plane (r11). Vacuum's lister
+    and deleter go through this interface instead of binding to POSIX
+    calls, so an object-store deployment injects its own implementation
+    (S3/GCS list + delete) without touching the operators. Instances are
+    pickled into executor tasks — keep them stateless."""
+
+    def list_dirs(self, root: str) -> list[str]:
+        """All directories under ``root`` (inclusive), excluding metadata
+        and hidden directories. Driver-side; bounded by directory count."""
+        import os
+
+        dirs = []
+        for r, dnames, _ in os.walk(root):
+            dnames[:] = [
+                d for d in dnames
+                if d not in _METADATA_DIRS and not d.startswith((".", "_"))
+            ]
+            dirs.append(r)
+        return dirs
+
+    def list_files(self, directory: str) -> list[tuple[str, int, int]]:
+        """``(path, size, mtime_millis)`` for each plain file directly in
+        ``directory``, hidden/marker names excluded. Executor-side."""
+        import os
+
+        rows = []
+        for name in sorted(os.listdir(directory)):
+            p = os.path.join(directory, name)
+            if name.startswith((".", "_")) or not os.path.isfile(p):
+                continue
+            st = os.stat(p)
+            rows.append((p, st.st_size, int(st.st_mtime * 1000)))
+        return rows
+
+    def remove(self, path: str) -> None:
+        """Delete one file; missing files must NOT raise (a racing vacuum
+        winning the delete is the same outcome). Executor-side."""
+        import os
+
+        try:
+            os.remove(path)
+        except FileNotFoundError:
+            pass
+
+
+def _strip_scheme(p: str) -> str:
+    """Normalize local-FS scheme URIs to plain paths: ``file:///x`` /
+    ``file://x`` / ``file:/x`` → ``/x``. Foreign writers (delta-spark,
+    Iceberg java) record absolute paths WITH the scheme while os-level
+    listings produce bare paths — comparing them raw makes every
+    referenced file look like an orphan (and vacuum would delete live
+    data). Non-file schemes pass through untouched."""
+    if p.startswith("file:"):
+        rest = p[5:]
+        while rest.startswith("//"):
+            rest = rest[1:]
+        return rest
+    return p
+
+
+def _strip_scheme_col(col):
+    """Column form of ``_strip_scheme`` in pure SQL expressions (no
+    Python crossing): strip a leading ``file:`` plus any extra slashes
+    down to a single root slash."""
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(c, r"^file:/+", "/")
+    return F.when(c.startswith("file:"), stripped).otherwise(c)
+
+
+def list_table_files(spark, table_path: str, fs: LocalFilesystem | None = None) -> DataFrame:
     """Distributed data-file listing: the driver enumerates DIRECTORIES
     (bounded by the partition-directory count, thousands at 100 TB — never
     the file count, millions), executors list each directory's files.
     Hidden/marker files (leading ``.`` or ``_``) and the metadata dirs are
-    excluded — those belong to the formats' own retention machinery."""
-    import os
-
-    dirs = []
-    for root, dnames, _ in os.walk(table_path):
-        dnames[:] = [
-            d for d in dnames if d not in _METADATA_DIRS and not d.startswith((".", "_"))
-        ]
-        dirs.append(root)
+    excluded — those belong to the formats' own retention machinery. All
+    I/O goes through the ``fs`` seam (default: local POSIX)."""
+    fs = fs or LocalFilesystem()
+    dirs = fs.list_dirs(table_path)
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for d in pdf["d"]:
-                for name in sorted(os.listdir(d)):
-                    p = os.path.join(d, name)
-                    if name.startswith((".", "_")) or not os.path.isfile(p):
-                        continue
-                    st = os.stat(p)
-                    rows.append(
-                        {"path": p, "size": st.st_size,
-                         "mtime_millis": int(st.st_mtime * 1000)}
-                    )
+                rows.extend(
+                    {"path": p, "size": size, "mtime_millis": mtime}
+                    for p, size, mtime in fs.list_files(d)
+                )
             yield pd.DataFrame(rows, columns=["path", "size", "mtime_millis"])
 
     base = spark.createDataFrame([(d,) for d in dirs], "d string")
@@ -187,12 +247,14 @@ def referenced_paths(spark, fmt, table_path: str, reader=None) -> DataFrame:
     just the live snapshot, so time travel survives a vacuum. One string
     column ``path`` (absolute), distinct-able by the caller.
 
-    Delta: add actions across ALL log versions plus the checkpoint's adds
-    (tombstoned files stay protected until the remove action itself ages
-    out of the log — clean_log owns that). Iceberg: every snapshot's
-    manifests, every entry status (an entry DELETED in snapshot N is still
-    readable at N-1). Hudi: every completed commit's write stats, log
-    files included."""
+    Delta: add AND remove paths across ALL log versions plus the
+    checkpoint's — a remove tombstone proves the file was recently live,
+    and until the remove action itself ages out of the log (clean_log owns
+    that) time travel to a pre-delete version must still find it. Iceberg:
+    every snapshot's manifests, every entry status (an entry DELETED in
+    snapshot N is still readable at N-1), DELETE manifests (content=1)
+    included — position-delete files are live metadata, not orphans.
+    Hudi: every completed commit's write stats, log files included."""
     import os
 
     from onetable_spark.model import TableFormat
@@ -203,15 +265,20 @@ def referenced_paths(spark, fmt, table_path: str, reader=None) -> DataFrame:
     prefix = table_path.rstrip("/") + "/"
 
     def absolute(col):
+        # scheme-strip FIRST: a foreign `file:/x` (single-slash) path is
+        # neither `/`-rooted nor `://`-marked and would otherwise be
+        # mis-prefixed with the table root
+        c = _strip_scheme_col(col)
         return F.when(
-            F.col(col).startswith("/") | F.col(col).contains("://"), F.col(col)
-        ).otherwise(F.concat(F.lit(prefix), F.url_decode(col)))
+            c.startswith("/") | c.contains("://"), c
+        ).otherwise(F.concat(F.lit(prefix), F.url_decode(c)))
 
     if fmt is TableFormat.DELTA:
         versions = reader._versions()
+        both = F.coalesce(F.col("add.path"), F.col("remove.path")).alias("p")
         refs = (
             reader._actions_df(versions)
-            .select(F.col("add.path").alias("p"))
+            .select(both)
             .where(F.col("p").isNotNull())
         ) if versions else spark.createDataFrame([], "p string")
         ckpt = reader._last_checkpoint()
@@ -220,7 +287,7 @@ def referenced_paths(spark, fmt, table_path: str, reader=None) -> DataFrame:
             # multi-part, V2 + sidecars) — never hardcode the file name
             ck = (
                 reader._checkpoint_actions(ckpt)
-                .select(F.col("add.path").alias("p"))
+                .select(both)
                 .where(F.col("p").isNotNull())
             )
             refs = refs.unionByName(ck)
@@ -271,6 +338,7 @@ def vacuum_table(
     dry_run: bool = False,
     reader=None,
     now_millis: int | None = None,
+    fs: LocalFilesystem | None = None,
 ) -> DataFrame:
     """Remove ORPHAN data files: files under the table path that no
     retained metadata version references and that are older than the
@@ -286,7 +354,6 @@ def vacuum_table(
     reference set is the formats' own metadata as DataFrames, the
     anti-join classifies, and deletion happens inside the executors —
     driver state never holds a file list."""
-    import os
     import time
 
     from onetable_spark.model import TableFormat
@@ -298,10 +365,19 @@ def vacuum_table(
         # refusing beats an empty no-op: with no metadata there is no
         # reference set, and "vacuum" would just mean "delete everything"
         raise ValueError(f"no {fmt.value} table at {table_path}")
+    fs = fs or LocalFilesystem()
     now = now_millis if now_millis is not None else int(time.time() * 1000)
     cutoff = now - int(retention_hours * 3600_000)
-    listing = list_table_files(spark, table_path)
-    refs = referenced_paths(spark, fmt, table_path, reader=reader).distinct()
+    listing = list_table_files(spark, table_path, fs=fs)
+    # normalize scheme URIs on BOTH sides of the join: foreign writers
+    # (delta-spark, Iceberg java) record file:///-prefixed absolute paths
+    # while the lister produces bare ones — raw string equality would
+    # classify every live file as an orphan and DELETE it
+    refs = (
+        referenced_paths(spark, fmt, table_path, reader=reader)
+        .select(_strip_scheme_col("path").alias("path"))
+        .distinct()
+    )
     classified = (
         listing.join(refs.withColumn("_ref", F.lit(True)), "path", "left_outer")
         .select(
@@ -315,16 +391,31 @@ def vacuum_table(
     if dry_run:
         return classified
 
+    # destructive-operator sanity guard: metadata references files, files
+    # exist under the table path, yet ZERO references matched the listing.
+    # That state never means "a table of pure orphans" — it means the two
+    # sides disagree on path representation (scheme, mount point, symlink)
+    # and proceeding would delete the entire live table. Refuse.
+    # driver-ok: one 2-long-column aggregate row
+    counts = classified.agg(
+        F.count("*").alias("n_listed"),
+        F.sum((F.col("status") == "referenced").cast("long")).alias("n_matched"),
+    ).first()
+    if counts["n_listed"] and not counts["n_matched"] and not refs.isEmpty():
+        raise ValueError(
+            f"vacuum refused for {table_path}: metadata references data "
+            "files but none matched the filesystem listing — path "
+            "representation skew (scheme/mount/symlink), not orphans; "
+            "deleting would destroy live data"
+        )
+
     def delete(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for path, status in zip(pdf["path"], pdf["status"]):
                 if status == "orphan":
-                    try:
-                        os.remove(path)
-                        status = "removed"
-                    except FileNotFoundError:
-                        status = "removed"  # racing vacuum won; same outcome
+                    fs.remove(path)  # seam: missing-file races are absorbed
+                    status = "removed"
                 out.append({"path": path, "status": status})
             yield pd.DataFrame(out, columns=["path", "status"])
 
