@@ -435,25 +435,27 @@ STATUS_ADDED = 1
 STATUS_DELETED = 2
 
 
-def _data_manifests_only(manifests: list[dict]) -> list[dict]:
-    """Refuse Iceberg v2 DELETE manifests loudly (r10 guard).
+def _split_manifests(manifests: list[dict]) -> tuple[list[dict], list[dict]]:
+    """``(data_manifests, delete_manifests)`` from a manifest list.
 
     A v2 manifest list tags delete manifests with ``content = 1``
-    (position/equality delete files — merge-on-read). Reading only the
-    data manifests of such a table would silently RESURRECT deleted rows,
-    the worst possible failure at 100 TB. The reference's Iceberg plane is
-    copy-on-write-only too (no ITOneTableClient scenario covers delete
-    files), so the correct parity behavior is an explicit refusal, never
-    wrong data. v1 lists have no content field → all data."""
+    (position/equality delete files — merge-on-read). r10 refused them
+    outright; r11 APPLIES position deletes (net record counts, see
+    ``snapshot_files``) and refuses only equality deletes, which cannot be
+    resolved without reading data rows. This EXCEEDS the reference, whose
+    Iceberg plane ignores delete files entirely and would resurrect
+    deleted rows (`IcebergSourceClient.java:169-194` reads only
+    addedDataFiles/removedDataFiles). v1 lists have no content field →
+    all data."""
+    data = [m for m in manifests if m.get("content", 0) == 0]
     deletes = [m for m in manifests if m.get("content") == 1]
-    if deletes:
-        raise ValueError(
-            f"table has {len(deletes)} Iceberg v2 DELETE manifest(s) "
-            "(merge-on-read position/equality deletes); reading it as "
-            "copy-on-write would resurrect deleted rows — compact the "
-            "deletes away (rewrite_data_files) before syncing"
-        )
-    return manifests
+    return data, deletes
+
+
+#: data_file.content values inside manifest entries (spec: Manifests)
+_CONTENT_DATA = 0
+_CONTENT_POSITION_DELETES = 1
+_CONTENT_EQUALITY_DELETES = 2
 
 # Carried-entry fan-in per manifest shard on the distributed rewrite path:
 # ~100k entries ≈ a few MB of avro per shard (Iceberg's own manifest
@@ -593,7 +595,17 @@ class IcebergTable:
         return md.get("partition-spec", [])
 
     def snapshot_files(self, snapshot_id: Optional[int] = None) -> DataFrame:
-        """Live file set via manifest-list → manifests (distributed decode)."""
+        """Live file set via manifest-list → manifests (distributed decode).
+
+        v2 merge-on-read tables: position deletes are APPLIED (r11) — the
+        delete parquet files are read distributed, distinct (path, pos)
+        pairs that pass the sequence-number rule (delete_seq >= data_seq,
+        spec §Scan Planning) are counted per data file, and the inventory
+        reports NET record counts with per-column value counts adjusted
+        and null counts dropped (a deleted row's nullness is unknowable
+        without reading data). min/max bounds are kept: deletion can only
+        narrow a range, so the stored bounds stay valid for pruning.
+        Equality deletes still refuse loudly."""
         md = self.metadata()
         snap = (
             self.current_snapshot_meta(md)
@@ -603,12 +615,118 @@ class IcebergTable:
         if snap is None:
             return self.spark.createDataFrame([], FILES_SCHEMA)
         _, manifests = read_container(snap["manifest-list"])
-        paths = [m["manifest_path"] for m in _data_manifests_only(manifests)]
+        data, deletes = _split_manifests(manifests)
+        paths = [m["manifest_path"] for m in data]
         if not paths:
             return self.spark.createDataFrame([], FILES_SCHEMA)
         ice_schema = self._schema_for(md)
         spec = self._spec_for(md)
-        return self._decode_manifests(paths, ice_schema, spec, statuses=(STATUS_ADDED, STATUS_EXISTING))
+        base = self._decode_manifests(
+            paths, ice_schema, spec, statuses=(STATUS_ADDED, STATUS_EXISTING),
+            seq_by_manifest={m["manifest_path"]: m.get("sequence_number", 0) for m in data},
+        )
+        if not deletes:
+            return base.drop("_seq")
+        return self._apply_position_deletes(base, deletes)
+
+    def _decode_delete_files(self, delete_manifests: list[dict]) -> DataFrame:
+        """``(delete_path, delete_seq)`` for every live POSITION-delete
+        file the given delete manifests reference. Equality-delete entries
+        (data_file.content = 2) refuse loudly — applying them needs data
+        rows. Distributed over manifests; output is bounded by the
+        delete-FILE count, not delete rows."""
+        pairs = [
+            (m["manifest_path"], m.get("sequence_number", 0)) for m in delete_manifests
+        ]
+
+        def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = []
+                for mp, mseq in zip(pdf["p"], pdf["seq"]):
+                    _, entries = read_container(mp)
+                    for e in entries:
+                        if e["status"] not in (STATUS_ADDED, STATUS_EXISTING):
+                            continue
+                        df_ = e["data_file"]
+                        content = df_.get("content", _CONTENT_POSITION_DELETES)
+                        if content == _CONTENT_EQUALITY_DELETES:
+                            raise ValueError(
+                                f"{mp}: Iceberg v2 EQUALITY delete file "
+                                f"{df_['file_path']} — equality deletes "
+                                "cannot be applied from metadata alone; "
+                                "refusing rather than resurrecting deleted "
+                                "rows (compact with rewrite_data_files)"
+                            )
+                        seq = e.get("sequence_number")
+                        rows.append(
+                            {"delete_path": df_["file_path"],
+                             "delete_seq": int(mseq if seq is None else seq)}
+                        )
+                yield pd.DataFrame(rows, columns=["delete_path", "delete_seq"])
+
+        base = self.spark.createDataFrame(pairs, "p string, seq long")
+        par = max(1, min(len(pairs), self.spark.sparkContext.defaultParallelism))
+        return base.repartition(par).mapInPandas(scan, "delete_path string, delete_seq long")
+
+    def _apply_position_deletes(self, base_with_seq: DataFrame, delete_manifests: list[dict]) -> DataFrame:
+        """Net-effect inventory: subtract applicable position-delete rows
+        from each data file's counts. ``base_with_seq`` is FILES_SCHEMA +
+        ``_seq`` (the data files' sequence numbers)."""
+        delete_files = self._decode_delete_files(delete_manifests)
+
+        def read_deletes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import pyarrow.parquet as pq
+
+            for pdf in batches:
+                for dp, seq in zip(pdf["delete_path"], pdf["delete_seq"]):
+                    t = pq.read_table(dp, columns=["file_path", "pos"])
+                    out = t.to_pandas()
+                    out.columns = ["path", "pos"]
+                    out["delete_seq"] = int(seq)
+                    yield out
+
+        # one row per (delete file, position) — the delete-row volume is
+        # O(deleted rows), far below data volume; distinct guards against
+        # the same position appearing in deletes from multiple snapshots
+        positions = delete_files.mapInPandas(
+            read_deletes, "path string, pos long, delete_seq long"
+        )
+        # no broadcast hint: either side can dominate (million-file
+        # inventories vs bulk deletes) — AQE picks the strategy at runtime
+        per_file = (
+            positions.join(base_with_seq.select("path", "_seq"), "path")
+            .where(F.col("delete_seq") >= F.col("_seq"))
+            .select("path", "pos")
+            .distinct()
+            .groupBy("path")
+            .agg(F.count("*").alias("_n_del"))
+        )
+        adjusted = (
+            base_with_seq.join(per_file, "path", "left_outer")
+            .withColumn("_n_del", F.coalesce("_n_del", F.lit(0)))
+        )
+        new_stats = F.when(F.col("_n_del") == 0, F.col("column_stats")).otherwise(
+            F.transform(
+                "column_stats",
+                lambda s: F.struct(
+                    s["field"].alias("field"),
+                    s["min_value"].alias("min_value"),
+                    s["max_value"].alias("max_value"),
+                    F.lit(None).cast("long").alias("num_nulls"),
+                    (s["num_values"] - F.col("_n_del")).alias("num_values"),
+                    s["total_size"].alias("total_size"),
+                ),
+            )
+        )
+        return adjusted.select(
+            "path",
+            "file_format",
+            "partition_values",
+            "size",
+            (F.col("record_count") - F.col("_n_del")).alias("record_count"),
+            "last_modified_millis",
+            new_stats.alias("column_stats"),
+        )
 
     def _manifests_containing(self, manifest_paths: list[str], removes: DataFrame) -> set[str]:
         """Which manifests hold at least one of the removed paths?
@@ -638,12 +756,24 @@ class IcebergTable:
         return {r["mp"] for r in dirty.collect()}
 
     def _decode_manifests(
-        self, paths: list[str], ice_schema: dict, spec: list[dict], statuses: tuple[int, ...]
+        self,
+        paths: list[str],
+        ice_schema: dict,
+        spec: list[dict],
+        statuses: tuple[int, ...],
+        seq_by_manifest: Optional[dict[str, int]] = None,
     ) -> DataFrame:
+        """FILES_SCHEMA rows from data manifests. With ``seq_by_manifest``
+        (manifest_path → manifest sequence number) an extra ``_seq``
+        column carries each entry's data sequence number — explicit on the
+        entry, else inherited from its manifest (v2 metadata inheritance);
+        v1 manifests have neither and inherit 0."""
         id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
         id_to_type = {f["id"]: f["type"] for f in ice_schema["fields"]}
         spec_names = [p["name"] for p in spec]
         statuses_set = set(statuses)
+        emit_seq = seq_by_manifest is not None
+        seq_map = seq_by_manifest or {}
 
         def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -674,36 +804,43 @@ class IcebergTable:
                                 }
                             )
                         partition = df_.get("partition") or {}
-                        rows.append(
-                            {
-                                "path": df_["file_path"],
-                                "file_format": df_["file_format"].lower(),
-                                "partition_values": {
-                                    n: None if partition.get(n) is None else str(partition[n])
-                                    for n in spec_names
-                                },
-                                "size": df_["file_size_in_bytes"],
-                                "record_count": df_["record_count"],
-                                "last_modified_millis": None,
-                                "column_stats": stats or None,
-                            }
-                        )
-                yield pd.DataFrame(
-                    rows,
-                    columns=[
-                        "path",
-                        "file_format",
-                        "partition_values",
-                        "size",
-                        "record_count",
-                        "last_modified_millis",
-                        "column_stats",
-                    ],
-                )
+                        row = {
+                            "path": df_["file_path"],
+                            "file_format": df_["file_format"].lower(),
+                            "partition_values": {
+                                n: None if partition.get(n) is None else str(partition[n])
+                                for n in spec_names
+                            },
+                            "size": df_["file_size_in_bytes"],
+                            "record_count": df_["record_count"],
+                            "last_modified_millis": None,
+                            "column_stats": stats or None,
+                        }
+                        if emit_seq:
+                            eseq = e.get("sequence_number")
+                            row["_seq"] = int(
+                                seq_map.get(mpath, 0) if eseq is None else eseq
+                            )
+                        rows.append(row)
+                cols = [
+                    "path",
+                    "file_format",
+                    "partition_values",
+                    "size",
+                    "record_count",
+                    "last_modified_millis",
+                    "column_stats",
+                ] + (["_seq"] if emit_seq else [])
+                yield pd.DataFrame(rows, columns=cols)
 
+        out_schema = (
+            T.StructType(FILES_SCHEMA.fields + [T.StructField("_seq", T.LongType())])
+            if emit_seq
+            else FILES_SCHEMA
+        )
         base = self.spark.createDataFrame([(p,) for p in paths], "p string")
         parallelism = max(1, min(len(paths), self.spark.sparkContext.defaultParallelism))
-        return base.repartition(parallelism).mapInPandas(decode, FILES_SCHEMA)
+        return base.repartition(parallelism).mapInPandas(decode, out_schema)
 
     def table_descriptor(self, name: str | None = None) -> Table:
         md = self.metadata()
@@ -774,22 +911,67 @@ class IcebergTable:
 
     def changes_for_snapshot(self, snapshot_id: int) -> TableChange:
         """Added/removed files of one snapshot (IcebergSourceClient.java:169-194):
-        decode only the manifests this snapshot added."""
+        decode only the manifests this snapshot added.
+
+        Merge-on-read delete snapshots (r11): a snapshot whose NEW
+        manifests include delete manifests emits the net effect the
+        reference cannot (it ignores delete files and would resurrect
+        rows) — every data file targeted by the new position deletes is
+        REMOVED and RE-ADDED with counts adjusted by all deletes
+        applicable at this snapshot, so a Delta/Hudi target replaces the
+        descriptor in one commit."""
         md = self.metadata()
         snap = next(s for s in md["snapshots"] if s["snapshot-id"] == snapshot_id)
         _, manifests = read_container(snap["manifest-list"])
+        data, deletes = _split_manifests(manifests)
         own = [
             m["manifest_path"]
-            for m in _data_manifests_only(manifests)
+            for m in data
             if m.get("added_snapshot_id") == snapshot_id
         ]
         ice_schema = self._schema_for(md)
         spec = self._spec_for(md)
         added = self._decode_manifests(own, ice_schema, spec, statuses=(STATUS_ADDED,)) if own else self.spark.createDataFrame([], FILES_SCHEMA)
-        removed = self._decode_manifests(own, ice_schema, spec, statuses=(STATUS_DELETED,)) if own else self.spark.createDataFrame([], FILES_SCHEMA)
+        removed = (
+            self._decode_manifests(own, ice_schema, spec, statuses=(STATUS_DELETED,)).select("path")
+            if own
+            else self.spark.createDataFrame([], "path string")
+        )
+        new_deletes = [m for m in deletes if m.get("added_snapshot_id") == snapshot_id]
+        if new_deletes:
+            targeted = (
+                self._decode_delete_files(new_deletes)
+                .withColumnRenamed("delete_path", "dp")
+            )
+
+            def target_paths(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                import pyarrow.parquet as pq
+
+                for pdf in batches:
+                    for dp in pdf["dp"]:
+                        t = pq.read_table(dp, columns=["file_path"])
+                        yield (
+                            t.to_pandas()
+                            .rename(columns={"file_path": "path"})
+                            .drop_duplicates()
+                        )
+
+            hit = targeted.mapInPandas(target_paths, "path string").distinct()
+            # adjusted descriptors for every targeted file still live at
+            # this snapshot (dead targets drop out via the semi-join)
+            net = self.snapshot_files(snapshot_id).join(hit, "path", "left_semi")
+            new_paths = added.select("path")
+            # the adjusted descriptor supersedes the raw one even for
+            # files added in this same snapshot (delete+add in one commit)
+            added = added.join(hit, "path", "left_anti").unionByName(net)
+            # pre-existing targeted files get an explicit remove so the
+            # target replaces their descriptor in one commit
+            removed = removed.unionByName(
+                net.select("path").join(new_paths, "path", "left_anti")
+            )
         return TableChange(
             table=self.table_descriptor(),
-            diff=FilesDiff(added=added, removed=removed.select("path")),
+            diff=FilesDiff(added=added, removed=removed),
             commit_millis=snap["timestamp-ms"],
             commit_id=str(snapshot_id),
         )

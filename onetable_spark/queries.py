@@ -2438,7 +2438,8 @@ STAGED_QUERIES: tuple[str, ...] = (
     "sync_changes", "sync_time_travel", "sync_validation",  # shared otb_2c_q
     "sync_inventory", "sync_schema_evolution", "sync_recovery",
     "sync_partition_evolution", "sync_safety_fallback", "sync_catchup",
-    "sync_foreign_table", "sync_foreign_iceberg", "zorder_compaction",
+    "sync_foreign_table", "sync_foreign_iceberg", "sync_foreign_iceberg_deletes",
+    "zorder_compaction",
     "vacuum_orphans", "streaming_sink_inventory", "multimodal_ingest",
     "streaming_cdc_feed", "streaming_cdc_hudi", "sync_continuous",
 )
@@ -3567,6 +3568,78 @@ def q_sync_foreign_iceberg(spark: SparkSession, sf: str) -> DataFrame:
                 if fmt == "ICEBERG"
                 else F.lit(None).cast("string")
             ).alias("max_rk"),
+            F.lit(stage["ok"][fmt]).alias("validation_ok"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def q_sync_foreign_iceberg_deletes(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg v2 MERGE-ON-READ conformance (r11): the foreign fixture
+    gains a snapshot-3 position-delete file (authored by
+    tools/foreign_iceberg.add_position_deletes through pyarrow + the
+    reference Avro implementation — zero repo-codec bytes) deleting every
+    odd r_regionkey row of B.parquet. The native plane APPLIES the deletes
+    — distributed delete-parquet read, sequence-number rule, distinct
+    (path, pos) count joined onto the inventory — and syncs NET record
+    counts into Delta + Hudi. The reference CANNOT do this: its
+    IcebergSourceClient.java:169-194 ignores delete files and would
+    resurrect the deleted rows; equality deletes still refuse loudly.
+    Emits (fmt, file_name, record_count, validation_ok) for all three
+    formats; the oracle recomputes the net counts from the region rows
+    themselves (A = r_regionkey < 2 raw; B = even keys >= 2 — exactly the
+    rows the position deletes leave alive). Staged once per session."""
+    import os
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import TableFormat
+    from onetable_spark.sync import SyncClient, source_for, target_for
+    from onetable_spark.sync.validation import SnapshotReaderAdapter, SyncValidator
+
+    def build(base: str) -> dict:
+        from tools.foreign_iceberg import add_position_deletes, write_foreign_iceberg_table
+
+        tbl_dir = os.path.join(base, "region")
+        os.makedirs(tbl_dir)
+        truth = write_foreign_iceberg_table(
+            spark, tbl_dir, os.path.join(sf, "region.parquet")
+        )
+        add_position_deletes(spark, tbl_dir, truth)
+        client = SyncClient(spark)
+        source = source_for(spark, TableFormat.ICEBERG, tbl_dir)
+        targets = [
+            target_for(spark, TableFormat.DELTA, tbl_dir),
+            target_for(spark, TableFormat.HUDI, tbl_dir),
+        ]
+        results = client.sync(source, targets)
+        for r in results.values():
+            if r.status.value != "SUCCESS":
+                raise RuntimeError(f"foreign-iceberg-deletes sync failed: {r}")
+        validator = SyncValidator()
+        ok: dict[str, bool] = {"ICEBERG": True}
+        for fmt, reader in (
+            ("DELTA", DeltaLog(spark, tbl_dir)),
+            ("HUDI", HudiTimeline(spark, tbl_dir)),
+        ):
+            ok[fmt] = all(
+                v.success
+                for v in validator.validate(SnapshotReaderAdapter(source), reader).values()
+            )
+        return {"dir": tbl_dir, "ok": ok}
+
+    stage = _staged_once(spark, sf, "otb_ficedel_q", build)
+    out = None
+    for fmt, reader in (
+        ("ICEBERG", IcebergTable(spark, stage["dir"])),
+        ("DELTA", DeltaLog(spark, stage["dir"])),
+        ("HUDI", HudiTimeline(spark, stage["dir"])),
+    ):
+        part = reader.snapshot_files().select(
+            F.lit(fmt).alias("fmt"),
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("record_count"),
             F.lit(stage["ok"][fmt]).alias("validation_ok"),
         )
         out = part if out is None else out.unionByName(part)
@@ -5080,6 +5153,21 @@ ORACLE_SQL: dict[str, str] = {
         FROM per_file
         CROSS JOIN (VALUES ('ICEBERG'), ('DELTA'), ('HUDI')) f(fmt)
     """,
+    # the position deletes remove every ODD r_regionkey row from B
+    # (r_regionkey >= 2); A (r_regionkey < 2) is untouched — so the net
+    # counts are recomputable from the region rows alone
+    "sync_foreign_iceberg_deletes": """
+        WITH per_file AS (
+            SELECT 'A.parquet' AS file_name, CAST(COUNT(*) AS BIGINT) AS record_count
+            FROM region WHERE r_regionkey < 2
+            UNION ALL
+            SELECT 'B.parquet', CAST(COUNT(*) AS BIGINT)
+            FROM region WHERE r_regionkey >= 2 AND r_regionkey % 2 = 0
+        )
+        SELECT fmt, file_name, record_count, TRUE AS validation_ok
+        FROM per_file
+        CROSS JOIN (VALUES ('ICEBERG'), ('DELTA'), ('HUDI')) f(fmt)
+    """,
     "streaming_approx_reach": """
         SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start_s,
                event_type,
@@ -5949,6 +6037,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # -- round-10 newcomers: Iceberg foreign-table conformance + the
     # OPTIMIZE ZORDER lifecycle (morton_key composed into compact_table)
     "sync_foreign_iceberg": q_sync_foreign_iceberg,
+    "sync_foreign_iceberg_deletes": q_sync_foreign_iceberg_deletes,
     "zorder_compaction": q_zorder_compaction,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,

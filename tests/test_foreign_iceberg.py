@@ -110,47 +110,117 @@ def test_foreign_iceberg_syncs_into_delta_and_hudi_validated(spark, foreign):
     assert direct.exceptAll(synced).count() == 0
 
 
-def test_v2_delete_manifests_refused_loudly(spark, foreign, tmp_path):
-    """A v2 table with DELETE manifests (merge-on-read) must be REFUSED,
-    never read as copy-on-write — data manifests alone would resurrect
-    deleted rows. The guard fires on both the snapshot and change-scan
-    paths."""
-    import json
+@pytest.fixture(scope="module")
+def foreign_mor(spark, sf_dir, tmp_path_factory):
+    """The same foreign fixture PLUS a snapshot-3 position-delete file
+    (every odd r_regionkey row of B.parquet deleted, merge-on-read)."""
+    from tools.foreign_iceberg import add_position_deletes
 
-    from tools.foreign_iceberg import _write_manifest_list
+    base = str(tmp_path_factory.mktemp("foreign_mor") / "region")
+    os.makedirs(base)
+    truth = write_foreign_iceberg_table(
+        spark, base, os.path.join(sf_dir, "region.parquet")
+    )
+    truth = add_position_deletes(spark, base, truth)
+    return base, truth
 
-    base, truth = foreign
-    # clone the table dir, then point snapshot 2 at a manifest list that
-    # ALSO carries a delete manifest (content = 1)
-    import shutil
 
-    clone = str(tmp_path / "mor")
-    shutil.copytree(base, clone)
-    meta = os.path.join(clone, "metadata")
-    ml = os.path.join(meta, "snap-2-del.avro")
-    m2 = os.path.join(meta, "m2.avro")
-    _write_manifest_list(spark._jvm, ml, [
-        {"manifest_path": m2, "manifest_length": os.path.getsize(m2),
-         "sequence_number": 2, "min_sequence_number": 1,
-         "added_snapshot_id": truth["snapshots"]["s2"], "added": 1,
-         "existing": 1, "added_rows": 3, "existing_rows": 2},
-        {"manifest_path": os.path.join(meta, "pos-deletes.avro"),
-         "manifest_length": 100, "content": 1, "sequence_number": 2,
-         "min_sequence_number": 2,
-         "added_snapshot_id": truth["snapshots"]["s2"], "added": 1,
-         "existing": 0, "added_rows": 1, "existing_rows": 0},
-    ])
-    md_path = os.path.join(meta, "v2.metadata.json")
-    md = json.loads(open(md_path).read())
-    for s in md["snapshots"]:
-        if s["snapshot-id"] == truth["snapshots"]["s2"]:
-            s["manifest-list"] = ml
-    json.dump(md, open(md_path, "w"))
+def test_position_deletes_applied_to_net_counts(spark, foreign_mor):
+    """r11: position deletes are APPLIED — B.parquet's inventory row
+    reports the NET record count, per-column value counts shrink by the
+    delete count, null counts go unknown, and min/max bounds survive
+    (still valid for pruning). A is untouched. The reference would report
+    the raw counts here (IcebergSourceClient ignores delete files)."""
+    base, truth = foreign_mor
+    rows = {
+        os.path.basename(r["path"]): r
+        for r in IcebergTable(spark, base).snapshot_files().collect()
+    }
+    assert set(rows) == {"A.parquet", "B.parquet"}
+    n_del = len(truth["deleted_from_b"])
+    assert n_del > 0
+    assert rows["B.parquet"]["record_count"] == truth["b_rows_net"]
+    assert rows["A.parquet"]["record_count"] == truth["A.parquet"]["rows"]
+    b_stats = {s["field"]: s for s in rows["B.parquet"]["column_stats"]}
+    assert b_stats["r_regionkey"]["num_values"] == truth["b_rows_net"]
+    assert b_stats["r_regionkey"]["num_nulls"] is None  # unknowable
+    # bounds survive deletion (conservative but valid)
+    assert b_stats["r_regionkey"]["min_value"] == str(truth["B.parquet"]["min_key"])
+    assert b_stats["r_regionkey"]["max_value"] == str(truth["B.parquet"]["max_key"])
+    a_stats = {s["field"]: s for s in rows["A.parquet"]["column_stats"]}
+    assert a_stats["r_regionkey"]["num_nulls"] == 0  # untouched file keeps stats
 
-    tbl = IcebergTable(spark, clone)
-    with pytest.raises(ValueError, match="DELETE manifest"):
-        tbl.snapshot_files()
-    with pytest.raises(ValueError, match="DELETE manifest"):
-        tbl.changes_for_snapshot(truth["snapshots"]["s2"])
-    # the untouched COW fixture still reads fine through the same guard
-    assert IcebergTable(spark, base).snapshot_files().count() == 2
+
+def test_delete_snapshot_change_scan_emits_net_replace(spark, foreign_mor):
+    """The delete snapshot's TableChange replaces the targeted file:
+    removed = [B], added = [B with net counts] — the remove+add shape a
+    Delta/Hudi target applies in one commit."""
+    base, truth = foreign_mor
+    change = IcebergTable(spark, base).changes_for_snapshot(truth["snapshots"]["s3"])
+    removed = [os.path.basename(r["path"]) for r in change.diff.removed.collect()]
+    added = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in change.diff.added.collect()
+    }
+    assert removed == ["B.parquet"]
+    assert added == {"B.parquet": truth["b_rows_net"]}
+
+
+def test_mor_table_syncs_net_counts_into_delta_and_hudi(spark, foreign_mor):
+    """Full snapshot sync of the merge-on-read table lands NET counts in
+    both targets — the reference would silently resurrect deleted rows."""
+    base, truth = foreign_mor
+    client = SyncClient(spark)
+    source = source_for(spark, TableFormat.ICEBERG, base)
+    targets = [
+        target_for(spark, TableFormat.DELTA, base),
+        target_for(spark, TableFormat.HUDI, base),
+    ]
+    results = client.sync(source, targets)
+    assert {f.value: r.status.value for f, r in results.items()} == {
+        "DELTA": "SUCCESS",
+        "HUDI": "SUCCESS",
+    }
+    expected = {
+        "A.parquet": truth["A.parquet"]["rows"],
+        "B.parquet": truth["b_rows_net"],
+    }
+    for reader in (DeltaLog(spark, base), HudiTimeline(spark, base)):
+        got = {
+            os.path.basename(r["path"]): r["record_count"]
+            for r in reader.snapshot_files().collect()
+        }
+        assert got == expected
+
+
+def test_time_travel_before_deletes_keeps_raw_counts(spark, foreign_mor):
+    """snapshot_files at s2 (pre-delete) still reports raw counts — the
+    sequence-number rule scopes deletes to s3 and later."""
+    base, truth = foreign_mor
+    rows = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in IcebergTable(spark, base)
+        .snapshot_files(snapshot_id=truth["snapshots"]["s2"])
+        .collect()
+    }
+    assert rows == {
+        "A.parquet": truth["A.parquet"]["rows"],
+        "B.parquet": truth["B.parquet"]["rows"],
+    }
+
+
+def test_equality_deletes_still_refused_loudly(spark, sf_dir, tmp_path):
+    """Equality deletes cannot be applied from metadata alone — both scan
+    paths refuse with an explicit error, never resurrect rows."""
+    from tools.foreign_iceberg import add_equality_deletes, add_position_deletes
+
+    base = str(tmp_path / "region_eq")
+    os.makedirs(base)
+    truth = write_foreign_iceberg_table(
+        spark, base, os.path.join(sf_dir, "region.parquet")
+    )
+    truth = add_position_deletes(spark, base, truth)
+    add_equality_deletes(spark, base, truth)
+    tbl = IcebergTable(spark, base)
+    with pytest.raises(Exception, match="EQUALITY delete"):
+        tbl.snapshot_files().collect()

@@ -221,6 +221,40 @@ def test_vacuum_through_injected_filesystem(spark, sf_dir, tmp_path):
     assert audited == {orphan, gone}  # referenced files never touched
 
 
+def test_vacuum_keeps_live_position_delete_files(spark, sf_dir, tmp_path):
+    """Delete-aware vacuum (r11): a v2 merge-on-read table's position-
+    delete parquet is LIVE METADATA — the reference set must include it or
+    vacuum eats the delete file and resurrects rows on the next read."""
+    from onetable_spark.operators.maintenance import vacuum_table
+    from tools.foreign_iceberg import add_position_deletes, write_foreign_iceberg_table
+
+    base = str(tmp_path / "mor_vac")
+    os.makedirs(base)
+    truth = write_foreign_iceberg_table(
+        spark, base, os.path.join(sf_dir, "region.parquet")
+    )
+    truth = add_position_deletes(spark, base, truth)
+    del_file = os.path.join(base, "data", "deletes-B.parquet")
+    os.utime(del_file, (946684800, 946684800))  # old enough to delete
+
+    got = {
+        os.path.basename(r["path"]): r["status"]
+        for r in vacuum_table(
+            spark, TableFormat.ICEBERG, base, retention_hours=1
+        ).collect()
+    }
+    assert got["deletes-B.parquet"] == "referenced"
+    assert os.path.exists(del_file)
+    # and the table still reads with net counts afterwards
+    from onetable_spark.formats.iceberg import IcebergTable
+
+    rows = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in IcebergTable(spark, base).snapshot_files().collect()
+    }
+    assert rows["B.parquet"] == truth["b_rows_net"]
+
+
 # ----------------------------------------------------------------------- bpe
 
 

@@ -299,6 +299,203 @@ def _write_manifest_list(jvm, path: str, manifests: list[dict]) -> None:
     dfw.close()
 
 
+def _write_delete_manifest(jvm, path: str, entries: list[dict]) -> int:
+    """A DELETE manifest (avro meta content=deletes): entries reference
+    position- or equality-delete FILES via data_file.content 1/2 (spec
+    §Manifests). Bounds/counts stay null — optional per spec."""
+    meta = {
+        "schema": json.dumps(ICEBERG_SCHEMA),
+        "schema-id": "0",
+        "partition-spec": "[]",
+        "partition-spec-id": "0",
+        "format-version": "2",
+        "content": "deletes",
+    }
+    sch, dfw = _avro_writer(jvm, V2_MANIFEST_ENTRY_SCHEMA, path, meta)
+    for e in entries:
+        d = e["data_file"]
+        datum = {
+            "status": e["status"],
+            "snapshot_id": {"long": e["snapshot_id"]},
+            "sequence_number": {"long": e["sequence_number"]},
+            "file_sequence_number": {"long": e["sequence_number"]},
+            "data_file": {
+                "content": d["content"],  # 1 = position, 2 = equality
+                "file_path": d["file_path"],
+                "file_format": "PARQUET",
+                "partition": {},
+                "record_count": d["record_count"],
+                "file_size_in_bytes": d["file_size_in_bytes"],
+                "column_sizes": None,
+                "value_counts": None,
+                "null_value_counts": None,
+                "nan_value_counts": None,
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "key_metadata": None,
+                "split_offsets": None,
+                "equality_ids": (
+                    {"array": d["equality_ids"]} if d.get("equality_ids") else None
+                ),
+                "sort_order_id": None,
+            },
+        }
+        _append_json(jvm, sch, dfw, datum)
+    dfw.close()
+    return os.path.getsize(path)
+
+
+def add_position_deletes(spark, table_dir: str, truth: dict) -> dict:
+    """Append snapshot 3 to a ``write_foreign_iceberg_table`` fixture: a
+    merge-on-read DELETE snapshot whose position-delete parquet (spec
+    §Position Delete Files: file_path string / pos long, reserved field
+    ids 2147483546/2147483545) removes every ODD r_regionkey row from
+    B.parquet. Authored with pyarrow + the reference Avro implementation —
+    no repo codec involved. Returns the updated ground truth with
+    ``deleted_from_b`` (positions) and ``b_rows_net``."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    jvm = spark._jvm
+    meta_dir = os.path.join(table_dir, "metadata")
+    data_dir = os.path.join(table_dir, "data")
+    s2 = truth["snapshots"]["s2"]
+    s3 = 5113846271038457210
+    ts3 = 1700000120000
+
+    b_path = os.path.join(data_dir, "B.parquet")
+    keys = pq.read_table(b_path, columns=["r_regionkey"])["r_regionkey"].to_pylist()
+    positions = [i for i, k in enumerate(keys) if k % 2 == 1]
+    del_path = os.path.join(data_dir, "deletes-B.parquet")
+    pq.write_table(
+        pa.table(
+            {
+                "file_path": pa.array([b_path] * len(positions), pa.string()),
+                "pos": pa.array(positions, pa.int64()),
+            }
+        ),
+        del_path,
+    )
+
+    m3 = os.path.join(meta_dir, "m3-deletes.avro")
+    m3_len = _write_delete_manifest(jvm, m3, [
+        {
+            "status": 1,
+            "snapshot_id": s3,
+            "sequence_number": 3,
+            "data_file": {
+                "content": 1,
+                "file_path": del_path,
+                "record_count": len(positions),
+                "file_size_in_bytes": os.path.getsize(del_path),
+            },
+        }
+    ])
+
+    m2 = os.path.join(meta_dir, "m2.avro")
+    ml3 = os.path.join(meta_dir, "snap-3.avro")
+    _write_manifest_list(jvm, ml3, [
+        {"manifest_path": m2, "manifest_length": os.path.getsize(m2),
+         "sequence_number": 2, "min_sequence_number": 1,
+         "added_snapshot_id": s2, "added": 1, "existing": 1,
+         "added_rows": truth["B.parquet"]["rows"],
+         "existing_rows": truth["A.parquet"]["rows"]},
+        {"manifest_path": m3, "manifest_length": m3_len, "content": 1,
+         "sequence_number": 3, "min_sequence_number": 3,
+         "added_snapshot_id": s3, "added": 1, "existing": 0,
+         "added_rows": len(positions), "existing_rows": 0},
+    ])
+
+    md_path = os.path.join(meta_dir, "v2.metadata.json")
+    with open(md_path) as f:
+        md = json.load(f)
+    md["last-updated-ms"] = ts3
+    md["last-sequence-number"] = 3
+    md["current-snapshot-id"] = s3
+    md["snapshots"].append({
+        "snapshot-id": s3,
+        "parent-snapshot-id": s2,
+        "sequence-number": 3,
+        "timestamp-ms": ts3,
+        "manifest-list": ml3,
+        "summary": {"operation": "delete", "deleted-records": str(len(positions))},
+        "schema-id": 0,
+    })
+    md["snapshot-log"].append({"timestamp-ms": ts3, "snapshot-id": s3})
+    with open(os.path.join(meta_dir, "v3.metadata.json"), "w") as f:
+        json.dump(md, f, indent=2)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write("3")
+
+    truth = dict(truth)
+    truth["deleted_from_b"] = positions
+    truth["b_rows_net"] = truth["B.parquet"]["rows"] - len(positions)
+    truth["snapshots"] = {**truth["snapshots"], "s3": s3}
+    return truth
+
+
+def add_equality_deletes(spark, table_dir: str, truth: dict) -> None:
+    """Append an EQUALITY-delete snapshot (data_file.content = 2) — the
+    case the engine must still refuse loudly."""
+    jvm = spark._jvm
+    meta_dir = os.path.join(table_dir, "metadata")
+    s_prev = truth["snapshots"].get("s3", truth["snapshots"]["s2"])
+    s4 = 6224957382149568321
+    ts4 = 1700000180000
+    eq_path = os.path.join(table_dir, "data", "eq-deletes.parquet")
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({"r_regionkey": pa.array([3], pa.int32())}), eq_path)
+    m4 = os.path.join(meta_dir, "m4-eq-deletes.avro")
+    m4_len = _write_delete_manifest(jvm, m4, [
+        {
+            "status": 1,
+            "snapshot_id": s4,
+            "sequence_number": 4,
+            "data_file": {
+                "content": 2,
+                "file_path": eq_path,
+                "record_count": 1,
+                "file_size_in_bytes": os.path.getsize(eq_path),
+                "equality_ids": [1],
+            },
+        }
+    ])
+    m2 = os.path.join(meta_dir, "m2.avro")
+    ml4 = os.path.join(meta_dir, "snap-4.avro")
+    _write_manifest_list(jvm, ml4, [
+        {"manifest_path": m2, "manifest_length": os.path.getsize(m2),
+         "sequence_number": 2, "min_sequence_number": 1,
+         "added_snapshot_id": truth["snapshots"]["s2"], "added": 1,
+         "existing": 1, "added_rows": truth["B.parquet"]["rows"],
+         "existing_rows": truth["A.parquet"]["rows"]},
+        {"manifest_path": m4, "manifest_length": m4_len, "content": 1,
+         "sequence_number": 4, "min_sequence_number": 4,
+         "added_snapshot_id": s4, "added": 1, "existing": 0,
+         "added_rows": 1, "existing_rows": 0},
+    ])
+    v = 3 if "s3" in truth["snapshots"] else 2
+    with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as f:
+        md = json.load(f)
+    md["last-updated-ms"] = ts4
+    md["last-sequence-number"] = 4
+    md["current-snapshot-id"] = s4
+    md["snapshots"].append({
+        "snapshot-id": s4,
+        "parent-snapshot-id": s_prev,
+        "sequence-number": 4,
+        "timestamp-ms": ts4,
+        "manifest-list": ml4,
+        "summary": {"operation": "delete"},
+        "schema-id": 0,
+    })
+    with open(os.path.join(meta_dir, f"v{v + 1}.metadata.json"), "w") as f:
+        json.dump(md, f, indent=2)
+    with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
+        f.write(str(v + 1))
+
+
 def write_foreign_iceberg_table(spark, table_dir: str, source_parquet: str) -> dict:
     """Author a 2-snapshot unpartitioned Iceberg v2 `region` table at
     ``table_dir`` whose data files are true row-subsets of
