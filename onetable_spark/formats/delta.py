@@ -50,6 +50,18 @@ CHECKPOINT_INTERVAL = 10
 
 # explicit action schema — avoids double-pass JSON inference on big logs
 _STR_MAP = T.MapType(T.StringType(), T.StringType())
+#: deletion-vector descriptor on AddFile (PROTOCOL.md §Deletion Vectors):
+#: storageType u (uuid-named file) / p (absolute path) / i (inline);
+#: cardinality = rows the DV deletes — the authoritative net-count input
+DV_SCHEMA = T.StructType(
+    [
+        T.StructField("storageType", T.StringType()),
+        T.StructField("pathOrInlineDv", T.StringType()),
+        T.StructField("offset", T.IntegerType()),
+        T.StructField("sizeInBytes", T.IntegerType()),
+        T.StructField("cardinality", T.LongType()),
+    ]
+)
 ADD_SCHEMA = T.StructType(
     [
         T.StructField("path", T.StringType()),
@@ -58,6 +70,7 @@ ADD_SCHEMA = T.StructType(
         T.StructField("modificationTime", T.LongType()),
         T.StructField("dataChange", T.BooleanType()),
         T.StructField("stats", T.StringType()),
+        T.StructField("deletionVector", DV_SCHEMA),
     ]
 )
 REMOVE_SCHEMA = T.StructType(
@@ -219,15 +232,20 @@ class DeltaSnapshotInfo:
 
 #: reader features this log replay actually implements. Per the Delta
 #: protocol, a reader MUST refuse a table whose readerFeatures it does not
-#: support — reading anyway produces WRONG DATA, not an error:
-#: deletionVectors would silently resurrect deleted rows (the add actions
-#: alone look like live files). v2Checkpoint is SUPPORTED as of r10: the
-#: replay resolves uuid-named checkpoints and their _sidecars/ files
-#: (_checkpoint_actions). columnMapping is supported for the id plane
-#: (ids flow to Iceberg field-ids; stats keys degrade to physical names,
-#: which starves pruning but never mis-reads values); timestampNtz is the
-#: type plane we already convert.
-SUPPORTED_READER_FEATURES = {"columnMapping", "timestampNtz", "v2Checkpoint"}
+#: support — reading anyway produces WRONG DATA, not an error.
+#: v2Checkpoint is SUPPORTED as of r10: the replay resolves uuid-named
+#: checkpoints and their _sidecars/ files (_checkpoint_actions).
+#: deletionVectors is SUPPORTED as of r11: the replay reads the DV
+#: descriptor on AddFile, nets cardinality out of record/value counts
+#: (_adds_to_files), and the replay window breaks same-version ties in
+#: favor of the add (a DV commit is remove+add of the SAME path in one
+#: version). columnMapping is supported for the id plane (ids flow to
+#: Iceberg field-ids; stats keys degrade to physical names, which starves
+#: pruning but never mis-reads values); timestampNtz is the type plane we
+#: already convert.
+SUPPORTED_READER_FEATURES = {
+    "columnMapping", "timestampNtz", "v2Checkpoint", "deletionVectors",
+}
 MAX_READER_VERSION = 3
 
 
@@ -382,10 +400,37 @@ class DeltaLog:
             raise FileNotFoundError(f"no checkpoint files for v{v} in {self.log_path}")
         df = self.spark.read.parquet(*files)
 
+        def project(prefix: str, target: T.StructType, have_type) -> F.Column:
+            """Rebuild a struct column to EXACTLY ``target``: missing
+            fields null, extra fields dropped, nested structs recursed
+            (foreign checkpoints carry tags/stats_parsed/maxRowIndex;
+            pre-DV checkpoints lack deletionVector — either shape would
+            break the union with the JSON commit actions)."""
+            have = (
+                {f.name: f.dataType for f in have_type.fields}
+                if isinstance(have_type, T.StructType)
+                else {}
+            )
+            cols = []
+            for f in target.fields:
+                if f.name not in have:
+                    cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+                elif isinstance(f.dataType, T.StructType):
+                    inner = project(f"{prefix}.{f.name}", f.dataType, have[f.name])
+                    cols.append(
+                        F.when(F.col(f"{prefix}.{f.name}").isNotNull(), inner).alias(f.name)
+                    )
+                else:
+                    cols.append(F.col(f"{prefix}.{f.name}").cast(f.dataType).alias(f.name))
+            return F.struct(*cols)
+
         def pad(d: DataFrame) -> DataFrame:
             for name, schema in (("add", ADD_SCHEMA), ("remove", REMOVE_SCHEMA)):
                 if name not in d.columns:
                     d = d.withColumn(name, F.lit(None).cast(schema))
+                else:
+                    rebuilt = project(name, schema, d.schema[name].dataType)
+                    d = d.withColumn(name, F.when(F.col(name).isNotNull(), rebuilt))
             return d.select("add", "remove")
 
         parts = []
@@ -429,12 +474,38 @@ class DeltaLog:
     def snapshot_files(self, version: Optional[int] = None) -> DataFrame:
         """Reconstruct the live file set at ``version`` as FILES_SCHEMA.
 
-        Log replay = for each path keep the action from the highest version
-        (ties impossible: one action per path per commit), keep adds. One
-        window shuffle on path — fully distributed, mirrors what
-        ``snapshot.allFiles()`` gives delta-spark.
+        Log replay = for each path keep the action from the highest
+        version (same-version remove+add ties break toward the add — the
+        deletion-vector commit shape), keep adds. One window shuffle on
+        path — fully distributed, mirrors what ``snapshot.allFiles()``
+        gives delta-spark.
         """
         self._ensure_reader_supported()
+        return self._adds_to_files(self._live_adds(self._replay_actions(version)))
+
+    def _live_adds(self, actions: DataFrame) -> DataFrame:
+        """Log replay core: latest action per path wins; within one
+        version the ADD wins the tiebreak (a deletion-vector commit is
+        remove+add of the SAME path in ONE version — the add carries the
+        new DV; losing the tiebreak would vanish the file). Returns the
+        surviving add structs exploded to columns."""
+        fileish = actions.select(
+            "version",
+            F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
+            F.col("add").alias("add"),
+        ).filter(F.col("path").isNotNull())
+        w = Window.partitionBy("path").orderBy(
+            F.desc("version"), F.col("add").isNotNull().desc()
+        )
+        return (
+            fileish.withColumn("rn", F.row_number().over(w))
+            .filter((F.col("rn") == 1) & F.col("add").isNotNull())
+            .select("add.*")
+        )
+
+    def _replay_actions(self, version: Optional[int] = None) -> DataFrame:
+        """All (add, remove, version) actions contributing to the state at
+        ``version`` — checkpoint base plus later commit JSONs."""
         upper = self.latest_version() if version is None else version
         ckpt = self._last_checkpoint()
         if ckpt is not None and ckpt <= upper:
@@ -442,25 +513,58 @@ class DeltaLog:
             base = self._checkpoint_actions(ckpt).withColumn(
                 "version", F.lit(ckpt).cast("long")
             )
-            actions = base.unionByName(
+            return base.unionByName(
                 self._actions_df(json_versions).select("add", "remove", "version"),
                 allowMissingColumns=True,
             ) if json_versions else base
-        else:
-            actions = self._actions_df([v for v in self._versions() if v <= upper])
+        return self._actions_df([v for v in self._versions() if v <= upper])
 
-        fileish = actions.select(
-            "version",
-            F.coalesce(F.col("add.path"), F.col("remove.path")).alias("path"),
-            F.col("add").alias("add"),
-        ).filter(F.col("path").isNotNull())
-        w = Window.partitionBy("path").orderBy(F.desc("version"))
-        live = (
-            fileish.withColumn("rn", F.row_number().over(w))
-            .filter((F.col("rn") == 1) & F.col("add").isNotNull())
-            .select("add")
+    def verify_deletion_vectors(self, version: Optional[int] = None) -> DataFrame:
+        """Trust-but-verify for DV'd files: decode every live AddFile's
+        deletion-vector BITMAP (executors read the .bin payloads through
+        formats/delta_dv.py — CRC, magic, size all checked) and compare
+        the decoded cardinality against the descriptor the inventory
+        trusted. One row per DV'd file:
+        ``(path, descriptor_cardinality, decoded_cardinality, dv_ok)``."""
+        import pandas as _pd
+
+        from onetable_spark.formats.delta_dv import read_dv
+
+        self._ensure_reader_supported()
+        table_path = self.table_path
+        dvd = (
+            self._live_adds(self._replay_actions(version))
+            .filter(F.col("deletionVector").isNotNull())
+            .select("path", "deletionVector")
         )
-        return self._adds_to_files(live.select("add.*"))
+
+        def check(batches):
+            for pdf in batches:
+                rows = []
+                for path, dv in zip(pdf["path"], pdf["deletionVector"]):
+                    desc = dict(dv)
+                    decoded = len(read_dv(table_path, desc))
+                    rows.append(
+                        {
+                            "path": path,
+                            "descriptor_cardinality": desc["cardinality"],
+                            "decoded_cardinality": decoded,
+                            "dv_ok": decoded == desc["cardinality"],
+                        }
+                    )
+                yield _pd.DataFrame(
+                    rows,
+                    columns=[
+                        "path", "descriptor_cardinality",
+                        "decoded_cardinality", "dv_ok",
+                    ],
+                )
+
+        return dvd.mapInPandas(
+            check,
+            "path string, descriptor_cardinality long, "
+            "decoded_cardinality long, dv_ok boolean",
+        )
 
     def _logical_key(self, key):
         """Rename a stats/partitionValues key from its column-mapping
@@ -475,6 +579,14 @@ class DeltaLog:
         return F.coalesce(F.try_element_at(mlit, key), key)
 
     def _adds_to_files(self, adds: DataFrame) -> DataFrame:
+        """AddFile rows → FILES_SCHEMA. Deletion vectors (r11): the DV
+        descriptor's ``cardinality`` is netted out of record and per-column
+        value counts (the protocol requires writers to keep it exact);
+        null counts become unknown on DV'd files — a deleted row's
+        nullness is unknowable from metadata — while min/max bounds stay
+        (deletion only narrows a range, so they remain valid for
+        pruning). The physical path still names the FULL parquet file;
+        targets receive the net-effect descriptor."""
         stats = F.from_json(
             "stats",
             "struct<numRecords:long,minValues:map<string,string>,maxValues:map<string,string>,nullCount:map<string,long>>",
@@ -484,6 +596,12 @@ class DeltaLog:
             F.col("path").startswith("/") | F.col("path").contains("://"), F.col("path")
         ).otherwise(F.concat(F.lit(table_path + "/"), F.url_decode("path")))
         with_stats = adds.withColumn("st", stats)
+        dv_card = (
+            F.coalesce(F.col("deletionVector.cardinality"), F.lit(0))
+            if "deletionVector" in adds.columns
+            else F.lit(0)
+        )
+        with_stats = with_stats.withColumn("_dv_card", dv_card)
         part_values = F.col("partitionValues")
         if self._cm_map:
             part_values = F.transform_keys(
@@ -494,7 +612,7 @@ class DeltaLog:
             F.lit("parquet").alias("file_format"),
             part_values.alias("partition_values"),
             F.col("size").alias("size"),
-            F.col("st.numRecords").alias("record_count"),
+            (F.col("st.numRecords") - F.col("_dv_card")).alias("record_count"),
             F.col("modificationTime").alias("last_modified_millis"),
             F.transform(
                 F.map_keys(F.col("st.minValues")),
@@ -502,8 +620,11 @@ class DeltaLog:
                     self._logical_key(k).alias("field"),
                     F.element_at(F.col("st.minValues"), k).alias("min_value"),
                     F.element_at(F.col("st.maxValues"), k).alias("max_value"),
-                    F.element_at(F.col("st.nullCount"), k).alias("num_nulls"),
-                    F.col("st.numRecords").alias("num_values"),
+                    F.when(
+                        F.col("_dv_card") == 0,
+                        F.element_at(F.col("st.nullCount"), k),
+                    ).alias("num_nulls"),
+                    (F.col("st.numRecords") - F.col("_dv_card")).alias("num_values"),
                     F.lit(None).cast("long").alias("total_size"),
                 ),
             ).alias("column_stats"),
@@ -810,8 +931,24 @@ class DeltaLog:
         """Write a parquet checkpoint of the full reconciled state.
 
         Spark writes the checkpoint (distributed), then `_last_checkpoint`
-        is swapped atomically — readers never see a partial checkpoint."""
+        is swapped atomically — readers never see a partial checkpoint.
+
+        Tables with live deletion vectors are refused: this writer
+        reconstructs adds from the NET inventory, which would drop the DV
+        descriptors and bake net numRecords into stats of physically
+        larger files — delta-spark trusts checkpoint stats for COUNT(*)
+        pushdown, so that is silent wrong data, not a shortcut."""
         v = self.latest_version() if version is None else version
+        if not (
+            self._live_adds(self._replay_actions(v))
+            .where(F.col("deletionVector").isNotNull())
+            .isEmpty()
+        ):
+            raise ValueError(
+                f"{self.log_path}: refusing to checkpoint a table with live "
+                "deletion vectors — this writer would drop the DV "
+                "descriptors; compact the DVs away first"
+            )
         files = self.snapshot_files(v)
         info = self.snapshot_info(v)
         now = int(time.time() * 1000)
@@ -875,6 +1012,7 @@ class DeltaLog:
                 F.coalesce("last_modified_millis", F.lit(now)).alias("modificationTime"),
                 F.lit(True).alias("dataChange"),
                 F.when(F.col("column_stats").isNotNull(), stats_json).alias("stats"),
+                F.lit(None).cast(DV_SCHEMA).alias("deletionVector"),
             ).alias("add"),
             F.lit(None).cast(REMOVE_SCHEMA).alias("remove"),
             F.lit(None).cast(METADATA_SCHEMA).alias("metaData"),

@@ -2439,7 +2439,7 @@ STAGED_QUERIES: tuple[str, ...] = (
     "sync_inventory", "sync_schema_evolution", "sync_recovery",
     "sync_partition_evolution", "sync_safety_fallback", "sync_catchup",
     "sync_foreign_table", "sync_foreign_iceberg", "sync_foreign_iceberg_deletes",
-    "zorder_compaction",
+    "sync_delta_dv", "zorder_compaction",
     "vacuum_orphans", "streaming_sink_inventory", "multimodal_ingest",
     "streaming_cdc_feed", "streaming_cdc_hudi", "sync_continuous",
 )
@@ -3641,6 +3641,106 @@ def q_sync_foreign_iceberg_deletes(spark: SparkSession, sf: str) -> DataFrame:
             F.element_at(F.split("path", "/"), -1).alias("file_name"),
             F.col("record_count"),
             F.lit(stage["ok"][fmt]).alias("validation_ok"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
+
+
+def q_sync_delta_dv(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta DELETION VECTORS end-to-end (r11): a spec-authored DV table —
+    f1 + f2 are region copies; version 2 upgrades the protocol
+    (minReaderVersion 3, readerFeatures [deletionVectors]) and puts a real
+    DV on f2 (z85-encoded uuid payload, portable RoaringBitmapArray bytes
+    with CRC, formats/delta_dv.py) deleting every odd-r_regionkey
+    position. The log replay nets the descriptor cardinality out of the
+    counts (same-version remove+add tiebreak), verify_deletion_vectors
+    decodes the BITMAP distributed and cross-checks it against the
+    descriptor, and the net counts sync into Iceberg + Hudi. The r10
+    engine refused DV tables; the reference predates the feature. Emits
+    (fmt, file_name, record_count, dv_ok); the oracle recomputes net
+    counts from region rows (f2 keeps exactly the even keys)."""
+    import json as _json
+    import os
+    import shutil
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.delta_dv import write_dv_file
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import DataLayoutStrategy, Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+    from onetable_spark.sync import SyncClient, source_for, target_for
+
+    def build(base: str) -> dict:
+        import pyarrow.parquet as pq
+
+        tbl = os.path.join(base, "dv_table")
+        os.makedirs(tbl)
+        for name in ("f1.parquet", "f2.parquet"):
+            shutil.copy(os.path.join(sf, "region.parquet"), os.path.join(tbl, name))
+        schema = spark.read.parquet(tbl).schema
+        log = DeltaLog(spark, tbl)
+        log.init_table(
+            Table(name="dv", base_path=tbl, table_format=TableFormat.DELTA,
+                  read_schema=schema, layout=DataLayoutStrategy.FLAT)
+        )
+        log.commit(adds=build_inventory(
+            spark, [os.path.join(tbl, n) for n in ("f1.parquet", "f2.parquet")],
+            root=tbl,
+        ))
+        keys = pq.read_table(
+            os.path.join(tbl, "f2.parquet"), columns=["r_regionkey"]
+        )["r_regionkey"].to_pylist()
+        positions = [i for i, k in enumerate(keys) if k % 2 == 1]
+        desc = write_dv_file(tbl, positions)
+        v = log.latest_version() + 1
+        with open(os.path.join(tbl, "_delta_log", f"{v:020d}.json"), "w") as f:
+            f.write(_json.dumps({"commitInfo": {"timestamp": 1700000300000,
+                                                "operation": "DELETE"}}) + "\n")
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"]}}) + "\n")
+            f.write(_json.dumps({"remove": {
+                "path": "f2.parquet", "deletionTimestamp": 1700000300000,
+                "dataChange": True}}) + "\n")
+            f.write(_json.dumps({"add": {
+                "path": "f2.parquet", "partitionValues": {},
+                "size": os.path.getsize(os.path.join(tbl, "f2.parquet")),
+                "modificationTime": 1700000300000, "dataChange": True,
+                "stats": _json.dumps({
+                    "numRecords": len(keys),
+                    "minValues": {"r_regionkey": str(min(keys))},
+                    "maxValues": {"r_regionkey": str(max(keys))},
+                    "nullCount": {"r_regionkey": 0}}),
+                "deletionVector": desc}}) + "\n")
+
+        client = SyncClient(spark)
+        source = source_for(spark, TableFormat.DELTA, tbl)
+        results = client.sync(source, [
+            target_for(spark, TableFormat.ICEBERG, tbl),
+            target_for(spark, TableFormat.HUDI, tbl),
+        ])
+        for r in results.values():
+            if r.status.value != "SUCCESS":
+                raise RuntimeError(f"delta-dv sync failed: {r}")
+        # bitmap-vs-descriptor cross-check, decoded on executors
+        checks = DeltaLog(spark, tbl).verify_deletion_vectors().collect()
+        dv_ok = bool(checks) and all(c["dv_ok"] for c in checks)
+        return {"dir": tbl, "dv_ok": dv_ok}
+
+    stage = _staged_once(spark, sf, "otb_dv_q", build)
+    out = None
+    for fmt, reader in (
+        ("DELTA", DeltaLog(spark, stage["dir"])),
+        ("ICEBERG", IcebergTable(spark, stage["dir"])),
+        ("HUDI", HudiTimeline(spark, stage["dir"])),
+    ):
+        part = reader.snapshot_files().select(
+            F.lit(fmt).alias("fmt"),
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("record_count"),
+            F.lit(stage["dv_ok"]).alias("dv_ok"),
         )
         out = part if out is None else out.unionByName(part)
     return out
@@ -5168,6 +5268,20 @@ ORACLE_SQL: dict[str, str] = {
         FROM per_file
         CROSS JOIN (VALUES ('ICEBERG'), ('DELTA'), ('HUDI')) f(fmt)
     """,
+    # the DV deletes every ODD r_regionkey position from f2 (a full
+    # region copy); f1 stays raw — net counts recompute from region rows
+    "sync_delta_dv": """
+        WITH per_file AS (
+            SELECT 'f1.parquet' AS file_name, CAST(COUNT(*) AS BIGINT) AS record_count
+            FROM region
+            UNION ALL
+            SELECT 'f2.parquet', CAST(COUNT(*) AS BIGINT)
+            FROM region WHERE r_regionkey % 2 = 0
+        )
+        SELECT fmt, file_name, record_count, TRUE AS dv_ok
+        FROM per_file
+        CROSS JOIN (VALUES ('DELTA'), ('ICEBERG'), ('HUDI')) f(fmt)
+    """,
     "streaming_approx_reach": """
         SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS w_start_s,
                event_type,
@@ -6038,6 +6152,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     # OPTIMIZE ZORDER lifecycle (morton_key composed into compact_table)
     "sync_foreign_iceberg": q_sync_foreign_iceberg,
     "sync_foreign_iceberg_deletes": q_sync_foreign_iceberg_deletes,
+    "sync_delta_dv": q_sync_delta_dv,
     "zorder_compaction": q_zorder_compaction,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,

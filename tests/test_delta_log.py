@@ -347,11 +347,11 @@ def test_column_mapping_ids_flow_to_iceberg(spark, tmp_path):
     assert top2 == {"id": 1, "payload": 2, "better_name": 5}
 
 
-def test_reader_refuses_deletion_vectors_and_unknown_features(spark, delta_table):
+def test_reader_refuses_unknown_features_reads_deletion_vectors(spark, delta_table):
     """Per the Delta protocol a reader MUST refuse tables whose
-    readerFeatures it does not support — reading a deletion-vector table
-    as plain adds silently resurrects deleted rows (r10 guard, the Delta
-    twin of the Iceberg delete-manifest refusal). The upgraded protocol
+    readerFeatures it does not support. deletionVectors graduated from
+    refused (r10) to READ (r11): the descriptor's cardinality nets the
+    record count; unknown features still refuse. The upgraded protocol
     action is authored as raw protocol JSON, not by our writer."""
     table_path, table = delta_table
     log = DeltaLog(spark, table_path)
@@ -368,18 +368,37 @@ def test_reader_refuses_deletion_vectors_and_unknown_features(spark, delta_table
             "readerFeatures": ["deletionVectors"],
             "writerFeatures": ["deletionVectors"]}}) + "\n")
         f.write(json.dumps({"add": {
-            "path": "part-00000.parquet", "partitionValues": {}, "size": 1,
+            "path": "dvd.parquet", "partitionValues": {}, "size": 1,
             "modificationTime": 0, "dataChange": True,
+            "stats": json.dumps({"numRecords": 10, "minValues": {"id": "1"},
+                                 "maxValues": {"id": "9"}, "nullCount": {"id": 0}}),
             "deletionVector": {"storageType": "u", "pathOrInlineDv": "x",
                                "offset": 1, "sizeInBytes": 40, "cardinality": 2}}}) + "\n")
 
     fresh = DeltaLog(spark, table_path)
-    with pytest.raises(ValueError, match="deletionVectors"):
-        fresh.snapshot_files()
-    with pytest.raises(ValueError, match="deletionVectors"):
-        fresh.snapshot_info()
+    rows = {
+        os.path.basename(r["path"]): r for r in fresh.snapshot_files().collect()
+    }
+    dvd = rows["dvd.parquet"]
+    assert dvd["record_count"] == 8  # 10 raw - 2 deleted
+    st = {s["field"]: s for s in dvd["column_stats"]}
+    assert st["id"]["num_values"] == 8 and st["id"]["num_nulls"] is None
+    assert st["id"]["min_value"] == "1" and st["id"]["max_value"] == "9"
+    # un-DV'd files in the same snapshot keep exact null counts
+    other = next(r for n, r in rows.items() if n != "dvd.parquet")
+    assert all(s["num_nulls"] is not None for s in other["column_stats"])
+    # checkpointing a live-DV table is refused (the writer would drop DVs)
+    with pytest.raises(ValueError, match="deletion vectors"):
+        fresh.checkpoint()
+
+    # a feature we genuinely do not implement still refuses
+    with open(os.path.join(table_path, "_delta_log", f"{v:020d}.json"), "w") as f:
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["typeWidening"],
+            "writerFeatures": ["typeWidening"]}}) + "\n")
     with pytest.raises(ValueError, match="unsupported Delta reader features"):
-        fresh.table_descriptor()
+        DeltaLog(spark, table_path).snapshot_files()
 
     # supported features pass the same guard
     with open(os.path.join(table_path, "_delta_log", f"{v:020d}.json"), "w") as f:
