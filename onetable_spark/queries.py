@@ -2439,7 +2439,7 @@ STAGED_QUERIES: tuple[str, ...] = (
     "sync_inventory", "sync_schema_evolution", "sync_recovery",
     "sync_partition_evolution", "sync_safety_fallback", "sync_catchup",
     "sync_foreign_table", "sync_foreign_iceberg", "sync_foreign_iceberg_deletes",
-    "sync_delta_dv", "zorder_compaction",
+    "sync_delta_dv", "ann_ivfpq_persisted", "zorder_compaction",
     "vacuum_orphans", "streaming_sink_inventory", "multimodal_ingest",
     "streaming_cdc_feed", "streaming_cdc_hudi", "sync_continuous",
 )
@@ -2781,6 +2781,106 @@ def q_ann_ivfpq_topk(spark: SparkSession, sf: str) -> DataFrame:
         .select((F.col("nq") >= 2).alias("ivfpq_raw_recall_ok"))
     )
     return exact.crossJoin(F.broadcast(planted_ok)).crossJoin(F.broadcast(raw_ok))
+
+
+def q_ann_ivfpq_persisted(spark: SparkSession, sf: str) -> DataFrame:
+    """The PERSISTED IVF-PQ lifecycle (r11 — converts ivfpq_topk's "at
+    scale the corpus is stored pre-encoded" docstring into a measured
+    plan): the spiked corpus is encoded ONCE into a codes table
+    (cluster int, id, codes binary — m bytes a row, ivfpq_encode_codes),
+    written hive-partitioned BY CLUSTER and registered as a Delta table;
+    the search (ivfpq_topk_from_codes) then probes with a plain
+    ``cluster IN (...)`` predicate that Catalyst executes as PARTITION
+    PRUNING — the staged plan assertion checks the scan's
+    PartitionFilters carries the cluster IN-list, so the other
+    n_clusters − n_probe partitions are never opened. Emits the exact
+    brute-force top-10 (oracle ground truth) × in-plan contract booleans:
+    ivfpq_persisted_recall_ok (≥8/10 planted near-copies retrieved from
+    the CODES table alone) and partition_pruned_ok (the plan assertion).
+    Staged once per (session, sf)."""
+    import os
+    import re
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.functions.similarity import (
+        ivfpq_encode_codes,
+        ivfpq_topk_from_codes,
+    )
+    from onetable_spark.model import (
+        DataLayoutStrategy,
+        PartitionField,
+        PartitionTransform,
+        Table,
+        TableFormat,
+    )
+    from onetable_spark.sources.parquet_inventory import inventory_from_directory
+
+    emb = load_table(spark, sf, "embeddings")
+    # driver-ok: single-row query-vector fetch
+    query = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    corpus = emb.filter(F.col("vec_id") != 0)
+    index = _ivfpq_index(spark, sf)
+
+    def build(base: str) -> dict:
+        tbl = os.path.join(base, "codes")
+        spiked = corpus.select("vec_id", "embedding").unionByName(
+            _planted_near_dups(spark, query)
+        )
+        codes = ivfpq_encode_codes(spiked, index)
+        codes.write.partitionBy("cluster").mode("overwrite").parquet(tbl)
+        # register the artifact as a real Delta table (partition spec =
+        # identity on cluster) — the lifecycle's metadata half
+        log = DeltaLog(spark, tbl)
+        log.init_table(
+            Table(
+                name="ivfpq_codes",
+                base_path=tbl,
+                table_format=TableFormat.DELTA,
+                read_schema=spark.read.parquet(tbl).schema,
+                partition_fields=(
+                    PartitionField(
+                        source_field="cluster",
+                        transform=PartitionTransform.VALUE,
+                        partition_field_name="cluster",
+                    ),
+                ),
+                layout=DataLayoutStrategy.HIVE_STYLE_PARTITION,
+            )
+        )
+        log.commit(adds=inventory_from_directory(spark, tbl))
+        return {"dir": tbl}
+
+    stage = _staged_once(spark, sf, "otb_pqcodes_q", build)
+    codes_df = spark.read.parquet(stage["dir"])
+    # the rerank side must hold every id the codes table knows — the
+    # spiked corpus (raw + planted), exactly what was encoded
+    spiked = corpus.select("vec_id", "embedding").unionByName(
+        _planted_near_dups(spark, query)
+    )
+    topk = ivfpq_topk_from_codes(codes_df, spiked, query, index, k=10)
+    planted_ok = _planted_recall_flag(topk, "ivfpq_persisted_recall_ok")
+
+    # plan assertion: the probe predicate must surface as PartitionFilters
+    # on the codes scan (pruning, not a post-scan filter). The probed
+    # subplan is rebuilt exactly as ivfpq_topk_from_codes builds it.
+    import numpy as np
+
+    cents = np.asarray(index[0], dtype=np.float64)
+    qv = np.asarray(query, dtype=np.float64)
+    qv /= np.linalg.norm(qv)
+    probe = [int(c) for c in np.argsort(-(cents @ qv))[:4]]
+    probed_plan = (
+        codes_df.where(F.col("cluster").isin(probe))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    mt = re.search(r"PartitionFilters: \[([^\]]*)\]", probed_plan)
+    pruned = bool(mt and "cluster" in mt.group(1) and mt.group(1).strip())
+    pruned_ok = spark.createDataFrame(
+        [(pruned,)], "partition_pruned_ok boolean"
+    )
+
+    exact = _exact_embedding_topk(corpus, query)
+    return exact.crossJoin(F.broadcast(planted_ok)).crossJoin(F.broadcast(pruned_ok))
 
 
 def q_sync_inventory(spark: SparkSession, sf: str) -> DataFrame:
@@ -3725,6 +3825,7 @@ def q_sync_delta_dv(spark: SparkSession, sf: str) -> DataFrame:
             if r.status.value != "SUCCESS":
                 raise RuntimeError(f"delta-dv sync failed: {r}")
         # bitmap-vs-descriptor cross-check, decoded on executors
+        # driver-ok: one row per DV'd live file (exactly 1 in this stage)
         checks = DeltaLog(spark, tbl).verify_deletion_vectors().collect()
         dv_ok = bool(checks) and all(c["dv_ok"] for c in checks)
         return {"dir": tbl, "dv_ok": dv_ok}
@@ -6084,6 +6185,13 @@ ORACLE_SQL: dict[str, str] = {
         WHERE b.vec_id <> 0
         ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10
     """,
+    "ann_ivfpq_persisted": f"""
+        SELECT b.vec_id, ROUND({_COS_SQL}, 4) AS cos_sim,
+               TRUE AS ivfpq_persisted_recall_ok, TRUE AS partition_pruned_ok
+        FROM embeddings b, (SELECT embedding FROM embeddings WHERE vec_id = 0) a
+        WHERE b.vec_id <> 0
+        ORDER BY cos_sim DESC, b.vec_id ASC LIMIT 10
+    """,
     "ann_pq_topk": f"""
         SELECT b.vec_id, ROUND({_COS_SQL}, 4) AS cos_sim,
                TRUE AS pq_planted_recall_ok, TRUE AS pq_raw_recall_ok
@@ -6156,6 +6264,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "zorder_compaction": q_zorder_compaction,
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
     "vacuum_orphans": q_vacuum_orphans,
     # -- last driver rows r2-r4 (the 20 stalest)
     "g8_stats_regroup": q_g8_stats_regroup,

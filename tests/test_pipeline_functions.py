@@ -659,3 +659,55 @@ def test_ivfpq_residual_recall_and_probe_pruning(spark, sf_dir):
     }
     for r in one.collect():
         assert assigned[r["vec_id"]] == top_cluster
+
+
+def test_ivfpq_persisted_codes_table_prunes_partitions(spark, sf_dir, tmp_path):
+    """The persisted IVFADC lifecycle (r11): encode once into a
+    cluster-partitioned codes table (m bytes a row), search it with
+    ivfpq_topk_from_codes — the probe predicate must surface as
+    PartitionFilters on the parquet scan (literal partition pruning),
+    results must match the fused-path ivfpq_topk exactly (same index,
+    same corpus, same deterministic order)."""
+    import numpy as np
+
+    from onetable_spark.functions.similarity import (
+        ivfpq_encode_codes,
+        ivfpq_topk,
+        ivfpq_topk_from_codes,
+        ivfpq_train,
+    )
+    from onetable_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+    corpus = emb.filter(F.col("vec_id") != 0)
+    index = ivfpq_train(corpus)
+
+    tbl = str(tmp_path / "codes")
+    codes = ivfpq_encode_codes(corpus, index)
+    codes.write.partitionBy("cluster").parquet(tbl)
+    back = spark.read.parquet(tbl)
+    assert back.count() == corpus.count()
+    # 16 clusters -> 16 hive dirs; codes are m=8 bytes
+    assert len(back.select("cluster").distinct().collect()) <= 16
+    assert back.agg(F.max(F.length("codes")).alias("n")).first()["n"] == 8
+
+    fused = [tuple(r) for r in ivfpq_topk(corpus, q, k=10, index=index).collect()]
+    persisted = [
+        tuple(r) for r in ivfpq_topk_from_codes(back, corpus, q, index, k=10).collect()
+    ]
+    assert persisted == fused
+
+    # the probe is partition pruning, not a post-scan filter
+    cents = np.asarray(index[0], dtype=np.float64)
+    qv = np.asarray(q, dtype=np.float64)
+    qv /= np.linalg.norm(qv)
+    probe = [int(c) for c in np.argsort(-(cents @ qv))[:4]]
+    plan = (
+        back.where(F.col("cluster").isin(probe))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+    assert pf and "cluster" in pf.group(1), plan[:800]

@@ -176,6 +176,13 @@ EXPECT_MAX_EXCHANGES = {
     "cluster_representatives": 1,  # arg-max-by-struct agg over cached CC labels
     "perplexity_buckets": 5,  # unigram_logprob's 4 + the (source × 3) rollup
 }
+# Partition-pruning contracts (r11): the named query's plan must carry a
+# non-empty PartitionFilters clause naming the column — the probe executes
+# as partition pruning on the hive-partitioned artifact, not a post-scan
+# row filter.
+EXPECT_PARTITION_FILTERS = {
+    "ann_ivfpq_persisted": "cluster",
+}
 # streaming queries execute via writeStream, not a single batch plan;
 # streaming_cdc_feed additionally RETURNS the bare memory-sink table (a
 # local scan with nothing to codegen — the projection work happened in
@@ -249,6 +256,11 @@ def main() -> int:
             problems.append("expected non-empty PushedFilters")
         if name in EXPECT_BROADCAST and "Broadcast" not in plan:
             problems.append("expected a broadcast join")
+        if name in EXPECT_PARTITION_FILTERS:
+            col = EXPECT_PARTITION_FILTERS[name]
+            pf = re.search(r"PartitionFilters: \[([^\]]+)\]", plan)
+            if not (pf and col in pf.group(1)):
+                problems.append(f"expected PartitionFilters on {col}")
         if name in EXPECT_MAX_EXCHANGES:
             # AQE's plan string repeats the tree under "== Initial Plan ==";
             # count shuffle exchanges in the final section only
