@@ -66,6 +66,8 @@ WRITE_STAT_SCHEMA = T.StructType(
         T.StructField("prevCommit", T.StringType()),
         T.StructField("numWrites", T.LongType()),
         T.StructField("numInserts", T.LongType()),
+        T.StructField("numDeletes", T.LongType()),
+        T.StructField("numUpdateWrites", T.LongType()),
         T.StructField("totalWriteBytes", T.LongType()),
         T.StructField("fileSizeInBytes", T.LongType()),
         T.StructField("partitionPath", T.StringType()),
@@ -295,36 +297,58 @@ class HudiTimeline:
 
     # ------------------------------------------------------------- snapshot
 
-    def snapshot_files(self, instant: Optional[str] = None, strict: bool = False) -> DataFrame:
+    def snapshot_files(
+        self,
+        instant: Optional[str] = None,
+        strict: bool = False,
+        view: Optional[str] = None,
+    ) -> DataFrame:
         """Live file set at ``instant`` (HudiDataFileExtractor.java:113-124).
 
         Distributed replay: explode per-partition write stats from all
         completed commits, drop file groups replaced by a later-or-equal
         replacecommit, keep the latest slice per fileId. Rollback/restore
         events apply only if they happened at/before ``instant``.
+
+        MOR log files (r11): a deltacommit may append ``.log.`` files to a
+        file group; until compaction rewrites the base file those rows are
+        invisible to a base-file-only scan. The reference reads the
+        read-optimized view and says nothing (HudiDataFileExtractor.java:157
+        base-file fsView) — this engine is never silently stale:
+
+        - ``view=None`` (default) REFUSES when unmerged log files exist,
+          telling the caller to choose;
+        - ``view="read_optimized"``: base files only, caller accepted the
+          staleness explicitly;
+        - ``view="realtime"``: record counts adjusted per file group by
+          the log write-stats (Σ numInserts − numDeletes of log stats
+          newer than the base file's instant — updates rewrite rows, net
+          zero); column stats are DROPPED on adjusted groups (log inserts
+          and updates can move min/max), size stays the base file's.
+          A log-only file group (no base file) refuses — there is no
+          parquet descriptor to adjust.
         """
+        if view not in (None, "read_optimized", "realtime"):
+            raise ValueError(f"unknown Hudi view {view!r}")
         instants = self.completed_instants(as_of=instant, strict=strict)
         if not instants:
             return self.spark.createDataFrame([], FILES_SCHEMA)
         commits = self._commits_df(instants)
-        adds = (
+        exploded = (
             commits.select(
                 "instant", F.explode_outer("partitionToWriteStats").alias("partition", "stats")
             )
             .select("instant", "partition", F.explode("stats").alias("ws"))
-            # MOR deltacommits may register log-file appends; the read-
-            # optimized snapshot is base files only (the reference resolves
-            # through the base-file fsView, HudiDataFileExtractor.java:157)
-            .filter(~F.col("ws.path").contains(".log."))
-            .select(
-                "instant",
-                F.col("ws.fileId").alias("file_id"),
-                F.col("ws.path").alias("rel_path"),
-                F.col("ws.partitionPath").alias("partition_path"),
-                F.col("ws.fileSizeInBytes").alias("size"),
-                F.col("ws.numWrites").alias("record_count"),
-                F.col("ws.columnStats").alias("stats_json"),
-            )
+        )
+        is_log = F.col("ws.path").contains(".log.")
+        adds = exploded.filter(~is_log).select(
+            "instant",
+            F.col("ws.fileId").alias("file_id"),
+            F.col("ws.path").alias("rel_path"),
+            F.col("ws.partitionPath").alias("partition_path"),
+            F.col("ws.fileSizeInBytes").alias("size"),
+            F.col("ws.numWrites").alias("record_count"),
+            F.col("ws.columnStats").alias("stats_json"),
         )
         replaced = commits.select(
             F.col("instant").alias("replace_instant"),
@@ -342,6 +366,56 @@ class HudiTimeline:
             (latest.file_id == replaced.file_id) & (replaced.replace_instant >= latest.instant),
             "left_anti",
         )
+
+        # MOR log plane — only when the timeline holds deltacommits at all
+        # (a COW table pays nothing here; the instants list is driver-side)
+        adjusted = F.lit(False)
+        if view != "read_optimized" and any(a == "deltacommit" for _, a in instants):
+            logs = exploded.filter(is_log).select(
+                F.col("instant").alias("log_instant"),
+                F.col("ws.fileId").alias("file_id"),
+                (
+                    F.coalesce(F.col("ws.numInserts"), F.lit(0))
+                    - F.coalesce(F.col("ws.numDeletes"), F.lit(0))
+                ).alias("delta"),
+            )
+            base_keys = live.select("file_id", F.col("instant").alias("base_instant"))
+            unmerged = logs.join(base_keys, "file_id", "left_outer").where(
+                F.col("base_instant").isNull()
+                | (F.col("log_instant") > F.col("base_instant"))
+            )
+            if view is None:
+                # driver-ok: emptiness probe, one boolean
+                if not unmerged.isEmpty():
+                    raise ValueError(
+                        f"{self.table_path}: MOR table has unmerged log "
+                        "files — a base-file snapshot would be silently "
+                        "stale. Pass view='realtime' for log-adjusted "
+                        "record counts or view='read_optimized' to accept "
+                        "the stale base files (the reference's behavior)."
+                    )
+            else:  # realtime
+                # driver-ok: emptiness probe, one boolean
+                if not unmerged.where(F.col("base_instant").isNull()).isEmpty():
+                    raise ValueError(
+                        f"{self.table_path}: MOR file group holds ONLY log "
+                        "files (no base file) — no parquet descriptor can "
+                        "carry its rows; compact before syncing"
+                    )
+                eff = (
+                    unmerged.groupBy("file_id")
+                    .agg(F.sum("delta").alias("_delta"))
+                )
+                live = live.join(F.broadcast(eff), "file_id", "left_outer")
+                adjusted = F.col("_delta").isNotNull()
+                live = live.withColumn(
+                    "record_count",
+                    F.col("record_count") + F.coalesce(F.col("_delta"), F.lit(0)),
+                ).withColumn(
+                    "stats_json",
+                    F.when(adjusted, F.lit(None)).otherwise(F.col("stats_json")),
+                )
+
         table_path = self.table_path
         return live.select(
             F.concat(F.lit(table_path + "/"), F.col("rel_path")).alias("path"),
@@ -459,7 +533,7 @@ class HudiTimeline:
             pending_commits=tuple(instant_to_millis(i) for i in self.pending_instants()),
         )
 
-    def changes_for_instant(self, instant: str) -> TableChange:
+    def changes_for_instant(self, instant: str, view: Optional[str] = None) -> TableChange:
         """Per-instant diff (HudiDataFileExtractor.java:146-255 dispatch:
         COMMIT/DELTA_COMMIT add base files, REPLACE adds + removes replaced
         groups, ROLLBACK/RESTORE remove the undone commits' files).
@@ -467,14 +541,32 @@ class HudiTimeline:
         All four are expressed uniformly as the G1 anti-join diff between
         the as-of snapshots strictly-before and at the instant — the undo
         actions fall out naturally because ``snapshot_files`` applies them
-        by their own timeline position."""
+        by their own timeline position. ``view`` flows to both snapshots
+        (the MOR posture, see ``snapshot_files``): with ``realtime`` a
+        log-appending deltacommit diffs as record-count changes on its
+        file group's base descriptor — BUT an unchanged path with a
+        changed count needs a remove+add, which the path-keyed anti-join
+        would miss, so count-changed paths are added to both sides."""
         match = [(i, a) for i, a in self.timeline_events() if i == instant]
         if not match:
             raise ValueError(f"no completed instant {instant}")
-        before = self.snapshot_files_before(instant)
-        after = self.snapshot_files(instant)
+        before = self.snapshot_files_before(instant, view=view)
+        after = self.snapshot_files(instant, view=view)
         added = after.join(before.select("path"), "path", "left_anti")
         removed = before.join(after.select("path"), "path", "left_anti")
+        if view == "realtime":
+            # same path, different record_count = the log-append shape:
+            # replace the descriptor (remove+add in one change)
+            b = before.select("path", F.col("record_count").alias("_before_rc"))
+            changed = (
+                after.join(b, "path")
+                .where(
+                    ~F.col("record_count").eqNullSafe(F.col("_before_rc"))
+                )
+                .drop("_before_rc")
+            )
+            added = added.unionByName(changed)
+            removed = removed.unionByName(changed.select(*before.columns))
         return TableChange(
             table=self.table_descriptor(),
             diff=FilesDiff(added=added, removed=removed),
@@ -482,8 +574,8 @@ class HudiTimeline:
             commit_id=instant,
         )
 
-    def snapshot_files_before(self, instant: str) -> DataFrame:
-        return self.snapshot_files(instant, strict=True)
+    def snapshot_files_before(self, instant: str, view: Optional[str] = None) -> DataFrame:
+        return self.snapshot_files(instant, strict=True, view=view)
 
     def instants_after_millis(self, millis: int) -> list[str]:
         """Syncable backlog: commit-type AND undo events after the watermark
@@ -654,7 +746,12 @@ class HudiTimeline:
                         "path": rel,
                         "prevCommit": "null",
                         "numWrites": row["record_count"] or 0,
+                        # FILES_SCHEMA adds model pure inserts (external
+                        # registration); log appends with update/delete
+                        # splits come from real writers or raw-JSON fixtures
                         "numInserts": row["record_count"] or 0,
+                        "numDeletes": 0,
+                        "numUpdateWrites": 0,
                         "totalWriteBytes": row["size"] or 0,
                         "fileSizeInBytes": row["size"] or 0,
                         "partitionPath": pp,
@@ -837,5 +934,14 @@ class HudiTimeline:
 
 def _file_id_for(rel_path: str) -> str:
     """Stable fileId per registered external file (BaseFileUpdatesExtractor
-    maps each external file to its own file group)."""
+    maps each external file to its own file group). Log files carry their
+    FILE GROUP's id in the name (``.{fileId}_{writeToken}.log.{version}``,
+    HoodieLogFile naming) — extracting it keeps a log append attached to
+    its base file so the realtime view can net the counts (r11)."""
+    import re as _re
+
+    name = rel_path.rsplit("/", 1)[-1]
+    m = _re.match(r"^\.(.+?)_[\w\-]+\.log\.\d+", name)
+    if m:
+        return m.group(1)
     return uuid.uuid5(uuid.NAMESPACE_URL, rel_path).hex

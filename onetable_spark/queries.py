@@ -2439,7 +2439,7 @@ STAGED_QUERIES: tuple[str, ...] = (
     "sync_inventory", "sync_schema_evolution", "sync_recovery",
     "sync_partition_evolution", "sync_safety_fallback", "sync_catchup",
     "sync_foreign_table", "sync_foreign_iceberg", "sync_foreign_iceberg_deletes",
-    "sync_delta_dv", "ann_ivfpq_persisted", "zorder_compaction",
+    "sync_delta_dv", "ann_ivfpq_persisted", "hudi_mor_views", "zorder_compaction",
     "vacuum_orphans", "streaming_sink_inventory", "multimodal_ingest",
     "streaming_cdc_feed", "streaming_cdc_hudi", "sync_continuous",
 )
@@ -2881,6 +2881,93 @@ def q_ann_ivfpq_persisted(spark: SparkSession, sf: str) -> DataFrame:
 
     exact = _exact_embedding_topk(corpus, query)
     return exact.crossJoin(F.broadcast(planted_ok)).crossJoin(F.broadcast(pruned_ok))
+
+
+def q_hudi_mor_views(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi MERGE-ON-READ views (r11): a staged MOR table — base file f1
+    (region copy) plus a spec-authored deltacommit whose log write-stat
+    carries numInserts = odd-key rows and numDeletes = zero-key rows (the
+    HoodieWriteStat fields real MOR writers record) — read through the
+    three postures: the DEFAULT snapshot REFUSES (refused_ok; the
+    reference reads stale base files silently,
+    HudiDataFileExtractor.java:157), view='read_optimized' reports the
+    raw base count, view='realtime' nets the log effects into the file
+    group. The oracle recomputes every number from region rows. Staged
+    once per (session, sf)."""
+    import json as _json
+    import os
+    import shutil
+
+    from onetable_spark.formats.hudi import (
+        HudiTimeline,
+        _file_id_for,
+        instant_to_millis,
+        millis_to_instant,
+    )
+    from onetable_spark.model import DataLayoutStrategy, Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    def build(base: str) -> dict:
+        import pyarrow.parquet as pq
+
+        tbl = os.path.join(base, "mor")
+        os.makedirs(tbl)
+        f1 = os.path.join(tbl, "f1.parquet")
+        shutil.copy(os.path.join(sf, "region.parquet"), f1)
+        schema = spark.read.parquet(tbl).schema
+        tl = HudiTimeline(spark, tbl)
+        tl.init_table(
+            Table(name="mor", base_path=tbl, table_format=TableFormat.HUDI,
+                  read_schema=schema, layout=DataLayoutStrategy.FLAT)
+        )
+        i1 = tl.commit(adds=build_inventory(spark, [f1], root=tbl),
+                       action="deltacommit")
+        keys = pq.read_table(f1, columns=["r_regionkey"])["r_regionkey"].to_pylist()
+        ins = sum(1 for k in keys if k % 2 == 1)
+        dels = sum(1 for k in keys if k == 0)
+        gid = _file_id_for("f1.parquet")
+        i2 = millis_to_instant(instant_to_millis(i1) + 1000)
+        hoodie = os.path.join(tbl, ".hoodie")
+        open(os.path.join(hoodie, f"{i2}.deltacommit.requested"), "w").close()
+        open(os.path.join(hoodie, f"{i2}.deltacommit.inflight"), "w").close()
+        with open(os.path.join(hoodie, f"{i2}.deltacommit"), "w") as f:
+            _json.dump({
+                "partitionToWriteStats": {"": [{
+                    "fileId": gid,
+                    "path": f".{gid}_0-0-1.log.1",
+                    "prevCommit": i1,
+                    "numWrites": ins + dels,
+                    "numInserts": ins,
+                    "numDeletes": dels,
+                    "numUpdateWrites": 0,
+                    "totalWriteBytes": 2048,
+                    "fileSizeInBytes": 2048,
+                    "partitionPath": "",
+                }]},
+                "operationType": "UPSERT",
+                "extraMetadata": {},
+            }, f)
+        refused = False
+        try:
+            # driver-ok: refusal probe on the 1-file staged table; raises
+            # before any row materializes
+            tl.snapshot_files().collect()
+        except ValueError as e:
+            refused = "unmerged log" in str(e)
+        return {"dir": tbl, "refused_ok": refused}
+
+    stage = _staged_once(spark, sf, "otb_mor_q", build)
+    tl = HudiTimeline(spark, stage["dir"])
+    out = None
+    for view in ("read_optimized", "realtime"):
+        part = tl.snapshot_files(view=view).select(
+            F.lit(view).alias("view_name"),
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("record_count"),
+            F.lit(stage["refused_ok"]).alias("refused_ok"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def q_sync_inventory(spark: SparkSession, sf: str) -> DataFrame:
@@ -5369,6 +5456,21 @@ ORACLE_SQL: dict[str, str] = {
         FROM per_file
         CROSS JOIN (VALUES ('ICEBERG'), ('DELTA'), ('HUDI')) f(fmt)
     """,
+    # log effects derive from region rows: inserts = odd keys, deletes =
+    # zero keys; realtime = base + ins - del
+    "hudi_mor_views": """
+        WITH c AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(CASE WHEN r_regionkey % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ins,
+                   CAST(SUM(CASE WHEN r_regionkey = 0 THEN 1 ELSE 0 END) AS BIGINT) AS del
+            FROM region
+        )
+        SELECT 'read_optimized' AS view_name, 'f1.parquet' AS file_name,
+               n AS record_count, TRUE AS refused_ok
+        FROM c
+        UNION ALL
+        SELECT 'realtime', 'f1.parquet', n + ins - del, TRUE FROM c
+    """,
     # the DV deletes every ODD r_regionkey position from f2 (a full
     # region copy); f1 stays raw — net counts recompute from region rows
     "sync_delta_dv": """
@@ -6265,6 +6367,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_pq_topk": q_ann_pq_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
+    "hudi_mor_views": q_hudi_mor_views,
     "vacuum_orphans": q_vacuum_orphans,
     # -- last driver rows r2-r4 (the 20 stalest)
     "g8_stats_regroup": q_g8_stats_regroup,

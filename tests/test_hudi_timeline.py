@@ -148,10 +148,15 @@ def test_archive_timeline(spark, hudi_table):
 
 
 def test_deltacommit_mor_base_file_semantics(spark, hudi_table):
-    """S2 (MOR): deltacommit instants register base files like commits;
-    log-file appends are invisible to the read-optimized snapshot
-    (HudiDataFileExtractor.java:157 DELTA_COMMIT == COMMIT at base-file
-    level)."""
+    """S2 (MOR, r11 contract): deltacommit instants register base files
+    like commits. Unmerged log appends make the DEFAULT snapshot REFUSE
+    (never silently stale — the reference reads stale base files and says
+    nothing, HudiDataFileExtractor.java:157); view='read_optimized'
+    accepts the staleness explicitly, view='realtime' nets the log
+    write-stats into the file group's record count."""
+    import pytest
+
+    from onetable_spark.formats.hudi import _file_id_for
     from onetable_spark.model import FILES_SCHEMA
 
     table_path, table = hudi_table
@@ -160,14 +165,16 @@ def test_deltacommit_mor_base_file_semantics(spark, hudi_table):
     inv = inventory_from_directory(spark, table_path)
     i1 = tl.commit(adds=inv, action="deltacommit")
     assert tl.completed_instants() == [(i1, "deltacommit")]
-    assert {r["path"] for r in tl.snapshot_files().collect()} == {
-        r["path"] for r in inv.collect()
-    }
+    base_rows = {r["path"]: r["record_count"] for r in tl.snapshot_files().collect()}
+    assert set(base_rows) == {r["path"] for r in inv.collect()}
+    base_path, base_count = next(iter(base_rows.items()))
 
-    # a MOR writer appends a log file to the same file group
+    # a MOR writer appends a log file to the SAME file group (the log name
+    # embeds the group's fileId — HoodieLogFile naming)
+    gid = _file_id_for(os.path.relpath(base_path, table_path))
     log_row = [
         (
-            os.path.join(table_path, ".some-file-id_0-0-1.log.1"),
+            os.path.join(table_path, f".{gid}_0-0-1.log.1"),
             "hoodie_log",
             {},
             1024,
@@ -178,25 +185,57 @@ def test_deltacommit_mor_base_file_semantics(spark, hudi_table):
     ]
     log_inv = spark.createDataFrame(log_row, FILES_SCHEMA)
     i2 = tl.commit(adds=log_inv, action="deltacommit")
-    # read-optimized view: base file only, no log path
-    assert {r["path"] for r in tl.snapshot_files().collect()} == {
-        r["path"] for r in inv.collect()
-    }
-    change = tl.changes_for_instant(i2)
-    assert change.diff.added.count() == 0 and change.diff.removed.count() == 0
 
-    # MOR source → Delta target sync round-trips the base files
+    # default: loud refusal, not stale data
+    with pytest.raises(ValueError, match="unmerged log"):
+        tl.snapshot_files().collect()
+    # explicit read-optimized: base file only, raw count (caller's choice)
+    ro = {r["path"]: r["record_count"]
+          for r in tl.snapshot_files(view="read_optimized").collect()}
+    assert ro == base_rows
+    # realtime: the log's 10 inserts net into the group's count; stats drop
+    rt = {r["path"]: r for r in tl.snapshot_files(view="realtime").collect()}
+    assert set(rt) == set(base_rows)
+    assert rt[base_path]["record_count"] == base_count + 10
+    assert rt[base_path]["column_stats"] is None
+    # the realtime change for the log commit replaces the base descriptor
+    change = tl.changes_for_instant(i2, view="realtime")
+    assert {r["path"]: r["record_count"] for r in change.diff.added.collect()} == {
+        base_path: base_count + 10
+    }
+    assert {r["path"] for r in change.diff.removed.collect()} == {base_path}
+
+    # MOR source with unmerged logs → sync REFUSES (never stale targets)
     from onetable_spark.formats.delta import DeltaLog
     from onetable_spark.model import SyncStatus
     from onetable_spark.sync import SyncClient, source_for, target_for
 
+    with pytest.raises(ValueError, match="unmerged log"):
+        SyncClient(spark).sync(
+            source_for(spark, TableFormat.HUDI, table_path),
+            [target_for(spark, TableFormat.DELTA, table_path)],
+        )
+
+    # a compaction commit rewrites the base at a newer instant — the logs
+    # are merged, every view agrees again, and sync succeeds
+    compacted = inv.withColumn("record_count", F.col("record_count") + F.lit(10))
+    tl.commit(adds=compacted, action="commit")
+    merged = {r["path"]: r["record_count"] for r in tl.snapshot_files().collect()}
+    assert merged[base_path] == base_count + 10
+    assert merged == {
+        r["path"]: r["record_count"]
+        for r in tl.snapshot_files(view="realtime").collect()
+    }
     res = SyncClient(spark).sync(
         source_for(spark, TableFormat.HUDI, table_path),
         [target_for(spark, TableFormat.DELTA, table_path)],
     )
     assert res[TableFormat.DELTA].status == SyncStatus.SUCCESS
-    delta_paths = {r["path"] for r in DeltaLog(spark, table_path).snapshot_files().collect()}
-    assert delta_paths == {r["path"] for r in inv.collect()}
+    delta_rows = {
+        r["path"]: r["record_count"]
+        for r in DeltaLog(spark, table_path).snapshot_files().collect()
+    }
+    assert delta_rows == merged
 
 
 def test_restore_undoes_later_commits(spark, hudi_table):
