@@ -4,7 +4,31 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 10: 124 queries. New in round 10:
+Surface as of round 11: 128 queries. New in round 11:
+`sync_foreign_iceberg_deletes` — ICEBERG V2 POSITION DELETES APPLIED
+(not refused): delete manifests split from data manifests, delete
+parquet read distributed, sequence-number rule + distinct (path, pos)
+counts net the inventory; equality deletes still refuse loudly. The
+reference would silently resurrect deleted rows here
+(IcebergSourceClient.java:169-194 ignores delete files);
+`sync_delta_dv` — DELTA DELETION VECTORS READ: descriptor cardinality
+nets record/value counts, the DV bitmap bytes (z85 payloads, portable
+RoaringBitmapArray with CRC — formats/delta_dv.py) are decoded on
+executors and cross-checked against the descriptor, net counts sync
+into Iceberg + Hudi;
+`ann_ivfpq_persisted` — the PERSISTED IVF-PQ lifecycle: codes table
+(cluster, id, m-byte codes) written partitionBy(cluster) + registered
+as Delta; the probe executes as literal PARTITION PRUNING
+(plan-asserted PartitionFilters) and ADC reads codes bytes only;
+`hudi_mor_views` — HUDI MERGE-ON-READ, never silently stale: default
+snapshot REFUSES on unmerged log files; view='read_optimized' is the
+explicit stale choice; view='realtime' nets log write-stats
+(numInserts − numDeletes) into file-group record counts.
+The driver window is ROTATED for r11 (VERDICT r10 #4): the four
+newcomers, then the 24 queries whose last driver row was r7, then the
+r9-sampled g1-g7 + tpch_q1-q15 as next-stalest fill.
+
+Round 10 summary (all still green): new then were:
 `ann_ivfpq_topk` — IVF-PQ ANN (Jegou et al. 2011 IVFADC, the canonical
 billion-scale layout): coarse quantizer + RESIDUAL PQ codebooks,
 per-probed-cluster ADC lookup tables, probe pruning + exact rerank,

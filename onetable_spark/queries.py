@@ -6500,3 +6500,33 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g7_max_agg": q_g7_max_agg,
 }
 
+# ---- round-11 driver-window rotation (VERDICT r10 #4) ------------------
+# The driver's correctness harness records the FIRST 50 registry entries.
+# Rotation by staleness: the four r11 newcomers (no driver evidence yet),
+# then the 24 queries whose last driver hash row was r7 (the stalest
+# cohort), then the r9-sampled g1-g7 + tpch_q1-q15 as next-stalest fill.
+# Everything green in r10 retires to the stale pool — still value-checked
+# against DuckDB on every pytest run (test_queries_smoke).
+_R11_WINDOW = [
+    "sync_foreign_iceberg_deletes", "sync_delta_dv", "ann_ivfpq_persisted",
+    "hudi_mor_views",
+    "approx_distinct", "approx_quantiles", "audio_features", "bm25_search",
+    "centroid_similarity", "chunk_dedup", "decontam_overlap",
+    "event_transitions", "gap_fill", "heavy_hitters", "image_resize",
+    "incremental_dedup", "knn_label_vote", "moving_avg", "multimodal_decode",
+    "source_mixture", "stratified_sample", "streaming_approx_reach",
+    "streaming_hopping", "tfidf_top_terms", "unigram_logprob",
+    "video_frame_sample", "winnow_fingerprint", "winnow_near_dups",
+    "g1_files_diff", "g2_group_files", "g3_schema_flatten",
+    "g4_sorted_merge_dedup", "g5_min_over_group", "g6_filter_predicates",
+    "g7_max_agg",
+    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q14", "tpch_q15",
+]
+assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
+SPARK_QUERIES = {
+    **{n: SPARK_QUERIES[n] for n in _R11_WINDOW},
+    **SPARK_QUERIES,
+}
+

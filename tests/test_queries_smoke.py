@@ -25,25 +25,24 @@ from tools.check_oracle import compare_result
 # alphabetizing or appending to SPARK_QUERIES should trip this list, not
 # silently drop driver coverage.
 MUST_BE_DRIVER_MEASURED = {
-    # round-10 rotation (VERDICT r9 #2): everything green in the r8/r9
-    # windows (the tpch_*/g1-g7 sweep, the r8 newcomers, the
-    # probabilistic contracts — each hash-green in two driver rounds)
-    # retired at once; the window re-samples by staleness. Pinned here:
-    # the r10 newcomer (no driver evidence yet) and the 20 queries whose
-    # last driver hash row was <= r4 (g11_sort_commits and
-    # dedup_first_per_key date to r2) — the rotation IS the round's
+    # round-11 rotation (VERDICT r10 #4): everything green in the r10
+    # window retires; the window re-samples by staleness. Pinned here:
+    # the four r11 newcomers (no driver evidence yet) and the 24 queries
+    # whose last driver hash row was r7 — the rotation IS a round
     # deliverable, so falling out of the window must fail loudly.
     #
-    # round-10 newcomers: first driver rows needed
-    "sync_foreign_iceberg", "zorder_compaction", "ann_pq_topk",
-    "ann_ivfpq_topk", "vacuum_orphans",
-    # last driver rows r2-r4
-    "g8_stats_regroup", "g10_json_flatten", "g11_sort_commits",
-    "g12_latest_instant", "dedup_exact", "fingerprint_dedup",
-    "dedup_first_per_key", "deterministic_sample", "token_packing",
-    "ngram_jaccard", "embedding_near_dups", "embedding_topk",
-    "token_stats", "pivot_events", "unpivot_stats", "intersect_keys",
-    "sessionize", "text_features", "langid_counts", "full_outer_balance",
+    # round-11 newcomers: first driver rows needed
+    "sync_foreign_iceberg_deletes", "sync_delta_dv", "ann_ivfpq_persisted",
+    "hudi_mor_views",
+    # last driver rows r7
+    "approx_distinct", "approx_quantiles", "audio_features", "bm25_search",
+    "centroid_similarity", "chunk_dedup", "decontam_overlap",
+    "event_transitions", "gap_fill", "heavy_hitters", "image_resize",
+    "incremental_dedup", "knn_label_vote", "moving_avg",
+    "multimodal_decode", "source_mixture", "stratified_sample",
+    "streaming_approx_reach", "streaming_hopping", "tfidf_top_terms",
+    "unigram_logprob", "video_frame_sample", "winnow_fingerprint",
+    "winnow_near_dups",
 }
 
 
