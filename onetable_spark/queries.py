@@ -2949,8 +2949,7 @@ def q_hudi_mor_views(spark: SparkSession, sf: str) -> DataFrame:
             }, f)
         refused = False
         try:
-            # driver-ok: refusal probe on the 1-file staged table; raises
-            # before any row materializes
+            # driver-ok: refusal probe on the 1-file staged table
             tl.snapshot_files().collect()
         except ValueError as e:
             refused = "unmerged log" in str(e)

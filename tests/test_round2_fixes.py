@@ -205,14 +205,17 @@ def test_no_driver_collect_in_query_paths():
     #     zorder rewrite plan (same commit-payload order)
     #   queries.py: zorder_compaction's per-file z-bounds (4 staged files)
     #     and its snapshot read-back (commit-payload order), plus
-    #     vacuum_orphans' 4-file staged status fetch
+    #     vacuum_orphans' 4-file staged status fetch, r11's
+    #     hudi_mor_views refusal probe (raises before rows materialize)
+    #     and sync_delta_dv's DV cross-check (one row per DV'd file,
+    #     exactly 1 in the stage)
     #   maintenance.py third site: Iceberg referenced_paths' manifest-list
     #     walk (bounded by manifest count per snapshot)
     sanctioned = {
         "functions/similarity.py": 1,
         "functions/bpe.py": 2,
         "operators/maintenance.py": 3,
-        "queries.py": 3,
+        "queries.py": 5,
     }
     root = pathlib.Path(__file__).parent.parent / "onetable_spark"
     offenders, marked = [], Counter()
