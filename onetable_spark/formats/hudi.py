@@ -434,6 +434,72 @@ class HudiTimeline:
             ),
         )
 
+    def verify_log_stats(self, instant: Optional[str] = None) -> DataFrame:
+        """Trust-but-verify for MOR log files (the Hudi twin of
+        ``DeltaLog.verify_deletion_vectors``): executors parse each log
+        file's actual HoodieLogFormat blocks (formats/hudi_log.py —
+        layout byte-verified against real Hudi-0.14 files) and compare
+        the decoded AVRO_DATA record counts against the timeline
+        write-stat the realtime view trusted. One row per log file:
+        ``(path, stat_num_writes, decoded_records, unparsed_block_types,
+        log_ok)`` — ``log_ok`` is null (not false) when the file holds
+        block kinds whose counts bytes alone cannot give (hfile/parquet
+        blocks); those never silently pass."""
+        import pandas as _pd
+
+        from onetable_spark.formats.hudi_log import log_file_record_count
+
+        instants = self.completed_instants(as_of=instant)
+        if not instants:
+            return self.spark.createDataFrame(
+                [], "path string, stat_num_writes long, decoded_records long, "
+                    "unparsed_block_types array<string>, log_ok boolean"
+            )
+        commits = self._commits_df(instants)
+        table_path = self.table_path
+        logs = (
+            commits.select(F.explode_outer("partitionToWriteStats").alias("partition", "stats"))
+            .select(F.explode("stats").alias("ws"))
+            .where(F.col("ws.path").contains(".log."))
+            .select(
+                F.concat(F.lit(table_path + "/"), F.col("ws.path")).alias("path"),
+                F.col("ws.numWrites").alias("stat_num_writes"),
+            )
+        )
+
+        def check(batches):
+            for pdf in batches:
+                rows = []
+                for path, nw in zip(pdf["path"], pdf["stat_num_writes"]):
+                    got = log_file_record_count(path)
+                    ok = (
+                        None
+                        if got["unparsed_block_types"]
+                        else got["records"] == nw
+                    )
+                    rows.append(
+                        {
+                            "path": path,
+                            "stat_num_writes": nw,
+                            "decoded_records": got["records"],
+                            "unparsed_block_types": got["unparsed_block_types"],
+                            "log_ok": ok,
+                        }
+                    )
+                yield _pd.DataFrame(
+                    rows,
+                    columns=[
+                        "path", "stat_num_writes", "decoded_records",
+                        "unparsed_block_types", "log_ok",
+                    ],
+                )
+
+        return logs.mapInPandas(
+            check,
+            "path string, stat_num_writes long, decoded_records long, "
+            "unparsed_block_types array<string>, log_ok boolean",
+        )
+
     def _partition_values_col(self):
         """partition_path 'a=1/b=2' or '' → map (HudiPartitionValuesExtractor
         hive-style parse)."""

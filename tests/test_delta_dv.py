@@ -169,3 +169,37 @@ def test_corrupt_dv_bitmap_refuses(spark, sf_dir, tmp_path):
     open(bin_file, "wb").write(bytes(raw))
     with pytest.raises(Exception, match="checksum mismatch"):
         DeltaLog(spark, base).verify_deletion_vectors().collect()
+
+
+def test_dv_commit_incremental_change_replaces_descriptor(spark, sf_dir, tmp_path):
+    """The DV commit's own change scan (changes_for_version) emits the
+    remove+add-with-net-counts shape an incremental sync applies: the
+    same path leaves with its raw descriptor and returns with the
+    DV-netted one."""
+    base = str(tmp_path / "dvt_chg")
+    log, n, n_del, _ = _stage_dv_table(spark, sf_dir, base)
+    v = log.latest_version()  # the DV commit
+    change = DeltaLog(spark, base).changes_for_version(v)
+    added = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in change.diff.added.collect()
+    }
+    removed = [os.path.basename(r["path"]) for r in change.diff.removed.collect()]
+    assert added == {"f2.parquet": n - n_del}
+    assert removed == ["f2.parquet"]
+
+    # and an incremental-shaped sync lands the net count in a target:
+    # full sync first at v-1 (pre-DV), then apply the DV change
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.sync import SyncClient, source_for, target_for
+
+    res = SyncClient(spark).sync(
+        source_for(spark, TableFormat.DELTA, base),
+        [target_for(spark, TableFormat.ICEBERG, base)],
+    )
+    assert res[TableFormat.ICEBERG].status.value == "SUCCESS"
+    got = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in IcebergTable(spark, base).snapshot_files().collect()
+    }
+    assert got == {"f1.parquet": n, "f2.parquet": n - n_del}
