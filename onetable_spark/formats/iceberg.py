@@ -594,8 +594,21 @@ class IcebergTable:
                 return s["fields"]
         return md.get("partition-spec", [])
 
-    def snapshot_files(self, snapshot_id: Optional[int] = None) -> DataFrame:
+    def snapshot_files(
+        self,
+        snapshot_id: Optional[int] = None,
+        apply_equality_deletes: bool = False,
+    ) -> DataFrame:
         """Live file set via manifest-list → manifests (distributed decode).
+
+        ``apply_equality_deletes`` opts into the DATA-ASSISTED equality-
+        delete path: eq tuples are canonicalized + broadcast (capped at
+        ``_MAX_EQ_TUPLES``), executors scan each data file's eq columns
+        for match positions, and the kill set unions with the position
+        deletes (distinct per (path, pos) — a doubly-deleted row counts
+        once). Without the flag, equality deletes refuse loudly as
+        before: the scan reads data bytes, which a metadata-only sync
+        must never do implicitly.
 
         v2 merge-on-read tables: position deletes are APPLIED (r11) — the
         delete parquet files are read distributed, distinct (path, pos)
@@ -627,14 +640,20 @@ class IcebergTable:
         )
         if not deletes:
             return base.drop("_seq")
-        return self._apply_position_deletes(base, deletes)
+        return self._apply_position_deletes(
+            base, deletes, ice_schema=ice_schema, apply_equality=apply_equality_deletes
+        )
 
-    def _decode_delete_files(self, delete_manifests: list[dict]) -> DataFrame:
-        """``(delete_path, delete_seq)`` for every live POSITION-delete
-        file the given delete manifests reference. Equality-delete entries
-        (data_file.content = 2) refuse loudly — applying them needs data
-        rows. Distributed over manifests; output is bounded by the
-        delete-FILE count, not delete rows."""
+    def _decode_delete_files(
+        self, delete_manifests: list[dict], allow_equality: bool = False
+    ) -> DataFrame:
+        """``(delete_path, delete_seq, content, equality_ids)`` for every
+        live delete file the given delete manifests reference. Equality-
+        delete entries (data_file.content = 2) refuse loudly unless
+        ``allow_equality`` — applying them needs data rows (the opt-in
+        ``apply_equality_deletes`` path reads them). Distributed over
+        manifests; output is bounded by the delete-FILE count, not delete
+        rows."""
         pairs = [
             (m["manifest_path"], m.get("sequence_number", 0)) for m in delete_manifests
         ]
@@ -649,36 +668,159 @@ class IcebergTable:
                             continue
                         df_ = e["data_file"]
                         content = df_.get("content", _CONTENT_POSITION_DELETES)
-                        if content == _CONTENT_EQUALITY_DELETES:
+                        if content == _CONTENT_EQUALITY_DELETES and not allow_equality:
                             raise ValueError(
                                 f"{mp}: Iceberg v2 EQUALITY delete file "
                                 f"{df_['file_path']} — equality deletes "
                                 "cannot be applied from metadata alone; "
                                 "refusing rather than resurrecting deleted "
-                                "rows (compact with rewrite_data_files)"
+                                "rows (pass apply_equality_deletes=True for "
+                                "the data-assisted scan, or compact with "
+                                "rewrite_data_files)"
                             )
                         seq = e.get("sequence_number")
                         rows.append(
                             {"delete_path": df_["file_path"],
-                             "delete_seq": int(mseq if seq is None else seq)}
+                             "delete_seq": int(mseq if seq is None else seq),
+                             "content": int(content),
+                             "equality_ids": list(df_.get("equality_ids") or [])}
                         )
-                yield pd.DataFrame(rows, columns=["delete_path", "delete_seq"])
+                yield pd.DataFrame(
+                    rows,
+                    columns=["delete_path", "delete_seq", "content", "equality_ids"],
+                )
 
         base = self.spark.createDataFrame(pairs, "p string, seq long")
         par = max(1, min(len(pairs), self.spark.sparkContext.defaultParallelism))
-        return base.repartition(par).mapInPandas(scan, "delete_path string, delete_seq long")
+        return base.repartition(par).mapInPandas(
+            scan,
+            "delete_path string, delete_seq long, content int, equality_ids array<int>",
+        )
 
-    def _apply_position_deletes(self, base_with_seq: DataFrame, delete_manifests: list[dict]) -> DataFrame:
-        """Net-effect inventory: subtract applicable position-delete rows
-        from each data file's counts. ``base_with_seq`` is FILES_SCHEMA +
-        ``_seq`` (the data files' sequence numbers)."""
-        delete_files = self._decode_delete_files(delete_manifests)
+    #: equality-delete tuples above this count refuse the data-assisted
+    #: path (the broadcast predicate set must stay executor-memory-sized;
+    #: a table with more eq-delete rows than this needs compaction anyway)
+    _MAX_EQ_TUPLES = 1_000_000
+
+    def _equality_match_positions(
+        self,
+        base_with_seq: DataFrame,
+        eq_files: DataFrame,
+        ice_schema: dict,
+    ) -> DataFrame:
+        """(path, pos) of every data row an applicable equality delete
+        kills — the data-assisted scan behind ``apply_equality_deletes``.
+
+        Shape: eq-delete tuples are canonicalized to string keys (field-id
+        list + values, identical serialization on both sides), capped and
+        BROADCAST; executors then scan each data file's eq columns only,
+        emitting match positions — O(matches) rows, never O(table). The
+        sequence rule is strict (spec: an equality delete applies to data
+        files with data_seq < delete_seq)."""
+        import json as _json
+
+        id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
+
+        def canon(v):
+            if isinstance(v, (int, str, bool)) or v is None:
+                return v
+            if isinstance(v, float):
+                return repr(v)
+            return str(v)
+
+        def read_tuples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import pyarrow.parquet as pq
+
+            for pdf in batches:
+                for dp, seq, ids in zip(
+                    pdf["delete_path"], pdf["delete_seq"], pdf["equality_ids"]
+                ):
+                    ids = sorted(int(i) for i in ids)
+                    names = []
+                    for i in ids:
+                        if i not in id_to_name:
+                            raise ValueError(
+                                f"{dp}: equality field id {i} is not a "
+                                "top-level column; nested equality deletes "
+                                "are unsupported"
+                            )
+                        names.append(id_to_name[i])
+                    t = pq.read_table(dp, columns=names)
+                    cols = [t[n].to_pylist() for n in names]
+                    keys = [
+                        _json.dumps([ids, [canon(v) for v in vals]])
+                        for vals in zip(*cols)
+                    ]
+                    yield pd.DataFrame({"key": keys, "delete_seq": int(seq)})
+
+        tuples = eq_files.mapInPandas(read_tuples, "key string, delete_seq long")
+        # a tuple at a higher sequence covers a superset of data files —
+        # keep max seq per key
+        tuples = tuples.groupBy("key").agg(F.max("delete_seq").alias("delete_seq"))
+        # driver-ok: capped at _MAX_EQ_TUPLES (checked first), the
+        # broadcast predicate set of the eq scan
+        n_tuples = tuples.count()
+        if n_tuples > self._MAX_EQ_TUPLES:
+            raise ValueError(
+                f"{self.table_path}: {n_tuples} equality-delete tuples "
+                f"exceed the {self._MAX_EQ_TUPLES} data-assisted cap; "
+                "compact with rewrite_data_files"
+            )
+        # driver-ok: bounded by the cap above
+        key_seq = {r["key"]: r["delete_seq"] for r in tuples.collect()}
+        field_sets = sorted(
+            {tuple(_json.loads(k)[0]) for k in key_seq}
+        )
+        b = self.spark.sparkContext.broadcast((key_seq, field_sets))
+
+        def scan_data(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import pyarrow.parquet as pq
+
+            key_seq_, field_sets_ = b.value
+            for pdf in batches:
+                for path, dseq in zip(pdf["path"], pdf["_seq"]):
+                    hits: set[int] = set()
+                    for ids in field_sets_:
+                        names = [id_to_name[i] for i in ids]
+                        t = pq.read_table(path, columns=names)
+                        cols = [t[n].to_pylist() for n in names]
+                        for pos, vals in enumerate(zip(*cols)):
+                            key = _json.dumps([list(ids), [canon(v) for v in vals]])
+                            seq = key_seq_.get(key)
+                            if seq is not None and seq > dseq:
+                                hits.add(pos)
+                    yield pd.DataFrame({"path": path, "pos": sorted(hits)})
+
+        return base_with_seq.select("path", "_seq").mapInPandas(
+            scan_data, "path string, pos long"
+        )
+
+    def _apply_position_deletes(
+        self,
+        base_with_seq: DataFrame,
+        delete_manifests: list[dict],
+        ice_schema: Optional[dict] = None,
+        apply_equality: bool = False,
+    ) -> DataFrame:
+        """Net-effect inventory: subtract applicable delete rows from each
+        data file's counts. ``base_with_seq`` is FILES_SCHEMA + ``_seq``
+        (the data files' sequence numbers). Position deletes always apply
+        (metadata + delete-parquet reads); equality deletes apply only on
+        the opt-in data-assisted path — a row killed by BOTH kinds counts
+        once (the union is distinct on (path, pos))."""
+        delete_files = self._decode_delete_files(
+            delete_manifests, allow_equality=apply_equality
+        )
 
         def read_deletes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import pyarrow.parquet as pq
 
             for pdf in batches:
-                for dp, seq in zip(pdf["delete_path"], pdf["delete_seq"]):
+                for dp, seq, content in zip(
+                    pdf["delete_path"], pdf["delete_seq"], pdf["content"]
+                ):
+                    if content != _CONTENT_POSITION_DELETES:
+                        continue
                     t = pq.read_table(dp, columns=["file_path", "pos"])
                     out = t.to_pandas()
                     out.columns = ["path", "pos"]
@@ -693,13 +835,23 @@ class IcebergTable:
         )
         # no broadcast hint: either side can dominate (million-file
         # inventories vs bulk deletes) — AQE picks the strategy at runtime
-        per_file = (
+        deleted = (
             positions.join(base_with_seq.select("path", "_seq"), "path")
             .where(F.col("delete_seq") >= F.col("_seq"))
             .select("path", "pos")
-            .distinct()
-            .groupBy("path")
-            .agg(F.count("*").alias("_n_del"))
+        )
+        if apply_equality:
+            eq_files = delete_files.where(
+                F.col("content") == _CONTENT_EQUALITY_DELETES
+            )
+            # driver-ok: emptiness probe, one boolean
+            if not eq_files.isEmpty():
+                eq_hits = self._equality_match_positions(
+                    base_with_seq, eq_files, ice_schema
+                )
+                deleted = deleted.unionByName(eq_hits)
+        per_file = (
+            deleted.distinct().groupBy("path").agg(F.count("*").alias("_n_del"))
         )
         adjusted = (
             base_with_seq.join(per_file, "path", "left_outer")

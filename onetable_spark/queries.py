@@ -2439,7 +2439,8 @@ STAGED_QUERIES: tuple[str, ...] = (
     "sync_inventory", "sync_schema_evolution", "sync_recovery",
     "sync_partition_evolution", "sync_safety_fallback", "sync_catchup",
     "sync_foreign_table", "sync_foreign_iceberg", "sync_foreign_iceberg_deletes",
-    "sync_delta_dv", "ann_ivfpq_persisted", "hudi_mor_views", "zorder_compaction",
+    "sync_delta_dv", "ann_ivfpq_persisted", "hudi_mor_views",
+    "iceberg_eq_deletes", "zorder_compaction",
     "vacuum_orphans", "streaming_sink_inventory", "multimodal_ingest",
     "streaming_cdc_feed", "streaming_cdc_hudi", "sync_continuous",
 )
@@ -2881,6 +2882,56 @@ def q_ann_ivfpq_persisted(spark: SparkSession, sf: str) -> DataFrame:
 
     exact = _exact_embedding_topk(corpus, query)
     return exact.crossJoin(F.broadcast(planted_ok)).crossJoin(F.broadcast(pruned_ok))
+
+
+def q_iceberg_eq_deletes(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg v2 EQUALITY deletes, data-assisted (r11): the foreign MoR
+    fixture gains an equality-delete snapshot (keys {3, 4} on field id 1)
+    ON TOP of the position deletes (every odd key of B). The default scan
+    refuses (refused_ok — metadata alone cannot apply eq deletes; the
+    reference would resurrect the rows); snapshot_files(
+    apply_equality_deletes=True) broadcasts the canonicalized eq tuples,
+    scans each data file's eq COLUMNS for match positions on executors,
+    and kills exactly the union with the position deletes — key 3 is
+    both pos- and eq-deleted and must count ONCE. The oracle recomputes
+    the survivors from region rows (B keeps even keys except 4). Staged
+    once per (session, sf)."""
+    import os
+
+    from onetable_spark.formats.iceberg import IcebergTable
+
+    def build(base: str) -> dict:
+        from tools.foreign_iceberg import (
+            add_equality_deletes,
+            add_position_deletes,
+            write_foreign_iceberg_table,
+        )
+
+        tbl_dir = os.path.join(base, "region")
+        os.makedirs(tbl_dir)
+        truth = write_foreign_iceberg_table(
+            spark, tbl_dir, os.path.join(sf, "region.parquet")
+        )
+        truth = add_position_deletes(spark, tbl_dir, truth)
+        add_equality_deletes(spark, tbl_dir, truth)
+        refused = False
+        try:
+            # driver-ok: refusal probe on the 2-file staged table
+            IcebergTable(spark, tbl_dir).snapshot_files().collect()
+        except Exception as e:  # noqa: BLE001 — executor raise crosses py4j
+            refused = "EQUALITY delete" in str(e)
+        return {"dir": tbl_dir, "refused_ok": refused}
+
+    stage = _staged_once(spark, sf, "otb_eqdel_q", build)
+    return (
+        IcebergTable(spark, stage["dir"])
+        .snapshot_files(apply_equality_deletes=True)
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("record_count"),
+            F.lit(stage["refused_ok"]).alias("refused_ok"),
+        )
+    )
 
 
 def q_hudi_mor_views(spark: SparkSession, sf: str) -> DataFrame:
@@ -5455,6 +5506,18 @@ ORACLE_SQL: dict[str, str] = {
         FROM per_file
         CROSS JOIN (VALUES ('ICEBERG'), ('DELTA'), ('HUDI')) f(fmt)
     """,
+    # pos deletes kill odd keys of B; eq deletes kill {3,4} (3 overlaps,
+    # counts once) — B keeps the even keys except 4; A (keys < 2) is
+    # untouched
+    "iceberg_eq_deletes": """
+        SELECT 'A.parquet' AS file_name, CAST(COUNT(*) AS BIGINT) AS record_count,
+               TRUE AS refused_ok
+        FROM region WHERE r_regionkey < 2
+        UNION ALL
+        SELECT 'B.parquet', CAST(COUNT(*) AS BIGINT), TRUE
+        FROM region WHERE r_regionkey >= 2 AND r_regionkey % 2 = 0
+                      AND r_regionkey <> 4
+    """,
     # log effects derive from region rows: inserts = odd keys, deletes =
     # zero keys; realtime = base + ins - del
     "hudi_mor_views": """
@@ -6367,6 +6430,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
     "hudi_mor_views": q_hudi_mor_views,
+    "iceberg_eq_deletes": q_iceberg_eq_deletes,
     "vacuum_orphans": q_vacuum_orphans,
     # -- last driver rows r2-r4 (the 20 stalest)
     "g8_stats_regroup": q_g8_stats_regroup,
@@ -6508,7 +6572,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # against DuckDB on every pytest run (test_queries_smoke).
 _R11_WINDOW = [
     "sync_foreign_iceberg_deletes", "sync_delta_dv", "ann_ivfpq_persisted",
-    "hudi_mor_views",
+    "hudi_mor_views", "iceberg_eq_deletes",
     "approx_distinct", "approx_quantiles", "audio_features", "bm25_search",
     "centroid_similarity", "chunk_dedup", "decontam_overlap",
     "event_transitions", "gap_fill", "heavy_hitters", "image_resize",
@@ -6521,7 +6585,7 @@ _R11_WINDOW = [
     "g7_max_agg",
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14", "tpch_q15",
+    "tpch_q13", "tpch_q14",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 SPARK_QUERIES = {

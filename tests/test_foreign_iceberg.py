@@ -209,9 +209,16 @@ def test_time_travel_before_deletes_keeps_raw_counts(spark, foreign_mor):
     }
 
 
-def test_equality_deletes_still_refused_loudly(spark, sf_dir, tmp_path):
-    """Equality deletes cannot be applied from metadata alone — both scan
-    paths refuse with an explicit error, never resurrect rows."""
+def test_equality_deletes_refuse_by_default_apply_on_optin(spark, sf_dir, tmp_path):
+    """Equality deletes cannot be applied from metadata alone — the
+    default scan refuses with an explicit error, never resurrects rows.
+    The opt-in ``apply_equality_deletes`` path reads the eq tuples AND
+    the data files' eq columns, killing exactly the union with the
+    position deletes: the fixture deletes keys {3, 4} by equality while
+    the position deletes already killed every odd key — key 3 overlaps
+    (must count ONCE), key 4 is eq-only."""
+    import pyarrow.parquet as pq
+
     from tools.foreign_iceberg import add_equality_deletes, add_position_deletes
 
     base = str(tmp_path / "region_eq")
@@ -220,7 +227,19 @@ def test_equality_deletes_still_refused_loudly(spark, sf_dir, tmp_path):
         spark, base, os.path.join(sf_dir, "region.parquet")
     )
     truth = add_position_deletes(spark, base, truth)
-    add_equality_deletes(spark, base, truth)
+    truth = add_equality_deletes(spark, base, truth)
     tbl = IcebergTable(spark, base)
     with pytest.raises(Exception, match="EQUALITY delete"):
         tbl.snapshot_files().collect()
+
+    keys = pq.read_table(
+        os.path.join(base, "data", "B.parquet"), columns=["r_regionkey"]
+    )["r_regionkey"].to_pylist()
+    survivors_b = [k for k in keys if k % 2 == 0 and k not in (3, 4)]
+    rows = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in tbl.snapshot_files(apply_equality_deletes=True).collect()
+    }
+    assert rows["B.parquet"] == len(survivors_b)
+    # A holds keys < 2: eq keys {3,4} don't touch it, pos deletes target B
+    assert rows["A.parquet"] == truth["A.parquet"]["rows"]

@@ -434,9 +434,13 @@ def add_position_deletes(spark, table_dir: str, truth: dict) -> dict:
     return truth
 
 
-def add_equality_deletes(spark, table_dir: str, truth: dict) -> None:
-    """Append an EQUALITY-delete snapshot (data_file.content = 2) — the
-    case the engine must still refuse loudly."""
+def add_equality_deletes(spark, table_dir: str, truth: dict) -> dict:
+    """Append an EQUALITY-delete snapshot (data_file.content = 2): the
+    delete parquet holds r_regionkey values {3, 4} on equality id [1].
+    Key 3 is odd, so the position deletes (``add_position_deletes``)
+    already kill it — the doubly-deleted-row dedup case; key 4 is
+    eq-only. Default reads must refuse; the data-assisted
+    ``apply_equality_deletes`` path must net exactly the union."""
     jvm = spark._jvm
     meta_dir = os.path.join(table_dir, "metadata")
     s_prev = truth["snapshots"].get("s3", truth["snapshots"]["s2"])
@@ -446,7 +450,7 @@ def add_equality_deletes(spark, table_dir: str, truth: dict) -> None:
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    pq.write_table(pa.table({"r_regionkey": pa.array([3], pa.int32())}), eq_path)
+    pq.write_table(pa.table({"r_regionkey": pa.array([3, 4], pa.int32())}), eq_path)
     m4 = os.path.join(meta_dir, "m4-eq-deletes.avro")
     m4_len = _write_delete_manifest(jvm, m4, [
         {
@@ -456,7 +460,7 @@ def add_equality_deletes(spark, table_dir: str, truth: dict) -> None:
             "data_file": {
                 "content": 2,
                 "file_path": eq_path,
-                "record_count": 1,
+                "record_count": 2,
                 "file_size_in_bytes": os.path.getsize(eq_path),
                 "equality_ids": [1],
             },
@@ -464,17 +468,31 @@ def add_equality_deletes(spark, table_dir: str, truth: dict) -> None:
     ])
     m2 = os.path.join(meta_dir, "m2.avro")
     ml4 = os.path.join(meta_dir, "snap-4.avro")
-    _write_manifest_list(jvm, ml4, [
+    manifests = [
         {"manifest_path": m2, "manifest_length": os.path.getsize(m2),
          "sequence_number": 2, "min_sequence_number": 1,
          "added_snapshot_id": truth["snapshots"]["s2"], "added": 1,
          "existing": 1, "added_rows": truth["B.parquet"]["rows"],
          "existing_rows": truth["A.parquet"]["rows"]},
+    ]
+    m3 = os.path.join(meta_dir, "m3-deletes.avro")
+    if "s3" in truth["snapshots"] and os.path.exists(m3):
+        # carry the position-delete manifest forward — s4 must see BOTH
+        # delete kinds (the doubly-deleted-row union case)
+        manifests.append(
+            {"manifest_path": m3, "manifest_length": os.path.getsize(m3),
+             "content": 1, "sequence_number": 3, "min_sequence_number": 3,
+             "added_snapshot_id": truth["snapshots"]["s3"], "added": 1,
+             "existing": 0, "added_rows": len(truth["deleted_from_b"]),
+             "existing_rows": 0}
+        )
+    manifests.append(
         {"manifest_path": m4, "manifest_length": m4_len, "content": 1,
          "sequence_number": 4, "min_sequence_number": 4,
          "added_snapshot_id": s4, "added": 1, "existing": 0,
-         "added_rows": 1, "existing_rows": 0},
-    ])
+         "added_rows": 2, "existing_rows": 0}
+    )
+    _write_manifest_list(jvm, ml4, manifests)
     v = 3 if "s3" in truth["snapshots"] else 2
     with open(os.path.join(meta_dir, f"v{v}.metadata.json")) as f:
         md = json.load(f)
@@ -494,6 +512,10 @@ def add_equality_deletes(spark, table_dir: str, truth: dict) -> None:
         json.dump(md, f, indent=2)
     with open(os.path.join(meta_dir, "version-hint.text"), "w") as f:
         f.write(str(v + 1))
+    truth = dict(truth)
+    truth["eq_deleted_keys"] = [3, 4]
+    truth["snapshots"] = {**truth["snapshots"], "s4": s4}
+    return truth
 
 
 def write_foreign_iceberg_table(spark, table_dir: str, source_parquet: str) -> dict:
