@@ -94,6 +94,8 @@ BOUNDARY_SENSITIVE = [
     # r10: PQ / IVF-PQ recall-contract booleans
     "ann_pq_topk",
     "ann_ivfpq_topk",
+    # r11: persisted-codes recall + partition-pruning contract booleans
+    "ann_ivfpq_persisted",
 ]
 
 

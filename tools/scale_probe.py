@@ -158,6 +158,49 @@ def main() -> None:
             warm=lambda sf, fn=fn: fn(spark, sf).count(),
         )
 
+    # Phase 3 (r11) — the PERSISTED IVF-PQ lifecycle: encode is the
+    # one-time linear cost; search over the cluster-partitioned codes
+    # table should scale SUBLINEARLY (the probe prunes to n_probe/16 of
+    # the partitions and ADC reads m bytes a row), which is the whole
+    # point of persisting the codes at 100 TB.
+    from pyspark.sql import functions as F
+
+    from onetable_spark.functions.similarity import (
+        ivfpq_encode_codes,
+        ivfpq_topk_from_codes,
+        ivfpq_train,
+    )
+    from onetable_spark.session import load_table
+
+    pq_state = {}
+
+    def pq_setup(sf):
+        if sf in pq_state:
+            return
+        emb = load_table(spark, sf, "embeddings")
+        q = list(emb.filter(F.col("vec_id") == 0).first()["embedding"])
+        corpus = emb.filter(F.col("vec_id") != 0)
+        index = ivfpq_train(corpus)
+        tbl = os.path.join("/tmp", f"otb_probe_codes_{abs(hash(sf)) % 10**8}")
+        shutil.rmtree(tbl, ignore_errors=True)
+        pq_state[sf] = (q, corpus, index, tbl)
+
+    def pq_encode(sf):
+        pq_setup(sf)
+        q, corpus, index, tbl = pq_state[sf]
+        ivfpq_encode_codes(corpus, index).write.partitionBy("cluster").mode(
+            "overwrite"
+        ).parquet(tbl)
+        return spark.read.parquet(tbl).count()
+
+    def pq_search(sf):
+        q, corpus, index, tbl = pq_state[sf]
+        codes = spark.read.parquet(tbl)
+        return ivfpq_topk_from_codes(codes, corpus, q, index, k=10).count()
+
+    timed("ivfpq:encode_codes", pq_encode)  # cold: train + encode + write
+    timed("ivfpq:search_from_codes", pq_search, warm=lambda sf: pq_search(sf))
+
     lines = [
         "",
         f"## Scale probe: dedup/ANN/substring family at ~{k}x sf0.1 "
