@@ -396,30 +396,45 @@ def vacuum_table(
     # That state never means "a table of pure orphans" — it means the two
     # sides disagree on path representation (scheme, mount point, symlink)
     # and proceeding would delete the entire live table. Refuse.
-    # driver-ok: one 2-long-column aggregate row
-    counts = classified.agg(
-        F.count("*").alias("n_listed"),
-        F.sum((F.col("status") == "referenced").cast("long")).alias("n_matched"),
-    ).first()
-    if counts["n_listed"] and not counts["n_matched"] and not refs.isEmpty():
-        raise ValueError(
-            f"vacuum refused for {table_path}: metadata references data "
-            "files but none matched the filesystem listing — path "
-            "representation skew (scheme/mount/symlink), not orphans; "
-            "deleting would destroy live data"
-        )
+    # `classified` is consumed twice (guard agg + delete pass) — persist
+    # so the listing fan-out and reference join run once, not twice.
+    from pyspark import StorageLevel
 
-    def delete(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            out = []
-            for path, status in zip(pdf["path"], pdf["status"]):
-                if status == "orphan":
-                    fs.remove(path)  # seam: missing-file races are absorbed
-                    status = "removed"
-                out.append({"path": path, "status": status})
-            yield pd.DataFrame(out, columns=["path", "status"])
+    classified = classified.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        # driver-ok: one 2-long-column aggregate row
+        counts = classified.agg(
+            F.count("*").alias("n_listed"),
+            F.sum((F.col("status") == "referenced").cast("long")).alias("n_matched"),
+        ).first()
+        if counts["n_listed"] and not counts["n_matched"] and not refs.isEmpty():
+            raise ValueError(
+                f"vacuum refused for {table_path}: metadata references data "
+                "files but none matched the filesystem listing — path "
+                "representation skew (scheme/mount/symlink), not orphans; "
+                "deleting would destroy live data"
+            )
 
-    return classified.mapInPandas(delete, "path string, status string")
+        def delete(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for path, status in zip(pdf["path"], pdf["status"]):
+                    if status == "orphan":
+                        fs.remove(path)  # seam: missing-file races absorbed
+                        status = "removed"
+                    out.append({"path": path, "status": status})
+                yield pd.DataFrame(out, columns=["path", "status"])
+
+        # eagerly localCheckpoint the delete pass: the deletes are a
+        # side-effecting operation and must run EXACTLY once, while the
+        # persisted classification is still pinned; the caller's collect
+        # then reads the checkpointed result (executor block storage,
+        # never the driver) instead of re-listing and re-deleting
+        return classified.mapInPandas(
+            delete, "path string, status string"
+        ).localCheckpoint(eager=True)
+    finally:
+        classified.unpersist(blocking=False)
 
 
 def compact_table(
