@@ -803,6 +803,7 @@ class DeltaLog:
         operation: str = "WRITE",
         max_retries: int = 10,
         txn: Optional[dict] = None,
+        deletion_vectors: DataFrame | None = None,
     ) -> int:
         """Optimistic commit of add/remove actions (FILES_SCHEMA inputs).
 
@@ -816,8 +817,23 @@ class DeltaLog:
         via link(), no re-serialization. ``txn`` emits a SetTransaction
         action (PROTOCOL.md "Transaction Identifiers") — the
         idempotent-writer handle streaming sinks use.
+
+        ``deletion_vectors`` (r11): ``(path, pos)`` rows to attach as REAL
+        Delta DVs — one RoaringBitmapArray .bin per affected add, authored
+        ON EXECUTORS (applyInPandas per path through formats/delta_dv.py),
+        descriptors joined onto the adds, and the protocol upgraded to the
+        deletionVectors reader feature (existing features preserved). The
+        add stats must carry the RAW physical counts — the DV cardinality
+        is what readers subtract. This is the Delta half of cross-format
+        delete translation: an Iceberg MoR source's position deletes land
+        as bit-exact DVs a Delta engine will honor row-for-row, instead of
+        net-count-only metadata.
         """
         now = int(time.time() * 1000)
+        if deletion_vectors is not None:
+            if adds is None:
+                raise ValueError("deletion_vectors requires adds to attach to")
+            adds = self._attach_deletion_vectors(adds, deletion_vectors)
         field_types: dict = {}
         if adds is not None:
             schema_src = (metadata or {}).get("schemaString")
@@ -832,6 +848,22 @@ class DeltaLog:
                 except (ValueError, KeyError):
                     field_types = {}
 
+        protocol_upgrade: Optional[dict] = None
+        if deletion_vectors is not None:
+            current = self.snapshot_info().protocol if self.exists() else {}
+            feats = set(current.get("readerFeatures") or [])
+            if "deletionVectors" not in feats or (current.get("minReaderVersion") or 1) < 3:
+                protocol_upgrade = {
+                    "minReaderVersion": 3,
+                    "minWriterVersion": 7,
+                    # preserve every feature already granted — overwriting
+                    # the protocol with just deletionVectors would DROP them
+                    "readerFeatures": sorted(feats | {"deletionVectors"}),
+                    "writerFeatures": sorted(
+                        set(current.get("writerFeatures") or []) | {"deletionVectors"}
+                    ),
+                }
+
         def lines():
             yield json.dumps(
                 {
@@ -843,6 +875,8 @@ class DeltaLog:
                     }
                 }
             )
+            if protocol_upgrade is not None:
+                yield json.dumps({"protocol": protocol_upgrade})
             if txn is not None:
                 yield json.dumps({"txn": {**txn, "lastUpdated": now}})
             if metadata is not None:
@@ -882,6 +916,56 @@ class DeltaLog:
         finally:
             os.unlink(spool)
         raise RuntimeError(f"commit contention on {self.log_path}")
+
+    def _attach_deletion_vectors(
+        self, adds: DataFrame, positions: DataFrame
+    ) -> DataFrame:
+        """Author one DV .bin per affected add ON EXECUTORS and join the
+        descriptors onto the adds as a ``_dv`` struct column. Positions
+        are distinct per (path, pos); a position set for a path absent
+        from the adds is an error (the DV would dangle)."""
+        import pandas as _pd
+
+        from onetable_spark.formats.delta_dv import write_dv_file
+
+        table_path = self.table_path
+
+        def author(key, pdf: _pd.DataFrame) -> _pd.DataFrame:
+            desc = write_dv_file(table_path, sorted(set(int(p) for p in pdf["pos"])))
+            return _pd.DataFrame(
+                [
+                    {
+                        "path": key[0],
+                        "storageType": desc["storageType"],
+                        "pathOrInlineDv": desc["pathOrInlineDv"],
+                        "offset": desc["offset"],
+                        "sizeInBytes": desc["sizeInBytes"],
+                        "cardinality": desc["cardinality"],
+                    }
+                ]
+            )
+
+        descs = positions.groupBy("path").applyInPandas(
+            author,
+            "path string, storageType string, pathOrInlineDv string, "
+            "offset int, sizeInBytes int, cardinality long",
+        )
+        dv_struct = F.struct(
+            "storageType", "pathOrInlineDv", "offset", "sizeInBytes", "cardinality"
+        ).alias("_dv")
+        joined = adds.join(
+            descs.select("path", dv_struct), "path", "left_outer"
+        )
+        # dangling-DV guard: every DV'd path must be among the adds
+        # driver-ok: one count scalar on the small descriptor side
+        n_descs = descs.count()
+        n_attached = joined.where(F.col("_dv").isNotNull()).count()
+        if n_attached != n_descs:
+            raise ValueError(
+                f"{n_descs - n_attached} deletion-vector path(s) match no "
+                "add — positions must target files in this commit's adds"
+            )
+        return joined
 
     def update_configuration(self, updates: dict[str, str]) -> dict:
         """Return a metaData action carrying merged configuration (the
@@ -1107,6 +1191,7 @@ def _file_row_to_add(
                 "nullCount": null_count,
             }
         )
+    dv = row.get("_dv")
     return {
         "path": _relativize(row["path"], table_path),
         "partitionValues": dict(row["partition_values"] or {}),
@@ -1114,6 +1199,7 @@ def _file_row_to_add(
         "modificationTime": row["last_modified_millis"] or now,
         "dataChange": True,
         **({"stats": stats_json} if stats_json else {}),
+        **({"deletionVector": dict(dv)} if dv else {}),
     }
 
 

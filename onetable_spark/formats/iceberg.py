@@ -795,19 +795,17 @@ class IcebergTable:
             scan_data, "path string, pos long"
         )
 
-    def _apply_position_deletes(
+    def _deleted_positions(
         self,
         base_with_seq: DataFrame,
         delete_manifests: list[dict],
         ice_schema: Optional[dict] = None,
         apply_equality: bool = False,
     ) -> DataFrame:
-        """Net-effect inventory: subtract applicable delete rows from each
-        data file's counts. ``base_with_seq`` is FILES_SCHEMA + ``_seq``
-        (the data files' sequence numbers). Position deletes always apply
-        (metadata + delete-parquet reads); equality deletes apply only on
-        the opt-in data-assisted path — a row killed by BOTH kinds counts
-        once (the union is distinct on (path, pos))."""
+        """Distinct ``(path, pos)`` of every row the applicable deletes
+        kill at this snapshot — the shared core of net-count application
+        AND cross-format delete translation (an Iceberg position delete
+        becomes a Delta deletion vector from exactly these rows)."""
         delete_files = self._decode_delete_files(
             delete_manifests, allow_equality=apply_equality
         )
@@ -850,8 +848,59 @@ class IcebergTable:
                     base_with_seq, eq_files, ice_schema
                 )
                 deleted = deleted.unionByName(eq_hits)
+        return deleted.distinct()
+
+    def snapshot_with_deleted_positions(
+        self, snapshot_id: Optional[int] = None
+    ) -> tuple[DataFrame, DataFrame]:
+        """The RAW inventory plus the distinct deleted ``(path, pos)`` rows
+        — the inputs a delete-translating target needs (e.g. Delta DV
+        authoring): descriptors keep their physical counts, the deletions
+        travel as positions. Refuses equality deletes (translation would
+        need the data-assisted scan — callers can compact first)."""
+        md = self.metadata()
+        snap = (
+            self.current_snapshot_meta(md)
+            if snapshot_id is None
+            else next(s for s in md["snapshots"] if s["snapshot-id"] == snapshot_id)
+        )
+        if snap is None:
+            empty = self.spark.createDataFrame([], FILES_SCHEMA)
+            return empty, self.spark.createDataFrame([], "path string, pos long")
+        _, manifests = read_container(snap["manifest-list"])
+        data, deletes = _split_manifests(manifests)
+        paths = [m["manifest_path"] for m in data]
+        ice_schema = self._schema_for(md)
+        spec = self._spec_for(md)
+        base = self._decode_manifests(
+            paths, ice_schema, spec, statuses=(STATUS_ADDED, STATUS_EXISTING),
+            seq_by_manifest={m["manifest_path"]: m.get("sequence_number", 0) for m in data},
+        )
+        positions = (
+            self._deleted_positions(base, deletes)
+            if deletes
+            else self.spark.createDataFrame([], "path string, pos long")
+        )
+        return base.drop("_seq"), positions
+
+    def _apply_position_deletes(
+        self,
+        base_with_seq: DataFrame,
+        delete_manifests: list[dict],
+        ice_schema: Optional[dict] = None,
+        apply_equality: bool = False,
+    ) -> DataFrame:
+        """Net-effect inventory: subtract applicable delete rows from each
+        data file's counts. ``base_with_seq`` is FILES_SCHEMA + ``_seq``
+        (the data files' sequence numbers). Position deletes always apply
+        (metadata + delete-parquet reads); equality deletes apply only on
+        the opt-in data-assisted path — a row killed by BOTH kinds counts
+        once (the union is distinct on (path, pos))."""
+        deleted = self._deleted_positions(
+            base_with_seq, delete_manifests, ice_schema, apply_equality
+        )
         per_file = (
-            deleted.distinct().groupBy("path").agg(F.count("*").alias("_n_del"))
+            deleted.groupBy("path").agg(F.count("*").alias("_n_del"))
         )
         adjusted = (
             base_with_seq.join(per_file, "path", "left_outer")

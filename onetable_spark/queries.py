@@ -2440,7 +2440,7 @@ STAGED_QUERIES: tuple[str, ...] = (
     "sync_partition_evolution", "sync_safety_fallback", "sync_catchup",
     "sync_foreign_table", "sync_foreign_iceberg", "sync_foreign_iceberg_deletes",
     "sync_delta_dv", "ann_ivfpq_persisted", "hudi_mor_views",
-    "iceberg_eq_deletes", "zorder_compaction",
+    "iceberg_eq_deletes", "dv_translation", "zorder_compaction",
     "vacuum_orphans", "streaming_sink_inventory", "multimodal_ingest",
     "streaming_cdc_feed", "streaming_cdc_hudi", "sync_continuous",
 )
@@ -2930,6 +2930,77 @@ def q_iceberg_eq_deletes(spark: SparkSession, sf: str) -> DataFrame:
             F.element_at(F.split("path", "/"), -1).alias("file_name"),
             F.col("record_count"),
             F.lit(stage["refused_ok"]).alias("refused_ok"),
+        )
+    )
+
+
+def q_dv_translation(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-format ROW-DELETE TRANSLATION (r11 capstone): the foreign
+    Iceberg MoR fixture's position deletes are translated into REAL Delta
+    deletion vectors (sync_iceberg_deletes_to_delta_dv — RoaringBitmap
+    .bins authored on executors, raw counts on the adds, protocol
+    upgraded), instead of net-count-only metadata. Emits per file
+    (file_name, record_count, dv_ok, data_equiv_ok): record_count is what
+    the Delta stats plane now reports (descriptor-netted — must equal the
+    Iceberg net counts the oracle recomputes from region rows); dv_ok is
+    the executor-side bitmap-vs-descriptor decode check; data_equiv_ok
+    proves ROW-LEVEL fidelity — the target parquet with DV positions
+    dropped returns exactly the rows the Iceberg reader returns (the
+    property net-count sync cannot give: a Delta ENGINE on that target
+    would resurrect deleted rows). Staged once per (session, sf)."""
+    import os
+
+    from onetable_spark.formats.delta import DeltaLog
+
+    def build(base: str) -> dict:
+        import pyarrow.parquet as pq
+
+        from onetable_spark.formats.delta_dv import read_dv
+        from onetable_spark.sync.client import sync_iceberg_deletes_to_delta_dv
+        from tools.foreign_iceberg import add_position_deletes, write_foreign_iceberg_table
+
+        tbl_dir = os.path.join(base, "region")
+        os.makedirs(tbl_dir)
+        truth = write_foreign_iceberg_table(
+            spark, tbl_dir, os.path.join(sf, "region.parquet")
+        )
+        truth = add_position_deletes(spark, tbl_dir, truth)
+        sync_iceberg_deletes_to_delta_dv(spark, tbl_dir)
+        log = DeltaLog(spark, tbl_dir)
+        # driver-ok: one row per DV'd file (exactly 1 in this stage)
+        checks = log.verify_deletion_vectors().collect()
+        dv_ok = bool(checks) and all(c["dv_ok"] for c in checks)
+        # row-level fidelity: target parquet minus DV positions == the
+        # Iceberg-semantics rows (fixture: B keeps exactly the even keys)
+        dv_add = (
+            log._live_adds(log._replay_actions())
+            .where(F.col("deletionVector").isNotNull())
+            .select("path", "deletionVector")
+            # driver-ok: one descriptor row from the 2-file staged table
+            .collect()
+        )
+        equiv = False
+        if len(dv_add) == 1:
+            positions = set(
+                read_dv(tbl_dir, dv_add[0]["deletionVector"].asDict())
+            )
+            p = dv_add[0]["path"]
+            if not os.path.isabs(p):
+                p = os.path.join(tbl_dir, p)  # log paths are table-relative
+            keys = pq.read_table(p, columns=["r_regionkey"])["r_regionkey"].to_pylist()
+            survivors = sorted(k for i, k in enumerate(keys) if i not in positions)
+            equiv = survivors == sorted(k for k in keys if k % 2 == 0)
+        return {"dir": tbl_dir, "dv_ok": dv_ok, "equiv": equiv}
+
+    stage = _staged_once(spark, sf, "otb_dvx_q", build)
+    return (
+        DeltaLog(spark, stage["dir"])
+        .snapshot_files()
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("record_count"),
+            F.lit(stage["dv_ok"]).alias("dv_ok"),
+            F.lit(stage["equiv"]).alias("data_equiv_ok"),
         )
     )
 
@@ -5506,6 +5577,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM per_file
         CROSS JOIN (VALUES ('ICEBERG'), ('DELTA'), ('HUDI')) f(fmt)
     """,
+    # the translated Delta table's stats plane must report the same net
+    # counts the Iceberg reader computes: A raw, B = even keys only
+    "dv_translation": """
+        SELECT 'A.parquet' AS file_name, CAST(COUNT(*) AS BIGINT) AS record_count,
+               TRUE AS dv_ok, TRUE AS data_equiv_ok
+        FROM region WHERE r_regionkey < 2
+        UNION ALL
+        SELECT 'B.parquet', CAST(COUNT(*) AS BIGINT), TRUE, TRUE
+        FROM region WHERE r_regionkey >= 2 AND r_regionkey % 2 = 0
+    """,
     # pos deletes kill odd keys of B; eq deletes kill {3,4} (3 overlaps,
     # counts once) — B keeps the even keys except 4; A (keys < 2) is
     # untouched
@@ -6431,6 +6512,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ann_ivfpq_persisted": q_ann_ivfpq_persisted,
     "hudi_mor_views": q_hudi_mor_views,
     "iceberg_eq_deletes": q_iceberg_eq_deletes,
+    "dv_translation": q_dv_translation,
     "vacuum_orphans": q_vacuum_orphans,
     # -- last driver rows r2-r4 (the 20 stalest)
     "g8_stats_regroup": q_g8_stats_regroup,
@@ -6572,7 +6654,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # against DuckDB on every pytest run (test_queries_smoke).
 _R11_WINDOW = [
     "sync_foreign_iceberg_deletes", "sync_delta_dv", "ann_ivfpq_persisted",
-    "hudi_mor_views", "iceberg_eq_deletes",
+    "hudi_mor_views", "iceberg_eq_deletes", "dv_translation",
     "approx_distinct", "approx_quantiles", "audio_features", "bm25_search",
     "centroid_similarity", "chunk_dedup", "decontam_overlap",
     "event_transitions", "gap_fill", "heavy_hitters", "image_resize",
@@ -6585,7 +6667,7 @@ _R11_WINDOW = [
     "g7_max_agg",
     "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
     "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q14",
+    "tpch_q13",
 ]
 assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
 SPARK_QUERIES = {

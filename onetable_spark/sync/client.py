@@ -799,3 +799,47 @@ class SyncClient:
                 duration_sec=time.perf_counter() - start,
                 error=str(e),
             )
+
+
+def sync_iceberg_deletes_to_delta_dv(
+    spark: SparkSession, iceberg_path: str, delta_path: str | None = None
+) -> int:
+    """Cross-format ROW-DELETE TRANSLATION (r11): a full-snapshot sync of
+    an Iceberg v2 merge-on-read table into Delta where the position
+    deletes become REAL Delta deletion vectors instead of net-count-only
+    metadata.
+
+    Why this exists: a plain metadata sync of a MoR source can only write
+    net record counts — the target's descriptors still point at the full
+    physical parquet, so a Delta ENGINE reading the target resurrects the
+    deleted rows (the data plane disagrees with the stats plane). With
+    translation, each affected file gets a RoaringBitmapArray .bin
+    authored from exactly the applicable (path, pos) set
+    (IcebergTable.snapshot_with_deleted_positions →
+    DeltaLog.commit(deletion_vectors=...)), the adds carry RAW physical
+    counts, and the protocol upgrades to the deletionVectors reader
+    feature — a Delta reader now skips row-for-row what the Iceberg
+    reader skips. The reference has no row-level plane at all. Equality
+    deletes refuse (no positional form without the data-assisted scan).
+
+    Returns the committed Delta version.
+    """
+    from dataclasses import replace
+
+    src = IcebergTable(spark, iceberg_path)
+    raw, positions = src.snapshot_with_deleted_positions()
+    log = DeltaLog(spark, delta_path or iceberg_path)
+    table = replace(src.table_descriptor(), table_format=TableFormat.DELTA)
+    log.init_table(table)
+    # full bootstrap: clear any previously synced snapshot first so the
+    # translated state is the whole table state (snapshot-sync semantics)
+    removes = log.snapshot_files() if log.latest_version() > 0 else None
+    # driver-ok: emptiness probe, one boolean
+    if removes is not None and removes.isEmpty():
+        removes = None
+    return log.commit(
+        adds=raw,
+        removes=removes,
+        deletion_vectors=positions,
+        operation="SYNC-DV-TRANSLATE",
+    )

@@ -12,6 +12,8 @@ from __future__ import annotations
 
 import os
 
+from pyspark.sql import functions as F
+
 from onetable_spark.formats.delta import DeltaLog
 from onetable_spark.formats.hudi import HudiTimeline
 from onetable_spark.formats.iceberg import IcebergTable
@@ -243,3 +245,59 @@ def test_equality_deletes_refuse_by_default_apply_on_optin(spark, sf_dir, tmp_pa
     assert rows["B.parquet"] == len(survivors_b)
     # A holds keys < 2: eq keys {3,4} don't touch it, pos deletes target B
     assert rows["A.parquet"] == truth["A.parquet"]["rows"]
+
+
+def test_position_deletes_translate_to_delta_dvs(spark, foreign_mor, tmp_path):
+    """Cross-format row-delete TRANSLATION (r11 capstone): the MoR
+    fixture's position deletes become REAL Delta deletion vectors —
+    bit-exact positions, raw physical counts on the adds, protocol
+    upgraded — so a Delta reader skips row-for-row what an Iceberg reader
+    skips. Net-count-only sync cannot give this: its target descriptors
+    still cover the full parquet and a Delta ENGINE would resurrect the
+    deleted rows."""
+    import pyarrow.parquet as pq
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.delta_dv import read_dv
+    from onetable_spark.sync.client import sync_iceberg_deletes_to_delta_dv
+
+    base, truth = foreign_mor
+    import shutil as _sh
+
+    clone = str(tmp_path / "mor_dv")
+    _sh.copytree(base, clone)
+    v = sync_iceberg_deletes_to_delta_dv(spark, clone)
+    assert v >= 1
+
+    log = DeltaLog(spark, clone)
+    # the Delta stats plane nets the DV cardinality — same numbers the
+    # Iceberg reader reports
+    rows = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in log.snapshot_files().collect()
+    }
+    assert rows == {
+        "A.parquet": truth["A.parquet"]["rows"],
+        "B.parquet": truth["b_rows_net"],
+    }
+    # the DV bitmap is bit-exact: decoded positions == the fixture's
+    checks = {c["path"]: c for c in log.verify_deletion_vectors().collect()}
+    assert len(checks) == 1
+    (b_path, chk), = checks.items()
+    assert chk["dv_ok"] and chk["decoded_cardinality"] == len(truth["deleted_from_b"])
+    # find the descriptor and decode the raw positions
+    adds = log._live_adds(log._replay_actions())
+    dv = adds.where(F.col("deletionVector").isNotNull()).select(
+        "path", "deletionVector"
+    ).collect()
+    assert len(dv) == 1
+    positions = read_dv(clone, dv[0]["deletionVector"].asDict())
+    assert positions == truth["deleted_from_b"]
+
+    # DATA-PLANE equivalence (ITOneTableClient.java:716-813 shape): read
+    # the target's parquet with the DVs applied == the MoR source rows
+    keys = pq.read_table(
+        os.path.join(clone, "data", "B.parquet"), columns=["r_regionkey"]
+    )["r_regionkey"].to_pylist()
+    survivors = [k for i, k in enumerate(keys) if i not in set(positions)]
+    assert sorted(survivors) == sorted(k for k in keys if k % 2 == 0)

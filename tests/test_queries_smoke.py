@@ -33,7 +33,7 @@ MUST_BE_DRIVER_MEASURED = {
     #
     # round-11 newcomers: first driver rows needed
     "sync_foreign_iceberg_deletes", "sync_delta_dv", "ann_ivfpq_persisted",
-    "hudi_mor_views", "iceberg_eq_deletes",
+    "hudi_mor_views", "iceberg_eq_deletes", "dv_translation",
     # last driver rows r7
     "approx_distinct", "approx_quantiles", "audio_features", "bm25_search",
     "centroid_similarity", "chunk_dedup", "decontam_overlap",
