@@ -4,7 +4,13 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 11: 128 queries. New in round 11:
+Surface as of round 11: 130 queries. New in round 11 (also
+`iceberg_eq_deletes` — EQUALITY deletes via the opt-in data-assisted
+column scan, refusal by default, union-deduped with position deletes —
+and `dv_translation` — Iceberg position deletes TRANSLATED into real
+Delta deletion vectors: executor-authored RoaringBitmap .bins, raw
+counts + descriptors on the adds, protocol upgraded, row-level data
+equivalence proven):
 `sync_foreign_iceberg_deletes` — ICEBERG V2 POSITION DELETES APPLIED
 (not refused): delete manifests split from data manifests, delete
 parquet read distributed, sequence-number rule + distinct (path, pos)
