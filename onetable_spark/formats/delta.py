@@ -519,6 +519,45 @@ class DeltaLog:
             ) if json_versions else base
         return self._actions_df([v for v in self._versions() if v <= upper])
 
+    def snapshot_with_deleted_positions(
+        self, version: Optional[int] = None
+    ) -> tuple[DataFrame, DataFrame]:
+        """The RAW inventory (physical counts — no DV netting) plus the
+        decoded ``(path, pos)`` rows of every live deletion vector — the
+        inputs a delete-translating target needs (Iceberg position-delete
+        authoring). Bitmaps decode ON EXECUTORS through the DV codec with
+        CRC + cardinality cross-checks; the Delta twin of
+        ``IcebergTable.snapshot_with_deleted_positions``."""
+        import pandas as _pd
+
+        from onetable_spark.formats.delta_dv import read_dv
+
+        self._ensure_reader_supported()
+        table_path = self.table_path
+        live = self._live_adds(self._replay_actions(version))
+        raw = self._adds_to_files(
+            live.withColumn("deletionVector", F.lit(None).cast(DV_SCHEMA))
+        )
+        dvd = live.where(F.col("deletionVector").isNotNull()).select(
+            "path", "deletionVector"
+        )
+
+        def decode(batches):
+            for pdf in batches:
+                frames = []
+                for rel, dv in zip(pdf["path"], pdf["deletionVector"]):
+                    p = rel if rel.startswith("/") or "://" in rel else f"{table_path}/{rel}"
+                    rows = read_dv(table_path, dict(dv))
+                    frames.append(_pd.DataFrame({"path": p, "pos": rows}))
+                yield (
+                    _pd.concat(frames)
+                    if frames
+                    else _pd.DataFrame({"path": [], "pos": []})
+                )
+
+        positions = dvd.mapInPandas(decode, "path string, pos long")
+        return raw, positions
+
     def verify_deletion_vectors(self, version: Optional[int] = None) -> DataFrame:
         """Trust-but-verify for DV'd files: decode every live AddFile's
         deletion-vector BITMAP (executors read the .bin payloads through

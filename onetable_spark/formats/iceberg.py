@@ -282,7 +282,13 @@ def _entry_from_data(
     return {
         "status": status,
         "snapshot_id": snapshot_id,
+        # v2 keys: always carried, written only when the entry schema is
+        # the v2 variant (the avro writer follows the schema). None means
+        # "inherit the manifest's sequence number" (metadata inheritance).
+        "sequence_number": None,
+        "file_sequence_number": None,
         "data_file": {
+            "content": _CONTENT_DATA,
             "file_path": get("path"),
             "file_format": (get("file_format") or "parquet").upper(),
             "partition": partition,
@@ -364,7 +370,27 @@ _KV_BYTES = {
 }
 
 
-def _manifest_entry_schema(partition_fields: list[dict]) -> dict:
+def _manifest_entry_schema(partition_fields: list[dict], v2: bool = False) -> dict:
+    """Avro schema for manifest entries (spec §Manifests; ``v2`` adds the
+    format-version-2 fields: entry sequence numbers and
+    ``data_file.content``). Entry dicts always CARRY the v2 keys — the
+    schema picks what gets written, so v1 bytes are unchanged."""
+    schema = _manifest_entry_schema_v1(partition_fields)
+    if not v2:
+        return schema
+    fields = list(schema["fields"])  # fresh per call — safe to reshape
+    fields.insert(2, {"name": "sequence_number", "type": ["null", "long"],
+                      "default": None, "field-id": 3})
+    fields.insert(3, {"name": "file_sequence_number", "type": ["null", "long"],
+                      "default": None, "field-id": 4})
+    data_file = fields[-1]
+    data_file["type"]["fields"].insert(
+        0, {"name": "content", "type": "int", "field-id": 134}
+    )
+    return {**schema, "fields": fields}
+
+
+def _manifest_entry_schema_v1(partition_fields: list[dict]) -> dict:
     """Avro schema for manifest entries (spec §Manifests, v1 subset)."""
     return {
         "type": "record",
@@ -415,6 +441,28 @@ MANIFEST_LIST_SCHEMA = {
         {"name": "added_data_files_count", "type": ["null", "int"], "field-id": 504},
         {"name": "existing_data_files_count", "type": ["null", "int"], "field-id": 505},
         {"name": "deleted_data_files_count", "type": ["null", "int"], "field-id": 506},
+        {"name": "added_rows_count", "type": ["null", "long"], "field-id": 512},
+        {"name": "existing_rows_count", "type": ["null", "long"], "field-id": 513},
+        {"name": "deleted_rows_count", "type": ["null", "long"], "field-id": 514},
+    ],
+}
+
+#: v2 manifest-list schema (spec §Snapshots): content tags delete
+#: manifests, sequence numbers drive delete applicability
+MANIFEST_LIST_SCHEMA_V2 = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": ["null", "long"], "field-id": 503},
+        {"name": "added_files_count", "type": ["null", "int"], "field-id": 504},
+        {"name": "existing_files_count", "type": ["null", "int"], "field-id": 505},
+        {"name": "deleted_files_count", "type": ["null", "int"], "field-id": 506},
         {"name": "added_rows_count", "type": ["null", "long"], "field-id": 512},
         {"name": "existing_rows_count", "type": ["null", "long"], "field-id": 513},
         {"name": "deleted_rows_count", "type": ["null", "long"], "field-id": 514},
@@ -1185,7 +1233,14 @@ class IcebergTable:
 
     # ----------------------------------------------------------------- write
 
-    def init_table(self, table: Table, properties: Optional[dict[str, str]] = None) -> None:
+    def init_table(
+        self,
+        table: Table,
+        properties: Optional[dict[str, str]] = None,
+        format_version: int = 1,
+    ) -> None:
+        if format_version not in (1, 2):
+            raise ValueError(f"unsupported Iceberg format-version {format_version}")
         if self.exists():
             return
         os.makedirs(self.metadata_dir, exist_ok=True)
@@ -1206,7 +1261,8 @@ class IcebergTable:
             )
             field_id += 1
         md = {
-            "format-version": 1,
+            "format-version": format_version,
+            **({"last-sequence-number": 0} if format_version == 2 else {}),
             "table-uuid": str(uuid.uuid4()),
             "location": self.table_path,
             "last-updated-ms": int(time.time() * 1000),
@@ -1364,6 +1420,19 @@ class IcebergTable:
         md = self.metadata(version)
         now = int(time.time() * 1000)
         snapshot_id = int.from_bytes(os.urandom(7), "big")
+        fv = md.get("format-version", 1)
+        if fv == 2 and (removes is not None or schema is not None or partition_fields is not None):
+            # v2 WRITE support is append + position-delete commits (the
+            # delete-translation target shape); the rewrite/evolution
+            # paths would need explicit per-entry sequence numbers on
+            # carried entries — refuse loudly rather than writing entries
+            # whose inherited sequence numbers would WRONGLY re-scope
+            # older position deletes
+            raise ValueError(
+                f"{self.table_path}: the v2 writer supports append and "
+                "position-delete commits; removes/schema/spec changes on a "
+                "format-version-2 table are not implemented"
+            )
         current_schema = self._schema_for(md)
         schema_changed = False
         if schema is not None:
@@ -1418,6 +1487,12 @@ class IcebergTable:
             # bound — take the rewrite path, which folds everything into one
             # EXISTING manifest. Amortized O(table/100) per commit.
             needs_compaction = len(prev_manifests) >= 100
+            if needs_compaction and fv == 2:
+                raise ValueError(
+                    f"{self.table_path}: v2 manifest compaction (rewrite of "
+                    "carried entries with explicit sequence numbers) is not "
+                    "implemented; expire/compact with an Iceberg runtime"
+                )
             if (
                 not removed_paths
                 and not schema_changed
@@ -1522,7 +1597,10 @@ class IcebergTable:
                 for row in iter_inventory_rows(adds)
             )
 
-        entry_schema = _manifest_entry_schema(self._partition_avro_fields(ice_schema, spec))
+        seq = (md.get("last-sequence-number", 0) + 1) if fv == 2 else None
+        entry_schema = _manifest_entry_schema(
+            self._partition_avro_fields(ice_schema, spec), v2=(fv == 2)
+        )
         manifests = []
         for tag, entries in (
             ("added", added_entries),
@@ -1546,6 +1624,16 @@ class IcebergTable:
                     "manifest_path": mpath,
                     "manifest_length": os.path.getsize(mpath),
                     "partition_spec_id": md.get("default-spec-id", 0),
+                    **(
+                        {"content": _CONTENT_DATA, "sequence_number": seq,
+                         "min_sequence_number": seq,
+                         # spec v2 field names (504-506 renamed from v1)
+                         "added_files_count": n_entries if tag == "added" else 0,
+                         "existing_files_count": n_entries if tag == "existing" else 0,
+                         "deleted_files_count": n_entries if tag == "deleted" else 0}
+                        if fv == 2
+                        else {}
+                    ),
                     "added_snapshot_id": snapshot_id,
                     "added_data_files_count": n_entries if tag == "added" else 0,
                     "existing_data_files_count": n_entries if tag == "existing" else 0,
@@ -1557,8 +1645,13 @@ class IcebergTable:
             )
         mlist = os.path.join(self.metadata_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro")
         # reused prior manifests (append fast path) go after this commit's
-        # own manifests, keeping their original added_snapshot_id
-        write_container(mlist, MANIFEST_LIST_SCHEMA, manifests + carried_manifests)
+        # own manifests, keeping their original added_snapshot_id (and, on
+        # v2, their original content/sequence fields)
+        write_container(
+            mlist,
+            MANIFEST_LIST_SCHEMA_V2 if fv == 2 else MANIFEST_LIST_SCHEMA,
+            manifests + carried_manifests,
+        )
 
         snapshot = {
             "snapshot-id": snapshot_id,
@@ -1567,6 +1660,9 @@ class IcebergTable:
             "manifest-list": mlist,
             "schema-id": md.get("current-schema-id", 0),
         }
+        if fv == 2:
+            snapshot["sequence-number"] = seq
+            md["last-sequence-number"] = seq
         if prev is not None:
             snapshot["parent-snapshot-id"] = prev["snapshot-id"]
         md["snapshots"] = md.get("snapshots", []) + [snapshot]
@@ -1577,6 +1673,153 @@ class IcebergTable:
             md["properties"] = {**md.get("properties", {}), **properties}
         if expire_older_than_millis is not None:
             self._expire(md, expire_older_than_millis)
+        self._write_metadata(version + 1, md)
+        return snapshot_id
+
+    def commit_position_deletes(
+        self, positions: DataFrame, max_retries: int = 3
+    ) -> int:
+        """One v2 merge-on-read DELETE commit: write the ``(path, pos)``
+        rows as a spec-shaped position-delete parquet (sorted by
+        file_path then pos, reserved field ids 2147483546/2147483545)
+        plus a DELETE manifest (content=1, explicit sequence number), and
+        a manifest list carrying the prior manifests verbatim. The Delta
+        half of reverse delete translation: a Delta table's deletion
+        vectors become position deletes an Iceberg reader honors
+        row-for-row. v2 tables only; partitioned specs refuse (a
+        partition-scoped delete manifest needs partition values this
+        writer does not derive)."""
+        for attempt in range(max_retries):
+            try:
+                return self._commit_position_deletes_once(positions)
+            except CommitConflictError:
+                if attempt == max_retries - 1:
+                    raise
+                time.sleep(0.02 * (attempt + 1))
+        raise AssertionError("unreachable")
+
+    def _commit_position_deletes_once(self, positions: DataFrame) -> int:
+        version = self.current_version()
+        md = self.metadata(version)
+        if md.get("format-version", 1) != 2:
+            raise ValueError(
+                f"{self.table_path}: position deletes need a format-version-2 "
+                "table (init_table(format_version=2))"
+            )
+        if self._spec_for(md):
+            raise ValueError(
+                f"{self.table_path}: position-delete commits on partitioned "
+                "specs are not implemented"
+            )
+        now = int(time.time() * 1000)
+        snapshot_id = int.from_bytes(os.urandom(7), "big")
+        seq = md.get("last-sequence-number", 0) + 1
+        data_dir = os.path.join(self.table_path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        del_path = os.path.join(data_dir, f"pos-deletes-{uuid.uuid4().hex}.parquet")
+
+        def write_deletes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            frames = [pdf for pdf in batches]
+            pdf = (
+                pd.concat(frames) if frames else pd.DataFrame({"path": [], "pos": []})
+            ).sort_values(["path", "pos"])
+            schema = pa.schema(
+                [
+                    pa.field("file_path", pa.string(),
+                             metadata={"PARQUET:field_id": "2147483546"}),
+                    pa.field("pos", pa.int64(),
+                             metadata={"PARQUET:field_id": "2147483545"}),
+                ]
+            )
+            t = pa.table(
+                {"file_path": pdf["path"].astype(str), "pos": pdf["pos"].astype("int64")},
+                schema=schema,
+            )
+            pq.write_table(t, del_path)
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+        # ONE executor task writes the sorted delete parquet (the delete
+        # volume is O(deleted rows)); the driver sees a single count row
+        stats = positions.select("path", "pos").distinct().coalesce(1).mapInPandas(
+            write_deletes, "n long"
+        ).first()
+        n_rows = int(stats["n"])
+
+        entry_schema = _manifest_entry_schema(
+            self._partition_avro_fields(self._schema_for(md), []), v2=True
+        )
+        mpath = os.path.join(self.metadata_dir, f"{uuid.uuid4().hex}-m-deletes.avro")
+        write_container(
+            mpath,
+            entry_schema,
+            [
+                {
+                    "status": STATUS_ADDED,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": seq,
+                    "file_sequence_number": seq,
+                    "data_file": {
+                        "content": _CONTENT_POSITION_DELETES,
+                        "file_path": del_path,
+                        "file_format": "PARQUET",
+                        "partition": {},
+                        "record_count": n_rows,
+                        "file_size_in_bytes": os.path.getsize(del_path),
+                        "block_size_in_bytes": 67108864,
+                        "value_counts": None,
+                        "null_value_counts": None,
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                    },
+                }
+            ],
+        )
+        prev = self.current_snapshot_meta(md)
+        carried = []
+        if prev is not None and prev.get("manifest-list"):
+            _, carried = read_container(prev["manifest-list"])
+        delete_manifest = {
+            "manifest_path": mpath,
+            "manifest_length": os.path.getsize(mpath),
+            "partition_spec_id": md.get("default-spec-id", 0),
+            "content": _CONTENT_POSITION_DELETES,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_snapshot_id": snapshot_id,
+            "added_data_files_count": 1,
+            "existing_data_files_count": 0,
+            "deleted_data_files_count": 0,
+            "added_rows_count": n_rows,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+        mlist = os.path.join(
+            self.metadata_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+        )
+        write_container(mlist, MANIFEST_LIST_SCHEMA_V2, carried + [delete_manifest])
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now,
+            "summary": {"operation": "delete", "deleted-records": str(n_rows)},
+            "manifest-list": mlist,
+            "schema-id": md.get("current-schema-id", 0),
+        }
+        if prev is not None:
+            snapshot["parent-snapshot-id"] = prev["snapshot-id"]
+        md["snapshots"] = md.get("snapshots", []) + [snapshot]
+        md["current-snapshot-id"] = snapshot_id
+        md["last-sequence-number"] = seq
+        md["last-updated-ms"] = now
+        md.setdefault("snapshot-log", []).append(
+            {"timestamp-ms": now, "snapshot-id": snapshot_id}
+        )
         self._write_metadata(version + 1, md)
         return snapshot_id
 

@@ -2947,7 +2947,11 @@ def q_dv_translation(spark: SparkSession, sf: str) -> DataFrame:
     proves ROW-LEVEL fidelity — the target parquet with DV positions
     dropped returns exactly the rows the Iceberg reader returns (the
     property net-count sync cannot give: a Delta ENGINE on that target
-    would resurrect deleted rows). Staged once per (session, sf)."""
+    would resurrect deleted rows); roundtrip_ok closes the loop — the
+    DVs translate BACK into a fresh Iceberg v2 table
+    (sync_delta_dvs_to_iceberg: raw-count append + a MoR DELETE commit
+    whose spec-shaped position-delete parquet round-trips the original
+    positions bit-exactly). Staged once per (session, sf)."""
     import os
 
     from onetable_spark.formats.delta import DeltaLog
@@ -2990,7 +2994,35 @@ def q_dv_translation(spark: SparkSession, sf: str) -> DataFrame:
             keys = pq.read_table(p, columns=["r_regionkey"])["r_regionkey"].to_pylist()
             survivors = sorted(k for i, k in enumerate(keys) if i not in positions)
             equiv = survivors == sorted(k for k in keys if k % 2 == 0)
-        return {"dir": tbl_dir, "dv_ok": dv_ok, "equiv": equiv}
+        # the loop back: Delta DVs -> fresh Iceberg v2 position deletes;
+        # the final reader must net the SAME counts and the delete parquet
+        # must hold the SAME positions
+        from onetable_spark.formats.iceberg import IcebergTable
+        from onetable_spark.sync.client import sync_delta_dvs_to_iceberg
+
+        hop2 = os.path.join(base, "roundtrip")
+        sync_delta_dvs_to_iceberg(spark, tbl_dir, hop2)
+        back = {
+            os.path.basename(r["path"]): r["record_count"]
+            # driver-ok: 2-file staged table read-back
+            for r in IcebergTable(spark, hop2).snapshot_files().collect()
+        }
+        fwd = {
+            os.path.basename(r["path"]): r["record_count"]
+            # driver-ok: 2-file staged table read-back
+            for r in log.snapshot_files().collect()
+        }
+        roundtrip = back == fwd and len(back) == 2
+        if roundtrip and len(dv_add) == 1:
+            dels = [
+                f for f in os.listdir(os.path.join(hop2, "data"))
+                if f.startswith("pos-deletes-")
+            ]
+            roundtrip = len(dels) == 1 and (
+                pq.read_table(os.path.join(hop2, "data", dels[0]))["pos"].to_pylist()
+                == sorted(positions)
+            )
+        return {"dir": tbl_dir, "dv_ok": dv_ok, "equiv": equiv and roundtrip}
 
     stage = _staged_once(spark, sf, "otb_dvx_q", build)
     return (

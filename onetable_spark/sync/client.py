@@ -843,3 +843,37 @@ def sync_iceberg_deletes_to_delta_dv(
         deletion_vectors=positions,
         operation="SYNC-DV-TRANSLATE",
     )
+
+
+def sync_delta_dvs_to_iceberg(
+    spark: SparkSession, delta_path: str, iceberg_path: str
+) -> int:
+    """The REVERSE delete translation (r11): a Delta table's deletion
+    vectors become REAL Iceberg v2 position deletes. The raw physical
+    inventory lands as an append on a fresh format-version-2 table, then
+    one MoR DELETE commit writes the decoded (path, pos) rows as a
+    spec-shaped position-delete parquet + DELETE manifest
+    (DeltaLog.snapshot_with_deleted_positions →
+    IcebergTable.commit_position_deletes) — so an Iceberg reader skips
+    row-for-row what delta-spark skips, instead of net-count metadata.
+    Together with ``sync_iceberg_deletes_to_delta_dv`` this closes the
+    loop: row-level deletes round-trip across both formats through
+    nothing but public byte formats. Returns the delete snapshot id (or
+    the append's when the source has no DVs)."""
+    from dataclasses import replace
+
+    src = DeltaLog(spark, delta_path)
+    raw, positions = src.snapshot_with_deleted_positions()
+    tbl = IcebergTable(spark, iceberg_path)
+    if tbl.exists():
+        raise ValueError(
+            f"{iceberg_path}: reverse DV translation bootstraps a FRESH "
+            "v2 table; target already exists"
+        )
+    table = replace(src.table_descriptor(), table_format=TableFormat.ICEBERG)
+    tbl.init_table(table, format_version=2)
+    snap = tbl.commit_overwrite(adds=raw)
+    # driver-ok: emptiness probe, one boolean
+    if not positions.isEmpty():
+        snap = tbl.commit_position_deletes(positions)
+    return snap

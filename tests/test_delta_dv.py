@@ -203,3 +203,53 @@ def test_dv_commit_incremental_change_replaces_descriptor(spark, sf_dir, tmp_pat
         for r in IcebergTable(spark, base).snapshot_files().collect()
     }
     assert got == {"f1.parquet": n, "f2.parquet": n - n_del}
+
+
+def test_dv_table_translates_to_iceberg_position_deletes(spark, sf_dir, tmp_path):
+    """REVERSE delete translation (r11): the Delta DVs become real
+    Iceberg v2 position deletes — fresh v2 table, raw-count append, one
+    MoR DELETE commit — and the Iceberg reader nets exactly the same
+    counts while the delete parquet round-trips the positions
+    bit-exactly. Closes the loop with the Iceberg→Delta direction."""
+    import pyarrow.parquet as pq
+
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.sync.client import sync_delta_dvs_to_iceberg
+
+    base = str(tmp_path / "dv_src")
+    _, n, n_del, positions = _stage_dv_table(spark, sf_dir, base)
+    target = str(tmp_path / "ice_tgt")
+    sync_delta_dvs_to_iceberg(spark, base, target)
+
+    tbl = IcebergTable(spark, target)
+    md = tbl.metadata()
+    assert md["format-version"] == 2 and md["last-sequence-number"] == 2
+    rows = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in tbl.snapshot_files().collect()
+    }
+    assert rows == {"f1.parquet": n, "f2.parquet": n - n_del}
+
+    # the delete parquet is spec-shaped and position-exact
+    del_files = [
+        f for f in os.listdir(os.path.join(target, "data"))
+        if f.startswith("pos-deletes-")
+    ]
+    assert len(del_files) == 1
+    t = pq.read_table(os.path.join(target, "data", del_files[0]))
+    assert t.column_names == ["file_path", "pos"]
+    assert t["pos"].to_pylist() == positions
+    assert all(p.endswith("f2.parquet") for p in t["file_path"].to_pylist())
+    # reserved field ids per the spec (2147483546 / 2147483545)
+    fids = {
+        f.name: f.metadata.get(b"PARQUET:field_id") for f in t.schema
+    }
+    assert fids == {"file_path": b"2147483546", "pos": b"2147483545"}
+
+    # time travel: the pre-delete v2 snapshot still reports raw counts
+    snaps = md["snapshots"]
+    assert [s.get("sequence-number") for s in snaps] == [1, 2]
+    pre = tbl.snapshot_files(snapshot_id=snaps[0]["snapshot-id"]).collect()
+    assert {os.path.basename(r["path"]): r["record_count"] for r in pre} == {
+        "f1.parquet": n, "f2.parquet": n,
+    }

@@ -301,3 +301,42 @@ def test_position_deletes_translate_to_delta_dvs(spark, foreign_mor, tmp_path):
     )["r_regionkey"].to_pylist()
     survivors = [k for i, k in enumerate(keys) if i not in set(positions)]
     assert sorted(survivors) == sorted(k for k in keys if k % 2 == 0)
+
+
+def test_row_deletes_round_trip_across_formats(spark, foreign_mor, tmp_path):
+    """Full circle: foreign Iceberg MoR → Delta (position deletes become
+    DVs) → fresh Iceberg v2 (DVs become position deletes). The final
+    table's net counts AND the delete positions match the original
+    fixture exactly — row-level deletes survive two format translations
+    through nothing but public byte formats."""
+    import pyarrow.parquet as pq
+    import shutil as _sh
+
+    from onetable_spark.sync.client import (
+        sync_delta_dvs_to_iceberg,
+        sync_iceberg_deletes_to_delta_dv,
+    )
+
+    base, truth = foreign_mor
+    clone = str(tmp_path / "hop1")
+    _sh.copytree(base, clone)
+    sync_iceberg_deletes_to_delta_dv(spark, clone)
+    final = str(tmp_path / "hop2")
+    sync_delta_dvs_to_iceberg(spark, clone, final)
+
+    rows = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in IcebergTable(spark, final).snapshot_files().collect()
+    }
+    assert rows == {
+        "A.parquet": truth["A.parquet"]["rows"],
+        "B.parquet": truth["b_rows_net"],
+    }
+    del_files = [
+        f for f in os.listdir(os.path.join(final, "data"))
+        if f.startswith("pos-deletes-")
+    ]
+    assert len(del_files) == 1
+    t = pq.read_table(os.path.join(final, "data", del_files[0]))
+    assert t["pos"].to_pylist() == truth["deleted_from_b"]
+    assert all(p.endswith("B.parquet") for p in t["file_path"].to_pylist())

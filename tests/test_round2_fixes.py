@@ -209,14 +209,15 @@ def test_no_driver_collect_in_query_paths():
     #     hudi_mor_views + iceberg_eq_deletes refusal probes (raise
     #     before rows materialize), sync_delta_dv's DV cross-check (one
     #     row per DV'd file), and dv_translation's two staged-probe
-    #     fetches (DV verify row + the single descriptor row)
+    #     fetches (DV verify row + the single descriptor row) plus the
+    #     round-trip contract's two 2-file read-backs
     #   maintenance.py third site: Iceberg referenced_paths' manifest-list
     #     walk (bounded by manifest count per snapshot)
     sanctioned = {
         "functions/similarity.py": 1,
         "functions/bpe.py": 2,
         "operators/maintenance.py": 3,
-        "queries.py": 8,
+        "queries.py": 10,
     }
     root = pathlib.Path(__file__).parent.parent / "onetable_spark"
     offenders, marked = [], Counter()
