@@ -7,10 +7,13 @@
 Surface as of round 11: 130 queries. New in round 11 (also
 `iceberg_eq_deletes` — EQUALITY deletes via the opt-in data-assisted
 column scan, refusal by default, union-deduped with position deletes —
-and `dv_translation` — Iceberg position deletes TRANSLATED into real
-Delta deletion vectors: executor-authored RoaringBitmap .bins, raw
-counts + descriptors on the adds, protocol upgraded, row-level data
-equivalence proven):
+and `dv_translation` — row-level deletes TRANSLATED across formats in
+BOTH directions: Iceberg position deletes become real Delta deletion
+vectors (executor-authored RoaringBitmap .bins, protocol upgraded),
+then those DVs translate BACK into a fresh Iceberg v2 table (the new
+v2 write plane: sequence-numbered appends + a MoR DELETE commit whose
+spec-shaped position-delete parquet round-trips the original positions
+bit-exactly); row-level data equivalence proven at every hop):
 `sync_foreign_iceberg_deletes` — ICEBERG V2 POSITION DELETES APPLIED
 (not refused): delete manifests split from data manifests, delete
 parquet read distributed, sequence-number rule + distinct (path, pos)
