@@ -276,22 +276,54 @@ def referenced_paths(spark, fmt, table_path: str, reader=None) -> DataFrame:
     if fmt is TableFormat.DELTA:
         versions = reader._versions()
         both = F.coalesce(F.col("add.path"), F.col("remove.path")).alias("p")
-        refs = (
+        actions = (
             reader._actions_df(versions)
-            .select(both)
-            .where(F.col("p").isNotNull())
-        ) if versions else spark.createDataFrame([], "p string")
+            if versions
+            else spark.createDataFrame([], "add struct<path:string>, remove struct<path:string>")
+        )
+        refs = actions.select(both).where(F.col("p").isNotNull())
+        dv_actions = [actions]
         ckpt = reader._last_checkpoint()
         if ckpt is not None:
             # _checkpoint_actions resolves every checkpoint form (classic,
             # multi-part, V2 + sidecars) — never hardcode the file name
-            ck = (
-                reader._checkpoint_actions(ckpt)
-                .select(both)
-                .where(F.col("p").isNotNull())
+            ck = reader._checkpoint_actions(ckpt)
+            refs = refs.unionByName(ck.select(both).where(F.col("p").isNotNull()))
+            dv_actions.append(ck)
+        # deletion-vector .bin files are LIVE metadata too (r11): a DV'd
+        # add references its bitmap by uuid payload, not by path — resolve
+        # each descriptor to its file or vacuum eats the bitmaps and the
+        # table's data plane silently resurrects the deleted rows
+        def dv_paths(batches):
+            from onetable_spark.formats.delta_dv import dv_file_path
+
+            for pdf in batches:
+                rows = []
+                for st, payload in zip(pdf["storageType"], pdf["pathOrInlineDv"]):
+                    if st == "u":
+                        rows.append({"path": dv_file_path(table_path, payload)})
+                    elif st == "p":
+                        rows.append({"path": payload})
+                yield pd.DataFrame(rows, columns=["path"])
+
+        dv_refs = None
+        for a in dv_actions:
+            add_type = a.schema["add"].dataType
+            if "deletionVector" not in getattr(add_type, "fieldNames", lambda: [])():
+                continue
+            part = (
+                a.where(F.col("add.deletionVector").isNotNull())
+                .select(
+                    F.col("add.deletionVector.storageType").alias("storageType"),
+                    F.col("add.deletionVector.pathOrInlineDv").alias("pathOrInlineDv"),
+                )
+                .mapInPandas(dv_paths, "path string")
             )
-            refs = refs.unionByName(ck)
-        return refs.select(absolute("p").alias("path"))
+            dv_refs = part if dv_refs is None else dv_refs.unionByName(part)
+        out = refs.select(absolute("p").alias("path"))
+        if dv_refs is not None:
+            out = out.unionByName(dv_refs)
+        return out
     if fmt is TableFormat.ICEBERG:
         from onetable_spark.formats.avro_codec import read_container
 

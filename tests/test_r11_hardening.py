@@ -271,3 +271,34 @@ def test_bpe_batch_rejects_duplicate_merged_string():
     ]
     batch = _select_batch(rows, overflow_cnt=0, universe={"a", "b", "c", "ab", "bc", "x", "y"})
     assert batch == [("a", "bc")]
+
+
+def test_vacuum_keeps_live_delta_dv_bitmaps(spark, sf_dir, tmp_path):
+    """Delta DV .bin files are live metadata: the add references its
+    bitmap by uuid payload, not path, so the vacuum reference set must
+    RESOLVE the descriptors — or vacuum eats the bitmaps and the data
+    plane silently resurrects the deleted rows."""
+    from onetable_spark.operators.maintenance import vacuum_table
+
+    # stage a DV'd table the same way the DV suite does
+    import importlib
+
+    dvmod = importlib.import_module("tests.test_delta_dv")
+    base = str(tmp_path / "dv_vac")
+    log, n, n_del, _ = dvmod._stage_dv_table(spark, sf_dir, base)
+    bins = [f for f in os.listdir(base) if f.startswith("deletion_vector_")]
+    assert len(bins) == 1
+    bin_path = os.path.join(base, bins[0])
+    os.utime(bin_path, (946684800, 946684800))  # old enough to delete
+
+    got = {
+        os.path.basename(r["path"]): r["status"]
+        for r in vacuum_table(
+            spark, TableFormat.DELTA, base, retention_hours=1
+        ).collect()
+    }
+    assert got[bins[0]] == "referenced"
+    assert os.path.exists(bin_path)
+    # the DV still decodes after the vacuum
+    checks = DeltaLog(spark, base).verify_deletion_vectors().collect()
+    assert checks and all(c["dv_ok"] for c in checks)
