@@ -1210,6 +1210,11 @@ def _file_row_to_add(
     stats = row["column_stats"]
     stats_json = None
     ft = field_types or {}
+    if not stats and row["record_count"] is not None:
+        # a known record count with intentionally-unknown per-column stats
+        # (e.g. a realtime MOR source) still writes numRecords — the one
+        # stat Delta readers use for COUNT(*) pushdown
+        stats_json = json.dumps({"numRecords": row["record_count"]})
     if stats:
         min_values = {
             s["field"]: _typed_stat(s["min_value"], ft.get(s["field"]))

@@ -412,8 +412,13 @@ class HudiTimeline:
                     "record_count",
                     F.col("record_count") + F.coalesce(F.col("_delta"), F.lit(0)),
                 ).withColumn(
+                    # EMPTY stats (not null) on adjusted groups: "per-column
+                    # stats intentionally unknown" — null would invite
+                    # enrich_missing_stats to recompute from the base
+                    # file's FOOTER, whose raw counts would undo the
+                    # realtime adjustment downstream
                     "stats_json",
-                    F.when(adjusted, F.lit(None)).otherwise(F.col("stats_json")),
+                    F.when(adjusted, F.lit("[]")).otherwise(F.col("stats_json")),
                 )
 
         table_path = self.table_path
@@ -590,11 +595,11 @@ class HudiTimeline:
             latest_commit_millis=instant_to_millis(latest) if latest else 0,
         )
 
-    def current_snapshot(self) -> Snapshot:
+    def current_snapshot(self, view: Optional[str] = None) -> Snapshot:
         latest = self.latest_instant()
         return Snapshot(
             table=self.table_descriptor(),
-            files=self.snapshot_files(latest),
+            files=self.snapshot_files(latest, view=view),
             version=latest or "0",
             pending_commits=tuple(instant_to_millis(i) for i in self.pending_instants()),
         )

@@ -207,8 +207,15 @@ class DeltaSource:
 
 
 class HudiSource:
-    def __init__(self, spark: SparkSession, path: str):
+    """``view`` (r11) sets the MOR posture for every scan this source
+    runs: None (default) refuses on unmerged log files — a sync must
+    never be silently stale — 'realtime' nets the log write-stats into
+    file-group counts, 'read_optimized' is the explicit stale choice
+    (the reference's only behavior)."""
+
+    def __init__(self, spark: SparkSession, path: str, view: Optional[str] = None):
         self.timeline = HudiTimeline(spark, path)
+        self.view = view
 
     def current_snapshot(self) -> Snapshot:
         # S5 (HudiFileStatsExtractor.java:87-103): stats come from the
@@ -218,7 +225,7 @@ class HudiSource:
         # distributed footer read
         from onetable_spark.sources.parquet_inventory import enrich_missing_stats
 
-        snap = self.timeline.current_snapshot()
+        snap = self.timeline.current_snapshot(view=self.view)
         return Snapshot(
             table=snap.table,
             files=enrich_missing_stats(snap.files, table_path=self.timeline.table_path),
@@ -235,7 +242,7 @@ class HudiSource:
         completed = {i for i, _ in self.timeline.completed_instants()}
         instants |= {millis_to_instant(p) for p in pending} & completed
         for i in sorted(instants):
-            yield self.timeline.changes_for_instant(i)
+            yield self.timeline.changes_for_instant(i, view=self.view)
 
     def is_incremental_sync_safe_from(self, millis: int) -> bool:
         return self.timeline.is_incremental_sync_safe_from(millis)

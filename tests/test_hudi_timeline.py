@@ -197,7 +197,7 @@ def test_deltacommit_mor_base_file_semantics(spark, hudi_table):
     rt = {r["path"]: r for r in tl.snapshot_files(view="realtime").collect()}
     assert set(rt) == set(base_rows)
     assert rt[base_path]["record_count"] == base_count + 10
-    assert rt[base_path]["column_stats"] is None
+    assert rt[base_path]["column_stats"] in (None, [])
     # the realtime change for the log commit replaces the base descriptor
     change = tl.changes_for_instant(i2, view="realtime")
     assert {r["path"]: r["record_count"] for r in change.diff.added.collect()} == {
@@ -459,3 +459,41 @@ def test_unsupported_table_version_refused(spark, hudi_table):
     fresh = HudiTimeline(spark, table_path)
     with _pytest.raises(ValueError, match="hoodie.table.version 8"):
         fresh.completed_instants()
+
+
+def test_mor_realtime_sync_optin(spark, hudi_table):
+    """The sync-source posture completes the MOR story: default refuses
+    on unmerged logs (proved above); source_for(..., view='realtime')
+    syncs the log-adjusted counts into a Delta target explicitly."""
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.hudi import _file_id_for
+    from onetable_spark.model import FILES_SCHEMA, SyncStatus
+    from onetable_spark.sync import SyncClient, source_for, target_for
+
+    table_path, table = hudi_table
+    tl = HudiTimeline(spark, table_path)
+    tl.init_table(table)
+    inv = inventory_from_directory(spark, table_path)
+    tl.commit(adds=inv, action="deltacommit")
+    base_path, base_count = next(
+        (r["path"], r["record_count"])
+        for r in tl.snapshot_files(view="read_optimized").collect()
+    )
+    gid = _file_id_for(os.path.relpath(base_path, table_path))
+    log_inv = spark.createDataFrame(
+        [(os.path.join(table_path, f".{gid}_0-0-1.log.1"),
+          "hoodie_log", {}, 512, 7, None, None)],
+        FILES_SCHEMA,
+    )
+    tl.commit(adds=log_inv, action="deltacommit")
+
+    res = SyncClient(spark).sync(
+        source_for(spark, TableFormat.HUDI, table_path, view="realtime"),
+        [target_for(spark, TableFormat.DELTA, table_path)],
+    )
+    assert res[TableFormat.DELTA].status == SyncStatus.SUCCESS
+    got = {
+        r["path"]: r["record_count"]
+        for r in DeltaLog(spark, table_path).snapshot_files().collect()
+    }
+    assert got == {base_path: base_count + 7}
