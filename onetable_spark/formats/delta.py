@@ -103,6 +103,8 @@ PROTOCOL_SCHEMA = T.StructType(
     [
         T.StructField("minReaderVersion", T.IntegerType()),
         T.StructField("minWriterVersion", T.IntegerType()),
+        T.StructField("readerFeatures", T.ArrayType(T.StringType())),
+        T.StructField("writerFeatures", T.ArrayType(T.StringType())),
     ]
 )
 ACTION_SCHEMA = T.StructType(
@@ -1056,22 +1058,19 @@ class DeltaLog:
         Spark writes the checkpoint (distributed), then `_last_checkpoint`
         is swapped atomically — readers never see a partial checkpoint.
 
-        Tables with live deletion vectors are refused: this writer
-        reconstructs adds from the NET inventory, which would drop the DV
-        descriptors and bake net numRecords into stats of physically
-        larger files — delta-spark trusts checkpoint stats for COUNT(*)
-        pushdown, so that is silent wrong data, not a shortcut."""
+        Tables with live deletion vectors checkpoint through the VERBATIM
+        path (r11): the surviving add STRUCTS are written as-is — stats
+        JSON untyped, DV descriptors preserved, the featured protocol
+        action included — because the reconstruction path below would
+        drop the descriptors and bake net numRecords into stats of
+        physically larger files (delta-spark trusts checkpoint stats for
+        COUNT(*) pushdown: silent wrong data)."""
         v = self.latest_version() if version is None else version
-        if not (
-            self._live_adds(self._replay_actions(v))
-            .where(F.col("deletionVector").isNotNull())
-            .isEmpty()
-        ):
-            raise ValueError(
-                f"{self.log_path}: refusing to checkpoint a table with live "
-                "deletion vectors — this writer would drop the DV "
-                "descriptors; compact the DVs away first"
-            )
+        live_adds = self._live_adds(self._replay_actions(v))
+        # driver-ok: emptiness probe, one boolean
+        if not live_adds.where(F.col("deletionVector").isNotNull()).isEmpty():
+            self._checkpoint_verbatim(v, live_adds)
+            return
         files = self.snapshot_files(v)
         info = self.snapshot_info(v)
         now = int(time.time() * 1000)
@@ -1155,6 +1154,48 @@ class DeltaLog:
         parsed.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
         part = next(
             f for f in os.listdir(tmp_dir) if f.endswith(".parquet") and not f.startswith(".")
+        )
+        final = os.path.join(self.log_path, f"{v:020d}.checkpoint.parquet")
+        os.replace(os.path.join(tmp_dir, part), final)
+        for leftover in os.listdir(tmp_dir):
+            os.remove(os.path.join(tmp_dir, leftover))
+        os.rmdir(tmp_dir)
+        with open(os.path.join(self.log_path, "_last_checkpoint"), "w") as f:
+            json.dump({"version": v}, f)
+
+    def _checkpoint_verbatim(self, v: int, live_adds: DataFrame) -> None:
+        """Checkpoint by writing the live add structs VERBATIM (plus the
+        metaData + the FEATURED protocol action) — the DV-preserving path;
+        log cleanup then works on deletion-vector tables instead of the
+        log growing forever."""
+        info = self.snapshot_info(v)
+        protocol = {
+            "minReaderVersion": info.protocol.get("minReaderVersion", 1),
+            "minWriterVersion": info.protocol.get("minWriterVersion", 2),
+            "readerFeatures": info.protocol.get("readerFeatures"),
+            "writerFeatures": info.protocol.get("writerFeatures"),
+        }
+        add_rows = live_adds.select(
+            F.struct(*[F.col(f.name) for f in ADD_SCHEMA.fields]).alias("add"),
+            F.lit(None).cast(REMOVE_SCHEMA).alias("remove"),
+            F.lit(None).cast(METADATA_SCHEMA).alias("metaData"),
+            F.lit(None).cast(PROTOCOL_SCHEMA).alias("protocol"),
+        )
+        head = self.spark.read.schema(ACTION_SCHEMA).json(
+            self.spark.createDataFrame(
+                [
+                    (json.dumps({"protocol": protocol}),),
+                    (json.dumps({"metaData": info.metadata}),),
+                ],
+                "value string",
+            ).rdd.map(lambda r: r[0])
+        ).select("add", "remove", "metaData", "protocol")
+        parsed = head.unionByName(add_rows)
+        tmp_dir = os.path.join(self.log_path, f".ckpt-{uuid.uuid4().hex}")
+        parsed.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        part = next(
+            f for f in os.listdir(tmp_dir)
+            if f.endswith(".parquet") and not f.startswith(".")
         )
         final = os.path.join(self.log_path, f"{v:020d}.checkpoint.parquet")
         os.replace(os.path.join(tmp_dir, part), final)

@@ -387,10 +387,6 @@ def test_reader_refuses_unknown_features_reads_deletion_vectors(spark, delta_tab
     # un-DV'd files in the same snapshot keep exact null counts
     other = next(r for n, r in rows.items() if n != "dvd.parquet")
     assert all(s["num_nulls"] is not None for s in other["column_stats"])
-    # checkpointing a live-DV table is refused (the writer would drop DVs)
-    with pytest.raises(ValueError, match="deletion vectors"):
-        fresh.checkpoint()
-
     # a feature we genuinely do not implement still refuses
     with open(os.path.join(table_path, "_delta_log", f"{v:020d}.json"), "w") as f:
         f.write(json.dumps({"protocol": {
