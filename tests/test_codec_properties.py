@@ -8,6 +8,7 @@ so hundreds of examples run in seconds."""
 from __future__ import annotations
 
 import math
+import os
 
 from hypothesis import given, settings
 from hypothesis import strategies as st
@@ -142,3 +143,122 @@ def test_morton_reference_is_invertible(vals):
     exactly what the ZORDER pruning argument needs."""
     z = _ref_morton(vals)
     assert _unmorton(z, len(vals)) == vals
+
+
+# --------------------------------------------- r11: deletion-vector codec
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    rows=st.lists(
+        st.integers(min_value=0, max_value=2**40), min_size=0, max_size=400
+    )
+)
+def test_rbm_array_roundtrip_any_rowset(rows):
+    """Portable RoaringBitmapArray encode/decode is the identity on sorted
+    distinct row sets across array containers and high buckets."""
+    from onetable_spark.formats.delta_dv import decode_rbm_array, encode_rbm_array
+
+    assert decode_rbm_array(encode_rbm_array(rows)) == sorted(set(rows))
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    rows=st.lists(
+        st.integers(min_value=0, max_value=2**20), min_size=1, max_size=200
+    ),
+    prefix=st.sampled_from(["", "ab", "x1"]),
+)
+def test_dv_file_roundtrip_any_rowset(tmp_path_factory, rows, prefix):
+    from onetable_spark.formats.delta_dv import read_dv, write_dv_file
+
+    d = str(tmp_path_factory.mktemp("dvprop"))
+    desc = write_dv_file(d, rows, prefix=prefix)
+    assert read_dv(d, desc) == sorted(set(rows))
+    assert desc["cardinality"] == len(set(rows))
+
+
+@settings(max_examples=100, deadline=None)
+@given(data=st.binary(min_size=4, max_size=64).filter(lambda b: len(b) % 4 == 0))
+def test_z85_roundtrip_any_bytes(data):
+    from onetable_spark.formats.delta_dv import z85_decode, z85_encode
+
+    enc = z85_encode(data)
+    assert len(enc) == len(data) // 4 * 5
+    assert z85_decode(enc) == data
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    rows=st.lists(st.integers(min_value=0, max_value=2**20), min_size=1, max_size=64),
+    flip=st.integers(min_value=0, max_value=10**9),
+)
+def test_dv_corruption_never_silent(tmp_path_factory, rows, flip):
+    """Any single-byte flip inside the DV file is CAUGHT (checksum, magic,
+    size, version, or cardinality check) — never a silently wrong row set."""
+    import pytest as _pytest
+
+    from onetable_spark.formats.delta_dv import read_dv, write_dv_file
+
+    import struct as _struct
+
+    d = str(tmp_path_factory.mktemp("dvcorrupt"))
+    desc = write_dv_file(d, rows)
+    bin_file = next(
+        os.path.join(d, f) for f in os.listdir(d) if f.startswith("deletion_vector_")
+    )
+    raw = bytearray(open(bin_file, "rb").read())
+    raw[flip % len(raw)] ^= 0xFF
+    open(bin_file, "wb").write(bytes(raw))
+    # every byte is covered by a check (version byte, BE length vs CRC
+    # window, CRC over data, descriptor size + cardinality) — decode must
+    # RAISE, never return a row set at all
+    with _pytest.raises((ValueError, _struct.error, IndexError)):
+        read_dv(d, desc)
+
+
+# ------------------------------------------------ r11: hudi log block codec
+
+
+@settings(max_examples=75, deadline=None)
+@given(
+    blocks=st.lists(
+        st.lists(
+            st.tuples(st.integers(-2**31, 2**31 - 1), st.one_of(st.none(), st.text(max_size=12))),
+            min_size=0,
+            max_size=20,
+        ),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_hudi_log_blocks_roundtrip(tmp_path_factory, blocks):
+    """Multi-block HoodieLogFormat files round-trip: per-block record
+    decode is exact and the whole-file count walk agrees."""
+    from onetable_spark.formats.hudi_log import (
+        avro_block_records,
+        log_file_record_count,
+        read_log_blocks,
+        write_avro_log_block,
+    )
+
+    sch = {
+        "type": "record", "name": "r",
+        "fields": [
+            {"name": "k", "type": "int"},
+            {"name": "v", "type": ["null", "string"], "default": None},
+        ],
+    }
+    d = str(tmp_path_factory.mktemp("hlog"))
+    lp = os.path.join(d, ".fid_0-0-1.log.1")
+    expected = []
+    for i, recs in enumerate(blocks):
+        datums = [{"k": k, "v": v} for k, v in recs]
+        write_avro_log_block(lp, datums, sch, f"2024010100000{i:04d}")
+        expected.append(datums)
+    got = read_log_blocks(lp)
+    assert len(got) == len(blocks)
+    for b, exp in zip(got, expected):
+        cnt, recs = avro_block_records(b, decode=True)
+        assert cnt == len(exp) and recs == exp
+    assert log_file_record_count(lp)["records"] == sum(len(e) for e in expected)
