@@ -899,13 +899,17 @@ class IcebergTable:
         return deleted.distinct()
 
     def snapshot_with_deleted_positions(
-        self, snapshot_id: Optional[int] = None
+        self,
+        snapshot_id: Optional[int] = None,
+        apply_equality_deletes: bool = False,
     ) -> tuple[DataFrame, DataFrame]:
         """The RAW inventory plus the distinct deleted ``(path, pos)`` rows
         — the inputs a delete-translating target needs (e.g. Delta DV
         authoring): descriptors keep their physical counts, the deletions
-        travel as positions. Refuses equality deletes (translation would
-        need the data-assisted scan — callers can compact first)."""
+        travel as positions. Equality deletes refuse by default;
+        ``apply_equality_deletes`` resolves them to positions through the
+        data-assisted scan — so even eq deletes, which have no positional
+        form in Iceberg without a rewrite, can land as Delta DVs."""
         md = self.metadata()
         snap = (
             self.current_snapshot_meta(md)
@@ -925,7 +929,10 @@ class IcebergTable:
             seq_by_manifest={m["manifest_path"]: m.get("sequence_number", 0) for m in data},
         )
         positions = (
-            self._deleted_positions(base, deletes)
+            self._deleted_positions(
+                base, deletes, ice_schema=ice_schema,
+                apply_equality=apply_equality_deletes,
+            )
             if deletes
             else self.spark.createDataFrame([], "path string, pos long")
         )

@@ -809,7 +809,10 @@ class SyncClient:
 
 
 def sync_iceberg_deletes_to_delta_dv(
-    spark: SparkSession, iceberg_path: str, delta_path: str | None = None
+    spark: SparkSession,
+    iceberg_path: str,
+    delta_path: str | None = None,
+    apply_equality_deletes: bool = False,
 ) -> int:
     """Cross-format ROW-DELETE TRANSLATION (r11): a full-snapshot sync of
     an Iceberg v2 merge-on-read table into Delta where the position
@@ -834,7 +837,9 @@ def sync_iceberg_deletes_to_delta_dv(
     from dataclasses import replace
 
     src = IcebergTable(spark, iceberg_path)
-    raw, positions = src.snapshot_with_deleted_positions()
+    raw, positions = src.snapshot_with_deleted_positions(
+        apply_equality_deletes=apply_equality_deletes
+    )
     log = DeltaLog(spark, delta_path or iceberg_path)
     table = replace(src.table_descriptor(), table_format=TableFormat.DELTA)
     log.init_table(table)

@@ -340,3 +340,44 @@ def test_row_deletes_round_trip_across_formats(spark, foreign_mor, tmp_path):
     t = pq.read_table(os.path.join(final, "data", del_files[0]))
     assert t["pos"].to_pylist() == truth["deleted_from_b"]
     assert all(p.endswith("B.parquet") for p in t["file_path"].to_pylist())
+
+
+def test_equality_deletes_translate_to_delta_dvs(spark, sf_dir, tmp_path):
+    """Even EQUALITY deletes translate: the data-assisted scan resolves
+    them to positions (unioned with the position deletes, doubly-deleted
+    rows once) and sync_iceberg_deletes_to_delta_dv(
+    apply_equality_deletes=True) lands the union as one honest Delta DV
+    per file — a representation Iceberg itself lacks without a rewrite."""
+    import pyarrow.parquet as pq
+    import shutil as _sh
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.sync.client import sync_iceberg_deletes_to_delta_dv
+    from tools.foreign_iceberg import add_equality_deletes, add_position_deletes
+
+    base = str(tmp_path / "eq2dv")
+    os.makedirs(base)
+    truth = write_foreign_iceberg_table(
+        spark, base, os.path.join(sf_dir, "region.parquet")
+    )
+    truth = add_position_deletes(spark, base, truth)
+    truth = add_equality_deletes(spark, base, truth)
+
+    # default refuses — eq deletes need the explicit data-assisted opt-in
+    with pytest.raises(Exception, match="EQUALITY delete"):
+        sync_iceberg_deletes_to_delta_dv(spark, base)
+    _sh.rmtree(os.path.join(base, "_delta_log"), ignore_errors=True)
+
+    sync_iceberg_deletes_to_delta_dv(spark, base, apply_equality_deletes=True)
+    keys = pq.read_table(
+        os.path.join(base, "data", "B.parquet"), columns=["r_regionkey"]
+    )["r_regionkey"].to_pylist()
+    survivors_b = sum(1 for k in keys if k % 2 == 0 and k not in (3, 4))
+    rows = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in DeltaLog(spark, base).snapshot_files().collect()
+    }
+    assert rows["B.parquet"] == survivors_b
+    assert rows["A.parquet"] == truth["A.parquet"]["rows"]
+    checks = DeltaLog(spark, base).verify_deletion_vectors().collect()
+    assert checks and all(c["dv_ok"] for c in checks)
