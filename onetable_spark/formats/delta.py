@@ -1052,8 +1052,13 @@ class DeltaLog:
                 removed += 1
         return removed
 
-    def checkpoint(self, version: Optional[int] = None) -> None:
+    def checkpoint(self, version: Optional[int] = None, parts: int = 1) -> None:
         """Write a parquet checkpoint of the full reconciled state.
+
+        ``parts > 1`` writes the classic MULTI-PART form (one parquet per
+        Spark partition, names embedding (index, total)) — the shape a
+        million-file table needs so no single writer task serializes the
+        whole inventory.
 
         Spark writes the checkpoint (distributed), then `_last_checkpoint`
         is swapped atomically — readers never see a partial checkpoint.
@@ -1069,7 +1074,7 @@ class DeltaLog:
         live_adds = self._live_adds(self._replay_actions(v))
         # driver-ok: emptiness probe, one boolean
         if not live_adds.where(F.col("deletionVector").isNotNull()).isEmpty():
-            self._checkpoint_verbatim(v, live_adds)
+            self._checkpoint_verbatim(v, live_adds, parts)
             return
         files = self.snapshot_files(v)
         info = self.snapshot_info(v)
@@ -1149,21 +1154,9 @@ class DeltaLog:
                 "value string",
             ).rdd.map(lambda r: r[0])
         ).select("add", "remove", "metaData", "protocol")
-        parsed = head.unionByName(add_rows)
-        tmp_dir = os.path.join(self.log_path, f".ckpt-{uuid.uuid4().hex}")
-        parsed.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
-        part = next(
-            f for f in os.listdir(tmp_dir) if f.endswith(".parquet") and not f.startswith(".")
-        )
-        final = os.path.join(self.log_path, f"{v:020d}.checkpoint.parquet")
-        os.replace(os.path.join(tmp_dir, part), final)
-        for leftover in os.listdir(tmp_dir):
-            os.remove(os.path.join(tmp_dir, leftover))
-        os.rmdir(tmp_dir)
-        with open(os.path.join(self.log_path, "_last_checkpoint"), "w") as f:
-            json.dump({"version": v}, f)
+        self._publish_checkpoint(v, head.unionByName(add_rows), parts)
 
-    def _checkpoint_verbatim(self, v: int, live_adds: DataFrame) -> None:
+    def _checkpoint_verbatim(self, v: int, live_adds: DataFrame, parts: int = 1) -> None:
         """Checkpoint by writing the live add structs VERBATIM (plus the
         metaData + the FEATURED protocol action) — the DV-preserving path;
         log cleanup then works on deletion-vector tables instead of the
@@ -1190,20 +1183,44 @@ class DeltaLog:
                 "value string",
             ).rdd.map(lambda r: r[0])
         ).select("add", "remove", "metaData", "protocol")
-        parsed = head.unionByName(add_rows)
+        self._publish_checkpoint(v, head.unionByName(add_rows), parts)
+
+    def _publish_checkpoint(self, v: int, parsed, parts: int = 1) -> None:
+        """Write the checkpoint parquet (single or classic MULTI-PART) and
+        swap ``_last_checkpoint`` atomically — readers never see a partial
+        checkpoint. Multi-part is the scale-correct form for million-file
+        tables: ``parts`` Spark partitions write in parallel and each part
+        name embeds (index, total), the completeness contract
+        ``_checkpoint_files`` verifies on read."""
         tmp_dir = os.path.join(self.log_path, f".ckpt-{uuid.uuid4().hex}")
-        parsed.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
-        part = next(
+        if parts <= 1:
+            parsed.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        else:
+            parsed.repartition(parts).write.mode("overwrite").parquet(tmp_dir)
+        written = sorted(
             f for f in os.listdir(tmp_dir)
             if f.endswith(".parquet") and not f.startswith(".")
         )
-        final = os.path.join(self.log_path, f"{v:020d}.checkpoint.parquet")
-        os.replace(os.path.join(tmp_dir, part), final)
+        n = len(written)
+        if n == 1:
+            final = os.path.join(self.log_path, f"{v:020d}.checkpoint.parquet")
+            os.replace(os.path.join(tmp_dir, written[0]), final)
+            doc = {"version": v}
+        else:
+            for i, f in enumerate(written, start=1):
+                os.replace(
+                    os.path.join(tmp_dir, f),
+                    os.path.join(
+                        self.log_path,
+                        f"{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet",
+                    ),
+                )
+            doc = {"version": v, "parts": n}
         for leftover in os.listdir(tmp_dir):
             os.remove(os.path.join(tmp_dir, leftover))
         os.rmdir(tmp_dir)
         with open(os.path.join(self.log_path, "_last_checkpoint"), "w") as f:
-            json.dump({"version": v}, f)
+            json.dump(doc, f)
 
     # ------------------------------------------------------------ utilities
 

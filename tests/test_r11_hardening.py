@@ -302,3 +302,32 @@ def test_vacuum_keeps_live_delta_dv_bitmaps(spark, sf_dir, tmp_path):
     # the DV still decodes after the vacuum
     checks = DeltaLog(spark, base).verify_deletion_vectors().collect()
     assert checks and all(c["dv_ok"] for c in checks)
+
+
+def test_multipart_checkpoint_write_and_replay(spark, sf_dir, tmp_path):
+    """The writer now produces the classic MULTI-PART checkpoint form
+    (parts write in parallel, names embed (index, total), _last_checkpoint
+    declares parts) and the reader's completeness guard accepts it whole
+    and refuses it torn."""
+    base = str(tmp_path / "multipart")
+    log = _stage_delta(spark, sf_dir, base, n_small=3)
+    log.checkpoint(parts=3)
+    lc = json.load(open(os.path.join(log.log_path, "_last_checkpoint")))
+    v = lc["version"]
+    assert lc["parts"] == 3
+    parts = sorted(
+        f for f in os.listdir(log.log_path)
+        if f.startswith(f"{v:020d}.checkpoint.") and f.endswith(".parquet")
+    )
+    assert parts == [
+        f"{v:020d}.checkpoint.{i:010d}.{3:010d}.parquet" for i in (1, 2, 3)
+    ]
+    # checkpoint-only replay: sweep the commit JSONs, read back whole
+    removed = log.clean_log(retention_hours=0)
+    assert removed >= 1
+    fresh = DeltaLog(spark, base)
+    assert fresh.snapshot_files().count() == 3
+    # torn: losing one part refuses
+    os.remove(os.path.join(log.log_path, parts[1]))
+    with pytest.raises(ValueError, match="incomplete/torn"):
+        DeltaLog(spark, base).snapshot_files().count()
