@@ -1021,7 +1021,11 @@ class DeltaLog:
     def _maybe_checkpoint(self, version: int) -> None:
         if version == 0 or version % CHECKPOINT_INTERVAL != 0:
             return
-        self.checkpoint(version)
+        # scale the part count with the live-file count so no single task
+        # serializes a million-file inventory (~250k adds per part keeps a
+        # part around the usual checkpoint-file size)
+        n = self.snapshot_files(version).count()
+        self.checkpoint(version, parts=max(1, -(-n // 250_000)))
         self.clean_log()
 
     def clean_log(self, retention_hours: Optional[int] = None) -> int:
