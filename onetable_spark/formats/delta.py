@@ -986,11 +986,15 @@ class DeltaLog:
                 ]
             )
 
+        # eager localCheckpoint: authoring is SIDE-EFFECTING (one .bin per
+        # path, fresh uuid per execution) — the guard count and the join
+        # below must both read ONE materialized run, or every re-execution
+        # would strew differently-named orphan bitmaps around the table
         descs = positions.groupBy("path").applyInPandas(
             author,
             "path string, storageType string, pathOrInlineDv string, "
             "offset int, sizeInBytes int, cardinality long",
-        )
+        ).localCheckpoint(eager=True)
         dv_struct = F.struct(
             "storageType", "pathOrInlineDv", "offset", "sizeInBytes", "cardinality"
         ).alias("_dv")

@@ -279,3 +279,22 @@ def test_dv_table_checkpoints_and_cleans_log(spark, sf_dir, tmp_path):
     # reader still enforces the deletionVectors guard path
     info = fresh.snapshot_info()
     assert "deletionVectors" in (info.protocol.get("readerFeatures") or [])
+
+
+def test_dv_translation_authors_exactly_one_bitmap_per_file(spark, sf_dir, tmp_path):
+    """DV authoring is side-effecting; the commit plan must evaluate it
+    exactly once — re-execution would strew orphan bitmaps with fresh
+    uuids and leave the committed descriptor pointing at only one."""
+    from tools.foreign_iceberg import add_position_deletes, write_foreign_iceberg_table
+
+    from onetable_spark.sync.client import sync_iceberg_deletes_to_delta_dv
+
+    base = str(tmp_path / "once")
+    os.makedirs(base)
+    truth = write_foreign_iceberg_table(
+        spark, base, os.path.join(sf_dir, "region.parquet")
+    )
+    add_position_deletes(spark, base, truth)
+    sync_iceberg_deletes_to_delta_dv(spark, base)
+    bins = [f for f in os.listdir(base) if f.startswith("deletion_vector_")]
+    assert len(bins) == 1  # one DV'd file -> exactly one bitmap on disk
