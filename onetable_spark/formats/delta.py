@@ -372,12 +372,13 @@ class DeltaLog:
         if matches:
             totals = {int(m.group(2)) for m in matches}
             indices = sorted(int(m.group(1)) for m in matches)
+            declared = sorted(totals)
             n = totals.pop() if len(totals) == 1 else None
             if n is None or indices != list(range(1, n + 1)):
                 raise ValueError(
                     f"{self.log_path}: v{v} multi-part checkpoint is "
                     f"incomplete/torn — found part indices {indices} "
-                    f"(declared totals {sorted(totals) if totals else [n]}); "
+                    f"(declared totals {declared}); "
                     "replaying a partial checkpoint would drop live files; "
                     "refusing rather than returning wrong data"
                 )
@@ -545,10 +546,20 @@ class DeltaLog:
         )
 
         def decode(batches):
+            from urllib.parse import unquote as _unquote
+
             for pdf in batches:
                 frames = []
                 for rel, dv in zip(pdf["path"], pdf["deletionVector"]):
-                    p = rel if rel.startswith("/") or "://" in rel else f"{table_path}/{rel}"
+                    # relative add paths are percent-encoded in the log;
+                    # decode EXACTLY like _adds_to_files (F.url_decode) so
+                    # positions join the raw inventory on identical paths —
+                    # a mismatch here silently applies deletes to nothing
+                    p = (
+                        rel
+                        if rel.startswith("/") or "://" in rel
+                        else f"{table_path}/{_unquote(rel)}"
+                    )
                     rows = read_dv(table_path, dict(dv))
                     frames.append(_pd.DataFrame({"path": p, "pos": rows}))
                 yield (
@@ -871,10 +882,11 @@ class DeltaLog:
         net-count-only metadata.
         """
         now = int(time.time() * 1000)
+        n_dvs = 0
         if deletion_vectors is not None:
             if adds is None:
                 raise ValueError("deletion_vectors requires adds to attach to")
-            adds = self._attach_deletion_vectors(adds, deletion_vectors)
+            adds, n_dvs = self._attach_deletion_vectors(adds, deletion_vectors)
         field_types: dict = {}
         if adds is not None:
             schema_src = (metadata or {}).get("schemaString")
@@ -890,7 +902,10 @@ class DeltaLog:
                     field_types = {}
 
         protocol_upgrade: Optional[dict] = None
-        if deletion_vectors is not None:
+        # upgrade ONLY when a DV actually lands: an empty positions frame
+        # (e.g. a v2 source with no live deletes) must not lock older
+        # readers out of the target by advertising a feature never used
+        if n_dvs > 0:
             current = self.snapshot_info().protocol if self.exists() else {}
             feats = set(current.get("readerFeatures") or [])
             if "deletionVectors" not in feats or (current.get("minReaderVersion") or 1) < 3:
@@ -960,11 +975,13 @@ class DeltaLog:
 
     def _attach_deletion_vectors(
         self, adds: DataFrame, positions: DataFrame
-    ) -> DataFrame:
+    ) -> tuple[DataFrame, int]:
         """Author one DV .bin per affected add ON EXECUTORS and join the
         descriptors onto the adds as a ``_dv`` struct column. Positions
         are distinct per (path, pos); a position set for a path absent
-        from the adds is an error (the DV would dangle)."""
+        from the adds is an error (the DV would dangle). Returns
+        ``(adds_with_dv, n_dv_files)`` — zero means no bitmap was authored
+        and the caller must NOT upgrade the protocol."""
         import pandas as _pd
 
         from onetable_spark.formats.delta_dv import write_dv_file
@@ -1010,7 +1027,7 @@ class DeltaLog:
                 f"{n_descs - n_attached} deletion-vector path(s) match no "
                 "add — positions must target files in this commit's adds"
             )
-        return joined
+        return joined, n_descs
 
     def update_configuration(self, updates: dict[str, str]) -> dict:
         """Return a metaData action carrying merged configuration (the
@@ -1025,11 +1042,10 @@ class DeltaLog:
     def _maybe_checkpoint(self, version: int) -> None:
         if version == 0 or version % CHECKPOINT_INTERVAL != 0:
             return
-        # scale the part count with the live-file count so no single task
-        # serializes a million-file inventory (~250k adds per part keeps a
-        # part around the usual checkpoint-file size)
-        n = self.snapshot_files(version).count()
-        self.checkpoint(version, parts=max(1, -(-n // 250_000)))
+        # parts=None: checkpoint() auto-scales the part count from its own
+        # (single, persisted) log replay — a separate snapshot_files(v)
+        # count here would replay the log twice per checkpoint
+        self.checkpoint(version, parts=None)
         self.clean_log()
 
     def clean_log(self, retention_hours: Optional[int] = None) -> int:
@@ -1060,13 +1076,17 @@ class DeltaLog:
                 removed += 1
         return removed
 
-    def checkpoint(self, version: Optional[int] = None, parts: int = 1) -> None:
+    def checkpoint(self, version: Optional[int] = None, parts: Optional[int] = 1) -> None:
         """Write a parquet checkpoint of the full reconciled state.
 
         ``parts > 1`` writes the classic MULTI-PART form (one parquet per
         Spark partition, names embedding (index, total)) — the shape a
         million-file table needs so no single writer task serializes the
-        whole inventory.
+        whole inventory. ``parts=None`` auto-scales the part count from
+        the live-file count (~250k adds per part) using THIS call's own
+        replay — the replay is persisted so sizing, the DV probe, and the
+        write all read one reconstruction instead of replaying the log
+        per question.
 
         Spark writes the checkpoint (distributed), then `_last_checkpoint`
         is swapped atomically — readers never see a partial checkpoint.
@@ -1079,12 +1099,27 @@ class DeltaLog:
         physically larger files (delta-spark trusts checkpoint stats for
         COUNT(*) pushdown: silent wrong data)."""
         v = self.latest_version() if version is None else version
-        live_adds = self._live_adds(self._replay_actions(v))
-        # driver-ok: emptiness probe, one boolean
-        if not live_adds.where(F.col("deletionVector").isNotNull()).isEmpty():
-            self._checkpoint_verbatim(v, live_adds, parts)
-            return
-        files = self.snapshot_files(v)
+        self._ensure_reader_supported()
+        live_adds = self._live_adds(self._replay_actions(v)).persist()
+        try:
+            if parts is None:
+                # driver-ok: one count scalar sizes the part fan-out
+                parts = max(1, -(-live_adds.count() // 250_000))
+            # driver-ok: emptiness probe, one boolean
+            if not live_adds.where(F.col("deletionVector").isNotNull()).isEmpty():
+                self._checkpoint_verbatim(v, live_adds, parts)
+                return
+            self._checkpoint_reconstructed(v, live_adds, parts)
+        finally:
+            live_adds.unpersist()
+
+    def _checkpoint_reconstructed(
+        self, v: int, live_adds: DataFrame, parts: int
+    ) -> None:
+        """The DV-free checkpoint path: rebuild typed add structs from the
+        reconciled inventory (stats re-serialized with to_json, bounds
+        typed per the table schema)."""
+        files = self._adds_to_files(live_adds)
         info = self.snapshot_info(v)
         now = int(time.time() * 1000)
         prefix = self.table_path.rstrip("/") + "/"
@@ -1199,7 +1234,11 @@ class DeltaLog:
         checkpoint. Multi-part is the scale-correct form for million-file
         tables: ``parts`` Spark partitions write in parallel and each part
         name embeds (index, total), the completeness contract
-        ``_checkpoint_files`` verifies on read."""
+        ``_checkpoint_files`` verifies on read. ``parts`` is a fan-out
+        TARGET: the ACTUAL written-file count is authoritative (tiny
+        tables can round-robin an output partition empty, and Spark skips
+        empty files) — names and ``_last_checkpoint`` always record what
+        landed on disk."""
         tmp_dir = os.path.join(self.log_path, f".ckpt-{uuid.uuid4().hex}")
         if parts <= 1:
             parsed.coalesce(1).write.mode("overwrite").parquet(tmp_dir)

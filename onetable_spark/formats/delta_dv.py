@@ -16,9 +16,13 @@ any future rewrite path. It implements:
   CRC-32 of the data,
 - DV data = 4-byte little-endian magic ``1681511377`` + a 64-bit
   RoaringBitmapArray in the PORTABLE format: 8-byte LE bitmap count,
-  then per 32-bit bucket (key = index) a standard RoaringBitmap
-  serialization per RoaringFormatSpec (array / bitmap / run containers,
-  both the no-run cookie 12346 and the run cookie 12347).
+  then per NON-EMPTY 32-bit bucket a 4-byte LE key (strictly
+  ascending) followed by a standard RoaringBitmap serialization per
+  RoaringFormatSpec (array / bitmap / run containers, both the no-run
+  cookie 12346 and the run cookie 12347). The explicit per-bitmap key
+  matches delta-spark's ``RoaringBitmapArray.serializeAsPortable`` —
+  empty buckets are skipped, not emitted keyless-dense (r12 fix: the
+  r11 codec omitted the key and mis-decoded real engine-written DVs).
 
 The reference has no Delta-DV plane at all (it predates the feature); a
 Databricks-written modern table tripped the r10 refusal — r11 reads it.
@@ -143,7 +147,16 @@ def decode_rbm_array(data: bytes) -> list[int]:
     n_bitmaps = struct.unpack_from("<q", data, 4)[0]
     pos = 12
     out: list[int] = []
-    for key in range(n_bitmaps):
+    last_key = -1
+    for _ in range(n_bitmaps):
+        key = struct.unpack_from("<i", data, pos)[0]
+        pos += 4
+        if key <= last_key:
+            raise ValueError(
+                f"deletion-vector bitmap keys not strictly ascending "
+                f"({key} after {last_key}) — corrupt portable serialization"
+            )
+        last_key = key
         vals, pos = _decode_roaring32(data, pos)
         out.extend((key << 32) | v for v in vals)
     return out
@@ -198,10 +211,11 @@ def encode_rbm_array(rows: list[int]) -> bytes:
     buckets: dict[int, list[int]] = {}
     for r in sorted(set(rows)):
         buckets.setdefault(r >> 32, []).append(r & 0xFFFFFFFF)
-    n_bitmaps = (max(buckets) + 1) if buckets else 0
-    out = bytearray(struct.pack("<iq", DV_MAGIC, n_bitmaps))
-    for key in range(n_bitmaps):
-        vals = buckets.get(key, [])
+    keys = sorted(buckets)
+    out = bytearray(struct.pack("<iq", DV_MAGIC, len(keys)))
+    for key in keys:
+        out += struct.pack("<i", key)
+        vals = buckets[key]
         containers: dict[int, list[int]] = {}
         for v in vals:
             containers.setdefault(v >> 16, []).append(v & 0xFFFF)

@@ -759,27 +759,33 @@ class IcebergTable:
         """(path, pos) of every data row an applicable equality delete
         kills — the data-assisted scan behind ``apply_equality_deletes``.
 
-        Shape: eq-delete tuples are canonicalized to string keys (field-id
-        list + values, identical serialization on both sides), capped and
-        BROADCAST; executors then scan each data file's eq columns only,
-        emitting match positions — O(matches) rows, never O(table). The
-        sequence rule is strict (spec: an equality delete applies to data
-        files with data_seq < delete_seq)."""
-        import json as _json
+        Shape (r12, fully vectorized — the r11 version built a json key
+        per DATA row in Python, the classic hidden scale-killer inside an
+        Arrow batch): executors read each eq-delete parquet ONCE and ship
+        its tuple frame back as Arrow IPC bytes (one row per delete FILE);
+        the driver concats per field-set, takes max(delete_seq) per tuple
+        with a vectorized groupby, enforces the cap, and BROADCASTS the
+        per-field-set pandas frames. Executors then read each data file's
+        eq-column UNION once and resolve matches with ``pandas.merge`` —
+        a hash join in C — per field-set, emitting O(matches) rows, never
+        O(table). The sequence rule is strict (spec: an equality delete
+        applies to data files with data_seq < delete_seq); tuples at
+        seq <= data_seq are pre-filtered from the merge input.
+
+        Null semantics: both sides materialize through the same
+        ``to_pandas(integer_object_nulls=True)``, so null tuple values
+        match null data values (Java's StructLikeSet parity); float
+        columns stay float64 where NaN==NaN under pandas merge, matching
+        the reference engines' Double.equals behavior."""
 
         id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
 
-        def canon(v):
-            if isinstance(v, (int, str, bool)) or v is None:
-                return v
-            if isinstance(v, float):
-                return repr(v)
-            return str(v)
-
         def read_tuples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
             for pdf in batches:
+                rows = []
                 for dp, seq, ids in zip(
                     pdf["delete_path"], pdf["delete_seq"], pdf["equality_ids"]
                 ):
@@ -793,51 +799,94 @@ class IcebergTable:
                                 "are unsupported"
                             )
                         names.append(id_to_name[i])
-                    t = pq.read_table(dp, columns=names)
-                    cols = [t[n].to_pylist() for n in names]
-                    keys = [
-                        _json.dumps([ids, [canon(v) for v in vals]])
-                        for vals in zip(*cols)
-                    ]
-                    yield pd.DataFrame({"key": keys, "delete_seq": int(seq)})
+                    t = pq.read_table(dp, columns=names).select(names)
+                    sink = pa.BufferOutputStream()
+                    with pa.ipc.new_stream(sink, t.schema) as w:
+                        w.write_table(t)
+                    rows.append(
+                        {"ids": json.dumps(ids), "delete_seq": int(seq),
+                         "n": len(t), "ipc": sink.getvalue().to_pybytes()}
+                    )
+                yield pd.DataFrame(
+                    rows, columns=["ids", "delete_seq", "n", "ipc"]
+                )
 
-        tuples = eq_files.mapInPandas(read_tuples, "key string, delete_seq long")
-        # a tuple at a higher sequence covers a superset of data files —
-        # keep max seq per key
-        tuples = tuples.groupBy("key").agg(F.max("delete_seq").alias("delete_seq"))
-        # driver-ok: capped at _MAX_EQ_TUPLES (checked first), the
-        # broadcast predicate set of the eq scan
-        n_tuples = tuples.count()
+        per_file = eq_files.mapInPandas(
+            read_tuples, "ids string, delete_seq long, n long, ipc binary"
+        )
+        # driver-ok: one row per delete FILE; the byte volume is bounded by
+        # the tuple cap enforced immediately below
+        per_file_rows = per_file.collect()
+        n_tuples = sum(r["n"] for r in per_file_rows)
         if n_tuples > self._MAX_EQ_TUPLES:
             raise ValueError(
                 f"{self.table_path}: {n_tuples} equality-delete tuples "
                 f"exceed the {self._MAX_EQ_TUPLES} data-assisted cap; "
                 "compact with rewrite_data_files"
             )
-        # driver-ok: bounded by the cap above
-        key_seq = {r["key"]: r["delete_seq"] for r in tuples.collect()}
-        field_sets = sorted(
-            {tuple(_json.loads(k)[0]) for k in key_seq}
-        )
-        b = self.spark.sparkContext.broadcast((key_seq, field_sets))
+
+        import pyarrow as pa
+
+        by_ids: dict[tuple, list] = {}
+        for r in per_file_rows:
+            by_ids.setdefault(tuple(json.loads(r["ids"])), []).append(r)
+        frames: dict[tuple, pd.DataFrame] = {}
+        for ids, group in by_ids.items():
+            names = [id_to_name[i] for i in ids]
+            parts = []
+            for r in group:
+                t = pa.ipc.open_stream(r["ipc"]).read_all()
+                df = t.to_pandas(integer_object_nulls=True)
+                df["delete_seq"] = int(r["delete_seq"])
+                parts.append(df)
+            big = pd.concat(parts, ignore_index=True)
+            # a tuple at a higher sequence covers a superset of data
+            # files — vectorized max seq per distinct tuple
+            frames[ids] = big.groupby(names, dropna=False, as_index=False)[
+                "delete_seq"
+            ].max()
+        b = self.spark.sparkContext.broadcast(frames)
 
         def scan_data(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import numpy as np
             import pyarrow.parquet as pq
 
-            key_seq_, field_sets_ = b.value
+            frames_ = b.value
             for pdf in batches:
                 for path, dseq in zip(pdf["path"], pdf["_seq"]):
-                    hits: set[int] = set()
-                    for ids in field_sets_:
-                        names = [id_to_name[i] for i in ids]
-                        t = pq.read_table(path, columns=names)
-                        cols = [t[n].to_pylist() for n in names]
-                        for pos, vals in enumerate(zip(*cols)):
-                            key = _json.dumps([list(ids), [canon(v) for v in vals]])
-                            seq = key_seq_.get(key)
-                            if seq is not None and seq > dseq:
-                                hits.add(pos)
-                    yield pd.DataFrame({"path": path, "pos": sorted(hits)})
+                    dseq = int(dseq)
+                    live = {
+                        ids: f[f["delete_seq"] > dseq]
+                        for ids, f in frames_.items()
+                    }
+                    live = {ids: f for ids, f in live.items() if len(f)}
+                    if not live:
+                        yield pd.DataFrame({"path": [], "pos": []})
+                        continue
+                    # read the data file ONCE for the union of field-sets
+                    union = sorted(
+                        {id_to_name[i] for ids in live for i in ids}
+                    )
+                    data = pq.read_table(path, columns=union).to_pandas(
+                        integer_object_nulls=True
+                    )
+                    data["pos"] = np.arange(len(data), dtype=np.int64)
+                    hit_parts = []
+                    for ids, f in live.items():
+                        cols = [id_to_name[i] for i in ids]
+                        left = data[cols + ["pos"]]
+                        right = f[cols]
+                        for c in cols:
+                            # dtype alignment (e.g. one side's int column
+                            # went object from nulls): merge both as object
+                            if left[c].dtype != right[c].dtype:
+                                left = left.astype({c: object})
+                                right = right.astype({c: object})
+                        hit_parts.append(
+                            left.merge(right, on=cols, how="inner")["pos"]
+                        )
+                    pos = np.unique(np.concatenate([h.to_numpy() for h in hit_parts]))
+                    yield pd.DataFrame({"path": path, "pos": pos})
 
         return base_with_seq.select("path", "_seq").mapInPandas(
             scan_data, "path string, pos long"

@@ -34,6 +34,57 @@ def test_z85_spec_vector():
     assert z85_decode("HelloWorld") == data
 
 
+def test_portable_rbm_array_byte_fixture():
+    """Byte-level fixture hand-assembled from the portable format that
+    delta-spark's RoaringBitmapArray.serializeAsPortable writes (and
+    delta-rs reads): magic, i64 bitmap count, then per NON-EMPTY bucket
+    a 4-byte LE key + a standard RoaringBitmap. Keys are explicit and
+    sparse — bucket 1 is absent here, which the r11 keyless-dense codec
+    could not represent (it emitted an empty filler bitmap that a real
+    engine parses as a garbage key → 'bad roaring cookie'). The bytes
+    below are built field-by-field from the spec, NOT round-tripped
+    through encode_rbm_array, so an encoder/decoder that agree with
+    each other but not with the spec fail this test."""
+    import struct
+
+    rows = [1, 5, (2 << 32) | 7]  # buckets {0: [1,5], 2: [7]} — bucket 1 empty
+    expected = (
+        struct.pack("<i", 1681511377)       # DV magic
+        + struct.pack("<q", 2)              # TWO bitmaps (empty bucket skipped)
+        # --- bucket key 0 ---
+        + struct.pack("<i", 0)
+        + struct.pack("<ii", 12346, 1)      # no-run cookie, 1 container
+        + struct.pack("<HH", 0, 1)          # container key 0, cardinality-1 = 1
+        + struct.pack("<i", 16)             # offset of payload within this bitmap
+        + struct.pack("<2H", 1, 5)          # array container values
+        # --- bucket key 2 (NOT 1 — keys are explicit, not positional) ---
+        + struct.pack("<i", 2)
+        + struct.pack("<ii", 12346, 1)
+        + struct.pack("<HH", 0, 0)
+        + struct.pack("<i", 16)
+        + struct.pack("<H", 7)
+    )
+    assert encode_rbm_array(rows) == expected
+    assert decode_rbm_array(expected) == rows
+
+
+def test_rbm_array_rejects_non_ascending_keys():
+    import struct
+
+    bad = (
+        struct.pack("<i", 1681511377)
+        + struct.pack("<q", 2)
+        + struct.pack("<i", 3)
+        + struct.pack("<ii", 12346, 1) + struct.pack("<HH", 0, 0)
+        + struct.pack("<i", 16) + struct.pack("<H", 1)
+        + struct.pack("<i", 3)  # duplicate key — corrupt
+        + struct.pack("<ii", 12346, 1) + struct.pack("<HH", 0, 0)
+        + struct.pack("<i", 16) + struct.pack("<H", 2)
+    )
+    with pytest.raises(ValueError, match="not strictly ascending"):
+        decode_rbm_array(bad)
+
+
 def test_roaring_roundtrip_all_container_kinds():
     rows = (
         [1, 5, 65536 + 3]                    # two array containers
@@ -279,6 +330,74 @@ def test_dv_table_checkpoints_and_cleans_log(spark, sf_dir, tmp_path):
     # reader still enforces the deletionVectors guard path
     info = fresh.snapshot_info()
     assert "deletionVectors" in (info.protocol.get("readerFeatures") or [])
+
+
+def test_dv_positions_path_matches_inventory_for_encoded_paths(spark, sf_dir, tmp_path):
+    """Percent-encoded add paths (a space in the file name) must resolve
+    to the SAME absolute path in the decoded positions frame as in the
+    raw inventory (r12 ADVICE fix): the raw side applies F.url_decode, so
+    the DV decode worker must unquote too — otherwise translated deletes
+    join nothing and deleted rows silently resurrect."""
+    import pyarrow.parquet as pq
+
+    base = str(tmp_path / "dv enc")
+    os.makedirs(base)
+    fname = "part 2.parquet"  # space → %20 in the log's relative path
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), os.path.join(base, fname))
+    schema = spark.read.parquet(os.path.join(base, fname)).schema
+    log = DeltaLog(spark, base)
+    log.init_table(
+        Table(name="enc", base_path=base, table_format=TableFormat.DELTA,
+              read_schema=schema, layout=DataLayoutStrategy.FLAT)
+    )
+    log.commit(adds=build_inventory(spark, [os.path.join(base, fname)], root=base))
+    n = pq.read_metadata(os.path.join(base, fname)).num_rows
+    desc = write_dv_file(base, [0, 2])
+    v = log.latest_version() + 1
+    with open(os.path.join(base, "_delta_log", f"{v:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 1700000400000,
+                                           "operation": "DELETE"}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors"],
+            "writerFeatures": ["deletionVectors"]}}) + "\n")
+        f.write(json.dumps({"add": {
+            "path": "part%202.parquet", "partitionValues": {},
+            "size": os.path.getsize(os.path.join(base, fname)),
+            "modificationTime": 1700000400000, "dataChange": True,
+            "stats": json.dumps({"numRecords": n}),
+            "deletionVector": desc}}) + "\n")
+    raw, positions = DeltaLog(spark, base).snapshot_with_deleted_positions()
+    raw_paths = {r["path"] for r in raw.collect()}
+    pos_rows = positions.collect()
+    assert {r["path"] for r in pos_rows} == raw_paths  # identical representation
+    assert sorted(r["pos"] for r in pos_rows) == [0, 2]
+
+
+def test_empty_positions_commit_skips_protocol_upgrade(spark, sf_dir, tmp_path):
+    """commit(deletion_vectors=<empty>) must NOT advertise the
+    deletionVectors feature (r12 ADVICE fix): a v2 source with zero live
+    deletes would otherwise lock minReaderVersion<3 engines out of the
+    target for a feature the table never uses. No bitmap lands either."""
+    base = str(tmp_path / "nodv")
+    os.makedirs(base)
+    shutil.copy(os.path.join(sf_dir, "region.parquet"),
+                os.path.join(base, "f1.parquet"))
+    schema = spark.read.parquet(base).schema
+    log = DeltaLog(spark, base)
+    log.init_table(
+        Table(name="nodv", base_path=base, table_format=TableFormat.DELTA,
+              read_schema=schema, layout=DataLayoutStrategy.FLAT)
+    )
+    empty = spark.createDataFrame([], "path string, pos long")
+    log.commit(
+        adds=build_inventory(spark, [os.path.join(base, "f1.parquet")], root=base),
+        deletion_vectors=empty,
+    )
+    info = DeltaLog(spark, base).snapshot_info()
+    assert "deletionVectors" not in (info.protocol.get("readerFeatures") or [])
+    assert info.protocol.get("minReaderVersion", 1) < 3
+    assert not [f for f in os.listdir(base) if f.startswith("deletion_vector_")]
 
 
 def test_dv_translation_authors_exactly_one_bitmap_per_file(spark, sf_dir, tmp_path):
