@@ -341,31 +341,7 @@ class HudiTimeline:
             .select("instant", "partition", F.explode("stats").alias("ws"))
         )
         is_log = F.col("ws.path").contains(".log.")
-        adds = exploded.filter(~is_log).select(
-            "instant",
-            F.col("ws.fileId").alias("file_id"),
-            F.col("ws.path").alias("rel_path"),
-            F.col("ws.partitionPath").alias("partition_path"),
-            F.col("ws.fileSizeInBytes").alias("size"),
-            F.col("ws.numWrites").alias("record_count"),
-            F.col("ws.columnStats").alias("stats_json"),
-        )
-        replaced = commits.select(
-            F.col("instant").alias("replace_instant"),
-            F.explode_outer("partitionToReplaceFileIds").alias("partition", "file_ids"),
-        ).select("replace_instant", F.explode("file_ids").alias("file_id"))
-
-        # latest slice per file group, then anti-join groups replaced at a
-        # later-or-equal instant (broadcast: replace sets are tiny)
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("file_id").orderBy(F.desc("instant"))
-        latest = adds.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
-        live = latest.join(
-            F.broadcast(replaced),
-            (latest.file_id == replaced.file_id) & (replaced.replace_instant >= latest.instant),
-            "left_anti",
-        )
+        live = self._live_base_slices(exploded, commits)
 
         # MOR log plane — only when the timeline holds deltacommits at all
         # (a COW table pays nothing here; the instants list is driver-side)
@@ -439,6 +415,41 @@ class HudiTimeline:
             ),
         )
 
+    def _live_base_slices(
+        self, exploded: DataFrame, commits: DataFrame
+    ) -> DataFrame:
+        """Latest BASE-file slice per live file group: explode write
+        stats, drop log paths, keep the newest stat per fileId, anti-join
+        groups replaced at a later-or-equal replacecommit (broadcast:
+        replace sets are tiny). Columns: ``(instant, file_id, rel_path,
+        partition_path, size, record_count, stats_json)`` — the shared
+        core of ``snapshot_files`` and the delete-log writer (which needs
+        the base instant + fileId a log file attaches to)."""
+        is_log = F.col("ws.path").contains(".log.")
+        adds = exploded.filter(~is_log).select(
+            "instant",
+            F.col("ws.fileId").alias("file_id"),
+            F.col("ws.path").alias("rel_path"),
+            F.col("ws.partitionPath").alias("partition_path"),
+            F.col("ws.fileSizeInBytes").alias("size"),
+            F.col("ws.numWrites").alias("record_count"),
+            F.col("ws.columnStats").alias("stats_json"),
+        )
+        replaced = commits.select(
+            F.col("instant").alias("replace_instant"),
+            F.explode_outer("partitionToReplaceFileIds").alias("partition", "file_ids"),
+        ).select("replace_instant", F.explode("file_ids").alias("file_id"))
+
+        from pyspark.sql.window import Window
+
+        w = Window.partitionBy("file_id").orderBy(F.desc("instant"))
+        latest = adds.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+        return latest.join(
+            F.broadcast(replaced),
+            (latest.file_id == replaced.file_id) & (replaced.replace_instant >= latest.instant),
+            "left_anti",
+        )
+
     def verify_log_stats(self, instant: Optional[str] = None) -> DataFrame:
         """Trust-but-verify for MOR log files (the Hudi twin of
         ``DeltaLog.verify_deletion_vectors``): executors parse each log
@@ -454,12 +465,14 @@ class HudiTimeline:
 
         from onetable_spark.formats.hudi_log import log_file_record_count
 
+        out_schema = (
+            "path string, stat_num_writes long, stat_num_deletes long, "
+            "decoded_records long, decoded_deletes long, "
+            "unparsed_block_types array<string>, log_ok boolean"
+        )
         instants = self.completed_instants(as_of=instant)
         if not instants:
-            return self.spark.createDataFrame(
-                [], "path string, stat_num_writes long, decoded_records long, "
-                    "unparsed_block_types array<string>, log_ok boolean"
-            )
+            return self.spark.createDataFrame([], out_schema)
         commits = self._commits_df(instants)
         table_path = self.table_path
         logs = (
@@ -469,24 +482,29 @@ class HudiTimeline:
             .select(
                 F.concat(F.lit(table_path + "/"), F.col("ws.path")).alias("path"),
                 F.col("ws.numWrites").alias("stat_num_writes"),
+                F.coalesce(F.col("ws.numDeletes"), F.lit(0)).alias("stat_num_deletes"),
             )
         )
 
         def check(batches):
             for pdf in batches:
                 rows = []
-                for path, nw in zip(pdf["path"], pdf["stat_num_writes"]):
+                for path, nw, nd in zip(
+                    pdf["path"], pdf["stat_num_writes"], pdf["stat_num_deletes"]
+                ):
                     got = log_file_record_count(path)
                     ok = (
                         None
                         if got["unparsed_block_types"]
-                        else got["records"] == nw
+                        else got["records"] == nw and got["deletes"] == nd
                     )
                     rows.append(
                         {
                             "path": path,
                             "stat_num_writes": nw,
+                            "stat_num_deletes": nd,
                             "decoded_records": got["records"],
+                            "decoded_deletes": got["deletes"],
                             "unparsed_block_types": got["unparsed_block_types"],
                             "log_ok": ok,
                         }
@@ -494,16 +512,13 @@ class HudiTimeline:
                 yield _pd.DataFrame(
                     rows,
                     columns=[
-                        "path", "stat_num_writes", "decoded_records",
+                        "path", "stat_num_writes", "stat_num_deletes",
+                        "decoded_records", "decoded_deletes",
                         "unparsed_block_types", "log_ok",
                     ],
                 )
 
-        return logs.mapInPandas(
-            check,
-            "path string, stat_num_writes long, decoded_records long, "
-            "unparsed_block_types array<string>, log_ok boolean",
-        )
+        return logs.mapInPandas(check, out_schema)
 
     def _partition_values_col(self):
         """partition_path 'a=1/b=2' or '' → map (HudiPartitionValuesExtractor
@@ -860,6 +875,198 @@ class HudiTimeline:
                 mdt.upsert_from_files(adds)
             if we_cached_adds:
                 adds.unpersist()
+        return instant
+
+    def commit_delete_logs(
+        self,
+        positions: DataFrame,
+        key_fields: Optional[tuple[str, ...]] = None,
+    ) -> str:
+        """Row-level deletes INTO Hudi as HoodieLogFormat DELETE blocks —
+        the third edge of the cross-format delete triangle (Delta↔Iceberg
+        are ``sync_iceberg_deletes_to_delta_dv`` /
+        ``sync_delta_dvs_to_iceberg``).
+
+        ``positions``: ``(path, pos)`` rows over this table's BASE files.
+        Hudi deletes are KEY-based, not positional, so executors read each
+        affected base file's record-key columns ONCE (one pyarrow
+        ``take`` at the positions) and author one log file per file group
+        holding a single DELETE block (type 1, content V3 — byte layout
+        pinned against the reference's real Hudi-0.14 delete block). The
+        deltacommit's write-stats carry ``numDeletes`` so the realtime
+        view (``snapshot_files(view='realtime')``) nets exactly these
+        rows, and ``verify_log_stats`` can re-derive the count from the
+        bytes. A real Hudi reader merges the same blocks by key.
+
+        Keys come from ``hoodie.table.recordkey.fields`` (populated from
+        the source's identifier fields on sync); composite keys use the
+        ComplexKeyGenerator ``f1:v1,f2:v2`` form, single-field keys the
+        SimpleKeyGenerator bare-value form. Refuses when the table has no
+        record-key fields — a DELETE block is inexpressible without keys.
+        Returns the deltacommit instant.
+
+        Reference contrast: the reference never writes (or reads) log
+        files at all — a Hudi target there receives net counts only
+        (HudiDataFileExtractor.java:344-363 lists base files only).
+        """
+        import pandas as _pd
+
+        from onetable_spark.formats.hudi_log import write_delete_log_block
+
+        key_fields = tuple(
+            key_fields or self.table_descriptor().record_key_fields
+        )
+        if not key_fields:
+            raise ValueError(
+                f"{self.table_path}: no record-key fields configured "
+                "(hoodie.table.recordkey.fields is empty) — Hudi DELETE "
+                "log blocks identify rows by key; cannot translate "
+                "position deletes into a keyless table"
+            )
+        instants = self.completed_instants()
+        if not instants:
+            raise ValueError(
+                f"{self.table_path}: no completed commits — delete logs "
+                "attach to existing base file groups"
+            )
+        commits = self._commits_df(instants)
+        exploded = (
+            commits.select(
+                "instant",
+                F.explode_outer("partitionToWriteStats").alias("partition", "stats"),
+            )
+            .select("instant", "partition", F.explode("stats").alias("ws"))
+        )
+        table_path = self.table_path
+        table_prefix = table_path.rstrip("/") + "/"
+        base = self._live_base_slices(exploded, commits).select(
+            F.concat(F.lit(table_prefix), F.col("rel_path")).alias("path"),
+            "file_id",
+            "rel_path",
+            "partition_path",
+            F.col("instant").alias("base_instant"),
+        )
+        joined = positions.join(base, "path")
+        # dangling-position guard: every deleted path must be a live base
+        # file — a DELETE block for an unknown file group would dangle
+        # driver-ok: two count scalars on the affected-file side
+        n_files = positions.select("path").distinct().count()
+        n_matched = joined.select("path").distinct().count()
+        if n_matched != n_files:
+            raise ValueError(
+                f"{n_files - n_matched} deleted path(s) match no live "
+                "base file group — positions must target this table's "
+                "base files"
+            )
+
+        instant, _ = self._claim_instant("deltacommit")
+        inflight = os.path.join(self.hoodie_path, f"{instant}.deltacommit.inflight")
+        open(inflight, "w").close()
+
+        kf = list(key_fields)
+
+        def author(key, pdf: _pd.DataFrame) -> _pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            path = key[0]
+            row0 = pdf.iloc[0]
+            file_id = row0["file_id"]
+            pp = row0["partition_path"] or ""
+            base_instant = row0["base_instant"]
+            pos = sorted({int(p) for p in pdf["pos"]})
+            keys_tbl = pq.read_table(path, columns=kf).take(pos)
+            if len(kf) == 1:
+                keys = [str(v) for v in keys_tbl[kf[0]].to_pylist()]
+            else:
+                cols = [keys_tbl[f].to_pylist() for f in kf]
+                keys = [
+                    ",".join(f"{f}:{v}" for f, v in zip(kf, vals))
+                    for vals in zip(*cols)
+                ]
+            records = [
+                {"recordKey": k, "partitionPath": pp, "orderingVal": None}
+                for k in keys
+            ]
+            log_dir = os.path.dirname(path)
+            version = 1
+            while True:
+                name = f".{file_id}_{base_instant}.log.{version}_0-0-0"
+                lp = os.path.join(log_dir, name)
+                if not os.path.exists(lp):
+                    break
+                version += 1
+            write_delete_log_block(lp, records, instant, append=False)
+            rel_log = lp[len(table_prefix):] if lp.startswith(table_prefix) else lp
+            return _pd.DataFrame(
+                [
+                    {
+                        "rel_path": rel_log,
+                        "file_id": file_id,
+                        "partition_path": pp,
+                        "prev_commit": base_instant,
+                        "num_deletes": len(records),
+                        "size": os.path.getsize(lp),
+                    }
+                ]
+            )
+
+        # eager localCheckpoint: authoring is SIDE-EFFECTING (the log
+        # version probe makes re-execution append .log.2 orphans) — the
+        # stats stream below must read ONE materialized run
+        stats = (
+            joined.groupBy("path")
+            .applyInPandas(
+                author,
+                "rel_path string, file_id string, partition_path string, "
+                "prev_commit string, num_deletes long, size long",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        from onetable_spark.model import iter_inventory_rows
+
+        completed = os.path.join(self.hoodie_path, f"{instant}.deltacommit")
+        tmp = completed + ".tmp"
+        with open(tmp, "w") as f:
+            # same streaming emitter shape as commit(): stats grouped by
+            # partition path, O(batch) Python objects
+            f.write('{"partitionToWriteStats": {')
+            current_pp: str | None = None
+            for row in iter_inventory_rows(stats.orderBy("partition_path")):
+                stat = {
+                    "fileId": row["file_id"],
+                    "path": row["rel_path"],
+                    "prevCommit": row["prev_commit"],
+                    "numWrites": 0,
+                    "numInserts": 0,
+                    "numDeletes": row["num_deletes"],
+                    "numUpdateWrites": 0,
+                    "totalWriteBytes": row["size"],
+                    "fileSizeInBytes": row["size"],
+                    "partitionPath": row["partition_path"],
+                    "columnStats": None,
+                }
+                pp = row["partition_path"] or ""
+                if pp != current_pp:
+                    if current_pp is not None:
+                        f.write("], ")
+                    f.write(f"{json.dumps(pp)}: [")
+                    current_pp = pp
+                else:
+                    f.write(", ")
+                f.write(json.dumps(stat))
+            if current_pp is not None:
+                f.write("]")
+            f.write("}")
+            meta = {
+                "compacted": False,
+                "operationType": "DELETE",
+                "extraMetadata": {},
+            }
+            for k, v in meta.items():
+                f.write(f", {json.dumps(k)}: {json.dumps(v)}")
+            f.write("}")
+        os.replace(tmp, completed)
         return instant
 
     def rollback(self, instant: str) -> str:

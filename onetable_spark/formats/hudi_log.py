@@ -63,6 +63,48 @@ _HEADER_ORDINALS = {v: k for k, v in HEADER_KEYS.items()}
 
 AVRO_CONTENT_VERSION = 3
 
+#: HoodieDeleteBlock content version 3 (Hudi 0.13+): the delete records
+#: serialize as ONE Avro binary datum of HoodieDeleteRecordList. The
+#: reference's real log file (`demo/data/db/hudi_dimCustomer/.hoodie/
+#: metadata/files/.files-0000-0_00000000000000010.log.1_0-0-0`, 80 bytes)
+#: carries exactly `>i 3, >i 1, 0x00` — version 3, one payload byte, the
+#: Avro encoding of an EMPTY record list (array block count 0).
+DELETE_CONTENT_VERSION = 3
+
+#: the public HoodieDeleteRecordList / HoodieDeleteRecord Avro schemas
+#: (hudi-common src/main/avro/HoodieDeleteRecordList.avsc) — orderingVal
+#: is the full primitive union the writer side collapses to null for
+#: translated deletes (no ordering semantics on a foreign position set)
+HOODIE_DELETE_RECORD_LIST_SCHEMA: dict[str, Any] = {
+    "type": "record",
+    "name": "HoodieDeleteRecordList",
+    "namespace": "org.apache.hudi.avro.model",
+    "fields": [
+        {
+            "name": "deleteRecordList",
+            "type": {
+                "type": "array",
+                "items": {
+                    "type": "record",
+                    "name": "HoodieDeleteRecord",
+                    "fields": [
+                        {"name": "recordKey", "type": ["null", "string"], "default": None},
+                        {"name": "partitionPath", "type": ["null", "string"], "default": None},
+                        {
+                            "name": "orderingVal",
+                            "type": [
+                                "null", "boolean", "int", "long",
+                                "float", "double", "bytes", "string",
+                            ],
+                            "default": None,
+                        },
+                    ],
+                },
+            },
+        }
+    ],
+}
+
 
 def _read_map(buf: io.BytesIO) -> dict[str, str]:
     (count,) = struct.unpack(">i", buf.read(4))
@@ -193,17 +235,89 @@ def write_avro_log_block(
     return len(records)
 
 
+def delete_block_records(block: dict[str, Any]) -> tuple[int, list[dict]]:
+    """(count, delete records) of one DELETE block. Content = 4B BE
+    version (3), 4B BE payload length, then ONE Avro binary
+    HoodieDeleteRecordList datum — decoded through the byte-certified
+    codec against the public schema (the V3 format embeds no SCHEMA
+    header; the schema is a protocol constant)."""
+    if block["type"] != "delete":
+        raise ValueError(f"not a delete block: {block['type']}")
+    content = block["content"]
+    version, length = struct.unpack_from(">ii", content, 0)
+    if version != DELETE_CONTENT_VERSION:
+        raise ValueError(
+            f"unsupported delete-block content version {version} — only "
+            f"the Avro V{DELETE_CONTENT_VERSION} form is readable"
+        )
+    raw = content[8 : 8 + length]
+    if len(raw) != length or 8 + length != len(content):
+        raise ValueError(
+            f"delete block declares {length} payload bytes, content holds "
+            f"{len(content) - 8} — corrupt"
+        )
+    from onetable_spark.formats.avro_codec import _Reader, read_datum
+
+    datum = read_datum(_Reader(raw), HOODIE_DELETE_RECORD_LIST_SCHEMA, {})
+    records = list(datum.get("deleteRecordList") or [])
+    return len(records), records
+
+
+def write_delete_log_block(
+    path: str,
+    records: list[dict],
+    instant_time: str,
+    append: bool = True,
+) -> int:
+    """Author one DELETE block (HoodieDeleteBlock, content version 3).
+    ``records``: ``{recordKey, partitionPath, orderingVal}`` dicts (the
+    HoodieDeleteRecord shape; missing keys encode as null). With an empty
+    list the emitted bytes are BYTE-IDENTICAL to the reference's real
+    Hudi-0.14 delete block (test-pinned against the demo log file).
+    Returns the record count."""
+    from onetable_spark.formats.avro_codec import write_datum
+
+    rb = io.BytesIO()
+    write_datum(
+        rb,
+        {"deleteRecordList": records},
+        HOODIE_DELETE_RECORD_LIST_SCHEMA,
+        {},
+    )
+    raw = rb.getvalue()
+    content = struct.pack(">ii", DELETE_CONTENT_VERSION, len(raw)) + raw
+
+    inner = io.BytesIO()
+    inner.write(struct.pack(">ii", 1, _TYPE_ORDINALS["delete"]))
+    _write_map(inner, {"instant_time": instant_time})
+    inner.write(struct.pack(">q", len(content)))
+    inner.write(content)
+    _write_map(inner, {})
+    block_size = inner.tell() + 8  # + the trailing total-length field
+    inner.write(struct.pack(">q", 6 + block_size))
+    with open(path, "ab" if append else "wb") as f:
+        f.write(MAGIC)
+        f.write(struct.pack(">q", block_size))
+        f.write(inner.getvalue())
+    return len(records)
+
+
 def log_file_record_count(path: str) -> dict[str, Any]:
-    """Walk one log file: summed AVRO_DATA record counts plus flags for
-    block kinds whose counts this reader cannot derive from bytes."""
+    """Walk one log file: summed AVRO_DATA record counts, summed DELETE
+    record counts, plus flags for block kinds whose counts this reader
+    cannot derive from bytes."""
     n = 0
+    d = 0
     other: list[str] = []
     for b in read_log_blocks(path):
         if b["type"] == "avro_data":
             cnt, _ = avro_block_records(b)
             n += cnt
+        elif b["type"] == "delete":
+            cnt, _ = delete_block_records(b)
+            d += cnt
         elif b["type"] in ("command", "corrupt"):
             continue  # no records
         else:
             other.append(b["type"])
-    return {"records": n, "unparsed_block_types": sorted(set(other))}
+    return {"records": n, "deletes": d, "unparsed_block_types": sorted(set(other))}

@@ -2440,7 +2440,8 @@ STAGED_QUERIES: tuple[str, ...] = (
     "sync_partition_evolution", "sync_safety_fallback", "sync_catchup",
     "sync_foreign_table", "sync_foreign_iceberg", "sync_foreign_iceberg_deletes",
     "sync_delta_dv", "ann_ivfpq_persisted", "hudi_mor_views",
-    "iceberg_eq_deletes", "dv_translation", "zorder_compaction",
+    "iceberg_eq_deletes", "dv_translation", "hudi_delete_translation",
+    "zorder_compaction",
     "vacuum_orphans", "streaming_sink_inventory", "multimodal_ingest",
     "streaming_cdc_feed", "streaming_cdc_hudi", "sync_continuous",
 )
@@ -3032,6 +3033,96 @@ def q_dv_translation(spark: SparkSession, sf: str) -> DataFrame:
             F.element_at(F.split("path", "/"), -1).alias("file_name"),
             F.col("record_count"),
             F.lit(stage["dv_ok"]).alias("dv_ok"),
+            F.lit(stage["equiv"]).alias("data_equiv_ok"),
+        )
+    )
+
+
+def q_hudi_delete_translation(spark: SparkSession, sf: str) -> DataFrame:
+    """The THIRD edge of the cross-format delete triangle (r12): the
+    foreign Iceberg MoR fixture's position deletes are translated into a
+    Hudi target as REAL HoodieLogFormat DELETE blocks
+    (sync_iceberg_deletes_to_hudi_logs — record keys READ AT THE DELETED
+    POSITIONS on executors, one type-1 block per affected file group,
+    byte layout pinned against the reference's real Hudi-0.14 delete
+    block), instead of net-count-only metadata. Emits per file
+    (file_name, record_count, log_ok, data_equiv_ok): record_count is the
+    REALTIME view's netted count (must equal the Iceberg net counts the
+    oracle recomputes from region rows); log_ok is verify_log_stats'
+    byte-recount of the stat's numDeletes; data_equiv_ok proves ROW-LEVEL
+    fidelity — a key-merge over the base parquet (what a real Hudi MOR
+    reader does with the block) returns exactly the rows the Iceberg
+    reader returns. The default view REFUSES while unmerged delete logs
+    exist (probed in the stage) — the reference's Hudi plane never writes
+    log files at all (HudiDataFileExtractor.java:344-363). Staged once
+    per (session, sf)."""
+    import os
+
+    from onetable_spark.formats.hudi import HudiTimeline
+
+    def build(base: str) -> dict:
+        import pyarrow.parquet as pq
+
+        from onetable_spark.formats.hudi_log import (
+            delete_block_records,
+            read_log_blocks,
+        )
+        from onetable_spark.sync.client import sync_iceberg_deletes_to_hudi_logs
+        from tools.foreign_iceberg import add_position_deletes, write_foreign_iceberg_table
+
+        tbl_dir = os.path.join(base, "region")
+        os.makedirs(tbl_dir)
+        truth = write_foreign_iceberg_table(
+            spark, tbl_dir, os.path.join(sf, "region.parquet")
+        )
+        truth = add_position_deletes(spark, tbl_dir, truth)
+        sync_iceberg_deletes_to_hudi_logs(spark, tbl_dir)
+        tl = HudiTimeline(spark, tbl_dir)
+        # the default view must refuse while unmerged delete logs exist
+        refused = False
+        try:
+            # driver-ok: refusal probe on the 2-file staged table
+            tl.snapshot_files().collect()
+        except Exception as e:  # noqa: BLE001 — executor raise crosses py4j
+            refused = "unmerged log" in str(e)
+        # byte-recount: decoded DELETE records must equal the stat's
+        # numDeletes (and no data records in a delete-only log)
+        # driver-ok: one row per log file (exactly 1 in this stage)
+        checks = tl.verify_log_stats().collect()
+        log_ok = bool(checks) and all(
+            c["log_ok"] and c["decoded_deletes"] == c["stat_num_deletes"]
+            for c in checks
+        )
+        # row-level fidelity: key-merging the DELETE block over the base
+        # parquet (a real MOR reader's move) == Iceberg survivor rows
+        equiv = False
+        if len(checks) == 1:
+            blocks = read_log_blocks(checks[0]["path"])
+            _, records = delete_block_records(blocks[0])
+            dead = {r["recordKey"] for r in records}
+            a = pq.read_table(
+                os.path.join(tbl_dir, "data", "A.parquet"), columns=["r_regionkey"]
+            )["r_regionkey"].to_pylist()
+            b = pq.read_table(
+                os.path.join(tbl_dir, "data", "B.parquet"), columns=["r_regionkey"]
+            )["r_regionkey"].to_pylist()
+            survivors = sorted(k for k in a + b if str(k) not in dead)
+            expected = sorted(a + [k for k in b if k % 2 == 0])
+            equiv = survivors == expected
+        return {
+            "dir": tbl_dir,
+            "ok": refused and log_ok,
+            "equiv": equiv,
+        }
+
+    stage = _staged_once(spark, sf, "otb_hdx_q", build)
+    return (
+        HudiTimeline(spark, stage["dir"])
+        .snapshot_files(view="realtime")
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("record_count"),
+            F.lit(stage["ok"]).alias("log_ok"),
             F.lit(stage["equiv"]).alias("data_equiv_ok"),
         )
     )
@@ -5631,6 +5722,17 @@ ORACLE_SQL: dict[str, str] = {
         FROM region WHERE r_regionkey >= 2 AND r_regionkey % 2 = 0
                       AND r_regionkey <> 4
     """,
+    # the DELETE log blocks net the odd keys of B out of the realtime
+    # view: A (keys < 2) raw, B = even keys only — same nets as the
+    # Iceberg reader's (dv_translation's twin, third triangle edge)
+    "hudi_delete_translation": """
+        SELECT 'A.parquet' AS file_name, CAST(COUNT(*) AS BIGINT) AS record_count,
+               TRUE AS log_ok, TRUE AS data_equiv_ok
+        FROM region WHERE r_regionkey < 2
+        UNION ALL
+        SELECT 'B.parquet', CAST(COUNT(*) AS BIGINT), TRUE, TRUE
+        FROM region WHERE r_regionkey >= 2 AND r_regionkey % 2 = 0
+    """,
     # log effects derive from region rows: inserts = odd keys, deletes =
     # zero keys; realtime = base + ins - del
     "hudi_mor_views": """
@@ -6545,6 +6647,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hudi_mor_views": q_hudi_mor_views,
     "iceberg_eq_deletes": q_iceberg_eq_deletes,
     "dv_translation": q_dv_translation,
+    "hudi_delete_translation": q_hudi_delete_translation,
     "vacuum_orphans": q_vacuum_orphans,
     # -- last driver rows r2-r4 (the 20 stalest)
     "g8_stats_regroup": q_g8_stats_regroup,

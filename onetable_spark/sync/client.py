@@ -857,6 +857,56 @@ def sync_iceberg_deletes_to_delta_dv(
     )
 
 
+def sync_iceberg_deletes_to_hudi_logs(
+    spark: SparkSession,
+    iceberg_path: str,
+    hudi_path: str | None = None,
+    apply_equality_deletes: bool = False,
+) -> str:
+    """The THIRD edge of the cross-format delete triangle (r12): an
+    Iceberg v2 MoR source's position deletes land in a Hudi target as
+    real HoodieLogFormat DELETE blocks, not net-count-only metadata.
+
+    Why this exists: Hudi has no positional delete form — its row-level
+    encoding is a DELETE log block (type 1) holding record KEYS, which a
+    MOR reader merges against the base file. A plain metadata sync can
+    only write net counts, so a Hudi ENGINE reading the target resurrects
+    the deleted rows. Here the full snapshot lands with RAW physical
+    counts (one COW commit), then one deltacommit authors a DELETE block
+    per affected file group from the keys READ AT THE DELETED POSITIONS
+    (IcebergTable.snapshot_with_deleted_positions →
+    HudiTimeline.commit_delete_logs) — the realtime view then nets
+    exactly those rows and ``verify_log_stats`` can recount them from
+    bytes. Record keys come from the Iceberg identifier-field-ids
+    (→ hoodie.table.recordkey.fields); a source without identifier
+    fields refuses — Hudi deletes are inexpressible without keys.
+
+    Reference contrast: the reference's Hudi plane never writes log
+    files (HudiDataFileExtractor.java:344-363 base files only), so its
+    Hudi targets silently disagree with a v2 source's delete plane.
+
+    Returns the deltacommit instant (or the bootstrap commit's when the
+    source has no live deletes).
+    """
+    from dataclasses import replace
+
+    src = IcebergTable(spark, iceberg_path)
+    raw, positions = src.snapshot_with_deleted_positions(
+        apply_equality_deletes=apply_equality_deletes
+    )
+    tl = HudiTimeline(spark, hudi_path or iceberg_path)
+    table = replace(src.table_descriptor(), table_format=TableFormat.HUDI)
+    if not tl.exists():
+        tl.init_table(table)
+    instant = tl.commit(adds=raw, schema=table.read_schema, operation="BULK_INSERT")
+    # driver-ok: emptiness probe, one boolean
+    if not positions.isEmpty():
+        instant = tl.commit_delete_logs(
+            positions, key_fields=table.record_key_fields
+        )
+    return instant
+
+
 def sync_delta_dvs_to_iceberg(
     spark: SparkSession, delta_path: str, iceberg_path: str
 ) -> int:

@@ -66,7 +66,9 @@ def test_avro_block_roundtrip_and_multi_block_walk(tmp_path):
     assert [b["type"] for b in blocks] == ["avro_data", "avro_data"]
     cnt, recs = avro_block_records(blocks[0], decode=True)
     assert cnt == 2 and recs == [{"k": 1, "v": "a"}, {"k": 2, "v": None}]
-    assert log_file_record_count(lp) == {"records": 3, "unparsed_block_types": []}
+    assert log_file_record_count(lp) == {
+        "records": 3, "deletes": 0, "unparsed_block_types": []
+    }
 
 
 def test_verify_log_stats_cross_checks_bytes_against_timeline(spark, sf_dir, tmp_path):
