@@ -334,12 +334,7 @@ class HudiTimeline:
         if not instants:
             return self.spark.createDataFrame([], FILES_SCHEMA)
         commits = self._commits_df(instants)
-        exploded = (
-            commits.select(
-                "instant", F.explode_outer("partitionToWriteStats").alias("partition", "stats")
-            )
-            .select("instant", "partition", F.explode("stats").alias("ws"))
-        )
+        exploded = self._exploded_stats(commits)
         is_log = F.col("ws.path").contains(".log.")
         live = self._live_base_slices(exploded, commits)
 
@@ -414,6 +409,44 @@ class HudiTimeline:
                 "column_stats"
             ),
         )
+
+    def _exploded_stats(self, commits: DataFrame) -> DataFrame:
+        """``(instant, partition, ws)`` — every write stat of the given
+        commits, exploded (the shared input of the view/compaction/delete
+        planes)."""
+        return (
+            commits.select(
+                "instant",
+                F.explode_outer("partitionToWriteStats").alias("partition", "stats"),
+            )
+            .select("instant", "partition", F.explode("stats").alias("ws"))
+        )
+
+    def has_unmerged_logs(self, instant: Optional[str] = None) -> bool:
+        """True when any file group carries log files newer than its base
+        file (or log files with no base at all) — the state in which a
+        base-file scan is stale and a target engine cannot reproduce the
+        realtime view's netted counts by scanning parquet."""
+        instants = self.completed_instants(as_of=instant)
+        if not instants or not any(a == "deltacommit" for _, a in instants):
+            return False
+        commits = self._commits_df(instants)
+        exploded = self._exploded_stats(commits)
+        live = self._live_base_slices(exploded, commits)
+        logs = exploded.filter(F.col("ws.path").contains(".log.")).select(
+            F.col("instant").alias("log_instant"),
+            F.col("ws.fileId").alias("file_id"),
+        )
+        unmerged = logs.join(
+            live.select("file_id", F.col("instant").alias("base_instant")),
+            "file_id",
+            "left_outer",
+        ).where(
+            F.col("base_instant").isNull()
+            | (F.col("log_instant") > F.col("base_instant"))
+        )
+        # driver-ok: emptiness probe, one boolean
+        return not unmerged.isEmpty()
 
     def _live_base_slices(
         self, exploded: DataFrame, commits: DataFrame
@@ -930,13 +963,7 @@ class HudiTimeline:
                 "attach to existing base file groups"
             )
         commits = self._commits_df(instants)
-        exploded = (
-            commits.select(
-                "instant",
-                F.explode_outer("partitionToWriteStats").alias("partition", "stats"),
-            )
-            .select("instant", "partition", F.explode("stats").alias("ws"))
-        )
+        exploded = self._exploded_stats(commits)
         table_path = self.table_path
         table_prefix = table_path.rstrip("/") + "/"
         base = self._live_base_slices(exploded, commits).select(
@@ -1061,6 +1088,207 @@ class HudiTimeline:
             meta = {
                 "compacted": False,
                 "operationType": "DELETE",
+                "extraMetadata": {},
+            }
+            for k, v in meta.items():
+                f.write(f", {json.dumps(k)}: {json.dumps(v)}")
+            f.write("}")
+        os.replace(tmp, completed)
+        return instant
+
+    def compact_file_groups(self) -> Optional[str]:
+        """MOR COMPACTION (r12): merge every file group's unmerged log
+        blocks into a NEW base parquet — the data-plane materialization
+        that closes the realtime-view gap. After this, base files alone
+        carry the merged rows, the default view reads clean (no unmerged
+        logs), and a Delta/Iceberg target synced from them is honest at
+        the ROW level, not just in netted counts.
+
+        Semantics per file group, blocks applied in instant order:
+        AVRO_DATA records UPSERT by record key (insert new keys, replace
+        existing — matching the realtime view's inserts-net/updates-zero
+        arithmetic) or plain-append on a keyless table; DELETE blocks
+        drop rows by record key; HFILE/PARQUET blocks refuse (no byte
+        decoder — never silently drop rows). The new base file keeps its
+        file group's id (``{fileId}_0-0-0_{instant}.parquet``, HoodieBase
+        file naming) so the timeline window supersedes the old slice and
+        time travel still sees it. Work is distributed one file group per
+        task (applyInPandas) — the same parallelism real compaction gets.
+
+        Returns the compaction commit instant, or None when nothing needs
+        merging. Reference contrast: the reference has no compaction (or
+        any log plane); it would keep reading the stale base files
+        (HudiDataFileExtractor.java:157)."""
+        import pandas as _pd
+
+        instants = self.completed_instants()
+        if not instants:
+            return None
+        commits = self._commits_df(instants)
+        exploded = self._exploded_stats(commits)
+        live = self._live_base_slices(exploded, commits)
+        logs = exploded.filter(F.col("ws.path").contains(".log.")).select(
+            F.col("instant").alias("log_instant"),
+            F.col("ws.fileId").alias("file_id"),
+            F.col("ws.path").alias("log_rel"),
+        )
+        base_keys = live.select(
+            "file_id",
+            F.col("instant").alias("base_instant"),
+            "rel_path",
+            "partition_path",
+        )
+        # driver-ok: emptiness probe, one boolean
+        if not logs.join(
+            base_keys.select("file_id"), "file_id", "left_anti"
+        ).isEmpty():
+            raise ValueError(
+                f"{self.table_path}: MOR file group holds ONLY log files "
+                "(no base file to merge into); cannot compact"
+            )
+        unmerged = logs.join(base_keys, "file_id").where(
+            F.col("log_instant") > F.col("base_instant")
+        )
+        # driver-ok: emptiness probe, one boolean
+        if unmerged.isEmpty():
+            return None
+
+        key_fields = tuple(self.table_descriptor().record_key_fields)
+        kf = list(key_fields)
+        table_prefix = self.table_path.rstrip("/") + "/"
+        instant, _ = self._claim_instant("commit")
+        inflight = os.path.join(self.hoodie_path, f"{instant}.inflight")
+        open(inflight, "w").close()
+
+        def merge(key, pdf: _pd.DataFrame) -> _pd.DataFrame:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            from onetable_spark.formats.hudi_log import (
+                avro_block_records,
+                delete_block_records,
+                read_log_blocks,
+            )
+
+            file_id = key[0]
+            row0 = pdf.iloc[0]
+            base_rel = row0["rel_path"]
+            pp = row0["partition_path"] or ""
+            base_abs = table_prefix + base_rel
+            base_tbl = pq.read_table(base_abs)
+            cols = list(base_tbl.schema.names)
+            df = base_tbl.to_pandas(integer_object_nulls=True)
+
+            def key_series(frame: _pd.DataFrame) -> _pd.Series:
+                if len(kf) == 1:
+                    return frame[kf[0]].astype(str)
+                s = frame[kf[0]].astype(str).radd(f"{kf[0]}:")
+                for f_ in kf[1:]:
+                    s = s + "," + frame[f_].astype(str).radd(f"{f_}:")
+                return s
+
+            ordered = pdf.sort_values("log_instant")
+            for log_rel in ordered["log_rel"]:
+                for block in read_log_blocks(table_prefix + log_rel):
+                    btype = block["type"]
+                    if btype == "avro_data":
+                        _, recs = avro_block_records(block, decode=True)
+                        rec_df = _pd.DataFrame(
+                            [{c: r.get(c) for c in cols} for r in recs],
+                            columns=cols,
+                        )
+                        if kf and not rec_df.empty:
+                            # upsert: replace existing keys, append new
+                            df = df[~key_series(df).isin(set(key_series(rec_df)))]
+                        df = _pd.concat([df, rec_df], ignore_index=True)
+                    elif btype == "delete":
+                        if not kf:
+                            raise ValueError(
+                                f"{log_rel}: DELETE block on a keyless "
+                                "table — rows are unidentifiable"
+                            )
+                        _, recs = delete_block_records(block)
+                        dead = {r["recordKey"] for r in recs}
+                        df = df[~key_series(df).isin(dead)]
+                    elif btype in ("command", "corrupt"):
+                        continue
+                    else:
+                        raise ValueError(
+                            f"{log_rel}: cannot compact a {btype} block — "
+                            "no byte decoder; refusing rather than "
+                            "dropping its rows"
+                        )
+            new_name = f"{file_id}_0-0-0_{instant}.parquet"
+            rel_dir = os.path.dirname(base_rel)
+            new_rel = f"{rel_dir}/{new_name}" if rel_dir else new_name
+            out = table_prefix + new_rel
+            pq.write_table(
+                pa.Table.from_pandas(
+                    df[cols], schema=base_tbl.schema, preserve_index=False
+                ),
+                out,
+            )
+            return _pd.DataFrame(
+                [
+                    {
+                        "rel_path": new_rel,
+                        "file_id": file_id,
+                        "partition_path": pp,
+                        "prev_commit": row0["base_instant"],
+                        "num_writes": len(df),
+                        "size": os.path.getsize(out),
+                    }
+                ]
+            )
+
+        # eager localCheckpoint: the merge WRITES the new base files — the
+        # stats stream below must read one materialized run
+        stats = (
+            unmerged.groupBy("file_id")
+            .applyInPandas(
+                merge,
+                "rel_path string, file_id string, partition_path string, "
+                "prev_commit string, num_writes long, size long",
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        from onetable_spark.model import iter_inventory_rows
+
+        completed = os.path.join(self.hoodie_path, f"{instant}.commit")
+        tmp = completed + ".tmp"
+        with open(tmp, "w") as f:
+            f.write('{"partitionToWriteStats": {')
+            current_pp: str | None = None
+            for row in iter_inventory_rows(stats.orderBy("partition_path")):
+                stat = {
+                    "fileId": row["file_id"],
+                    "path": row["rel_path"],
+                    "prevCommit": row["prev_commit"],
+                    "numWrites": row["num_writes"],
+                    "numInserts": 0,
+                    "numDeletes": 0,
+                    "numUpdateWrites": 0,
+                    "totalWriteBytes": row["size"],
+                    "fileSizeInBytes": row["size"],
+                    "partitionPath": row["partition_path"],
+                    "columnStats": None,
+                }
+                pp = row["partition_path"] or ""
+                if pp != current_pp:
+                    if current_pp is not None:
+                        f.write("], ")
+                    f.write(f"{json.dumps(pp)}: [")
+                    current_pp = pp
+                else:
+                    f.write(", ")
+                f.write(json.dumps(stat))
+            if current_pp is not None:
+                f.write("]")
+            f.write("}")
+            meta = {
+                "compacted": True,
+                "operationType": "COMPACT",
                 "extraMetadata": {},
             }
             for k, v in meta.items():

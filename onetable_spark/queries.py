@@ -2441,7 +2441,7 @@ STAGED_QUERIES: tuple[str, ...] = (
     "sync_foreign_table", "sync_foreign_iceberg", "sync_foreign_iceberg_deletes",
     "sync_delta_dv", "ann_ivfpq_persisted", "hudi_mor_views",
     "iceberg_eq_deletes", "dv_translation", "hudi_delete_translation",
-    "zorder_compaction",
+    "hudi_mor_compaction", "zorder_compaction",
     "vacuum_orphans", "streaming_sink_inventory", "multimodal_ingest",
     "streaming_cdc_feed", "streaming_cdc_hudi", "sync_continuous",
 )
@@ -3123,6 +3123,100 @@ def q_hudi_delete_translation(spark: SparkSession, sf: str) -> DataFrame:
             F.element_at(F.split("path", "/"), -1).alias("file_name"),
             F.col("record_count"),
             F.lit(stage["ok"]).alias("log_ok"),
+            F.lit(stage["equiv"]).alias("data_equiv_ok"),
+        )
+    )
+
+
+def q_hudi_mor_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """MOR COMPACTION (r12): real log bytes — an AVRO_DATA block
+    inserting 3 new keys and a DELETE block killing one existing key —
+    are MATERIALIZED into a new base parquet by
+    HudiTimeline.compact_file_groups (blocks merged in instant order,
+    upsert-by-key; the new file keeps its file group's id so the timeline
+    window supersedes the old slice). The DEFAULT view then reads clean
+    (no unmerged logs → no refusal) and the oracle recomputes the merged
+    count from region rows (+3 inserts −1 delete). data_equiv_ok proves
+    the DATA plane: the new parquet's own rows contain the inserted keys,
+    not the deleted one, and count exactly what the inventory reports —
+    the property a netted-count realtime sync cannot give a target
+    engine. A second compact_file_groups() is a no-op (idempotence).
+    Staged once per (session, sf)."""
+    import os
+
+    from onetable_spark.formats.hudi import HudiTimeline
+
+    def build(base: str) -> dict:
+        import shutil
+
+        import pyarrow.parquet as pq
+
+        from onetable_spark.formats.hudi import _file_id_for
+        from onetable_spark.formats.hudi_log import write_avro_log_block
+        from onetable_spark.model import (
+            DataLayoutStrategy,
+            FILES_SCHEMA,
+            Table,
+            TableFormat,
+        )
+        from onetable_spark.sources.parquet_inventory import build_inventory
+
+        tbl = os.path.join(base, "region")
+        os.makedirs(tbl)
+        f1 = os.path.join(tbl, "f1.parquet")
+        shutil.copy(os.path.join(sf, "region.parquet"), f1)
+        schema = spark.read.parquet(f1).schema
+        tl = HudiTimeline(spark, tbl)
+        tl.init_table(
+            Table(name="morc", base_path=tbl, table_format=TableFormat.HUDI,
+                  read_schema=schema, layout=DataLayoutStrategy.FLAT,
+                  record_key_fields=("r_regionkey",))
+        )
+        i1 = tl.commit(adds=build_inventory(spark, [f1], root=tbl),
+                       action="deltacommit")
+        gid = _file_id_for("f1.parquet")
+        lp = os.path.join(tbl, f".{gid}_{i1}.log.1_0-0-0")
+        sch = {"type": "record", "name": "r",
+               "fields": [{"name": "r_regionkey", "type": "int"}]}
+        write_avro_log_block(
+            lp, [{"r_regionkey": k} for k in (100, 101, 102)], sch,
+            "20240101000000000",
+        )
+        tl.commit(
+            adds=spark.createDataFrame(
+                [(lp, "hoodie_log", {}, os.path.getsize(lp), 3, None, None)],
+                FILES_SCHEMA,
+            ),
+            action="deltacommit",
+        )
+        tl.commit_delete_logs(
+            spark.createDataFrame([(f1, 0)], "path string, pos long")
+        )
+        instant = tl.compact_file_groups()
+        # driver-ok: 1-file staged table read-back for the equivalence probe
+        snap = {r["path"]: r["record_count"] for r in tl.snapshot_files().collect()}
+        new_path, n = next(iter(snap.items()))
+        rows = pq.read_table(new_path, columns=["r_regionkey"])[
+            "r_regionkey"
+        ].to_pylist()
+        k0 = pq.read_table(f1, columns=["r_regionkey"])["r_regionkey"].to_pylist()[0]
+        equiv = (
+            instant is not None
+            and len(snap) == 1
+            and len(rows) == n
+            and {100, 101, 102} <= set(rows)
+            and k0 not in rows
+            and tl.compact_file_groups() is None  # idempotent
+        )
+        return {"dir": tbl, "equiv": equiv}
+
+    stage = _staged_once(spark, sf, "otb_morc_q", build)
+    return (
+        HudiTimeline(spark, stage["dir"])
+        .snapshot_files()
+        .select(
+            F.lit("compacted").alias("file_name"),
+            F.col("record_count"),
             F.lit(stage["equiv"]).alias("data_equiv_ok"),
         )
     )
@@ -5722,6 +5816,15 @@ ORACLE_SQL: dict[str, str] = {
         FROM region WHERE r_regionkey >= 2 AND r_regionkey % 2 = 0
                       AND r_regionkey <> 4
     """,
+    # compaction materializes +3 inserted keys and -1 deleted key into
+    # the new base parquet; the default view's count recomputes from
+    # region rows
+    "hudi_mor_compaction": """
+        SELECT 'compacted' AS file_name,
+               CAST(COUNT(*) + 2 AS BIGINT) AS record_count,
+               TRUE AS data_equiv_ok
+        FROM region
+    """,
     # the DELETE log blocks net the odd keys of B out of the realtime
     # view: A (keys < 2) raw, B = even keys only — same nets as the
     # Iceberg reader's (dv_translation's twin, third triangle edge)
@@ -6648,6 +6751,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_eq_deletes": q_iceberg_eq_deletes,
     "dv_translation": q_dv_translation,
     "hudi_delete_translation": q_hudi_delete_translation,
+    "hudi_mor_compaction": q_hudi_mor_compaction,
     "vacuum_orphans": q_vacuum_orphans,
     # -- last driver rows r2-r4 (the 20 stalest)
     "g8_stats_regroup": q_g8_stats_regroup,

@@ -209,13 +209,35 @@ class DeltaSource:
 class HudiSource:
     """``view`` (r11) sets the MOR posture for every scan this source
     runs: None (default) refuses on unmerged log files — a sync must
-    never be silently stale — 'realtime' nets the log write-stats into
-    file-group counts, 'read_optimized' is the explicit stale choice
-    (the reference's only behavior)."""
+    never be silently stale — 'read_optimized' is the explicit stale
+    choice (the reference's only behavior).
+
+    ``view='realtime'`` as a SYNC source refuses while unmerged logs
+    exist (r12): the netted counts are honest to a realtime READER, but a
+    Delta/Iceberg target records file descriptors a target ENGINE scans —
+    base parquet cannot reproduce the netted rows, so the target's data
+    plane would silently disagree with its stats plane
+    (ITOneTableClient.java:716-813 checkDatasetEquivalence is the bar).
+    The fix is materialization: ``HudiTimeline.compact_file_groups()``
+    merges the log blocks into new base files, after which every view
+    syncs row-honest parquet."""
 
     def __init__(self, spark: SparkSession, path: str, view: Optional[str] = None):
         self.timeline = HudiTimeline(spark, path)
         self.view = view
+
+    def _refuse_unmaterialized_realtime(self) -> None:
+        if self.view == "realtime" and self.timeline.has_unmerged_logs():
+            raise ValueError(
+                f"{self.timeline.table_path}: view='realtime' cannot be "
+                "SYNCED while unmerged log files exist — a target engine "
+                "scanning the base parquet cannot reproduce the netted "
+                "rows (stats plane would silently disagree with the data "
+                "plane). Run HudiTimeline.compact_file_groups() to "
+                "materialize the log blocks into base files first, or "
+                "sync view='read_optimized' to accept stale base files "
+                "explicitly."
+            )
 
     def current_snapshot(self) -> Snapshot:
         # S5 (HudiFileStatsExtractor.java:87-103): stats come from the
@@ -225,6 +247,7 @@ class HudiSource:
         # distributed footer read
         from onetable_spark.sources.parquet_inventory import enrich_missing_stats
 
+        self._refuse_unmaterialized_realtime()
         snap = self.timeline.current_snapshot(view=self.view)
         return Snapshot(
             table=snap.table,
@@ -238,6 +261,7 @@ class HudiSource:
         # merge, HudiClient.java:128-149)
         from onetable_spark.formats.hudi import millis_to_instant
 
+        self._refuse_unmaterialized_realtime()
         instants = set(self.timeline.instants_after_millis(millis))
         completed = {i for i, _ in self.timeline.completed_instants()}
         instants |= {millis_to_instant(p) for p in pending} & completed

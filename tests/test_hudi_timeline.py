@@ -461,12 +461,20 @@ def test_unsupported_table_version_refused(spark, hudi_table):
         fresh.completed_instants()
 
 
-def test_mor_realtime_sync_optin(spark, hudi_table):
-    """The sync-source posture completes the MOR story: default refuses
-    on unmerged logs (proved above); source_for(..., view='realtime')
-    syncs the log-adjusted counts into a Delta target explicitly."""
+def test_mor_realtime_sync_materializes_via_compaction(spark, hudi_table):
+    """r12 contract (replaces the r11 netted-counts opt-in): a
+    view='realtime' SYNC source refuses while unmerged logs exist — the
+    netted counts are honest to a realtime reader but a target engine
+    scanning base parquet cannot reproduce them, so the target's data
+    plane would silently disagree with its stats plane.
+    HudiTimeline.compact_file_groups() MATERIALIZES the log blocks
+    (AVRO_DATA upserts + DELETE blocks, instant order) into a new base
+    file per group; afterwards every view agrees, sync succeeds, and the
+    target's read-back rows equal its synced counts
+    (checkDatasetEquivalence, ITOneTableClient.java:716-813)."""
     from onetable_spark.formats.delta import DeltaLog
     from onetable_spark.formats.hudi import _file_id_for
+    from onetable_spark.formats.hudi_log import write_avro_log_block
     from onetable_spark.model import FILES_SCHEMA, SyncStatus
     from onetable_spark.sync import SyncClient, source_for, target_for
 
@@ -474,19 +482,70 @@ def test_mor_realtime_sync_optin(spark, hudi_table):
     tl = HudiTimeline(spark, table_path)
     tl.init_table(table)
     inv = inventory_from_directory(spark, table_path)
-    tl.commit(adds=inv, action="deltacommit")
+    i1 = tl.commit(adds=inv, action="deltacommit")
     base_path, base_count = next(
         (r["path"], r["record_count"])
         for r in tl.snapshot_files(view="read_optimized").collect()
     )
-    gid = _file_id_for(os.path.relpath(base_path, table_path))
+    rel = os.path.relpath(base_path, table_path)
+    gid = _file_id_for(rel)
+
+    # REAL log bytes: an AVRO_DATA block inserting 3 new keys (subset
+    # schema — compaction aligns missing columns to null)
+    log_path = os.path.join(table_path, f".{gid}_{i1}.log.1_0-0-0")
+    sch = {"type": "record", "name": "r",
+           "fields": [{"name": "o_orderkey", "type": "long"}]}
+    write_avro_log_block(
+        log_path, [{"o_orderkey": -1}, {"o_orderkey": -2}, {"o_orderkey": -3}],
+        sch, "20240101000000000",
+    )
     log_inv = spark.createDataFrame(
-        [(os.path.join(table_path, f".{gid}_0-0-1.log.1"),
-          "hoodie_log", {}, 512, 7, None, None)],
+        [(log_path, "hoodie_log", {}, os.path.getsize(log_path), 3, None, None)],
         FILES_SCHEMA,
     )
     tl.commit(adds=log_inv, action="deltacommit")
+    # plus a DELETE block killing the base file's first two keys
+    import pyarrow.parquet as pq
 
+    first_keys = pq.read_table(base_path, columns=["o_orderkey"])[
+        "o_orderkey"
+    ].to_pylist()[:2]
+    tl.commit_delete_logs(
+        spark.createDataFrame(
+            [(base_path, 0), (base_path, 1)], "path string, pos long"
+        )
+    )
+    rt = {r["path"]: r["record_count"]
+          for r in tl.snapshot_files(view="realtime").collect()}
+    assert rt == {base_path: base_count + 3 - 2}
+
+    # realtime SYNC refuses — netted counts are not target-scannable
+    with pytest.raises(ValueError, match="compact_file_groups"):
+        SyncClient(spark).sync(
+            source_for(spark, TableFormat.HUDI, table_path, view="realtime"),
+            [target_for(spark, TableFormat.DELTA, table_path)],
+        )
+
+    # materialize: one new base file per group, logs merged byte-for-row
+    instant = tl.compact_file_groups()
+    assert instant is not None
+    merged = {r["path"]: r["record_count"] for r in tl.snapshot_files().collect()}
+    new_path = next(iter(merged))
+    assert new_path != base_path and f"{gid}_0-0-0_{instant}" in new_path
+    assert merged[new_path] == base_count + 1
+    # idempotent: nothing left to merge
+    assert tl.compact_file_groups() is None
+
+    # data plane == stats plane: the merged parquet holds exactly the
+    # upserted keys minus the deleted ones
+    rows = spark.read.parquet(new_path)
+    assert rows.count() == base_count + 1
+    keys = {r["o_orderkey"] for r in rows.select("o_orderkey").collect()}
+    assert {-1, -2, -3} <= keys
+    assert not (set(first_keys) & keys)
+
+    # realtime sync now SUCCEEDS and the Delta target's descriptor count
+    # matches what a Delta engine scanning the file would count
     res = SyncClient(spark).sync(
         source_for(spark, TableFormat.HUDI, table_path, view="realtime"),
         [target_for(spark, TableFormat.DELTA, table_path)],
@@ -496,4 +555,5 @@ def test_mor_realtime_sync_optin(spark, hudi_table):
         r["path"]: r["record_count"]
         for r in DeltaLog(spark, table_path).snapshot_files().collect()
     }
-    assert got == {base_path: base_count + 7}
+    assert got == {new_path: base_count + 1}
+    assert spark.read.parquet(new_path).count() == got[new_path]

@@ -211,13 +211,16 @@ def test_no_driver_collect_in_query_paths():
     #     row per DV'd file), and dv_translation's two staged-probe
     #     fetches (DV verify row + the single descriptor row) plus the
     #     round-trip contract's two 2-file read-backs
+    #   queries.py r12 sites: hudi_delete_translation's refusal probe +
+    #     its one-log verify fetch (raise/flag before rows materialize),
+    #     and hudi_mor_compaction's 1-file staged equivalence read-back
     #   maintenance.py third site: Iceberg referenced_paths' manifest-list
     #     walk (bounded by manifest count per snapshot)
     sanctioned = {
         "functions/similarity.py": 1,
         "functions/bpe.py": 2,
         "operators/maintenance.py": 3,
-        "queries.py": 10,
+        "queries.py": 13,
     }
     root = pathlib.Path(__file__).parent.parent / "onetable_spark"
     offenders, marked = [], Counter()
