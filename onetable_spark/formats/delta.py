@@ -217,12 +217,10 @@ def _spool_lines(dir_path: str, line_iter) -> str:
     return tmp
 
 
-def _publish_spool(tmp: str, dest: str) -> None:
-    """Create-if-absent publish of a spooled payload: ``os.link`` fails
-    with FileExistsError when ``dest`` exists — the same O_EXCL semantics
-    ``_atomic_write`` relies on, without re-serializing on version-race
-    retries (the one spool file publishes under any version name)."""
-    os.link(tmp, dest)
+# (r12) spool publishing goes through the commit-plane filesystem seam —
+# DeltaLog.fs.publish_if_absent (formats/fs.py) — so object stores inject
+# conditional-put semantics; the former module-level _publish_spool bound
+# os.link directly.
 
 
 @dataclass
@@ -273,10 +271,17 @@ def _check_reader_protocol(protocol: dict, log_path: str) -> None:
 class DeltaLog:
     """Reader/writer for one table's ``_delta_log``."""
 
-    def __init__(self, spark: SparkSession, table_path: str):
+    def __init__(self, spark: SparkSession, table_path: str, fs=None):
+        from onetable_spark.formats.fs import LocalCommitFilesystem
+
         self.spark = spark
         self.table_path = table_path
         self.log_path = os.path.join(table_path, LOG_DIR)
+        #: commit-plane filesystem seam (r12): every visibility-changing
+        #: write — commit publish, checkpoint-part replace,
+        #: _last_checkpoint swap — goes through this, so object-store
+        #: deployments inject conditional-put semantics here
+        self.fs = fs or LocalCommitFilesystem()
         self._reader_checked = False
         #: physical→logical stats/partition key map (column-mapping tables)
         self._cm_map: Optional[dict[str, str]] = None
@@ -964,7 +969,12 @@ class DeltaLog:
             for _ in range(max_retries):
                 version = (self._versions() or [-1])[-1] + 1
                 try:
-                    _publish_spool(spool, _version_path(self.table_path, version))
+                    # put-if-absent through the commit-plane seam: POSIX
+                    # link / object-store conditional put, same O_EXCL
+                    # contract either way
+                    self.fs.publish_if_absent(
+                        spool, _version_path(self.table_path, version)
+                    )
                 except FileExistsError:
                     continue
                 self._maybe_checkpoint(version)
@@ -1251,11 +1261,11 @@ class DeltaLog:
         n = len(written)
         if n == 1:
             final = os.path.join(self.log_path, f"{v:020d}.checkpoint.parquet")
-            os.replace(os.path.join(tmp_dir, written[0]), final)
+            self.fs.replace(os.path.join(tmp_dir, written[0]), final)
             doc = {"version": v}
         else:
             for i, f in enumerate(written, start=1):
-                os.replace(
+                self.fs.replace(
                     os.path.join(tmp_dir, f),
                     os.path.join(
                         self.log_path,
@@ -1266,8 +1276,10 @@ class DeltaLog:
         for leftover in os.listdir(tmp_dir):
             os.remove(os.path.join(tmp_dir, leftover))
         os.rmdir(tmp_dir)
-        with open(os.path.join(self.log_path, "_last_checkpoint"), "w") as f:
-            json.dump(doc, f)
+        # atomic swap: a reader must never see a torn _last_checkpoint
+        self.fs.write_atomic(
+            os.path.join(self.log_path, "_last_checkpoint"), json.dumps(doc)
+        )
 
     # ------------------------------------------------------------ utilities
 

@@ -198,6 +198,34 @@ def _flat_fields(ice_schema: dict) -> dict[str, int]:
     return {f["name"]: f["id"] for f in ice_schema["fields"]}
 
 
+def _flatten_field_paths(fields: list[dict], prefix: str = "") -> dict[int, str]:
+    """Field id → canonical DOT-PATH name, recursing into struct types
+    (``a.b.c`` — the vocabulary IcebergSchemaExtractor.java:137-141 uses
+    for nested columns). Fields nested under maps/lists are intentionally
+    absent: they have no canonical row-wise identity for equality-delete
+    matching."""
+    out: dict[int, str] = {}
+    for f in fields:
+        name = prefix + f["name"]
+        out[int(f["id"])] = name
+        t = f.get("type")
+        if isinstance(t, dict) and t.get("type") == "struct":
+            out.update(_flatten_field_paths(t["fields"], name + "."))
+    return out
+
+
+def _read_leaf_columns(path: str, names: list[str]):
+    """One pyarrow read of ``names`` (dot-paths allowed) as EXACTLY-named
+    leaf columns. ``pq.read_table(columns=['a.b'])`` would rename the
+    output to the bare leaf (collision-prone); dataset field refs keep
+    the dotted name so merge keys stay unambiguous."""
+    import pyarrow.dataset as ds
+
+    return ds.dataset(path, format="parquet").to_table(
+        columns={n: ds.field(*n.split(".")) for n in names}
+    )
+
+
 class _CountingEntries:
     """Single-use iterable that counts manifest entries and rows as
     ``write_container`` streams them to disk — the manifest-list row needs
@@ -776,13 +804,19 @@ class IcebergTable:
         ``to_pandas(integer_object_nulls=True)``, so null tuple values
         match null data values (Java's StructLikeSet parity); float
         columns stay float64 where NaN==NaN under pandas merge, matching
-        the reference engines' Double.equals behavior."""
+        the reference engines' Double.equals behavior.
 
-        id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
+        NESTED struct fields (r12) resolve through the canonical
+        dot-path vocabulary (``a.b.c`` — IcebergSchemaExtractor.java:
+        137-141); both sides project the leaf via pyarrow dataset field
+        refs, so an equality id pointing inside a struct works the same
+        as a top-level one. Fields under maps/lists refuse (no canonical
+        row-wise identity)."""
+
+        id_to_name = _flatten_field_paths(ice_schema["fields"])
 
         def read_tuples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import pyarrow as pa
-            import pyarrow.parquet as pq
 
             for pdf in batches:
                 rows = []
@@ -795,11 +829,12 @@ class IcebergTable:
                         if i not in id_to_name:
                             raise ValueError(
                                 f"{dp}: equality field id {i} is not a "
-                                "top-level column; nested equality deletes "
+                                "top-level column or nested struct path; "
+                                "equality deletes on map/list elements "
                                 "are unsupported"
                             )
                         names.append(id_to_name[i])
-                    t = pq.read_table(dp, columns=names).select(names)
+                    t = _read_leaf_columns(dp, names)
                     sink = pa.BufferOutputStream()
                     with pa.ipc.new_stream(sink, t.schema) as w:
                         w.write_table(t)
@@ -849,7 +884,6 @@ class IcebergTable:
 
         def scan_data(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import numpy as np
-            import pyarrow.parquet as pq
 
             frames_ = b.value
             for pdf in batches:
@@ -867,7 +901,7 @@ class IcebergTable:
                     union = sorted(
                         {id_to_name[i] for ids in live for i in ids}
                     )
-                    data = pq.read_table(path, columns=union).to_pandas(
+                    data = _read_leaf_columns(path, union).to_pandas(
                         integer_object_nulls=True
                     )
                     data["pos"] = np.arange(len(data), dtype=np.int64)

@@ -381,3 +381,75 @@ def test_equality_deletes_translate_to_delta_dvs(spark, sf_dir, tmp_path):
     assert rows["A.parquet"] == truth["A.parquet"]["rows"]
     checks = DeltaLog(spark, base).verify_deletion_vectors().collect()
     assert checks and all(c["dv_ok"] for c in checks)
+
+
+def test_nested_equality_deletes_match_by_dot_path(spark, tmp_path):
+    """r12: equality ids pointing INSIDE a struct resolve through the
+    canonical dot-path vocabulary (IcebergSchemaExtractor.java:137-141)
+    — the data-assisted scan projects the leaf on both sides via pyarrow
+    dataset field refs and kills exactly the matching rows. Exercises
+    _equality_match_positions directly over hand-built nested parquet
+    (the foreign fixture tool is flat-region-shaped)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from onetable_spark.formats.iceberg import _flatten_field_paths
+
+    base = str(tmp_path)
+    data_path = os.path.join(base, "data.parquet")
+    addr = pa.struct([("city", pa.string()), ("zip", pa.int32())])
+    pq.write_table(
+        pa.table({
+            "id": pa.array([1, 2, 3, 4], pa.int32()),
+            "addr": pa.array(
+                [{"city": "aa", "zip": 10}, {"city": "bb", "zip": 20},
+                 {"city": "aa", "zip": 30}, {"city": None, "zip": 40}],
+                addr,
+            ),
+        }),
+        data_path,
+    )
+    del_path = os.path.join(base, "eq-del.parquet")
+    pq.write_table(
+        pa.table({"addr": pa.array(
+            [{"city": "aa", "zip": None}, {"city": None, "zip": None}],
+            addr,
+        )}),
+        del_path,
+    )
+    ice_schema = {
+        "type": "struct",
+        "fields": [
+            {"id": 1, "name": "id", "required": True, "type": "int"},
+            {"id": 2, "name": "addr", "required": False, "type": {
+                "type": "struct",
+                "fields": [
+                    {"id": 3, "name": "city", "required": False, "type": "string"},
+                    {"id": 4, "name": "zip", "required": False, "type": "int"},
+                ],
+            }},
+        ],
+    }
+    assert _flatten_field_paths(ice_schema["fields"]) == {
+        1: "id", 2: "addr", 3: "addr.city", 4: "addr.zip",
+    }
+    tbl = IcebergTable(spark, base)
+    base_with_seq = spark.createDataFrame(
+        [(data_path, 1)], "path string, _seq long"
+    )
+    eq_files = spark.createDataFrame(
+        [(del_path, 2, 2, [3])],
+        "delete_path string, delete_seq long, content int, equality_ids array<int>",
+    )
+    hits = tbl._equality_match_positions(base_with_seq, eq_files, ice_schema)
+    # city='aa' kills positions 0 and 2; the null-city delete tuple kills
+    # position 3 (null matches null — StructLikeSet parity)
+    assert sorted(r["pos"] for r in hits.collect()) == [0, 2, 3]
+
+    # an id under the struct but unknown to the schema refuses loudly
+    bad = spark.createDataFrame(
+        [(del_path, 2, 2, [99])],
+        "delete_path string, delete_seq long, content int, equality_ids array<int>",
+    )
+    with pytest.raises(Exception, match="not a top-level column or nested"):
+        tbl._equality_match_positions(base_with_seq, bad, ice_schema).collect()

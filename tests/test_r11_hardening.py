@@ -337,3 +337,56 @@ def test_multipart_checkpoint_write_and_replay(spark, sf_dir, tmp_path):
     os.remove(os.path.join(log.log_path, parts[1]))
     with pytest.raises(ValueError, match="incomplete/torn"):
         DeltaLog(spark, base).snapshot_files().count()
+
+
+def test_commit_plane_goes_through_filesystem_seam(spark, sf_dir, tmp_path, monkeypatch):
+    """r12 (VERDICT #8): the commit plane's visibility-changing writes —
+    commit publish, checkpoint-part replace, _last_checkpoint swap — go
+    through the injectable CommitFilesystem seam. A fake object store
+    (conditional-put via exists-check + copy, NO hard links) drives a
+    full commit + multi-part checkpoint lifecycle; os.link is poisoned to
+    prove the log writer no longer binds POSIX directly."""
+    import shutil as _sh
+
+    class FakeObjectStore:
+        """Copy-based conditional put — what an S3/GCS adapter does."""
+
+        def __init__(self):
+            self.puts = []
+            self.replaces = []
+            self.docs = []
+
+        def publish_if_absent(self, src, dest):
+            if os.path.exists(dest):
+                raise FileExistsError(dest)
+            _sh.copyfile(src, dest)
+            self.puts.append(dest)
+
+        def replace(self, src, dest):
+            _sh.copyfile(src, dest)
+            os.remove(src)
+            self.replaces.append(dest)
+
+        def write_atomic(self, path, data):
+            with open(path + ".staged", "w") as f:
+                f.write(data)
+            os.rename(path + ".staged", path)
+            self.docs.append(path)
+
+    base = str(tmp_path / "seam")
+    fake = FakeObjectStore()
+    _stage_delta(spark, sf_dir, base, n_small=3)
+
+    def no_link(*a, **k):
+        raise AssertionError("commit plane bound os.link directly")
+
+    monkeypatch.setattr(os, "link", no_link)
+    log = DeltaLog(spark, base, fs=fake)
+    log.commit(operation="SEAM-PROBE")
+    log.checkpoint(parts=2)
+    assert fake.puts, "commit publish bypassed the seam"
+    assert fake.replaces, "checkpoint parts bypassed the seam"
+    assert any(p.endswith("_last_checkpoint") for p in fake.docs)
+    # the table written through the fake store reads back whole
+    fresh = DeltaLog(spark, base)
+    assert fresh.snapshot_files().count() == 3
