@@ -11,6 +11,16 @@ before the timed loop and is reported separately per family: "queries"
 times measure each query's own read-back plan and are therefore
 plan-attributable round-over-round; "staging" carries the build cost that
 previously landed on whichever consumer ran first.
+
+r12 SEMANTICS CHANGE, explicit for round-over-round readers: staging now
+runs CONCURRENTLY (6 threads — families are independent table dirs whose
+builds are dominated by tiny-job scheduling latency), so "staging_total"
+is the staging PHASE WALL — what the phase actually costs this bench run
+(the number that was the bench's dominant cost in r11). The per-family
+"staging" seconds are still measured inside each build for attribution
+but are contention-inflated under the pool; their sum is reported as
+"staging_family_sum" and is NOT comparable to the pre-r12 serial
+staging_total.
 """
 
 from __future__ import annotations
@@ -79,8 +89,24 @@ def main() -> None:
     # timed loop below measures every query's own read-back plan.
     from onetable_spark.queries import STAGED_QUERIES, STAGING_SECONDS
 
-    for name in STAGED_QUERIES:
-        SPARK_QUERIES[name](spark, sf_dir).count()
+    # Stage CONCURRENTLY (r12): the ~25 lifecycle families are independent
+    # table dirs whose builds are dominated by many tiny Spark jobs —
+    # running them from a thread pool overlaps scheduling latency and cuts
+    # the staging WALL several-fold. "staging" per-family seconds keep
+    # their historical sum semantics (measured inside each build, slightly
+    # contention-inflated); "staging_wall" reports what the phase actually
+    # cost the bench.
+    from concurrent.futures import ThreadPoolExecutor
+
+    stage_t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        futures = {
+            name: pool.submit(lambda n=name: SPARK_QUERIES[n](spark, sf_dir).count())
+            for name in STAGED_QUERIES
+        }
+        for name, fut in futures.items():
+            fut.result()  # propagate the first staging failure loudly
+    staging_wall = round(time.perf_counter() - stage_t0, 4)
 
     timings: dict[str, float] = {}
     for name in sorted(SPARK_QUERIES):
@@ -91,7 +117,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - start, 4)
 
     total = round(sum(timings.values()), 4)
-    staging_total = round(sum(STAGING_SECONDS.values()), 4)
+    staging_family_sum = round(sum(STAGING_SECONDS.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     doc = {
         "metric": "headline_queries_total_wall",
@@ -99,7 +125,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "staging": dict(sorted(STAGING_SECONDS.items())),
-        "staging_total": staging_total,
+        # r12: staging_total == the staging PHASE WALL (concurrent build);
+        # the old serial per-family sum lives in staging_family_sum
+        "staging_total": staging_wall,
+        "staging_family_sum": staging_family_sum,
         "sf": sf_val,
     }
     # Durable local copy (full 4-decimal precision): the driver's recorded
@@ -116,7 +145,8 @@ def main() -> None:
     doc["queries"] = {k: round(v, 2) for k, v in timings.items()}
     doc["staging"] = {k: round(v, 2) for k, v in STAGING_SECONDS.items()}
     doc["value"] = round(total, 2)
-    doc["staging_total"] = round(staging_total, 2)
+    doc["staging_total"] = round(staging_wall, 2)
+    doc["staging_family_sum"] = round(staging_family_sum, 2)
     print(json.dumps(doc, separators=(",", ":")))
     spark.stop()
 

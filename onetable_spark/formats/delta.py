@@ -217,6 +217,23 @@ def _spool_lines(dir_path: str, line_iter) -> str:
     return tmp
 
 
+def _actions_head(spark: SparkSession, action_jsons: list[str]) -> DataFrame:
+    """Parse a handful of action-JSON strings into ACTION_SCHEMA rows
+    entirely JVM-side: ``range(1) → explode(array(lit…)) → from_json``.
+    Two prior shapes were measured pathological on wide-core local
+    masters: ``.rdd.map`` + ``spark.read.json`` spins Python workers per
+    job, and even a plain python-local ``createDataFrame`` costs ~4 s per
+    parquet WRITE on local[32] (vs 0.3 s for a JVM-born frame) — a
+    constant every checkpoint used to pay."""
+    arr = F.array(*[F.lit(s) for s in action_jsons])
+    return (
+        spark.range(1)
+        .select(F.explode(arr).alias("value"))
+        .select(F.from_json("value", ACTION_SCHEMA).alias("a"))
+        .select("a.add", "a.remove", "a.metaData", "a.protocol")
+    )
+
+
 # (r12) spool publishing goes through the commit-plane filesystem seam —
 # DeltaLog.fs.publish_if_absent (formats/fs.py) — so object stores inject
 # conditional-put semantics; the former module-level _publish_spool bound
@@ -1198,15 +1215,13 @@ class DeltaLog:
             F.lit(None).cast(METADATA_SCHEMA).alias("metaData"),
             F.lit(None).cast(PROTOCOL_SCHEMA).alias("protocol"),
         )
-        head = self.spark.read.schema(ACTION_SCHEMA).json(
-            self.spark.createDataFrame(
-                [
-                    (json.dumps({"protocol": info.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}}),),
-                    (json.dumps({"metaData": info.metadata}),),
-                ],
-                "value string",
-            ).rdd.map(lambda r: r[0])
-        ).select("add", "remove", "metaData", "protocol")
+        head = _actions_head(
+            self.spark,
+            [
+                json.dumps({"protocol": info.protocol or {"minReaderVersion": 1, "minWriterVersion": 2}}),
+                json.dumps({"metaData": info.metadata}),
+            ],
+        )
         self._publish_checkpoint(v, head.unionByName(add_rows), parts)
 
     def _checkpoint_verbatim(self, v: int, live_adds: DataFrame, parts: int = 1) -> None:
@@ -1227,15 +1242,10 @@ class DeltaLog:
             F.lit(None).cast(METADATA_SCHEMA).alias("metaData"),
             F.lit(None).cast(PROTOCOL_SCHEMA).alias("protocol"),
         )
-        head = self.spark.read.schema(ACTION_SCHEMA).json(
-            self.spark.createDataFrame(
-                [
-                    (json.dumps({"protocol": protocol}),),
-                    (json.dumps({"metaData": info.metadata}),),
-                ],
-                "value string",
-            ).rdd.map(lambda r: r[0])
-        ).select("add", "remove", "metaData", "protocol")
+        head = _actions_head(
+            self.spark,
+            [json.dumps({"protocol": protocol}), json.dumps({"metaData": info.metadata})],
+        )
         self._publish_checkpoint(v, head.unionByName(add_rows), parts)
 
     def _publish_checkpoint(self, v: int, parsed, parts: int = 1) -> None:

@@ -1913,6 +1913,230 @@ class IcebergTable:
         self._write_metadata(version + 1, md)
         return snapshot_id
 
+    def rewrite_data_files(
+        self, apply_equality_deletes: bool = False, max_retries: int = 3
+    ) -> Optional[int]:
+        """COMPACTION that APPLIES row-level deletes (r12): every data
+        file with applicable position (and, opted-in, equality) deletes
+        is rewritten WITHOUT the dead rows into a new parquet, and one
+        REPLACE snapshot publishes the result — new files ADDED at the
+        new sequence number (inherited), untouched files carried as
+        EXISTING entries with their ORIGINAL sequence numbers explicit
+        (v2 inheritance applies only to ADDED entries; inheriting here
+        would wrongly re-scope them), replaced files as DELETED entries,
+        and the delete manifests dropped entirely. Dropping them is
+        value-exact: a surviving delete tuple matched zero rows in the
+        carried files (it produced no positions) and can never apply to
+        the new files (their data sequence number exceeds every delete's).
+
+        This is the operation the equality-delete refusals point at —
+        the Iceberg sibling of ``HudiTimeline.compact_file_groups``. The
+        reference has no compaction (and silently ignores delete files,
+        IcebergSourceClient.java:169-194). Rewrites run one affected file
+        per task (applyInPandas); carried EXISTING entries stream through
+        the Arrow-batched entry iterator, the same driver bound every
+        commit plane here accepts. Returns the replace snapshot id, or
+        None when no delete resolves to a live position."""
+        for attempt in range(max_retries):
+            try:
+                return self._rewrite_data_files_once(apply_equality_deletes)
+            except CommitConflictError:
+                if attempt == max_retries - 1:
+                    raise
+                time.sleep(0.02 * (attempt + 1))
+        raise AssertionError("unreachable")
+
+    def _rewrite_data_files_once(self, apply_equality: bool) -> Optional[int]:
+        version = self.current_version()
+        md = self.metadata(version)
+        if self._spec_for(md):
+            raise ValueError(
+                f"{self.table_path}: rewrite_data_files on partitioned "
+                "specs is not implemented"
+            )
+        snap = self.current_snapshot_meta(md)
+        if snap is None:
+            return None
+        _, manifests = read_container(snap["manifest-list"])
+        data, deletes = _split_manifests(manifests)
+        if not deletes:
+            return None
+        ice_schema = self._schema_for(md)
+        spec = self._spec_for(md)
+        base = self._decode_manifests(
+            [m["manifest_path"] for m in data], ice_schema, spec,
+            statuses=(STATUS_ADDED, STATUS_EXISTING),
+            seq_by_manifest={
+                m["manifest_path"]: m.get("sequence_number", 0) for m in data
+            },
+        )
+        positions = self._deleted_positions(
+            base, deletes, ice_schema=ice_schema, apply_equality=apply_equality
+        )
+        # driver-ok: emptiness probe, one boolean
+        if positions.isEmpty():
+            return None
+
+        table_path = self.table_path
+        data_dir = os.path.join(table_path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+
+        def rewrite(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            import pyarrow.parquet as pq
+
+            path = key[0]
+            t = pq.read_table(path)
+            dead = {int(p) for p in pdf["pos"]}
+            survivors = [i for i in range(len(t)) if i not in dead]
+            out = os.path.join(
+                data_dir, f"rewritten-{uuid.uuid4().hex}.parquet"
+            )
+            pq.write_table(t.take(survivors), out)
+            return pd.DataFrame([{"old_path": path, "new_path": out}])
+
+        # eager localCheckpoint: the rewrite WRITES files — the commit
+        # below must read one materialized run, not re-execute
+        mapping = (
+            positions.groupBy("path")
+            .applyInPandas(rewrite, "old_path string, new_path string")
+            .localCheckpoint(eager=True)
+        )
+        # driver-ok: one row per AFFECTED file (the rewrite payload)
+        pairs = mapping.collect()
+        old_paths = [r["old_path"] for r in pairs]
+        new_paths = sorted(r["new_path"] for r in pairs)
+
+        from onetable_spark.model import iter_inventory_rows
+        from onetable_spark.sources.parquet_inventory import build_inventory
+
+        new_inv = build_inventory(self.spark, new_paths, root=table_path)
+        old_df = self.spark.createDataFrame(
+            [(p,) for p in old_paths], "path string"
+        )
+        carried = base.join(old_df, "path", "left_anti")
+        replaced = base.join(old_df, "path")
+
+        now = int(time.time() * 1000)
+        snapshot_id = int.from_bytes(os.urandom(7), "big")
+        fv = md.get("format-version", 1)
+        seq = (md.get("last-sequence-number", 0) + 1) if fv == 2 else None
+        apt = {
+            f["name"]: f["type"][1]
+            for f in self._partition_avro_fields(ice_schema, spec)
+        }
+        n2i = _flat_fields(ice_schema)
+        i2t = {f["id"]: f["type"] for f in ice_schema["fields"]}
+        entry_schema = _manifest_entry_schema(
+            self._partition_avro_fields(ice_schema, spec), v2=(fv == 2)
+        )
+
+        def explicit_seq(row, status: int) -> dict:
+            e = _entry_from_data(
+                row, snapshot_id, status, ice_schema, spec, apt, n2i, i2t
+            )
+            if fv == 2:
+                # EXISTING/DELETED entries must carry their original data
+                # sequence number explicitly — inheritance is ADDED-only
+                e["sequence_number"] = int(row["_seq"])
+                e["file_sequence_number"] = int(row["_seq"])
+            return e
+
+        added_entries = _CountingEntries(
+            _entry_from_data(
+                row, snapshot_id, STATUS_ADDED, ice_schema, spec, apt, n2i, i2t
+            )
+            for row in iter_inventory_rows(new_inv)
+        )
+        carried_entries = _CountingEntries(
+            explicit_seq(row, STATUS_EXISTING)
+            for row in iter_inventory_rows(carried)
+        )
+        # driver-ok: bounded — this commit's own removal payload
+        deleted_entries = [
+            explicit_seq(row, STATUS_DELETED) for row in replaced.collect()
+        ]
+        # driver-ok: one MIN scalar for the existing manifest's seq floor
+        min_carried = carried.agg(F.min("_seq")).first()[0]
+
+        out_manifests = []
+        for tag, entries in (
+            ("added", added_entries),
+            ("existing", carried_entries),
+            ("deleted", deleted_entries),
+        ):
+            mpath = os.path.join(
+                self.metadata_dir, f"{uuid.uuid4().hex}-m-rw-{tag}.avro"
+            )
+            write_container(mpath, entry_schema, entries)
+            if isinstance(entries, _CountingEntries):
+                n_entries, rows_count = entries.count, entries.rows
+            else:
+                n_entries = len(entries)
+                rows_count = sum(e["data_file"]["record_count"] for e in entries)
+            if n_entries == 0:
+                os.remove(mpath)
+                continue
+            min_seq = seq if tag == "added" else (
+                int(min_carried) if tag == "existing" and min_carried is not None
+                else seq
+            )
+            out_manifests.append(
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": md.get("default-spec-id", 0),
+                    **(
+                        {"content": _CONTENT_DATA, "sequence_number": seq,
+                         "min_sequence_number": min_seq,
+                         "added_files_count": n_entries if tag == "added" else 0,
+                         "existing_files_count": n_entries if tag == "existing" else 0,
+                         "deleted_files_count": n_entries if tag == "deleted" else 0}
+                        if fv == 2
+                        else {}
+                    ),
+                    "added_snapshot_id": snapshot_id,
+                    "added_data_files_count": n_entries if tag == "added" else 0,
+                    "existing_data_files_count": n_entries if tag == "existing" else 0,
+                    "deleted_data_files_count": n_entries if tag == "deleted" else 0,
+                    "added_rows_count": rows_count if tag == "added" else 0,
+                    "existing_rows_count": rows_count if tag == "existing" else 0,
+                    "deleted_rows_count": rows_count if tag == "deleted" else 0,
+                }
+            )
+        mlist = os.path.join(
+            self.metadata_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+        )
+        write_container(
+            mlist,
+            MANIFEST_LIST_SCHEMA_V2 if fv == 2 else MANIFEST_LIST_SCHEMA,
+            out_manifests,
+        )
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": now,
+            "summary": {
+                "operation": "replace",
+                "rewritten-data-files": str(len(old_paths)),
+                "removed-delete-files": str(
+                    sum(int(m.get("added_files_count") or m.get("added_data_files_count") or 0) for m in deletes)
+                ),
+            },
+            "manifest-list": mlist,
+            "schema-id": md.get("current-schema-id", 0),
+            "parent-snapshot-id": snap["snapshot-id"],
+        }
+        if fv == 2:
+            snapshot["sequence-number"] = seq
+            md["last-sequence-number"] = seq
+        md["snapshots"] = md.get("snapshots", []) + [snapshot]
+        md["current-snapshot-id"] = snapshot_id
+        md["last-updated-ms"] = now
+        md.setdefault("snapshot-log", []).append(
+            {"timestamp-ms": now, "snapshot-id": snapshot_id}
+        )
+        self._write_metadata(version + 1, md)
+        return snapshot_id
+
     def _expire(self, md: dict, older_than_millis: int) -> None:
         """Expire snapshots older than the retention horizon, keeping the
         current one and any ancestor chain integrity. Manifest lists and

@@ -44,6 +44,13 @@ from onetable_spark.session import load_table
 
 _CORPUS_CACHE: dict = {}
 
+#: per-(family, session, sf) build locks — staging runs from a thread
+#: pool in bench.py and several queries share one family (r12)
+import threading as _threading  # noqa: E402
+
+_STAGE_LOCK_GUARD = _threading.Lock()
+_STAGE_LOCKS: dict = {}
+
 
 def _corpus_token_hashes(spark: SparkSession, sf: str) -> DataFrame:
     """(id, th) ordered token-hash table over `documents`, persisted once
@@ -2456,21 +2463,29 @@ def _staged_once(spark: SparkSession, sf: str, family: str, builder):
     later calls reuse the build's returned context; the scratch dir stays
     pid-keyed so concurrent harness processes cannot rmtree each other's
     live tables. Build wall-clock lands in ``STAGING_SECONDS[family]``.
-    Returns whatever ``builder(base_dir)`` returned."""
+    Thread-safe (r12): bench.py stages families from a thread pool, and
+    several queries share one family — a per-key lock makes the build
+    exactly-once instead of two threads rmtree-ing each other's
+    half-built lifecycle. Returns whatever ``builder(base_dir)``
+    returned."""
     import os
     import shutil
+    import threading
     import time
 
     key = ("sync_stage", family, id(spark), sf)
-    if key not in _CORPUS_CACHE:
-        base = _scratch_dir(family, sf)
-        shutil.rmtree(base, ignore_errors=True)
-        os.makedirs(base, exist_ok=True)
-        t0 = time.perf_counter()
-        _CORPUS_CACHE[key] = builder(base)
-        STAGING_SECONDS[family] = round(
-            STAGING_SECONDS.get(family, 0.0) + time.perf_counter() - t0, 4
-        )
+    with _STAGE_LOCK_GUARD:
+        lock = _STAGE_LOCKS.setdefault(key, threading.Lock())
+    with lock:
+        if key not in _CORPUS_CACHE:
+            base = _scratch_dir(family, sf)
+            shutil.rmtree(base, ignore_errors=True)
+            os.makedirs(base, exist_ok=True)
+            t0 = time.perf_counter()
+            _CORPUS_CACHE[key] = builder(base)
+            STAGING_SECONDS[family] = round(
+                STAGING_SECONDS.get(family, 0.0) + time.perf_counter() - t0, 4
+            )
     return _CORPUS_CACHE[key]
 
 

@@ -73,16 +73,27 @@ class SnapshotReaderAdapter:
     """Adapts any SourceClient (ParquetSource/DeltaSource/HudiSource/
     IcebergSource — everything sync() can read from) into the TableReader
     protocol, so a sync source can be validated against its targets even
-    when it has no standalone metadata reader (plain parquet)."""
+    when it has no standalone metadata reader (plain parquet).
+
+    The snapshot is extracted ONCE and cached (r12): a validate() run
+    consults descriptor and files several times per check set, and
+    ``current_snapshot()`` is not free — a Hudi source re-derives the
+    timeline and runs its staleness probes on every call."""
 
     def __init__(self, source) -> None:
         self._source = source
+        self._snap = None
+
+    def _snapshot(self):
+        if self._snap is None:
+            self._snap = self._source.current_snapshot()
+        return self._snap
 
     def table_descriptor(self) -> Table:
-        return self._source.current_snapshot().table
+        return self._snapshot().table
 
     def snapshot_files(self) -> DataFrame:
-        return self._source.current_snapshot().files
+        return self._snapshot().files
 
 
 class SyncValidator:
@@ -97,17 +108,36 @@ class SyncValidator:
         target: TableReader,
         checks: tuple[ValidationCheck, ...] = ALL_CHECKS,
     ) -> dict[ValidationCheck, ValidationResult]:
+        # the two inventory-level checks share ONE aggregation job over
+        # the full-outer join (r12): file/record totals AND per-file drift
+        # fall out of the same pass, halving the Spark-job count of every
+        # post-sync validation (13 staged lifecycles run this per target)
+        cmp_cache: dict = {}
+
+        def inv_cmp():
+            if "row" not in cmp_cache:
+                cmp_cache["row"], cmp_cache["bad"] = self._inventory_comparison(
+                    source, target
+                )
+            return cmp_cache["row"], cmp_cache["bad"]
+
         impl = {
-            ValidationCheck.CHECK_TABLE_SPEC: self._check_table_spec,
-            ValidationCheck.CHECK_SCHEMA: self._check_schema,
-            ValidationCheck.CHECK_BASIC_COUNTS: self._check_basic_counts,
-            ValidationCheck.COMPARE_STATISTICS: self._compare_statistics,
+            ValidationCheck.CHECK_TABLE_SPEC: lambda: self._check_table_spec(
+                source, target
+            ),
+            ValidationCheck.CHECK_SCHEMA: lambda: self._check_schema(source, target),
+            ValidationCheck.CHECK_BASIC_COUNTS: lambda: self._check_basic_counts(
+                inv_cmp
+            ),
+            ValidationCheck.COMPARE_STATISTICS: lambda: self._compare_statistics(
+                inv_cmp
+            ),
         }
         out: dict[ValidationCheck, ValidationResult] = {}
         for check in checks:
             err: Optional[str]
             try:
-                err = impl[check](source, target)
+                err = impl[check]()
             except Exception as e:  # noqa: BLE001 — a crash is a failed check
                 err = f"{type(e).__name__}: {e}"
             out[check] = ValidationResult(
@@ -117,6 +147,38 @@ class SyncValidator:
                 error_message=err,
             )
         return out
+
+    @staticmethod
+    def _inventory_comparison(source: TableReader, target: TableReader):
+        """One aggregation over the full-outer join of both inventories:
+        per-side file/record totals plus the per-file drift count. Returns
+        (totals_row, bad_frame) — the bad frame is only ACTED on (example
+        fetch) when the drift count is non-zero, so the happy path costs a
+        single Spark job."""
+        cols = ["file_name", "record_count", "size"]
+        s = _file_key(source.snapshot_files()).select(*cols).withColumn(
+            "_one", F.lit(1)
+        )
+        t = _file_key(target.snapshot_files()).select(*cols).withColumn(
+            "_one", F.lit(1)
+        )
+        joined = s.alias("s").join(t.alias("t"), "file_name", "full_outer")
+        # null-SAFE comparisons: a commit plane that DROPS a stat (NULL on
+        # one side) is drift, and a plain != would evaluate to NULL and
+        # slip through the filter
+        bad_cond = ~F.col("s.record_count").eqNullSafe(F.col("t.record_count")) | ~F.col(
+            "s.size"
+        ).eqNullSafe(F.col("t.size"))
+        bad = joined.filter(bad_cond)
+        # driver-ok: single aggregated row for both inventory checks
+        row = joined.agg(
+            F.coalesce(F.sum("s._one"), F.lit(0)).alias("s_nf"),
+            F.coalesce(F.sum("t._one"), F.lit(0)).alias("t_nf"),
+            F.sum("s.record_count").alias("s_nr"),
+            F.sum("t.record_count").alias("t_nr"),
+            F.sum(F.when(bad_cond, 1).otherwise(0)).alias("n_bad"),
+        ).first()
+        return row, bad
 
     @staticmethod
     def _check_table_spec(source: TableReader, target: TableReader) -> Optional[str]:
@@ -169,42 +231,27 @@ class SyncValidator:
         return None
 
     @staticmethod
-    def _check_basic_counts(source: TableReader, target: TableReader) -> Optional[str]:
-        """File count and total record count agree — one 2-value agg per
-        side, nothing else reaches the driver."""
-        # driver-ok: single aggregated row per side
-        s = source.snapshot_files().agg(
-            F.count(F.lit(1)).alias("nf"), F.sum("record_count").alias("nr")
-        ).first()
-        t = target.snapshot_files().agg(
-            F.count(F.lit(1)).alias("nf"), F.sum("record_count").alias("nr")
-        ).first()
-        if (s["nf"], s["nr"]) != (t["nf"], t["nr"]):
+    def _check_basic_counts(inv_cmp) -> Optional[str]:
+        """File count and total record count agree — read off the shared
+        inventory-comparison aggregation."""
+        row, _ = inv_cmp()
+        if (row["s_nf"], row["s_nr"]) != (row["t_nf"], row["t_nr"]):
             return (
-                f"counts drift: source files={s['nf']} rows={s['nr']} "
-                f"target files={t['nf']} rows={t['nr']}"
+                f"counts drift: source files={row['s_nf']} rows={row['s_nr']} "
+                f"target files={row['t_nf']} rows={row['t_nr']}"
             )
         return None
 
     @staticmethod
-    def _compare_statistics(source: TableReader, target: TableReader) -> Optional[str]:
+    def _compare_statistics(inv_cmp) -> Optional[str]:
         """Per-file statistics (record_count, size) agree file-by-file:
-        full-outer join on file name, mismatches counted distributed, ≤3
-        example names fetched for the message."""
-        cols = ["file_name", "record_count", "size"]
-        s = _file_key(source.snapshot_files()).select(*cols)
-        t = _file_key(target.snapshot_files()).select(*cols)
-        joined = s.alias("s").join(t.alias("t"), "file_name", "full_outer")
-        # null-SAFE comparisons: a commit plane that DROPS a stat (NULL on
-        # one side) is drift, and a plain != would evaluate to NULL and
-        # slip through the filter
-        bad = joined.filter(
-            ~F.col("s.record_count").eqNullSafe(F.col("t.record_count"))
-            | ~F.col("s.size").eqNullSafe(F.col("t.size"))
-        )
-        # driver-ok: bounded 3-row example sample + one count
-        examples = [r["file_name"] for r in bad.select("file_name").limit(3).collect()]
-        if examples:
-            n_bad = bad.count()
-            return f"per-file stats drift on {n_bad} files, e.g. {examples}"
+        drift count from the shared aggregation; ≤3 example names fetched
+        only when drift exists."""
+        row, bad = inv_cmp()
+        if row["n_bad"]:
+            # driver-ok: bounded 3-row example sample on the failure path
+            examples = [
+                r["file_name"] for r in bad.select("file_name").limit(3).collect()
+            ]
+            return f"per-file stats drift on {row['n_bad']} files, e.g. {examples}"
         return None

@@ -453,3 +453,64 @@ def test_nested_equality_deletes_match_by_dot_path(spark, tmp_path):
     )
     with pytest.raises(Exception, match="not a top-level column or nested"):
         tbl._equality_match_positions(base_with_seq, bad, ice_schema).collect()
+
+
+def test_rewrite_data_files_applies_deletes_and_drops_them(spark, sf_dir, tmp_path):
+    """r12 COMPACTION: rewrite_data_files materializes the position AND
+    equality deletes into a new parquet (one affected file per task),
+    carries untouched files as EXISTING entries with their ORIGINAL
+    sequence numbers, and drops the delete manifests — the operation the
+    equality-delete refusal messages point at. After it, the DEFAULT scan
+    (no opt-in) returns the net counts, the new parquet's own rows are
+    exactly the survivors, time travel still sees the MoR snapshot, and a
+    second call is a no-op."""
+    import pyarrow.parquet as pq
+
+    from tools.foreign_iceberg import (
+        add_equality_deletes,
+        add_position_deletes,
+        write_foreign_iceberg_table,
+    )
+
+    base = str(tmp_path / "rw")
+    os.makedirs(base)
+    truth = write_foreign_iceberg_table(
+        spark, base, os.path.join(sf_dir, "region.parquet")
+    )
+    truth = add_position_deletes(spark, base, truth)
+    add_equality_deletes(spark, base, truth)
+    tbl = IcebergTable(spark, base)
+    pre_snap = tbl.metadata()["current-snapshot-id"]
+    with pytest.raises(Exception, match="EQUALITY delete"):
+        tbl.snapshot_files().collect()
+
+    snap = tbl.rewrite_data_files(apply_equality_deletes=True)
+    assert snap is not None
+
+    b_keys = pq.read_table(
+        os.path.join(base, "data", "B.parquet"), columns=["r_regionkey"]
+    )["r_regionkey"].to_pylist()
+    survivors_b = sorted(k for k in b_keys if k % 2 == 0 and k not in (3, 4))
+    rows = {
+        os.path.basename(r["path"]): r
+        for r in tbl.snapshot_files().collect()  # DEFAULT scan — no opt-in
+    }
+    assert rows["A.parquet"]["record_count"] == truth["A.parquet"]["rows"]
+    new_name = next(n for n in rows if n.startswith("rewritten-"))
+    assert rows[new_name]["record_count"] == len(survivors_b)
+    # the new parquet's own rows are the survivors — data == stats plane
+    got = pq.read_table(
+        os.path.join(base, "data", new_name), columns=["r_regionkey"]
+    )["r_regionkey"].to_pylist()
+    assert sorted(got) == survivors_b
+    # untouched A carried with its ORIGINAL sequence number: a fresh scan
+    # of the pre-rewrite snapshot still nets via the delete manifests
+    pre = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in tbl.snapshot_files(
+            snapshot_id=pre_snap, apply_equality_deletes=True
+        ).collect()
+    }
+    assert pre["B.parquet"] == len(survivors_b)
+    # idempotent: all deletes are applied and dropped
+    assert tbl.rewrite_data_files(apply_equality_deletes=True) is None
