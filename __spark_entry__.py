@@ -4,7 +4,42 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 11: 130 queries. New in round 11 (also
+Surface as of round 12: 134 queries. New in round 12:
+`hudi_delete_translation` — the THIRD edge of the cross-format delete
+triangle: Iceberg position deletes become REAL HoodieLogFormat DELETE
+blocks (type 1, record keys read at the deleted positions on
+executors, byte layout pinned against the reference's real Hudi-0.14
+log files), the realtime view nets them, and a key-merge over the base
+parquet proves row-level fidelity;
+`hudi_mor_compaction` — MOR log blocks (AVRO_DATA inserts + DELETE
+keys) MATERIALIZED into a new base parquet by compact_file_groups
+(instant-order upsert-by-key, file-group id preserved), after which
+the default view reads clean and the data plane equals the stats
+plane; `iceberg_rewrite_files` — Iceberg COMPACTION that APPLIES
+row-level deletes: rewrite_data_files rewrites each affected data file
+without its dead rows, publishes one REPLACE snapshot (rewritten files
+ADDED at the new sequence number, untouched files carried EXISTING
+with original sequence numbers, delete manifests dropped), and leaves
+a table the DEFAULT scan — and the reference reader, which ignores
+delete files — now reads correctly; time travel to the pre-rewrite
+snapshot still nets through the carried delete manifests;
+`delta_dv_purge` — Delta REORG ... APPLY (PURGE), the Iceberg
+rewrite's sibling: every DV'd AddFile is rewritten without its dead
+rows (bitmap decoded on the executor), one REORG commit swaps
+remove+add with honest raw stats, no live DV remains, time travel
+still nets through the old descriptors, and a DV that killed every
+row purges to a plain remove. Also r12:
+nested-struct equality deletes via canonical dot paths, the commit
+plane routed through the injectable filesystem seam, the eq-delete
+data-assisted scan vectorized (pandas hash-join per field set, each
+data file read once for the union of field sets), DV codec key framing
+fixed to the real Delta layout (4-byte LE key per bitmap), single-
+replay checkpoints, URL-decode parity on DV'd paths, and concurrent
+bench staging. The driver window is ROTATED for r12 (VERDICT r11 #5):
+the four newcomers, then the 30 queries whose last driver row was r9,
+then 16 of the r10 cohort (alphabetical) as fill.
+
+Round 11 summary (all still green; also
 `iceberg_eq_deletes` — EQUALITY deletes via the opt-in data-assisted
 column scan, refusal by default, union-deduped with position deletes —
 and `dv_translation` — row-level deletes TRANSLATED across formats in
@@ -33,9 +68,6 @@ as Delta; the probe executes as literal PARTITION PRUNING
 snapshot REFUSES on unmerged log files; view='read_optimized' is the
 explicit stale choice; view='realtime' nets log write-stats
 (numInserts − numDeletes) into file-group record counts.
-The driver window is ROTATED for r11 (VERDICT r10 #4): the four
-newcomers, then the 24 queries whose last driver row was r7, then the
-r9-sampled g1-g7 + tpch_q1-q15 as next-stalest fill.
 
 Round 10 summary (all still green): new then were:
 `ann_ivfpq_topk` — IVF-PQ ANN (Jegou et al. 2011 IVFADC, the canonical

@@ -878,6 +878,7 @@ class DeltaLog:
         max_retries: int = 10,
         txn: Optional[dict] = None,
         deletion_vectors: DataFrame | None = None,
+        data_change: bool = True,
     ) -> int:
         """Optimistic commit of add/remove actions (FILES_SCHEMA inputs).
 
@@ -902,6 +903,13 @@ class DeltaLog:
         delete translation: an Iceberg MoR source's position deletes land
         as bit-exact DVs a Delta engine will honor row-for-row, instead of
         net-count-only metadata.
+
+        ``data_change=False`` (r12): marks every add/remove as a LAYOUT
+        change, not a logical one — what delta-spark writes for OPTIMIZE
+        and REORG ... APPLY (PURGE). CDC/streaming readers use the flag
+        to skip rewrite commits (DeltaSource's skipChangeCommits
+        contract); a compaction that claimed dataChange=true would replay
+        every rewritten row into downstream pipelines as if it were new.
         """
         now = int(time.time() * 1000)
         n_dvs = 0
@@ -966,7 +974,12 @@ class DeltaLog:
 
                 for row in iter_inventory_rows(adds):
                     yield json.dumps(
-                        {"add": _file_row_to_add(row, self.table_path, now, field_types)}
+                        {
+                            "add": _file_row_to_add(
+                                row, self.table_path, now, field_types,
+                                data_change=data_change,
+                            )
+                        }
                     )
             if removes is not None:
                 # driver-ok: O(removed files), same streaming bound
@@ -976,7 +989,7 @@ class DeltaLog:
                             "remove": {
                                 "path": _relativize(row["path"], self.table_path),
                                 "deletionTimestamp": now,
-                                "dataChange": True,
+                                "dataChange": data_change,
                             }
                         }
                     )
@@ -1055,6 +1068,87 @@ class DeltaLog:
                 "add — positions must target files in this commit's adds"
             )
         return joined, n_descs
+
+    def purge_deletion_vectors(self) -> Optional[int]:
+        """REORG TABLE ... APPLY (PURGE) (r12): every live AddFile that
+        carries a deletion vector is rewritten WITHOUT its dead rows into
+        a fresh parquet, and ONE commit removes the DV'd adds and adds
+        the purged files with honest raw stats (no descriptor to net) —
+        the Delta sibling of ``IcebergTable.rewrite_data_files`` and the
+        operation delta-spark runs for ``REORG ... APPLY (PURGE)``. After
+        it, the data plane equals the stats plane: engines that never
+        understood deletionVectors (the reference's Delta reader predates
+        the feature, DeltaSourceClient) read correct rows instead of
+        resurrecting the deleted ones. Time travel to the pre-purge
+        version still nets through the old descriptors — the purge is a
+        normal remove+add commit, not history rewriting. The protocol is
+        NOT downgraded (matching delta-spark: dropping a table feature is
+        a separate, checkpoint-gated operation). A file whose DV kills
+        every row is removed without a replacement add.
+
+        Rewrites run one affected file per task (mapInPandas over the
+        DV'd adds — each task decodes its bitmap via the DV codec, takes
+        the survivor positions with pyarrow, writes one file); an eager
+        localCheckpoint pins the side-effecting run so the commit reads
+        ONE materialized mapping. Returns the commit version, or None
+        when no live add carries a deletion vector."""
+        import uuid as _uuid
+
+        import pandas as _pd
+
+        from onetable_spark.sources.parquet_inventory import build_inventory
+
+        self._ensure_reader_supported()
+        table_path = self.table_path
+        live = self._live_adds(self._replay_actions(None))
+        dvd = live.filter(F.col("deletionVector").isNotNull()).select(
+            "path", "deletionVector"
+        )
+
+        def rewrite(batches):
+            from urllib.parse import unquote as _unquote
+
+            import pyarrow.parquet as _pq
+
+            from onetable_spark.formats.delta_dv import read_dv
+
+            for pdf in batches:
+                rows = []
+                for rel, dv in zip(pdf["path"], pdf["deletionVector"]):
+                    src = (
+                        rel
+                        if rel.startswith("/") or "://" in rel
+                        else f"{table_path}/{_unquote(rel)}"
+                    )
+                    dead = set(read_dv(table_path, dict(dv)))
+                    t = _pq.read_table(src)
+                    survivors = [i for i in range(len(t)) if i not in dead]
+                    new_path = None
+                    if survivors:
+                        new_path = f"{table_path}/purged-{_uuid.uuid4().hex}.parquet"
+                        _pq.write_table(t.take(survivors), new_path)
+                    rows.append({"old_path": src, "new_path": new_path})
+                yield _pd.DataFrame(
+                    rows, columns=["old_path", "new_path"]
+                ) if rows else _pd.DataFrame({"old_path": [], "new_path": []})
+
+        # eager localCheckpoint: the rewrite WRITES files (fresh uuid per
+        # execution) — the commit below must read one materialized run
+        mapping = dvd.mapInPandas(
+            rewrite, "old_path string, new_path string"
+        ).localCheckpoint(eager=True)
+        # driver-ok: one row per AFFECTED file (the purge payload)
+        pairs = mapping.collect()
+        if not pairs:
+            return None
+        new_paths = sorted(r["new_path"] for r in pairs if r["new_path"])
+        adds = build_inventory(self.spark, new_paths, root=table_path) if new_paths else None
+        removes = self.spark.createDataFrame(
+            [(r["old_path"],) for r in pairs], "path string"
+        )
+        return self.commit(
+            adds=adds, removes=removes, operation="REORG", data_change=False
+        )
 
     def update_configuration(self, updates: dict[str, str]) -> dict:
         """Return a metaData action carrying merged configuration (the
@@ -1207,7 +1301,9 @@ class DeltaLog:
                 F.coalesce("partition_values", F.expr("map()")).alias("partitionValues"),
                 F.col("size").alias("size"),
                 F.coalesce("last_modified_millis", F.lit(now)).alias("modificationTime"),
-                F.lit(True).alias("dataChange"),
+                # PROTOCOL.md Checkpoints: "dataChange ... must be set to
+                # false" when actions are written into a checkpoint
+                F.lit(False).alias("dataChange"),
                 F.when(F.col("column_stats").isNotNull(), stats_json).alias("stats"),
                 F.lit(None).cast(DV_SCHEMA).alias("deletionVector"),
             ).alias("add"),
@@ -1332,7 +1428,11 @@ def _typed_stat(value, dtype: Optional[T.DataType]):
 
 
 def _file_row_to_add(
-    row, table_path: str, now: int, field_types: Optional[dict] = None
+    row,
+    table_path: str,
+    now: int,
+    field_types: Optional[dict] = None,
+    data_change: bool = True,
 ) -> dict:
     stats = row["column_stats"]
     stats_json = None
@@ -1368,7 +1468,7 @@ def _file_row_to_add(
         "partitionValues": dict(row["partition_values"] or {}),
         "size": row["size"],
         "modificationTime": row["last_modified_millis"] or now,
-        "dataChange": True,
+        "dataChange": data_change,
         **({"stats": stats_json} if stats_json else {}),
         **({"deletionVector": dict(dv)} if dv else {}),
     }

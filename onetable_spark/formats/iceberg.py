@@ -243,6 +243,34 @@ class _CountingEntries:
             yield e
 
 
+def _avro_partition(
+    pvals: dict, spec: list[dict], avro_part_types: dict[str, str]
+) -> dict:
+    """Stringified partition values → the typed avro struct a manifest
+    entry carries, following the spec's transform result types (shared by
+    data-file entries and r12's partition-scoped delete entries)."""
+    partition = {}
+    for p in spec:
+        pname = p["name"]
+        raw = pvals.get(pname)
+        if raw is None:
+            partition[pname] = None
+            continue
+        avro_t = avro_part_types.get(pname, "string")
+        if avro_t in ("int", "long"):
+            try:
+                partition[pname] = int(raw)
+            except ValueError:
+                partition[pname] = None
+        elif avro_t in ("float", "double"):
+            partition[pname] = float(raw)
+        elif avro_t == "boolean":
+            partition[pname] = raw in ("true", "True", "1")
+        else:
+            partition[pname] = raw
+    return partition
+
+
 def _entry_from_data(
     row,
     snapshot_id: int,
@@ -287,26 +315,9 @@ def _entry_from_data(
             b = _bound_bytes(tname, d["max_value"])
             if b is not None:
                 uppers.append({"key": fid, "value": b})
-    pvals = dict(get("partition_values") or {})
-    partition = {}
-    for p in spec:
-        pname = p["name"]
-        raw = pvals.get(pname)
-        if raw is None:
-            partition[pname] = None
-            continue
-        avro_t = avro_part_types.get(pname, "string")
-        if avro_t in ("int", "long"):
-            try:
-                partition[pname] = int(raw)
-            except ValueError:
-                partition[pname] = None
-        elif avro_t in ("float", "double"):
-            partition[pname] = float(raw)
-        elif avro_t == "boolean":
-            partition[pname] = raw in ("true", "True", "1")
-        else:
-            partition[pname] = raw
+    partition = _avro_partition(
+        dict(get("partition_values") or {}), spec, avro_part_types
+    )
     return {
         "status": status,
         "snapshot_id": snapshot_id,
@@ -1776,9 +1787,15 @@ class IcebergTable:
         a manifest list carrying the prior manifests verbatim. The Delta
         half of reverse delete translation: a Delta table's deletion
         vectors become position deletes an Iceberg reader honors
-        row-for-row. v2 tables only; partitioned specs refuse (a
-        partition-scoped delete manifest needs partition values this
-        writer does not derive)."""
+        row-for-row. v2 tables only. Partitioned specs (r12): delete
+        files are PARTITION-SCOPED — positions join the current data
+        manifests to inherit each target file's partition tuple, one
+        delete parquet is written per tuple (executor tasks), and every
+        manifest entry carries its typed partition struct so real
+        readers can prune delete files against data manifests. A
+        position targeting a file outside the current snapshot refuses
+        loudly (its partition tuple is underivable and the delete could
+        never apply)."""
         for attempt in range(max_retries):
             try:
                 return self._commit_position_deletes_once(positions)
@@ -1796,26 +1813,48 @@ class IcebergTable:
                 f"{self.table_path}: position deletes need a format-version-2 "
                 "table (init_table(format_version=2))"
             )
-        if self._spec_for(md):
-            raise ValueError(
-                f"{self.table_path}: position-delete commits on partitioned "
-                "specs are not implemented"
-            )
+        spec = self._spec_for(md)
+        ice_schema = self._schema_for(md)
         now = int(time.time() * 1000)
         snapshot_id = int.from_bytes(os.urandom(7), "big")
         seq = md.get("last-sequence-number", 0) + 1
         data_dir = os.path.join(self.table_path, "data")
         os.makedirs(data_dir, exist_ok=True)
-        del_path = os.path.join(data_dir, f"pos-deletes-{uuid.uuid4().hex}.parquet")
 
-        def write_deletes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        distinct = positions.select("path", "pos").distinct()
+        if spec:
+            # partition-scoped delete files: each position inherits the
+            # partition tuple of the data file it targets, read off the
+            # CURRENT data manifests
+            prev_snap = self.current_snapshot_meta(md)
+            if prev_snap is None:
+                raise ValueError(
+                    f"{self.table_path}: position deletes target an empty table"
+                )
+            _, prior = read_container(prev_snap["manifest-list"])
+            data_manifests, _ = _split_manifests(prior)
+            inv = self._decode_manifests(
+                [m["manifest_path"] for m in data_manifests], ice_schema, spec,
+                statuses=(STATUS_ADDED, STATUS_EXISTING),
+            ).select("path", F.to_json("partition_values").alias("_pk"))
+            keyed = distinct.join(inv, "path")
+            # a position for a file outside the snapshot has no partition
+            # tuple and could never apply — refuse, don't drop silently
+            # driver-ok: two count scalars guarding the join
+            n_pos, n_keyed = distinct.count(), keyed.count()
+            if n_keyed != n_pos:
+                raise ValueError(
+                    f"{self.table_path}: {n_pos - n_keyed} delete position(s) "
+                    "target files absent from the current snapshot"
+                )
+        else:
+            keyed = distinct.withColumn("_pk", F.lit("{}"))
+
+        def write_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            frames = [pdf for pdf in batches]
-            pdf = (
-                pd.concat(frames) if frames else pd.DataFrame({"path": [], "pos": []})
-            ).sort_values(["path", "pos"])
+            pdf = pdf.sort_values(["path", "pos"])
             schema = pa.schema(
                 [
                     pa.field("file_path", pa.string(),
@@ -1828,18 +1867,29 @@ class IcebergTable:
                 {"file_path": pdf["path"].astype(str), "pos": pdf["pos"].astype("int64")},
                 schema=schema,
             )
-            pq.write_table(t, del_path)
-            yield pd.DataFrame({"n": [len(pdf)]})
+            out = os.path.join(data_dir, f"pos-deletes-{uuid.uuid4().hex}.parquet")
+            pq.write_table(t, out)
+            return pd.DataFrame(
+                [{"del_path": out, "n": len(pdf), "pk": key[0]}]
+            )
 
-        # ONE executor task writes the sorted delete parquet (the delete
-        # volume is O(deleted rows)); the driver sees a single count row
-        stats = positions.select("path", "pos").distinct().coalesce(1).mapInPandas(
-            write_deletes, "n long"
-        ).first()
-        n_rows = int(stats["n"])
+        # one executor task per partition tuple writes its sorted delete
+        # parquet (the delete volume is O(deleted rows)); eager
+        # localCheckpoint pins the side-effecting run so the entry loop
+        # below reads ONE materialized mapping, not a re-execution
+        groups = keyed.groupBy("_pk").applyInPandas(
+            write_group, "del_path string, n long, pk string"
+        ).localCheckpoint(eager=True)
+        # driver-ok: one row per PARTITION TUPLE (the commit payload)
+        group_rows = groups.collect()
+        n_rows = sum(int(r["n"]) for r in group_rows)
 
+        apt = {
+            f["name"]: f["type"][1]
+            for f in self._partition_avro_fields(ice_schema, spec)
+        }
         entry_schema = _manifest_entry_schema(
-            self._partition_avro_fields(self._schema_for(md), []), v2=True
+            self._partition_avro_fields(ice_schema, spec), v2=True
         )
         mpath = os.path.join(self.metadata_dir, f"{uuid.uuid4().hex}-m-deletes.avro")
         write_container(
@@ -1853,11 +1903,13 @@ class IcebergTable:
                     "file_sequence_number": seq,
                     "data_file": {
                         "content": _CONTENT_POSITION_DELETES,
-                        "file_path": del_path,
+                        "file_path": r["del_path"],
                         "file_format": "PARQUET",
-                        "partition": {},
-                        "record_count": n_rows,
-                        "file_size_in_bytes": os.path.getsize(del_path),
+                        "partition": _avro_partition(
+                            json.loads(r["pk"]), spec, apt
+                        ),
+                        "record_count": int(r["n"]),
+                        "file_size_in_bytes": os.path.getsize(r["del_path"]),
                         "block_size_in_bytes": 67108864,
                         "value_counts": None,
                         "null_value_counts": None,
@@ -1865,6 +1917,7 @@ class IcebergTable:
                         "upper_bounds": None,
                     },
                 }
+                for r in group_rows
             ],
         )
         prev = self.current_snapshot_meta(md)
@@ -1878,11 +1931,11 @@ class IcebergTable:
             "content": _CONTENT_POSITION_DELETES,
             "sequence_number": seq,
             "min_sequence_number": seq,
-            "added_files_count": 1,
+            "added_files_count": len(group_rows),
             "existing_files_count": 0,
             "deleted_files_count": 0,
             "added_snapshot_id": snapshot_id,
-            "added_data_files_count": 1,
+            "added_data_files_count": len(group_rows),
             "existing_data_files_count": 0,
             "deleted_data_files_count": 0,
             "added_rows_count": n_rows,
@@ -1949,11 +2002,6 @@ class IcebergTable:
     def _rewrite_data_files_once(self, apply_equality: bool) -> Optional[int]:
         version = self.current_version()
         md = self.metadata(version)
-        if self._spec_for(md):
-            raise ValueError(
-                f"{self.table_path}: rewrite_data_files on partitioned "
-                "specs is not implemented"
-            )
         snap = self.current_snapshot_meta(md)
         if snap is None:
             return None
@@ -1988,8 +2036,11 @@ class IcebergTable:
             t = pq.read_table(path)
             dead = {int(p) for p in pdf["pos"]}
             survivors = [i for i in range(len(t)) if i not in dead]
+            # the replacement lives NEXT TO its source — a partitioned
+            # layout keeps its hive dirs, a flat one its data/ dir
             out = os.path.join(
-                data_dir, f"rewritten-{uuid.uuid4().hex}.parquet"
+                os.path.dirname(path) or data_dir,
+                f"rewritten-{uuid.uuid4().hex}.parquet",
             )
             pq.write_table(t.take(survivors), out)
             return pd.DataFrame([{"old_path": path, "new_path": out}])
@@ -2010,6 +2061,26 @@ class IcebergTable:
         from onetable_spark.sources.parquet_inventory import build_inventory
 
         new_inv = build_inventory(self.spark, new_paths, root=table_path)
+        if spec:
+            # a rewrite of ONE file preserves its partition tuple — carry
+            # the SOURCE file's partition values onto its replacement
+            # rather than trusting hive-dir inference (identity transforms
+            # on non-string types and transformed specs don't round-trip
+            # through directory names)
+            carry = mapping.join(
+                base.select(
+                    F.col("path").alias("old_path"),
+                    F.col("partition_values").alias("_src_pv"),
+                ),
+                "old_path",
+            ).select(F.col("new_path").alias("path"), "_src_pv")
+            new_inv = (
+                new_inv.join(carry, "path", "left")
+                .withColumn(
+                    "partition_values", F.coalesce("_src_pv", "partition_values")
+                )
+                .drop("_src_pv")
+            )
         old_df = self.spark.createDataFrame(
             [(p,) for p in old_paths], "path string"
         )

@@ -610,7 +610,12 @@ def compact_table(
     removed_df = spark.createDataFrame([(p,) for p in removed_paths], "path string")
     removes = files.join(F.broadcast(removed_df), "path", "left_semi")
     if fmt is TableFormat.DELTA:
-        reader.commit(adds=adds, removes=removes, operation="OPTIMIZE")
+        # dataChange=false: a compaction rewrites layout, not logical rows
+        # — delta-spark marks OPTIMIZE commits this way so CDC/streaming
+        # readers (skipChangeCommits) don't replay the rewritten rows
+        reader.commit(
+            adds=adds, removes=removes, operation="OPTIMIZE", data_change=False
+        )
     elif fmt is TableFormat.ICEBERG:
         reader.commit_overwrite(adds=adds, removes=removes)
     else:

@@ -2448,7 +2448,8 @@ STAGED_QUERIES: tuple[str, ...] = (
     "sync_foreign_table", "sync_foreign_iceberg", "sync_foreign_iceberg_deletes",
     "sync_delta_dv", "ann_ivfpq_persisted", "hudi_mor_views",
     "iceberg_eq_deletes", "dv_translation", "hudi_delete_translation",
-    "hudi_mor_compaction", "zorder_compaction",
+    "hudi_mor_compaction", "iceberg_rewrite_files", "delta_dv_purge",
+    "zorder_compaction",
     "vacuum_orphans", "streaming_sink_inventory", "multimodal_ingest",
     "streaming_cdc_feed", "streaming_cdc_hudi", "sync_continuous",
 )
@@ -2946,6 +2947,222 @@ def q_iceberg_eq_deletes(spark: SparkSession, sf: str) -> DataFrame:
             F.element_at(F.split("path", "/"), -1).alias("file_name"),
             F.col("record_count"),
             F.lit(stage["refused_ok"]).alias("refused_ok"),
+        )
+    )
+
+
+def q_iceberg_rewrite_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg COMPACTION that APPLIES row-level deletes (r12):
+    ``IcebergTable.rewrite_data_files`` rewrites every data file with
+    applicable position AND (opted-in) equality deletes into a new
+    parquet WITHOUT the dead rows, publishes one REPLACE snapshot
+    (rewritten files ADDED at the new sequence number, untouched files
+    carried as EXISTING entries with their ORIGINAL sequence numbers,
+    delete manifests dropped), and leaves a table the DEFAULT scan — and
+    the reference reader, which ignores delete files entirely
+    (IcebergSourceClient.java:169-194) — now reads CORRECTLY. The fixture
+    is the foreign MoR table: pos deletes kill every odd key of B, eq
+    deletes kill keys {3, 4} (3 overlaps, counts once). Emitted per file:
+    file_kind ('A.parquet' carried / 'rewritten' for the fresh parquet —
+    its name is a uuid), record_count from the DEFAULT scan (no opt-in —
+    the eq-delete refusal is gone because the deletes are gone),
+    data_equiv_ok (the new parquet's OWN rows are exactly the survivors —
+    data plane == stats plane), time_travel_ok (the pre-rewrite snapshot
+    still nets the same counts through its carried delete manifests), and
+    idempotent_ok (a second rewrite is a no-op). Staged once per
+    (session, sf)."""
+    import os
+
+    from onetable_spark.formats.iceberg import IcebergTable
+
+    def build(base: str) -> dict:
+        import pyarrow.parquet as pq
+
+        from tools.foreign_iceberg import (
+            add_equality_deletes,
+            add_position_deletes,
+            write_foreign_iceberg_table,
+        )
+
+        tbl_dir = os.path.join(base, "region")
+        os.makedirs(tbl_dir)
+        truth = write_foreign_iceberg_table(
+            spark, tbl_dir, os.path.join(sf, "region.parquet")
+        )
+        truth = add_position_deletes(spark, tbl_dir, truth)
+        add_equality_deletes(spark, tbl_dir, truth)
+        tbl = IcebergTable(spark, tbl_dir)
+        pre_snap = tbl.metadata()["current-snapshot-id"]
+        snap = tbl.rewrite_data_files(apply_equality_deletes=True)
+
+        # survivors recomputed from the ORIGINAL data plane: B keeps the
+        # even keys except 4
+        b_keys = pq.read_table(
+            os.path.join(tbl_dir, "data", "B.parquet"), columns=["r_regionkey"]
+        )["r_regionkey"].to_pylist()
+        survivors = sorted(k for k in b_keys if k % 2 == 0 and k not in (3, 4))
+        # driver-ok: 2-file staged inventory, stage-time checks only
+        inv_rows = tbl.snapshot_files().collect()
+        rows = {
+            os.path.basename(r["path"]): r["record_count"] for r in inv_rows
+        }
+        new_name = next(
+            (n for n in rows if n.startswith("rewritten-")), None
+        )
+        equiv = False
+        if snap is not None and new_name is not None:
+            got = pq.read_table(
+                os.path.join(tbl_dir, "data", new_name), columns=["r_regionkey"]
+            )["r_regionkey"].to_pylist()
+            equiv = sorted(got) == survivors
+        # time travel: the PRE-rewrite snapshot still nets through its
+        # delete manifests (carried EXISTING entries kept original seqs)
+        pre_df = tbl.snapshot_files(
+            snapshot_id=pre_snap, apply_equality_deletes=True
+        )
+        # driver-ok: 2-file staged inventory, stage-time check
+        pre_inv = pre_df.collect()
+        pre = {
+            os.path.basename(r["path"]): r["record_count"] for r in pre_inv
+        }
+        tt_ok = (
+            pre.get("A.parquet") == rows.get("A.parquet")
+            and pre.get("B.parquet") == len(survivors)
+        )
+        idem = tbl.rewrite_data_files(apply_equality_deletes=True) is None
+        return {"dir": tbl_dir, "equiv": equiv, "tt": tt_ok, "idem": idem}
+
+    stage = _staged_once(spark, sf, "otb_icrw_q", build)
+    return (
+        IcebergTable(spark, stage["dir"])
+        .snapshot_files()  # DEFAULT scan — deletes are materialized away
+        .select(
+            F.when(
+                F.element_at(F.split("path", "/"), -1).startswith("rewritten-"),
+                F.lit("rewritten"),
+            )
+            .otherwise(F.element_at(F.split("path", "/"), -1))
+            .alias("file_kind"),
+            F.col("record_count"),
+            F.lit(stage["equiv"]).alias("data_equiv_ok"),
+            F.lit(stage["tt"]).alias("time_travel_ok"),
+            F.lit(stage["idem"]).alias("idempotent_ok"),
+        )
+    )
+
+
+def q_delta_dv_purge(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta REORG ... APPLY (PURGE) (r12): a spec-authored DV table (f1 +
+    f2 region copies, a real RoaringBitmapArray DV on f2 deleting every
+    odd-r_regionkey position) is PURGED — ``DeltaLog.
+    purge_deletion_vectors`` rewrites f2 without its dead rows (bitmap
+    decoded on the executor, pyarrow take of the survivors) and one
+    REORG commit removes the DV'd add and adds the purged file with
+    honest raw stats. The Iceberg sibling is ``rewrite_data_files``
+    (iceberg_rewrite_files). Emitted per live file from the DEFAULT log
+    replay: file_kind ('f1.parquet' untouched / 'purged' — the new
+    file's name is a uuid), record_count (raw == net now — nothing left
+    to subtract), data_equiv_ok (the purged parquet's OWN rows are
+    exactly the even keys), time_travel_ok (the pre-purge version still
+    nets through the old descriptor), no_dv_ok
+    (verify_deletion_vectors is empty after), and idempotent_ok (a
+    second purge is a no-op). Staged once per (session, sf)."""
+    import json as _json
+    import os
+    import shutil
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.delta_dv import write_dv_file
+    from onetable_spark.model import DataLayoutStrategy, Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    def build(base: str) -> dict:
+        import pyarrow.parquet as pq
+
+        tbl = os.path.join(base, "purge_table")
+        os.makedirs(tbl)
+        for name in ("f1.parquet", "f2.parquet"):
+            shutil.copy(os.path.join(sf, "region.parquet"), os.path.join(tbl, name))
+        schema = spark.read.parquet(tbl).schema
+        log = DeltaLog(spark, tbl)
+        log.init_table(
+            Table(name="purge", base_path=tbl, table_format=TableFormat.DELTA,
+                  read_schema=schema, layout=DataLayoutStrategy.FLAT)
+        )
+        log.commit(adds=build_inventory(
+            spark, [os.path.join(tbl, n) for n in ("f1.parquet", "f2.parquet")],
+            root=tbl,
+        ))
+        keys = pq.read_table(
+            os.path.join(tbl, "f2.parquet"), columns=["r_regionkey"]
+        )["r_regionkey"].to_pylist()
+        positions = [i for i, k in enumerate(keys) if k % 2 == 1]
+        desc = write_dv_file(tbl, positions)
+        v = log.latest_version() + 1
+        with open(os.path.join(tbl, "_delta_log", f"{v:020d}.json"), "w") as f:
+            f.write(_json.dumps({"commitInfo": {"timestamp": 1700000300000,
+                                                "operation": "DELETE"}}) + "\n")
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"]}}) + "\n")
+            f.write(_json.dumps({"remove": {
+                "path": "f2.parquet", "deletionTimestamp": 1700000300000,
+                "dataChange": True}}) + "\n")
+            f.write(_json.dumps({"add": {
+                "path": "f2.parquet", "partitionValues": {},
+                "size": os.path.getsize(os.path.join(tbl, "f2.parquet")),
+                "modificationTime": 1700000300000, "dataChange": True,
+                "stats": _json.dumps({
+                    "numRecords": len(keys),
+                    "minValues": {"r_regionkey": str(min(keys))},
+                    "maxValues": {"r_regionkey": str(max(keys))},
+                    "nullCount": {"r_regionkey": 0}}),
+                "deletionVector": desc}}) + "\n")
+
+        pre_version = log.latest_version()
+        log.purge_deletion_vectors()
+        fresh = DeltaLog(spark, tbl)
+        # driver-ok: 2-file staged inventory, stage-time checks only
+        inv_rows = fresh.snapshot_files().collect()
+        rows = {os.path.basename(r["path"]): r["record_count"] for r in inv_rows}
+        survivors = sorted(k for i, k in enumerate(keys) if i not in set(positions))
+        purged = next((n for n in rows if n.startswith("purged-")), None)
+        equiv = False
+        if purged is not None:
+            got = pq.read_table(
+                os.path.join(tbl, purged), columns=["r_regionkey"]
+            )["r_regionkey"].to_pylist()
+            equiv = sorted(got) == survivors
+        pre_df = fresh.snapshot_files(version=pre_version)
+        # driver-ok: 2-file staged inventory, stage-time check
+        pre_rows = pre_df.collect()
+        pre = {os.path.basename(r["path"]): r["record_count"] for r in pre_rows}
+        tt_ok = pre.get("f2.parquet") == len(survivors)
+        # driver-ok: emptiness probe on the purged table's DV set
+        no_dv = fresh.verify_deletion_vectors().isEmpty()
+        idem = fresh.purge_deletion_vectors() is None
+        return {
+            "dir": tbl, "equiv": equiv, "tt": tt_ok,
+            "no_dv": no_dv, "idem": idem,
+        }
+
+    stage = _staged_once(spark, sf, "otb_dvpurge_q", build)
+    return (
+        DeltaLog(spark, stage["dir"])
+        .snapshot_files()
+        .select(
+            F.when(
+                F.element_at(F.split("path", "/"), -1).startswith("purged-"),
+                F.lit("purged"),
+            )
+            .otherwise(F.element_at(F.split("path", "/"), -1))
+            .alias("file_kind"),
+            F.col("record_count"),
+            F.lit(stage["equiv"]).alias("data_equiv_ok"),
+            F.lit(stage["tt"]).alias("time_travel_ok"),
+            F.lit(stage["no_dv"]).alias("no_dv_ok"),
+            F.lit(stage["idem"]).alias("idempotent_ok"),
         )
     )
 
@@ -5831,6 +6048,29 @@ ORACLE_SQL: dict[str, str] = {
         FROM region WHERE r_regionkey >= 2 AND r_regionkey % 2 = 0
                       AND r_regionkey <> 4
     """,
+    # REORG APPLY (PURGE): f1 untouched (all region rows), the purged
+    # parquet holds f2's survivors — the DV deleted every odd key
+    "delta_dv_purge": """
+        SELECT 'f1.parquet' AS file_kind, CAST(COUNT(*) AS BIGINT) AS record_count,
+               TRUE AS data_equiv_ok, TRUE AS time_travel_ok,
+               TRUE AS no_dv_ok, TRUE AS idempotent_ok
+        FROM region
+        UNION ALL
+        SELECT 'purged', CAST(COUNT(*) AS BIGINT), TRUE, TRUE, TRUE, TRUE
+        FROM region WHERE r_regionkey % 2 = 0
+    """,
+    # rewrite_data_files materializes the deletes away: A (keys < 2)
+    # carried untouched, the rewritten parquet holds B's survivors (even
+    # keys except 4 — pos deletes kill odds, eq deletes kill {3, 4})
+    "iceberg_rewrite_files": """
+        SELECT 'A.parquet' AS file_kind, CAST(COUNT(*) AS BIGINT) AS record_count,
+               TRUE AS data_equiv_ok, TRUE AS time_travel_ok, TRUE AS idempotent_ok
+        FROM region WHERE r_regionkey < 2
+        UNION ALL
+        SELECT 'rewritten', CAST(COUNT(*) AS BIGINT), TRUE, TRUE, TRUE
+        FROM region WHERE r_regionkey >= 2 AND r_regionkey % 2 = 0
+                      AND r_regionkey <> 4
+    """,
     # compaction materializes +3 inserted keys and -1 deleted key into
     # the new base parquet; the default view's count recomputes from
     # region rows
@@ -6767,6 +7007,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dv_translation": q_dv_translation,
     "hudi_delete_translation": q_hudi_delete_translation,
     "hudi_mor_compaction": q_hudi_mor_compaction,
+    "iceberg_rewrite_files": q_iceberg_rewrite_files,
+    "delta_dv_purge": q_delta_dv_purge,
     "vacuum_orphans": q_vacuum_orphans,
     # -- last driver rows r2-r4 (the 20 stalest)
     "g8_stats_regroup": q_g8_stats_regroup,
@@ -6899,33 +7141,40 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "g7_max_agg": q_g7_max_agg,
 }
 
-# ---- round-11 driver-window rotation (VERDICT r10 #4) ------------------
+# ---- round-12 driver-window rotation (VERDICT r11 #5) ------------------
 # The driver's correctness harness records the FIRST 50 registry entries.
-# Rotation by staleness: the four r11 newcomers (no driver evidence yet),
-# then the 24 queries whose last driver hash row was r7 (the stalest
-# cohort), then the r9-sampled g1-g7 + tpch_q1-q15 as next-stalest fill.
-# Everything green in r10 retires to the stale pool — still value-checked
-# against DuckDB on every pytest run (test_queries_smoke).
-_R11_WINDOW = [
-    "sync_foreign_iceberg_deletes", "sync_delta_dv", "ann_ivfpq_persisted",
-    "hudi_mor_views", "iceberg_eq_deletes", "dv_translation",
-    "approx_distinct", "approx_quantiles", "audio_features", "bm25_search",
-    "centroid_similarity", "chunk_dedup", "decontam_overlap",
-    "event_transitions", "gap_fill", "heavy_hitters", "image_resize",
-    "incremental_dedup", "knn_label_vote", "moving_avg", "multimodal_decode",
-    "source_mixture", "stratified_sample", "streaming_approx_reach",
-    "streaming_hopping", "tfidf_top_terms", "unigram_logprob",
-    "video_frame_sample", "winnow_fingerprint", "winnow_near_dups",
-    "g1_files_diff", "g2_group_files", "g3_schema_flatten",
-    "g4_sorted_merge_dedup", "g5_min_over_group", "g6_filter_predicates",
-    "g7_max_agg",
-    "tpch_q1", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13",
+# Rotation by staleness: the three r12 newcomers (no driver evidence
+# yet — the Hudi delete-translation edge, MOR log compaction, and the
+# Iceberg delete-applying rewrite), then the 30 queries whose last
+# driver hash row was r9 (the stalest cohort, named in VERDICT r11 #5),
+# then 17 of the 50 r10-sampled queries (alphabetical — all equally
+# stale) as fill. Everything green in r11 retires to the stale pool —
+# still value-checked against DuckDB on every pytest run
+# (test_queries_smoke).
+_R12_WINDOW = [
+    # r12 newcomers
+    "hudi_delete_translation", "hudi_mor_compaction", "iceberg_rewrite_files",
+    "delta_dv_purge",
+    # last driver rows r9 (the 30 VERDICT r11 #5 names)
+    "ann_ivf_topk", "ann_lsh_topk", "bpe_pair_counts", "compaction_bins",
+    "minhash_lsh_dedup", "multimodal_ingest", "perplexity_buckets",
+    "repetition_filter", "semdedup_pairs", "simhash_near_dups",
+    "streaming_cdc_feed", "streaming_cdc_hudi", "substring_dedup",
+    "sync_catchup", "sync_continuous", "sync_foreign_table",
+    "sync_partition_evolution", "sync_recovery", "sync_safety_fallback",
+    "sync_validation", "token_calibration",
+    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    # last driver rows r10 (first 16 alphabetically of the 50)
+    "ann_ivfpq_topk", "ann_pq_topk", "asof_join", "cluster_representatives",
+    "cohort_retention", "contamination_span", "corpus_curation", "cube_agg",
+    "dedup_clusters", "dedup_exact", "dedup_first_per_key",
+    "deterministic_sample", "embedding_near_dups", "embedding_topk",
+    "fingerprint_dedup", "full_outer_balance",
 ]
-assert len(_R11_WINDOW) == 50 and len(set(_R11_WINDOW)) == 50
+assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 SPARK_QUERIES = {
-    **{n: SPARK_QUERIES[n] for n in _R11_WINDOW},
+    **{n: SPARK_QUERIES[n] for n in _R12_WINDOW},
     **SPARK_QUERIES,
 }
 

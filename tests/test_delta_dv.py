@@ -417,3 +417,89 @@ def test_dv_translation_authors_exactly_one_bitmap_per_file(spark, sf_dir, tmp_p
     sync_iceberg_deletes_to_delta_dv(spark, base)
     bins = [f for f in os.listdir(base) if f.startswith("deletion_vector_")]
     assert len(bins) == 1  # one DV'd file -> exactly one bitmap on disk
+
+
+def test_purge_deletion_vectors_rewrites_and_drops_dvs(spark, sf_dir, tmp_path):
+    """r12 REORG APPLY (PURGE): the DV'd file is rewritten without its
+    dead rows, the replacement add carries honest raw stats (no
+    descriptor), no live DV remains, the data plane equals the stats
+    plane, time travel to the pre-purge version still nets through the
+    old descriptor, a second purge is a no-op, and the protocol keeps
+    the deletionVectors feature (no silent downgrade)."""
+    import pyarrow.parquet as pq
+
+    base = str(tmp_path / "purge")
+    log, n, n_del, positions = _stage_dv_table(spark, sf_dir, base)
+    pre_version = log.latest_version()
+    v = log.purge_deletion_vectors()
+    assert v == pre_version + 1
+
+    fresh = DeltaLog(spark, base)
+    rows = {
+        os.path.basename(r["path"]): r for r in fresh.snapshot_files().collect()
+    }
+    assert rows["f1.parquet"]["record_count"] == n
+    purged = next(name for name in rows if name.startswith("purged-"))
+    assert rows[purged]["record_count"] == n - n_del
+    assert fresh.verify_deletion_vectors().count() == 0
+    # data plane == stats plane: the purged parquet's OWN rows are the
+    # survivors (f2 keeps the even keys)
+    keys = pq.read_table(
+        os.path.join(base, "f2.parquet"), columns=["r_regionkey"]
+    )["r_regionkey"].to_pylist()
+    survivors = sorted(k for i, k in enumerate(keys) if i not in set(positions))
+    got = pq.read_table(
+        os.path.join(base, purged), columns=["r_regionkey"]
+    )["r_regionkey"].to_pylist()
+    assert sorted(got) == survivors
+    # time travel: the pre-purge version still nets via the descriptor
+    old = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in fresh.snapshot_files(version=pre_version).collect()
+    }
+    assert old["f2.parquet"] == n - n_del
+    assert fresh.purge_deletion_vectors() is None
+    feats = fresh.snapshot_info().protocol.get("readerFeatures") or []
+    assert "deletionVectors" in feats
+
+
+def test_purge_removes_fully_deleted_file_without_replacement(spark, sf_dir, tmp_path):
+    """A DV that kills EVERY row purges to a plain remove — no empty
+    replacement parquet is written or added."""
+    base = str(tmp_path / "pall")
+    os.makedirs(base)
+    shutil.copy(os.path.join(sf_dir, "region.parquet"), os.path.join(base, "f1.parquet"))
+    schema = spark.read.parquet(base).schema
+    log = DeltaLog(spark, base)
+    log.init_table(
+        Table(name="p", base_path=base, table_format=TableFormat.DELTA,
+              read_schema=schema, layout=DataLayoutStrategy.FLAT)
+    )
+    f1 = os.path.join(base, "f1.parquet")
+    n = spark.read.parquet(f1).count()
+    log.commit(
+        adds=build_inventory(spark, [f1], root=base),
+        deletion_vectors=spark.createDataFrame(
+            [(f1, i) for i in range(n)], "path string, pos long"
+        ),
+    )
+    assert log.purge_deletion_vectors() is not None
+    fresh = DeltaLog(spark, base)
+    assert fresh.snapshot_files().count() == 0
+    assert not [f for f in os.listdir(base) if f.startswith("purged-")]
+
+
+def test_purge_commit_marks_data_change_false(spark, sf_dir, tmp_path):
+    """REORG is a LAYOUT change: delta-spark writes dataChange=false on
+    OPTIMIZE/REORG adds+removes so CDC readers (skipChangeCommits) don't
+    replay rewritten rows as new data. Pin the log bytes."""
+    base = str(tmp_path / "dc")
+    log, _, _, _ = _stage_dv_table(spark, sf_dir, base)
+    v = log.purge_deletion_vectors()
+    with open(os.path.join(base, "_delta_log", f"{v:020d}.json")) as f:
+        actions = [json.loads(line) for line in f]
+    adds = [a["add"] for a in actions if "add" in a]
+    removes = [a["remove"] for a in actions if "remove" in a]
+    assert adds and removes
+    assert all(a["dataChange"] is False for a in adds)
+    assert all(r["dataChange"] is False for r in removes)

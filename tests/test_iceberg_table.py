@@ -509,3 +509,92 @@ def test_unsupported_format_version_refused(spark, tmp_path):
         f.write("1")
     with _pytest.raises(ValueError, match="format-version 3"):
         IcebergTable(spark, base).metadata()
+
+
+def test_partitioned_position_deletes_and_rewrite(spark, sf_dir, tmp_path):
+    """r12: position-delete commits and rewrite_data_files on a
+    PARTITIONED v2 spec. Delete files are partition-scoped — one delete
+    parquet per partition tuple, each manifest entry carrying its typed
+    partition struct (inherited from the target data file); the scan
+    nets them; rewrite_data_files applies them into per-partition
+    replacement files that keep their source's partition tuple; a
+    position targeting a file outside the snapshot refuses loudly."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from onetable_spark.formats.avro_codec import read_container
+
+    table_path = str(tmp_path / "part_del")
+    src = pq.read_table(os.path.join(sf_dir, "customer.parquet"))
+    for seg in ("BUILDING", "MACHINERY"):
+        d = os.path.join(table_path, f"c_mktsegment={seg}")
+        os.makedirs(d)
+        pq.write_table(
+            src.filter(pc.equal(src["c_mktsegment"], seg)),
+            os.path.join(d, "f.parquet"),
+        )
+    schema = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).schema
+    ice = IcebergTable(spark, table_path)
+    ice.init_table(
+        Table(
+            name="pd",
+            base_path=table_path,
+            table_format=TableFormat.ICEBERG,
+            read_schema=schema,
+            partition_fields=(
+                PartitionField("c_mktsegment", PartitionTransform.VALUE),
+            ),
+            layout=DataLayoutStrategy.HIVE_STYLE_PARTITION,
+        ),
+        format_version=2,
+    )
+    ice.commit_overwrite(adds=inventory_from_directory(spark, table_path))
+
+    bpath = os.path.join(table_path, "c_mktsegment=BUILDING", "f.parquet")
+    mpath = os.path.join(table_path, "c_mktsegment=MACHINERY", "f.parquet")
+    nb = pq.read_table(bpath).num_rows
+    nm = pq.read_table(mpath).num_rows
+    ice.commit_position_deletes(
+        spark.createDataFrame(
+            [(bpath, 0), (bpath, 1), (bpath, 2), (mpath, 0)],
+            "path string, pos long",
+        )
+    )
+    rows = {r["path"]: r for r in ice.snapshot_files().collect()}
+    assert rows[bpath]["record_count"] == nb - 3
+    assert rows[mpath]["record_count"] == nm - 1
+
+    # one delete parquet per partition tuple, entries carry the struct
+    dels = [
+        f for f in os.listdir(os.path.join(table_path, "data"))
+        if f.startswith("pos-deletes-")
+    ]
+    assert len(dels) == 2
+    md = ice.metadata()
+    snap = ice.current_snapshot_meta(md)
+    _, manifests = read_container(snap["manifest-list"])
+    dmf = [m for m in manifests if m.get("content") == 1]
+    assert len(dmf) == 1
+    _, entries = read_container(dmf[0]["manifest_path"])
+    parts = sorted(
+        e["data_file"]["partition"]["c_mktsegment"] for e in entries
+    )
+    assert parts == ["BUILDING", "MACHINERY"]
+
+    # rewrite applies the deletes into per-partition replacements that
+    # keep their source's partition tuple, and drops the delete manifests
+    assert ice.rewrite_data_files() is not None
+    after = ice.snapshot_files().collect()
+    by_part = {
+        r["partition_values"]["c_mktsegment"]: r["record_count"] for r in after
+    }
+    assert by_part == {"BUILDING": nb - 3, "MACHINERY": nm - 1}
+    for r in after:
+        seg = r["partition_values"]["c_mktsegment"]
+        assert f"c_mktsegment={seg}/" in r["path"]
+    assert ice.rewrite_data_files() is None
+
+    with pytest.raises(ValueError, match="absent from the current snapshot"):
+        ice.commit_position_deletes(
+            spark.createDataFrame([("/nope.parquet", 0)], "path string, pos long")
+        )

@@ -25,24 +25,25 @@ from tools.check_oracle import compare_result
 # alphabetizing or appending to SPARK_QUERIES should trip this list, not
 # silently drop driver coverage.
 MUST_BE_DRIVER_MEASURED = {
-    # round-11 rotation (VERDICT r10 #4): everything green in the r10
+    # round-12 rotation (VERDICT r11 #5): everything green in the r11
     # window retires; the window re-samples by staleness. Pinned here:
-    # the four r11 newcomers (no driver evidence yet) and the 24 queries
-    # whose last driver hash row was r7 — the rotation IS a round
-    # deliverable, so falling out of the window must fail loudly.
+    # the three r12 newcomers (no driver evidence yet) and the 30
+    # queries whose last driver hash row was r9 — the rotation IS a
+    # round deliverable, so falling out of the window must fail loudly.
     #
-    # round-11 newcomers: first driver rows needed
-    "sync_foreign_iceberg_deletes", "sync_delta_dv", "ann_ivfpq_persisted",
-    "hudi_mor_views", "iceberg_eq_deletes", "dv_translation",
-    # last driver rows r7
-    "approx_distinct", "approx_quantiles", "audio_features", "bm25_search",
-    "centroid_similarity", "chunk_dedup", "decontam_overlap",
-    "event_transitions", "gap_fill", "heavy_hitters", "image_resize",
-    "incremental_dedup", "knn_label_vote", "moving_avg",
-    "multimodal_decode", "source_mixture", "stratified_sample",
-    "streaming_approx_reach", "streaming_hopping", "tfidf_top_terms",
-    "unigram_logprob", "video_frame_sample", "winnow_fingerprint",
-    "winnow_near_dups",
+    # round-12 newcomers: first driver rows needed
+    "hudi_delete_translation", "hudi_mor_compaction", "iceberg_rewrite_files",
+    "delta_dv_purge",
+    # last driver rows r9 (the 30 VERDICT r11 #5 names)
+    "ann_ivf_topk", "ann_lsh_topk", "bpe_pair_counts", "compaction_bins",
+    "minhash_lsh_dedup", "multimodal_ingest", "perplexity_buckets",
+    "repetition_filter", "semdedup_pairs", "simhash_near_dups",
+    "streaming_cdc_feed", "streaming_cdc_hudi", "substring_dedup",
+    "sync_catchup", "sync_continuous", "sync_foreign_table",
+    "sync_partition_evolution", "sync_recovery", "sync_safety_fallback",
+    "sync_validation", "token_calibration",
+    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
+    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
 }
 
 

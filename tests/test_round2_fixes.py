@@ -213,14 +213,18 @@ def test_no_driver_collect_in_query_paths():
     #     round-trip contract's two 2-file read-backs
     #   queries.py r12 sites: hudi_delete_translation's refusal probe +
     #     its one-log verify fetch (raise/flag before rows materialize),
-    #     and hudi_mor_compaction's 1-file staged equivalence read-back
+    #     hudi_mor_compaction's 1-file staged equivalence read-back,
+    #     iceberg_rewrite_files' two 2-file staged read-backs (post-
+    #     rewrite inventory + pre-rewrite time-travel check), and
+    #     delta_dv_purge's two 2-file staged read-backs (post-purge
+    #     inventory + pre-purge time-travel check)
     #   maintenance.py third site: Iceberg referenced_paths' manifest-list
     #     walk (bounded by manifest count per snapshot)
     sanctioned = {
         "functions/similarity.py": 1,
         "functions/bpe.py": 2,
         "operators/maintenance.py": 3,
-        "queries.py": 13,
+        "queries.py": 17,
     }
     root = pathlib.Path(__file__).parent.parent / "onetable_spark"
     offenders, marked = [], Counter()
