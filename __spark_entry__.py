@@ -4,7 +4,7 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 12: 134 queries. New in round 12:
+Surface as of round 12: 135 queries. New in round 12:
 `hudi_delete_translation` — the THIRD edge of the cross-format delete
 triangle: Iceberg position deletes become REAL HoodieLogFormat DELETE
 blocks (type 1, record keys read at the deleted positions on
@@ -28,7 +28,18 @@ rewrite's sibling: every DV'd AddFile is rewritten without its dead
 rows (bitmap decoded on the executor), one REORG commit swaps
 remove+add with honest raw stats, no live DV remains, time travel
 still nets through the old descriptors, and a DV that killed every
-row purges to a plain remove. Also r12:
+row purges to a plain remove; `iceberg_upsert` — the EQUALITY-DELETE
+WRITE plane, Flink-style CDC upsert: commit_upsert publishes ONE v2
+snapshot carrying an equality-delete file (the new rows' keys, read
+off the added parquet on executors, spec field ids on the key
+columns, equality_ids on the entry) plus the new data files at the
+same sequence number — old rows with matching keys die under the
+strict-less rule, the new rows are untouched, chained upserts stack,
+and commit_equality_deletes does pure keyed deletes. Also r12: Delta
+REORG/OPTIMIZE commits write dataChange=false (delta-spark's CDC
+contract; read_delta_log_stream gains skip_change_commits),
+partitioned v2 specs now take position-delete commits (partition-
+scoped delete files, one per tuple) and rewrite_data_files,
 nested-struct equality deletes via canonical dot paths, the commit
 plane routed through the injectable filesystem seam, the eq-delete
 data-assisted scan vectorized (pandas hash-join per field set, each

@@ -409,11 +409,15 @@ _KV_BYTES = {
 }
 
 
-def _manifest_entry_schema(partition_fields: list[dict], v2: bool = False) -> dict:
+def _manifest_entry_schema(
+    partition_fields: list[dict], v2: bool = False, deletes: bool = False
+) -> dict:
     """Avro schema for manifest entries (spec §Manifests; ``v2`` adds the
     format-version-2 fields: entry sequence numbers and
-    ``data_file.content``). Entry dicts always CARRY the v2 keys — the
-    schema picks what gets written, so v1 bytes are unchanged."""
+    ``data_file.content``; ``deletes`` adds ``equality_ids`` — field-id
+    135, spec-required on equality-delete entries, null on position
+    deletes). Entry dicts always CARRY the v2 keys — the schema picks
+    what gets written, so v1 bytes are unchanged."""
     schema = _manifest_entry_schema_v1(partition_fields)
     if not v2:
         return schema
@@ -426,6 +430,16 @@ def _manifest_entry_schema(partition_fields: list[dict], v2: bool = False) -> di
     data_file["type"]["fields"].insert(
         0, {"name": "content", "type": "int", "field-id": 134}
     )
+    if deletes:
+        data_file["type"]["fields"].append(
+            {
+                "name": "equality_ids",
+                "type": ["null", {"type": "array", "items": "int",
+                                  "element-id": 136}],
+                "default": None,
+                "field-id": 135,
+            }
+        )
     return {**schema, "fields": fields}
 
 
@@ -1889,7 +1903,7 @@ class IcebergTable:
             for f in self._partition_avro_fields(ice_schema, spec)
         }
         entry_schema = _manifest_entry_schema(
-            self._partition_avro_fields(ice_schema, spec), v2=True
+            self._partition_avro_fields(ice_schema, spec), v2=True, deletes=True
         )
         mpath = os.path.join(self.metadata_dir, f"{uuid.uuid4().hex}-m-deletes.avro")
         write_container(
@@ -1915,6 +1929,7 @@ class IcebergTable:
                         "null_value_counts": None,
                         "lower_bounds": None,
                         "upper_bounds": None,
+                        "equality_ids": None,
                     },
                 }
                 for r in group_rows
@@ -1951,6 +1966,299 @@ class IcebergTable:
             "sequence-number": seq,
             "timestamp-ms": now,
             "summary": {"operation": "delete", "deleted-records": str(n_rows)},
+            "manifest-list": mlist,
+            "schema-id": md.get("current-schema-id", 0),
+        }
+        if prev is not None:
+            snapshot["parent-snapshot-id"] = prev["snapshot-id"]
+        md["snapshots"] = md.get("snapshots", []) + [snapshot]
+        md["current-snapshot-id"] = snapshot_id
+        md["last-sequence-number"] = seq
+        md["last-updated-ms"] = now
+        md.setdefault("snapshot-log", []).append(
+            {"timestamp-ms": now, "snapshot-id": snapshot_id}
+        )
+        self._write_metadata(version + 1, md)
+        return snapshot_id
+
+    #: iceberg primitive → (arrow builder name, spark sql type) for the
+    #: equality-delete writer's key columns
+    _EQ_KEY_TYPES = {
+        "int": ("int32", "int"),
+        "long": ("int64", "bigint"),
+        "string": ("string", "string"),
+        "boolean": ("bool_", "boolean"),
+        "double": ("float64", "double"),
+        "float": ("float32", "float"),
+    }
+
+    def commit_equality_deletes(
+        self, tuples: DataFrame, field_names: list[str], max_retries: int = 3
+    ) -> int:
+        """One v2 merge-on-read DELETE commit carrying EQUALITY deletes:
+        the tuples (one row per deleted key, columns = ``field_names``)
+        are written as a spec-shaped equality-delete parquet (content=2,
+        ``equality_ids`` on the manifest entry, key columns carrying
+        their schema field ids) that applies to every data file with a
+        STRICTLY LOWER data sequence number. The write twin of the
+        data-assisted scan (``apply_equality_deletes=True``) and of the
+        eq-delete half of ``rewrite_data_files``; the reference cannot
+        author (or even read) delete files at all
+        (IcebergSourceClient.java:169-194). v2 unpartitioned tables;
+        top-level primitive key fields."""
+        for attempt in range(max_retries):
+            try:
+                return self._commit_upsert_once(None, tuples, field_names)
+            except CommitConflictError:
+                if attempt == max_retries - 1:
+                    raise
+                time.sleep(0.02 * (attempt + 1))
+        raise AssertionError("unreachable")
+
+    def commit_upsert(
+        self, adds: DataFrame, key_fields: list[str], max_retries: int = 3
+    ) -> int:
+        """Flink-style CDC UPSERT as ONE v2 snapshot: an equality-delete
+        file holding the new rows' key tuples (read off the added parquet
+        on executors) plus the new data files, both at the same sequence
+        number. The spec's strict rule (an equality delete applies only
+        to data files with data_seq < delete_seq) makes this atomic
+        upsert semantics: every OLD row with a matching key dies, the
+        NEW rows — same sequence number — are untouched. This is the
+        streaming-ingest pattern Flink/Iceberg writers use for CDC
+        streams; chained upserts stack (later keys net earlier upserts'
+        files too). ``adds`` is a FILES_SCHEMA inventory of already-
+        written parquet."""
+        for attempt in range(max_retries):
+            try:
+                return self._commit_upsert_once(adds, None, key_fields)
+            except CommitConflictError:
+                if attempt == max_retries - 1:
+                    raise
+                time.sleep(0.02 * (attempt + 1))
+        raise AssertionError("unreachable")
+
+    def _commit_upsert_once(
+        self,
+        adds: Optional[DataFrame],
+        tuples: Optional[DataFrame],
+        field_names: list[str],
+    ) -> int:
+        version = self.current_version()
+        md = self.metadata(version)
+        if md.get("format-version", 1) != 2:
+            raise ValueError(
+                f"{self.table_path}: equality deletes need a format-version-2 "
+                "table (init_table(format_version=2))"
+            )
+        if self._spec_for(md):
+            raise ValueError(
+                f"{self.table_path}: equality-delete commits on partitioned "
+                "specs are not implemented (partition-scoped tuples needed)"
+            )
+        if not field_names:
+            raise ValueError("equality deletes need at least one key field")
+        ice_schema = self._schema_for(md)
+        by_name = {f["name"]: f for f in ice_schema["fields"]}
+        ids, ice_types = [], {}
+        for n in field_names:
+            f = by_name.get(n)
+            if f is None or not isinstance(f["type"], str):
+                raise ValueError(
+                    f"{self.table_path}: equality key {n!r} is not a "
+                    "top-level primitive column"
+                )
+            if f["type"] not in self._EQ_KEY_TYPES:
+                raise ValueError(
+                    f"{self.table_path}: equality key {n!r} has type "
+                    f"{f['type']!r}; supported: {sorted(self._EQ_KEY_TYPES)}"
+                )
+            ids.append(int(f["id"]))
+            ice_types[n] = f["type"]
+
+        now = int(time.time() * 1000)
+        snapshot_id = int.from_bytes(os.urandom(7), "big")
+        seq = md.get("last-sequence-number", 0) + 1
+        data_dir = os.path.join(self.table_path, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        del_path = os.path.join(data_dir, f"eq-deletes-{uuid.uuid4().hex}.parquet")
+        names = list(field_names)
+        types_for = dict(ice_types)
+        key_types = dict(self._EQ_KEY_TYPES)
+        field_ids = {n: i for n, i in zip(names, ids)}
+
+        if tuples is None:
+            # upsert: the delete tuples ARE the new rows' keys, read off
+            # the added parquet on executors (what a Flink writer tracks
+            # from the rows it just wrote)
+            def read_keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                for pdf in batches:
+                    frames = []
+                    for p in pdf["path"]:
+                        frames.append(
+                            _read_leaf_columns(p, names).to_pandas(
+                                integer_object_nulls=True
+                            )
+                        )
+                    yield (
+                        pd.concat(frames)
+                        if frames
+                        else pd.DataFrame(columns=names)
+                    )
+
+            spark_schema = ", ".join(
+                f"`{n}` {key_types[types_for[n]][1]}" for n in names
+            )
+            tuples = adds.select("path").mapInPandas(read_keys, spark_schema)
+        else:
+            missing = set(names) - set(tuples.columns)
+            if missing:
+                raise ValueError(f"tuple frame lacks key column(s) {sorted(missing)}")
+            tuples = tuples.select(*names)
+
+        def write_eq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import pyarrow as pa
+            import pyarrow.parquet as pq
+
+            frames = [pdf for pdf in batches]
+            pdf = (
+                pd.concat(frames) if frames else pd.DataFrame(columns=names)
+            ).drop_duplicates().sort_values(names)
+            arrays, pa_fields = [], []
+            for n in names:
+                typ = getattr(pa, key_types[types_for[n]][0])()
+                arrays.append(pa.Array.from_pandas(pdf[n], type=typ))
+                pa_fields.append(
+                    pa.field(
+                        n, typ,
+                        metadata={"PARQUET:field_id": str(field_ids[n])},
+                    )
+                )
+            pq.write_table(
+                pa.Table.from_arrays(arrays, schema=pa.schema(pa_fields)),
+                del_path,
+            )
+            yield pd.DataFrame({"n": [len(pdf)]})
+
+        # ONE executor task writes the sorted, deduped tuple parquet (the
+        # tuple volume is O(changed rows)); a single count row returns
+        n_rows = int(
+            tuples.distinct().coalesce(1).mapInPandas(write_eq, "n long").first()["n"]
+        )
+
+        spec: list[dict] = []
+        part_fields = self._partition_avro_fields(ice_schema, spec)
+        manifests = []
+        if n_rows:
+            entry_schema = _manifest_entry_schema(part_fields, v2=True, deletes=True)
+            mpath = os.path.join(
+                self.metadata_dir, f"{uuid.uuid4().hex}-m-eqdeletes.avro"
+            )
+            write_container(
+                mpath,
+                entry_schema,
+                [
+                    {
+                        "status": STATUS_ADDED,
+                        "snapshot_id": snapshot_id,
+                        "sequence_number": seq,
+                        "file_sequence_number": seq,
+                        "data_file": {
+                            "content": _CONTENT_EQUALITY_DELETES,
+                            "file_path": del_path,
+                            "file_format": "PARQUET",
+                            "partition": {},
+                            "record_count": n_rows,
+                            "file_size_in_bytes": os.path.getsize(del_path),
+                            "block_size_in_bytes": 67108864,
+                            "value_counts": None,
+                            "null_value_counts": None,
+                            "lower_bounds": None,
+                            "upper_bounds": None,
+                            "equality_ids": ids,
+                        },
+                    }
+                ],
+            )
+            manifests.append(
+                {
+                    "manifest_path": mpath,
+                    "manifest_length": os.path.getsize(mpath),
+                    "partition_spec_id": md.get("default-spec-id", 0),
+                    "content": 1,
+                    "sequence_number": seq,
+                    "min_sequence_number": seq,
+                    "added_files_count": 1,
+                    "existing_files_count": 0,
+                    "deleted_files_count": 0,
+                    "added_snapshot_id": snapshot_id,
+                    "added_data_files_count": 1,
+                    "existing_data_files_count": 0,
+                    "deleted_data_files_count": 0,
+                    "added_rows_count": n_rows,
+                    "existing_rows_count": 0,
+                    "deleted_rows_count": 0,
+                }
+            )
+        else:
+            os.remove(del_path) if os.path.exists(del_path) else None
+
+        if adds is not None:
+            from onetable_spark.model import iter_inventory_rows
+
+            apt = {f["name"]: f["type"][1] for f in part_fields}
+            n2i = _flat_fields(ice_schema)
+            i2t = {f["id"]: f["type"] for f in ice_schema["fields"]}
+            entries = _CountingEntries(
+                _entry_from_data(
+                    row, snapshot_id, STATUS_ADDED, ice_schema, spec, apt, n2i, i2t
+                )
+                for row in iter_inventory_rows(adds)
+            )
+            dpath = os.path.join(self.metadata_dir, f"{uuid.uuid4().hex}-m-upsert.avro")
+            write_container(
+                dpath, _manifest_entry_schema(part_fields, v2=True), entries
+            )
+            if entries.count == 0:
+                os.remove(dpath)
+            else:
+                manifests.append(
+                    {
+                        "manifest_path": dpath,
+                        "manifest_length": os.path.getsize(dpath),
+                        "partition_spec_id": md.get("default-spec-id", 0),
+                        "content": _CONTENT_DATA,
+                        "sequence_number": seq,
+                        "min_sequence_number": seq,
+                        "added_files_count": entries.count,
+                        "existing_files_count": 0,
+                        "deleted_files_count": 0,
+                        "added_snapshot_id": snapshot_id,
+                        "added_data_files_count": entries.count,
+                        "existing_data_files_count": 0,
+                        "deleted_data_files_count": 0,
+                        "added_rows_count": entries.rows,
+                        "existing_rows_count": 0,
+                        "deleted_rows_count": 0,
+                    }
+                )
+
+        prev = self.current_snapshot_meta(md)
+        carried = []
+        if prev is not None and prev.get("manifest-list"):
+            _, carried = read_container(prev["manifest-list"])
+        mlist = os.path.join(
+            self.metadata_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+        )
+        write_container(mlist, MANIFEST_LIST_SCHEMA_V2, carried + manifests)
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "sequence-number": seq,
+            "timestamp-ms": now,
+            "summary": {
+                "operation": "overwrite" if adds is not None else "delete",
+                "equality-delete-tuples": str(n_rows),
+            },
             "manifest-list": mlist,
             "schema-id": md.get("current-schema-id", 0),
         }

@@ -41,12 +41,18 @@ _ACTION_SCHEMA = T.StructType(
                     T.StructField(
                         "partitionValues", T.MapType(T.StringType(), T.StringType())
                     ),
+                    T.StructField("dataChange", T.BooleanType()),
                 ]
             ),
         ),
         T.StructField(
             "remove",
-            T.StructType([T.StructField("path", T.StringType())]),
+            T.StructType(
+                [
+                    T.StructField("path", T.StringType()),
+                    T.StructField("dataChange", T.BooleanType()),
+                ]
+            ),
         ),
     ]
 )
@@ -200,7 +206,9 @@ def read_hudi_change_stream(spark: SparkSession, table_path: str) -> DataFrame:
     return adds.unionByName(removes).unionByName(rollbacks)
 
 
-def read_delta_log_stream(spark: SparkSession, table_path: str) -> DataFrame:
+def read_delta_log_stream(
+    spark: SparkSession, table_path: str, skip_change_commits: bool = False
+) -> DataFrame:
     """Streaming add/remove change feed from a Delta table's ``_delta_log``.
 
     Returns a streaming DataFrame with columns
@@ -212,6 +220,12 @@ def read_delta_log_stream(spark: SparkSession, table_path: str) -> DataFrame:
     The version is recovered from the commit file's name (the
     zero-padded-20-digit Delta convention) via the ``_metadata`` column,
     so no ordering assumption is placed on micro-batch arrival.
+
+    ``skip_change_commits`` (r12): drop actions whose ``dataChange`` flag
+    is false — OPTIMIZE/REORG rewrites that rearrange layout without
+    changing logical rows (delta-spark's ``skipChangeCommits`` contract).
+    A missing flag counts as a data change (legacy writers omit it), so
+    only explicitly-marked rewrites are skipped.
     """
     log_dir = table_path.rstrip("/") + "/_delta_log"
     raw = (
@@ -223,6 +237,15 @@ def read_delta_log_stream(spark: SparkSession, table_path: str) -> DataFrame:
         .select("add", "remove", F.col("_metadata.file_path").alias("_path"))
     )
     version = F.element_at(F.split("_path", "/"), -1).substr(1, 20).cast("long")
+    if skip_change_commits:
+        raw = raw.where(
+            F.coalesce(
+                F.when(F.col("add").isNotNull(), F.col("add.dataChange")).otherwise(
+                    F.col("remove.dataChange")
+                ),
+                F.lit(True),
+            )
+        )
     return (
         raw.where(F.col("add").isNotNull() | F.col("remove").isNotNull())
         .select(

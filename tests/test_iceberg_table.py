@@ -598,3 +598,98 @@ def test_partitioned_position_deletes_and_rewrite(spark, sf_dir, tmp_path):
         ice.commit_position_deletes(
             spark.createDataFrame([("/nope.parquet", 0)], "path string, pos long")
         )
+
+
+def test_equality_delete_commit_and_upsert(spark, sf_dir, tmp_path):
+    """r12 equality-delete WRITE plane: commit_upsert publishes ONE v2
+    snapshot with an eq-delete file (the new rows' keys, strict-less
+    sequence rule) plus the new data files — Flink-style CDC upsert. Old
+    rows with matching keys die, the new file (same sequence number) is
+    untouched, chained upserts stack, commit_equality_deletes does a
+    pure keyed delete, and rewrite_data_files materializes everything
+    away so the default scan reads clean."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    base = str(tmp_path / "ups")
+    os.makedirs(base)
+    src = os.path.join(sf_dir, "region.parquet")
+    shutil.copy(src, os.path.join(base, "f1.parquet"))
+    schema = spark.read.parquet(src).schema
+    ice = IcebergTable(spark, base)
+    ice.init_table(
+        Table(name="u", base_path=base, table_format=TableFormat.ICEBERG,
+              read_schema=schema, layout=DataLayoutStrategy.FLAT),
+        format_version=2,
+    )
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    f1 = os.path.join(base, "f1.parquet")
+    ice.commit_overwrite(adds=build_inventory(spark, [f1], root=base))
+    t = pq.read_table(src)
+    n = t.num_rows
+
+    def upsert_file(name: str, keys: list[int]) -> str:
+        out = os.path.join(base, name)
+        pq.write_table(
+            t.filter(pc.is_in(t["r_regionkey"], value_set=__import__("pyarrow").array(keys))),
+            out,
+        )
+        return out
+
+    u1 = upsert_file("u1.parquet", [0, 2])
+    ice.commit_upsert(build_inventory(spark, [u1], root=base), ["r_regionkey"])
+    with pytest.raises(Exception, match="EQUALITY delete"):
+        ice.snapshot_files().collect()
+    rows = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in ice.snapshot_files(apply_equality_deletes=True).collect()
+    }
+    assert rows == {"f1.parquet": n - 2, "u1.parquet": 2}
+
+    # chained upsert: key 0 again — u1 nets too (its seq < the new one)
+    u2 = upsert_file("u2.parquet", [0])
+    ice.commit_upsert(build_inventory(spark, [u2], root=base), ["r_regionkey"])
+    rows = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in ice.snapshot_files(apply_equality_deletes=True).collect()
+    }
+    assert rows == {"f1.parquet": n - 2, "u1.parquet": 1, "u2.parquet": 1}
+
+    # pure keyed delete
+    ice.commit_equality_deletes(
+        spark.createDataFrame([(4,)], "r_regionkey bigint"), ["r_regionkey"]
+    )
+    rows = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in ice.snapshot_files(apply_equality_deletes=True).collect()
+    }
+    assert rows == {"f1.parquet": n - 3, "u1.parquet": 1, "u2.parquet": 1}
+
+    # the manifest entry is spec-shaped: content=2 + equality_ids
+    from onetable_spark.formats.avro_codec import read_container
+
+    md = ice.metadata()
+    snap = ice.current_snapshot_meta(md)
+    _, manifests = read_container(snap["manifest-list"])
+    eq_entries = []
+    for m in manifests:
+        if m.get("content") == 1:
+            _, entries = read_container(m["manifest_path"])
+            eq_entries += [
+                e for e in entries if e["data_file"].get("content") == 2
+            ]
+    assert eq_entries and all(
+        list(e["data_file"]["equality_ids"] or []) for e in eq_entries
+    )
+
+    # compaction materializes the whole stack; the default scan is clean
+    assert ice.rewrite_data_files(apply_equality_deletes=True) is not None
+    total = sum(r["record_count"] for r in ice.snapshot_files().collect())
+    assert total == (n - 3) + 1 + 1
+
+    # guardrails: unknown/nested/unsupported key fields refuse
+    with pytest.raises(ValueError, match="top-level primitive"):
+        ice.commit_equality_deletes(
+            spark.createDataFrame([(1,)], "x bigint"), ["nope"]
+        )

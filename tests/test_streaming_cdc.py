@@ -175,3 +175,40 @@ def test_hudi_change_stream_parses_real_fixture(spark, tmp_path):
     ((_, change, fname),) = real.keys()
     assert change == "add" and fname.endswith(".parquet")
     assert all(rc and rc > 0 for rc in real.values())
+
+
+def test_cdc_feed_skip_change_commits_drops_rewrites(spark, sf_dir, tmp_path):
+    """r12: OPTIMIZE/REORG actions carry dataChange=false; a feed opened
+    with skip_change_commits=True must drop them (delta-spark's
+    skipChangeCommits contract) while the default feed still surfaces
+    the layout change. Legacy actions without the flag always pass."""
+    base = str(tmp_path / "skipcc")
+    os.makedirs(base)
+    src = os.path.join(sf_dir, "region.parquet")
+    shutil.copy(src, os.path.join(base, "f1.parquet"))
+    shutil.copy(src, os.path.join(base, "f2.parquet"))
+    schema = spark.read.parquet(base).schema
+    log = DeltaLog(spark, base)
+    log.init_table(
+        Table(name="s", base_path=base, table_format=TableFormat.DELTA,
+              read_schema=schema, layout=DataLayoutStrategy.FLAT)
+    )
+    paths = [os.path.join(base, n) for n in ("f1.parquet", "f2.parquet")]
+    log.commit(adds=build_inventory(spark, paths, root=base))
+
+    from onetable_spark.operators.maintenance import compact_table
+
+    compact_table(spark, TableFormat.DELTA, base, target_bytes=1 << 30)
+
+    full = _drain(spark, read_delta_log_stream(spark, base),
+                  str(tmp_path / "ck_full"))
+    skipped = _drain(
+        spark,
+        read_delta_log_stream(spark, base, skip_change_commits=True),
+        str(tmp_path / "ck_skip"),
+    )
+    # the default feed sees the OPTIMIZE rewrite (v2 adds+removes)...
+    assert any(k[0] == 2 for k in full)
+    # ...the skipping feed sees only the v1 data commit
+    assert skipped and all(k[0] == 1 for k in skipped)
+    assert {k for k in skipped} == {k for k in full if k[0] == 1}
