@@ -4,7 +4,7 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 12: 135 queries. New in round 12:
+Surface as of round 12: 137 queries. New in round 12:
 `hudi_delete_translation` — the THIRD edge of the cross-format delete
 triangle: Iceberg position deletes become REAL HoodieLogFormat DELETE
 blocks (type 1, record keys read at the deleted positions on
@@ -35,7 +35,17 @@ off the added parquet on executors, spec field ids on the key
 columns, equality_ids on the entry) plus the new data files at the
 same sequence number — old rows with matching keys die under the
 strict-less rule, the new rows are untouched, chained upserts stack,
-and commit_equality_deletes does pure keyed deletes. Also r12: Delta
+and commit_equality_deletes does pure keyed deletes; `delta_upsert` —
+the Delta twin, MERGE-shaped keyed upsert via deletion vectors:
+upsert_by_key broadcasts the new rows' keys, prunes live files by
+min/max stats on the key field, resolves matching positions with a
+vectorized pandas merge, and commits new files + one replacing DV per
+affected file (union of old dead positions and new matches) in a
+single version; `streaming_upsert` — both merges as REAL streaming
+sinks: a 2-batch CDC file stream (maxFilesPerTrigger=1) drives the
+foreachBatch upsert writers into native Delta AND Iceberg v2 tables
+with exactly-once batch ids, per-batch nets read back from each
+format's own metadata. Also r12: Delta
 REORG/OPTIMIZE commits write dataChange=false (delta-spark's CDC
 contract; read_delta_log_stream gains skip_change_commits),
 partitioned v2 specs now take position-delete commits (partition-

@@ -1150,6 +1150,146 @@ class DeltaLog:
             adds=adds, removes=removes, operation="REORG", data_change=False
         )
 
+    #: keyed-upsert broadcast cap — the new-key set must stay executor-
+    #: memory-sized (the same bound the Iceberg eq-delete scan enforces);
+    #: a bigger change set is a batch rewrite, not a merge
+    _MAX_UPSERT_KEYS = 1_000_000
+
+    def upsert_by_key(
+        self,
+        adds: DataFrame,
+        key_fields: list[str],
+        txn: Optional[dict] = None,
+        operation: str = "MERGE",
+    ) -> int:
+        """Delta MERGE-shaped KEYED UPSERT via deletion vectors (r12):
+        one commit adds the new files and attaches a DV to every existing
+        live file holding a row whose key matches a new row's key — the
+        Delta twin of ``IcebergTable.commit_upsert`` (there the keys ride
+        an equality-delete file; here they resolve to positions at write
+        time, because Delta has no deferred delete form besides DVs).
+
+        Scale shape: the new keys are read off the added parquet on
+        executors and broadcast (capped at ``_MAX_UPSERT_KEYS``); live
+        files are PRUNED by their min/max stats on the first key field
+        before any data is read (a merge touching 0.1% of keys scans only
+        the stat-overlapping files — the same skipping delta-spark's
+        MERGE does); surviving files resolve matches with a vectorized
+        ``pandas.merge`` per Arrow batch, O(matches) rows out. A file's
+        new DV carries the UNION of its existing dead positions and the
+        new matches (a DV replaces, never stacks). Unaffected files are
+        untouched. Rows duplicated WITHIN the new files stay duplicated —
+        MERGE assumes source keys unique, matching delta-spark. ``txn``
+        rides the same commit (the streaming sink's exactly-once handle).
+
+        Returns the committed version."""
+        import pandas as _pd
+
+        self._ensure_reader_supported()
+        table_path = self.table_path
+        info = self.snapshot_info()
+        schema = T.StructType.fromJson(json.loads(info.metadata["schemaString"]))
+        by_name = {f.name: f for f in schema.fields}
+        for n in key_fields:
+            if n not in by_name or isinstance(
+                by_name[n].dataType, (T.StructType, T.ArrayType, T.MapType)
+            ):
+                raise ValueError(
+                    f"{table_path}: upsert key {n!r} is not a top-level "
+                    "primitive column"
+                )
+        names = list(key_fields)
+        sql_types = {n: by_name[n].dataType.simpleString() for n in names}
+
+        def read_keys(batches):
+            import pyarrow.parquet as _pq
+
+            for pdf in batches:
+                frames = []
+                for p in pdf["path"]:
+                    frames.append(
+                        _pq.read_table(p, columns=names).to_pandas(
+                            integer_object_nulls=True
+                        )
+                    )
+                yield (
+                    _pd.concat(frames) if frames else _pd.DataFrame(columns=names)
+                )
+
+        key_schema = ", ".join(f"`{n}` {sql_types[n]}" for n in names)
+        new_keys = adds.select("path").mapInPandas(read_keys, key_schema).distinct()
+        # driver-ok: the merge's change-key set, cap-checked right below
+        keys_pdf = new_keys.toPandas()
+        if len(keys_pdf) > self._MAX_UPSERT_KEYS:
+            raise ValueError(
+                f"{table_path}: {len(keys_pdf)} upsert keys exceed the "
+                f"{self._MAX_UPSERT_KEYS} broadcast cap; rewrite in batch "
+                "instead of merging"
+            )
+        bkeys = self.spark.sparkContext.broadcast(keys_pdf)
+
+        raw, old_positions = self.snapshot_with_deleted_positions()
+        # stats prune on the FIRST key field: a live file whose min/max
+        # range cannot contain ANY new key is never opened
+        kf = names[0]
+        ktype = by_name[kf].dataType
+        pruned = raw
+        col = keys_pdf[kf].dropna()
+        if len(col) and not isinstance(ktype, (T.BooleanType, T.BinaryType)):
+            kmin, kmax = col.min(), col.max()
+            stat = F.expr(
+                f"filter(coalesce(column_stats, array()), s -> s.field = '{kf}')"
+            )
+            lo = F.element_at(stat, 1)["min_value"].cast(ktype)
+            hi = F.element_at(stat, 1)["max_value"].cast(ktype)
+            overlap = (
+                lo.isNull()
+                | hi.isNull()
+                | ((hi >= F.lit(kmin.item() if hasattr(kmin, "item") else kmin))
+                   & (lo <= F.lit(kmax.item() if hasattr(kmax, "item") else kmax)))
+            )
+            pruned = raw.where(overlap)
+
+        def scan(batches):
+            import pyarrow.parquet as _pq
+
+            keys = bkeys.value
+            for pdf in batches:
+                out = []
+                for p in pdf["path"]:
+                    t = _pq.read_table(p, columns=names).to_pandas(
+                        integer_object_nulls=True
+                    )
+                    t.index.name = "pos"
+                    m = t.reset_index().merge(keys, on=names)
+                    if len(m):
+                        out.append(
+                            _pd.DataFrame({"path": p, "pos": m["pos"].astype("int64")})
+                        )
+                yield (
+                    _pd.concat(out)
+                    if out
+                    else _pd.DataFrame({"path": _pd.Series(dtype=object),
+                                        "pos": _pd.Series(dtype="int64")})
+                )
+
+        matches = pruned.select("path").mapInPandas(scan, "path string, pos long")
+        affected = matches.select("path").distinct()
+        # a DV REPLACES its file's descriptor — the new bitmap must carry
+        # the already-dead positions too, or the old deletes resurrect
+        union_positions = matches.unionByName(
+            old_positions.join(affected, "path", "left_semi")
+        ).distinct()
+        re_adds = raw.join(affected, "path", "left_semi")
+        all_adds = re_adds.unionByName(adds, allowMissingColumns=True)
+        return self.commit(
+            adds=all_adds,
+            removes=re_adds.select("path"),
+            deletion_vectors=union_positions,
+            operation=operation,
+            txn=txn,
+        )
+
     def update_configuration(self, updates: dict[str, str]) -> dict:
         """Return a metaData action carrying merged configuration (the
         sync-bookkeeping write, DeltaClient.java:263-271)."""

@@ -2016,7 +2016,11 @@ class IcebergTable:
         raise AssertionError("unreachable")
 
     def commit_upsert(
-        self, adds: DataFrame, key_fields: list[str], max_retries: int = 3
+        self,
+        adds: DataFrame,
+        key_fields: list[str],
+        max_retries: int = 3,
+        properties: Optional[dict[str, str]] = None,
     ) -> int:
         """Flink-style CDC UPSERT as ONE v2 snapshot: an equality-delete
         file holding the new rows' key tuples (read off the added parquet
@@ -2028,10 +2032,14 @@ class IcebergTable:
         streaming-ingest pattern Flink/Iceberg writers use for CDC
         streams; chained upserts stack (later keys net earlier upserts'
         files too). ``adds`` is a FILES_SCHEMA inventory of already-
-        written parquet."""
+        written parquet. ``properties`` merge into table properties in
+        the SAME metadata swap (the streaming sink's exactly-once
+        batch-id record)."""
         for attempt in range(max_retries):
             try:
-                return self._commit_upsert_once(adds, None, key_fields)
+                return self._commit_upsert_once(
+                    adds, None, key_fields, properties=properties
+                )
             except CommitConflictError:
                 if attempt == max_retries - 1:
                     raise
@@ -2043,6 +2051,7 @@ class IcebergTable:
         adds: Optional[DataFrame],
         tuples: Optional[DataFrame],
         field_names: list[str],
+        properties: Optional[dict[str, str]] = None,
     ) -> int:
         version = self.current_version()
         md = self.metadata(version)
@@ -2271,6 +2280,8 @@ class IcebergTable:
         md.setdefault("snapshot-log", []).append(
             {"timestamp-ms": now, "snapshot-id": snapshot_id}
         )
+        if properties:
+            md["properties"] = {**md.get("properties", {}), **properties}
         self._write_metadata(version + 1, md)
         return snapshot_id
 

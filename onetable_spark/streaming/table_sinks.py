@@ -226,3 +226,124 @@ def write_stream_to_table(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class DeltaUpsertStreamWriter(DeltaStreamWriter):
+    """foreachBatch UPSERT sink (r12): each micro-batch MERGES into the
+    Delta table by key — ``DeltaLog.upsert_by_key`` attaches a deletion
+    vector to every existing file holding a row whose key reappears in
+    the batch and adds the batch's files, one commit per batch. The
+    exactly-once txn action rides that same commit, so a replayed batch
+    after restart is skipped before any file is written. This is the
+    streaming CDC-ingest shape (late updates keyed by primary key)
+    delta-spark serves with MERGE inside foreachBatch."""
+
+    def __init__(self, table_path: str, key_fields, app_id: str | None = None):
+        super().__init__(table_path, app_id=app_id)
+        self.key_fields = list(key_fields)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        log = DeltaLog(spark, self.table_path)
+        if not log.exists():
+            log.init_table(
+                Table(
+                    name=os.path.basename(self.table_path),
+                    base_path=self.table_path,
+                    table_format=TableFormat.DELTA,
+                    read_schema=batch_df.schema,
+                    layout=DataLayoutStrategy.FLAT,
+                )
+            )
+        if batch_id <= self.last_committed_batch(log):
+            return  # replayed batch after restart — already committed
+        out_dir = os.path.join(self.table_path, f"batch={batch_id}")
+        batch_df.write.mode("overwrite").parquet(out_dir)
+        inv = build_inventory(
+            spark,
+            [
+                os.path.join(out_dir, f)
+                for f in os.listdir(out_dir)
+                if f.endswith(".parquet")
+            ],
+            root=self.table_path,
+        )
+        log.upsert_by_key(
+            inv,
+            self.key_fields,
+            txn={"appId": self.app_id, "version": batch_id},
+            operation="STREAMING MERGE",
+        )
+
+
+class IcebergUpsertStreamWriter(IcebergStreamWriter):
+    """foreachBatch UPSERT sink (r12): each micro-batch lands as ONE v2
+    snapshot carrying an equality-delete file (the batch's keys) plus
+    the batch's data files (``IcebergTable.commit_upsert``) — the
+    Flink-style CDC-ingest shape. Exactly-once: the committed batch id
+    rides the same metadata.json swap as the snapshot (table property
+    ``onetable.stream.<appId>``)."""
+
+    def __init__(self, table_path: str, key_fields, app_id: str | None = None):
+        super().__init__(table_path, app_id=app_id)
+        self.key_fields = list(key_fields)
+
+    def __call__(self, batch_df: DataFrame, batch_id: int) -> None:
+        from onetable_spark.formats.iceberg import IcebergTable
+
+        spark = batch_df.sparkSession
+        tbl = IcebergTable(spark, self.table_path)
+        if not tbl.exists():
+            tbl.init_table(
+                Table(
+                    name=os.path.basename(self.table_path),
+                    base_path=self.table_path,
+                    table_format=TableFormat.ICEBERG,
+                    read_schema=batch_df.schema,
+                ),
+                format_version=2,  # equality deletes are a v2 feature
+            )
+        key = f"onetable.stream.{self.app_id}"
+        last = int(tbl.properties().get(key, -1))
+        if batch_id <= last:
+            return
+        out_dir = os.path.join(self.table_path, f"batch={batch_id}")
+        batch_df.write.mode("overwrite").parquet(out_dir)
+        inv = build_inventory(
+            spark,
+            [
+                os.path.join(out_dir, f)
+                for f in os.listdir(out_dir)
+                if f.endswith(".parquet")
+            ],
+            root=self.table_path,
+        )
+        tbl.commit_upsert(inv, self.key_fields, properties={key: str(batch_id)})
+
+
+_UPSERT_WRITERS = {
+    TableFormat.DELTA: DeltaUpsertStreamWriter,
+    TableFormat.ICEBERG: IcebergUpsertStreamWriter,
+}
+
+
+def write_upsert_stream_to_table(
+    stream_df: DataFrame,
+    fmt: TableFormat | str,
+    table_path: str,
+    checkpoint_dir: str,
+    key_fields,
+    app_id: str | None = None,
+):
+    """Start an available-now streaming UPSERT into a native Delta or
+    Iceberg table (per-batch keyed merge — DVs on Delta, equality
+    deletes on Iceberg); returns the StreamingQuery."""
+    writer = _UPSERT_WRITERS[TableFormat(fmt)](
+        table_path, key_fields, app_id=app_id
+    )
+    return (
+        stream_df.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -503,3 +503,74 @@ def test_purge_commit_marks_data_change_false(spark, sf_dir, tmp_path):
     assert adds and removes
     assert all(a["dataChange"] is False for a in adds)
     assert all(r["dataChange"] is False for r in removes)
+
+
+def test_upsert_by_key_attaches_dvs_and_adds_new_rows(spark, sf_dir, tmp_path):
+    """r12 MERGE-shaped keyed upsert: existing rows whose key matches a
+    new row's key die via a deletion vector, the new file lands in the
+    same commit, chained upserts net earlier upsert files too (the new
+    DV carries the union of old dead positions and new matches), and the
+    logical key multiset stays exactly the original key set."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    base = str(tmp_path / "merge")
+    os.makedirs(base)
+    src = os.path.join(sf_dir, "region.parquet")
+    shutil.copy(src, os.path.join(base, "f1.parquet"))
+    schema = spark.read.parquet(src).schema
+    log = DeltaLog(spark, base)
+    log.init_table(
+        Table(name="m", base_path=base, table_format=TableFormat.DELTA,
+              read_schema=schema, layout=DataLayoutStrategy.FLAT)
+    )
+    f1 = os.path.join(base, "f1.parquet")
+    log.commit(adds=build_inventory(spark, [f1], root=base))
+    t = pq.read_table(src)
+    n = t.num_rows
+
+    def upsert(name: str, keys: list[int]) -> None:
+        out = os.path.join(base, name)
+        pq.write_table(
+            t.filter(pc.is_in(t["r_regionkey"], value_set=pa.array(keys))), out
+        )
+        log.upsert_by_key(build_inventory(spark, [out], root=base), ["r_regionkey"])
+
+    upsert("u1.parquet", [0, 2])
+    rows = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in log.snapshot_files().collect()
+    }
+    assert rows == {"f1.parquet": n - 2, "u1.parquet": 2}
+    checks = {os.path.basename(c["path"]): c for c in log.verify_deletion_vectors().collect()}
+    assert set(checks) == {"f1.parquet"}
+    assert checks["f1.parquet"]["dv_ok"]
+    assert checks["f1.parquet"]["decoded_cardinality"] == 2
+
+    # chained: key 0 again — u1's copy dies too; f1's new DV must carry
+    # the UNION (same two positions), not just the re-match
+    upsert("u2.parquet", [0])
+    rows = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in log.snapshot_files().collect()
+    }
+    assert rows == {"f1.parquet": n - 2, "u1.parquet": 1, "u2.parquet": 1}
+    checks = {os.path.basename(c["path"]): c for c in log.verify_deletion_vectors().collect()}
+    assert checks["f1.parquet"]["decoded_cardinality"] == 2
+    assert checks["u1.parquet"]["decoded_cardinality"] == 1
+    assert all(c["dv_ok"] for c in checks.values())
+
+    # logical key multiset == the original keys, each exactly once
+    raw, positions = log.snapshot_with_deleted_positions()
+    dead = {(r["path"], r["pos"]) for r in positions.collect()}
+    live_keys = []
+    for r in raw.collect():
+        ks = pq.read_table(r["path"], columns=["r_regionkey"])[
+            "r_regionkey"
+        ].to_pylist()
+        live_keys += [k for i, k in enumerate(ks) if (r["path"], i) not in dead]
+    assert sorted(live_keys) == sorted(t["r_regionkey"].to_pylist())
+
+    with pytest.raises(ValueError, match="not a top-level primitive"):
+        log.upsert_by_key(build_inventory(spark, [f1], root=base), ["nope"])

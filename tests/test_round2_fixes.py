@@ -217,15 +217,16 @@ def test_no_driver_collect_in_query_paths():
     #     iceberg_rewrite_files' two 2-file staged read-backs (post-
     #     rewrite inventory + pre-rewrite time-travel check), and
     #     delta_dv_purge's two 2-file staged read-backs (post-purge
-    #     inventory + pre-purge time-travel check), and iceberg_upsert's
-    #     refusal probe (raises before rows materialize)
+    #     inventory + pre-purge time-travel check), iceberg_upsert's
+    #     refusal probe (raises before rows materialize), and
+    #     delta_upsert's DV cross-check (one row per live DV'd file)
     #   maintenance.py third site: Iceberg referenced_paths' manifest-list
     #     walk (bounded by manifest count per snapshot)
     sanctioned = {
         "functions/similarity.py": 1,
         "functions/bpe.py": 2,
         "operators/maintenance.py": 3,
-        "queries.py": 18,
+        "queries.py": 19,
     }
     root = pathlib.Path(__file__).parent.parent / "onetable_spark"
     offenders, marked = [], Counter()

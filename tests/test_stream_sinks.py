@@ -103,3 +103,63 @@ def test_stream_to_iceberg_and_hudi_exactly_once(spark, sf_dir, tmp_path):
     n = len(tl.completed_instants())
     HudiStreamWriter(hudi_path, app_id="ah")(got.limit(3), 0)  # replay
     assert len(HudiTimeline(spark, hudi_path).completed_instants()) == n
+
+
+def test_upsert_stream_writers_merge_by_key(spark, sf_dir, tmp_path):
+    """r12 streaming UPSERT sinks: batch 0 seeds the table, batch 1
+    re-sends keys {0, 2} with new values — on Delta the old copies die
+    via deletion vectors, on Iceberg via an equality-delete file; a
+    replayed batch id is a no-op (exactly-once); the logical state is
+    one row per key with the LATEST value."""
+    import os
+
+    from onetable_spark.streaming.table_sinks import (
+        DeltaUpsertStreamWriter,
+        IcebergUpsertStreamWriter,
+    )
+
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet")).select(
+        "r_regionkey", "r_name"
+    )
+    n = region.count()
+    b1 = region.filter(F.col("r_regionkey").isin(0, 2)).withColumn(
+        "r_name", F.lit("UPDATED")
+    )
+
+    # ---- Delta: DVs carry the merge
+    dpath = str(tmp_path / "dmerge")
+    dw = DeltaUpsertStreamWriter(dpath, ["r_regionkey"], app_id="u1")
+    dw(region, 0)
+    dw(b1, 1)
+    log = DeltaLog(spark, dpath)
+    v = log.latest_version()
+    dw(b1, 1)  # replay — exactly-once
+    assert DeltaLog(spark, dpath).latest_version() == v
+    raw, positions = log.snapshot_with_deleted_positions()
+    dead = {(r["path"], r["pos"]) for r in positions.collect()}
+    rows = []
+    for r in raw.select("path").collect():
+        pdf = spark.read.parquet(r["path"]).select("r_regionkey", "r_name").collect()
+        rows += [
+            (x["r_regionkey"], x["r_name"])
+            for i, x in enumerate(pdf)
+            if (r["path"], i) not in dead
+        ]
+    assert len(rows) == n
+    by_key = dict(rows)
+    assert by_key[0] == "UPDATED" and by_key[2] == "UPDATED"
+
+    # ---- Iceberg: an equality-delete file carries the merge
+    ipath = str(tmp_path / "imerge")
+    iw = IcebergUpsertStreamWriter(ipath, ["r_regionkey"], app_id="u2")
+    iw(region, 0)
+    iw(b1, 1)
+    tbl = IcebergTable(spark, ipath)
+    ver = tbl.current_version()
+    iw(b1, 1)  # replay — exactly-once
+    assert IcebergTable(spark, ipath).current_version() == ver
+    total = sum(
+        r["record_count"]
+        for r in tbl.snapshot_files(apply_equality_deletes=True).collect()
+    )
+    assert total == n
