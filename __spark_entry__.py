@@ -4,7 +4,7 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 12: 137 queries. New in round 12:
+Surface as of round 12: 138 queries. New in round 12:
 `hudi_delete_translation` — the THIRD edge of the cross-format delete
 triangle: Iceberg position deletes become REAL HoodieLogFormat DELETE
 blocks (type 1, record keys read at the deleted positions on
@@ -41,7 +41,13 @@ upsert_by_key broadcasts the new rows' keys, prunes live files by
 min/max stats on the key field, resolves matching positions with a
 vectorized pandas merge, and commits new files + one replacing DV per
 affected file (union of old dead positions and new matches) in a
-single version; `streaming_upsert` — both merges as REAL streaming
+single version; `hudi_upsert` — the Hudi MOR edge: upsert_records
+tags a batch against live base files by record key on executors,
+authors ONE AVRO_DATA log block per affected file group for updates
+(numUpdateWrites — zero-sum in the realtime view) and a fresh base
+file group for new keys, all in one deltacommit, with
+compact_file_groups merging by key downstream; `streaming_upsert` —
+the Delta+Iceberg merges as REAL streaming
 sinks: a 2-batch CDC file stream (maxFilesPerTrigger=1) drives the
 foreachBatch upsert writers into native Delta AND Iceberg v2 tables
 with exactly-once batch ids, per-batch nets read back from each

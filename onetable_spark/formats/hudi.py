@@ -1096,6 +1096,243 @@ class HudiTimeline:
         os.replace(tmp, completed)
         return instant
 
+    def upsert_records(self, df: DataFrame) -> str:
+        """Hudi MOR KEYED UPSERT (r12) — the third format's edge of the
+        upsert triangle (Delta: ``upsert_by_key`` via deletion vectors;
+        Iceberg: ``commit_upsert`` via equality deletes). Incoming
+        records are TAGGED against the live base files by record key
+        (executors read each base file's key columns once — the same
+        read real Hudi's SimpleIndex does): records whose key already
+        lives somewhere become ONE AVRO_DATA log block on that file
+        group (byte layout the real MOR reader and
+        ``compact_file_groups`` merge by key; the realtime view's
+        updates-net-zero arithmetic holds because the stat carries
+        numUpdateWrites, not numInserts); records with NEW keys land in
+        a fresh base parquet — a new file group. One deltacommit carries
+        both. Source keys are assumed unique per batch (real Hudi
+        precombines; we document rather than dedupe). Unpartitioned
+        tables only (insert partition-path derivation is the missing
+        piece); keyless tables refuse — upserts are inexpressible
+        without record keys. Returns the deltacommit instant."""
+        import pandas as _pd
+
+        from onetable_spark.formats.avro_schema import structtype_to_avro
+        from onetable_spark.formats.hudi_log import write_avro_log_block
+
+        desc = self.table_descriptor()
+        kf = list(desc.record_key_fields)
+        if not kf:
+            raise ValueError(
+                f"{self.table_path}: no record-key fields configured — "
+                "keyed upserts are inexpressible on a keyless table"
+            )
+        if desc.partition_fields:
+            raise ValueError(
+                f"{self.table_path}: upsert_records on partitioned tables "
+                "is not implemented (insert partition-path derivation)"
+            )
+        cols = [f.name for f in desc.read_schema.fields]
+        df = df.select(*cols)
+        avro_schema = structtype_to_avro(desc.read_schema, name="record")
+
+        def key_expr(frame: DataFrame) -> DataFrame:
+            if len(kf) == 1:
+                k = F.col(kf[0]).cast("string")
+            else:
+                k = F.concat_ws(
+                    ",", *[F.concat_ws(":", F.lit(f_), F.col(f_).cast("string"))
+                           for f_ in kf]
+                )
+            return frame.withColumn("_key", k)
+
+        table_path = self.table_path
+        table_prefix = table_path.rstrip("/") + "/"
+        instants = self.completed_instants()
+        keyed = key_expr(df)
+        if instants:
+            commits = self._commits_df(instants)
+            base = self._live_base_slices(
+                self._exploded_stats(commits), commits
+            ).select(
+                F.concat(F.lit(table_prefix), F.col("rel_path")).alias("path"),
+                "file_id",
+                "partition_path",
+                F.col("instant").alias("base_instant"),
+            )
+
+            def read_base_keys(batches):
+                import pyarrow.parquet as _pq
+
+                for pdf in batches:
+                    frames = []
+                    for p, fid, pp, bi in zip(
+                        pdf["path"], pdf["file_id"],
+                        pdf["partition_path"], pdf["base_instant"],
+                    ):
+                        t = _pq.read_table(p, columns=kf).to_pandas(
+                            integer_object_nulls=True
+                        )
+                        if len(kf) == 1:
+                            keys = t[kf[0]].astype(str)
+                        else:
+                            keys = t[kf[0]].astype(str).radd(f"{kf[0]}:")
+                            for f_ in kf[1:]:
+                                keys = keys + "," + t[f_].astype(str).radd(f"{f_}:")
+                        frames.append(
+                            _pd.DataFrame(
+                                {"_key": keys, "path": p, "file_id": fid,
+                                 "partition_path": pp or "",
+                                 "base_instant": bi}
+                            )
+                        )
+                    yield (
+                        _pd.concat(frames)
+                        if frames
+                        else _pd.DataFrame(
+                            columns=["_key", "path", "file_id",
+                                     "partition_path", "base_instant"]
+                        )
+                    )
+
+            base_keys = base.mapInPandas(
+                read_base_keys,
+                "_key string, path string, file_id string, "
+                "partition_path string, base_instant string",
+            )
+            updates = keyed.join(base_keys, "_key")
+            inserts = keyed.join(base_keys.select("_key"), "_key", "left_anti")
+        else:
+            updates = None
+            inserts = keyed
+
+        instant, _ = self._claim_instant("deltacommit")
+        inflight = os.path.join(
+            self.hoodie_path, f"{instant}.deltacommit.inflight"
+        )
+        open(inflight, "w").close()
+
+        stat_rows: list[dict] = []
+        if updates is not None:
+
+            def author(key, pdf: _pd.DataFrame) -> _pd.DataFrame:
+                path = key[0]
+                row0 = pdf.iloc[0]
+                records = [
+                    {
+                        c: (v.item() if hasattr(v, "item") else v)
+                        for c, v in zip(cols, vals)
+                    }
+                    for vals in zip(*[pdf[c] for c in cols])
+                ]
+                log_dir = os.path.dirname(path)
+                file_id = row0["file_id"]
+                base_instant = row0["base_instant"]
+                version = 1
+                while True:
+                    name = f".{file_id}_{base_instant}.log.{version}_0-0-0"
+                    lp = os.path.join(log_dir, name)
+                    if not os.path.exists(lp):
+                        break
+                    version += 1
+                write_avro_log_block(
+                    lp, records, avro_schema, instant, append=False
+                )
+                rel_log = (
+                    lp[len(table_prefix):] if lp.startswith(table_prefix) else lp
+                )
+                return _pd.DataFrame(
+                    [
+                        {
+                            "rel_path": rel_log,
+                            "file_id": file_id,
+                            "partition_path": row0["partition_path"] or "",
+                            "prev_commit": base_instant,
+                            "num_updates": len(records),
+                            "size": os.path.getsize(lp),
+                        }
+                    ]
+                )
+
+            # eager localCheckpoint: block authoring is SIDE-EFFECTING (the
+            # log version probe makes re-execution append .log.2 orphans)
+            upd_stats = (
+                updates.groupBy("path")
+                .applyInPandas(
+                    author,
+                    "rel_path string, file_id string, partition_path string, "
+                    "prev_commit string, num_updates long, size long",
+                )
+                .localCheckpoint(eager=True)
+            )
+            # driver-ok: one row per AFFECTED file group (commit payload)
+            for row in upd_stats.collect():
+                stat_rows.append(
+                    {
+                        "fileId": row["file_id"],
+                        "path": row["rel_path"],
+                        "prevCommit": row["prev_commit"],
+                        "numWrites": row["num_updates"],
+                        "numInserts": 0,
+                        "numDeletes": 0,
+                        "numUpdateWrites": row["num_updates"],
+                        "totalWriteBytes": row["size"],
+                        "fileSizeInBytes": row["size"],
+                        "partitionPath": row["partition_path"],
+                        "columnStats": None,
+                    }
+                )
+
+        # driver-ok: emptiness probe, one boolean
+        if not inserts.isEmpty():
+            scratch = os.path.join(
+                table_path, f"_upsert_{uuid.uuid4().hex[:12]}"
+            )
+            inserts.select(*cols).coalesce(1).write.parquet(scratch)
+            part = next(
+                f for f in os.listdir(scratch) if f.endswith(".parquet")
+            )
+            new_name = f"{uuid.uuid4().hex[:8]}-0_0-0-0_{instant}.parquet"
+            new_abs = os.path.join(table_path, new_name)
+            os.replace(os.path.join(scratch, part), new_abs)
+            import shutil as _shutil
+
+            _shutil.rmtree(scratch, ignore_errors=True)
+            # driver-ok: one count scalar for the new base file's stat
+            n_ins = self.spark.read.parquet(new_abs).count()
+            stat_rows.append(
+                {
+                    "fileId": _file_id_for(new_name),
+                    "path": new_name,
+                    "prevCommit": "null",
+                    "numWrites": n_ins,
+                    "numInserts": n_ins,
+                    "numDeletes": 0,
+                    "numUpdateWrites": 0,
+                    "totalWriteBytes": os.path.getsize(new_abs),
+                    "fileSizeInBytes": os.path.getsize(new_abs),
+                    "partitionPath": "",
+                    "columnStats": None,
+                }
+            )
+
+        completed = os.path.join(self.hoodie_path, f"{instant}.deltacommit")
+        tmp = completed + ".tmp"
+        by_pp: dict[str, list[dict]] = {}
+        for s in stat_rows:
+            by_pp.setdefault(s["partitionPath"] or "", []).append(s)
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "partitionToWriteStats": by_pp,
+                    "compacted": False,
+                    "operationType": "UPSERT",
+                    "extraMetadata": {},
+                },
+                f,
+            )
+        os.replace(tmp, completed)
+        return instant
+
     def compact_file_groups(self) -> Optional[str]:
         """MOR COMPACTION (r12): merge every file group's unmerged log
         blocks into a NEW base parquet — the data-plane materialization

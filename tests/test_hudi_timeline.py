@@ -557,3 +557,87 @@ def test_mor_realtime_sync_materializes_via_compaction(spark, hudi_table):
     }
     assert got == {new_path: base_count + 1}
     assert spark.read.parquet(new_path).count() == got[new_path]
+
+
+def test_upsert_records_logs_updates_and_bases_inserts(spark, sf_dir, tmp_path):
+    """r12 Hudi MOR keyed upsert: records with existing keys become one
+    AVRO_DATA log block on their file group (updates net ZERO in the
+    realtime view — the stat carries numUpdateWrites), records with new
+    keys land in a fresh base file group, both in ONE deltacommit; the
+    default view refuses while the log is unmerged; compaction
+    materializes the merge and the final rows carry the UPDATED values
+    exactly once per key."""
+    import shutil as _sh
+
+    import pyarrow.parquet as pq
+
+    from onetable_spark.model import DataLayoutStrategy, Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    base = str(tmp_path / "hups")
+    os.makedirs(base)
+    src = os.path.join(sf_dir, "region.parquet")
+    f1 = os.path.join(base, "f1.parquet")
+    _sh.copy(src, f1)
+    schema = spark.read.parquet(src).schema
+    tl = HudiTimeline(spark, base)
+    tl.init_table(
+        Table(name="hu", base_path=base, table_format=TableFormat.HUDI,
+              read_schema=schema, layout=DataLayoutStrategy.FLAT,
+              record_key_fields=("r_regionkey",))
+    )
+    tl.commit(adds=build_inventory(spark, [f1], root=base), action="deltacommit")
+    n = spark.read.parquet(src).count()
+
+    # 2 updates (keys 0, 2 with new comment) + 2 inserts (keys 100, 101)
+    region = spark.read.parquet(src)
+    batch = (
+        region.filter(F.col("r_regionkey").isin(0, 2))
+        .withColumn("r_name", F.lit("UPDATED"))
+        .unionByName(
+            region.limit(2).withColumn(
+                "r_regionkey",
+                F.col("r_regionkey") + F.lit(100),
+            )
+        )
+    )
+    instant = tl.upsert_records(batch)
+    assert instant
+
+    # default view refuses (unmerged log), realtime nets: f1 stays n
+    # (updates are zero-sum), the new base file carries the 2 inserts
+    with pytest.raises(Exception, match="unmerged log"):
+        tl.snapshot_files().collect()
+    rt = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in tl.snapshot_files(view="realtime").collect()
+    }
+    assert rt.pop("f1.parquet") == n
+    assert list(rt.values()) == [2]  # the insert file group
+
+    # byte plane: the log decodes to exactly the 2 update records
+    checks = tl.verify_log_stats().collect()
+    assert len(checks) == 1 and checks[0]["log_ok"]
+
+    # compaction materializes: n + 2 rows, keys unique, updates applied
+    assert tl.compact_file_groups() is not None
+    rows = tl.snapshot_files().collect()
+    assert sum(r["record_count"] for r in rows) == n + 2
+    got = {}
+    for r in rows:
+        t = pq.read_table(r["path"], columns=["r_regionkey", "r_name"])
+        for k, c in zip(t["r_regionkey"].to_pylist(), t["r_name"].to_pylist()):
+            assert k not in got, f"key {k} duplicated after compaction"
+            got[k] = c
+    assert got[0] == "UPDATED" and got[2] == "UPDATED"
+    assert 100 in got and 101 in got
+
+    with pytest.raises(ValueError, match="keyless"):
+        keyless = str(tmp_path / "kl")
+        os.makedirs(keyless)
+        t2 = HudiTimeline(spark, keyless)
+        t2.init_table(
+            Table(name="kl", base_path=keyless, table_format=TableFormat.HUDI,
+                  read_schema=schema, layout=DataLayoutStrategy.FLAT)
+        )
+        t2.upsert_records(batch)

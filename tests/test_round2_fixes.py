@@ -218,15 +218,16 @@ def test_no_driver_collect_in_query_paths():
     #     rewrite inventory + pre-rewrite time-travel check), and
     #     delta_dv_purge's two 2-file staged read-backs (post-purge
     #     inventory + pre-purge time-travel check), iceberg_upsert's
-    #     refusal probe (raises before rows materialize), and
-    #     delta_upsert's DV cross-check (one row per live DV'd file)
+    #     refusal probe (raises before rows materialize), delta_upsert's
+    #     DV cross-check (one row per live DV'd file), and hudi_upsert's
+    #     refusal probe + one-log verify fetch (2 sites)
     #   maintenance.py third site: Iceberg referenced_paths' manifest-list
     #     walk (bounded by manifest count per snapshot)
     sanctioned = {
         "functions/similarity.py": 1,
         "functions/bpe.py": 2,
         "operators/maintenance.py": 3,
-        "queries.py": 19,
+        "queries.py": 21,
     }
     root = pathlib.Path(__file__).parent.parent / "onetable_spark"
     offenders, marked = [], Counter()
