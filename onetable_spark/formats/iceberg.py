@@ -2004,8 +2004,11 @@ class IcebergTable:
         data-assisted scan (``apply_equality_deletes=True``) and of the
         eq-delete half of ``rewrite_data_files``; the reference cannot
         author (or even read) delete files at all
-        (IcebergSourceClient.java:169-194). v2 unpartitioned tables;
-        top-level primitive key fields."""
+        (IcebergSourceClient.java:169-194). v2 tables; top-level
+        primitive key fields; partitioned specs refuse HERE (caller
+        tuples carry no partition scope) but work through
+        ``commit_upsert``, whose delete files inherit each added file's
+        partition tuple."""
         for attempt in range(max_retries):
             try:
                 return self._commit_upsert_once(None, tuples, field_names)
@@ -2032,9 +2035,13 @@ class IcebergTable:
         streaming-ingest pattern Flink/Iceberg writers use for CDC
         streams; chained upserts stack (later keys net earlier upserts'
         files too). ``adds`` is a FILES_SCHEMA inventory of already-
-        written parquet. ``properties`` merge into table properties in
-        the SAME metadata swap (the streaming sink's exactly-once
-        batch-id record)."""
+        written parquet. Partitioned specs (r12): one equality-delete
+        file per partition tuple, each scoped to the partition of the
+        add file its keys came from — the standard upsert-materialize
+        assumption (a key never changes partition; the contract Flink's
+        upsert sink documents). ``properties`` merge into table
+        properties in the SAME metadata swap (the streaming sink's
+        exactly-once batch-id record)."""
         for attempt in range(max_retries):
             try:
                 return self._commit_upsert_once(
@@ -2060,10 +2067,13 @@ class IcebergTable:
                 f"{self.table_path}: equality deletes need a format-version-2 "
                 "table (init_table(format_version=2))"
             )
-        if self._spec_for(md):
+        spec = self._spec_for(md)
+        if spec and adds is None:
             raise ValueError(
-                f"{self.table_path}: equality-delete commits on partitioned "
-                "specs are not implemented (partition-scoped tuples needed)"
+                f"{self.table_path}: pure equality-delete commits on "
+                "partitioned specs are not implemented (caller tuples carry "
+                "no partition scope) — use commit_upsert, whose delete "
+                "files inherit each added file's partition tuple"
             )
         if not field_names:
             raise ValueError("equality deletes need at least one key field")
@@ -2090,7 +2100,6 @@ class IcebergTable:
         seq = md.get("last-sequence-number", 0) + 1
         data_dir = os.path.join(self.table_path, "data")
         os.makedirs(data_dir, exist_ok=True)
-        del_path = os.path.join(data_dir, f"eq-deletes-{uuid.uuid4().hex}.parquet")
         names = list(field_names)
         types_for = dict(ice_types)
         key_types = dict(self._EQ_KEY_TYPES)
@@ -2099,40 +2108,47 @@ class IcebergTable:
         if tuples is None:
             # upsert: the delete tuples ARE the new rows' keys, read off
             # the added parquet on executors (what a Flink writer tracks
-            # from the rows it just wrote)
+            # from the rows it just wrote). On partitioned specs each
+            # tuple inherits its SOURCE file's partition (the standard
+            # upsert-materialize assumption: a key never changes
+            # partition — same contract Flink's upsert sink documents).
             def read_keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 for pdf in batches:
                     frames = []
-                    for p in pdf["path"]:
-                        frames.append(
-                            _read_leaf_columns(p, names).to_pandas(
-                                integer_object_nulls=True
-                            )
+                    for p, pk in zip(pdf["path"], pdf["_pk"]):
+                        t = _read_leaf_columns(p, names).to_pandas(
+                            integer_object_nulls=True
                         )
+                        t["_pk"] = pk
+                        frames.append(t)
                     yield (
                         pd.concat(frames)
                         if frames
-                        else pd.DataFrame(columns=names)
+                        else pd.DataFrame(columns=names + ["_pk"])
                     )
 
             spark_schema = ", ".join(
-                f"`{n}` {key_types[types_for[n]][1]}" for n in names
+                [f"`{n}` {key_types[types_for[n]][1]}" for n in names]
+                + ["`_pk` string"]
             )
-            tuples = adds.select("path").mapInPandas(read_keys, spark_schema)
+            key_src = adds.select(
+                "path",
+                F.to_json(
+                    F.coalesce(F.col("partition_values"), F.expr("map()"))
+                ).alias("_pk"),
+            )
+            tuples = key_src.mapInPandas(read_keys, spark_schema)
         else:
             missing = set(names) - set(tuples.columns)
             if missing:
                 raise ValueError(f"tuple frame lacks key column(s) {sorted(missing)}")
-            tuples = tuples.select(*names)
+            tuples = tuples.select(*names).withColumn("_pk", F.lit("{}"))
 
-        def write_eq(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def write_eq(key, pdf: pd.DataFrame) -> pd.DataFrame:
             import pyarrow as pa
             import pyarrow.parquet as pq
 
-            frames = [pdf for pdf in batches]
-            pdf = (
-                pd.concat(frames) if frames else pd.DataFrame(columns=names)
-            ).drop_duplicates().sort_values(names)
+            pdf = pdf.drop_duplicates(subset=names).sort_values(names)
             arrays, pa_fields = [], []
             for n in names:
                 typ = getattr(pa, key_types[types_for[n]][0])()
@@ -2143,20 +2159,29 @@ class IcebergTable:
                         metadata={"PARQUET:field_id": str(field_ids[n])},
                     )
                 )
+            out = os.path.join(data_dir, f"eq-deletes-{uuid.uuid4().hex}.parquet")
             pq.write_table(
-                pa.Table.from_arrays(arrays, schema=pa.schema(pa_fields)),
-                del_path,
+                pa.Table.from_arrays(arrays, schema=pa.schema(pa_fields)), out
             )
-            yield pd.DataFrame({"n": [len(pdf)]})
+            return pd.DataFrame(
+                [{"del_path": out, "n": len(pdf), "pk": key[0]}]
+            )
 
-        # ONE executor task writes the sorted, deduped tuple parquet (the
-        # tuple volume is O(changed rows)); a single count row returns
-        n_rows = int(
-            tuples.distinct().coalesce(1).mapInPandas(write_eq, "n long").first()["n"]
+        # one executor task per partition tuple writes its sorted, deduped
+        # tuple parquet (tuple volume is O(changed rows)); the eager
+        # localCheckpoint pins the side-effecting run
+        groups = (
+            tuples.distinct()
+            .groupBy("_pk")
+            .applyInPandas(write_eq, "del_path string, n long, pk string")
+            .localCheckpoint(eager=True)
         )
+        # driver-ok: one row per PARTITION TUPLE (the commit payload)
+        group_rows = [r for r in groups.collect() if int(r["n"])]
+        n_rows = sum(int(r["n"]) for r in group_rows)
 
-        spec: list[dict] = []
         part_fields = self._partition_avro_fields(ice_schema, spec)
+        apt = {f["name"]: f["type"][1] for f in part_fields}
         manifests = []
         if n_rows:
             entry_schema = _manifest_entry_schema(part_fields, v2=True, deletes=True)
@@ -2174,11 +2199,13 @@ class IcebergTable:
                         "file_sequence_number": seq,
                         "data_file": {
                             "content": _CONTENT_EQUALITY_DELETES,
-                            "file_path": del_path,
+                            "file_path": r["del_path"],
                             "file_format": "PARQUET",
-                            "partition": {},
-                            "record_count": n_rows,
-                            "file_size_in_bytes": os.path.getsize(del_path),
+                            "partition": _avro_partition(
+                                json.loads(r["pk"]), spec, apt
+                            ),
+                            "record_count": int(r["n"]),
+                            "file_size_in_bytes": os.path.getsize(r["del_path"]),
                             "block_size_in_bytes": 67108864,
                             "value_counts": None,
                             "null_value_counts": None,
@@ -2187,6 +2214,7 @@ class IcebergTable:
                             "equality_ids": ids,
                         },
                     }
+                    for r in group_rows
                 ],
             )
             manifests.append(
@@ -2197,11 +2225,11 @@ class IcebergTable:
                     "content": 1,
                     "sequence_number": seq,
                     "min_sequence_number": seq,
-                    "added_files_count": 1,
+                    "added_files_count": len(group_rows),
                     "existing_files_count": 0,
                     "deleted_files_count": 0,
                     "added_snapshot_id": snapshot_id,
-                    "added_data_files_count": 1,
+                    "added_data_files_count": len(group_rows),
                     "existing_data_files_count": 0,
                     "deleted_data_files_count": 0,
                     "added_rows_count": n_rows,
@@ -2209,13 +2237,10 @@ class IcebergTable:
                     "deleted_rows_count": 0,
                 }
             )
-        else:
-            os.remove(del_path) if os.path.exists(del_path) else None
 
         if adds is not None:
             from onetable_spark.model import iter_inventory_rows
 
-            apt = {f["name"]: f["type"][1] for f in part_fields}
             n2i = _flat_fields(ice_schema)
             i2t = {f["id"]: f["type"] for f in ice_schema["fields"]}
             entries = _CountingEntries(

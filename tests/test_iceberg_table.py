@@ -693,3 +693,91 @@ def test_equality_delete_commit_and_upsert(spark, sf_dir, tmp_path):
         ice.commit_equality_deletes(
             spark.createDataFrame([(1,)], "x bigint"), ["nope"]
         )
+
+
+def test_partitioned_upsert_scopes_equality_deletes(spark, sf_dir, tmp_path):
+    """r12: commit_upsert on a PARTITIONED v2 spec — each added file's
+    keys become an equality-delete file scoped to THAT file's partition
+    tuple (the upsert-materialize assumption: a key never changes
+    partition), the delete-manifest entry carries the typed partition
+    struct + equality_ids, net counts come out right, and a pure
+    commit_equality_deletes still refuses (caller tuples carry no
+    partition scope)."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from onetable_spark.formats.avro_codec import read_container
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    table_path = str(tmp_path / "part_ups")
+    src = pq.read_table(os.path.join(sf_dir, "customer.parquet"))
+    for seg in ("BUILDING", "MACHINERY"):
+        d = os.path.join(table_path, f"c_mktsegment={seg}")
+        os.makedirs(d)
+        pq.write_table(
+            src.filter(pc.equal(src["c_mktsegment"], seg)),
+            os.path.join(d, "f.parquet"),
+        )
+    schema = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).schema
+    ice = IcebergTable(spark, table_path)
+    ice.init_table(
+        Table(
+            name="pu", base_path=table_path, table_format=TableFormat.ICEBERG,
+            read_schema=schema,
+            partition_fields=(
+                PartitionField("c_mktsegment", PartitionTransform.VALUE),
+            ),
+            layout=DataLayoutStrategy.HIVE_STYLE_PARTITION,
+        ),
+        format_version=2,
+    )
+    ice.commit_overwrite(adds=inventory_from_directory(spark, table_path))
+
+    bdir = os.path.join(table_path, "c_mktsegment=BUILDING")
+    bpath = os.path.join(bdir, "f.parquet")
+    b_tbl = pq.read_table(bpath)
+    nb = b_tbl.num_rows
+    nm = pq.read_table(
+        os.path.join(table_path, "c_mktsegment=MACHINERY", "f.parquet")
+    ).num_rows
+    upd_keys = sorted(b_tbl["c_custkey"].to_pylist())[:3]
+    u1 = os.path.join(bdir, "u1.parquet")
+    pq.write_table(
+        b_tbl.filter(pc.is_in(b_tbl["c_custkey"],
+                              value_set=__import__("pyarrow").array(upd_keys))),
+        u1,
+    )
+    ice.commit_upsert(
+        build_inventory(spark, [u1], root=table_path), ["c_custkey"]
+    )
+
+    by_part = {}
+    for r in ice.snapshot_files(apply_equality_deletes=True).collect():
+        by_part[(r["partition_values"]["c_mktsegment"],
+                 os.path.basename(r["path"]))] = r["record_count"]
+    assert by_part[("BUILDING", "f.parquet")] == nb - 3
+    assert by_part[("MACHINERY", "f.parquet")] == nm
+    assert by_part[("BUILDING", "u1.parquet")] == 3
+
+    # the delete-manifest entry is partition-scoped + typed
+    md = ice.metadata()
+    snap = ice.current_snapshot_meta(md)
+    _, manifests = read_container(snap["manifest-list"])
+    eq_entries = []
+    for m in manifests:
+        if m.get("content") == 1:
+            _, entries = read_container(m["manifest_path"])
+            eq_entries += [
+                e for e in entries if e["data_file"].get("content") == 2
+            ]
+    assert len(eq_entries) == 1
+    assert eq_entries[0]["data_file"]["partition"] == {
+        "c_mktsegment": "BUILDING"
+    }
+    assert list(eq_entries[0]["data_file"]["equality_ids"])
+
+    with pytest.raises(ValueError, match="partition scope"):
+        ice.commit_equality_deletes(
+            spark.createDataFrame([(upd_keys[0],)], "c_custkey bigint"),
+            ["c_custkey"],
+        )

@@ -254,6 +254,78 @@ def main() -> None:
 
     timed("iceberg:eq_delete_scan", eq_scan, warm=lambda sf: eq_scan(sf))
 
+    # Phase 5 (r12) — keyed upsert (Delta MERGE via deletion vectors):
+    # the batch's 1000 keys all live inside ONE file's key range, so the
+    # min/max stats prune must keep the merge's data read CONSTANT as
+    # the table grows (8 files of 25k rows at 1x -> 8*k files at kx). A
+    # time
+    # ratio near 1x — far under the linear bound — is the pruning
+    # working; ~k would mean every file is being opened.
+    import uuid as uuid_
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.model import DataLayoutStrategy, Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    UPS_ROWS_PER_FILE = 25_000
+    UPS_FILES_1X = 8
+
+    def ups_stage(n_files: int, tag: str) -> str:
+        tdir = f"/tmp/otb_probe_ups_{tag}"
+        shutil.rmtree(tdir, ignore_errors=True)
+        os.makedirs(tdir)
+        paths = []
+        for i in range(n_files):
+            p = os.path.join(tdir, f"f{i:05d}.parquet")
+            lo = i * UPS_ROWS_PER_FILE
+            pq_.write_table(
+                pa_.table(
+                    {
+                        "k": pa_.array(
+                            range(lo, lo + UPS_ROWS_PER_FILE), pa_.int64()
+                        ),
+                        "v": pa_.array(
+                            [f"v-{j % 997}" for j in range(UPS_ROWS_PER_FILE)],
+                            pa_.string(),
+                        ),
+                    }
+                ),
+                p,
+            )
+            paths.append(p)
+        log = DeltaLog(spark, tdir)
+        log.init_table(
+            Table(name="ups", base_path=tdir, table_format=TableFormat.DELTA,
+                  read_schema=spark.read.parquet(paths[0]).schema,
+                  layout=DataLayoutStrategy.FLAT)
+        )
+        log.commit(adds=build_inventory(spark, paths, root=tdir))
+        return tdir
+
+    ups_dirs = {
+        BASE_SF: ups_stage(UPS_FILES_1X, "1x"),
+        probe_dir: ups_stage(UPS_FILES_1X * k, f"{k}x"),
+    }
+
+    def ups_run(sf):
+        tdir = ups_dirs[sf]
+        b = os.path.join(tdir, f"u-{uuid_.uuid4().hex}.parquet")
+        pq_.write_table(
+            pa_.table(
+                {
+                    "k": pa_.array(range(1000), pa_.int64()),
+                    "v": pa_.array(["new"] * 1000, pa_.string()),
+                }
+            ),
+            b,
+        )
+        DeltaLog(spark, tdir).upsert_by_key(
+            build_inventory(spark, [b], root=tdir), ["k"]
+        )
+        return 1000
+
+    timed("delta:upsert_by_key", ups_run, warm=lambda sf: ups_run(sf))
+
     lines = [
         "",
         f"## Scale probe: dedup/ANN/substring family at ~{k}x sf0.1 "
