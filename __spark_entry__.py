@@ -4,7 +4,7 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 12: 138 queries. New in round 12:
+Surface as of round 12: 139 queries. New in round 12:
 `hudi_delete_translation` — the THIRD edge of the cross-format delete
 triangle: Iceberg position deletes become REAL HoodieLogFormat DELETE
 blocks (type 1, record keys read at the deleted positions on
@@ -51,7 +51,12 @@ the Delta+Iceberg merges as REAL streaming
 sinks: a 2-batch CDC file stream (maxFilesPerTrigger=1) drives the
 foreachBatch upsert writers into native Delta AND Iceberg v2 tables
 with exactly-once batch ids, per-batch nets read back from each
-format's own metadata. Also r12: Delta
+format's own metadata; `iceberg_wap` — branches + tags (spec §Refs)
+and the WRITE-AUDIT-PUBLISH pattern: commit_overwrite(branch=...)
+stages a snapshot main cannot see, snapshot_files(ref=...) audits it,
+snapshot expiry pins every ref'd snapshot, publish_branch
+fast-forwards main atomically, and immutable tags keep time-traveling
+after publish. Also r12: Delta
 REORG/OPTIMIZE commits write dataChange=false (delta-spark's CDC
 contract; read_delta_log_stream gains skip_change_commits),
 partitioned v2 specs now take position-delete commits (partition-

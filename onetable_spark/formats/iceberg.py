@@ -699,6 +699,7 @@ class IcebergTable:
         self,
         snapshot_id: Optional[int] = None,
         apply_equality_deletes: bool = False,
+        ref: Optional[str] = None,
     ) -> DataFrame:
         """Live file set via manifest-list → manifests (distributed decode).
 
@@ -719,8 +720,15 @@ class IcebergTable:
         and null counts dropped (a deleted row's nullness is unknowable
         without reading data). min/max bounds are kept: deletion can only
         narrow a range, so the stored bounds stay valid for pruning.
-        Equality deletes still refuse loudly."""
+        Equality deletes still refuse loudly.
+
+        ``ref`` (r12): read at a named branch or tag head (spec §Refs —
+        ``"main"`` resolves to the current snapshot)."""
         md = self.metadata()
+        if ref is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass snapshot_id OR ref, not both")
+            snapshot_id = self.resolve_ref(ref, md)
         snap = (
             self.current_snapshot_meta(md)
             if snapshot_id is None
@@ -1492,6 +1500,7 @@ class IcebergTable:
         expire_older_than_millis: Optional[int] = None,
         max_retries: int = 3,
         partition_fields: Optional[tuple] = None,
+        branch: Optional[str] = None,
     ) -> int:
         """One transactional commit: schema/properties/partition-spec update +
         OverwriteFiles + snapshot expiry (IcebergClient.java:146-236
@@ -1502,12 +1511,18 @@ class IcebergTable:
         files get a STATUS_DELETED manifest (so incremental consumers see the
         deletions, as real Iceberg overwrite commits do). On a version-claim
         conflict the whole commit re-reads and replays (optimistic CAS loop).
+
+        ``branch`` (r12, the WAP staging half): the snapshot is built from
+        MAIN's current state but published only to the named branch ref —
+        ``current-snapshot-id`` does not move, so readers of the table see
+        nothing until ``publish_branch()`` fast-forwards main after the
+        audit (read the staged state with ``snapshot_files(ref=branch)``).
         """
         for attempt in range(max_retries):
             try:
                 return self._commit_overwrite_once(
                     adds, removes, properties, schema, expire_older_than_millis,
-                    partition_fields,
+                    partition_fields, branch=branch,
                 )
             except CommitConflictError:
                 if attempt == max_retries - 1:
@@ -1526,6 +1541,7 @@ class IcebergTable:
         schema: Optional[T.StructType],
         expire_older_than_millis: Optional[int],
         partition_fields: Optional[tuple] = None,
+        branch: Optional[str] = None,
     ) -> int:
         # read the version ONCE and load metadata at exactly that version:
         # two separate hint reads let a concurrent committer slip between
@@ -1781,9 +1797,26 @@ class IcebergTable:
         if prev is not None:
             snapshot["parent-snapshot-id"] = prev["snapshot-id"]
         md["snapshots"] = md.get("snapshots", []) + [snapshot]
-        md["current-snapshot-id"] = snapshot_id
+        if branch is not None:
+            # WAP staging: the snapshot exists but main does not move —
+            # only the branch ref advances (tags refuse to move)
+            if branch == "main":
+                raise ValueError("'main' is the implicit current branch")
+            existing = md.get("refs", {}).get(branch)
+            if existing is not None and existing.get("type") == "tag":
+                raise ValueError(
+                    f"{self.table_path}: tag {branch!r} is immutable"
+                )
+            md.setdefault("refs", {})[branch] = {
+                "snapshot-id": snapshot_id,
+                "type": "branch",
+            }
+        else:
+            md["current-snapshot-id"] = snapshot_id
+            md.setdefault("snapshot-log", []).append(
+                {"timestamp-ms": now, "snapshot-id": snapshot_id}
+            )
         md["last-updated-ms"] = now
-        md.setdefault("snapshot-log", []).append({"timestamp-ms": now, "snapshot-id": snapshot_id})
         if properties:
             md["properties"] = {**md.get("properties", {}), **properties}
         if expire_older_than_millis is not None:
@@ -2559,11 +2592,16 @@ class IcebergTable:
         deleted (ExpireSnapshots file-cleanup parity) — without this the
         append fast path would leak one manifest file per commit forever."""
         current = md.get("current-snapshot-id")
+        # refs protect their heads (r12): an expired-but-tagged snapshot
+        # would dangle every branch/tag pointing at it
+        pinned = {current} | {
+            int(r["snapshot-id"]) for r in md.get("refs", {}).values()
+        }
         all_snaps = md.get("snapshots", [])
         kept = [
             s
             for s in all_snaps
-            if s["snapshot-id"] == current or s["timestamp-ms"] >= older_than_millis
+            if s["snapshot-id"] in pinned or s["timestamp-ms"] >= older_than_millis
         ]
         expired = [s for s in all_snaps if s not in kept]
         md["snapshots"] = kept
@@ -2593,6 +2631,103 @@ class IcebergTable:
                 if p not in still_referenced and os.path.exists(p):
                     os.unlink(p)
             os.unlink(mlist)
+
+    # ---------------------------------------------------------- refs (r12)
+    # Branches and tags (spec §Refs): named snapshot pointers in
+    # metadata.json's ``refs`` map. Tags are immutable audit marks;
+    # branches are movable heads — together they carry the WAP
+    # (write-audit-publish) pattern: stage a snapshot on a branch
+    # (commit_overwrite(branch=...)), audit it by reading
+    # snapshot_files(ref=...), then publish_branch() fast-forwards main.
+    # The reference has no ref support at all (IcebergSourceClient reads
+    # currentSnapshot only).
+
+    def refs(self, md: Optional[dict] = None) -> dict:
+        """The metadata ``refs`` map (name → {snapshot-id, type})."""
+        return dict((md or self.metadata()).get("refs", {}))
+
+    def resolve_ref(self, name: str, md: Optional[dict] = None) -> int:
+        """Snapshot id a branch/tag points at; ``"main"`` is the current
+        snapshot (the spec's implicit main branch)."""
+        md = md or self.metadata()
+        if name == "main" and name not in md.get("refs", {}):
+            cur = md.get("current-snapshot-id")
+            if cur is None or cur == -1:
+                raise ValueError(f"{self.table_path}: table has no snapshot")
+            return int(cur)
+        ref = md.get("refs", {}).get(name)
+        if ref is None:
+            raise ValueError(f"{self.table_path}: no branch or tag named {name!r}")
+        return int(ref["snapshot-id"])
+
+    def _set_ref(self, name: str, snapshot_id: Optional[int], ref_type: str) -> None:
+        version = self.current_version()
+        md = self.metadata(version)
+        if snapshot_id is None:
+            snapshot_id = md.get("current-snapshot-id")
+            if snapshot_id is None or snapshot_id == -1:
+                raise ValueError(f"{self.table_path}: table has no snapshot to ref")
+        known = {s["snapshot-id"] for s in md.get("snapshots", [])}
+        if snapshot_id not in known:
+            raise ValueError(
+                f"{self.table_path}: snapshot {snapshot_id} does not exist"
+            )
+        existing = md.get("refs", {}).get(name)
+        if existing is not None and existing.get("type") == "tag":
+            raise ValueError(
+                f"{self.table_path}: tag {name!r} is immutable — drop it first"
+            )
+        md.setdefault("refs", {})[name] = {
+            "snapshot-id": int(snapshot_id),
+            "type": ref_type,
+        }
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._write_metadata(version + 1, md)
+
+    def create_branch(self, name: str, snapshot_id: Optional[int] = None) -> None:
+        """Create (or move) a branch pointing at ``snapshot_id`` (default:
+        the current snapshot)."""
+        if name == "main":
+            raise ValueError("'main' is the implicit current branch")
+        self._set_ref(name, snapshot_id, "branch")
+
+    def create_tag(self, name: str, snapshot_id: Optional[int] = None) -> None:
+        """Create an IMMUTABLE tag at ``snapshot_id`` (default: current).
+        Re-tagging an existing name refuses; drop_ref first."""
+        if name == "main":
+            raise ValueError("'main' is the implicit current branch")
+        self._set_ref(name, snapshot_id, "tag")
+
+    def drop_ref(self, name: str) -> None:
+        """Remove a branch or tag; its snapshots become expirable again."""
+        version = self.current_version()
+        md = self.metadata(version)
+        if name not in md.get("refs", {}):
+            raise ValueError(f"{self.table_path}: no branch or tag named {name!r}")
+        del md["refs"][name]
+        md["last-updated-ms"] = int(time.time() * 1000)
+        self._write_metadata(version + 1, md)
+
+    def publish_branch(self, name: str) -> int:
+        """WAP publish: fast-forward MAIN to the branch head — the staged,
+        audited snapshot becomes the table's current state in one atomic
+        metadata swap (Iceberg's ``fast_forward('main', branch)``). The
+        branch pointer stays (drop_ref when done). Returns the published
+        snapshot id."""
+        version = self.current_version()
+        md = self.metadata(version)
+        ref = md.get("refs", {}).get(name)
+        if ref is None or ref.get("type") != "branch":
+            raise ValueError(f"{self.table_path}: no branch named {name!r}")
+        sid = int(ref["snapshot-id"])
+        now = int(time.time() * 1000)
+        md["current-snapshot-id"] = sid
+        md["last-updated-ms"] = now
+        md.setdefault("snapshot-log", []).append(
+            {"timestamp-ms": now, "snapshot-id": sid}
+        )
+        self._write_metadata(version + 1, md)
+        return sid
 
     def rollback_to(self, snapshot_id: int) -> None:
         """CALL rollback_to_snapshot parity (IcebergClient.java:251-285)."""

@@ -2450,7 +2450,7 @@ STAGED_QUERIES: tuple[str, ...] = (
     "iceberg_eq_deletes", "dv_translation", "hudi_delete_translation",
     "hudi_mor_compaction", "iceberg_rewrite_files", "delta_dv_purge",
     "iceberg_upsert", "delta_upsert", "hudi_upsert", "streaming_upsert",
-    "zorder_compaction",
+    "iceberg_wap", "zorder_compaction",
     "vacuum_orphans", "streaming_sink_inventory", "multimodal_ingest",
     "streaming_cdc_feed", "streaming_cdc_hudi", "sync_continuous",
 )
@@ -3399,6 +3399,83 @@ def q_hudi_upsert(spark: SparkSession, sf: str) -> DataFrame:
             F.lit(stage["ok"]).alias("log_ok"),
             F.lit(stage["equiv"]).alias("merge_equiv_ok"),
         )
+    )
+
+
+def q_iceberg_wap(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg BRANCHES + TAGS / WRITE-AUDIT-PUBLISH (r12, spec §Refs):
+    the staged lifecycle tags the seeded table (`v1.0`), stages a second
+    file on an `audit` branch via ``commit_overwrite(branch=...)`` —
+    main's current-snapshot-id does NOT move, so table readers keep
+    seeing one file while ``snapshot_files(ref='audit')`` sees two —
+    runs a snapshot-expiry pass proving refs PIN their snapshots past
+    the horizon, then ``publish_branch`` fast-forwards main to the
+    audited snapshot in one atomic metadata swap. Emits one row per
+    read surface AFTER publish: the published table (2 files, 2n rows)
+    and the immutable tag, which still time-travels to the pre-publish
+    state (1 file, n rows). audit_ok pins the staged-invisibility and
+    expiry-pinning checks from the stage. The reference reads
+    currentSnapshot only — no ref support. Staged once per (session,
+    sf)."""
+    import os
+    import shutil
+    import time as _time
+
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import DataLayoutStrategy, Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    def build(base: str) -> dict:
+        tbl = os.path.join(base, "wap_table")
+        os.makedirs(tbl)
+        src = os.path.join(sf, "region.parquet")
+        shutil.copy(src, os.path.join(tbl, "f1.parquet"))
+        schema = spark.read.parquet(src).schema
+        ice = IcebergTable(spark, tbl)
+        ice.init_table(
+            Table(name="wap", base_path=tbl, table_format=TableFormat.ICEBERG,
+                  read_schema=schema, layout=DataLayoutStrategy.FLAT)
+        )
+        ice.commit_overwrite(
+            adds=build_inventory(spark, [os.path.join(tbl, "f1.parquet")], root=tbl)
+        )
+        main_snap = ice.metadata()["current-snapshot-id"]
+        ice.create_tag("v1.0")
+        shutil.copy(src, os.path.join(tbl, "f2.parquet"))
+        staged = ice.commit_overwrite(
+            adds=build_inventory(spark, [os.path.join(tbl, "f2.parquet")], root=tbl),
+            branch="audit",
+        )
+        # staged-invisibility: main did not move, the branch sees 2 files
+        audit_ok = (
+            ice.metadata()["current-snapshot-id"] == main_snap
+            and ice.snapshot_files().count() == 1
+            and ice.snapshot_files(ref="audit").count() == 2
+        )
+        # refs pin their snapshots past the expiry horizon
+        ice.commit_overwrite(
+            properties={"touch": "1"},
+            expire_older_than_millis=int(_time.time() * 1000) + 10_000,
+        )
+        ids = {s["snapshot-id"] for s in ice.metadata()["snapshots"]}
+        audit_ok = audit_ok and staged in ids and main_snap in ids
+        audit_ok = audit_ok and ice.publish_branch("audit") == staged
+        return {"dir": tbl, "ok": audit_ok}
+
+    stage = _staged_once(spark, sf, "otb_wap_q", build)
+    ice = IcebergTable(spark, stage["dir"])
+
+    def surface(df: DataFrame, phase: str) -> DataFrame:
+        return df.agg(
+            F.count(F.lit(1)).alias("n_files"),
+            F.sum("record_count").cast("long").alias("n_records"),
+        ).select(
+            F.lit(phase).alias("phase"), "n_files", "n_records",
+            F.lit(stage["ok"]).alias("audit_ok"),
+        )
+
+    return surface(ice.snapshot_files(), "published").unionByName(
+        surface(ice.snapshot_files(ref="v1.0"), "tag_v1")
     )
 
 
@@ -6363,6 +6440,16 @@ ORACLE_SQL: dict[str, str] = {
         FROM region WHERE r_regionkey >= 2 AND r_regionkey % 2 = 0
                       AND r_regionkey <> 4
     """,
+    # WAP: the published table holds both region copies; the immutable
+    # tag still time-travels to the pre-publish single-file state
+    "iceberg_wap": """
+        SELECT 'published' AS phase, CAST(2 AS BIGINT) AS n_files,
+               CAST(2 * COUNT(*) AS BIGINT) AS n_records, TRUE AS audit_ok
+        FROM region
+        UNION ALL
+        SELECT 'tag_v1', CAST(1 AS BIGINT), CAST(COUNT(*) AS BIGINT), TRUE
+        FROM region
+    """,
     # MOR keyed upsert: updates are zero-sum in the realtime view (f1
     # keeps the full count), the fresh insert group carries exactly 2
     "hudi_upsert": """
@@ -7379,6 +7466,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_upsert": q_delta_upsert,
     "hudi_upsert": q_hudi_upsert,
     "streaming_upsert": q_streaming_upsert,
+    "iceberg_wap": q_iceberg_wap,
     "vacuum_orphans": q_vacuum_orphans,
     # -- last driver rows r2-r4 (the 20 stalest)
     "g8_stats_regroup": q_g8_stats_regroup,
@@ -7525,7 +7613,7 @@ _R12_WINDOW = [
     # r12 newcomers
     "hudi_delete_translation", "hudi_mor_compaction", "iceberg_rewrite_files",
     "delta_dv_purge", "iceberg_upsert", "delta_upsert", "hudi_upsert",
-    "streaming_upsert",
+    "streaming_upsert", "iceberg_wap",
     # last driver rows r9 (the 30 VERDICT r11 #5 names)
     "ann_ivf_topk", "ann_lsh_topk", "bpe_pair_counts", "compaction_bins",
     "minhash_lsh_dedup", "multimodal_ingest", "perplexity_buckets",
@@ -7536,11 +7624,10 @@ _R12_WINDOW = [
     "sync_validation", "token_calibration",
     "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    # last driver rows r10 (first 12 alphabetically of the 50)
+    # last driver rows r10 (first 11 alphabetically of the 50)
     "ann_ivfpq_topk", "ann_pq_topk", "asof_join", "cluster_representatives",
     "cohort_retention", "contamination_span", "corpus_curation", "cube_agg",
     "dedup_clusters", "dedup_exact", "dedup_first_per_key",
-    "deterministic_sample",
 ]
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 SPARK_QUERIES = {

@@ -781,3 +781,68 @@ def test_partitioned_upsert_scopes_equality_deletes(spark, sf_dir, tmp_path):
             spark.createDataFrame([(upd_keys[0],)], "c_custkey bigint"),
             ["c_custkey"],
         )
+
+
+def test_branches_tags_and_write_audit_publish(spark, sf_dir, tmp_path):
+    """r12 refs: a snapshot staged on a branch (commit_overwrite(
+    branch=...)) is INVISIBLE to main until publish_branch fast-forwards
+    it (the WAP pattern); tags are immutable audit marks; expiry keeps
+    every ref'd snapshot; drop_ref releases it."""
+    base = str(tmp_path / "wap")
+    os.makedirs(base)
+    src = os.path.join(sf_dir, "region.parquet")
+    shutil.copy(src, os.path.join(base, "f1.parquet"))
+    schema = spark.read.parquet(src).schema
+    ice = IcebergTable(spark, base)
+    ice.init_table(
+        Table(name="w", base_path=base, table_format=TableFormat.ICEBERG,
+              read_schema=schema, layout=DataLayoutStrategy.FLAT)
+    )
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    f1 = os.path.join(base, "f1.parquet")
+    ice.commit_overwrite(adds=build_inventory(spark, [f1], root=base))
+    n = spark.read.parquet(src).count()
+    main_snap = ice.metadata()["current-snapshot-id"]
+
+    # tag the audited state
+    ice.create_tag("v1.0")
+    assert ice.resolve_ref("v1.0") == main_snap
+    with pytest.raises(ValueError, match="immutable"):
+        ice.create_tag("v1.0")
+
+    # stage a second file on a branch: main must NOT move
+    shutil.copy(src, os.path.join(base, "f2.parquet"))
+    staged = ice.commit_overwrite(
+        adds=build_inventory(spark, [os.path.join(base, "f2.parquet")], root=base),
+        branch="audit",
+    )
+    md = ice.metadata()
+    assert md["current-snapshot-id"] == main_snap
+    assert ice.resolve_ref("audit") == staged
+    # main readers see 1 file; the branch sees 2
+    assert ice.snapshot_files().count() == 1
+    branch_rows = ice.snapshot_files(ref="audit")
+    assert branch_rows.count() == 2
+    assert sum(r["record_count"] for r in branch_rows.collect()) == 2 * n
+    assert ice.snapshot_files(ref="main").count() == 1
+
+    # expiry keeps ref'd snapshots even past the horizon
+    import time as _time
+
+    ice.commit_overwrite(properties={"touch": "1"},
+                         expire_older_than_millis=int(_time.time() * 1000) + 10_000)
+    ids = {s["snapshot-id"] for s in ice.metadata()["snapshots"]}
+    assert staged in ids and main_snap in ids  # branch + tag pinned them
+
+    # publish: main fast-forwards to the audited snapshot
+    assert ice.publish_branch("audit") == staged
+    assert ice.snapshot_files().count() == 2
+    ice.drop_ref("audit")
+    with pytest.raises(ValueError, match="no branch or tag"):
+        ice.resolve_ref("audit")
+    # the tag still time-travels to the pre-publish state
+    assert ice.snapshot_files(ref="v1.0").count() == 1
+
+    with pytest.raises(ValueError, match="implicit current branch"):
+        ice.create_branch("main")
