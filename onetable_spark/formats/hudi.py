@@ -1110,10 +1110,18 @@ class HudiTimeline:
         numUpdateWrites, not numInserts); records with NEW keys land in
         a fresh base parquet — a new file group. One deltacommit carries
         both. Source keys are assumed unique per batch (real Hudi
-        precombines; we document rather than dedupe). Unpartitioned
-        tables only (insert partition-path derivation is the missing
-        piece); keyless tables refuse — upserts are inexpressible
-        without record keys. Returns the deltacommit instant."""
+        precombines; we document rather than dedupe).
+
+        Partitioned tables (r12): inserts derive their hive partition
+        path from the table's partition fields (one Spark partitionBy
+        write, each emitted file its own file group in its partition
+        dir). Key tagging is GLOBAL-index semantics: an update lands in
+        the file group that currently holds its key even if the batch
+        row's partition value changed — real Hudi's GLOBAL_SIMPLE
+        behavior (the default partition-scoped index would instead
+        duplicate the key across partitions). Keyless tables refuse —
+        upserts are inexpressible without record keys. Returns the
+        deltacommit instant."""
         import pandas as _pd
 
         from onetable_spark.formats.avro_schema import structtype_to_avro
@@ -1126,11 +1134,7 @@ class HudiTimeline:
                 f"{self.table_path}: no record-key fields configured — "
                 "keyed upserts are inexpressible on a keyless table"
             )
-        if desc.partition_fields:
-            raise ValueError(
-                f"{self.table_path}: upsert_records on partitioned tables "
-                "is not implemented (insert partition-path derivation)"
-            )
+        pfs = list(desc.partition_fields)
         cols = [f.name for f in desc.read_schema.fields]
         df = df.select(*cols)
         avro_schema = structtype_to_avro(desc.read_schema, name="record")
@@ -1284,36 +1288,63 @@ class HudiTimeline:
 
         # driver-ok: emptiness probe, one boolean
         if not inserts.isEmpty():
+            import shutil as _shutil
+
+            import pyarrow.parquet as _pq
+
+            from onetable_spark.schema.partitions import transform_column
+
             scratch = os.path.join(
                 table_path, f"_upsert_{uuid.uuid4().hex[:12]}"
             )
-            inserts.select(*cols).coalesce(1).write.parquet(scratch)
-            part = next(
-                f for f in os.listdir(scratch) if f.endswith(".parquet")
-            )
-            new_name = f"{uuid.uuid4().hex[:8]}-0_0-0-0_{instant}.parquet"
-            new_abs = os.path.join(table_path, new_name)
-            os.replace(os.path.join(scratch, part), new_abs)
-            import shutil as _shutil
-
+            ins = inserts.select(*cols)
+            pcols = []
+            for pf in pfs:
+                # __pp_-prefixed duplicates: partitionBy consumes its
+                # column, and Hudi data files keep the ORIGINAL field
+                ins = ins.withColumn(
+                    f"__pp_{pf.name}", transform_column(pf).cast("string")
+                )
+                pcols.append(f"__pp_{pf.name}")
+            if pcols:
+                ins.write.partitionBy(*pcols).parquet(scratch)
+            else:
+                ins.coalesce(1).write.parquet(scratch)
+            # each emitted file becomes its own file group in its hive
+            # partition dir (walk is O(touched partitions) — the commit
+            # payload, not the table)
+            for root_, _dirs, files_ in os.walk(scratch):
+                segs = [
+                    s for s in os.path.relpath(root_, scratch).split(os.sep)
+                    if "=" in s
+                ]
+                pp = "/".join(s.replace("__pp_", "", 1) for s in segs)
+                for fname in files_:
+                    if not fname.endswith(".parquet"):
+                        continue
+                    d = os.path.join(table_path, pp) if pp else table_path
+                    os.makedirs(d, exist_ok=True)
+                    new_name = f"{uuid.uuid4().hex[:8]}-0_0-0-0_{instant}.parquet"
+                    new_abs = os.path.join(d, new_name)
+                    os.replace(os.path.join(root_, fname), new_abs)
+                    rel = f"{pp}/{new_name}" if pp else new_name
+                    n_ins = _pq.read_metadata(new_abs).num_rows
+                    stat_rows.append(
+                        {
+                            "fileId": _file_id_for(rel),
+                            "path": rel,
+                            "prevCommit": "null",
+                            "numWrites": n_ins,
+                            "numInserts": n_ins,
+                            "numDeletes": 0,
+                            "numUpdateWrites": 0,
+                            "totalWriteBytes": os.path.getsize(new_abs),
+                            "fileSizeInBytes": os.path.getsize(new_abs),
+                            "partitionPath": pp,
+                            "columnStats": None,
+                        }
+                    )
             _shutil.rmtree(scratch, ignore_errors=True)
-            # driver-ok: one count scalar for the new base file's stat
-            n_ins = self.spark.read.parquet(new_abs).count()
-            stat_rows.append(
-                {
-                    "fileId": _file_id_for(new_name),
-                    "path": new_name,
-                    "prevCommit": "null",
-                    "numWrites": n_ins,
-                    "numInserts": n_ins,
-                    "numDeletes": 0,
-                    "numUpdateWrites": 0,
-                    "totalWriteBytes": os.path.getsize(new_abs),
-                    "fileSizeInBytes": os.path.getsize(new_abs),
-                    "partitionPath": "",
-                    "columnStats": None,
-                }
-            )
 
         completed = os.path.join(self.hoodie_path, f"{instant}.deltacommit")
         tmp = completed + ".tmp"

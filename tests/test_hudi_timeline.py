@@ -641,3 +641,91 @@ def test_upsert_records_logs_updates_and_bases_inserts(spark, sf_dir, tmp_path):
                   read_schema=schema, layout=DataLayoutStrategy.FLAT)
         )
         t2.upsert_records(batch)
+
+
+def test_partitioned_upsert_records(spark, sf_dir, tmp_path):
+    """r12: upsert_records on a PARTITIONED Hudi table — updates become
+    log blocks on the file group that holds their key (global-index
+    semantics), inserts derive hive partition paths from the partition
+    fields (one new file group per touched partition dir), and the
+    realtime view nets per group."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from onetable_spark.model import (
+        DataLayoutStrategy,
+        PartitionField,
+        PartitionTransform,
+        Table,
+        TableFormat,
+    )
+    from onetable_spark.sources.parquet_inventory import inventory_from_directory
+
+    base = str(tmp_path / "hpu")
+    src = pq.read_table(os.path.join(sf_dir, "customer.parquet"))
+    for seg in ("BUILDING", "MACHINERY"):
+        d = os.path.join(base, f"c_mktsegment={seg}")
+        os.makedirs(d)
+        pq.write_table(
+            src.filter(pc.equal(src["c_mktsegment"], seg)),
+            os.path.join(d, "f.parquet"),
+        )
+    schema = spark.read.parquet(os.path.join(sf_dir, "customer.parquet")).schema
+    tl = HudiTimeline(spark, base)
+    tl.init_table(
+        Table(name="hp", base_path=base, table_format=TableFormat.HUDI,
+              read_schema=schema,
+              record_key_fields=("c_custkey",),
+              partition_fields=(
+                  PartitionField("c_mktsegment", PartitionTransform.VALUE),
+              ),
+              layout=DataLayoutStrategy.HIVE_STYLE_PARTITION)
+    )
+    tl.commit(adds=inventory_from_directory(spark, base), action="deltacommit")
+
+    cust = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    b_keys = [
+        r["c_custkey"]
+        for r in cust.filter(F.col("c_mktsegment") == "BUILDING").limit(2).collect()
+    ]
+    max_key = cust.agg(F.max("c_custkey")).first()[0]
+    batch = (
+        cust.filter(F.col("c_custkey").isin(b_keys))
+        .withColumn("c_name", F.lit("UPDATED"))
+        .unionByName(
+            # inserts: 2 new keys into the AUTOMOBILE partition — a dir
+            # that does not exist yet
+            cust.limit(2)
+            .withColumn("c_custkey", F.col("c_custkey") + F.lit(max_key) + 1)
+            .withColumn("c_mktsegment", F.lit("AUTOMOBILE"))
+        )
+    )
+    tl.upsert_records(batch)
+
+    rt = tl.snapshot_files(view="realtime").collect()
+    by_pp = {}
+    for r in rt:
+        pp = r["partition_values"].get("c_mktsegment")
+        by_pp[pp] = by_pp.get(pp, 0) + r["record_count"]
+    nb = cust.filter(F.col("c_mktsegment") == "BUILDING").count()
+    nm = cust.filter(F.col("c_mktsegment") == "MACHINERY").count()
+    assert by_pp["BUILDING"] == nb  # updates are zero-sum
+    assert by_pp["MACHINERY"] == nm
+    assert by_pp["AUTOMOBILE"] == 2  # fresh partition dir, fresh group
+    # the new base file physically lives in the hive dir and keeps the
+    # partition column in its own rows
+    auto = [r for r in rt if r["partition_values"].get("c_mktsegment") == "AUTOMOBILE"]
+    assert len(auto) == 1 and "c_mktsegment=AUTOMOBILE/" in auto[0]["path"]
+    t = pq.read_table(auto[0]["path"], columns=["c_mktsegment"])
+    assert set(t["c_mktsegment"].to_pylist()) == {"AUTOMOBILE"}
+
+    # compaction materializes the updates into the BUILDING group
+    assert tl.compact_file_groups() is not None
+    rows = tl.snapshot_files().collect()
+    got = {}
+    for r in rows:
+        tt = pq.read_table(r["path"], columns=["c_custkey", "c_name"])
+        for k, c in zip(tt["c_custkey"].to_pylist(), tt["c_name"].to_pylist()):
+            got[k] = c
+    for k in b_keys:
+        assert got[k] == "UPDATED"
