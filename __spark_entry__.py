@@ -4,7 +4,7 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 12: 139 queries. New in round 12:
+Surface as of round 12: 140 queries. New in round 12:
 `hudi_delete_translation` — the THIRD edge of the cross-format delete
 triangle: Iceberg position deletes become REAL HoodieLogFormat DELETE
 blocks (type 1, record keys read at the deleted positions on
@@ -56,7 +56,12 @@ and the WRITE-AUDIT-PUBLISH pattern: commit_overwrite(branch=...)
 stages a snapshot main cannot see, snapshot_files(ref=...) audits it,
 snapshot expiry pins every ref'd snapshot, publish_branch
 fast-forwards main atomically, and immutable tags keep time-traveling
-after publish. Also r12: Delta
+after publish; `iceberg_manifest_compaction` — rewrite_manifests on a
+v2 MoR table: data manifests fold into sharded EXISTING manifests
+whose entries carry their ORIGINAL sequence numbers explicitly so
+position deletes keep applying bit-identically, delete manifests ride
+verbatim, and the append path's 100-manifest guard reopens (closing
+the r11 "compact with an Iceberg runtime" refusal). Also r12: Delta
 REORG/OPTIMIZE commits write dataChange=false (delta-spark's CDC
 contract; read_delta_log_stream gains skip_change_commits),
 partitioned v2 specs now take position-delete commits (partition-

@@ -1620,9 +1620,11 @@ class IcebergTable:
             needs_compaction = len(prev_manifests) >= 100
             if needs_compaction and fv == 2:
                 raise ValueError(
-                    f"{self.table_path}: v2 manifest compaction (rewrite of "
-                    "carried entries with explicit sequence numbers) is not "
-                    "implemented; expire/compact with an Iceberg runtime"
+                    f"{self.table_path}: the v2 append path is at the "
+                    f"{len(prev_manifests)}-manifest guard — run "
+                    "compact_manifests() (folds carried entries into "
+                    "sharded EXISTING manifests with explicit sequence "
+                    "numbers), then retry this commit"
                 )
             if (
                 not removed_paths
@@ -2585,6 +2587,97 @@ class IcebergTable:
         self._write_metadata(version + 1, md)
         return snapshot_id
 
+    def compact_manifests(
+        self, threshold: int = 100, max_retries: int = 3
+    ) -> Optional[int]:
+        """Fold the current snapshot's DATA manifests into sharded
+        EXISTING manifests and publish one REPLACE snapshot — Iceberg's
+        ``rewrite_manifests`` action. v1 AND v2: on a format-version-2
+        table every carried entry writes its ORIGINAL data sequence
+        number explicitly (ADDED-only inheritance — folding without
+        explicit seqs would re-scope older position/equality deletes
+        onto newer data), shard manifests carry true
+        ``min_sequence_number``s, and delete manifests ride along
+        VERBATIM so row-level deletes keep applying bit-identically.
+        This closes the r11 refusal on the v2 append path ("v2 manifest
+        compaction ... not implemented"): a v2 table past ``threshold``
+        data manifests folds here instead of refusing forever. Runs as
+        the sharded executor-side manifest writer — O(table) entries
+        never land on the driver. Returns the replace snapshot id, or
+        None below the threshold."""
+        for attempt in range(max_retries):
+            try:
+                return self._compact_manifests_once(threshold)
+            except CommitConflictError:
+                if attempt == max_retries - 1:
+                    raise
+                time.sleep(0.02 * (attempt + 1))
+        raise AssertionError("unreachable")
+
+    def _compact_manifests_once(self, threshold: int) -> Optional[int]:
+        version = self.current_version()
+        md = self.metadata(version)
+        snap = self.current_snapshot_meta(md)
+        if snap is None:
+            return None
+        _, manifests = read_container(snap["manifest-list"])
+        data, deletes = _split_manifests(manifests)
+        if len(data) < threshold:
+            return None
+        fv = md.get("format-version", 1)
+        ice_schema = self._schema_for(md)
+        spec = self._spec_for(md)
+        now = int(time.time() * 1000)
+        snapshot_id = int.from_bytes(os.urandom(7), "big")
+        seq = (md.get("last-sequence-number", 0) + 1) if fv == 2 else None
+        base = self._decode_manifests(
+            [m["manifest_path"] for m in data], ice_schema, spec,
+            statuses=(STATUS_ADDED, STATUS_EXISTING),
+            **(
+                {"seq_by_manifest": {
+                    m["manifest_path"]: m.get("sequence_number", 0) for m in data
+                }}
+                if fv == 2
+                else {}
+            ),
+        )
+        shards = self._write_manifest_shards(
+            base, snapshot_id, ice_schema, spec,
+            spec_id=md.get("default-spec-id", 0),
+            v2_seq=seq if fv == 2 else None,
+        )
+        mlist = os.path.join(
+            self.metadata_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
+        )
+        write_container(
+            mlist,
+            MANIFEST_LIST_SCHEMA_V2 if fv == 2 else MANIFEST_LIST_SCHEMA,
+            shards + deletes,
+        )
+        snapshot = {
+            "snapshot-id": snapshot_id,
+            "timestamp-ms": now,
+            "summary": {
+                "operation": "replace",
+                "manifests-replaced": str(len(data)),
+                "manifests-created": str(len(shards)),
+            },
+            "manifest-list": mlist,
+            "schema-id": md.get("current-schema-id", 0),
+            "parent-snapshot-id": snap["snapshot-id"],
+        }
+        if fv == 2:
+            snapshot["sequence-number"] = seq
+            md["last-sequence-number"] = seq
+        md["snapshots"] = md.get("snapshots", []) + [snapshot]
+        md["current-snapshot-id"] = snapshot_id
+        md["last-updated-ms"] = now
+        md.setdefault("snapshot-log", []).append(
+            {"timestamp-ms": now, "snapshot-id": snapshot_id}
+        )
+        self._write_metadata(version + 1, md)
+        return snapshot_id
+
     def _expire(self, md: dict, older_than_millis: int) -> None:
         """Expire snapshots older than the retention horizon, keeping the
         current one and any ancestor chain integrity. Manifest lists and
@@ -2793,6 +2886,7 @@ class IcebergTable:
         ice_schema: dict,
         spec: list[dict],
         spec_id: int = 0,
+        v2_seq: Optional[int] = None,
     ) -> list[dict]:
         """Write the carried live set as sharded EXISTING-status manifest
         avro files, serialized ON THE EXECUTORS (mapInPandas over a
@@ -2802,7 +2896,15 @@ class IcebergTable:
         only thing the driver holds). Shard fan-in is bounded to
         ~_MANIFEST_SHARD_ENTRIES entries per manifest so a compaction
         always folds the list well under the 100-manifest guard while
-        individual shards stay memory-bounded on the executors."""
+        individual shards stay memory-bounded on the executors.
+
+        ``v2_seq`` (r12): format-version-2 mode — ``files_df`` must carry
+        a ``_seq`` column (the decode's per-entry data sequence number);
+        every EXISTING entry writes its ORIGINAL sequence number
+        explicitly (inheritance is ADDED-only; inheriting here would
+        re-scope older row-level deletes), the shard manifests carry the
+        v2 list fields with ``min_sequence_number`` = the shard's true
+        minimum, and ``sequence_number`` = the compacting snapshot's."""
         import math
 
         # driver-ok: one-scalar count sizes the shard fan-out
@@ -2815,11 +2917,14 @@ class IcebergTable:
             f["name"]: f["type"][1]
             for f in self._partition_avro_fields(ice_schema, spec)
         }
-        entry_schema = _manifest_entry_schema(self._partition_avro_fields(ice_schema, spec))
+        v2 = v2_seq is not None
+        entry_schema = _manifest_entry_schema(
+            self._partition_avro_fields(ice_schema, spec), v2=v2
+        )
         cols = (
             "path", "file_format", "partition_values",
             "size", "record_count", "column_stats",
-        )
+        ) + (("_seq",) if v2 else ())
 
         def write_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import json as _json
@@ -2833,9 +2938,13 @@ class IcebergTable:
                 for s in pdf["j"]:
                     rec = _json.loads(s)
                     row = {k: rec.get(k) for k in cols}
-                    entries.append(
-                        _entry_from_data(row, snapshot_id, STATUS_EXISTING, ice_schema, spec, apt)
+                    e = _entry_from_data(
+                        row, snapshot_id, STATUS_EXISTING, ice_schema, spec, apt
                     )
+                    if v2:
+                        e["sequence_number"] = int(row["_seq"] or 0)
+                        e["file_sequence_number"] = int(row["_seq"] or 0)
+                    entries.append(e)
             if not entries:
                 return
             mpath = _os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m-existing.avro")
@@ -2847,6 +2956,9 @@ class IcebergTable:
                         "length": _os.path.getsize(mpath),
                         "n": len(entries),
                         "rows": sum(e["data_file"]["record_count"] for e in entries),
+                        "min_seq": (
+                            min(e["sequence_number"] for e in entries) if v2 else 0
+                        ),
                     }
                 ]
             )
@@ -2855,12 +2967,23 @@ class IcebergTable:
             F.to_json(F.struct(*[F.col(c) for c in cols])).alias("j")
         ).repartition(shards)
         # driver-ok: one row per manifest shard (~n/_MANIFEST_SHARD_ENTRIES)
-        stats = jdf.mapInPandas(write_shard, "mp string, length long, n long, rows long").collect()
+        stats = jdf.mapInPandas(
+            write_shard, "mp string, length long, n long, rows long, min_seq long"
+        ).collect()
         return [
             {
                 "manifest_path": r["mp"],
                 "manifest_length": int(r["length"]),
                 "partition_spec_id": spec_id,
+                **(
+                    {"content": _CONTENT_DATA, "sequence_number": int(v2_seq),
+                     "min_sequence_number": int(r["min_seq"]),
+                     "added_files_count": 0,
+                     "existing_files_count": int(r["n"]),
+                     "deleted_files_count": 0}
+                    if v2
+                    else {}
+                ),
                 "added_snapshot_id": snapshot_id,
                 "added_data_files_count": 0,
                 "existing_data_files_count": int(r["n"]),

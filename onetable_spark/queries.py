@@ -2450,7 +2450,7 @@ STAGED_QUERIES: tuple[str, ...] = (
     "iceberg_eq_deletes", "dv_translation", "hudi_delete_translation",
     "hudi_mor_compaction", "iceberg_rewrite_files", "delta_dv_purge",
     "iceberg_upsert", "delta_upsert", "hudi_upsert", "streaming_upsert",
-    "iceberg_wap", "zorder_compaction",
+    "iceberg_wap", "iceberg_manifest_compaction", "zorder_compaction",
     "vacuum_orphans", "streaming_sink_inventory", "multimodal_ingest",
     "streaming_cdc_feed", "streaming_cdc_hudi", "sync_continuous",
 )
@@ -3476,6 +3476,77 @@ def q_iceberg_wap(spark: SparkSession, sf: str) -> DataFrame:
 
     return surface(ice.snapshot_files(), "published").unionByName(
         surface(ice.snapshot_files(ref="v1.0"), "tag_v1")
+    )
+
+
+def q_iceberg_manifest_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg MANIFEST compaction on a v2 MoR table (r12 —
+    ``rewrite_manifests``): four single-file append snapshots plus a
+    position-delete commit leave five manifests; ``compact_manifests``
+    folds the four DATA manifests into one sharded EXISTING manifest
+    whose entries carry their ORIGINAL data sequence numbers EXPLICITLY
+    (v2 inheritance is ADDED-only — inheriting here would re-scope the
+    deletes off), while the DELETE manifest rides verbatim. Emitted per
+    file from the post-compaction DEFAULT scan: net counts must be
+    BIT-IDENTICAL to pre-compaction (f0 still nets its two position
+    deletes — the oracle recomputes from region rows); folded_ok pins
+    the manifest-list shape (1 data manifest + 1 delete manifest, floor
+    sequence number below the fold's). The reference cannot compact (or
+    even read) v2 manifests. Staged once per (session, sf)."""
+    import os
+    import shutil
+
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import DataLayoutStrategy, Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    def build(base: str) -> dict:
+        from onetable_spark.formats.avro_codec import read_container
+
+        tbl = os.path.join(base, "cm_table")
+        os.makedirs(tbl)
+        src = os.path.join(sf, "region.parquet")
+        schema = spark.read.parquet(src).schema
+        ice = IcebergTable(spark, tbl)
+        ice.init_table(
+            Table(name="cmq", base_path=tbl, table_format=TableFormat.ICEBERG,
+                  read_schema=schema, layout=DataLayoutStrategy.FLAT),
+            format_version=2,
+        )
+        for i in range(4):
+            f = os.path.join(tbl, f"f{i}.parquet")
+            shutil.copy(src, f)
+            ice.commit_overwrite(adds=build_inventory(spark, [f], root=tbl))
+        ice.commit_position_deletes(
+            spark.createDataFrame(
+                [(os.path.join(tbl, "f0.parquet"), 0),
+                 (os.path.join(tbl, "f0.parquet"), 1)],
+                "path string, pos long",
+            )
+        )
+        ok = ice.compact_manifests(threshold=2) is not None
+        snap = ice.current_snapshot_meta(ice.metadata())
+        _, manifests = read_container(snap["manifest-list"])
+        data = [m for m in manifests if m.get("content", 0) == 0]
+        dels = [m for m in manifests if m.get("content") == 1]
+        ok = (
+            ok
+            and len(data) == 1
+            and len(dels) == 1
+            and data[0]["existing_files_count"] == 4
+            and data[0]["min_sequence_number"] < data[0]["sequence_number"]
+        )
+        return {"dir": tbl, "ok": ok}
+
+    stage = _staged_once(spark, sf, "otb_icmc_q", build)
+    return (
+        IcebergTable(spark, stage["dir"])
+        .snapshot_files()
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("record_count"),
+            F.lit(stage["ok"]).alias("folded_ok"),
+        )
     )
 
 
@@ -6440,6 +6511,19 @@ ORACLE_SQL: dict[str, str] = {
         FROM region WHERE r_regionkey >= 2 AND r_regionkey % 2 = 0
                       AND r_regionkey <> 4
     """,
+    # manifest compaction must not move counts: f0 still nets its two
+    # position deletes through the folded manifest's explicit seqs
+    "iceberg_manifest_compaction": """
+        SELECT 'f0.parquet' AS file_name,
+               CAST(COUNT(*) - 2 AS BIGINT) AS record_count, TRUE AS folded_ok
+        FROM region
+        UNION ALL
+        SELECT 'f1.parquet', CAST(COUNT(*) AS BIGINT), TRUE FROM region
+        UNION ALL
+        SELECT 'f2.parquet', CAST(COUNT(*) AS BIGINT), TRUE FROM region
+        UNION ALL
+        SELECT 'f3.parquet', CAST(COUNT(*) AS BIGINT), TRUE FROM region
+    """,
     # WAP: the published table holds both region copies; the immutable
     # tag still time-travels to the pre-publish single-file state
     "iceberg_wap": """
@@ -7467,6 +7551,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hudi_upsert": q_hudi_upsert,
     "streaming_upsert": q_streaming_upsert,
     "iceberg_wap": q_iceberg_wap,
+    "iceberg_manifest_compaction": q_iceberg_manifest_compaction,
     "vacuum_orphans": q_vacuum_orphans,
     # -- last driver rows r2-r4 (the 20 stalest)
     "g8_stats_regroup": q_g8_stats_regroup,
@@ -7613,7 +7698,7 @@ _R12_WINDOW = [
     # r12 newcomers
     "hudi_delete_translation", "hudi_mor_compaction", "iceberg_rewrite_files",
     "delta_dv_purge", "iceberg_upsert", "delta_upsert", "hudi_upsert",
-    "streaming_upsert", "iceberg_wap",
+    "streaming_upsert", "iceberg_wap", "iceberg_manifest_compaction",
     # last driver rows r9 (the 30 VERDICT r11 #5 names)
     "ann_ivf_topk", "ann_lsh_topk", "bpe_pair_counts", "compaction_bins",
     "minhash_lsh_dedup", "multimodal_ingest", "perplexity_buckets",
@@ -7624,10 +7709,10 @@ _R12_WINDOW = [
     "sync_validation", "token_calibration",
     "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    # last driver rows r10 (first 11 alphabetically of the 50)
+    # last driver rows r10 (first 10 alphabetically of the 50)
     "ann_ivfpq_topk", "ann_pq_topk", "asof_join", "cluster_representatives",
     "cohort_retention", "contamination_span", "corpus_curation", "cube_agg",
-    "dedup_clusters", "dedup_exact", "dedup_first_per_key",
+    "dedup_clusters", "dedup_exact",
 ]
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 SPARK_QUERIES = {

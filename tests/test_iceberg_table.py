@@ -846,3 +846,66 @@ def test_branches_tags_and_write_audit_publish(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="implicit current branch"):
         ice.create_branch("main")
+
+
+def test_compact_manifests_folds_v2_with_explicit_seqs(spark, sf_dir, tmp_path):
+    """r12: compact_manifests (Iceberg rewrite_manifests) on a v2 table —
+    data manifests fold into sharded EXISTING manifests whose entries
+    keep their ORIGINAL data sequence numbers explicitly, delete
+    manifests ride verbatim, so position deletes keep applying
+    bit-identically (inherited seqs would re-scope them off); the
+    append path's 100-manifest guard then accepts new commits."""
+    from onetable_spark.formats.avro_codec import read_container
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    base = str(tmp_path / "cm")
+    os.makedirs(base)
+    src = os.path.join(sf_dir, "region.parquet")
+    schema = spark.read.parquet(src).schema
+    ice = IcebergTable(spark, base)
+    ice.init_table(
+        Table(name="cm", base_path=base, table_format=TableFormat.ICEBERG,
+              read_schema=schema, layout=DataLayoutStrategy.FLAT),
+        format_version=2,
+    )
+    for i in range(4):
+        f = os.path.join(base, f"f{i}.parquet")
+        shutil.copy(src, f)
+        ice.commit_overwrite(adds=build_inventory(spark, [f], root=base))
+    n = spark.read.parquet(src).count()
+    # position-delete the first two rows of f0 (delete seq > all data seqs)
+    ice.commit_position_deletes(
+        spark.createDataFrame(
+            [(os.path.join(base, "f0.parquet"), 0),
+             (os.path.join(base, "f0.parquet"), 1)],
+            "path string, pos long",
+        )
+    )
+
+    def counts():
+        return {
+            os.path.basename(r["path"]): r["record_count"]
+            for r in ice.snapshot_files().collect()
+        }
+
+    pre = counts()
+    assert pre["f0.parquet"] == n - 2
+
+    assert ice.compact_manifests(threshold=2) is not None
+    snap = ice.current_snapshot_meta(ice.metadata())
+    _, manifests = read_container(snap["manifest-list"])
+    data = [m for m in manifests if m.get("content", 0) == 0]
+    dels = [m for m in manifests if m.get("content") == 1]
+    assert len(data) == 1 and len(dels) == 1  # folded + carried verbatim
+    assert data[0]["existing_files_count"] == 4
+    # the folded manifest's floor is the OLDEST carried seq, not the new one
+    assert data[0]["min_sequence_number"] < data[0]["sequence_number"]
+    # deletes still net identically — explicit original seqs
+    assert counts() == pre
+
+    # the guard accepts appends again; below-threshold folding is a no-op
+    f = os.path.join(base, "f9.parquet")
+    shutil.copy(src, f)
+    ice.commit_overwrite(adds=build_inventory(spark, [f], root=base))
+    assert counts()["f9.parquet"] == n
+    assert ice.compact_manifests(threshold=50) is None
