@@ -4,7 +4,7 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 12: 140 queries. New in round 12:
+Surface as of round 12: 141 queries. New in round 12:
 `hudi_delete_translation` — the THIRD edge of the cross-format delete
 triangle: Iceberg position deletes become REAL HoodieLogFormat DELETE
 blocks (type 1, record keys read at the deleted positions on
@@ -61,7 +61,14 @@ v2 MoR table: data manifests fold into sharded EXISTING manifests
 whose entries carry their ORIGINAL sequence numbers explicitly so
 position deletes keep applying bit-identically, delete manifests ride
 verbatim, and the append path's 100-manifest guard reopens (closing
-the r11 "compact with an Iceberg runtime" refusal). Also r12: Delta
+the r11 "compact with an Iceberg runtime" refusal);
+`delta_v2_checkpoint` — V2 checkpoint WRITING (read landed r11):
+checkpoint(form='v2') puts the file actions in _delta_log/_sidecars/
+parquet and a uuid-named top-level file with protocol + metaData +
+the spec-required checkpointMetadata action + sidecar actions,
+refusing unless the table advertises the v2Checkpoint feature; the
+replay reconstructs the same net DV state and later commits stack.
+Also r12: Delta
 REORG/OPTIMIZE commits write dataChange=false (delta-spark's CDC
 contract; read_delta_log_stream gains skip_change_commits),
 partitioned v2 specs now take position-delete commits (partition-

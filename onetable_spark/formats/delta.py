@@ -1337,7 +1337,12 @@ class DeltaLog:
                 removed += 1
         return removed
 
-    def checkpoint(self, version: Optional[int] = None, parts: Optional[int] = 1) -> None:
+    def checkpoint(
+        self,
+        version: Optional[int] = None,
+        parts: Optional[int] = 1,
+        form: str = "classic",
+    ) -> None:
         """Write a parquet checkpoint of the full reconciled state.
 
         ``parts > 1`` writes the classic MULTI-PART form (one parquet per
@@ -1358,9 +1363,28 @@ class DeltaLog:
         action included — because the reconstruction path below would
         drop the descriptors and bake net numRecords into stats of
         physically larger files (delta-spark trusts checkpoint stats for
-        COUNT(*) pushdown: silent wrong data)."""
+        COUNT(*) pushdown: silent wrong data).
+
+        ``form="v2"`` (r12) writes the V2 uuid-named checkpoint: the file
+        actions land as ``parts`` SIDECAR parquet files under
+        ``_delta_log/_sidecars/``, and a small top-level
+        ``{v}.checkpoint.{uuid}.parquet`` carries protocol + metaData +
+        the spec-required checkpointMetadata action + one sidecar action
+        per file. Refused unless the table's protocol already advertises
+        the ``v2Checkpoint`` reader feature — older readers cannot
+        resolve sidecars, and silently writing one would cut them off."""
+        if form not in ("classic", "v2"):
+            raise ValueError(f"unknown checkpoint form {form!r}")
         v = self.latest_version() if version is None else version
         self._ensure_reader_supported()
+        if form == "v2":
+            feats = set(self.snapshot_info(v).protocol.get("readerFeatures") or [])
+            if "v2Checkpoint" not in feats:
+                raise ValueError(
+                    f"{self.log_path}: v2 checkpoints need the table to "
+                    "advertise the v2Checkpoint reader feature "
+                    "(minReaderVersion 3); write the classic form instead"
+                )
         live_adds = self._live_adds(self._replay_actions(v)).persist()
         try:
             if parts is None:
@@ -1368,14 +1392,14 @@ class DeltaLog:
                 parts = max(1, -(-live_adds.count() // 250_000))
             # driver-ok: emptiness probe, one boolean
             if not live_adds.where(F.col("deletionVector").isNotNull()).isEmpty():
-                self._checkpoint_verbatim(v, live_adds, parts)
+                self._checkpoint_verbatim(v, live_adds, parts, form=form)
                 return
-            self._checkpoint_reconstructed(v, live_adds, parts)
+            self._checkpoint_reconstructed(v, live_adds, parts, form=form)
         finally:
             live_adds.unpersist()
 
     def _checkpoint_reconstructed(
-        self, v: int, live_adds: DataFrame, parts: int
+        self, v: int, live_adds: DataFrame, parts: int, form: str = "classic"
     ) -> None:
         """The DV-free checkpoint path: rebuild typed add structs from the
         reconciled inventory (stats re-serialized with to_json, bounds
@@ -1458,9 +1482,11 @@ class DeltaLog:
                 json.dumps({"metaData": info.metadata}),
             ],
         )
-        self._publish_checkpoint(v, head.unionByName(add_rows), parts)
+        self._publish_checkpoint(v, head.unionByName(add_rows), parts, form=form)
 
-    def _checkpoint_verbatim(self, v: int, live_adds: DataFrame, parts: int = 1) -> None:
+    def _checkpoint_verbatim(
+        self, v: int, live_adds: DataFrame, parts: int = 1, form: str = "classic"
+    ) -> None:
         """Checkpoint by writing the live add structs VERBATIM (plus the
         metaData + the FEATURED protocol action) — the DV-preserving path;
         log cleanup then works on deletion-vector tables instead of the
@@ -1482,9 +1508,11 @@ class DeltaLog:
             self.spark,
             [json.dumps({"protocol": protocol}), json.dumps({"metaData": info.metadata})],
         )
-        self._publish_checkpoint(v, head.unionByName(add_rows), parts)
+        self._publish_checkpoint(v, head.unionByName(add_rows), parts, form=form)
 
-    def _publish_checkpoint(self, v: int, parsed, parts: int = 1) -> None:
+    def _publish_checkpoint(
+        self, v: int, parsed, parts: int = 1, form: str = "classic"
+    ) -> None:
         """Write the checkpoint parquet (single or classic MULTI-PART) and
         swap ``_last_checkpoint`` atomically — readers never see a partial
         checkpoint. Multi-part is the scale-correct form for million-file
@@ -1494,7 +1522,16 @@ class DeltaLog:
         TARGET: the ACTUAL written-file count is authoritative (tiny
         tables can round-robin an output partition empty, and Spark skips
         empty files) — names and ``_last_checkpoint`` always record what
-        landed on disk."""
+        landed on disk.
+
+        ``form="v2"``: file actions write as SIDECARS under
+        ``_delta_log/_sidecars/`` (``parts`` parallel writers), then one
+        tiny uuid-named top-level parquet carries protocol + metaData +
+        checkpointMetadata + the sidecar actions — the same resolution
+        path ``_checkpoint_actions`` already reads."""
+        if form == "v2":
+            self._publish_checkpoint_v2(v, parsed, parts)
+            return
         tmp_dir = os.path.join(self.log_path, f".ckpt-{uuid.uuid4().hex}")
         if parts <= 1:
             parsed.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
@@ -1525,6 +1562,92 @@ class DeltaLog:
         # atomic swap: a reader must never see a torn _last_checkpoint
         self.fs.write_atomic(
             os.path.join(self.log_path, "_last_checkpoint"), json.dumps(doc)
+        )
+
+    def _publish_checkpoint_v2(self, v: int, parsed, parts: int) -> None:
+        """The V2 write plane: sidecar parquet files hold the add/remove
+        actions (parallel writers), the uuid-named top-level file holds
+        protocol + metaData + the spec-required checkpointMetadata action
+        + one sidecar action per file, and ``_last_checkpoint`` swaps
+        last — readers never see a partial checkpoint (sidecars without a
+        top-level file are unreferenced orphans, not a torn state)."""
+        side_dir = os.path.join(self.log_path, "_sidecars")
+        os.makedirs(side_dir, exist_ok=True)
+        file_rows = parsed.where(
+            F.col("add").isNotNull() | F.col("remove").isNotNull()
+        ).select("add", "remove")
+        head_rows = parsed.where(
+            F.col("add").isNull() & F.col("remove").isNull()
+        )
+        tmp_dir = os.path.join(self.log_path, f".ckpt-{uuid.uuid4().hex}")
+        if parts <= 1:
+            file_rows.coalesce(1).write.mode("overwrite").parquet(tmp_dir)
+        else:
+            file_rows.repartition(parts).write.mode("overwrite").parquet(tmp_dir)
+        sidecars = []
+        now = int(time.time() * 1000)
+        for f in sorted(
+            x for x in os.listdir(tmp_dir)
+            if x.endswith(".parquet") and not x.startswith(".")
+        ):
+            name = f"{uuid.uuid4().hex}.parquet"
+            final = os.path.join(side_dir, name)
+            self.fs.replace(os.path.join(tmp_dir, f), final)
+            sidecars.append(
+                {
+                    "path": name,
+                    "sizeInBytes": os.path.getsize(final),
+                    "modificationTime": now,
+                }
+            )
+        for leftover in os.listdir(tmp_dir):
+            os.remove(os.path.join(tmp_dir, leftover))
+        os.rmdir(tmp_dir)
+
+        sidecar_type = (
+            "struct<path:string,sizeInBytes:bigint,modificationTime:bigint>"
+        )
+        ckmeta_type = "struct<version:bigint>"
+        head = head_rows.withColumn(
+            "sidecar", F.lit(None).cast(sidecar_type)
+        ).withColumn("checkpointMetadata", F.lit(None).cast(ckmeta_type))
+        extra_rows = self.spark.range(len(sidecars) + 1).select(
+            F.lit(None).cast(ADD_SCHEMA).alias("add"),
+            F.lit(None).cast(REMOVE_SCHEMA).alias("remove"),
+            F.lit(None).cast(METADATA_SCHEMA).alias("metaData"),
+            F.lit(None).cast(PROTOCOL_SCHEMA).alias("protocol"),
+            F.when(
+                F.col("id") < len(sidecars),
+                F.from_json(
+                    F.element_at(
+                        F.array(*[F.lit(json.dumps(s)) for s in sidecars] + [F.lit("{}")]),
+                        (F.col("id") + 1).cast("int"),
+                    ),
+                    sidecar_type,
+                ),
+            ).alias("sidecar"),
+            F.when(
+                F.col("id") == len(sidecars),
+                F.from_json(F.lit(json.dumps({"version": v})), ckmeta_type),
+            ).alias("checkpointMetadata"),
+        )
+        top = head.unionByName(extra_rows)
+        top_tmp = os.path.join(self.log_path, f".ckpt-{uuid.uuid4().hex}")
+        top.coalesce(1).write.mode("overwrite").parquet(top_tmp)
+        part = next(
+            x for x in os.listdir(top_tmp)
+            if x.endswith(".parquet") and not x.startswith(".")
+        )
+        final = os.path.join(
+            self.log_path, f"{v:020d}.checkpoint.{uuid.uuid4().hex}.parquet"
+        )
+        self.fs.replace(os.path.join(top_tmp, part), final)
+        for leftover in os.listdir(top_tmp):
+            os.remove(os.path.join(top_tmp, leftover))
+        os.rmdir(top_tmp)
+        # atomic swap LAST: a reader must never see a torn _last_checkpoint
+        self.fs.write_atomic(
+            os.path.join(self.log_path, "_last_checkpoint"), json.dumps({"version": v})
         )
 
     # ------------------------------------------------------------ utilities

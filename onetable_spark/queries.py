@@ -2450,7 +2450,8 @@ STAGED_QUERIES: tuple[str, ...] = (
     "iceberg_eq_deletes", "dv_translation", "hudi_delete_translation",
     "hudi_mor_compaction", "iceberg_rewrite_files", "delta_dv_purge",
     "iceberg_upsert", "delta_upsert", "hudi_upsert", "streaming_upsert",
-    "iceberg_wap", "iceberg_manifest_compaction", "zorder_compaction",
+    "iceberg_wap", "iceberg_manifest_compaction", "delta_v2_checkpoint",
+    "zorder_compaction",
     "vacuum_orphans", "streaming_sink_inventory", "multimodal_ingest",
     "streaming_cdc_feed", "streaming_cdc_hudi", "sync_continuous",
 )
@@ -3546,6 +3547,119 @@ def q_iceberg_manifest_compaction(spark: SparkSession, sf: str) -> DataFrame:
             F.element_at(F.split("path", "/"), -1).alias("file_name"),
             F.col("record_count"),
             F.lit(stage["ok"]).alias("folded_ok"),
+        )
+    )
+
+
+def q_delta_v2_checkpoint(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta V2 CHECKPOINT WRITING (r12 — the read side landed in r11
+    via foreign fixtures): on a deletion-vector table whose protocol
+    advertises v2Checkpoint, ``checkpoint(form='v2', parts=2)`` writes
+    the file actions as SIDECAR parquet under ``_delta_log/_sidecars/``
+    and one tiny uuid-named top-level file carrying protocol + metaData
+    + the spec-required checkpointMetadata action + a sidecar action per
+    file. The replay from that checkpoint must reconstruct the SAME net
+    state (DV descriptors preserved through the verbatim path — the
+    executor bitmap check still passes), and a later commit stacks on
+    the checkpoint base. Emits per file (file_name, record_count,
+    v2_ok): net counts the oracle recomputes from region rows (f2's DV
+    kills every odd key; f3 lands AFTER the checkpoint); v2_ok pins the
+    uuid naming, sidecar presence, checkpointMetadata version, and the
+    no-feature refusal. Staged once per (session, sf)."""
+    import json as _json
+    import os
+    import shutil
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.delta_dv import write_dv_file
+    from onetable_spark.model import DataLayoutStrategy, Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    def build(base: str) -> dict:
+        import pyarrow.parquet as pq
+
+        tbl = os.path.join(base, "v2ck_table")
+        os.makedirs(tbl)
+        src = os.path.join(sf, "region.parquet")
+        for name in ("f1.parquet", "f2.parquet"):
+            shutil.copy(src, os.path.join(tbl, name))
+        schema = spark.read.parquet(tbl).schema
+        log = DeltaLog(spark, tbl)
+        log.init_table(
+            Table(name="v2ck", base_path=tbl, table_format=TableFormat.DELTA,
+                  read_schema=schema, layout=DataLayoutStrategy.FLAT)
+        )
+        log.commit(adds=build_inventory(
+            spark, [os.path.join(tbl, n) for n in ("f1.parquet", "f2.parquet")],
+            root=tbl,
+        ))
+        keys = pq.read_table(
+            os.path.join(tbl, "f2.parquet"), columns=["r_regionkey"]
+        )["r_regionkey"].to_pylist()
+        positions = [i for i, k in enumerate(keys) if k % 2 == 1]
+        desc = write_dv_file(tbl, positions)
+        v = log.latest_version() + 1
+        with open(os.path.join(tbl, "_delta_log", f"{v:020d}.json"), "w") as f:
+            f.write(_json.dumps({"commitInfo": {"timestamp": 1700000300000,
+                                                "operation": "DELETE"}}) + "\n")
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors"],
+                "writerFeatures": ["deletionVectors"]}}) + "\n")
+            f.write(_json.dumps({"remove": {
+                "path": "f2.parquet", "deletionTimestamp": 1700000300000,
+                "dataChange": True}}) + "\n")
+            f.write(_json.dumps({"add": {
+                "path": "f2.parquet", "partitionValues": {},
+                "size": os.path.getsize(os.path.join(tbl, "f2.parquet")),
+                "modificationTime": 1700000300000, "dataChange": True,
+                "stats": _json.dumps({"numRecords": len(keys)}),
+                "deletionVector": desc}}) + "\n")
+        # the v2 form refuses until the feature is advertised
+        refused = False
+        try:
+            log.checkpoint(form="v2")
+        except ValueError as e:
+            refused = "v2Checkpoint" in str(e)
+        v = log.latest_version() + 1
+        with open(os.path.join(tbl, "_delta_log", f"{v:020d}.json"), "w") as f:
+            f.write(_json.dumps({"commitInfo": {"timestamp": 1700000400000,
+                                                "operation": "UPGRADE"}}) + "\n")
+            f.write(_json.dumps({"protocol": {
+                "minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+                "writerFeatures": ["deletionVectors", "v2Checkpoint"]}}) + "\n")
+        log.checkpoint(form="v2", parts=2)
+        log_dir = os.path.join(tbl, "_delta_log")
+        tops = [
+            x for x in os.listdir(log_dir)
+            if ".checkpoint." in x and x.endswith(".parquet")
+        ]
+        sidecars = os.listdir(os.path.join(log_dir, "_sidecars"))
+        top_df = spark.read.parquet(os.path.join(log_dir, tops[0]))
+        # driver-ok: one checkpointMetadata row in the tiny top-level file
+        ck_row = top_df.where(F.col("checkpointMetadata").isNotNull()).first()
+        ok = (
+            refused
+            and len(tops) == 1
+            and len(tops[0].split(".")) == 4
+            and bool(sidecars)
+            and ck_row["checkpointMetadata"]["version"] == log._last_checkpoint()
+        )
+        # a post-checkpoint commit stacks on the v2 base
+        f3 = os.path.join(tbl, "f3.parquet")
+        shutil.copy(src, f3)
+        DeltaLog(spark, tbl).commit(adds=build_inventory(spark, [f3], root=tbl))
+        return {"dir": tbl, "ok": ok}
+
+    stage = _staged_once(spark, sf, "otb_v2ck_q", build)
+    return (
+        DeltaLog(spark, stage["dir"])
+        .snapshot_files()
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("file_name"),
+            F.col("record_count"),
+            F.lit(stage["ok"]).alias("v2_ok"),
         )
     )
 
@@ -6511,6 +6625,18 @@ ORACLE_SQL: dict[str, str] = {
         FROM region WHERE r_regionkey >= 2 AND r_regionkey % 2 = 0
                       AND r_regionkey <> 4
     """,
+    # v2 checkpoint replay: f1 raw, f2 nets its odd-key DV, f3 landed
+    # after the checkpoint and stacks on the sidecar base
+    "delta_v2_checkpoint": """
+        SELECT 'f1.parquet' AS file_name, CAST(COUNT(*) AS BIGINT) AS record_count,
+               TRUE AS v2_ok
+        FROM region
+        UNION ALL
+        SELECT 'f2.parquet', CAST(COUNT(*) AS BIGINT), TRUE
+        FROM region WHERE r_regionkey % 2 = 0
+        UNION ALL
+        SELECT 'f3.parquet', CAST(COUNT(*) AS BIGINT), TRUE FROM region
+    """,
     # manifest compaction must not move counts: f0 still nets its two
     # position deletes through the folded manifest's explicit seqs
     "iceberg_manifest_compaction": """
@@ -7552,6 +7678,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "streaming_upsert": q_streaming_upsert,
     "iceberg_wap": q_iceberg_wap,
     "iceberg_manifest_compaction": q_iceberg_manifest_compaction,
+    "delta_v2_checkpoint": q_delta_v2_checkpoint,
     "vacuum_orphans": q_vacuum_orphans,
     # -- last driver rows r2-r4 (the 20 stalest)
     "g8_stats_regroup": q_g8_stats_regroup,
@@ -7699,6 +7826,7 @@ _R12_WINDOW = [
     "hudi_delete_translation", "hudi_mor_compaction", "iceberg_rewrite_files",
     "delta_dv_purge", "iceberg_upsert", "delta_upsert", "hudi_upsert",
     "streaming_upsert", "iceberg_wap", "iceberg_manifest_compaction",
+    "delta_v2_checkpoint",
     # last driver rows r9 (the 30 VERDICT r11 #5 names)
     "ann_ivf_topk", "ann_lsh_topk", "bpe_pair_counts", "compaction_bins",
     "minhash_lsh_dedup", "multimodal_ingest", "perplexity_buckets",
@@ -7709,10 +7837,10 @@ _R12_WINDOW = [
     "sync_validation", "token_calibration",
     "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
     "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
-    # last driver rows r10 (first 10 alphabetically of the 50)
+    # last driver rows r10 (first 9 alphabetically of the 50)
     "ann_ivfpq_topk", "ann_pq_topk", "asof_join", "cluster_representatives",
     "cohort_retention", "contamination_span", "corpus_curation", "cube_agg",
-    "dedup_clusters", "dedup_exact",
+    "dedup_clusters",
 ]
 assert len(_R12_WINDOW) == 50 and len(set(_R12_WINDOW)) == 50
 SPARK_QUERIES = {

@@ -574,3 +574,73 @@ def test_upsert_by_key_attaches_dvs_and_adds_new_rows(spark, sf_dir, tmp_path):
 
     with pytest.raises(ValueError, match="not a top-level primitive"):
         log.upsert_by_key(build_inventory(spark, [f1], root=base), ["nope"])
+
+
+def test_v2_checkpoint_write_and_replay(spark, sf_dir, tmp_path):
+    """r12: checkpoint(form='v2') writes the uuid-named top-level file
+    (protocol + metaData + checkpointMetadata + sidecar actions) with the
+    file actions in _delta_log/_sidecars/ parquet, the replay
+    reconstructs the SAME net state (DV descriptors preserved through
+    the verbatim path), later commits stack on top, and the form refuses
+    on tables that don't advertise the v2Checkpoint feature."""
+    base = str(tmp_path / "v2ck")
+    log, n, n_del, _ = _stage_dv_table(spark, sf_dir, base)
+    pre = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in log.snapshot_files().collect()
+    }
+
+    # without the feature the v2 form refuses
+    with pytest.raises(ValueError, match="v2Checkpoint"):
+        log.checkpoint(form="v2")
+
+    v = log.latest_version() + 1
+    with open(os.path.join(base, "_delta_log", f"{v:020d}.json"), "w") as f:
+        f.write(json.dumps({"commitInfo": {"timestamp": 1700000400000,
+                                           "operation": "UPGRADE"}}) + "\n")
+        f.write(json.dumps({"protocol": {
+            "minReaderVersion": 3, "minWriterVersion": 7,
+            "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+            "writerFeatures": ["deletionVectors", "v2Checkpoint"]}}) + "\n")
+
+    log.checkpoint(form="v2", parts=2)
+    tops = [
+        x for x in os.listdir(os.path.join(base, "_delta_log"))
+        if ".checkpoint." in x and x.endswith(".parquet")
+    ]
+    assert len(tops) == 1 and len(tops[0].split(".")) == 4  # uuid-named
+    sidecars = os.listdir(os.path.join(base, "_delta_log", "_sidecars"))
+    assert sidecars and all(s.endswith(".parquet") for s in sidecars)
+    # the top file carries the spec-required checkpointMetadata action
+    top_df = spark.read.parquet(os.path.join(base, "_delta_log", tops[0]))
+    assert "checkpointMetadata" in top_df.columns
+    assert (
+        top_df.where(F.col("checkpointMetadata").isNotNull())
+        .first()["checkpointMetadata"]["version"]
+        == log._last_checkpoint()
+    )
+
+    # replay from the v2 checkpoint reconstructs the same net state
+    fresh = DeltaLog(spark, base)
+    assert fresh._last_checkpoint() is not None
+    got = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in fresh.snapshot_files().collect()
+    }
+    assert got == pre
+    # bitmap verification still works post-checkpoint (DV descriptor
+    # survived the verbatim sidecar write)
+    checks = fresh.verify_deletion_vectors().collect()
+    assert checks and all(c["dv_ok"] for c in checks)
+
+    # later commits stack on the checkpoint base
+    import shutil as _sh
+
+    f3 = os.path.join(base, "f3.parquet")
+    _sh.copy(os.path.join(sf_dir, "region.parquet"), f3)
+    fresh.commit(adds=build_inventory(spark, [f3], root=base))
+    got2 = {
+        os.path.basename(r["path"]): r["record_count"]
+        for r in DeltaLog(spark, base).snapshot_files().collect()
+    }
+    assert got2 == {**pre, "f3.parquet": n}

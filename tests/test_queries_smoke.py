@@ -35,6 +35,7 @@ MUST_BE_DRIVER_MEASURED = {
     "hudi_delete_translation", "hudi_mor_compaction", "iceberg_rewrite_files",
     "delta_dv_purge", "iceberg_upsert", "delta_upsert", "hudi_upsert",
     "streaming_upsert", "iceberg_wap", "iceberg_manifest_compaction",
+    "delta_v2_checkpoint",
     # last driver rows r9 (the 30 VERDICT r11 #5 names)
     "ann_ivf_topk", "ann_lsh_topk", "bpe_pair_counts", "compaction_bins",
     "minhash_lsh_dedup", "multimodal_ingest", "perplexity_buckets",
