@@ -140,15 +140,49 @@ def main() -> None:
         (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(
             json.dumps(doc, indent=1) + "\n"
         )
-    # stdout line stays compact (2-decimal, no spaces) so the driver's tail
-    # window captures the whole JSON object, not a fragment
-    doc["queries"] = {k: round(v, 2) for k, v in timings.items()}
-    doc["staging"] = {k: round(v, 2) for k, v in STAGING_SECONDS.items()}
-    doc["value"] = round(total, 2)
-    doc["staging_total"] = round(staging_wall, 2)
-    doc["staging_family_sum"] = round(staging_family_sum, 2)
-    print(json.dumps(doc, separators=(",", ":")))
+    # r13: the driver's BENCH_r*.json records only the LAST 2000 CHARS of
+    # stdout and parses the JSON out of that window — every round since r05
+    # failed to parse because the full 130+-query dict serializes to ~4-5 KB.
+    # The stdout line therefore carries the headline totals plus the SLOWEST
+    # queries that fit a hard 1900-char budget (the ones a perf reader
+    # needs); "queries_omitted" names the cut and the committed
+    # BENCH_LOCAL.json keeps the complete per-query/per-family detail.
+    stdout_doc = {
+        "metric": "headline_queries_total_wall",
+        "value": round(total, 2),
+        "unit": "sec",
+        "n_queries": len(timings),
+        "staging_total": round(staging_wall, 2),
+        "staging_family_sum": round(staging_family_sum, 2),
+        "sf": sf_val,
+        "queries_omitted": 0,
+        "queries": {},
+    }
+    by_cost = sorted(timings.items(), key=lambda kv: -kv[1])
+    budget = 1900
+    kept: dict[str, float] = {}
+    for name, secs in by_cost:
+        kept[name] = round(secs, 2)
+        stdout_doc["queries"] = kept
+        stdout_doc["queries_omitted"] = len(timings) - len(kept)
+        if len(json.dumps(stdout_doc, separators=(",", ":"))) > budget:
+            del kept[name]
+            stdout_doc["queries"] = kept
+            stdout_doc["queries_omitted"] = len(timings) - len(kept)
+            break
+    line = json.dumps(stdout_doc, separators=(",", ":"))
+
+    # Nothing may print AFTER the JSON line or the driver's tail window
+    # shifts past it: stop Spark first (its executor/streaming shutdown
+    # chatter lands now), give the JVM log drain a beat, then emit the line
+    # and exit WITHOUT atexit handlers (py4j's atexit gateway teardown can
+    # write to the captured streams).
     spark.stop()
+    time.sleep(1.0)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    print(line, flush=True)
+    os._exit(0)
 
 
 if __name__ == "__main__":

@@ -30,6 +30,30 @@ from pyspark.sql.window import Window
 from onetable_spark.session import load_table
 
 # ---------------------------------------------------------------------------
+# Eager package initialization (r13, BENCH_r12 postmortem).
+#
+# The query functions below keep their `from onetable_spark.x import y`
+# statements function-local for readability, but those imports MUST be
+# no-op sys.modules lookups by the time any query runs on a worker thread:
+# bench.py stages the ~35 lifecycle queries from a ThreadPoolExecutor, and
+# two threads first-importing a package and one of its submodules
+# concurrently (onetable_spark.sync vs onetable_spark.sync.validation)
+# deadlock Python's per-module import locks (_frozen_importlib
+# ._DeadlockError — this killed BENCH_r12 outright, rc=1). Importing every
+# package module HERE, single-threaded at queries-import time, guarantees
+# no import lock is ever taken under the pool. Cost: ~0.6 s once per
+# interpreter; tests/test_import_safety.py pins the two-thread race.
+import importlib as _importlib
+import pkgutil as _pkgutil
+
+import onetable_spark as _onetable_spark_pkg
+
+for _mod in _pkgutil.walk_packages(_onetable_spark_pkg.__path__, "onetable_spark."):
+    if _mod.name != __name__:
+        _importlib.import_module(_mod.name)
+del _importlib, _pkgutil, _onetable_spark_pkg, _mod
+
+# ---------------------------------------------------------------------------
 # shared corpus intermediates
 #
 # Several dedup flavors consume the SAME derived tables over `documents`:
