@@ -1102,47 +1102,91 @@ class DeltaLog:
         table_path = self.table_path
         live = self._live_adds(self._replay_actions(None))
         dvd = live.filter(F.col("deletionVector").isNotNull()).select(
-            "path", "deletionVector"
+            "path", "deletionVector", "partitionValues"
         )
 
         def rewrite(batches):
+            import os as _os
             from urllib.parse import unquote as _unquote
 
+            import numpy as _np
             import pyarrow.parquet as _pq
 
             from onetable_spark.formats.delta_dv import read_dv
 
             for pdf in batches:
                 rows = []
-                for rel, dv in zip(pdf["path"], pdf["deletionVector"]):
+                for rel, dv, pv in zip(
+                    pdf["path"], pdf["deletionVector"], pdf["partitionValues"]
+                ):
                     src = (
                         rel
                         if rel.startswith("/") or "://" in rel
                         else f"{table_path}/{_unquote(rel)}"
                     )
-                    dead = set(read_dv(table_path, dict(dv)))
+                    dead = _np.fromiter(
+                        read_dv(table_path, dict(dv)), dtype=_np.int64
+                    )
                     t = _pq.read_table(src)
-                    survivors = [i for i in range(len(t)) if i not in dead]
+                    survivors = _np.setdiff1d(
+                        _np.arange(len(t), dtype=_np.int64), dead
+                    )
                     new_path = None
-                    if survivors:
-                        new_path = f"{table_path}/purged-{_uuid.uuid4().hex}.parquet"
+                    if len(survivors):
+                        # write NEXT TO the source file: on a partitioned
+                        # table the replacement stays inside its hive dir,
+                        # and the add below carries the source's
+                        # partitionValues — a root-level replacement with
+                        # an empty map would vanish from partition-filtered
+                        # scans (ADVICE r12 medium)
+                        new_path = _os.path.join(
+                            _os.path.dirname(src),
+                            f"purged-{_uuid.uuid4().hex}.parquet",
+                        )
                         _pq.write_table(t.take(survivors), new_path)
-                    rows.append({"old_path": src, "new_path": new_path})
+                    rows.append(
+                        {"old_path": src, "new_path": new_path,
+                         "partitionValues": dict(pv) if pv is not None else {}}
+                    )
                 yield _pd.DataFrame(
-                    rows, columns=["old_path", "new_path"]
-                ) if rows else _pd.DataFrame({"old_path": [], "new_path": []})
+                    rows, columns=["old_path", "new_path", "partitionValues"]
+                ) if rows else _pd.DataFrame(
+                    {"old_path": [], "new_path": [], "partitionValues": []}
+                )
 
         # eager localCheckpoint: the rewrite WRITES files (fresh uuid per
         # execution) — the commit below must read one materialized run
         mapping = dvd.mapInPandas(
-            rewrite, "old_path string, new_path string"
+            rewrite,
+            "old_path string, new_path string, partitionValues map<string,string>",
         ).localCheckpoint(eager=True)
         # driver-ok: one row per AFFECTED file (the purge payload)
         pairs = mapping.collect()
         if not pairs:
             return None
         new_paths = sorted(r["new_path"] for r in pairs if r["new_path"])
-        adds = build_inventory(self.spark, new_paths, root=table_path) if new_paths else None
+        adds = None
+        if new_paths:
+            adds = build_inventory(self.spark, new_paths, root=table_path)
+            # partitionValues travel VERBATIM from the purged add (Delta
+            # logs are authoritative over path layout — hive-dir inference
+            # would silently yield {} on non-hive file layouts)
+            pv_df = self.spark.createDataFrame(
+                [
+                    (r["new_path"], dict(r["partitionValues"] or {}))
+                    for r in pairs
+                    if r["new_path"]
+                ],
+                "path string, _src_pv map<string,string>",
+            )
+            adds = (
+                adds.join(F.broadcast(pv_df), "path", "left")
+                .withColumn(
+                    "partition_values",
+                    F.coalesce(F.col("_src_pv"), F.col("partition_values")),
+                )
+                .drop("_src_pv")
+            )
         removes = self.spark.createDataFrame(
             [(r["old_path"],) for r in pairs], "path string"
         )
@@ -1499,7 +1543,17 @@ class DeltaLog:
             "writerFeatures": info.protocol.get("writerFeatures"),
         }
         add_rows = live_adds.select(
-            F.struct(*[F.col(f.name) for f in ADD_SCHEMA.fields]).alias("add"),
+            F.struct(
+                *[
+                    # PROTOCOL.md Checkpoints: "dataChange ... must be set
+                    # to false" for every checkpoint action — the live add
+                    # keeps its original commit-time true otherwise
+                    F.lit(False).alias("dataChange")
+                    if f.name == "dataChange"
+                    else F.col(f.name)
+                    for f in ADD_SCHEMA.fields
+                ]
+            ).alias("add"),
             F.lit(None).cast(REMOVE_SCHEMA).alias("remove"),
             F.lit(None).cast(METADATA_SCHEMA).alias("metaData"),
             F.lit(None).cast(PROTOCOL_SCHEMA).alias("protocol"),

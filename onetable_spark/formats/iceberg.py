@@ -263,9 +263,14 @@ def _avro_partition(
             except ValueError:
                 partition[pname] = None
         elif avro_t in ("float", "double"):
-            partition[pname] = float(raw)
+            # same malformed-string tolerance as the int/long branch — one
+            # bad stringified value must not abort manifest authoring
+            try:
+                partition[pname] = float(raw)
+            except (ValueError, TypeError):
+                partition[pname] = None
         elif avro_t == "boolean":
-            partition[pname] = raw in ("true", "True", "1")
+            partition[pname] = str(raw) in ("true", "True", "1")
         else:
             partition[pname] = raw
     return partition
@@ -1550,6 +1555,27 @@ class IcebergTable:
         version = self.current_version()
         md = self.metadata(version)
         now = int(time.time() * 1000)
+        if (
+            adds is None
+            and removes is None
+            and schema is None
+            and partition_fields is None
+            and branch is None
+        ):
+            # pure METADATA commit (properties and/or expiry): real
+            # Iceberg's UpdateProperties / expireSnapshots move NO
+            # snapshot — current-snapshot-id stays put, so a staged WAP
+            # branch remains fast-forwardable across maintenance commits
+            # (r13; the snapshot this path used to mint made publish_
+            # branch's ancestry check refuse after any properties touch)
+            if properties:
+                md["properties"] = {**md.get("properties", {}), **properties}
+            if expire_older_than_millis is not None:
+                self._expire(md, expire_older_than_millis)
+            md["last-updated-ms"] = now
+            self._write_metadata(version + 1, md)
+            cur = md.get("current-snapshot-id")
+            return int(cur) if cur is not None else -1
         snapshot_id = int.from_bytes(os.urandom(7), "big")
         fv = md.get("format-version", 1)
         if fv == 2 and (removes is not None or schema is not None or partition_fields is not None):
@@ -2316,6 +2342,21 @@ class IcebergTable:
         carried = []
         if prev is not None and prev.get("manifest-list"):
             _, carried = read_container(prev["manifest-list"])
+        # same 100-manifest guard as the commit_overwrite append path
+        # (ManifestMergeManager parity): a streaming upsert loop carries
+        # every prior manifest verbatim and appends 1-2 per batch — past
+        # the threshold the list grows without bound. compact_manifests
+        # folds the DATA manifests; rewrite_data_files(apply_equality_
+        # deletes=True) additionally materializes + DROPS the delete
+        # manifests, so between them the list returns far under guard.
+        if len(carried) >= 100:
+            raise ValueError(
+                f"{self.table_path}: the upsert commit path is at the "
+                f"{len(carried)}-manifest guard — run compact_manifests() "
+                "(folds data manifests) and/or rewrite_data_files("
+                "apply_equality_deletes=True) (applies and drops delete "
+                "manifests), then retry this upsert"
+            )
         mlist = os.path.join(
             self.metadata_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro"
         )
@@ -2409,12 +2450,15 @@ class IcebergTable:
         os.makedirs(data_dir, exist_ok=True)
 
         def rewrite(key, pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
             import pyarrow.parquet as pq
 
             path = key[0]
             t = pq.read_table(path)
-            dead = {int(p) for p in pdf["pos"]}
-            survivors = [i for i in range(len(t)) if i not in dead]
+            # vectorized complement (r13): setdiff1d over the position
+            # range, not a per-row Python membership loop
+            dead = pdf["pos"].to_numpy(dtype=np.int64)
+            survivors = np.setdiff1d(np.arange(len(t), dtype=np.int64), dead)
             # the replacement lives NEXT TO its source — a partitioned
             # layout keeps its hive dirs, a flat one its data/ dir
             out = os.path.join(
@@ -2801,18 +2845,41 @@ class IcebergTable:
         md["last-updated-ms"] = int(time.time() * 1000)
         self._write_metadata(version + 1, md)
 
-    def publish_branch(self, name: str) -> int:
+    def publish_branch(self, name: str, force: bool = False) -> int:
         """WAP publish: fast-forward MAIN to the branch head — the staged,
         audited snapshot becomes the table's current state in one atomic
         metadata swap (Iceberg's ``fast_forward('main', branch)``). The
         branch pointer stays (drop_ref when done). Returns the published
-        snapshot id."""
+        snapshot id.
+
+        Fast-forward is only a fast-forward when main has NOT advanced
+        since the branch was staged: we walk parent-snapshot-id from the
+        branch head and refuse unless the current main snapshot is an
+        ancestor of (or equal to) the branch head — Iceberg's own
+        ``fast_forward`` raises "Cannot fast-forward" in this case.
+        Publishing anyway would silently drop main's newer commits from
+        the table state; pass ``force=True`` to do that deliberately
+        (cherry-pick-style replace)."""
         version = self.current_version()
         md = self.metadata(version)
         ref = md.get("refs", {}).get(name)
         if ref is None or ref.get("type") != "branch":
             raise ValueError(f"{self.table_path}: no branch named {name!r}")
         sid = int(ref["snapshot-id"])
+        main_sid = md.get("current-snapshot-id")
+        if not force and main_sid is not None and int(main_sid) != -1:
+            parents = {s["snapshot-id"]: s.get("parent-snapshot-id") for s in md.get("snapshots", [])}
+            cur: int | None = sid
+            while cur is not None and cur != int(main_sid):
+                cur = parents.get(cur)
+            if cur is None:
+                raise ValueError(
+                    f"{self.table_path}: cannot fast-forward main to branch "
+                    f"{name!r}: main ({main_sid}) is not an ancestor of the "
+                    f"branch head ({sid}) — main advanced after the branch "
+                    "was staged. Rebase the branch or pass force=True to "
+                    "replace main's state deliberately."
+                )
         now = int(time.time() * 1000)
         md["current-snapshot-id"] = sid
         md["last-updated-ms"] = now

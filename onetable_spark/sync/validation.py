@@ -63,10 +63,23 @@ class TableReader(Protocol):
 
 def _file_key(files: DataFrame) -> DataFrame:
     """Normalize an inventory to a format-independent join key: formats
-    store absolute vs table-relative paths, so compare by file NAME (data
-    file names are unique within a table — they carry UUIDs or unique
-    sequence numbers in every real layout)."""
-    return files.withColumn("file_name", F.element_at(F.split("path", "/"), -1))
+    store absolute vs table-relative paths, so compare by the file NAME
+    prefixed with its hive partition dirs (``k=v`` components). The name
+    alone is NOT unique on partitioned layouts — Spark's ``partitionBy``
+    writes the SAME ``part-00000-<uuid>`` basename into every partition
+    dir a task touches (r13; the basename-only key made the full-outer
+    join fan out and report phantom stats drift on bucketed tables)."""
+    parts = F.split("path", "/")
+    return files.withColumn(
+        "file_name",
+        F.concat_ws(
+            "/",
+            F.concat(
+                F.filter(parts, lambda x: x.contains("=")),
+                F.slice(parts, -1, 1),
+            ),
+        ),
+    )
 
 
 class SnapshotReaderAdapter:
