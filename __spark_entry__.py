@@ -4,7 +4,36 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 12: 141 queries. New in round 12:
+Surface as of round 13: 142 queries. New in round 13:
+`sync_bucket_spec` — Iceberg `bucket[N]` partition transforms END TO END
+(beyond the reference, which throws on bucket/truncate —
+IcebergPartitionSpecExtractor.java:81-141): spec-true murmur3 bucket
+evaluation (pinned against the Iceberg spec's Appendix-B vectors,
+numpy-vectorized for integral columns), write-side partitionBy on the
+derived bucket column, spec-string round-trip (`bucket[4]`), and sync
+into Delta + Hudi where the transform downgrades to identity on the
+materialized partition column with partition values flowing verbatim —
+per-bucket record counts matched across all three read surfaces.
+`truncate[W]` ships alongside (pure built-in expressions). Also r13:
+the bench staging deadlock fixed (eager package init in queries.py —
+BENCH_r12's _DeadlockError cannot recur; two-thread regression test),
+bench stdout now guaranteed parseable inside the driver's 2000-char
+tail window (slowest-K queries + totals; full detail in
+BENCH_LOCAL.json), publish_branch refuses non-fast-forward publishes
+unless forced (real-Iceberg fast_forward parity), properties/expiry-
+only commits mint NO snapshot (UpdateProperties parity), REORG PURGE
+on partitioned tables writes replacements next to their sources and
+carries partitionValues verbatim, the equality-delete upsert path
+gained the 100-manifest guard, checkpoint adds write dataChange=false
+in BOTH paths, and the SyncValidator's per-file stats key includes
+hive partition dirs (basenames collide across partition dirs by
+construction of Spark's partitionBy).
+
+The driver window is ROTATED for r13 (VERDICT r12 #6): the newcomer,
+then ALL 41 queries whose latest driver row is r10, then 8 of the r11
+cohort (alphabetical) as fill.
+
+Round 12 summary (141 queries; all still green). New in round 12:
 `hudi_delete_translation` — the THIRD edge of the cross-format delete
 triangle: Iceberg position deletes become REAL HoodieLogFormat DELETE
 blocks (type 1, record keys read at the deleted positions on

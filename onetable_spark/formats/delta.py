@@ -1811,7 +1811,11 @@ def _schema_with_generated_columns(table: Table) -> T.StructType:
                     col,
                     T.IntegerType() if spark_type == "integer" else T.StringType(),
                     True,
-                    metadata={"delta.generationExpression": expr},
+                    # expr None = identity downgrade (bucket/truncate):
+                    # a plain physical partition column, no generation
+                    metadata=(
+                        {"delta.generationExpression": expr} if expr else {}
+                    ),
                 )
             )
     return T.StructType(list(schema.fields) + extra) if extra else schema

@@ -101,9 +101,14 @@ _TRANSFORM_FMT = {
 
 def _partition_spec_entry(p: PartitionField) -> str:
     """IR → Hudi partition-config entry ``path:type[:format]`` (the C4
-    inverse, ConfigurationBasedPartitionSpecExtractor.java:42-74)."""
+    inverse, ConfigurationBasedPartitionSpecExtractor.java:42-74).
+    BUCKET/TRUNCATE (r13) downgrade to identity (VALUE) on the
+    MATERIALIZED partition column — Hudi's config grammar has no hash
+    transform; the partition VALUES flow verbatim from the source."""
     if p.transform is PartitionTransform.VALUE:
         return f"{p.source_field}:VALUE"
+    if p.transform in (PartitionTransform.BUCKET, PartitionTransform.TRUNCATE):
+        return f"{p.name}:VALUE"
     return f"{p.source_field}:TIMESTAMP:{_TRANSFORM_FMT[p.transform]}"
 
 
@@ -151,7 +156,14 @@ class HudiTimeline:
             ).lower(),
             "hoodie.table.recordkey.fields": ",".join(table.record_key_fields),
             "hoodie.table.partition.fields": ",".join(
-                p.source_field for p in table.partition_fields
+                # bucket/truncate (r13): the PHYSICAL partition path key is
+                # the materialized column (identity downgrade), not the
+                # hash's source column
+                p.name
+                if p.transform
+                in (PartitionTransform.BUCKET, PartitionTransform.TRUNCATE)
+                else p.source_field
+                for p in table.partition_fields
             ),
             # full spec with transforms, Hudi partition-config grammar
             # path:type[:format] (ConfigurationBasedPartitionSpecExtractor.

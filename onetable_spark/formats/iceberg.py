@@ -536,6 +536,31 @@ _TRANSFORM_MAP = {
 }
 _TRANSFORM_INV = {v: k for k, v in _TRANSFORM_MAP.items()}
 
+
+def _transform_str(p: PartitionField) -> str:
+    """IR transform → Iceberg spec string, including the parameterized
+    bucket[N]/truncate[W] forms (r13 — beyond the reference, which throws
+    on both; IcebergPartitionSpecExtractor.java:81-141)."""
+    from onetable_spark.schema.partitions import to_iceberg_transform
+
+    return to_iceberg_transform(p)
+
+
+def _transform_field(p: dict, source_name: str) -> PartitionField:
+    """Spec field dict → IR PartitionField, parsing bucket[N]/truncate[W]."""
+    from onetable_spark.schema.partitions import from_iceberg_transform
+
+    try:
+        return from_iceberg_transform(p["transform"], source_name, p["name"])
+    except ValueError:
+        # unknown transform (e.g. void): surface as VALUE so reads keep
+        # working on the other spec fields — reference fallback shape
+        return PartitionField(
+            source_field=source_name,
+            transform=PartitionTransform.VALUE,
+            partition_field_name=p["name"],
+        )
+
 STATUS_EXISTING = 0
 STATUS_ADDED = 1
 STATUS_DELETED = 2
@@ -1226,11 +1251,7 @@ class IcebergTable:
         id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
         spec = self._spec_for(md)
         pfields = tuple(
-            PartitionField(
-                source_field=id_to_name.get(p["source-id"], p["name"]),
-                transform=_TRANSFORM_INV.get(p["transform"], PartitionTransform.VALUE),
-                partition_field_name=p["name"],
-            )
+            _transform_field(p, id_to_name.get(p["source-id"], p["name"]))
             for p in spec
         )
         # identifier-field-ids → recordKeyFields (reverse of the
@@ -1382,7 +1403,7 @@ class IcebergTable:
             spec_fields.append(
                 {
                     "name": p.name,
-                    "transform": _TRANSFORM_MAP[p.transform],
+                    "transform": _transform_str(p),
                     "source-id": name_to_id.get(p.source_field, 0),
                     "field-id": field_id,
                 }
@@ -1467,7 +1488,7 @@ class IcebergTable:
         wanted = [
             {
                 "name": p.name,
-                "transform": _TRANSFORM_MAP[p.transform],
+                "transform": _transform_str(p),
                 "source-id": name_to_id.get(p.source_field, 0),
             }
             for p in incoming
@@ -2931,7 +2952,12 @@ class IcebergTable:
         out = []
         for p in spec:
             src_type = id_to_type.get(p["source-id"], "string")
-            if p["transform"] in ("year", "month", "day", "hour"):
+            if p["transform"] in ("year", "month", "day", "hour") or p[
+                "transform"
+            ].startswith("bucket["):
+                # time transforms and bucket[N] both yield int results
+                # (spec §Partition Transforms result types); truncate[W]
+                # keeps the source type and falls through
                 avro_t: Any = "int"
             else:
                 avro_t = {

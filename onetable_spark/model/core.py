@@ -50,17 +50,30 @@ class DataLayoutStrategy(str, enum.Enum):
 
 
 class PartitionTransform(str, enum.Enum):
-    """api/.../model/schema/PartitionTransformType.java:28-37"""
+    """api/.../model/schema/PartitionTransformType.java:28-37.
+
+    ``BUCKET``/``TRUNCATE`` (r13) go BEYOND the reference, which throws on
+    them (IcebergPartitionSpecExtractor.java:81-141) even though bucketing
+    is the most common Iceberg layout in practice. Their transform
+    parameter (N buckets / width W) rides in
+    ``PartitionField.transform_arg``."""
 
     YEAR = "YEAR"
     MONTH = "MONTH"
     DAY = "DAY"
     HOUR = "HOUR"
     VALUE = "VALUE"
+    BUCKET = "BUCKET"
+    TRUNCATE = "TRUNCATE"
 
     @property
     def is_time_based(self) -> bool:
-        return self is not PartitionTransform.VALUE
+        return self in (
+            PartitionTransform.YEAR,
+            PartitionTransform.MONTH,
+            PartitionTransform.DAY,
+            PartitionTransform.HOUR,
+        )
 
 
 class SyncMode(str, enum.Enum):
@@ -89,6 +102,8 @@ class PartitionField:
     transform: PartitionTransform = PartitionTransform.VALUE
     partition_field_name: Optional[str] = None
     partition_field_names: tuple[str, ...] = ()
+    # BUCKET's N / TRUNCATE's W (r13); None for every other transform
+    transform_arg: Optional[int] = None
 
     @property
     def name(self) -> str:

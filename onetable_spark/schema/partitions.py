@@ -6,9 +6,13 @@ Each table format names the same four time transforms differently:
 - **Delta**: generated-column expressions in column metadata —
   ``YEAR(c)``, ``MONTH(c)``, ``DAY(c)``, ``HOUR(c)``, ``CAST(c AS DATE)``,
   ``DATE_FORMAT(c, 'yyyy-MM-dd')`` (DeltaPartitionExtractor.java:104-225);
-- **Iceberg**: spec transform names ``year/month/day/hour/identity``;
-  ``bucket``/``truncate``/``void`` are rejected exactly like the reference
-  (IcebergPartitionSpecExtractor.java:50-78);
+- **Iceberg**: spec transform names ``year/month/day/hour/identity`` plus
+  (r13, BEYOND the reference) ``bucket[N]``/``truncate[W]`` with spec-true
+  murmur3 evaluation — the reference throws on these
+  (IcebergPartitionSpecExtractor.java:81-141); only ``void`` stays
+  rejected. Delta/Hudi TARGETS downgrade bucket/truncate to identity on
+  the materialized partition column (what Iceberg's own Spark integration
+  does for transforms the engine can't express);
 - **Hudi**: config strings ``path:type[:format]``
   (ConfigurationBasedPartitionSpecExtractor.java:42-74) and hive-style
   ``col=value/`` paths (HudiPartitionValuesExtractor.java:47-171).
@@ -34,10 +38,15 @@ _EPOCH = dt.datetime(1970, 1, 1, tzinfo=dt.timezone.utc)
 # ------------------------------------------------------------ Spark column
 
 
-def transform_column(pf: PartitionField) -> Column:
+def transform_column(pf: PartitionField, dtype=None) -> Column:
     """The generated-column expression realizing a partition transform —
     used by writers to derive the physical partition column before
-    ``partitionBy`` (SURVEY §1.1 OnePartitionField row)."""
+    ``partitionBy`` (SURVEY §1.1 OnePartitionField row).
+
+    ``dtype`` (r13): the source column's Spark DataType, needed only by
+    TRUNCATE to pick string-prefix vs integer-floor semantics (callers
+    have the DataFrame; pass ``df.schema[pf.source_field].dataType``).
+    Integral types are assumed when omitted."""
     c = F.col(pf.source_field)
     t = pf.transform
     if t is PartitionTransform.VALUE:
@@ -50,6 +59,19 @@ def transform_column(pf: PartitionField) -> Column:
         return F.date_format(c, "yyyy-MM-dd")
     if t is PartitionTransform.HOUR:
         return F.date_format(c, "yyyy-MM-dd-HH")
+    if t is PartitionTransform.BUCKET:
+        return bucket_column(pf.source_field, _require_arg(pf), dtype)
+    if t is PartitionTransform.TRUNCATE:
+        w = _require_arg(pf)
+        # Iceberg truncate (spec §Partition Transforms): ints floor to
+        # the W-multiple (``v - ((v % W + W) % W)`` == ``v - pmod(v, W)``),
+        # strings keep the first W characters. Both are pure built-in
+        # expressions — whole-stage codegen, no UDF.
+        from pyspark.sql import types as _T
+
+        if dtype is not None and isinstance(dtype, _T.StringType):
+            return F.substring(c, 1, w)
+        return c - F.pmod(c, F.lit(w))
     raise ValueError(f"unsupported transform {t}")
 
 
@@ -204,9 +226,19 @@ def delta_generated_columns_for(pf: PartitionField) -> list[tuple[str, str, str]
     getGeneratedField / convertToDeltaPartitionFormat :227-248).
 
     Fused fields emit one INT column per granularity (YEAR(ts), MONTH(ts),
-    ...); single fields emit one STRING DATE_FORMAT column."""
+    ...); single fields emit one STRING DATE_FORMAT column.
+
+    BUCKET/TRUNCATE (r13): Delta's generation grammar cannot express
+    murmur3, so the materialized partition column lands as a PLAIN column
+    (expr None — identity downgrade, like Iceberg's own Spark integration
+    for engine-inexpressible transforms); the partition VALUES still flow
+    verbatim from the source inventory."""
     if pf.transform is PartitionTransform.VALUE:
         return []
+    if pf.transform is PartitionTransform.BUCKET:
+        return [(pf.name, None, "integer")]
+    if pf.transform is PartitionTransform.TRUNCATE:
+        return [(pf.name, None, "string")]
     if pf.partition_field_names:
         grans = _GRANULARITY_ORDER[: len(pf.partition_field_names)]
         return [
@@ -225,23 +257,217 @@ _ICEBERG_NAMES = {
     "day": PartitionTransform.DAY,
     "hour": PartitionTransform.HOUR,
 }
+_RE_BUCKET = re.compile(r"^bucket\[(\d+)\]$")
+_RE_TRUNCATE = re.compile(r"^truncate\[(\d+)\]$")
+
+
+def _require_arg(pf: PartitionField) -> int:
+    if pf.transform_arg is None or pf.transform_arg <= 0:
+        raise ValueError(
+            f"{pf.transform.value} transform on {pf.source_field!r} needs a "
+            f"positive transform_arg (got {pf.transform_arg!r})"
+        )
+    return int(pf.transform_arg)
 
 
 def from_iceberg_transform(transform: str, source_field: str, name: str | None = None) -> PartitionField:
-    """Iceberg spec transform → IR; bucket/truncate/void rejected
-    (IcebergPartitionSpecExtractor.java:50-78)."""
+    """Iceberg spec transform → IR. ``bucket[N]``/``truncate[W]`` are
+    SUPPORTED here (r13) — the reference throws on them
+    (IcebergPartitionSpecExtractor.java:81-141); ``void`` stays
+    rejected (a void field carries no recoverable value)."""
     key = transform.lower()
-    if key not in _ICEBERG_NAMES:
-        raise ValueError(f"unsupported Iceberg transform {transform!r}")
-    return PartitionField(
-        source_field=source_field,
-        transform=_ICEBERG_NAMES[key],
-        partition_field_name=name,
-    )
+    if key in _ICEBERG_NAMES:
+        return PartitionField(
+            source_field=source_field,
+            transform=_ICEBERG_NAMES[key],
+            partition_field_name=name,
+        )
+    if m := _RE_BUCKET.match(key):
+        return PartitionField(
+            source_field=source_field,
+            transform=PartitionTransform.BUCKET,
+            partition_field_name=name,
+            transform_arg=int(m.group(1)),
+        )
+    if m := _RE_TRUNCATE.match(key):
+        return PartitionField(
+            source_field=source_field,
+            transform=PartitionTransform.TRUNCATE,
+            partition_field_name=name,
+            transform_arg=int(m.group(1)),
+        )
+    raise ValueError(f"unsupported Iceberg transform {transform!r}")
 
 
 def to_iceberg_transform(pf: PartitionField) -> str:
+    if pf.transform is PartitionTransform.BUCKET:
+        return f"bucket[{_require_arg(pf)}]"
+    if pf.transform is PartitionTransform.TRUNCATE:
+        return f"truncate[{_require_arg(pf)}]"
     return {v: k for k, v in _ICEBERG_NAMES.items()}[pf.transform]
+
+
+# ------------------------------------- Iceberg bucket/truncate (r13, beyond
+# the reference — IcebergPartitionSpecExtractor.java:81-141 throws on both)
+#
+# Bucket follows the Iceberg spec Appendix B exactly: 32-bit Murmur3
+# (x86 variant, seed 0) over the value's canonical bytes — int/long/
+# date/timestamp widen to a LONG and hash its 8-byte little-endian
+# encoding, strings hash their UTF-8 bytes, binary hashes raw — then
+# ``(hash & Integer.MAX_VALUE) % N``. The implementation is pinned
+# against the spec's published test vectors (34 → 2017239379,
+# "iceberg" → 1210000089, date 2017-11-16 → -653330422,
+# b"\\x00\\x01\\x02\\x03" → -188683207) in tests/test_bucket_transform.py.
+
+
+def murmur3_32(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x86 32-bit (public domain algorithm, Austin Appleby).
+    Returns the UNSIGNED 32-bit hash; Iceberg's bucket masks with
+    Integer.MAX_VALUE so signedness never matters downstream."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    n4 = n & ~3
+    for i in range(0, n4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n4:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h
+
+
+def _murmur3_32_longs(values):
+    """Vectorized murmur3_x86_32 over an int64 numpy array, treating each
+    value as its 8-byte little-endian encoding (two 4-byte blocks, no
+    tail) — the hot path for bucket[N] on integral columns. All ops are
+    uint32 numpy arithmetic (wrapping multiply == modular), so a billion
+    keys bucket at C speed instead of a per-row Python loop."""
+    import numpy as np
+
+    v = values.astype(np.uint64)
+    c1 = np.uint32(0xCC9E2D51)
+    c2 = np.uint32(0x1B873593)
+    h = np.zeros(len(v), dtype=np.uint32)  # seed 0
+    with np.errstate(over="ignore"):
+        for block in (
+            (v & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (v >> np.uint64(32)).astype(np.uint32),
+        ):
+            k = block * c1
+            k = (k << np.uint32(15)) | (k >> np.uint32(17))
+            k = k * c2
+            h ^= k
+            h = (h << np.uint32(13)) | (h >> np.uint32(19))
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h ^= np.uint32(8)  # length
+        h ^= h >> np.uint32(16)
+        h = h * np.uint32(0x85EBCA6B)
+        h ^= h >> np.uint32(13)
+        h = h * np.uint32(0xC2B2AE35)
+        h ^= h >> np.uint32(16)
+    return h
+
+
+def iceberg_bucket_value(value, n_buckets: int) -> int | None:
+    """Scalar bucket[N] (spec Appendix B): int/long hash as 8-byte LE
+    longs, str as UTF-8, bytes raw, date as days-since-epoch, datetime
+    as MICROseconds-since-epoch."""
+    import numbers
+    import struct
+
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        raise ValueError("bucket over boolean is not defined by the spec")
+    if isinstance(value, float) and float(value).is_integer():
+        # nullable integral columns surface as float64 in pandas batches
+        value = int(value)
+    if isinstance(value, numbers.Integral):  # covers numpy integer scalars
+        data = struct.pack("<q", int(value))
+    elif isinstance(value, str):
+        data = value.encode("utf-8")
+    elif isinstance(value, (bytes, bytearray)):
+        data = bytes(value)
+    elif isinstance(value, dt.datetime):
+        epoch = value if value.tzinfo else value.replace(tzinfo=dt.timezone.utc)
+        micros = int(epoch.timestamp() * 1_000_000)
+        data = struct.pack("<q", micros)
+    elif isinstance(value, dt.date):
+        data = struct.pack("<q", (value - _EPOCH.date()).days)
+    else:
+        raise ValueError(f"bucket over {type(value).__name__} is not supported")
+    return (murmur3_32(data) & 0x7FFFFFFF) % n_buckets
+
+
+def iceberg_truncate_value(value, width: int):
+    """Scalar truncate[W]: ints floor to the W-multiple (floor-mod, so
+    negatives truncate DOWN), strings keep the first W characters."""
+    if value is None:
+        return None
+    if isinstance(value, int) and not isinstance(value, bool):
+        return value - (value % width)  # Python % is already floor-mod
+    if isinstance(value, str):
+        return value[:width]
+    raise ValueError(f"truncate over {type(value).__name__} is not supported")
+
+
+def bucket_column(source_field: str, n_buckets: int, dtype=None) -> Column:
+    """bucket[N] as a Spark Column: an Arrow-batched pandas UDF (Spark's
+    built-in ``hash`` is the same Murmur3 but pinned to seed 42, so it
+    can never match Iceberg's seed-0 buckets). Integral/date/timestamp
+    batches take the numpy-vectorized path; strings hash per-row over
+    the Arrow batch (bounded by batch size, not partition size)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as _T
+    from pyspark.sql.functions import pandas_udf
+
+    n = int(n_buckets)
+
+    def _bucket_impl(s):
+        if s.dtype.kind in ("i", "u"):
+            out = (_murmur3_32_longs(s.to_numpy()) & np.uint32(0x7FFFFFFF)) % np.uint32(n)
+            return pd.Series(out.astype("int32"))
+        if s.dtype.kind == "M":  # datetime64 → micros since epoch
+            micros = s.astype("int64") // 1000  # pandas ns → us
+            out = (_murmur3_32_longs(micros.to_numpy()) & np.uint32(0x7FFFFFFF)) % np.uint32(n)
+            return pd.Series(out.astype("int32"))
+        return s.map(lambda v: iceberg_bucket_value(v, n), na_action="ignore").astype(
+            "Int32"
+        )
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pyspark's hint inspection can't resolve against local imports —
+    # attach the real Series objects instead
+    _bucket_impl.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _bucket = pandas_udf(_bucket_impl, "int")
+
+    c = F.col(source_field)
+    if dtype is not None and isinstance(dtype, _T.DateType):
+        # days since epoch hash as longs — datediff is exactly that
+        return _bucket(F.datediff(c, F.lit("1970-01-01")).cast("long"))
+    return _bucket(c)
 
 
 def iceberg_value_to_millis(transform: PartitionTransform, value: int) -> int:

@@ -36,6 +36,7 @@ from onetable_spark.formats.hudi import HudiTimeline, instant_to_millis, millis_
 from onetable_spark.formats.iceberg import IcebergTable
 from onetable_spark.model import (
     FilesDiff,
+    PartitionTransform,
     Snapshot,
     SyncMode,
     SyncResult,
@@ -467,7 +468,15 @@ class HudiTarget:
         existing_spec = tuple(
             s for s in (props.get("hoodie.table.partition.fields") or "").split(",") if s
         )
-        incoming_spec = tuple(p.source_field for p in table.partition_fields)
+        incoming_spec = tuple(
+            # bucket/truncate (r13): the pinned physical path key is the
+            # MATERIALIZED column name (identity downgrade) — must match
+            # what init_table wrote into hoodie.table.partition.fields
+            p.name
+            if p.transform in (PartitionTransform.BUCKET, PartitionTransform.TRUNCATE)
+            else p.source_field
+            for p in table.partition_fields
+        )
         if existing_spec != incoming_spec:
             raise ValueError(
                 f"partition spec change rejected: table pins {existing_spec}, "

@@ -25,27 +25,28 @@ from tools.check_oracle import compare_result
 # alphabetizing or appending to SPARK_QUERIES should trip this list, not
 # silently drop driver coverage.
 MUST_BE_DRIVER_MEASURED = {
-    # round-12 rotation (VERDICT r11 #5): everything green in the r11
+    # round-13 rotation (VERDICT r12 #6): everything green in the r12
     # window retires; the window re-samples by staleness. Pinned here:
-    # the three r12 newcomers (no driver evidence yet) and the 30
-    # queries whose last driver hash row was r9 — the rotation IS a
-    # round deliverable, so falling out of the window must fail loudly.
+    # the r13 newcomer (no driver evidence yet) and ALL 41 queries whose
+    # latest driver hash row is r10 — the rotation IS a round
+    # deliverable, so falling out of the window must fail loudly.
     #
-    # round-12 newcomers: first driver rows needed
-    "hudi_delete_translation", "hudi_mor_compaction", "iceberg_rewrite_files",
-    "delta_dv_purge", "iceberg_upsert", "delta_upsert", "hudi_upsert",
-    "streaming_upsert", "iceberg_wap", "iceberg_manifest_compaction",
-    "delta_v2_checkpoint",
-    # last driver rows r9 (the 30 VERDICT r11 #5 names)
-    "ann_ivf_topk", "ann_lsh_topk", "bpe_pair_counts", "compaction_bins",
-    "minhash_lsh_dedup", "multimodal_ingest", "perplexity_buckets",
-    "repetition_filter", "semdedup_pairs", "simhash_near_dups",
-    "streaming_cdc_feed", "streaming_cdc_hudi", "substring_dedup",
-    "sync_catchup", "sync_continuous", "sync_foreign_table",
-    "sync_partition_evolution", "sync_recovery", "sync_safety_fallback",
-    "sync_validation", "token_calibration",
-    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
-    "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22",
+    # round-13 newcomer: first driver row needed
+    "sync_bucket_spec",
+    # last driver rows r10 (all 41, from CORRECTNESS_r10/r11/r12 keys)
+    "dedup_exact", "dedup_first_per_key", "deterministic_sample",
+    "embedding_near_dups", "embedding_topk", "fingerprint_dedup",
+    "full_outer_balance", "funnel_steps", "g10_json_flatten",
+    "g11_sort_commits", "g12_latest_instant", "g8_stats_regroup",
+    "hopping_window", "intersect_keys", "langid_counts", "ngram_jaccard",
+    "percentile_agg", "pii_redaction", "pivot_events", "range_join",
+    "rollup_agg", "sessionize", "stateful_running_totals",
+    "streaming_dedup", "streaming_join", "streaming_sessionize",
+    "streaming_sink_inventory", "streaming_window_agg", "sync_changes",
+    "sync_foreign_iceberg", "sync_inventory", "sync_schema_evolution",
+    "sync_time_travel", "text_features", "token_packing", "token_stats",
+    "unpivot_stats", "vacuum_orphans", "window_agg", "zorder_compaction",
+    "zorder_layout",
 }
 
 
