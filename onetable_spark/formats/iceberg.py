@@ -1757,25 +1757,51 @@ class IcebergTable:
                     spec_id=md.get("default-spec-id", 0),
                 )
         added_entries = None
+        added_manifests: list[dict] = []
         if adds is not None:
-            # driver-ok: Arrow-batched stream — one job, O(batch) Python
-            # dicts; each entry is encoded into the manifest avro block as
-            # it is produced (write_container consumes any iterable), so
-            # neither a Row list nor an entry list ever materializes
+            # driver-ok: ONE Arrow collect — columnar, ~60 MB per million
+            # files; it both sizes the write fan-out and feeds whichever
+            # path runs, so the adds lineage (often a distributed footer
+            # read) executes exactly once
             from onetable_spark.model import iter_inventory_rows
 
-            apt = {
-                f["name"]: f["type"][1]
-                for f in self._partition_avro_fields(ice_schema, spec)
-            }
-            n2i = _flat_fields(ice_schema)
-            i2t = {f["id"]: f["type"] for f in ice_schema["fields"]}
-            added_entries = _CountingEntries(
-                _entry_from_data(
-                    row, snapshot_id, STATUS_ADDED, ice_schema, spec, apt, n2i, i2t
+            arrow_adds = adds.toArrow()
+            if arrow_adds.num_rows > _MANIFEST_SHARD_ENTRIES:
+                # r13 (mega-commit profile): the driver's pure-Python avro
+                # writer was the Iceberg commit wall at 1M entries
+                # (write_datum ≈ 75% of a ~40 s commit, single-threaded —
+                # BASELINE.md r13). Large appends now serialize as SHARDED
+                # ADDED manifests on the executors, exactly like the
+                # rewrite path's carried set — parallel ~100k-entry
+                # serializations instead of one driver loop, the only
+                # shape that holds on a real 1000-executor cluster.
+                added_manifests = self._write_manifest_shards(
+                    self.spark.createDataFrame(arrow_adds),
+                    snapshot_id, ice_schema, spec,
+                    spec_id=md.get("default-spec-id", 0),
+                    v2_seq=(
+                        (md.get("last-sequence-number", 0) + 1) if fv == 2 else None
+                    ),
+                    status=STATUS_ADDED,
+                    n_rows=arrow_adds.num_rows,
                 )
-                for row in iter_inventory_rows(adds)
-            )
+            else:
+                # small adds: stream dicts off the collected Arrow table;
+                # each entry is encoded into the manifest avro block as it
+                # is produced (write_container consumes any iterable), so
+                # neither a Row list nor an entry list ever materializes
+                apt = {
+                    f["name"]: f["type"][1]
+                    for f in self._partition_avro_fields(ice_schema, spec)
+                }
+                n2i = _flat_fields(ice_schema)
+                i2t = {f["id"]: f["type"] for f in ice_schema["fields"]}
+                added_entries = _CountingEntries(
+                    _entry_from_data(
+                        row, snapshot_id, STATUS_ADDED, ice_schema, spec, apt, n2i, i2t
+                    )
+                    for row in iter_inventory_rows(adds, arrow_table=arrow_adds)
+                )
 
         seq = (md.get("last-sequence-number", 0) + 1) if fv == 2 else None
         entry_schema = _manifest_entry_schema(
@@ -1825,12 +1851,13 @@ class IcebergTable:
             )
         mlist = os.path.join(self.metadata_dir, f"snap-{snapshot_id}-{uuid.uuid4().hex}.avro")
         # reused prior manifests (append fast path) go after this commit's
-        # own manifests, keeping their original added_snapshot_id (and, on
-        # v2, their original content/sequence fields)
+        # own manifests (sharded ADDED manifests first, when the large-
+        # append path ran), keeping their original added_snapshot_id (and,
+        # on v2, their original content/sequence fields)
         write_container(
             mlist,
             MANIFEST_LIST_SCHEMA_V2 if fv == 2 else MANIFEST_LIST_SCHEMA,
-            manifests + carried_manifests,
+            added_manifests + manifests + carried_manifests,
         )
 
         snapshot = {
@@ -2980,28 +3007,46 @@ class IcebergTable:
         spec: list[dict],
         spec_id: int = 0,
         v2_seq: Optional[int] = None,
+        status: int = STATUS_EXISTING,
+        n_rows: Optional[int] = None,
     ) -> list[dict]:
-        """Write the carried live set as sharded EXISTING-status manifest
-        avro files, serialized ON THE EXECUTORS (mapInPandas over a
-        to_json projection reusing formats/avro_codec), so the rewrite/
-        compaction path never materializes O(table) entries on the
-        driver. Returns the manifest-list records (one per shard — the
-        only thing the driver holds). Shard fan-in is bounded to
-        ~_MANIFEST_SHARD_ENTRIES entries per manifest so a compaction
+        """Write a file set as sharded manifest avro files, serialized ON
+        THE EXECUTORS (mapInPandas over a to_json projection reusing
+        formats/avro_codec), so the commit planes never serialize O(table)
+        entries on the driver. Returns the manifest-list records (one per
+        shard — the only thing the driver holds). Shard fan-in is bounded
+        to ~_MANIFEST_SHARD_ENTRIES entries per manifest so a compaction
         always folds the list well under the 100-manifest guard while
         individual shards stay memory-bounded on the executors.
 
-        ``v2_seq`` (r12): format-version-2 mode — ``files_df`` must carry
-        a ``_seq`` column (the decode's per-entry data sequence number);
-        every EXISTING entry writes its ORIGINAL sequence number
-        explicitly (inheritance is ADDED-only; inheriting here would
-        re-scope older row-level deletes), the shard manifests carry the
-        v2 list fields with ``min_sequence_number`` = the shard's true
-        minimum, and ``sequence_number`` = the compacting snapshot's."""
+        ``status`` (r13): STATUS_EXISTING for the rewrite/compaction
+        carry (the r6 original), STATUS_ADDED for LARGE append payloads —
+        the r13 mega-commit profile showed the driver-side pure-Python
+        avro writer IS the Iceberg commit wall at 1M entries (write_datum
+        ≈ 75% of a ~40 s commit, 19 datum writes per entry,
+        single-threaded); sharding the added manifest across executors
+        turns that into parallel ~100k-entry serializations, which is
+        also the only shape that survives a real 1000-executor cluster.
+
+        ``v2_seq`` (r12): format-version-2 mode. With STATUS_EXISTING,
+        ``files_df`` must carry a ``_seq`` column (the decode's per-entry
+        data sequence number); every entry writes its ORIGINAL sequence
+        number explicitly (inheritance is ADDED-only; inheriting here
+        would re-scope older row-level deletes) and
+        ``min_sequence_number`` is the shard's true minimum. With
+        STATUS_ADDED, entries carry NO explicit number — v2 inheritance
+        from the manifest list's ``sequence_number`` (= ``v2_seq``) is
+        exactly the spec's mechanism for fresh appends.
+
+        ``n_rows``: pre-counted row total, when the caller already paid
+        for a count over the (checkpointed) frame — skips this method's
+        own fan-out-sizing count job."""
         import math
 
-        # driver-ok: one-scalar count sizes the shard fan-out
-        n = files_df.count()
+        if n_rows is None:
+            # driver-ok: one-scalar count sizes the shard fan-out
+            n_rows = files_df.count()
+        n = n_rows
         if n == 0:
             return []
         shards = max(1, math.ceil(n / _MANIFEST_SHARD_ENTRIES))
@@ -3011,13 +3056,15 @@ class IcebergTable:
             for f in self._partition_avro_fields(ice_schema, spec)
         }
         v2 = v2_seq is not None
+        explicit_seq = v2 and status == STATUS_EXISTING
         entry_schema = _manifest_entry_schema(
             self._partition_avro_fields(ice_schema, spec), v2=v2
         )
         cols = (
             "path", "file_format", "partition_values",
             "size", "record_count", "column_stats",
-        ) + (("_seq",) if v2 else ())
+        ) + (("_seq",) if explicit_seq else ())
+        tag = "existing" if status == STATUS_EXISTING else "added"
 
         def write_shard(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             import json as _json
@@ -3032,15 +3079,15 @@ class IcebergTable:
                     rec = _json.loads(s)
                     row = {k: rec.get(k) for k in cols}
                     e = _entry_from_data(
-                        row, snapshot_id, STATUS_EXISTING, ice_schema, spec, apt
+                        row, snapshot_id, status, ice_schema, spec, apt
                     )
-                    if v2:
+                    if explicit_seq:
                         e["sequence_number"] = int(row["_seq"] or 0)
                         e["file_sequence_number"] = int(row["_seq"] or 0)
                     entries.append(e)
             if not entries:
                 return
-            mpath = _os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m-existing.avro")
+            mpath = _os.path.join(meta_dir, f"{_uuid.uuid4().hex}-m-{tag}.avro")
             _wc(mpath, entry_schema, entries)
             yield pd.DataFrame(
                 [
@@ -3050,7 +3097,9 @@ class IcebergTable:
                         "n": len(entries),
                         "rows": sum(e["data_file"]["record_count"] for e in entries),
                         "min_seq": (
-                            min(e["sequence_number"] for e in entries) if v2 else 0
+                            min(e["sequence_number"] for e in entries)
+                            if explicit_seq
+                            else (v2_seq or 0)
                         ),
                     }
                 ]
@@ -3063,6 +3112,7 @@ class IcebergTable:
         stats = jdf.mapInPandas(
             write_shard, "mp string, length long, n long, rows long, min_seq long"
         ).collect()
+        added = status == STATUS_ADDED
         return [
             {
                 "manifest_path": r["mp"],
@@ -3071,18 +3121,18 @@ class IcebergTable:
                 **(
                     {"content": _CONTENT_DATA, "sequence_number": int(v2_seq),
                      "min_sequence_number": int(r["min_seq"]),
-                     "added_files_count": 0,
-                     "existing_files_count": int(r["n"]),
+                     "added_files_count": int(r["n"]) if added else 0,
+                     "existing_files_count": 0 if added else int(r["n"]),
                      "deleted_files_count": 0}
                     if v2
                     else {}
                 ),
                 "added_snapshot_id": snapshot_id,
-                "added_data_files_count": 0,
-                "existing_data_files_count": int(r["n"]),
+                "added_data_files_count": int(r["n"]) if added else 0,
+                "existing_data_files_count": 0 if added else int(r["n"]),
                 "deleted_data_files_count": 0,
-                "added_rows_count": 0,
-                "existing_rows_count": int(r["rows"]),
+                "added_rows_count": int(r["rows"]) if added else 0,
+                "existing_rows_count": 0 if added else int(r["rows"]),
                 "deleted_rows_count": 0,
             }
             for r in stats

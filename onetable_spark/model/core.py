@@ -262,7 +262,7 @@ class TableMetadata:
         return cls(last_instant_synced_millis=int(raw), inflight_commits=inflight)
 
 
-def iter_inventory_rows(files: DataFrame, batch_rows: int = 65536):
+def iter_inventory_rows(files: DataFrame, batch_rows: int = 65536, arrow_table=None):
     """Driver-side iteration of a file inventory as plain dicts, batched
     through Arrow.
 
@@ -277,7 +277,9 @@ def iter_inventory_rows(files: DataFrame, batch_rows: int = 65536):
     tuple lists — normalized to dicts here so consumers see the same
     shape ``collect()`` gave them.
     """
-    tbl = files.toArrow()
+    # arrow_table: a pre-collected table, when the caller already paid for
+    # the one-job Arrow materialization (e.g. to size a write fan-out)
+    tbl = files.toArrow() if arrow_table is None else arrow_table
     map_cols = [
         f.name for f in files.schema.fields if isinstance(f.dataType, T.MapType)
     ]
