@@ -57,6 +57,12 @@ HOODIE_DIR = ".hoodie"
 # deltacommit = MOR ingest (HudiDataFileExtractor.java:157 treats
 # DELTA_COMMIT exactly like COMMIT at the base-file level)
 COMMIT_ACTIONS = ("commit", "deltacommit", "replacecommit")
+
+# adds above this row count build their write-stat JSON strings on the
+# EXECUTORS (mapInArrow) instead of the driver loop — r13 mega-commit
+# profile: the per-row uuid5/dict/json work was ~60% of a 1M-entry
+# commit's wall. Module-level so tests can drop it to force the path.
+_STATS_DISTRIBUTE_THRESHOLD = 100_000
 UNDO_ACTIONS = ("rollback", "restore")
 
 WRITE_STAT_SCHEMA = T.StructType(
@@ -853,41 +859,103 @@ class HudiTimeline:
         completed = os.path.join(self.hoodie_path, f"{instant}.{action}")
         tmp = completed + ".tmp"
         table_prefix = self.table_path.rstrip("/") + "/"
-        with open(tmp, "w") as f:
-            # streaming JSON emitter: write-stats go to the OS buffer as
-            # Arrow batches arrive (grouped by the pre-sorted partition
-            # path); only the bounded non-stats keys are json.dump'd whole
-            f.write('{"partitionToWriteStats": {')
-            if sorted_adds is not None:
+
+        def _stat_json(rel: str, pp: str, record_count, size, column_stats) -> str:
+            """One write-stat entry as a JSON string — shared by the
+            driver loop (small commits) and the executor batches (large
+            commits); pure function so both paths serialize identically."""
+            return json.dumps(
+                {
+                    "fileId": _file_id_for(rel),
+                    "path": rel,
+                    "prevCommit": "null",
+                    "numWrites": record_count or 0,
+                    # FILES_SCHEMA adds model pure inserts (external
+                    # registration); log appends with update/delete
+                    # splits come from real writers or raw-JSON fixtures
+                    "numInserts": record_count or 0,
+                    "numDeletes": 0,
+                    "numUpdateWrites": 0,
+                    "totalWriteBytes": size or 0,
+                    "fileSizeInBytes": size or 0,
+                    "partitionPath": pp,
+                    "columnStats": (
+                        json.dumps([dict(s) for s in column_stats])
+                        if column_stats
+                        else None
+                    ),
+                }
+            )
+
+        def _stat_pairs():
+            """(partition_path, stat_json) pairs in global _pp order.
+
+            Small commits: the r8 driver Arrow stream, one dict at a time.
+            Large commits (r13, mega-commit profile): the per-row work —
+            uuid5 fileId derivation, the stats-dict build, json.dumps —
+            was ~60% of a 1M-entry commit's wall on the single-threaded
+            driver; it now runs as a mapInArrow pass on the EXECUTORS
+            (order-preserving narrow map over the pre-sorted frame, fed
+            from the persisted adds), and the driver only concatenates
+            the returned strings. Hudi's commit is ONE json file, so the
+            file write itself stays a driver stream either way."""
+            # driver-ok: one scalar; adds is persisted above precisely
+            # because the commit consumes it more than once
+            n = sorted_adds.count()
+            if n <= _STATS_DISTRIBUTE_THRESHOLD:
                 from onetable_spark.model import iter_inventory_rows
 
-                current_pp: str | None = None
                 for row in iter_inventory_rows(sorted_adds):
                     rel = row["path"]
                     if rel.startswith(table_prefix):
                         rel = rel[len(table_prefix):]
-                    pp = row["_pp"] or ""
-                    stats_json = (
-                        json.dumps([dict(s) for s in row["column_stats"]])
-                        if row["column_stats"]
-                        else None
+                    yield row["_pp"] or "", _stat_json(
+                        rel, row["_pp"] or "", row["record_count"],
+                        row["size"], row["column_stats"],
                     )
-                    stat = {
-                        "fileId": _file_id_for(rel),
-                        "path": rel,
-                        "prevCommit": "null",
-                        "numWrites": row["record_count"] or 0,
-                        # FILES_SCHEMA adds model pure inserts (external
-                        # registration); log appends with update/delete
-                        # splits come from real writers or raw-JSON fixtures
-                        "numInserts": row["record_count"] or 0,
-                        "numDeletes": 0,
-                        "numUpdateWrites": 0,
-                        "totalWriteBytes": row["size"] or 0,
-                        "fileSizeInBytes": row["size"] or 0,
-                        "partitionPath": pp,
-                        "columnStats": stats_json,
-                    }
+                return
+
+            def stat_batches(batches):
+                import pyarrow as _pa
+
+                for batch in batches:
+                    pps, ss = [], []
+                    for row in batch.to_pylist():
+                        rel = row["path"]
+                        if rel.startswith(table_prefix):
+                            rel = rel[len(table_prefix):]
+                        pp = row["_pp"] or ""
+                        pps.append(pp)
+                        ss.append(
+                            _stat_json(
+                                rel, pp, row["record_count"], row["size"],
+                                row["column_stats"],
+                            )
+                        )
+                    yield _pa.RecordBatch.from_arrays(
+                        [_pa.array(pps, type=_pa.string()),
+                         _pa.array(ss, type=_pa.string())],
+                        ["pp", "s"],
+                    )
+
+            pairs = sorted_adds.select(
+                "path", "_pp", "record_count", "size", "column_stats"
+            ).mapInArrow(stat_batches, "pp string, s string")
+            # driver-ok: the strings ARE the commit-file payload — the
+            # same bytes stream straight to disk below
+            for batch in pairs.toArrow().to_batches(max_chunksize=65536):
+                yield from zip(
+                    batch.column("pp").to_pylist(), batch.column("s").to_pylist()
+                )
+
+        with open(tmp, "w") as f:
+            # streaming JSON emitter: write-stats go to the OS buffer as
+            # they arrive (grouped by the pre-sorted partition path); only
+            # the bounded non-stats keys are json.dump'd whole
+            f.write('{"partitionToWriteStats": {')
+            if sorted_adds is not None:
+                current_pp: str | None = None
+                for pp, stat_str in _stat_pairs():
                     if pp != current_pp:
                         if current_pp is not None:
                             f.write("], ")
@@ -895,7 +963,7 @@ class HudiTimeline:
                         current_pp = pp
                     else:
                         f.write(", ")
-                    f.write(json.dumps(stat))
+                    f.write(stat_str)
                 if current_pp is not None:
                     f.write("]")
             f.write("}")

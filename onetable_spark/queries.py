@@ -4634,6 +4634,55 @@ def q_sync_bucket_spec(spark: SparkSession, sf: str) -> DataFrame:
             .count()
         )
 
+        # sibling TRUNCATE[2] table on r_name (same lifecycle, C6's other
+        # parameterized transform): dirs are the 2-char name prefixes, so
+        # the oracle derives them straight from the region data
+        from onetable_spark.schema.partitions import transform_column
+        from pyspark.sql import types as _T
+
+        pf_t = PartitionField(
+            source_field="r_name",
+            transform=PartitionTransform.TRUNCATE,
+            partition_field_name="name_trunc",
+            transform_arg=2,
+        )
+        ttbl = os.path.join(base, "trunc_table")
+        os.makedirs(ttbl)
+        (
+            src.withColumn("name_trunc", transform_column(pf_t, _T.StringType()))
+            .repartition("name_trunc")
+            .write.partitionBy("name_trunc")
+            .parquet(ttbl, mode="append")
+        )
+        t_files = sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(ttbl)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        tice = IcebergTable(spark, ttbl)
+        tice.init_table(
+            Table(
+                name="truncated", base_path=ttbl,
+                table_format=TableFormat.ICEBERG, read_schema=schema,
+                partition_fields=(pf_t,),
+            )
+        )
+        tice.commit_overwrite(
+            adds=build_inventory(
+                spark, t_files, root=ttbl, partition_cols=["name_trunc"]
+            )
+        )
+        tdesc = tice.table_descriptor().partition_fields[0]
+        # driver-ok: ≤5 aggregated rows (one per 2-char prefix dir)
+        t_dirs = sorted(
+            r["d"]
+            for r in tice.snapshot_files()
+            .select(F.col("partition_values")["name_trunc"].alias("d"))
+            .distinct()
+            .collect()
+        )
+
         md = ice.metadata()
         spec = ice._spec_for(md)
         pf = ice.table_descriptor().partition_fields[0]
@@ -4654,6 +4703,11 @@ def q_sync_bucket_spec(spark: SparkSession, sf: str) -> DataFrame:
             ).lower(),
             "bucket_dirs": ",".join(sorted(ice_counts)),
             "n_records": str(sum(ice_counts.values())),
+            "truncate_descriptor": (
+                f"{tdesc.source_field}:{tdesc.transform.value}[{tdesc.transform_arg}]"
+            ),
+            "truncate_spec_transform": tice._spec_for(tice.metadata())[0]["transform"],
+            "truncate_dirs": ",".join(t_dirs),
         }
         return {"facts": facts}
 
@@ -7718,7 +7772,13 @@ ORACLE_SQL: dict[str, str] = {
             ('hudi_partition_fields', 'rk_bucket'),
             ('iceberg_descriptor', 'r_regionkey:BUCKET[4]'),
             ('iceberg_spec_transform', 'bucket[4]'),
-            ('n_records', CAST((SELECT COUNT(*) FROM region) AS VARCHAR))
+            ('n_records', CAST((SELECT COUNT(*) FROM region) AS VARCHAR)),
+            ('truncate_descriptor', 'r_name:TRUNCATE[2]'),
+            ('truncate_spec_transform', 'truncate[2]'),
+            -- truncate[2] partition dirs ARE the 2-char name prefixes —
+            -- derived from the data, not hardcoded
+            ('truncate_dirs', (SELECT string_agg(p, ',' ORDER BY p) FROM
+                (SELECT DISTINCT substr(r_name, 1, 2) AS p FROM region)))
         ) t(item, value)
     """,
     # r7: the validator's ground truth is static — a healthy sync passes
