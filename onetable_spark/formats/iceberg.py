@@ -1860,10 +1860,45 @@ class IcebergTable:
             added_manifests + manifests + carried_manifests,
         )
 
+        # spec-complete operation metrics (real Iceberg writers populate
+        # these; external tooling reads total-records off the summary
+        # instead of decoding manifests) — all derivable from the
+        # manifest-list records already in hand, no entry reads. Live
+        # accounting: a live file appears as ADDED-or-EXISTING in exactly
+        # one DATA manifest of the list (DELETED entries are separate rows
+        # already excluded from those counts), so totals are plain sums;
+        # content=1 (delete-file) manifests count delete files and are
+        # excluded from data-file totals.
+        own_m = added_manifests + manifests
+        data_m = [
+            m
+            for m in own_m + carried_manifests
+            if m.get("content", _CONTENT_DATA) == _CONTENT_DATA
+        ]
+        summary = {
+            "operation": "overwrite" if (removes is not None or prev) else "append",
+            "added-data-files": str(
+                sum(m["added_data_files_count"] for m in own_m)
+            ),
+            "added-records": str(sum(m["added_rows_count"] for m in own_m)),
+            "deleted-data-files": str(
+                sum(m["deleted_data_files_count"] for m in own_m)
+            ),
+            "deleted-records": str(sum(m["deleted_rows_count"] for m in own_m)),
+            "total-data-files": str(
+                sum(
+                    m["added_data_files_count"] + m["existing_data_files_count"]
+                    for m in data_m
+                )
+            ),
+            "total-records": str(
+                sum(m["added_rows_count"] + m["existing_rows_count"] for m in data_m)
+            ),
+        }
         snapshot = {
             "snapshot-id": snapshot_id,
             "timestamp-ms": now,
-            "summary": {"operation": "overwrite" if (removes is not None or prev) else "append"},
+            "summary": summary,
             "manifest-list": mlist,
             "schema-id": md.get("current-schema-id", 0),
         }

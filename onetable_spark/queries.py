@@ -4674,14 +4674,13 @@ def q_sync_bucket_spec(spark: SparkSession, sf: str) -> DataFrame:
             )
         )
         tdesc = tice.table_descriptor().partition_fields[0]
-        # driver-ok: ≤5 aggregated rows (one per 2-char prefix dir)
-        t_dirs = sorted(
-            r["d"]
-            for r in tice.snapshot_files()
+        t_dir_df = (
+            tice.snapshot_files()
             .select(F.col("partition_values")["name_trunc"].alias("d"))
             .distinct()
-            .collect()
         )
+        # driver-ok: ≤5 aggregated rows (one per 2-char prefix dir)
+        t_dirs = sorted(r["d"] for r in t_dir_df.collect())
 
         md = ice.metadata()
         spec = ice._spec_for(md)

@@ -113,3 +113,38 @@ def test_hudi_distributed_stats_equal_driver_path(spark, tmp_path, monkeypatch):
         }
         assert h.snapshot_files().count() == 150
     assert payloads["driver"] == payloads["distributed"]
+
+
+def test_iceberg_snapshot_summary_metrics(spark, tmp_path):
+    """r13: snapshot summaries carry spec-complete operation metrics
+    (added/deleted/total files + records), derived from the manifest-list
+    records — external tooling reads total-records off the summary."""
+    root = str(tmp_path / "summ")
+    os.makedirs(root)
+    ice = IcebergTable(spark, root)
+    ice.init_table(
+        Table(name="t", base_path=root, table_format=TableFormat.ICEBERG,
+              read_schema=_SCHEMA)
+    )
+    ice.commit_overwrite(adds=_fabricated(spark, root, 5))
+    s1 = ice.current_snapshot_meta()["summary"]
+    assert (s1["operation"], s1["added-data-files"], s1["added-records"]) == (
+        "append", "5", "50",
+    )
+    assert (s1["total-data-files"], s1["total-records"]) == ("5", "50")
+
+    # append 3 more via the fast path (prior manifest carried verbatim)
+    more = _fabricated(spark, root, 8).where("path like '%f7.parquet' or path like '%f6.parquet' or path like '%f5.parquet'")
+    ice.commit_overwrite(adds=more)
+    s2 = ice.current_snapshot_meta()["summary"]
+    assert (s2["added-data-files"], s2["added-records"]) == ("3", "30")
+    assert (s2["total-data-files"], s2["total-records"]) == ("8", "80")
+
+    # remove one file (partition-scoped overwrite): deleted metrics move,
+    # totals drop by exactly the removed file
+    victim = ice.snapshot_files().select("path").limit(1)
+    ice.commit_overwrite(removes=victim)
+    s3 = ice.current_snapshot_meta()["summary"]
+    assert s3["operation"] == "overwrite"
+    assert (s3["deleted-data-files"], s3["deleted-records"]) == ("1", "10")
+    assert (s3["total-data-files"], s3["total-records"]) == ("7", "70")

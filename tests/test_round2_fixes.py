@@ -223,13 +223,14 @@ def test_no_driver_collect_in_query_paths():
     #     refusal probe + one-log verify fetch (2 sites)
     #   maintenance.py third site: Iceberg referenced_paths' manifest-list
     #     walk (bounded by manifest count per snapshot)
-    #   queries.py r13 site: sync_bucket_spec's per-bucket count fetch
-    #     (≤4 aggregated rows — one per bucket[4] value)
+    #   queries.py r13 sites: sync_bucket_spec's per-bucket count fetch
+    #     (≤4 aggregated rows — one per bucket[4] value) and its
+    #     truncate-sibling distinct-dir fetch (≤5 rows — 2-char prefixes)
     sanctioned = {
         "functions/similarity.py": 1,
         "functions/bpe.py": 2,
         "operators/maintenance.py": 3,
-        "queries.py": 22,
+        "queries.py": 23,
     }
     root = pathlib.Path(__file__).parent.parent / "onetable_spark"
     offenders, marked = [], Counter()

@@ -143,8 +143,12 @@ class TestPartitions:
         assert pf.transform is PartitionTransform.DAY
         assert to_iceberg_transform(pf) == "day"
         assert to_iceberg_transform(from_iceberg_transform("identity", "c")) == "identity"
+        # r13: bucket/truncate are SUPPORTED (beyond the reference, which
+        # throws — see tests/test_bucket_transform.py); only void refuses
+        pf = from_iceberg_transform("bucket[16]", "c")
+        assert pf.transform is PartitionTransform.BUCKET and pf.transform_arg == 16
         with pytest.raises(ValueError):
-            from_iceberg_transform("bucket[16]", "c")
+            from_iceberg_transform("void", "c")
 
     @pytest.mark.parametrize(
         "transform,value,millis",
