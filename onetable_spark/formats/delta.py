@@ -879,6 +879,7 @@ class DeltaLog:
         txn: Optional[dict] = None,
         deletion_vectors: DataFrame | None = None,
         data_change: bool = True,
+        cdc_adds: Optional[list[dict]] = None,
     ) -> int:
         """Optimistic commit of add/remove actions (FILES_SCHEMA inputs).
 
@@ -910,6 +911,13 @@ class DeltaLog:
         to skip rewrite commits (DeltaSource's skipChangeCommits
         contract); a compaction that claimed dataChange=true would replay
         every rewritten row into downstream pipelines as if it were new.
+
+        ``cdc_adds`` (r13, PROTOCOL.md "Add CDC File"): Change Data Feed
+        files — dicts with ``path`` (relative, under ``_change_data/``),
+        ``size`` and ``partitionValues`` — emitted as ``cdc`` actions in
+        the SAME commit. cdc actions never participate in table-state
+        replay (the fixed ACTION_SCHEMA parse ignores them); the
+        change-feed reader resolves them per version.
         """
         now = int(time.time() * 1000)
         n_dvs = 0
@@ -993,6 +1001,17 @@ class DeltaLog:
                             }
                         }
                     )
+            for c in cdc_adds or []:
+                yield json.dumps(
+                    {
+                        "cdc": {
+                            "path": c["path"],
+                            "partitionValues": dict(c.get("partitionValues") or {}),
+                            "size": int(c["size"]),
+                            "dataChange": False,
+                        }
+                    }
+                )
 
         spool = _spool_lines(self.log_path, lines())
         try:

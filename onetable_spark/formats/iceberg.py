@@ -1873,26 +1873,42 @@ class IcebergTable:
         data_m = [
             m
             for m in own_m + carried_manifests
-            if m.get("content", _CONTENT_DATA) == _CONTENT_DATA
+            if (m.get("content") or _CONTENT_DATA) == _CONTENT_DATA
         ]
+
+        def _mc(m: dict, key: str, v2_key: str) -> int:
+            # v1/v2 field-name + null tolerant: carried lists can be
+            # foreign-authored or carry avro nulls for optional counts
+            v = m.get(key)
+            if v is None:
+                v = m.get(v2_key)
+            return int(v or 0)
+
         summary = {
             "operation": "overwrite" if (removes is not None or prev) else "append",
             "added-data-files": str(
-                sum(m["added_data_files_count"] for m in own_m)
+                sum(_mc(m, "added_data_files_count", "added_files_count") for m in own_m)
             ),
-            "added-records": str(sum(m["added_rows_count"] for m in own_m)),
+            "added-records": str(sum(_mc(m, "added_rows_count", "added_rows_count") for m in own_m)),
             "deleted-data-files": str(
-                sum(m["deleted_data_files_count"] for m in own_m)
+                sum(_mc(m, "deleted_data_files_count", "deleted_files_count") for m in own_m)
             ),
-            "deleted-records": str(sum(m["deleted_rows_count"] for m in own_m)),
+            "deleted-records": str(
+                sum(_mc(m, "deleted_rows_count", "deleted_rows_count") for m in own_m)
+            ),
             "total-data-files": str(
                 sum(
-                    m["added_data_files_count"] + m["existing_data_files_count"]
+                    _mc(m, "added_data_files_count", "added_files_count")
+                    + _mc(m, "existing_data_files_count", "existing_files_count")
                     for m in data_m
                 )
             ),
             "total-records": str(
-                sum(m["added_rows_count"] + m["existing_rows_count"] for m in data_m)
+                sum(
+                    _mc(m, "added_rows_count", "added_rows_count")
+                    + _mc(m, "existing_rows_count", "existing_rows_count")
+                    for m in data_m
+                )
             ),
         }
         snapshot = {
