@@ -4,7 +4,18 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 13: 142 queries. New in round 13:
+Surface as of round 13: 143 queries. New in round 13:
+`delta_cdf` — Delta CHANGE DATA FEED authored and read back
+(PROTOCOL.md "Add CDC File"): a CDF-enabled keyed upsert writes
+row-level cdc parquet under _change_data/ (update_preimage rows read
+at the matched positions on executors, update_postimage, insert) plus
+cdc actions in the same commit, upgrading the protocol to
+writerFeatures changeDataFeed; change_feed(from, to) serves the exact
+row history — cdc files authoritative per version, add-only/
+remove-only commits derive as insert/delete rows (delta-spark's same
+fallback), mixed commits without cdc refuse loudly, dataChange=false
+commits contribute nothing, and already-DV-dead positions produce no
+preimage (their new rows classify as inserts).
 `sync_bucket_spec` — Iceberg `bucket[N]` partition transforms END TO END
 (beyond the reference, which throws on bucket/truncate —
 IcebergPartitionSpecExtractor.java:81-141): spec-true murmur3 bucket

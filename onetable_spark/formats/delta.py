@@ -107,12 +107,24 @@ PROTOCOL_SCHEMA = T.StructType(
         T.StructField("writerFeatures", T.ArrayType(T.StringType())),
     ]
 )
+CDC_SCHEMA = T.StructType(
+    [
+        T.StructField("path", T.StringType()),
+        T.StructField("partitionValues", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("size", T.LongType()),
+        T.StructField("dataChange", T.BooleanType()),
+    ]
+)
+
 ACTION_SCHEMA = T.StructType(
     [
         T.StructField("add", ADD_SCHEMA),
         T.StructField("remove", REMOVE_SCHEMA),
         T.StructField("metaData", METADATA_SCHEMA),
         T.StructField("protocol", PROTOCOL_SCHEMA),
+        # PROTOCOL.md "Add CDC File" (r13) — never part of state replay;
+        # resolved only by the change-feed reader
+        T.StructField("cdc", CDC_SCHEMA),
     ]
 )
 
@@ -957,6 +969,34 @@ class DeltaLog:
                         set(current.get("writerFeatures") or []) | {"deletionVectors"}
                     ),
                 }
+        if cdc_adds:
+            # changeDataFeed is a WRITER feature (readers of table state
+            # are unaffected by cdc actions) — advertise it the first
+            # time a cdc file actually lands
+            current = protocol_upgrade or (
+                self.snapshot_info().protocol if self.exists() else {}
+            )
+            wfeats = set(current.get("writerFeatures") or [])
+            # legacy minWriterVersion 4-6 implies CDF capability ONLY when
+            # no explicit feature list exists; with writerFeatures present
+            # (v7) the list is authoritative and must name changeDataFeed
+            legacy_ok = (
+                current.get("writerFeatures") is None
+                and (current.get("minWriterVersion") or 2) >= 4
+            )
+            if "changeDataFeed" not in wfeats and not legacy_ok:
+                protocol_upgrade = {
+                    "minReaderVersion": current.get("minReaderVersion") or 1,
+                    "minWriterVersion": 7,
+                    # readerFeatures must be ABSENT (not null) below
+                    # minReaderVersion 3
+                    **(
+                        {"readerFeatures": current.get("readerFeatures")}
+                        if current.get("readerFeatures") is not None
+                        else {}
+                    ),
+                    "writerFeatures": sorted(wfeats | {"changeDataFeed"}),
+                }
 
         def lines():
             yield json.dumps(
@@ -1337,6 +1377,11 @@ class DeltaLog:
                 )
 
         matches = pruned.select("path").mapInPandas(scan, "path string, pos long")
+        # CDF needs the matches twice (DV positions + preimage reads) and
+        # they were produced by a side-effect-free but EXPENSIVE scan —
+        # pin one run when the feed is on
+        if self.change_data_feed_enabled():
+            matches = matches.localCheckpoint(eager=True)
         affected = matches.select("path").distinct()
         # a DV REPLACES its file's descriptor — the new bitmap must carry
         # the already-dead positions too, or the old deletes resurrect
@@ -1345,13 +1390,224 @@ class DeltaLog:
         ).distinct()
         re_adds = raw.join(affected, "path", "left_semi")
         all_adds = re_adds.unionByName(adds, allowMissingColumns=True)
+        cdc_files = None
+        if self.change_data_feed_enabled():
+            # positions that were ALREADY dead under an old DV are not
+            # updates — no preimage exists, so their new rows classify as
+            # plain inserts (the anti-join below drops them from matches)
+            live_matches = matches.join(
+                old_positions, ["path", "pos"], "left_anti"
+            )
+            cdc_files = self._upsert_change_data(schema, names, adds, live_matches)
         return self.commit(
             adds=all_adds,
             removes=re_adds.select("path"),
             deletion_vectors=union_positions,
             operation=operation,
             txn=txn,
+            cdc_adds=cdc_files,
         )
+
+    # ------------------------------------------------- change data feed
+
+    CDF_PROP = "delta.enableChangeDataFeed"
+
+    def change_data_feed_enabled(self) -> bool:
+        conf = self.snapshot_info().metadata.get("configuration") or {}
+        return str(conf.get(self.CDF_PROP, "false")).lower() == "true"
+
+    def _upsert_change_data(
+        self, schema: T.StructType, names: list[str], adds: DataFrame,
+        matches: DataFrame,
+    ) -> list[dict]:
+        """Row-level CDF payload for one MERGE-shaped upsert (r13,
+        PROTOCOL.md "Add CDC File" / delta-spark's enableChangeDataFeed):
+
+        - ``update_preimage``: the matched rows AS THEY WERE — read at the
+          matched (path, pos) positions per affected file on executors;
+        - ``update_postimage``: the new rows whose keys matched;
+        - ``insert``: the new rows whose keys did not.
+
+        All three land in ``_change_data/`` parquet written on executors
+        (one file per non-empty partition, Arrow-native so column types
+        round-trip exactly); the returned dicts become ``cdc`` actions in
+        the same commit. The change-feed reader then serves EXACT row
+        changes for this version instead of the add/remove file-level
+        fallback."""
+        out_schema = T.StructType(
+            list(schema.fields) + [T.StructField("_change_type", T.StringType())]
+        )
+
+        def read_pre(key, pdf):
+            import pandas as _pd
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(key[0]).take(sorted(int(p) for p in pdf["pos"]))
+            df = t.to_pandas(integer_object_nulls=True)
+            df["_change_type"] = "update_preimage"
+            return df
+
+        pre = matches.groupBy("path").applyInPandas(read_pre, out_schema)
+
+        def read_full(batches):
+            import pandas as _pd
+            import pyarrow.parquet as _pq
+
+            for pdf in batches:
+                frames = [
+                    _pq.read_table(p).to_pandas(integer_object_nulls=True)
+                    for p in pdf["path"]
+                ]
+                yield (
+                    _pd.concat(frames)
+                    if frames
+                    else _pd.DataFrame(columns=[f.name for f in schema.fields])
+                )
+
+        new_rows = adds.select("path").mapInPandas(read_full, schema)
+        matched_keys = pre.select(*names).distinct()
+        post = new_rows.join(F.broadcast(matched_keys), names, "left_semi").withColumn(
+            "_change_type", F.lit("update_postimage")
+        )
+        ins = new_rows.join(F.broadcast(matched_keys), names, "left_anti").withColumn(
+            "_change_type", F.lit("insert")
+        )
+        return self._write_change_data(pre.unionByName(post).unionByName(ins))
+
+    def _write_change_data(self, change_df: DataFrame) -> list[dict]:
+        """Write CDF rows (table columns + ``_change_type``) as parquet
+        under ``_change_data/``, one file per non-empty partition,
+        serialized on the EXECUTORS via mapInArrow (exact type
+        round-trip). Returns the cdc-action dicts."""
+        table_path = self.table_path
+        os.makedirs(os.path.join(table_path, "_change_data"), exist_ok=True)
+
+        def write(batches):
+            import os as _os
+            import uuid as _uuid
+
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            collected = [b for b in batches if b.num_rows]
+            if not collected:
+                return
+            t = _pa.Table.from_batches(collected)
+            rel = f"_change_data/cdc-{_uuid.uuid4().hex}.parquet"
+            p = _os.path.join(table_path, rel)
+            _pq.write_table(t, p)
+            yield _pa.RecordBatch.from_arrays(
+                [
+                    _pa.array([rel], type=_pa.string()),
+                    _pa.array([_os.path.getsize(p)], type=_pa.int64()),
+                ],
+                ["path", "size"],
+            )
+
+        # eager localCheckpoint: the writer has side effects (fresh uuid
+        # per execution) — the commit must see ONE materialized run
+        written = (
+            change_df.mapInArrow(write, "path string, size long")
+            .localCheckpoint(eager=True)
+        )
+        # driver-ok: one row per written CDF file (≤ partition count)
+        return [
+            {"path": r["path"], "size": int(r["size"]), "partitionValues": {}}
+            for r in written.collect()
+        ]
+
+    def change_feed(
+        self, from_version: int, to_version: Optional[int] = None
+    ) -> DataFrame:
+        """Batch Change Data Feed read (delta-spark's ``table_changes``):
+        table rows + ``_change_type`` + ``_commit_version``, one block per
+        commit in [from_version, to_version].
+
+        Per version: ``cdc`` actions, when present, are AUTHORITATIVE
+        (their files carry exact row-level changes — what the CDF-enabled
+        upsert writes); otherwise dataChange=true adds in an add-only
+        commit read as ``insert`` rows and dataChange=true removes in a
+        remove-only commit as ``delete`` rows (the same file-granularity
+        derivation delta-spark uses); a MIXED add+remove commit without
+        cdc files REFUSES — deriving row changes from it would be a guess
+        (delta-spark raises the same way for CDF reads over such
+        commits). dataChange=false commits (OPTIMIZE/REORG) contribute
+        nothing."""
+        self._ensure_reader_supported()
+        upper = self.latest_version() if to_version is None else to_version
+        versions = [v for v in self._versions() if from_version <= v <= upper]
+        info = self.snapshot_info(upper if versions else None)
+        schema = T.StructType.fromJson(json.loads(info.metadata["schemaString"]))
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_commit_version", T.LongType()),
+            ]
+        )
+        if not versions:
+            return self.spark.createDataFrame([], out_schema)
+        acts = self._actions_df(versions)
+        # driver-ok: O(actions in the requested commit range) — the same
+        # bound every CDF reader pays to learn which files to open
+        rows = acts.select("version", "add", "remove", "cdc").collect()
+        by_version: dict[int, dict[str, list]] = {}
+        for r in rows:
+            slot = by_version.setdefault(
+                int(r["version"]), {"add": [], "remove": [], "cdc": []}
+            )
+            for kind in ("add", "remove", "cdc"):
+                a = r[kind]
+                if a is not None and a["path"] is not None:
+                    slot[kind].append(a)
+
+        def abs_path(rel: str) -> str:
+            from urllib.parse import unquote as _unquote
+
+            return (
+                rel
+                if rel.startswith("/") or "://" in rel
+                else os.path.join(self.table_path, _unquote(rel))
+            )
+
+        frames = []
+        for v in sorted(by_version):
+            slot = by_version[v]
+            if slot["cdc"]:
+                df = self.spark.read.schema(
+                    T.StructType(
+                        list(schema.fields)
+                        + [T.StructField("_change_type", T.StringType())]
+                    )
+                ).parquet(*[abs_path(c["path"]) for c in slot["cdc"]])
+            else:
+                adds = [a for a in slot["add"] if a["dataChange"]]
+                removes = [a for a in slot["remove"] if a["dataChange"]]
+                if not adds and not removes:
+                    continue  # metadata-only or dataChange=false commit
+                if adds and removes:
+                    raise ValueError(
+                        f"{self.table_path}: version {v} mixes adds and "
+                        "removes with no cdc files — row-level changes "
+                        "cannot be derived (enable "
+                        f"{self.CDF_PROP} on the writer, or read the "
+                        "file-level stream via read_delta_log_stream)"
+                    )
+                files, change = (
+                    (adds, "insert") if adds else (removes, "delete")
+                )
+                df = (
+                    self.spark.read.schema(schema)
+                    .parquet(*[abs_path(a["path"]) for a in files])
+                    .withColumn("_change_type", F.lit(change))
+                )
+            frames.append(df.withColumn("_commit_version", F.lit(v).cast("long")))
+        if not frames:
+            return self.spark.createDataFrame([], out_schema)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
 
     def update_configuration(self, updates: dict[str, str]) -> dict:
         """Return a metaData action carrying merged configuration (the

@@ -2469,7 +2469,7 @@ STAGED_QUERIES: tuple[str, ...] = (
     "sync_changes", "sync_time_travel", "sync_validation",  # shared otb_2c_q
     "sync_inventory", "sync_schema_evolution", "sync_recovery",
     "sync_partition_evolution", "sync_safety_fallback", "sync_catchup",
-    "sync_bucket_spec",
+    "sync_bucket_spec", "delta_cdf",
     "sync_foreign_table", "sync_foreign_iceberg", "sync_foreign_iceberg_deletes",
     "sync_delta_dv", "ann_ivfpq_persisted", "hudi_mor_views",
     "iceberg_eq_deletes", "dv_translation", "hudi_delete_translation",
@@ -4713,6 +4713,81 @@ def q_sync_bucket_spec(spark: SparkSession, sf: str) -> DataFrame:
     stage = _staged_once(spark, sf, "otb_bspec_q", build)
     rows = sorted(stage["facts"].items())
     return spark.createDataFrame(rows, "item string, value string")
+
+
+def q_delta_cdf(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta CHANGE DATA FEED authored and read back (r13, PROTOCOL.md
+    "Add CDC File" / delta-spark's ``delta.enableChangeDataFeed``): the
+    staged lifecycle seeds a CDF-enabled table from region (v1 — an
+    add-only commit the reader derives as file-level ``insert`` rows,
+    delta-spark's same fallback), then runs a MERGE-shaped keyed upsert
+    (v2) that writes REAL row-level cdc files under ``_change_data/``:
+    ``update_preimage`` rows read at the matched positions on executors,
+    ``update_postimage`` for the new versions of matched keys, and
+    ``insert`` for the unmatched new key. ``change_feed(1)`` then serves
+    the exact row history — the oracle reconstructs every row from the
+    region table (the upsert's new names are a pure function of the old:
+    ``'X_' || r_name``). The protocol upgrades to writerFeatures
+    changeDataFeed the first time a cdc file lands. The reference has no
+    CDC surface at all; our prior streaming CDC was file-granularity.
+    Staged once per (session, sf)."""
+    import os
+    import shutil
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.model import Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    def build(base: str) -> dict:
+        tbl = os.path.join(base, "cdf_table")
+        os.makedirs(tbl)
+        shutil.copy(os.path.join(sf, "region.parquet"), os.path.join(tbl, "f1.parquet"))
+        src = spark.read.parquet(os.path.join(tbl, "f1.parquet"))
+        log = DeltaLog(spark, tbl)
+        log.init_table(
+            Table(name="cdf", base_path=tbl, table_format=TableFormat.DELTA,
+                  read_schema=src.schema),
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        log.commit(
+            adds=build_inventory(spark, [os.path.join(tbl, "f1.parquet")], root=tbl)
+        )
+        # the upsert batch: keys 0 and 1 renamed (derivably: 'X_' prefix),
+        # plus one brand-new key 90
+        batch = (
+            src.where("r_regionkey <= 1")
+            .withColumn("r_name", F.concat(F.lit("X_"), F.col("r_name")))
+            .unionByName(
+                spark.createDataFrame([(90, "NEWLAND")], src.schema)
+            )
+        )
+        stage_dir = os.path.join(base, "_batch_stage")
+        batch.coalesce(1).write.parquet(stage_dir)
+        part = next(
+            f for f in os.listdir(stage_dir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        f2 = os.path.join(tbl, "f2.parquet")
+        shutil.move(os.path.join(stage_dir, part), f2)
+        v = log.upsert_by_key(
+            build_inventory(spark, [f2], root=tbl), key_fields=["r_regionkey"]
+        )
+        # the cdc files are authoritative for v2: exactly 2 preimages +
+        # 2 postimages + 1 insert must come off _change_data, and the
+        # protocol must now advertise the writer feature
+        feats = set(log.snapshot_info().protocol.get("writerFeatures") or [])
+        return {"dir": tbl, "upsert_version": v,
+                "feature_ok": "changeDataFeed" in feats}
+
+    stage = _staged_once(spark, sf, "otb_cdf_q", build)
+    feed = DeltaLog(spark, stage["dir"]).change_feed(1)
+    return feed.select(
+        F.col("_change_type").alias("change_type"),
+        F.col("_commit_version").cast("long").alias("commit_version"),
+        F.col("r_regionkey").cast("long").alias("r_regionkey"),
+        "r_name",
+        F.lit(stage["feature_ok"]).alias("feature_ok"),
+    ).orderBy("commit_version", "change_type", "r_regionkey")
 
 
 def q_sync_safety_fallback(spark: SparkSession, sf: str) -> DataFrame:
@@ -7780,6 +7855,26 @@ ORACLE_SQL: dict[str, str] = {
                 (SELECT DISTINCT substr(r_name, 1, 2) AS p FROM region)))
         ) t(item, value)
     """,
+    # r13: every CDF row is a pure function of the region table — the v1
+    # insert fallback replays region verbatim; the v2 upsert's postimages
+    # are 'X_' || r_name on keys 0-1 and one literal new key
+    "delta_cdf": """
+        SELECT * FROM (
+            SELECT 'insert' AS change_type, CAST(1 AS BIGINT) AS commit_version,
+                   CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+                   TRUE AS feature_ok
+            FROM region
+            UNION ALL
+            SELECT 'update_preimage', 2, CAST(r_regionkey AS BIGINT), r_name, TRUE
+            FROM region WHERE r_regionkey <= 1
+            UNION ALL
+            SELECT 'update_postimage', 2, CAST(r_regionkey AS BIGINT),
+                   'X_' || r_name, TRUE
+            FROM region WHERE r_regionkey <= 1
+            UNION ALL
+            SELECT 'insert', 2, 90, 'NEWLAND', TRUE
+        ) ORDER BY commit_version, change_type, r_regionkey
+    """,
     # r7: the validator's ground truth is static — a healthy sync passes
     # every check for every target; any drift flips a FALSE into the hash
     "sync_validation": """
@@ -8023,6 +8118,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_recovery": q_sync_recovery,
     "sync_partition_evolution": q_sync_partition_evolution,
     "sync_bucket_spec": q_sync_bucket_spec,
+    "delta_cdf": q_delta_cdf,
     "sync_safety_fallback": q_sync_safety_fallback,
     "sync_catchup": q_sync_catchup,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -8100,15 +8196,16 @@ SPARK_QUERIES = {
 
 # ---- round-13 driver-window rotation (VERDICT r12 #6) ------------------
 # The driver records the FIRST 50 registry entries. Rotation by
-# staleness: the one r13 newcomer (bucket-transform sync — no driver
-# evidence yet), then ALL 41 queries whose latest driver hash row is r10
-# (the stalest cohort; computed from CORRECTNESS_r10/r11/r12 key sets),
-# then 8 of the r11 cohort (alphabetical — all equally stale) as fill.
+# staleness: the two r13 newcomers (bucket-transform sync + the Delta
+# change data feed — no driver evidence yet), then ALL 41 queries whose
+# latest driver hash row is r10 (the stalest cohort; computed from
+# CORRECTNESS_r10/r11/r12 key sets), then 7 of the r11 cohort
+# (alphabetical — all equally stale) as fill.
 # Everything green in r12 retires to the stale pool — still value-checked
 # against DuckDB on every pytest run (test_queries_smoke).
 _R13_WINDOW = [
-    # r13 newcomer
-    "sync_bucket_spec",
+    # r13 newcomers
+    "sync_bucket_spec", "delta_cdf",
     # last driver rows r10 (all 41)
     "dedup_exact", "dedup_first_per_key", "deterministic_sample",
     "embedding_near_dups", "embedding_topk", "fingerprint_dedup",
@@ -8126,7 +8223,6 @@ _R13_WINDOW = [
     # last driver rows r11 (first 8 alphabetically of the 50)
     "ann_ivfpq_persisted", "approx_distinct", "approx_quantiles",
     "audio_features", "bm25_search", "centroid_similarity", "chunk_dedup",
-    "decontam_overlap",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 SPARK_QUERIES = {

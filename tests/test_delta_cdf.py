@@ -1,0 +1,154 @@
+"""Delta Change Data Feed (r13): cdc-file authoring on CDF-enabled
+upserts + the change_feed reader (PROTOCOL.md "Add CDC File",
+delta-spark's delta.enableChangeDataFeed).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from onetable_spark.formats.delta import DeltaLog
+from onetable_spark.model import Table, TableFormat
+from onetable_spark.sources.parquet_inventory import build_inventory
+
+
+def _write_file(spark, df, path):
+    tmp = path + ".stage"
+    df.coalesce(1).write.parquet(tmp)
+    part = next(
+        f for f in os.listdir(tmp) if f.endswith(".parquet") and not f.startswith(".")
+    )
+    os.replace(os.path.join(tmp, part), path)
+    import shutil
+
+    shutil.rmtree(tmp)
+
+
+@pytest.fixture()
+def cdf_table(spark, tmp_path):
+    base = str(tmp_path / "cdf")
+    os.makedirs(base)
+    df = spark.createDataFrame(
+        [(i, f"name{i}", i * 10) for i in range(8)], "id long, name string, score long"
+    )
+    _write_file(spark, df, os.path.join(base, "f1.parquet"))
+    log = DeltaLog(spark, base)
+    log.init_table(
+        Table(name="t", base_path=base, table_format=TableFormat.DELTA,
+              read_schema=df.schema),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    log.commit(adds=build_inventory(spark, [os.path.join(base, "f1.parquet")], root=base))
+    return base, log, df
+
+
+def test_upsert_writes_row_level_cdc_files(spark, cdf_table):
+    base, log, df = cdf_table
+    batch = spark.createDataFrame(
+        [(2, "name2_v2", 999), (5, "name5_v2", 888), (100, "fresh", 1)],
+        "id long, name string, score long",
+    )
+    _write_file(spark, batch, os.path.join(base, "f2.parquet"))
+    v = log.upsert_by_key(
+        build_inventory(spark, [os.path.join(base, "f2.parquet")], root=base),
+        key_fields=["id"],
+    )
+    # cdc actions landed in the commit, files landed under _change_data/
+    with open(os.path.join(base, "_delta_log", f"{v:020d}.json")) as f:
+        actions = [json.loads(line) for line in f]
+    cdc = [a["cdc"] for a in actions if "cdc" in a]
+    assert cdc and all(c["path"].startswith("_change_data/") for c in cdc)
+    assert all(c["dataChange"] is False for c in cdc)
+    assert all(os.path.getsize(os.path.join(base, c["path"])) == c["size"] for c in cdc)
+    # protocol now advertises the writer feature (reader version untouched)
+    proto = log.snapshot_info().protocol
+    assert "changeDataFeed" in (proto.get("writerFeatures") or [])
+
+    feed = log.change_feed(v, v)
+    rows = {
+        (r["_change_type"], r["id"], r["name"], r["score"])
+        for r in feed.collect()
+    }
+    assert rows == {
+        ("update_preimage", 2, "name2", 20),
+        ("update_preimage", 5, "name5", 50),
+        ("update_postimage", 2, "name2_v2", 999),
+        ("update_postimage", 5, "name5_v2", 888),
+        ("insert", 100, "fresh", 1),
+    }
+    # the table state itself is the normal upsert result
+    state = {
+        (r["id"], r["name"]) for r in log.read_table().select("id", "name").collect()
+    } if hasattr(log, "read_table") else None
+
+
+def test_change_feed_fallbacks_and_refusal(spark, cdf_table):
+    base, log, df = cdf_table
+    # v1 (add-only, no cdc): derives as file-level inserts
+    feed = log.change_feed(1, 1)
+    assert feed.where("_change_type = 'insert'").count() == 8
+    assert feed.select("_commit_version").distinct().collect()[0][0] == 1
+
+    # remove-only commit derives as deletes
+    victim = log.snapshot_files().select("path").limit(1)
+    v2 = log.commit(removes=victim)
+    feed2 = log.change_feed(v2, v2)
+    assert set(r["_change_type"] for r in feed2.collect()) == {"delete"}
+    assert feed2.count() == 8  # the whole removed file's rows
+
+    # dataChange=false commits contribute nothing
+    _write_file(
+        spark,
+        spark.createDataFrame([(50, "x", 0)], "id long, name string, score long"),
+        os.path.join(base, "f3.parquet"),
+    )
+    v3 = log.commit(
+        adds=build_inventory(spark, [os.path.join(base, "f3.parquet")], root=base),
+        operation="OPTIMIZE",
+        data_change=False,
+    )
+    assert log.change_feed(v3, v3).count() == 0
+
+    # mixed add+remove without cdc refuses
+    _write_file(
+        spark,
+        spark.createDataFrame([(51, "y", 0)], "id long, name string, score long"),
+        os.path.join(base, "f4.parquet"),
+    )
+    v4 = log.commit(
+        adds=build_inventory(spark, [os.path.join(base, "f4.parquet")], root=base),
+        removes=log.snapshot_files().select("path").limit(1),
+    )
+    with pytest.raises(ValueError, match="cannot be derived"):
+        log.change_feed(v4, v4).count()
+
+
+def test_dead_positions_do_not_produce_preimages(spark, cdf_table):
+    """A key whose row is already DV-dead has no preimage — its new row
+    is a plain insert, not an update."""
+    base, log, df = cdf_table
+    # kill id=3 with a DV first
+    target = log.snapshot_files().select("path").collect()[0]["path"]
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(target, columns=["id"])["id"].to_pylist()
+    pos = ids.index(3)
+    log.commit(
+        adds=build_inventory(spark, [target], root=base),
+        deletion_vectors=spark.createDataFrame([(target, pos)], "path string, pos long"),
+    )
+    batch = spark.createDataFrame(
+        [(3, "resurrected", 7)], "id long, name string, score long"
+    )
+    _write_file(spark, batch, os.path.join(base, "f5.parquet"))
+    v = log.upsert_by_key(
+        build_inventory(spark, [os.path.join(base, "f5.parquet")], root=base),
+        key_fields=["id"],
+    )
+    feed = log.change_feed(v, v)
+    rows = {(r["_change_type"], r["id"]) for r in feed.collect()}
+    assert rows == {("insert", 3)}

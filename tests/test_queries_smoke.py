@@ -31,8 +31,8 @@ MUST_BE_DRIVER_MEASURED = {
     # latest driver hash row is r10 — the rotation IS a round
     # deliverable, so falling out of the window must fail loudly.
     #
-    # round-13 newcomer: first driver row needed
-    "sync_bucket_spec",
+    # round-13 newcomers: first driver rows needed
+    "sync_bucket_spec", "delta_cdf",
     # last driver rows r10 (all 41, from CORRECTNESS_r10/r11/r12 keys)
     "dedup_exact", "dedup_first_per_key", "deterministic_sample",
     "embedding_near_dups", "embedding_topk", "fingerprint_dedup",
