@@ -4,7 +4,15 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 13: 143 queries. New in round 13:
+Surface as of round 13: 144 queries. New in round 13:
+`iceberg_changelog` — Iceberg ROW-LEVEL CHANGELOG scan
+(create_changelog_view parity, the Delta CDF's cross-format sibling):
+table rows + _change_type/_change_ordinal/_commit_snapshot_id walked
+along the snapshot parent chain; a keyed upsert emits its killed old
+rows as deletes (read AT their positions through the distributed
+position/equality-delete machinery) plus the new rows as inserts,
+REPLACE compaction snapshots emit nothing, rows already dead at the
+parent are never re-emitted, and non-ancestor ranges refuse.
 `delta_cdf` — Delta CHANGE DATA FEED authored and read back
 (PROTOCOL.md "Add CDC File"): a CDF-enabled keyed upsert writes
 row-level cdc parquet under _change_data/ (update_preimage rows read

@@ -1374,6 +1374,191 @@ class IcebergTable:
             commit_id=str(snapshot_id),
         )
 
+    def changelog(
+        self,
+        from_snapshot_id: Optional[int] = None,
+        to_snapshot_id: Optional[int] = None,
+        apply_equality_deletes: bool = True,
+    ) -> DataFrame:
+        """ROW-LEVEL changelog scan (r13 — Iceberg's
+        ``create_changelog_view`` procedure; the Delta sibling is
+        ``DeltaLog.change_feed``): table rows + ``_change_type``
+        ('insert'/'delete') + ``_change_ordinal`` + ``_commit_snapshot_id``
+        for every snapshot in (from_snapshot_id, to_snapshot_id], walked
+        along the parent chain. Iceberg parity throughout:
+
+        - an upsert (equality-delete + data files in one snapshot) emits
+          the killed old rows as 'delete' and the new rows as 'insert' —
+          Iceberg pairs them into updates only with identifier fields,
+          which its procedure also leaves off by default;
+        - 'replace' snapshots (rewrite_data_files / compact_file_groups)
+          emit NOTHING — a compaction is not a logical change;
+        - a data file REMOVED by a snapshot emits only its rows still
+          LIVE at the parent snapshot (rows already dead under older
+          position deletes died in an earlier ordinal — re-emitting them
+          would double-delete);
+        - NEW delete files emit the rows they kill in older-sequence data
+          files, resolved through the same distributed position/equality
+          machinery the net-count scan uses (equality deletes via the
+          data-assisted path, ``apply_equality_deletes=False`` to refuse).
+
+        The reference has no changelog surface at all (file-level change
+        scan only, IcebergSourceClient.java:169-194)."""
+        md = self.metadata()
+        by_id = {s["snapshot-id"]: s for s in md.get("snapshots", [])}
+        to_id = (
+            md.get("current-snapshot-id")
+            if to_snapshot_id is None
+            else to_snapshot_id
+        )
+        chain: list[dict] = []
+        cur = to_id
+        while cur is not None and cur != -1 and cur != from_snapshot_id:
+            snap = by_id.get(cur)
+            if snap is None:
+                raise ValueError(f"{self.table_path}: unknown snapshot {cur}")
+            chain.append(snap)
+            cur = snap.get("parent-snapshot-id")
+        if from_snapshot_id is not None and cur != from_snapshot_id:
+            raise ValueError(
+                f"{self.table_path}: {from_snapshot_id} is not an ancestor "
+                f"of {to_id}"
+            )
+        chain.reverse()
+
+        ice_schema = self._schema_for(md)
+        spec = self._spec_for(md)
+        schema = iceberg_to_structtype(ice_schema)
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_change_ordinal", T.IntegerType()),
+                T.StructField("_commit_snapshot_id", T.LongType()),
+            ]
+        )
+
+        def rows_of(paths_df: DataFrame, drop_positions: Optional[DataFrame]):
+            """Full rows of the given files, minus the given dead
+            positions — read per file on executors."""
+            if drop_positions is not None:
+                src = paths_df.join(
+                    drop_positions.groupBy("path").agg(
+                        F.collect_list("pos").alias("_dead")
+                    ),
+                    "path",
+                    "left",
+                )
+            else:
+                src = paths_df.withColumn(
+                    "_dead", F.lit(None).cast("array<long>")
+                )
+
+            def read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                import numpy as _np
+                import pyarrow.parquet as _pq
+
+                for pdf in batches:
+                    for p, dead in zip(pdf["path"], pdf["_dead"]):
+                        t = _pq.read_table(p)
+                        if dead is not None and len(dead):
+                            keep = _np.setdiff1d(
+                                _np.arange(len(t), dtype=_np.int64),
+                                _np.asarray(dead, dtype=_np.int64),
+                            )
+                            t = t.take(keep)
+                        yield t.to_pandas(integer_object_nulls=True)
+
+            return src.select("path", "_dead").mapInPandas(read, schema)
+
+        def rows_at(positions: DataFrame):
+            """Rows at exactly the given (path, pos) positions."""
+
+            def read_pos(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                import pyarrow.parquet as _pq
+
+                t = _pq.read_table(key[0]).take(
+                    sorted(int(p) for p in pdf["pos"])
+                )
+                return t.to_pandas(integer_object_nulls=True)
+
+            return positions.groupBy("path").applyInPandas(read_pos, schema)
+
+        frames = []
+        for ordinal, snap in enumerate(chain):
+            sid = snap["snapshot-id"]
+            if (snap.get("summary") or {}).get("operation") == "replace":
+                continue
+            _, manifests = read_container(snap["manifest-list"])
+            data, deletes = _split_manifests(manifests)
+            own_data = [
+                m["manifest_path"]
+                for m in data
+                if m.get("added_snapshot_id") == sid
+            ]
+            own_deletes = [
+                m for m in deletes if m.get("added_snapshot_id") == sid
+            ]
+            parent = snap.get("parent-snapshot-id")
+
+            def stamp(df: DataFrame, change: str) -> DataFrame:
+                return (
+                    df.withColumn("_change_type", F.lit(change))
+                    .withColumn("_change_ordinal", F.lit(ordinal))
+                    .withColumn("_commit_snapshot_id", F.lit(sid).cast("long"))
+                )
+
+            if own_data:
+                added = self._decode_manifests(
+                    own_data, ice_schema, spec, statuses=(STATUS_ADDED,)
+                ).select("path")
+                # driver-ok: emptiness probe, one boolean
+                if not added.isEmpty():
+                    frames.append(stamp(rows_of(added, None), "insert"))
+                removed = self._decode_manifests(
+                    own_data, ice_schema, spec, statuses=(STATUS_DELETED,)
+                ).select("path")
+                if not removed.isEmpty():
+                    # rows already dead at the PARENT don't die again here
+                    prior_dead = None
+                    if parent is not None and parent in by_id:
+                        _, prior_positions = self.snapshot_with_deleted_positions(
+                            parent,
+                            apply_equality_deletes=apply_equality_deletes,
+                        )
+                        prior_dead = prior_positions.join(
+                            removed, "path", "left_semi"
+                        )
+                    frames.append(stamp(rows_of(removed, prior_dead), "delete"))
+            if own_deletes and parent is not None and parent in by_id:
+                # what the new delete files kill in OLDER-sequence files,
+                # resolved against the parent state
+                psnap = by_id[parent]
+                _, pmanifests = read_container(psnap["manifest-list"])
+                pdata, _ = _split_manifests(pmanifests)
+                pbase = self._decode_manifests(
+                    [m["manifest_path"] for m in pdata], ice_schema, spec,
+                    statuses=(STATUS_ADDED, STATUS_EXISTING),
+                    seq_by_manifest={
+                        m["manifest_path"]: m.get("sequence_number", 0)
+                        for m in pdata
+                    },
+                )
+                killed = self._deleted_positions(
+                    pbase, own_deletes, ice_schema=ice_schema,
+                    apply_equality=apply_equality_deletes,
+                )
+                # driver-ok: emptiness probe, one boolean
+                if not killed.isEmpty():
+                    frames.append(stamp(rows_at(killed), "delete"))
+
+        if not frames:
+            return self.spark.createDataFrame([], out_schema)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def properties(self) -> dict[str, str]:
         return dict(self.metadata().get("properties") or {})
 

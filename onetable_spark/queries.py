@@ -2469,7 +2469,7 @@ STAGED_QUERIES: tuple[str, ...] = (
     "sync_changes", "sync_time_travel", "sync_validation",  # shared otb_2c_q
     "sync_inventory", "sync_schema_evolution", "sync_recovery",
     "sync_partition_evolution", "sync_safety_fallback", "sync_catchup",
-    "sync_bucket_spec", "delta_cdf",
+    "sync_bucket_spec", "delta_cdf", "iceberg_changelog",
     "sync_foreign_table", "sync_foreign_iceberg", "sync_foreign_iceberg_deletes",
     "sync_delta_dv", "ann_ivfpq_persisted", "hudi_mor_views",
     "iceberg_eq_deletes", "dv_translation", "hudi_delete_translation",
@@ -4713,6 +4713,87 @@ def q_sync_bucket_spec(spark: SparkSession, sf: str) -> DataFrame:
     stage = _staged_once(spark, sf, "otb_bspec_q", build)
     rows = sorted(stage["facts"].items())
     return spark.createDataFrame(rows, "item string, value string")
+
+
+def q_iceberg_changelog(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg ROW-LEVEL CHANGELOG scan (r13 — the ``create_changelog_
+    view`` procedure; the Delta sibling is ``delta_cdf``): the staged v2
+    lifecycle seeds region (snapshot 1 — 5 inserts), runs a Flink-style
+    keyed upsert on keys 0 and 1 with derivably-renamed rows plus a new
+    key 91 (snapshot 2 — the equality delete kills the two OLD rows,
+    the data file adds three new ones; Iceberg emits them as delete +
+    insert, update pairing needs identifier fields its own procedure
+    also leaves off), then compacts with ``rewrite_data_files(apply_
+    equality_deletes=True)`` — a REPLACE snapshot the changelog must
+    emit NOTHING for (compaction is not a logical change). The full
+    ``changelog()`` therefore replays exactly: ordinal 0 = region
+    verbatim as inserts; ordinal 1 = the two old rows as deletes (read
+    AT their killed positions through the data-assisted equality scan)
+    + three inserts. Every output row is a pure function of the region
+    table. The reference has only a FILE-level change scan
+    (IcebergSourceClient.java:169-194). Staged once per (session, sf)."""
+    import os
+    import shutil
+
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import DataLayoutStrategy, Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    def build(base: str) -> dict:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        tbl = os.path.join(base, "chlog_table")
+        os.makedirs(tbl)
+        src = os.path.join(sf, "region.parquet")
+        shutil.copy(src, os.path.join(tbl, "f1.parquet"))
+        schema = spark.read.parquet(src).schema
+        ice = IcebergTable(spark, tbl)
+        ice.init_table(
+            Table(name="chlog", base_path=tbl, table_format=TableFormat.ICEBERG,
+                  read_schema=schema, layout=DataLayoutStrategy.FLAT),
+            format_version=2,
+        )
+        ice.commit_overwrite(
+            adds=build_inventory(spark, [os.path.join(tbl, "f1.parquet")], root=tbl)
+        )
+        # upsert batch: keys 0,1 renamed 'X_' || r_name, plus new key 91
+        t = pq.read_table(src)
+        upd = t.filter(pc.is_in(t["r_regionkey"], value_set=pa.array([0, 1])))
+        upd = upd.set_column(
+            upd.schema.get_field_index("r_name"),
+            "r_name",
+            pc.binary_join_element_wise(
+                pa.array(["X_"] * len(upd)), upd["r_name"].combine_chunks(), ""
+            ),
+        )
+        newrow = pa.table(
+            {"r_regionkey": pa.array([91], type=t["r_regionkey"].type),
+             "r_name": pa.array(["NEWLAND"])}
+        ).select([f.name for f in t.schema])
+        batch = pa.concat_tables([upd, newrow])
+        out = os.path.join(tbl, "u1.parquet")
+        pq.write_table(batch, out)
+        ice.commit_upsert(build_inventory(spark, [out], root=tbl), ["r_regionkey"])
+        # compaction publishes a REPLACE snapshot — changelog-invisible
+        ice.rewrite_data_files(apply_equality_deletes=True)
+        return {"dir": tbl}
+
+    stage = _staged_once(spark, sf, "otb_chlog_q", build)
+    from onetable_spark.formats.iceberg import IcebergTable as _IT
+
+    return (
+        _IT(spark, stage["dir"])
+        .changelog()
+        .select(
+            F.col("_change_type").alias("change_type"),
+            F.col("_change_ordinal").cast("int").alias("ordinal"),
+            F.col("r_regionkey").cast("long").alias("r_regionkey"),
+            "r_name",
+        )
+        .orderBy("ordinal", "change_type", "r_regionkey")
+    )
 
 
 def q_delta_cdf(spark: SparkSession, sf: str) -> DataFrame:
@@ -7855,6 +7936,24 @@ ORACLE_SQL: dict[str, str] = {
                 (SELECT DISTINCT substr(r_name, 1, 2) AS p FROM region)))
         ) t(item, value)
     """,
+    # r13: the changelog is a pure function of region — ordinal 0 replays
+    # it verbatim as inserts; ordinal 1 is the upsert's delete+insert
+    # pairs; the REPLACE compaction snapshot contributes nothing
+    "iceberg_changelog": """
+        SELECT * FROM (
+            SELECT 'insert' AS change_type, CAST(0 AS INTEGER) AS ordinal,
+                   CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+            FROM region
+            UNION ALL
+            SELECT 'delete', 1, CAST(r_regionkey AS BIGINT), r_name
+            FROM region WHERE r_regionkey <= 1
+            UNION ALL
+            SELECT 'insert', 1, CAST(r_regionkey AS BIGINT), 'X_' || r_name
+            FROM region WHERE r_regionkey <= 1
+            UNION ALL
+            SELECT 'insert', 1, 91, 'NEWLAND'
+        ) ORDER BY ordinal, change_type, r_regionkey
+    """,
     # r13: every CDF row is a pure function of the region table — the v1
     # insert fallback replays region verbatim; the v2 upsert's postimages
     # are 'X_' || r_name on keys 0-1 and one literal new key
@@ -8119,6 +8218,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_partition_evolution": q_sync_partition_evolution,
     "sync_bucket_spec": q_sync_bucket_spec,
     "delta_cdf": q_delta_cdf,
+    "iceberg_changelog": q_iceberg_changelog,
     "sync_safety_fallback": q_sync_safety_fallback,
     "sync_catchup": q_sync_catchup,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -8196,16 +8296,17 @@ SPARK_QUERIES = {
 
 # ---- round-13 driver-window rotation (VERDICT r12 #6) ------------------
 # The driver records the FIRST 50 registry entries. Rotation by
-# staleness: the two r13 newcomers (bucket-transform sync + the Delta
-# change data feed — no driver evidence yet), then ALL 41 queries whose
+# staleness: the three r13 newcomers (bucket-transform sync, the Delta
+# change data feed, the Iceberg row-level changelog — no driver
+# evidence yet), then ALL 41 queries whose
 # latest driver hash row is r10 (the stalest cohort; computed from
-# CORRECTNESS_r10/r11/r12 key sets), then 7 of the r11 cohort
+# CORRECTNESS_r10/r11/r12 key sets), then 6 of the r11 cohort
 # (alphabetical — all equally stale) as fill.
 # Everything green in r12 retires to the stale pool — still value-checked
 # against DuckDB on every pytest run (test_queries_smoke).
 _R13_WINDOW = [
     # r13 newcomers
-    "sync_bucket_spec", "delta_cdf",
+    "sync_bucket_spec", "delta_cdf", "iceberg_changelog",
     # last driver rows r10 (all 41)
     "dedup_exact", "dedup_first_per_key", "deterministic_sample",
     "embedding_near_dups", "embedding_topk", "fingerprint_dedup",
@@ -8222,7 +8323,7 @@ _R13_WINDOW = [
     "zorder_layout",
     # last driver rows r11 (first 8 alphabetically of the 50)
     "ann_ivfpq_persisted", "approx_distinct", "approx_quantiles",
-    "audio_features", "bm25_search", "centroid_similarity", "chunk_dedup",
+    "audio_features", "bm25_search", "centroid_similarity",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 SPARK_QUERIES = {
