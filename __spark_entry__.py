@@ -4,7 +4,15 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 13: 144 queries. New in round 13:
+Surface as of round 13: 145 queries. New in round 13:
+`hudi_changelog` — the THIRD edge of the row-level CDC triangle: Hudi
+changelog with the format's own op vocabulary ('i'/'u'/'d') — external
+registrations and fresh file groups emit their rows as 'i', AVRO_DATA
+log blocks decode per instant through the byte-certified codec as 'u'
+after-images, DELETE blocks emit 'd' rows carrying the record key,
+replaced file groups emit file-level deletes, and COMPACT/CLUSTER
+instants are invisible (the clustering planner now stamps
+operation=CLUSTER — real-Hudi parity).
 `iceberg_changelog` — Iceberg ROW-LEVEL CHANGELOG scan
 (create_changelog_view parity, the Delta CDF's cross-format sibling):
 table rows + _change_type/_change_ordinal/_commit_snapshot_id walked

@@ -714,6 +714,205 @@ class HudiTimeline:
     def snapshot_files_before(self, instant: str, view: Optional[str] = None) -> DataFrame:
         return self.snapshot_files(instant, strict=True, view=view)
 
+    def changelog(
+        self,
+        from_instant: Optional[str] = None,
+        to_instant: Optional[str] = None,
+    ) -> DataFrame:
+        """ROW-LEVEL Hudi changelog (r13 — the third edge of the
+        cross-format CDC triangle; siblings: ``DeltaLog.change_feed``,
+        ``IcebergTable.changelog``): table rows + ``_change_operation``
+        ('i'/'u'/'d' — Hudi's own CDC op vocabulary) +
+        ``_commit_instant`` for every completed commit-type instant in
+        (from_instant, to_instant].
+
+        Per instant, by what the commit metadata proves:
+
+        - new BASE parquet with inserts → its rows as 'i';
+        - MOR LOG files → their blocks WITH THIS INSTANT's header:
+          AVRO_DATA upsert records decode through the byte-certified
+          codec as 'u' (after-images — real Hudi CDC emits before images
+          only with the supplemental cdc log, which external-registration
+          tables don't carry); DELETE blocks as 'd' rows carrying the
+          record key (other columns null — the key is all a Hudi delete
+          record holds);
+        - ``partitionToReplaceFileIds`` → the replaced groups' base-file
+          rows at the PRIOR instant as 'd' (file-level derivation, the
+          same fallback the Delta reader uses for remove-only commits);
+        - operationType COMPACT / CLUSTER instants emit NOTHING — layout
+          rewrites are not logical changes (compact_file_groups and the
+          clustering planner stamp them accordingly).
+        """
+        import json as _json
+
+        props = self.table_properties()
+        raw_schema = props.get("hoodie.table.schema")
+        if not raw_schema:
+            raise ValueError(f"{self.table_path}: table carries no schema")
+        schema = T.StructType.fromJson(_json.loads(raw_schema))
+        key_fields = [
+            k for k in props.get("hoodie.table.recordkey.fields", "").split(",") if k
+        ]
+        out_schema = T.StructType(
+            list(schema.fields)
+            + [
+                T.StructField("_change_operation", T.StringType()),
+                T.StructField("_commit_instant", T.StringType()),
+            ]
+        )
+        instants = [
+            (i, a)
+            for i, a in self.completed_instants()
+            if a in COMMIT_ACTIONS
+            and (from_instant is None or i > from_instant)
+            and (to_instant is None or i <= to_instant)
+        ]
+        table_path = self.table_path
+        field_names = [f.name for f in schema.fields]
+        key_numeric = bool(key_fields) and isinstance(
+            dict((f.name, f.dataType) for f in schema.fields).get(key_fields[0]),
+            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
+        )
+        frames = []
+        for instant, action in instants:
+            cpath = os.path.join(self.hoodie_path, f"{instant}.{action}")
+            cdf = self.spark.read.schema(COMMIT_META_SCHEMA).json([cpath])
+            # driver-ok: one scalar per instant in the requested range
+            op = cdf.select("operationType").first()["operationType"]
+            if op in ("COMPACT", "CLUSTER"):
+                continue
+            stats = (
+                cdf.select(
+                    F.explode_outer("partitionToWriteStats").alias("partition", "stats")
+                )
+                .select(F.explode_outer("stats").alias("s"))
+                .select("s.path", "s.numInserts")
+                .where(F.col("path").isNotNull())
+                .withColumn(
+                    "abs_path",
+                    F.when(
+                        F.col("path").startswith("/") | F.col("path").contains("://"),
+                        F.col("path"),
+                    ).otherwise(F.concat(F.lit(table_path + "/"), F.col("path"))),
+                )
+            )
+
+            def stamp(df: DataFrame, change: str) -> DataFrame:
+                return df.withColumn(
+                    "_change_operation", F.lit(change)
+                ).withColumn("_commit_instant", F.lit(instant))
+
+            def read_rows(paths_df: DataFrame) -> DataFrame:
+                def read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                    import pyarrow.parquet as _pq
+
+                    for pdf in batches:
+                        for p in pdf["abs_path"]:
+                            yield _pq.read_table(p).to_pandas(
+                                integer_object_nulls=True
+                            )
+
+                return paths_df.select("abs_path").mapInPandas(read, schema)
+
+            base_adds = stats.where(
+                F.col("path").endswith(".parquet") & (F.col("numInserts") > 0)
+            )
+            # driver-ok: emptiness probe, one boolean
+            if not base_adds.isEmpty():
+                frames.append(stamp(read_rows(base_adds), "i"))
+
+            logs = stats.where(F.col("path").contains(".log."))
+            if not logs.isEmpty():
+                this_instant = instant
+
+                def read_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                    import pandas as pd
+
+                    from onetable_spark.formats.hudi_log import (
+                        avro_block_records,
+                        delete_block_records,
+                        read_log_blocks,
+                    )
+
+                    for pdf in batches:
+                        urows, dkeys = [], []
+                        for p in pdf["abs_path"]:
+                            for b in read_log_blocks(p):
+                                if b["headers"].get("instant_time") != this_instant:
+                                    continue
+                                if b["type"] == "avro_data":
+                                    _, recs = avro_block_records(b, decode=True)
+                                    urows.extend(recs)
+                                elif b["type"] == "delete":
+                                    _, recs = delete_block_records(b)
+                                    dkeys.extend(r.get("recordKey") for r in recs)
+                        out = pd.DataFrame(urows, columns=field_names)
+                        out["_op"] = "u"
+                        if dkeys:
+                            dd = pd.DataFrame(
+                                {field_names[0]: [None] * len(dkeys)}
+                            ).reindex(columns=field_names)
+                            if key_fields:
+                                # HoodieKey record keys are STRINGS — cast
+                                # back to the key column's declared type
+                                keys = pd.Series(dkeys, dtype=object)
+                                if key_numeric:
+                                    keys = pd.to_numeric(keys)
+                                dd[key_fields[0]] = keys
+                            dd["_op"] = "d"
+                            out = pd.concat([out, dd])
+                        yield out
+
+                log_schema = T.StructType(
+                    list(schema.fields) + [T.StructField("_op", T.StringType())]
+                )
+                log_rows = logs.select("abs_path").mapInPandas(
+                    read_blocks, log_schema
+                )
+                frames.append(
+                    log_rows.withColumnRenamed("_op", "_change_operation").withColumn(
+                        "_commit_instant", F.lit(instant)
+                    )
+                )
+
+            replaced_ids = (
+                cdf.select(
+                    F.explode_outer("partitionToReplaceFileIds").alias("pp", "ids")
+                )
+                .select(F.explode_outer("ids").alias("file_id"))
+                .where(F.col("file_id").isNotNull())
+            )
+            if not replaced_ids.isEmpty():
+                prior = self.snapshot_files_before(instant, view="read_optimized")
+
+                def with_fid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                    for pdf in batches:
+                        rel = pdf["path"].map(
+                            lambda p: p[len(table_path) + 1:]
+                            if p.startswith(table_path)
+                            else p
+                        )
+                        pdf = pdf[["path"]].copy()
+                        pdf["file_id"] = rel.map(_file_id_for)
+                        pdf["abs_path"] = pdf["path"]
+                        yield pdf[["abs_path", "file_id"]]
+
+                prior_fids = prior.select("path").mapInPandas(
+                    with_fid, "abs_path string, file_id string"
+                )
+                victims = prior_fids.join(
+                    F.broadcast(replaced_ids), "file_id", "left_semi"
+                )
+                if not victims.isEmpty():
+                    frames.append(stamp(read_rows(victims), "d"))
+
+        if not frames:
+            return self.spark.createDataFrame([], out_schema)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
     def instants_after_millis(self, millis: int) -> list[str]:
         """Syncable backlog: commit-type AND undo events after the watermark
         (the reference's backlog walks the full active timeline and its

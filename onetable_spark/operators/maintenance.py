@@ -629,7 +629,10 @@ def compact_table(
                 _file_id_for(p[len(prefix):] if p.startswith(prefix) else p)
                 for p in sorted(b["members"])
             )
-        reader.commit(adds=adds, replace_file_ids=replace)
+        # CLUSTER, not the default UPSERT: real Hudi marks clustering
+        # replacecommits with WriteOperationType.CLUSTER, and the r13
+        # changelog skips them — a layout rewrite is not a logical change
+        reader.commit(adds=adds, replace_file_ids=replace, operation="CLUSTER")
     return {
         "bins": len(bins),
         "files_removed": len(removed_paths),

@@ -2469,7 +2469,7 @@ STAGED_QUERIES: tuple[str, ...] = (
     "sync_changes", "sync_time_travel", "sync_validation",  # shared otb_2c_q
     "sync_inventory", "sync_schema_evolution", "sync_recovery",
     "sync_partition_evolution", "sync_safety_fallback", "sync_catchup",
-    "sync_bucket_spec", "delta_cdf", "iceberg_changelog",
+    "sync_bucket_spec", "delta_cdf", "iceberg_changelog", "hudi_changelog",
     "sync_foreign_table", "sync_foreign_iceberg", "sync_foreign_iceberg_deletes",
     "sync_delta_dv", "ann_ivfpq_persisted", "hudi_mor_views",
     "iceberg_eq_deletes", "dv_translation", "hudi_delete_translation",
@@ -4793,6 +4793,64 @@ def q_iceberg_changelog(spark: SparkSession, sf: str) -> DataFrame:
             "r_name",
         )
         .orderBy("ordinal", "change_type", "r_regionkey")
+    )
+
+
+def q_hudi_changelog(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi ROW-LEVEL CHANGELOG (r13 — the third edge of the CDC
+    triangle; siblings ``delta_cdf`` and ``iceberg_changelog``): the
+    staged MOR lifecycle seeds region as an external-registration
+    deltacommit (5 'i' rows), upserts keys 0 and 1 with derivably-renamed
+    rows plus a new key 92 via ``upsert_records`` (the updates land as an
+    AVRO_DATA log block decoded through the byte-certified codec → 'u'
+    after-images; the new key lands in a fresh file group → 'i'), then
+    compacts — the COMPACT instant must emit NOTHING. Ops use Hudi's own
+    CDC vocabulary ('i'/'u'/'d'); every output row is a pure function of
+    the region table. The reference reads only file-level commit
+    metadata. Staged once per (session, sf)."""
+    import os
+    import shutil
+
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.model import DataLayoutStrategy, Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    def build(base: str) -> dict:
+        tbl = os.path.join(base, "hchlog")
+        os.makedirs(tbl)
+        src = os.path.join(sf, "region.parquet")
+        f1 = os.path.join(tbl, "f1.parquet")
+        shutil.copy(src, f1)
+        schema = spark.read.parquet(src).schema
+        tl = HudiTimeline(spark, tbl)
+        tl.init_table(
+            Table(name="hcl", base_path=tbl, table_format=TableFormat.HUDI,
+                  read_schema=schema, layout=DataLayoutStrategy.FLAT,
+                  record_key_fields=("r_regionkey",))
+        )
+        tl.commit(adds=build_inventory(spark, [f1], root=tbl), action="deltacommit")
+        region = spark.read.parquet(src)
+        batch = (
+            region.filter(F.col("r_regionkey") <= 1)
+            .withColumn("r_name", F.concat(F.lit("X_"), F.col("r_name")))
+            .unionByName(
+                spark.createDataFrame([(92, "NEWLAND")], region.schema)
+            )
+        )
+        tl.upsert_records(batch)
+        tl.compact_file_groups()
+        return {"dir": tbl}
+
+    stage = _staged_once(spark, sf, "otb_hchlog_q", build)
+    return (
+        HudiTimeline(spark, stage["dir"])
+        .changelog()
+        .select(
+            F.col("_change_operation").alias("op"),
+            F.col("r_regionkey").cast("long").alias("r_regionkey"),
+            "r_name",
+        )
+        .orderBy("op", "r_regionkey", "r_name")
     )
 
 
@@ -7936,6 +7994,20 @@ ORACLE_SQL: dict[str, str] = {
                 (SELECT DISTINCT substr(r_name, 1, 2) AS p FROM region)))
         ) t(item, value)
     """,
+    # r13: ops are a pure function of region — 'i' x5 seed + the upsert's
+    # 'u' after-images ('X_' || r_name on keys 0-1) + one new-key 'i';
+    # the COMPACT instant contributes nothing
+    "hudi_changelog": """
+        SELECT * FROM (
+            SELECT 'i' AS op, CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+            FROM region
+            UNION ALL
+            SELECT 'u', CAST(r_regionkey AS BIGINT), 'X_' || r_name
+            FROM region WHERE r_regionkey <= 1
+            UNION ALL
+            SELECT 'i', 92, 'NEWLAND'
+        ) ORDER BY op, r_regionkey, r_name
+    """,
     # r13: the changelog is a pure function of region — ordinal 0 replays
     # it verbatim as inserts; ordinal 1 is the upsert's delete+insert
     # pairs; the REPLACE compaction snapshot contributes nothing
@@ -8219,6 +8291,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_bucket_spec": q_sync_bucket_spec,
     "delta_cdf": q_delta_cdf,
     "iceberg_changelog": q_iceberg_changelog,
+    "hudi_changelog": q_hudi_changelog,
     "sync_safety_fallback": q_sync_safety_fallback,
     "sync_catchup": q_sync_catchup,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -8296,17 +8369,17 @@ SPARK_QUERIES = {
 
 # ---- round-13 driver-window rotation (VERDICT r12 #6) ------------------
 # The driver records the FIRST 50 registry entries. Rotation by
-# staleness: the three r13 newcomers (bucket-transform sync, the Delta
-# change data feed, the Iceberg row-level changelog — no driver
-# evidence yet), then ALL 41 queries whose
+# staleness: the four r13 newcomers (bucket-transform sync + the
+# row-level CDC triangle: Delta change data feed, Iceberg changelog,
+# Hudi changelog — no driver evidence yet), then ALL 41 queries whose
 # latest driver hash row is r10 (the stalest cohort; computed from
-# CORRECTNESS_r10/r11/r12 key sets), then 6 of the r11 cohort
+# CORRECTNESS_r10/r11/r12 key sets), then 5 of the r11 cohort
 # (alphabetical — all equally stale) as fill.
 # Everything green in r12 retires to the stale pool — still value-checked
 # against DuckDB on every pytest run (test_queries_smoke).
 _R13_WINDOW = [
     # r13 newcomers
-    "sync_bucket_spec", "delta_cdf", "iceberg_changelog",
+    "sync_bucket_spec", "delta_cdf", "iceberg_changelog", "hudi_changelog",
     # last driver rows r10 (all 41)
     "dedup_exact", "dedup_first_per_key", "deterministic_sample",
     "embedding_near_dups", "embedding_topk", "fingerprint_dedup",
@@ -8323,7 +8396,7 @@ _R13_WINDOW = [
     "zorder_layout",
     # last driver rows r11 (first 8 alphabetically of the 50)
     "ann_ivfpq_persisted", "approx_distinct", "approx_quantiles",
-    "audio_features", "bm25_search", "centroid_similarity",
+    "audio_features", "bm25_search",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 SPARK_QUERIES = {
