@@ -4,7 +4,11 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 13: 145 queries. New in round 13:
+Surface as of round 13: 146 queries. New in round 13:
+`streaming_cdf` — STREAMING row-level CDC: a Structured Streaming file
+source over the CDF table's _change_data/ dir, so pipelines consume
+the exact update_preimage/update_postimage/insert rows instead of the
+add/remove file-level stream (shares the staged CDF lifecycle).
 `hudi_changelog` — the THIRD edge of the row-level CDC triangle: Hudi
 changelog with the format's own op vocabulary ('i'/'u'/'d') — external
 registrations and fresh file groups emit their rows as 'i', AVRO_DATA

@@ -1548,18 +1548,28 @@ class DeltaLog:
         if not versions:
             return self.spark.createDataFrame([], out_schema)
         acts = self._actions_df(versions)
-        # driver-ok: O(actions in the requested commit range) — the same
-        # bound every CDF reader pays to learn which files to open
-        rows = acts.select("version", "add", "remove", "cdc").collect()
+        # driver-ok: O(actions in the requested commit range), PROJECTED
+        # to (path, dataChange) triplets — collecting whole add structs
+        # would drag each file's stats JSON onto the driver for nothing
+        rows = acts.select(
+            "version",
+            F.col("add.path").alias("add_path"),
+            F.col("add.dataChange").alias("add_dc"),
+            F.col("remove.path").alias("rm_path"),
+            F.col("remove.dataChange").alias("rm_dc"),
+            F.col("cdc.path").alias("cdc_path"),
+        ).collect()
         by_version: dict[int, dict[str, list]] = {}
         for r in rows:
             slot = by_version.setdefault(
                 int(r["version"]), {"add": [], "remove": [], "cdc": []}
             )
-            for kind in ("add", "remove", "cdc"):
-                a = r[kind]
-                if a is not None and a["path"] is not None:
-                    slot[kind].append(a)
+            if r["add_path"] is not None:
+                slot["add"].append({"path": r["add_path"], "dataChange": r["add_dc"]})
+            if r["rm_path"] is not None:
+                slot["remove"].append({"path": r["rm_path"], "dataChange": r["rm_dc"]})
+            if r["cdc_path"] is not None:
+                slot["cdc"].append({"path": r["cdc_path"]})
 
         def abs_path(rel: str) -> str:
             from urllib.parse import unquote as _unquote

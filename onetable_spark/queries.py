@@ -2470,6 +2470,7 @@ STAGED_QUERIES: tuple[str, ...] = (
     "sync_inventory", "sync_schema_evolution", "sync_recovery",
     "sync_partition_evolution", "sync_safety_fallback", "sync_catchup",
     "sync_bucket_spec", "delta_cdf", "iceberg_changelog", "hudi_changelog",
+    "streaming_cdf",
     "sync_foreign_table", "sync_foreign_iceberg", "sync_foreign_iceberg_deletes",
     "sync_delta_dv", "ann_ivfpq_persisted", "hudi_mor_views",
     "iceberg_eq_deletes", "dv_translation", "hudi_delete_translation",
@@ -4854,22 +4855,11 @@ def q_hudi_changelog(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_delta_cdf(spark: SparkSession, sf: str) -> DataFrame:
-    """Delta CHANGE DATA FEED authored and read back (r13, PROTOCOL.md
-    "Add CDC File" / delta-spark's ``delta.enableChangeDataFeed``): the
-    staged lifecycle seeds a CDF-enabled table from region (v1 — an
-    add-only commit the reader derives as file-level ``insert`` rows,
-    delta-spark's same fallback), then runs a MERGE-shaped keyed upsert
-    (v2) that writes REAL row-level cdc files under ``_change_data/``:
-    ``update_preimage`` rows read at the matched positions on executors,
-    ``update_postimage`` for the new versions of matched keys, and
-    ``insert`` for the unmatched new key. ``change_feed(1)`` then serves
-    the exact row history — the oracle reconstructs every row from the
-    region table (the upsert's new names are a pure function of the old:
-    ``'X_' || r_name``). The protocol upgrades to writerFeatures
-    changeDataFeed the first time a cdc file lands. The reference has no
-    CDC surface at all; our prior streaming CDC was file-granularity.
-    Staged once per (session, sf)."""
+def _cdf_stage(spark: SparkSession, sf: str) -> dict:
+    """ONE staged CDF lifecycle shared by ``delta_cdf`` (batch reader)
+    and ``streaming_cdf`` (file stream over _change_data/): seed a
+    CDF-enabled Delta table from region, then one MERGE-shaped keyed
+    upsert that writes the row-level cdc files."""
     import os
     import shutil
 
@@ -4918,7 +4908,28 @@ def q_delta_cdf(spark: SparkSession, sf: str) -> DataFrame:
         return {"dir": tbl, "upsert_version": v,
                 "feature_ok": "changeDataFeed" in feats}
 
-    stage = _staged_once(spark, sf, "otb_cdf_q", build)
+    return _staged_once(spark, sf, "otb_cdf_q", build)
+
+
+def q_delta_cdf(spark: SparkSession, sf: str) -> DataFrame:
+    """Delta CHANGE DATA FEED authored and read back (r13, PROTOCOL.md
+    "Add CDC File" / delta-spark's ``delta.enableChangeDataFeed``): the
+    staged lifecycle seeds a CDF-enabled table from region (v1 — an
+    add-only commit the reader derives as file-level ``insert`` rows,
+    delta-spark's same fallback), then runs a MERGE-shaped keyed upsert
+    (v2) that writes REAL row-level cdc files under ``_change_data/``:
+    ``update_preimage`` rows read at the matched positions on executors,
+    ``update_postimage`` for the new versions of matched keys, and
+    ``insert`` for the unmatched new key. ``change_feed(1)`` then serves
+    the exact row history — the oracle reconstructs every row from the
+    region table (the upsert's new names are a pure function of the old:
+    ``'X_' || r_name``). The protocol upgrades to writerFeatures
+    changeDataFeed the first time a cdc file lands. The reference has no
+    CDC surface at all; our prior streaming CDC was file-granularity.
+    Staged once per (session, sf)."""
+    from onetable_spark.formats.delta import DeltaLog
+
+    stage = _cdf_stage(spark, sf)
     feed = DeltaLog(spark, stage["dir"]).change_feed(1)
     return feed.select(
         F.col("_change_type").alias("change_type"),
@@ -4927,6 +4938,30 @@ def q_delta_cdf(spark: SparkSession, sf: str) -> DataFrame:
         "r_name",
         F.lit(stage["feature_ok"]).alias("feature_ok"),
     ).orderBy("commit_version", "change_type", "r_regionkey")
+
+
+def q_streaming_cdf(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING row-level CDC (r13): a Structured Streaming file source
+    over the CDF table's ``_change_data/`` dir (streaming/cdc.py
+    ``read_cdf_stream``) — downstream pipelines consume the exact
+    update_preimage/update_postimage/insert rows the CDF upsert wrote,
+    instead of the add/remove file-level stream. AvailableNow drains the
+    staged upsert's cdc files; the oracle is the same region-derived
+    reconstruction as ``delta_cdf``'s version-2 block. Non-SQL streaming
+    plumbing aside, every VALUE is region-derived — full hash parity."""
+    from onetable_spark.streaming.cdc import read_cdf_stream
+    from onetable_spark.streaming.events import run_available_now
+
+    stage = _cdf_stage(spark, sf)
+    stream = read_cdf_stream(spark, stage["dir"])
+    agg = stream.groupBy("_change_type", "r_regionkey", "r_name").count()
+    out = run_available_now(agg, f"cdf_{_sf_tag(sf)}", shuffle_partitions=4)
+    return out.select(
+        F.col("_change_type").alias("change_type"),
+        F.col("r_regionkey").cast("long").alias("r_regionkey"),
+        "r_name",
+        F.col("count").cast("long").alias("n"),
+    ).orderBy("change_type", "r_regionkey")
 
 
 def q_sync_safety_fallback(spark: SparkSession, sf: str) -> DataFrame:
@@ -8026,6 +8061,22 @@ ORACLE_SQL: dict[str, str] = {
             SELECT 'insert', 1, 91, 'NEWLAND'
         ) ORDER BY ordinal, change_type, r_regionkey
     """,
+    # r13: the streamed cdc rows are the delta_cdf oracle's version-2
+    # block with per-row counts of 1
+    "streaming_cdf": """
+        SELECT * FROM (
+            SELECT 'update_preimage' AS change_type,
+                   CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+                   CAST(1 AS BIGINT) AS n
+            FROM region WHERE r_regionkey <= 1
+            UNION ALL
+            SELECT 'update_postimage', CAST(r_regionkey AS BIGINT),
+                   'X_' || r_name, 1
+            FROM region WHERE r_regionkey <= 1
+            UNION ALL
+            SELECT 'insert', 90, 'NEWLAND', 1
+        ) ORDER BY change_type, r_regionkey
+    """,
     # r13: every CDF row is a pure function of the region table — the v1
     # insert fallback replays region verbatim; the v2 upsert's postimages
     # are 'X_' || r_name on keys 0-1 and one literal new key
@@ -8292,6 +8343,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_cdf": q_delta_cdf,
     "iceberg_changelog": q_iceberg_changelog,
     "hudi_changelog": q_hudi_changelog,
+    "streaming_cdf": q_streaming_cdf,
     "sync_safety_fallback": q_sync_safety_fallback,
     "sync_catchup": q_sync_catchup,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
@@ -8369,17 +8421,18 @@ SPARK_QUERIES = {
 
 # ---- round-13 driver-window rotation (VERDICT r12 #6) ------------------
 # The driver records the FIRST 50 registry entries. Rotation by
-# staleness: the four r13 newcomers (bucket-transform sync + the
+# staleness: the five r13 newcomers (bucket-transform sync + the
 # row-level CDC triangle: Delta change data feed, Iceberg changelog,
-# Hudi changelog — no driver evidence yet), then ALL 41 queries whose
+# Hudi changelog, streaming CDF — no driver evidence yet), then ALL 41 queries whose
 # latest driver hash row is r10 (the stalest cohort; computed from
-# CORRECTNESS_r10/r11/r12 key sets), then 5 of the r11 cohort
+# CORRECTNESS_r10/r11/r12 key sets), then 4 of the r11 cohort
 # (alphabetical — all equally stale) as fill.
 # Everything green in r12 retires to the stale pool — still value-checked
 # against DuckDB on every pytest run (test_queries_smoke).
 _R13_WINDOW = [
     # r13 newcomers
     "sync_bucket_spec", "delta_cdf", "iceberg_changelog", "hudi_changelog",
+    "streaming_cdf",
     # last driver rows r10 (all 41)
     "dedup_exact", "dedup_first_per_key", "deterministic_sample",
     "embedding_near_dups", "embedding_topk", "fingerprint_dedup",
@@ -8396,7 +8449,7 @@ _R13_WINDOW = [
     "zorder_layout",
     # last driver rows r11 (first 8 alphabetically of the 50)
     "ann_ivfpq_persisted", "approx_distinct", "approx_quantiles",
-    "audio_features", "bm25_search",
+    "audio_features",
 ]
 assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
 SPARK_QUERIES = {

@@ -259,3 +259,36 @@ def read_delta_log_stream(
             ),
         )
     )
+
+
+def read_cdf_stream(spark: SparkSession, table_path: str) -> DataFrame:
+    """Streaming ROW-LEVEL change feed off a CDF-enabled Delta table
+    (r13): a file stream over ``_change_data/`` — every cdc parquet a
+    CDF upsert writes (``DeltaLog._write_change_data``) arrives as rows
+    with ``_change_type`` ('update_preimage'/'update_postimage'/
+    'insert'), so downstream pipelines consume exact row changes instead
+    of the add/remove file-level feed ``read_delta_log_stream`` serves.
+    The schema comes from the table's current metaData; the stream is a
+    plain bounded-batch file source, so watermarks/stateful operators
+    compose downstream as usual. Upstream must be CDF-enabled — a table
+    that never wrote a cdc file streams nothing (the dir is created by
+    the first CDF commit)."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import types as _T
+
+    from onetable_spark.formats.delta import DeltaLog
+
+    info = DeltaLog(spark, table_path).snapshot_info()
+    schema = _T.StructType.fromJson(_json.loads(info.metadata["schemaString"]))
+    cdf_schema = _T.StructType(
+        list(schema.fields) + [_T.StructField("_change_type", _T.StringType())]
+    )
+    cdc_dir = _os.path.join(table_path, "_change_data")
+    _os.makedirs(cdc_dir, exist_ok=True)
+    return (
+        spark.readStream.schema(cdf_schema)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(cdc_dir)
+    )

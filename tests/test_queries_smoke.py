@@ -33,6 +33,7 @@ MUST_BE_DRIVER_MEASURED = {
     #
     # round-13 newcomers: first driver rows needed
     "sync_bucket_spec", "delta_cdf", "iceberg_changelog", "hudi_changelog",
+    "streaming_cdf",
     # last driver rows r10 (all 41, from CORRECTNESS_r10/r11/r12 keys)
     "dedup_exact", "dedup_first_per_key", "deterministic_sample",
     "embedding_near_dups", "embedding_topk", "fingerprint_dedup",
