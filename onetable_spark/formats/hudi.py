@@ -777,10 +777,28 @@ class HudiTimeline:
         for instant, action in instants:
             cpath = os.path.join(self.hoodie_path, f"{instant}.{action}")
             cdf = self.spark.read.schema(COMMIT_META_SCHEMA).json([cpath])
-            # driver-ok: one scalar per instant in the requested range
-            op = cdf.select("operationType").first()["operationType"]
+            # driver-ok: ONE scalar row per instant — operationType plus
+            # the three payload-presence flags, so no other probe job runs
+            head = cdf.select(
+                "operationType",
+                (F.size(F.coalesce(F.map_keys("partitionToReplaceFileIds"), F.array())) > 0).alias("has_replace"),
+                F.coalesce(
+                    F.aggregate(
+                        F.flatten(F.coalesce(F.map_values("partitionToWriteStats"), F.array())),
+                        F.struct(F.lit(False).alias("b"), F.lit(False).alias("l")),
+                        lambda acc, s: F.struct(
+                            (acc["b"] | (s["path"].endswith(".parquet") & (s["numInserts"] > 0))).alias("b"),
+                            (acc["l"] | s["path"].contains(".log.")).alias("l"),
+                        ),
+                    ),
+                    F.struct(F.lit(False).alias("b"), F.lit(False).alias("l")),
+                ).alias("present"),
+            ).first()
+            op = head["operationType"]
             if op in ("COMPACT", "CLUSTER"):
                 continue
+            has_base, has_logs = head["present"]["b"], head["present"]["l"]
+            has_replace = bool(head["has_replace"])
             stats = (
                 cdf.select(
                     F.explode_outer("partitionToWriteStats").alias("partition", "stats")
@@ -817,12 +835,11 @@ class HudiTimeline:
             base_adds = stats.where(
                 F.col("path").endswith(".parquet") & (F.col("numInserts") > 0)
             )
-            # driver-ok: emptiness probe, one boolean
-            if not base_adds.isEmpty():
+            if has_base:
                 frames.append(stamp(read_rows(base_adds), "i"))
 
             logs = stats.where(F.col("path").contains(".log."))
-            if not logs.isEmpty():
+            if has_logs:
                 this_instant = instant
 
                 def read_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -882,7 +899,7 @@ class HudiTimeline:
                 .select(F.explode_outer("ids").alias("file_id"))
                 .where(F.col("file_id").isNotNull())
             )
-            if not replaced_ids.isEmpty():
+            if has_replace:
                 prior = self.snapshot_files_before(instant, view="read_optimized")
 
                 def with_fid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -903,8 +920,7 @@ class HudiTimeline:
                 victims = prior_fids.join(
                     F.broadcast(replaced_ids), "file_id", "left_semi"
                 )
-                if not victims.isEmpty():
-                    frames.append(stamp(read_rows(victims), "d"))
+                frames.append(stamp(read_rows(victims), "d"))
 
         if not frames:
             return self.spark.createDataFrame([], out_schema)

@@ -1508,31 +1508,55 @@ class IcebergTable:
                     .withColumn("_commit_snapshot_id", F.lit(sid).cast("long"))
                 )
 
-            if own_data:
+            # gate every subtree on the manifest-list COUNT RECORDS
+            # (driver-held metadata, zero Spark jobs) — the r13 bench
+            # showed per-snapshot isEmpty() probes made this the
+            # registry's slowest plan; all row reads now execute lazily
+            # inside the final union's single job
+            own_records = [
+                m for m in data if m.get("added_snapshot_id") == sid
+            ]
+            n_added = sum(
+                int(
+                    m.get("added_data_files_count")
+                    or m.get("added_files_count")
+                    or 0
+                )
+                for m in own_records
+            )
+            n_removed = sum(
+                int(
+                    m.get("deleted_data_files_count")
+                    or m.get("deleted_files_count")
+                    or 0
+                )
+                for m in own_records
+            )
+            if n_added:
                 added = self._decode_manifests(
                     own_data, ice_schema, spec, statuses=(STATUS_ADDED,)
                 ).select("path")
-                # driver-ok: emptiness probe, one boolean
-                if not added.isEmpty():
-                    frames.append(stamp(rows_of(added, None), "insert"))
+                frames.append(stamp(rows_of(added, None), "insert"))
+            if n_removed:
                 removed = self._decode_manifests(
                     own_data, ice_schema, spec, statuses=(STATUS_DELETED,)
                 ).select("path")
-                if not removed.isEmpty():
-                    # rows already dead at the PARENT don't die again here
-                    prior_dead = None
-                    if parent is not None and parent in by_id:
-                        _, prior_positions = self.snapshot_with_deleted_positions(
-                            parent,
-                            apply_equality_deletes=apply_equality_deletes,
-                        )
-                        prior_dead = prior_positions.join(
-                            removed, "path", "left_semi"
-                        )
-                    frames.append(stamp(rows_of(removed, prior_dead), "delete"))
+                # rows already dead at the PARENT don't die again here
+                prior_dead = None
+                if parent is not None and parent in by_id:
+                    _, prior_positions = self.snapshot_with_deleted_positions(
+                        parent,
+                        apply_equality_deletes=apply_equality_deletes,
+                    )
+                    prior_dead = prior_positions.join(
+                        removed, "path", "left_semi"
+                    )
+                frames.append(stamp(rows_of(removed, prior_dead), "delete"))
             if own_deletes and parent is not None and parent in by_id:
                 # what the new delete files kill in OLDER-sequence files,
-                # resolved against the parent state
+                # resolved against the parent state; the frame rides the
+                # union unconditionally — resolving to zero positions
+                # costs nothing beyond plan size
                 psnap = by_id[parent]
                 _, pmanifests = read_container(psnap["manifest-list"])
                 pdata, _ = _split_manifests(pmanifests)
@@ -1548,9 +1572,7 @@ class IcebergTable:
                     pbase, own_deletes, ice_schema=ice_schema,
                     apply_equality=apply_equality_deletes,
                 )
-                # driver-ok: emptiness probe, one boolean
-                if not killed.isEmpty():
-                    frames.append(stamp(rows_at(killed), "delete"))
+                frames.append(stamp(rows_at(killed), "delete"))
 
         if not frames:
             return self.spark.createDataFrame([], out_schema)
