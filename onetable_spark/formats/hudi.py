@@ -787,8 +787,16 @@ class HudiTimeline:
                         F.flatten(F.coalesce(F.map_values("partitionToWriteStats"), F.array())),
                         F.struct(F.lit(False).alias("b"), F.lit(False).alias("l")),
                         lambda acc, s: F.struct(
-                            (acc["b"] | (s["path"].endswith(".parquet") & (s["numInserts"] > 0))).alias("b"),
-                            (acc["l"] | s["path"].contains(".log.")).alias("l"),
+                            # coalesce each step: a null stat path would
+                            # otherwise poison the OR fold (false|null=null)
+                            (acc["b"] | F.coalesce(
+                                s["path"].endswith(".parquet")
+                                & (s["numInserts"] > 0),
+                                F.lit(False),
+                            )).alias("b"),
+                            (acc["l"] | F.coalesce(
+                                s["path"].contains(".log."), F.lit(False)
+                            )).alias("l"),
                         ),
                     ),
                     F.struct(F.lit(False).alias("b"), F.lit(False).alias("l")),
@@ -1130,38 +1138,57 @@ class HudiTimeline:
                     )
                 return
 
-            def stat_batches(batches):
+            def stat_chunks(batches):
+                """Pre-joined CHUNK-sized runs of stat JSON per contiguous
+                partition path: the driver then streams ~n/CHUNK fat rows
+                instead of n thin ones (1M thin Rows cost ~10 s of driver
+                deserialization; a full toArrow costs ~200 MB RSS — the
+                chunked stream keeps BOTH flat)."""
                 import pyarrow as _pa
 
+                CHUNK = 10_000
+                pps: list[str] = []
+                bodies: list[str] = []
+                cur_pp: Optional[str] = None
+                parts: list[str] = []
+
+                def close_run():
+                    if parts:
+                        pps.append(cur_pp)
+                        bodies.append(", ".join(parts))
+
                 for batch in batches:
-                    pps, ss = [], []
                     for row in batch.to_pylist():
                         rel = row["path"]
                         if rel.startswith(table_prefix):
                             rel = rel[len(table_prefix):]
                         pp = row["_pp"] or ""
-                        pps.append(pp)
-                        ss.append(
+                        if pp != cur_pp or len(parts) >= CHUNK:
+                            close_run()
+                            parts = []
+                            cur_pp = pp
+                        parts.append(
                             _stat_json(
                                 rel, pp, row["record_count"], row["size"],
                                 row["column_stats"],
                             )
                         )
+                close_run()
+                if pps:
                     yield _pa.RecordBatch.from_arrays(
                         [_pa.array(pps, type=_pa.string()),
-                         _pa.array(ss, type=_pa.string())],
-                        ["pp", "s"],
+                         _pa.array(bodies, type=_pa.string())],
+                        ["pp", "body"],
                     )
 
-            pairs = sorted_adds.select(
+            chunked = sorted_adds.select(
                 "path", "_pp", "record_count", "size", "column_stats"
-            ).mapInArrow(stat_batches, "pp string, s string")
-            # driver-ok: the strings ARE the commit-file payload — the
-            # same bytes stream straight to disk below
-            for batch in pairs.toArrow().to_batches(max_chunksize=65536):
-                yield from zip(
-                    batch.column("pp").to_pylist(), batch.column("s").to_pylist()
-                )
+            ).mapInArrow(stat_chunks, "pp string, body string")
+            # driver-ok: STREAMED partition-by-partition, one row per
+            # ≤CHUNK-entry run — the payload goes straight to the OS
+            # buffer below, never materializing whole on the driver
+            for row in chunked.toLocalIterator(prefetchPartitions=True):
+                yield row["pp"], row["body"]
 
         with open(tmp, "w") as f:
             # streaming JSON emitter: write-stats go to the OS buffer as
