@@ -326,6 +326,127 @@ def main() -> None:
 
     timed("delta:upsert_by_key", ups_run, warm=lambda sf: ups_run(sf))
 
+    # Phase 6 (r13) — the row-level CDC paths. Both upsert a FIXED
+    # 1000-key batch against an N-row / kN-row table and read back the
+    # change feed for exactly that version:
+    # - delta:change_feed should stay near-FLAT: the merge is stats-
+    #   pruned and the cdc files carry only the changed rows, so the
+    #   feed read is O(changes) no matter the table size.
+    # - iceberg:changelog is bounded by the equality-delete resolution,
+    #   which scans each parent data file's key columns once (no stats
+    #   pruning on eq-delete tuples — real engines scan too), so it may
+    #   grow up to ~linearly in table size but never quadratically.
+    def cdf_stage(n_files: int, tag: str) -> str:
+        tdir = f"/tmp/otb_probe_cdf_{tag}"
+        shutil.rmtree(tdir, ignore_errors=True)
+        os.makedirs(tdir)
+        paths = []
+        for i in range(n_files):
+            p = os.path.join(tdir, f"f{i:05d}.parquet")
+            lo = i * UPS_ROWS_PER_FILE
+            pq_.write_table(
+                pa_.table(
+                    {
+                        "k": pa_.array(range(lo, lo + UPS_ROWS_PER_FILE), pa_.int64()),
+                        "v": pa_.array(
+                            [f"v-{j % 997}" for j in range(UPS_ROWS_PER_FILE)],
+                            pa_.string(),
+                        ),
+                    }
+                ),
+                p,
+            )
+            paths.append(p)
+        log = DeltaLog(spark, tdir)
+        log.init_table(
+            Table(name="cdf", base_path=tdir, table_format=TableFormat.DELTA,
+                  read_schema=spark.read.parquet(paths[0]).schema,
+                  layout=DataLayoutStrategy.FLAT),
+            configuration={"delta.enableChangeDataFeed": "true"},
+        )
+        log.commit(adds=build_inventory(spark, paths, root=tdir))
+        return tdir
+
+    cdf_dirs = {
+        BASE_SF: cdf_stage(UPS_FILES_1X, "1x"),
+        probe_dir: cdf_stage(UPS_FILES_1X * k, f"{k}x"),
+    }
+
+    def cdf_run(sf):
+        tdir = cdf_dirs[sf]
+        b = os.path.join(tdir, f"u-{uuid_.uuid4().hex}.parquet")
+        pq_.write_table(
+            pa_.table(
+                {
+                    "k": pa_.array(range(1000), pa_.int64()),
+                    "v": pa_.array(["new"] * 1000, pa_.string()),
+                }
+            ),
+            b,
+        )
+        log = DeltaLog(spark, tdir)
+        v = log.upsert_by_key(build_inventory(spark, [b], root=tdir), ["k"])
+        return log.change_feed(v, v).count()
+
+    timed("delta:change_feed", cdf_run, warm=lambda sf: cdf_run(sf))
+
+    from onetable_spark.formats.iceberg import IcebergTable as IceT
+
+    def ichg_stage(n_files: int, tag: str) -> str:
+        tdir = f"/tmp/otb_probe_ichg_{tag}"
+        shutil.rmtree(tdir, ignore_errors=True)
+        os.makedirs(tdir)
+        paths = []
+        for i in range(n_files):
+            p = os.path.join(tdir, f"f{i:05d}.parquet")
+            lo = i * UPS_ROWS_PER_FILE
+            pq_.write_table(
+                pa_.table(
+                    {
+                        "k": pa_.array(range(lo, lo + UPS_ROWS_PER_FILE), pa_.int64()),
+                        "v": pa_.array(
+                            [f"v-{j % 997}" for j in range(UPS_ROWS_PER_FILE)],
+                            pa_.string(),
+                        ),
+                    }
+                ),
+                p,
+            )
+            paths.append(p)
+        ice = IceT(spark, tdir)
+        ice.init_table(
+            Table(name="ichg", base_path=tdir, table_format=TableFormat.ICEBERG,
+                  read_schema=spark.read.parquet(paths[0]).schema,
+                  layout=DataLayoutStrategy.FLAT),
+            format_version=2,
+        )
+        ice.commit_overwrite(adds=build_inventory(spark, paths, root=tdir))
+        return tdir
+
+    ichg_dirs = {
+        BASE_SF: ichg_stage(UPS_FILES_1X, "1x"),
+        probe_dir: ichg_stage(UPS_FILES_1X * k, f"{k}x"),
+    }
+
+    def ichg_run(sf):
+        tdir = ichg_dirs[sf]
+        ice = IceT(spark, tdir)
+        before = ice.metadata()["current-snapshot-id"]
+        b = os.path.join(tdir, f"u-{uuid_.uuid4().hex}.parquet")
+        pq_.write_table(
+            pa_.table(
+                {
+                    "k": pa_.array(range(1000), pa_.int64()),
+                    "v": pa_.array(["new"] * 1000, pa_.string()),
+                }
+            ),
+            b,
+        )
+        ice.commit_upsert(build_inventory(spark, [b], root=tdir), ["k"])
+        return ice.changelog(from_snapshot_id=before).count()
+
+    timed("iceberg:changelog", ichg_run, warm=lambda sf: ichg_run(sf))
+
     lines = [
         "",
         f"## Scale probe: dedup/ANN/substring family at ~{k}x sf0.1 "
