@@ -936,6 +936,18 @@ class DeltaLog:
         if deletion_vectors is not None:
             if adds is None:
                 raise ValueError("deletion_vectors requires adds to attach to")
+            if cdc_adds is None and self.exists() and self.change_data_feed_enabled():
+                # r13: a DIRECT deletion-vector commit on a CDF table
+                # (e.g. cross-format delete translation landing Iceberg
+                # position deletes as DVs) authors its own 'delete' cdc
+                # rows — the rows at the NEWLY-dead positions, read on
+                # executors; positions already dead under an old DV are
+                # not re-deleted. Callers that author richer CDF payloads
+                # (upsert_by_key's preimage/postimage/insert sets) pass
+                # cdc_adds explicitly and skip this. Without this, the
+                # DV commit's remove+add-same-path shape would make the
+                # version underivable for change_feed.
+                cdc_adds = self._dv_delete_change_data(deletion_vectors)
             adds, n_dvs = self._attach_deletion_vectors(adds, deletion_vectors)
         field_types: dict = {}
         if adds is not None:
@@ -1474,11 +1486,47 @@ class DeltaLog:
         )
         return self._write_change_data(pre.unionByName(post).unionByName(ins))
 
-    def _write_change_data(self, change_df: DataFrame) -> list[dict]:
+    def _dv_delete_change_data(self, positions: DataFrame) -> list[dict]:
+        """CDF payload for a pure deletion-vector commit: 'delete' rows
+        read at the NEWLY-dead (path, pos) positions on executors —
+        positions already dead under an old DV carry no logical change
+        and are excluded. Returns cdc-action dicts (possibly one EMPTY
+        cdc file: a commit whose every position was already dead is a
+        logical no-op, and the empty file keeps the version
+        change_feed-derivable)."""
+        info = self.snapshot_info()
+        schema = T.StructType.fromJson(json.loads(info.metadata["schemaString"]))
+        _, old_positions = self.snapshot_with_deleted_positions()
+        new_dead = positions.select("path", "pos").distinct().join(
+            old_positions, ["path", "pos"], "left_anti"
+        )
+        out_schema = T.StructType(
+            list(schema.fields) + [T.StructField("_change_type", T.StringType())]
+        )
+
+        def read_pos(key, pdf):
+            import pyarrow.parquet as _pq
+
+            t = _pq.read_table(key[0]).take(sorted(int(p) for p in pdf["pos"]))
+            df = t.to_pandas(integer_object_nulls=True)
+            df["_change_type"] = "delete"
+            return df
+
+        rows = new_dead.groupBy("path").applyInPandas(read_pos, out_schema)
+        return self._write_change_data(rows, ensure_nonempty=True)
+
+    def _write_change_data(
+        self, change_df: DataFrame, ensure_nonempty: bool = False
+    ) -> list[dict]:
         """Write CDF rows (table columns + ``_change_type``) as parquet
         under ``_change_data/``, one file per non-empty partition,
         serialized on the EXECUTORS via mapInArrow (exact type
-        round-trip). Returns the cdc-action dicts."""
+        round-trip). Returns the cdc-action dicts.
+
+        ``ensure_nonempty``: when the frame resolves to ZERO rows, still
+        write one empty cdc parquet — marking the commit cdc-authoritative
+        with zero logical changes (vs no cdc action at all, which would
+        send change_feed down the underivable-commit refusal)."""
         table_path = self.table_path
         os.makedirs(os.path.join(table_path, "_change_data"), exist_ok=True)
 
@@ -1511,10 +1559,24 @@ class DeltaLog:
             .localCheckpoint(eager=True)
         )
         # driver-ok: one row per written CDF file (≤ partition count)
-        return [
+        out = [
             {"path": r["path"], "size": int(r["size"]), "partitionValues": {}}
             for r in written.collect()
         ]
+        if not out and ensure_nonempty:
+            import uuid as _uuid
+
+            import pyarrow as _pa
+            import pyarrow.parquet as _pq
+
+            from pyspark.sql.pandas.types import to_arrow_schema
+
+            arrow_schema = to_arrow_schema(change_df.schema)
+            rel = f"_change_data/cdc-{_uuid.uuid4().hex}.parquet"
+            p = os.path.join(table_path, rel)
+            _pq.write_table(arrow_schema.empty_table(), p)
+            out = [{"path": rel, "size": os.path.getsize(p), "partitionValues": {}}]
+        return out
 
     def change_feed(
         self, from_version: int, to_version: Optional[int] = None

@@ -152,3 +152,36 @@ def test_dead_positions_do_not_produce_preimages(spark, cdf_table):
     feed = log.change_feed(v, v)
     rows = {(r["_change_type"], r["id"]) for r in feed.collect()}
     assert rows == {("insert", 3)}
+
+
+def test_direct_dv_commit_authors_delete_cdc(spark, cdf_table):
+    """A plain deletion-vector commit on a CDF table (the cross-format
+    delete-translation shape) authors its own 'delete' cdc rows, so the
+    remove+add-same-path commit stays change_feed-derivable."""
+    base, log, df = cdf_table
+    target = log.snapshot_files().collect()[0]["path"]
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(target, columns=["id"])["id"].to_pylist()
+    positions = spark.createDataFrame(
+        [(target, ids.index(1)), (target, ids.index(6))], "path string, pos long"
+    )
+    v = log.commit(
+        adds=build_inventory(spark, [target], root=base),
+        deletion_vectors=positions,
+    )
+    feed = log.change_feed(v, v)
+    rows = {(r["_change_type"], r["id"], r["name"]) for r in feed.collect()}
+    assert rows == {("delete", 1, "name1"), ("delete", 6, "name6")}
+
+    # re-deleting the SAME positions (plus none new) is a logical no-op:
+    # the commit carries an EMPTY cdc file and the feed serves 0 rows
+    # instead of refusing the mixed add+remove shape
+    v2 = log.commit(
+        adds=build_inventory(spark, [target], root=base),
+        deletion_vectors=positions,
+    )
+    assert log.change_feed(v2, v2).count() == 0
+    with open(os.path.join(base, "_delta_log", f"{v2:020d}.json")) as f:
+        actions = [json.loads(line) for line in f]
+    assert any("cdc" in a for a in actions)
