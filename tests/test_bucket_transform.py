@@ -117,3 +117,19 @@ def test_transform_column_truncate(spark):
         transform_column(pf_s, T.StringType()).alias("ts"),
     ).collect()
     assert [(r["ti"], r["ts"]) for r in out] == [(10, "ice"), (-10, "ab")]
+
+
+def test_vectorized_longs_match_scalar_property():
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.lists(st.integers(min_value=-(2**63), max_value=2**63 - 1),
+                    min_size=1, max_size=50))
+    def check(vals):
+        arr = np.array(vals, dtype=np.int64)
+        vec = _murmur3_32_longs(arr)
+        for v, h in zip(vals, vec):
+            assert int(h) == murmur3_32(struct.pack("<q", v))
+
+    check()
