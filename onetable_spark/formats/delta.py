@@ -186,6 +186,32 @@ def _physical_to_logical(metadata: dict) -> Optional[dict[str, str]]:
     return out or None
 
 
+def _fill_partition_columns(
+    rows: DataFrame, pv_src: DataFrame, schema: T.StructType, pcols: list[str]
+) -> DataFrame:
+    """Materialize hive-partition columns onto row-level change frames.
+
+    ``rows`` carries a ``_src_path`` column naming the data file each row
+    was read from; ``pv_src`` is a small (path, partition_values) frame
+    (FILES_SCHEMA projection). Hive layout keeps partition columns out of
+    the parquet bytes, so each partition column is computed from the
+    source file's partitionValues map with a typed cast — the same
+    metadata-projection delta-spark's scan applies. Broadcast join: the
+    pv side is O(files touched by the commit)."""
+    types = {f.name: f.dataType for f in schema.fields}
+    pv = (
+        pv_src.withColumnRenamed("path", "_src_path")
+        .withColumnRenamed("partition_values", "_pv")
+    )
+    out = rows.join(F.broadcast(pv), "_src_path", "left")
+    for c in pcols:
+        # getItem (not element_at): missing keys must read as null even
+        # under ANSI mode — Delta stores a null partition value as a null
+        # map entry, and absent keys mean the same
+        out = out.withColumn(c, F.col("_pv").getItem(c).cast(types[c]))
+    return out.drop("_pv")
+
+
 def _version_path(table_path: str, version: int) -> str:
     return os.path.join(table_path, LOG_DIR, f"{version:020d}.json")
 
@@ -1304,6 +1330,7 @@ class DeltaLog:
         table_path = self.table_path
         info = self.snapshot_info()
         schema = T.StructType.fromJson(json.loads(info.metadata["schemaString"]))
+        pcols = list(info.metadata.get("partitionColumns") or [])
         by_name = {f.name: f for f in schema.fields}
         for n in key_fields:
             if n not in by_name or isinstance(
@@ -1312,6 +1339,14 @@ class DeltaLog:
                 raise ValueError(
                     f"{table_path}: upsert key {n!r} is not a top-level "
                     "primitive column"
+                )
+            if n in pcols:
+                # hive layout keeps partition columns OUT of the parquet
+                # bytes — the key scan below reads keys from the files, so
+                # a partition-column key would silently match nothing
+                raise ValueError(
+                    f"{table_path}: upsert key {n!r} is a partition column; "
+                    "key on a data column (or rewrite the partition in batch)"
                 )
         names = list(key_fields)
         sql_types = {n: by_name[n].dataType.simpleString() for n in names}
@@ -1410,7 +1445,10 @@ class DeltaLog:
             live_matches = matches.join(
                 old_positions, ["path", "pos"], "left_anti"
             )
-            cdc_files = self._upsert_change_data(schema, names, adds, live_matches)
+            cdc_files = self._upsert_change_data(
+                schema, names, adds, live_matches,
+                pcols=pcols, src_pv=raw.select("path", "partition_values"),
+            )
         return self.commit(
             adds=all_adds,
             removes=re_adds.select("path"),
@@ -1430,7 +1468,8 @@ class DeltaLog:
 
     def _upsert_change_data(
         self, schema: T.StructType, names: list[str], adds: DataFrame,
-        matches: DataFrame,
+        matches: DataFrame, pcols: list[str] | None = None,
+        src_pv: DataFrame | None = None,
     ) -> list[dict]:
         """Row-level CDF payload for one MERGE-shaped upsert (r13,
         PROTOCOL.md "Add CDC File" / delta-spark's enableChangeDataFeed):
@@ -1445,38 +1484,60 @@ class DeltaLog:
         round-trip exactly); the returned dicts become ``cdc`` actions in
         the same commit. The change-feed reader then serves EXACT row
         changes for this version instead of the add/remove file-level
-        fallback."""
-        out_schema = T.StructType(
-            list(schema.fields) + [T.StructField("_change_type", T.StringType())]
+        fallback.
+
+        Partitioned tables (r14): hive layout keeps partition columns OUT
+        of the parquet bytes, so every change row tags its source file
+        (``_src_path``) and the partition columns are materialized from
+        that file's ``partitionValues`` map (``src_pv`` for existing
+        files, the adds inventory for new ones) with typed casts — the
+        same coalesce delta-spark's CDC reader applies. Without this, a
+        partitioned table's cdc rows would silently carry NULL for every
+        partition column."""
+        pcols = list(pcols or [])
+        data_fields = [f for f in schema.fields if f.name not in set(pcols)]
+        pre_schema = T.StructType(
+            data_fields
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_src_path", T.StringType()),
+            ]
         )
 
         def read_pre(key, pdf):
-            import pandas as _pd
+            import numpy as _np
             import pyarrow.parquet as _pq
 
-            t = _pq.read_table(key[0]).take(sorted(int(p) for p in pdf["pos"]))
+            t = _pq.read_table(key[0]).take(_np.sort(pdf["pos"].to_numpy()))
             df = t.to_pandas(integer_object_nulls=True)
             df["_change_type"] = "update_preimage"
+            df["_src_path"] = key[0]
             return df
 
-        pre = matches.groupBy("path").applyInPandas(read_pre, out_schema)
+        pre = matches.groupBy("path").applyInPandas(read_pre, pre_schema)
 
         def read_full(batches):
             import pandas as _pd
             import pyarrow.parquet as _pq
 
             for pdf in batches:
-                frames = [
-                    _pq.read_table(p).to_pandas(integer_object_nulls=True)
-                    for p in pdf["path"]
-                ]
+                frames = []
+                for p in pdf["path"]:
+                    f = _pq.read_table(p).to_pandas(integer_object_nulls=True)
+                    f["_src_path"] = p
+                    frames.append(f)
                 yield (
                     _pd.concat(frames)
                     if frames
-                    else _pd.DataFrame(columns=[f.name for f in schema.fields])
+                    else _pd.DataFrame(
+                        columns=[f.name for f in data_fields] + ["_src_path"]
+                    )
                 )
 
-        new_rows = adds.select("path").mapInPandas(read_full, schema)
+        row_schema = T.StructType(
+            data_fields + [T.StructField("_src_path", T.StringType())]
+        )
+        new_rows = adds.select("path").mapInPandas(read_full, row_schema)
         matched_keys = pre.select(*names).distinct()
         post = new_rows.join(F.broadcast(matched_keys), names, "left_semi").withColumn(
             "_change_type", F.lit("update_postimage")
@@ -1484,7 +1545,12 @@ class DeltaLog:
         ins = new_rows.join(F.broadcast(matched_keys), names, "left_anti").withColumn(
             "_change_type", F.lit("insert")
         )
-        return self._write_change_data(pre.unionByName(post).unionByName(ins))
+        changes = pre.unionByName(post).unionByName(ins)
+        if pcols:
+            pv_src = src_pv.unionByName(adds.select("path", "partition_values"))
+            changes = _fill_partition_columns(changes, pv_src, schema, pcols)
+        ordered = [f.name for f in schema.fields] + ["_change_type"]
+        return self._write_change_data(changes.select(*ordered), pcols=pcols)
 
     def _dv_delete_change_data(self, positions: DataFrame) -> list[dict]:
         """CDF payload for a pure deletion-vector commit: 'delete' rows
@@ -1496,32 +1562,58 @@ class DeltaLog:
         change_feed-derivable)."""
         info = self.snapshot_info()
         schema = T.StructType.fromJson(json.loads(info.metadata["schemaString"]))
-        _, old_positions = self.snapshot_with_deleted_positions()
+        pcols = list(info.metadata.get("partitionColumns") or [])
+        raw, old_positions = self.snapshot_with_deleted_positions()
         new_dead = positions.select("path", "pos").distinct().join(
             old_positions, ["path", "pos"], "left_anti"
         )
+        data_fields = [f for f in schema.fields if f.name not in set(pcols)]
         out_schema = T.StructType(
-            list(schema.fields) + [T.StructField("_change_type", T.StringType())]
+            data_fields
+            + [
+                T.StructField("_change_type", T.StringType()),
+                T.StructField("_src_path", T.StringType()),
+            ]
         )
 
         def read_pos(key, pdf):
+            import numpy as _np
             import pyarrow.parquet as _pq
 
-            t = _pq.read_table(key[0]).take(sorted(int(p) for p in pdf["pos"]))
+            t = _pq.read_table(key[0]).take(_np.sort(pdf["pos"].to_numpy()))
             df = t.to_pandas(integer_object_nulls=True)
             df["_change_type"] = "delete"
+            df["_src_path"] = key[0]
             return df
 
         rows = new_dead.groupBy("path").applyInPandas(read_pos, out_schema)
-        return self._write_change_data(rows, ensure_nonempty=True)
+        if pcols:
+            rows = _fill_partition_columns(
+                rows, raw.select("path", "partition_values"), schema, pcols
+            )
+        ordered = [f.name for f in schema.fields] + ["_change_type"]
+        return self._write_change_data(
+            rows.select(*ordered), pcols=pcols, ensure_nonempty=True
+        )
 
     def _write_change_data(
-        self, change_df: DataFrame, ensure_nonempty: bool = False
+        self, change_df: DataFrame, pcols: list[str] | None = None,
+        ensure_nonempty: bool = False,
     ) -> list[dict]:
         """Write CDF rows (table columns + ``_change_type``) as parquet
         under ``_change_data/``, one file per non-empty partition,
         serialized on the EXECUTORS via mapInArrow (exact type
         round-trip). Returns the cdc-action dicts.
+
+        Partitioned tables (r14): one cdc file PER PARTITION-VALUE combo
+        with its real ``partitionValues`` stamped on the action (the shape
+        delta-spark's CDC reader expects). The combo is serialized
+        Spark-side (``cast(string)`` — Delta's canonical 'yyyy-MM-dd' /
+        'true' forms) so executors group Arrow rows by an opaque JSON key
+        and never re-format typed values. The partition columns stay IN
+        the file bytes too — self-describing for this engine's streaming
+        CDF source, ignored by foreign readers that project them from
+        partitionValues.
 
         ``ensure_nonempty``: when the frame resolves to ZERO rows, still
         write one empty cdc parquet — marking the commit cdc-authoritative
@@ -1529,6 +1621,17 @@ class DeltaLog:
         send change_feed down the underivable-commit refusal)."""
         table_path = self.table_path
         os.makedirs(os.path.join(table_path, "_change_data"), exist_ok=True)
+        base_schema = change_df.schema
+        if pcols:
+            pv_json = F.to_json(
+                F.map_from_arrays(
+                    F.array(*[F.lit(c) for c in pcols]),
+                    F.array(*[F.col(c).cast("string") for c in pcols]),
+                )
+            )
+            change_df = change_df.withColumn("_pv", pv_json).repartition(
+                F.col("_pv")
+            )
 
         def write(batches):
             import os as _os
@@ -1541,26 +1644,45 @@ class DeltaLog:
             if not collected:
                 return
             t = _pa.Table.from_batches(collected)
-            rel = f"_change_data/cdc-{_uuid.uuid4().hex}.parquet"
-            p = _os.path.join(table_path, rel)
-            _pq.write_table(t, p)
+            groups = [(None, t)]
+            if "_pv" in t.column_names:
+                by_key: dict = {}
+                for i, k in enumerate(t.column("_pv").to_pylist()):
+                    by_key.setdefault(k, []).append(i)
+                groups = [
+                    (k, t.take(idx).drop_columns(["_pv"]))
+                    for k, idx in by_key.items()
+                ]
+            names, sizes, pvs = [], [], []
+            for k, gt in groups:
+                rel = f"_change_data/cdc-{_uuid.uuid4().hex}.parquet"
+                p = _os.path.join(table_path, rel)
+                _pq.write_table(gt, p)
+                names.append(rel)
+                sizes.append(_os.path.getsize(p))
+                pvs.append(k)
             yield _pa.RecordBatch.from_arrays(
                 [
-                    _pa.array([rel], type=_pa.string()),
-                    _pa.array([_os.path.getsize(p)], type=_pa.int64()),
+                    _pa.array(names, type=_pa.string()),
+                    _pa.array(sizes, type=_pa.int64()),
+                    _pa.array(pvs, type=_pa.string()),
                 ],
-                ["path", "size"],
+                ["path", "size", "pv"],
             )
 
         # eager localCheckpoint: the writer has side effects (fresh uuid
         # per execution) — the commit must see ONE materialized run
         written = (
-            change_df.mapInArrow(write, "path string, size long")
+            change_df.mapInArrow(write, "path string, size long, pv string")
             .localCheckpoint(eager=True)
         )
         # driver-ok: one row per written CDF file (≤ partition count)
         out = [
-            {"path": r["path"], "size": int(r["size"]), "partitionValues": {}}
+            {
+                "path": r["path"],
+                "size": int(r["size"]),
+                "partitionValues": json.loads(r["pv"]) if r["pv"] else {},
+            }
             for r in written.collect()
         ]
         if not out and ensure_nonempty:
@@ -1571,12 +1693,49 @@ class DeltaLog:
 
             from pyspark.sql.pandas.types import to_arrow_schema
 
-            arrow_schema = to_arrow_schema(change_df.schema)
+            arrow_schema = to_arrow_schema(base_schema)
             rel = f"_change_data/cdc-{_uuid.uuid4().hex}.parquet"
             p = os.path.join(table_path, rel)
             _pq.write_table(arrow_schema.empty_table(), p)
             out = [{"path": rel, "size": os.path.getsize(p), "partitionValues": {}}]
         return out
+
+    def _read_rows_with_pv(
+        self,
+        file_pv: list[tuple[str, Optional[dict]]],
+        read_schema: T.StructType,
+        schema: T.StructType,
+        pcols: list[str],
+    ) -> DataFrame:
+        """Read parquet rows for ``(abs_path, partitionValues)`` pairs,
+        coalescing each hive-partition column from the file's action map
+        when the bytes don't carry it (foreign cdc files and all data
+        files; this engine's r14+ cdc files are self-describing, so the
+        physical value wins and the map is the fallback). The pv side is
+        a broadcast O(files-in-commit) frame keyed by normalized path."""
+        df = self.spark.read.schema(read_schema).parquet(
+            *[p for p, _ in file_pv]
+        )
+        if not pcols:
+            return df
+        types = {f.name: f.dataType for f in schema.fields}
+        pv_df = self.spark.createDataFrame(
+            [(p, pv or {}) for p, pv in file_pv],
+            "_src_file string, _pv map<string,string>",
+        )
+        # input_file_name is URI-form (file:///…, percent-encoded) — fold
+        # it back to the plain absolute path the action list was built on
+        src = F.regexp_replace(
+            F.url_decode(F.input_file_name()), r"^file:/+", "/"
+        )
+        df = df.withColumn("_src_file", src).join(
+            F.broadcast(pv_df), "_src_file", "left"
+        )
+        for c in pcols:
+            df = df.withColumn(
+                c, F.coalesce(F.col(c), F.col("_pv").getItem(c).cast(types[c]))
+            )
+        return df.drop("_src_file", "_pv")
 
     def change_feed(
         self, from_version: int, to_version: Optional[int] = None
@@ -1594,12 +1753,19 @@ class DeltaLog:
         cdc files REFUSES — deriving row changes from it would be a guess
         (delta-spark raises the same way for CDF reads over such
         commits). dataChange=false commits (OPTIMIZE/REORG) contribute
-        nothing."""
+        nothing.
+
+        Partitioned tables (r14): partition columns live in the actions'
+        ``partitionValues`` maps, not the parquet bytes — each emitted row
+        coalesces them from its file's action (removes carry no map in
+        this engine's log, so the delete branch looks them up in the
+        parent snapshot), matching delta-spark's CDC projection."""
         self._ensure_reader_supported()
         upper = self.latest_version() if to_version is None else to_version
         versions = [v for v in self._versions() if from_version <= v <= upper]
         info = self.snapshot_info(upper if versions else None)
         schema = T.StructType.fromJson(json.loads(info.metadata["schemaString"]))
+        pcols = list(info.metadata.get("partitionColumns") or [])
         out_schema = T.StructType(
             list(schema.fields)
             + [
@@ -1611,15 +1777,17 @@ class DeltaLog:
             return self.spark.createDataFrame([], out_schema)
         acts = self._actions_df(versions)
         # driver-ok: O(actions in the requested commit range), PROJECTED
-        # to (path, dataChange) triplets — collecting whole add structs
-        # would drag each file's stats JSON onto the driver for nothing
+        # to (path, dataChange, partitionValues) — collecting whole add
+        # structs would drag each file's stats JSON onto the driver
         rows = acts.select(
             "version",
             F.col("add.path").alias("add_path"),
             F.col("add.dataChange").alias("add_dc"),
+            F.col("add.partitionValues").alias("add_pv"),
             F.col("remove.path").alias("rm_path"),
             F.col("remove.dataChange").alias("rm_dc"),
             F.col("cdc.path").alias("cdc_path"),
+            F.col("cdc.partitionValues").alias("cdc_pv"),
         ).collect()
         by_version: dict[int, dict[str, list]] = {}
         for r in rows:
@@ -1627,11 +1795,16 @@ class DeltaLog:
                 int(r["version"]), {"add": [], "remove": [], "cdc": []}
             )
             if r["add_path"] is not None:
-                slot["add"].append({"path": r["add_path"], "dataChange": r["add_dc"]})
+                slot["add"].append(
+                    {"path": r["add_path"], "dataChange": r["add_dc"],
+                     "pv": r["add_pv"]}
+                )
             if r["rm_path"] is not None:
-                slot["remove"].append({"path": r["rm_path"], "dataChange": r["rm_dc"]})
+                slot["remove"].append(
+                    {"path": r["rm_path"], "dataChange": r["rm_dc"], "pv": None}
+                )
             if r["cdc_path"] is not None:
-                slot["cdc"].append({"path": r["cdc_path"]})
+                slot["cdc"].append({"path": r["cdc_path"], "pv": r["cdc_pv"]})
 
         def abs_path(rel: str) -> str:
             from urllib.parse import unquote as _unquote
@@ -1646,12 +1819,15 @@ class DeltaLog:
         for v in sorted(by_version):
             slot = by_version[v]
             if slot["cdc"]:
-                df = self.spark.read.schema(
+                df = self._read_rows_with_pv(
+                    [(abs_path(c["path"]), c["pv"]) for c in slot["cdc"]],
                     T.StructType(
                         list(schema.fields)
                         + [T.StructField("_change_type", T.StringType())]
-                    )
-                ).parquet(*[abs_path(c["path"]) for c in slot["cdc"]])
+                    ),
+                    schema,
+                    pcols,
+                )
             else:
                 adds = [a for a in slot["add"] if a["dataChange"]]
                 removes = [a for a in slot["remove"] if a["dataChange"]]
@@ -1668,11 +1844,23 @@ class DeltaLog:
                 files, change = (
                     (adds, "insert") if adds else (removes, "delete")
                 )
-                df = (
-                    self.spark.read.schema(schema)
-                    .parquet(*[abs_path(a["path"]) for a in files])
-                    .withColumn("_change_type", F.lit(change))
-                )
+                file_pv = [(abs_path(a["path"]), a["pv"]) for a in files]
+                if pcols and change == "delete":
+                    # this engine's remove actions carry no partitionValues
+                    # — recover them from the parent snapshot (driver-ok:
+                    # O(removed files) after the isin prune)
+                    wanted = [p for p, _ in file_pv]
+                    looked = {
+                        r["path"]: dict(r["partition_values"] or {})
+                        for r in self.snapshot_files(v - 1)
+                        .where(F.col("path").isin(wanted))
+                        .select("path", "partition_values")
+                        .collect()
+                    }
+                    file_pv = [(p, looked.get(p)) for p, _ in file_pv]
+                df = self._read_rows_with_pv(
+                    file_pv, schema, schema, pcols
+                ).withColumn("_change_type", F.lit(change))
             frames.append(df.withColumn("_commit_version", F.lit(v).cast("long")))
         if not frames:
             return self.spark.createDataFrame([], out_schema)

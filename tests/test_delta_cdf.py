@@ -154,6 +154,126 @@ def test_dead_positions_do_not_produce_preimages(spark, cdf_table):
     assert rows == {("insert", 3)}
 
 
+@pytest.fixture()
+def part_cdf_table(spark, tmp_path):
+    """Hive-PARTITIONED CDF table: partition column `part` lives in the
+    directory layout + action partitionValues, never in the parquet bytes."""
+    import pyspark.sql.types as T
+
+    from onetable_spark.model import PartitionField
+
+    base = str(tmp_path / "pcdf")
+    os.makedirs(os.path.join(base, "part=A"))
+    os.makedirs(os.path.join(base, "part=B"))
+    dfa = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(4)], "id long, name string"
+    )
+    dfb = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(4, 8)], "id long, name string"
+    )
+    fa = os.path.join(base, "part=A", "fa.parquet")
+    fb = os.path.join(base, "part=B", "fb.parquet")
+    _write_file(spark, dfa, fa)
+    _write_file(spark, dfb, fb)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("part", T.StringType()),
+        ]
+    )
+    log = DeltaLog(spark, base)
+    log.init_table(
+        Table(
+            name="p", base_path=base, table_format=TableFormat.DELTA,
+            read_schema=schema,
+            partition_fields=(PartitionField(source_field="part"),),
+        ),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    log.commit(adds=build_inventory(spark, [fa, fb], root=base))
+    return base, log
+
+
+def test_partitioned_change_feed_derives_partition_columns(spark, part_cdf_table):
+    """v1's derived inserts must carry the REAL partition values (ADVICE
+    r13: the rows previously read straight off the parquet bytes and
+    emitted NULL for every partition column)."""
+    base, log = part_cdf_table
+    feed = log.change_feed(1, 1)
+    rows = {(r["id"], r["part"]) for r in feed.collect()}
+    assert rows == {(i, "A") for i in range(4)} | {(i, "B") for i in range(4, 8)}
+    assert feed.where(F.col("part").isNull()).count() == 0
+
+
+def test_partitioned_upsert_cdc_rows_and_actions(spark, part_cdf_table):
+    """A cross-partition upsert: the preimage keeps its OLD partition,
+    the postimage lands in the new file's partition, and every cdc action
+    is stamped with its file's real partitionValues."""
+    base, log = part_cdf_table
+    # new batch lands in part=A but updates id=5 (lives in part=B)
+    batch = spark.createDataFrame(
+        [(5, "name5_v2"), (100, "fresh")], "id long, name string"
+    )
+    f2 = os.path.join(base, "part=A", "f2.parquet")
+    _write_file(spark, batch, f2)
+    v = log.upsert_by_key(build_inventory(spark, [f2], root=base), key_fields=["id"])
+
+    feed = log.change_feed(v, v)
+    rows = {(r["_change_type"], r["id"], r["name"], r["part"]) for r in feed.collect()}
+    assert rows == {
+        ("update_preimage", 5, "name5", "B"),
+        ("update_postimage", 5, "name5_v2", "A"),
+        ("insert", 100, "fresh", "A"),
+    }
+    # cdc actions: real per-partition partitionValues, one file per combo
+    with open(os.path.join(base, "_delta_log", f"{v:020d}.json")) as f:
+        actions = [json.loads(line) for line in f]
+    cdc = [a["cdc"] for a in actions if "cdc" in a]
+    assert {tuple(sorted(c["partitionValues"].items())) for c in cdc} == {
+        (("part", "A"),),
+        (("part", "B"),),
+    }
+
+
+def test_partitioned_dv_delete_and_remove_derivation(spark, part_cdf_table):
+    """'delete' cdc rows from a direct DV commit carry the dead file's
+    partition; a remove-only commit's derived deletes recover the values
+    from the parent snapshot (removes carry no partitionValues)."""
+    base, log = part_cdf_table
+    target = os.path.join(base, "part=B", "fb.parquet")
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(target, columns=["id"])["id"].to_pylist()
+    v = log.commit(
+        adds=build_inventory(spark, [target], root=base),
+        deletion_vectors=spark.createDataFrame(
+            [(target, ids.index(6))], "path string, pos long"
+        ),
+    )
+    rows = {(r["_change_type"], r["id"], r["part"])
+            for r in log.change_feed(v, v).collect()}
+    assert rows == {("delete", 6, "B")}
+
+    # remove-only commit: pv recovered from the parent snapshot
+    fa = os.path.join(base, "part=A", "fa.parquet")
+    v2 = log.commit(
+        removes=spark.createDataFrame([(fa,)], "path string")
+    )
+    rows2 = {(r["_change_type"], r["id"], r["part"])
+             for r in log.change_feed(v2, v2).collect()}
+    assert rows2 == {("delete", i, "A") for i in range(4)}
+
+
+def test_upsert_key_on_partition_column_refuses(spark, part_cdf_table):
+    base, log = part_cdf_table
+    batch = spark.createDataFrame([(1, "x")], "id long, name string")
+    f2 = os.path.join(base, "part=A", "f9.parquet")
+    _write_file(spark, batch, f2)
+    with pytest.raises(ValueError, match="partition column"):
+        log.upsert_by_key(build_inventory(spark, [f2], root=base), key_fields=["part"])
+
+
 def test_direct_dv_commit_authors_delete_cdc(spark, cdf_table):
     """A plain deletion-vector commit on a CDF table (the cross-format
     delete-translation shape) authors its own 'delete' cdc rows, so the
