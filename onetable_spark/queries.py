@@ -4901,11 +4901,32 @@ def _cdf_stage(spark: SparkSession, sf: str) -> dict:
         v = log.upsert_by_key(
             build_inventory(spark, [f2], root=tbl), key_fields=["r_regionkey"]
         )
+        # r14: a post-enable PLAIN APPEND (v3) — authors NO cdc files, so
+        # both the batch reader and the streaming feed must DERIVE its
+        # rows as inserts (delta-spark readChangeFeed's behavior; before
+        # r14 the stream tailed only _change_data/ and lost these rows)
+        app = (
+            src.where("r_regionkey >= 3")
+            .withColumn(
+                "r_regionkey",
+                (F.col("r_regionkey") + 200).cast(src.schema["r_regionkey"].dataType),
+            )
+            .withColumn("r_name", F.concat(F.lit("APP_"), F.col("r_name")))
+        )
+        app_stage = os.path.join(base, "_app_stage")
+        app.coalesce(1).write.parquet(app_stage)
+        part3 = next(
+            f for f in os.listdir(app_stage)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        f3 = os.path.join(tbl, "f3.parquet")
+        shutil.move(os.path.join(app_stage, part3), f3)
+        v3 = log.commit(adds=build_inventory(spark, [f3], root=tbl))
         # the cdc files are authoritative for v2: exactly 2 preimages +
         # 2 postimages + 1 insert must come off _change_data, and the
         # protocol must now advertise the writer feature
         feats = set(log.snapshot_info().protocol.get("writerFeatures") or [])
-        return {"dir": tbl, "upsert_version": v,
+        return {"dir": tbl, "upsert_version": v, "append_version": v3,
                 "feature_ok": "changeDataFeed" in feats}
 
     return _staged_once(spark, sf, "otb_cdf_q", build)
@@ -4920,10 +4941,12 @@ def q_delta_cdf(spark: SparkSession, sf: str) -> DataFrame:
     (v2) that writes REAL row-level cdc files under ``_change_data/``:
     ``update_preimage`` rows read at the matched positions on executors,
     ``update_postimage`` for the new versions of matched keys, and
-    ``insert`` for the unmatched new key. ``change_feed(1)`` then serves
+    ``insert`` for the unmatched new key. A v3 PLAIN APPEND (r14) writes
+    no cdc files and derives as inserts. ``change_feed(1)`` then serves
     the exact row history — the oracle reconstructs every row from the
     region table (the upsert's new names are a pure function of the old:
-    ``'X_' || r_name``). The protocol upgrades to writerFeatures
+    ``'X_' || r_name``; the append's are ``'APP_' || r_name`` on keys
+    shifted +200). The protocol upgrades to writerFeatures
     changeDataFeed the first time a cdc file lands. The reference has no
     CDC surface at all; our prior streaming CDC was file-granularity.
     Staged once per (session, sf)."""
@@ -4941,14 +4964,17 @@ def q_delta_cdf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_streaming_cdf(spark: SparkSession, sf: str) -> DataFrame:
-    """STREAMING row-level CDC (r13): a Structured Streaming file source
-    over the CDF table's ``_change_data/`` dir (streaming/cdc.py
-    ``read_cdf_stream``) — downstream pipelines consume the exact
-    update_preimage/update_postimage/insert rows the CDF upsert wrote,
-    instead of the add/remove file-level stream. AvailableNow drains the
-    staged upsert's cdc files; the oracle is the same region-derived
-    reconstruction as ``delta_cdf``'s version-2 block. Non-SQL streaming
-    plumbing aside, every VALUE is region-derived — full hash parity."""
+    """STREAMING row-level CDC (r13; r14 closes the append hole): the
+    union of a file stream over the CDF table's ``_change_data/`` dir and
+    a LOG-DERIVED stream for commits that author no cdc files
+    (streaming/cdc.py ``read_cdf_stream`` — delta-spark streaming
+    ``readChangeFeed`` parity). The staged lifecycle's v1 seed and v3
+    PLAIN APPEND never write cdc files, so their rows arrive as derived
+    ``insert``s read off the added parquet on executors, while the v2
+    upsert's exact preimage/postimage/insert rows come off the cdc
+    files; before r14 the appended rows silently vanished from the feed.
+    AvailableNow drains both legs; every VALUE is region-derived — full
+    hash parity."""
     from onetable_spark.streaming.cdc import read_cdf_stream
     from onetable_spark.streaming.events import run_available_now
 
@@ -8061,13 +8087,19 @@ ORACLE_SQL: dict[str, str] = {
             SELECT 'insert', 1, 91, 'NEWLAND'
         ) ORDER BY ordinal, change_type, r_regionkey
     """,
-    # r13: the streamed cdc rows are the delta_cdf oracle's version-2
-    # block with per-row counts of 1
+    # r13 (extended r14): the streamed feed is now the FULL row-level
+    # history — the v1 seed's derived inserts (region verbatim) and the
+    # v3 plain append's derived inserts ('APP_' rows) union with the v2
+    # upsert's cdc rows; before r14 only the cdc rows streamed and every
+    # appended row silently vanished from the feed
     "streaming_cdf": """
         SELECT * FROM (
-            SELECT 'update_preimage' AS change_type,
+            SELECT 'insert' AS change_type,
                    CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
                    CAST(1 AS BIGINT) AS n
+            FROM region
+            UNION ALL
+            SELECT 'update_preimage', CAST(r_regionkey AS BIGINT), r_name, 1
             FROM region WHERE r_regionkey <= 1
             UNION ALL
             SELECT 'update_postimage', CAST(r_regionkey AS BIGINT),
@@ -8075,6 +8107,10 @@ ORACLE_SQL: dict[str, str] = {
             FROM region WHERE r_regionkey <= 1
             UNION ALL
             SELECT 'insert', 90, 'NEWLAND', 1
+            UNION ALL
+            SELECT 'insert', CAST(r_regionkey AS BIGINT) + 200,
+                   'APP_' || r_name, 1
+            FROM region WHERE r_regionkey >= 3
         ) ORDER BY change_type, r_regionkey
     """,
     # r13: every CDF row is a pure function of the region table — the v1
@@ -8095,6 +8131,11 @@ ORACLE_SQL: dict[str, str] = {
             FROM region WHERE r_regionkey <= 1
             UNION ALL
             SELECT 'insert', 2, 90, 'NEWLAND', TRUE
+            UNION ALL
+            -- r14: the v3 plain append derives as inserts
+            SELECT 'insert', 3, CAST(r_regionkey AS BIGINT) + 200,
+                   'APP_' || r_name, TRUE
+            FROM region WHERE r_regionkey >= 3
         ) ORDER BY commit_version, change_type, r_regionkey
     """,
     # r7: the validator's ground truth is static — a healthy sync passes

@@ -263,16 +263,33 @@ def read_delta_log_stream(
 
 def read_cdf_stream(spark: SparkSession, table_path: str) -> DataFrame:
     """Streaming ROW-LEVEL change feed off a CDF-enabled Delta table
-    (r13): a file stream over ``_change_data/`` — every cdc parquet a
-    CDF upsert writes (``DeltaLog._write_change_data``) arrives as rows
-    with ``_change_type`` ('update_preimage'/'update_postimage'/
-    'insert'), so downstream pipelines consume exact row changes instead
-    of the add/remove file-level feed ``read_delta_log_stream`` serves.
-    The schema comes from the table's current metaData; the stream is a
-    plain bounded-batch file source, so watermarks/stateful operators
-    compose downstream as usual. Upstream must be CDF-enabled — a table
-    that never wrote a cdc file streams nothing (the dir is created by
-    the first CDF commit)."""
+    (r13; r14 closes the append hole): the union of
+
+    - a file stream over ``_change_data/`` — every cdc parquet a CDF
+      commit writes (``DeltaLog._write_change_data``) arrives as rows
+      with ``_change_type`` ('update_preimage'/'update_postimage'/
+      'insert'/'delete'), exact row changes for cdc-authoritative
+      versions; and
+    - a LOG-DERIVED stream for commits that author NO cdc files — plain
+      appends and pure removes, which delta-spark's streaming
+      ``readChangeFeed`` serves as derived ``insert``/``delete`` rows.
+      Each add/remove action's data file is read on the executors
+      (mapInPandas); versions carrying cdc actions are skipped so
+      nothing double-emits, dataChange=false rewrites are invisible, and
+      a mixed add+remove commit without cdc files fails the stream (the
+      batch reader's refusal — deriving row changes from it would be a
+      guess).
+
+    Before r14 the stream tailed only ``_change_data/``: on a mixed
+    workload (appends + upserts) every appended row silently vanished
+    from the feed while the batch ``change_feed`` derived it as an
+    insert. Partitioned tables: cdc files are self-describing (the
+    writer keeps partition columns in the bytes) and derived rows
+    materialize partition columns from the add action's partitionValues
+    (removes fall back to hive path segments — this engine's remove
+    actions carry no map). The schema comes from the table's current
+    metaData; both legs are bounded-batch file sources, so watermarks/
+    stateful operators compose downstream as usual."""
     import json as _json
     import os as _os
 
@@ -282,13 +299,154 @@ def read_cdf_stream(spark: SparkSession, table_path: str) -> DataFrame:
 
     info = DeltaLog(spark, table_path).snapshot_info()
     schema = _T.StructType.fromJson(_json.loads(info.metadata["schemaString"]))
+    pcols = list(info.metadata.get("partitionColumns") or [])
     cdf_schema = _T.StructType(
         list(schema.fields) + [_T.StructField("_change_type", _T.StringType())]
     )
     cdc_dir = _os.path.join(table_path, "_change_data")
     _os.makedirs(cdc_dir, exist_ok=True)
-    return (
+    cdc_stream = (
         spark.readStream.schema(cdf_schema)
         .option("maxFilesPerTrigger", 16)
         .parquet(cdc_dir)
+    )
+    derived = _derived_cdf_stream(spark, table_path, schema, pcols)
+    return cdc_stream.unionByName(derived)
+
+
+def _derived_cdf_stream(
+    spark: SparkSession, table_path: str, schema, pcols: list[str]
+) -> DataFrame:
+    """The log-derived leg of ``read_cdf_stream``: tail ``_delta_log``,
+    and for each dataChange add/remove in a commit WITHOUT cdc actions,
+    read that file's rows as ``insert``/``delete``. Derivability is a
+    per-commit question, but it's answerable per ACTION row — each row
+    carries its commit file's path, and the tiny commit JSON is parsed
+    once per executor batch (cached), so no cross-row streaming state is
+    needed."""
+    from pyspark.sql import types as _T
+
+    log_dir = table_path.rstrip("/") + "/_delta_log"
+    raw = (
+        spark.readStream.schema(_ACTION_SCHEMA)
+        .option("pathGlobFilter", "[0-9]*.json")
+        .json(log_dir)
+        .select("add", "remove", F.col("_metadata.file_path").alias("_commit_file"))
+    )
+    acts = (
+        raw.where(F.col("add").isNotNull() | F.col("remove").isNotNull())
+        .where(
+            F.coalesce(
+                F.when(F.col("add").isNotNull(), F.col("add.dataChange")).otherwise(
+                    F.col("remove.dataChange")
+                ),
+                F.lit(True),
+            )
+        )
+        .select(
+            F.coalesce("add.path", "remove.path").alias("rel_path"),
+            F.when(F.col("add").isNotNull(), F.lit("insert"))
+            .otherwise(F.lit("delete"))
+            .alias("ctype"),
+            F.col("add.partitionValues").alias("pv"),
+            "_commit_file",
+        )
+    )
+    data_fields = [f for f in schema.fields if f.name not in set(pcols)]
+    data_names = [f.name for f in data_fields]
+    out_schema = _T.StructType(
+        data_fields
+        + [
+            _T.StructField("_change_type", _T.StringType()),
+            _T.StructField("_pv", _T.StringType()),
+        ]
+    )
+
+    def derive(batches):
+        import json as _json
+        import os as _os
+        from urllib.parse import unquote as _unquote
+
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        empty = _pd.DataFrame(columns=data_names + ["_change_type", "_pv"])
+        modes: dict = {}
+
+        def _local(p: str) -> str:
+            if p.startswith("file:"):
+                p = "/" + p[5:].lstrip("/")
+            return _unquote(p)
+
+        def commit_mode(cf: str) -> str:
+            if cf in modes:
+                return modes[cf]
+            has_cdc = has_add = has_rm = False
+            with open(cf) as f:
+                for line in f:
+                    a = _json.loads(line)
+                    if "cdc" in a:
+                        has_cdc = True
+                    elif "add" in a and a["add"].get("dataChange", True):
+                        has_add = True
+                    elif "remove" in a and a["remove"].get("dataChange", True):
+                        has_rm = True
+            mode = (
+                "cdc" if has_cdc else "mixed" if (has_add and has_rm) else "derive"
+            )
+            modes[cf] = mode
+            return mode
+
+        for pdf in batches:
+            frames = []
+            for rel, ctype, pv, cf in zip(
+                pdf["rel_path"], pdf["ctype"], pdf["pv"], pdf["_commit_file"]
+            ):
+                mode = commit_mode(_local(cf))
+                if mode == "cdc":
+                    continue  # cdc files are authoritative — other leg
+                if mode == "mixed":
+                    raise ValueError(
+                        f"{table_path}: a commit mixes adds and removes "
+                        "with no cdc files — row-level changes cannot be "
+                        "derived (enable delta.enableChangeDataFeed on "
+                        "the writer, or read the file-level stream via "
+                        "read_delta_log_stream)"
+                    )
+                p = (
+                    rel
+                    if rel.startswith("/") or "://" in rel
+                    else _os.path.join(table_path, _unquote(rel))
+                )
+                t = (
+                    _pq.read_table(p)
+                    .to_pandas(integer_object_nulls=True)
+                    .reindex(columns=data_names)
+                )
+                t["_change_type"] = ctype
+                if pv is None and pcols:
+                    # removes carry no partitionValues — recover hive
+                    # `k=v` segments from the file's own directory path
+                    pv = {}
+                    for seg in _os.path.dirname(_unquote(rel)).split("/"):
+                        if "=" in seg:
+                            k, v = seg.split("=", 1)
+                            pv[k] = v
+                t["_pv"] = _json.dumps(dict(pv)) if pv is not None else None
+                frames.append(t)
+            yield _pd.concat(frames) if frames else empty
+
+    derived = acts.mapInPandas(derive, out_schema)
+    if pcols:
+        types = {f.name: f.dataType for f in schema.fields}
+        derived = derived.withColumn(
+            "_pvm", F.from_json("_pv", "map<string,string>")
+        )
+        for c in pcols:
+            derived = derived.withColumn(
+                c, F.col("_pvm").getItem(c).cast(types[c])
+            )
+        derived = derived.drop("_pvm")
+    return derived.drop("_pv").select(
+        *[f.name for f in schema.fields], "_change_type"
     )

@@ -212,3 +212,81 @@ def test_cdc_feed_skip_change_commits_drops_rewrites(spark, sf_dir, tmp_path):
     # ...the skipping feed sees only the v1 data commit
     assert skipped and all(k[0] == 1 for k in skipped)
     assert {k for k in skipped} == {k for k in full if k[0] == 1}
+
+
+def _drain_rows(spark, stream_df, ckpt: str) -> list:
+    got: list = []
+
+    def sink(batch_df, _batch_id):
+        got.extend(batch_df.collect())
+
+    q = (
+        stream_df.writeStream.foreachBatch(sink)
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return got
+
+
+def test_cdf_stream_derives_non_cdc_commits(spark, tmp_path):
+    """r14 (the r13 semantic gap): plain appends author NO cdc files —
+    the streamed feed must still emit their rows as derived inserts
+    (delta-spark streaming readChangeFeed parity), unioned with the cdc
+    files' exact rows, and a remove-only commit's rows as deletes."""
+    from onetable_spark.streaming.cdc import read_cdf_stream
+
+    base = str(tmp_path / "cdfstream")
+    os.makedirs(base)
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(4)], "id long, name string"
+    )
+    df.coalesce(1).write.parquet(base + "/.stage")
+    part = next(
+        f for f in os.listdir(base + "/.stage")
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    os.replace(os.path.join(base, ".stage", part), os.path.join(base, "f1.parquet"))
+    shutil.rmtree(base + "/.stage")
+
+    log = DeltaLog(spark, base)
+    log.init_table(
+        Table(name="t", base_path=base, table_format=TableFormat.DELTA,
+              read_schema=df.schema),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    # v1: plain append (no cdc files)
+    log.commit(adds=build_inventory(spark, [os.path.join(base, "f1.parquet")], root=base))
+    # v2: keyed upsert (authors cdc files — authoritative, must not double-emit)
+    batch = spark.createDataFrame([(1, "n1_v2"), (99, "new")], "id long, name string")
+    batch.coalesce(1).write.parquet(base + "/.stage2")
+    part2 = next(
+        f for f in os.listdir(base + "/.stage2")
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    os.replace(os.path.join(base, ".stage2", part2), os.path.join(base, "f2.parquet"))
+    shutil.rmtree(base + "/.stage2")
+    log.upsert_by_key(
+        build_inventory(spark, [os.path.join(base, "f2.parquet")], root=base),
+        key_fields=["id"],
+    )
+    # v3: remove-only commit (derived deletes)
+    victim = os.path.join(base, "f2.parquet")
+    log.commit(removes=spark.createDataFrame([(victim,)], "path string"))
+
+    rows = _drain_rows(spark, read_cdf_stream(spark, base), str(tmp_path / "ck_cdf"))
+    tagged = {(r["_change_type"], r["id"], r["name"]) for r in rows}
+    assert tagged == {
+        # v1 derived inserts — THE r13 hole
+        ("insert", 0, "n0"), ("insert", 1, "n1"),
+        ("insert", 2, "n2"), ("insert", 3, "n3"),
+        # v2 exact cdc rows (once — not re-derived from the log)
+        ("update_preimage", 1, "n1"),
+        ("update_postimage", 1, "n1_v2"),
+        ("insert", 99, "new"),
+        # v3 derived deletes
+        ("delete", 1, "n1_v2"), ("delete", 99, "new"),
+    }
+    assert len(rows) == len(tagged)  # no double emission anywhere
