@@ -1379,6 +1379,7 @@ class IcebergTable:
         from_snapshot_id: Optional[int] = None,
         to_snapshot_id: Optional[int] = None,
         apply_equality_deletes: bool = True,
+        identifier_fields: Optional[list[str]] = None,
     ) -> DataFrame:
         """ROW-LEVEL changelog scan (r13 — Iceberg's
         ``create_changelog_view`` procedure; the Delta sibling is
@@ -1401,6 +1402,22 @@ class IcebergTable:
           files, resolved through the same distributed position/equality
           machinery the net-count scan uses (equality deletes via the
           data-assisted path, ``apply_equality_deletes=False`` to refuse).
+
+        ``identifier_fields`` (r14 — create_changelog_view's
+        identifier-columns mode / ChangelogIterator.computeUpdates): when
+        given, a same-key delete+insert within one snapshot pairs into
+        ``update_preimage``/``update_postimage``. One extra shuffle on
+        (ordinal, keys); keys are assumed unique per snapshot, exactly
+        what Iceberg's iterator assumes. Default off — bare parity.
+
+        Chain scaling (r14): dead-position state is carried INCREMENTALLY
+        along the walk — one full reconstruction at the chain's start (if
+        the walk begins mid-history), then each snapshot's killed
+        positions (already resolved for its own delete emission, pinned
+        with persist()) accumulate into the running state. The r13 form
+        re-ran ``snapshot_with_deleted_positions(parent)`` per
+        removed-file snapshot, re-decoding the same delete files
+        O(chain) times.
 
         The reference has no changelog surface at all (file-level change
         scan only, IcebergSourceClient.java:169-194)."""
@@ -1475,16 +1492,57 @@ class IcebergTable:
             """Rows at exactly the given (path, pos) positions."""
 
             def read_pos(key, pdf: pd.DataFrame) -> pd.DataFrame:
+                import numpy as _np
                 import pyarrow.parquet as _pq
 
-                t = _pq.read_table(key[0]).take(
-                    sorted(int(p) for p in pdf["pos"])
-                )
+                t = _pq.read_table(key[0]).take(_np.sort(pdf["pos"].to_numpy()))
                 return t.to_pandas(integer_object_nulls=True)
 
             return positions.groupBy("path").applyInPandas(read_pos, schema)
 
+        def counts_or_none(records: list[dict], *keys: str) -> Optional[int]:
+            """Sum the first present count field per manifest record;
+            None when EVERY record omits them all (v1 manifest lists may
+            — treating absent as zero would silently drop a foreign
+            snapshot's changes, ADVICE r13) so the caller opens the gate
+            and lets the subtree resolve lazily."""
+            vals = []
+            for m in records:
+                v = next((m.get(k) for k in keys if m.get(k) is not None), None)
+                vals.append(v)
+            if vals and all(v is None for v in vals):
+                return None
+            return sum(int(v) for v in vals if v is not None)
+
         frames = []
+        # incremental dead-position state along the walk: one full
+        # reconstruction at the chain's start, then each snapshot's own
+        # killed positions accumulate (persisted — tiny (path,pos)
+        # frames reused by every later snapshot's prior_dead AND the
+        # final union, so each delete file decodes once per changelog)
+        killed_acc: list[DataFrame] = []
+        initial_dead: Optional[DataFrame] = None
+        initial_dead_done = False
+
+        def state_before(removed: DataFrame) -> Optional[DataFrame]:
+            nonlocal initial_dead, initial_dead_done
+            if not initial_dead_done:
+                initial_dead_done = True
+                p0 = chain[0].get("parent-snapshot-id")
+                if p0 is not None and p0 in by_id:
+                    _, initial_dead = self.snapshot_with_deleted_positions(
+                        p0, apply_equality_deletes=apply_equality_deletes
+                    )
+            parts = ([initial_dead] if initial_dead is not None else []) + killed_acc
+            if not parts:
+                return None
+            dead = parts[0]
+            for p in parts[1:]:
+                dead = dead.unionByName(p)
+            # files removed along the walk can't be in `removed` again
+            # (paths are unique), so stale pairs wash out in this join
+            return dead.join(removed, "path", "left_semi")
+
         for ordinal, snap in enumerate(chain):
             sid = snap["snapshot-id"]
             if (snap.get("summary") or {}).get("operation") == "replace":
@@ -1512,45 +1570,32 @@ class IcebergTable:
             # (driver-held metadata, zero Spark jobs) — the r13 bench
             # showed per-snapshot isEmpty() probes made this the
             # registry's slowest plan; all row reads now execute lazily
-            # inside the final union's single job
+            # inside the final union's single job. None = counts absent
+            # (optional in v1) — open the gate rather than drop changes.
             own_records = [
                 m for m in data if m.get("added_snapshot_id") == sid
             ]
-            n_added = sum(
-                int(
-                    m.get("added_data_files_count")
-                    or m.get("added_files_count")
-                    or 0
-                )
-                for m in own_records
+            n_added = counts_or_none(
+                own_records, "added_data_files_count", "added_files_count"
             )
-            n_removed = sum(
-                int(
-                    m.get("deleted_data_files_count")
-                    or m.get("deleted_files_count")
-                    or 0
-                )
-                for m in own_records
+            n_removed = counts_or_none(
+                own_records, "deleted_data_files_count", "deleted_files_count"
             )
-            if n_added:
+            if own_data and (n_added is None or n_added):
                 added = self._decode_manifests(
                     own_data, ice_schema, spec, statuses=(STATUS_ADDED,)
                 ).select("path")
                 frames.append(stamp(rows_of(added, None), "insert"))
-            if n_removed:
+            if own_data and (n_removed is None or n_removed):
                 removed = self._decode_manifests(
                     own_data, ice_schema, spec, statuses=(STATUS_DELETED,)
                 ).select("path")
-                # rows already dead at the PARENT don't die again here
-                prior_dead = None
-                if parent is not None and parent in by_id:
-                    _, prior_positions = self.snapshot_with_deleted_positions(
-                        parent,
-                        apply_equality_deletes=apply_equality_deletes,
-                    )
-                    prior_dead = prior_positions.join(
-                        removed, "path", "left_semi"
-                    )
+                # rows already dead BEFORE this snapshot don't die again
+                prior_dead = (
+                    state_before(removed)
+                    if parent is not None and parent in by_id
+                    else None
+                )
                 frames.append(stamp(rows_of(removed, prior_dead), "delete"))
             if own_deletes and parent is not None and parent in by_id:
                 # what the new delete files kill in OLDER-sequence files,
@@ -1571,7 +1616,8 @@ class IcebergTable:
                 killed = self._deleted_positions(
                     pbase, own_deletes, ice_schema=ice_schema,
                     apply_equality=apply_equality_deletes,
-                )
+                ).persist()
+                killed_acc.append(killed)
                 frames.append(stamp(rows_at(killed), "delete"))
 
         if not frames:
@@ -1579,6 +1625,34 @@ class IcebergTable:
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
+        if identifier_fields:
+            missing = [
+                c for c in identifier_fields if c not in schema.fieldNames()
+            ]
+            if missing:
+                raise ValueError(
+                    f"{self.table_path}: identifier fields {missing} not in "
+                    "the table schema"
+                )
+            from pyspark.sql import Window
+
+            w = Window.partitionBy("_change_ordinal", *identifier_fields)
+            kinds = F.collect_set("_change_type").over(w)
+            both = F.array_contains(kinds, "insert") & F.array_contains(
+                kinds, "delete"
+            )
+            out = out.withColumn(
+                "_change_type",
+                F.when(
+                    both & (F.col("_change_type") == "delete"),
+                    F.lit("update_preimage"),
+                )
+                .when(
+                    both & (F.col("_change_type") == "insert"),
+                    F.lit("update_postimage"),
+                )
+                .otherwise(F.col("_change_type")),
+            )
         return out
 
     def properties(self) -> dict[str, str]:

@@ -4716,23 +4716,12 @@ def q_sync_bucket_spec(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, "item string, value string")
 
 
-def q_iceberg_changelog(spark: SparkSession, sf: str) -> DataFrame:
-    """Iceberg ROW-LEVEL CHANGELOG scan (r13 — the ``create_changelog_
-    view`` procedure; the Delta sibling is ``delta_cdf``): the staged v2
-    lifecycle seeds region (snapshot 1 — 5 inserts), runs a Flink-style
-    keyed upsert on keys 0 and 1 with derivably-renamed rows plus a new
-    key 91 (snapshot 2 — the equality delete kills the two OLD rows,
-    the data file adds three new ones; Iceberg emits them as delete +
-    insert, update pairing needs identifier fields its own procedure
-    also leaves off), then compacts with ``rewrite_data_files(apply_
-    equality_deletes=True)`` — a REPLACE snapshot the changelog must
-    emit NOTHING for (compaction is not a logical change). The full
-    ``changelog()`` therefore replays exactly: ordinal 0 = region
-    verbatim as inserts; ordinal 1 = the two old rows as deletes (read
-    AT their killed positions through the data-assisted equality scan)
-    + three inserts. Every output row is a pure function of the region
-    table. The reference has only a FILE-level change scan
-    (IcebergSourceClient.java:169-194). Staged once per (session, sf)."""
+def _ice_chlog_stage(spark: SparkSession, sf: str) -> dict:
+    """ONE staged Iceberg v2 changelog lifecycle shared by
+    ``iceberg_changelog`` (bare delete+insert parity) and
+    ``iceberg_changelog_updates`` (identifier-paired, r14): seed region,
+    keyed upsert on keys 0-1 plus new key 91, then a changelog-invisible
+    REPLACE compaction."""
     import os
     import shutil
 
@@ -4781,12 +4770,59 @@ def q_iceberg_changelog(spark: SparkSession, sf: str) -> DataFrame:
         ice.rewrite_data_files(apply_equality_deletes=True)
         return {"dir": tbl}
 
-    stage = _staged_once(spark, sf, "otb_chlog_q", build)
+    return _staged_once(spark, sf, "otb_chlog_q", build)
+
+
+def q_iceberg_changelog(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg ROW-LEVEL CHANGELOG scan (r13 — the ``create_changelog_
+    view`` procedure; the Delta sibling is ``delta_cdf``): the staged v2
+    lifecycle seeds region (snapshot 1 — 5 inserts), runs a Flink-style
+    keyed upsert on keys 0 and 1 with derivably-renamed rows plus a new
+    key 91 (snapshot 2 — the equality delete kills the two OLD rows,
+    the data file adds three new ones; Iceberg emits them as delete +
+    insert, update pairing needs identifier fields its own procedure
+    also leaves off by default — see ``iceberg_changelog_updates`` for
+    the paired mode), then compacts with ``rewrite_data_files(apply_
+    equality_deletes=True)`` — a REPLACE snapshot the changelog must
+    emit NOTHING for (compaction is not a logical change). The full
+    ``changelog()`` therefore replays exactly: ordinal 0 = region
+    verbatim as inserts; ordinal 1 = the two old rows as deletes (read
+    AT their killed positions through the data-assisted equality scan)
+    + three inserts. Every output row is a pure function of the region
+    table. The reference has only a FILE-level change scan
+    (IcebergSourceClient.java:169-194). Staged once per (session, sf)."""
     from onetable_spark.formats.iceberg import IcebergTable as _IT
 
+    stage = _ice_chlog_stage(spark, sf)
     return (
         _IT(spark, stage["dir"])
         .changelog()
+        .select(
+            F.col("_change_type").alias("change_type"),
+            F.col("_change_ordinal").cast("int").alias("ordinal"),
+            F.col("r_regionkey").cast("long").alias("r_regionkey"),
+            "r_name",
+        )
+        .orderBy("ordinal", "change_type", "r_regionkey")
+    )
+
+
+def q_iceberg_changelog_updates(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg changelog with IDENTIFIER-PAIRED updates (r14 —
+    create_changelog_view's identifier-columns mode /
+    ChangelogIterator.computeUpdates): same staged lifecycle as
+    ``iceberg_changelog``, read with ``identifier_fields=['r_regionkey']``
+    (the record key the upsert was keyed on — the repo round-trips record
+    keys as Iceberg identifier-field-ids, C3). The upsert's same-key
+    delete+insert pairs become ``update_preimage``/``update_postimage``;
+    the genuinely-new key 91 stays a bare insert. One extra shuffle on
+    (ordinal, key) over the bare scan. Every row is region-derived."""
+    from onetable_spark.formats.iceberg import IcebergTable as _IT
+
+    stage = _ice_chlog_stage(spark, sf)
+    return (
+        _IT(spark, stage["dir"])
+        .changelog(identifier_fields=["r_regionkey"])
         .select(
             F.col("_change_type").alias("change_type"),
             F.col("_change_ordinal").cast("int").alias("ordinal"),
@@ -8069,6 +8105,24 @@ ORACLE_SQL: dict[str, str] = {
             SELECT 'i', 92, 'NEWLAND'
         ) ORDER BY op, r_regionkey, r_name
     """,
+    # r14: identifier-paired mode — the upsert's same-key delete+insert
+    # pairs become update_preimage/update_postimage; key 91 stays insert
+    "iceberg_changelog_updates": """
+        SELECT * FROM (
+            SELECT 'insert' AS change_type, CAST(0 AS INTEGER) AS ordinal,
+                   CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+            FROM region
+            UNION ALL
+            SELECT 'update_preimage', 1, CAST(r_regionkey AS BIGINT), r_name
+            FROM region WHERE r_regionkey <= 1
+            UNION ALL
+            SELECT 'update_postimage', 1, CAST(r_regionkey AS BIGINT),
+                   'X_' || r_name
+            FROM region WHERE r_regionkey <= 1
+            UNION ALL
+            SELECT 'insert', 1, 91, 'NEWLAND'
+        ) ORDER BY ordinal, change_type, r_regionkey
+    """,
     # r13: the changelog is a pure function of region — ordinal 0 replays
     # it verbatim as inserts; ordinal 1 is the upsert's delete+insert
     # pairs; the REPLACE compaction snapshot contributes nothing
@@ -8383,6 +8437,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_bucket_spec": q_sync_bucket_spec,
     "delta_cdf": q_delta_cdf,
     "iceberg_changelog": q_iceberg_changelog,
+    "iceberg_changelog_updates": q_iceberg_changelog_updates,
     "hudi_changelog": q_hudi_changelog,
     "streaming_cdf": q_streaming_cdf,
     "sync_safety_fallback": q_sync_safety_fallback,

@@ -450,9 +450,14 @@ def bucket_column(source_field: str, n_buckets: int, dtype=None) -> Column:
             out = (_murmur3_32_longs(s.to_numpy()) & np.uint32(0x7FFFFFFF)) % np.uint32(n)
             return pd.Series(out.astype("int32"))
         if s.dtype.kind == "M":  # datetime64 → micros since epoch
+            # NaT.astype(int64) is int64-min — a spurious bucket id; mask
+            # nulls first and emit pd.NA like the scalar path (ADVICE r13)
+            mask = s.isna().to_numpy()
             micros = s.astype("int64") // 1000  # pandas ns → us
             out = (_murmur3_32_longs(micros.to_numpy()) & np.uint32(0x7FFFFFFF)) % np.uint32(n)
-            return pd.Series(out.astype("int32"))
+            res = pd.Series(out.astype("int32")).astype("Int32")
+            res[mask] = pd.NA
+            return res
         return s.map(lambda v: iceberg_bucket_value(v, n), na_action="ignore").astype(
             "Int32"
         )

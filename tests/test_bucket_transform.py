@@ -133,3 +133,21 @@ def test_vectorized_longs_match_scalar_property():
             assert int(h) == murmur3_32(struct.pack("<q", v))
 
     check()
+
+
+def test_bucket_column_null_timestamp_yields_null(spark):
+    """ADVICE r13: NaT took the vectorized datetime64 path as int64-min
+    and got a spurious bucket id; null timestamps must bucket to NULL
+    like every other null (the scalar path's behavior)."""
+    import datetime as dt
+
+    ts = dt.datetime(2024, 3, 1, 12, 30, 0)
+    df = spark.createDataFrame(
+        [(1, ts), (2, None), (3, ts + dt.timedelta(hours=5))],
+        "id long, ts timestamp",
+    )
+    rows = {r["id"]: r["b"] for r in
+            df.select("id", bucket_column("ts", 16).alias("b")).collect()}
+    assert rows[2] is None
+    assert rows[1] == iceberg_bucket_value(ts, 16)
+    assert rows[3] == iceberg_bucket_value(ts + dt.timedelta(hours=5), 16)

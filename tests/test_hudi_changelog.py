@@ -109,3 +109,62 @@ def test_clustering_is_changelog_invisible(spark, mor_table):
         operation="CLUSTER",
     )
     assert tl.changelog(from_instant=last).count() == 0
+
+
+def test_changelog_probe_is_one_job(spark, mor_table):
+    """r14: ALL in-range commit heads come off ONE spark.read.json — the
+    r13 form ran one .first() job per instant. Build the changelog over
+    several instants inside a job group and count the group's jobs."""
+    base, tl = mor_table
+    for k in range(3):
+        batch = spark.createDataFrame(
+            [(20 + k, f"bulk{k}")], "id long, name string"
+        )
+        tl.upsert_records(batch)
+    sc = spark.sparkContext
+    sc.setJobGroup("hudi_probe_count", "changelog build probes")
+    try:
+        feed = tl.changelog()
+    finally:
+        sc.setJobGroup(None, None)
+    probe_jobs = sc.statusTracker().getJobIdsForGroup("hudi_probe_count")
+    assert len(probe_jobs) == 1, f"expected 1 probe job, saw {len(probe_jobs)}"
+    # and the batched probe changes nothing about the output
+    got = _ops(feed)
+    assert {("i", i, f"name{i}") for i in range(6)} <= got
+    assert {("i", 20 + k, f"bulk{k}") for k in range(3)} <= got
+
+
+def test_changelog_pairs_updates_with_identifier_fields(spark, mor_table):
+    """r14: identifier_fields pairs a same-key 'd'+'i' within one instant
+    (the replace-commit upsert shape) into update_preimage/postimage;
+    log-block 'u' after-images pass through unchanged."""
+    base, tl = mor_table
+    # a replace-commit upsert: replaces the seed file group with a new
+    # base carrying an updated row + the untouched rows
+    df = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(6) if i != 2] + [(2, "name2_v2")],
+        "id long, name string",
+    )
+    stage = os.path.join(base, "_stage2")
+    df.coalesce(1).write.parquet(stage)
+    part = next(f for f in os.listdir(stage) if f.endswith(".parquet"))
+    f2 = os.path.join(base, "f2.parquet")
+    os.replace(os.path.join(stage, part), f2)
+    shutil.rmtree(stage)
+    old_fid = tl.snapshot_files().collect()[0]["path"]
+    from onetable_spark.formats.hudi import _file_id_for
+
+    fid = _file_id_for(os.path.basename(old_fid))
+    tl.commit(
+        adds=build_inventory(spark, [f2], root=base),
+        replace_file_ids={"": [fid]},
+    )
+    got = _ops(tl.changelog(identifier_fields=["id"]))
+    # every pre-existing id appears as a paired update (delete+insert
+    # same key in the replace instant); 2's postimage carries the new name
+    assert ("update_preimage", 2, "name2") in got
+    assert ("update_postimage", 2, "name2_v2") in got
+    assert not any(op == "d" for op, _, _ in got)
+    with pytest.raises(ValueError, match="identifier fields"):
+        tl.changelog(identifier_fields=["nope"])

@@ -122,3 +122,55 @@ def test_changelog_refuses_non_ancestor(spark, v2_table):
     base, ice = v2_table
     with pytest.raises(ValueError, match="not an ancestor|unknown snapshot"):
         ice.changelog(from_snapshot_id=123456789)
+
+
+def test_changelog_pairs_updates_with_identifier_fields(spark, v2_table):
+    """r14 — create_changelog_view's identifier-columns mode
+    (ChangelogIterator.computeUpdates): a same-key delete+insert within
+    one snapshot pairs into update_preimage/update_postimage; unmatched
+    rows keep their bare types."""
+    base, ice = v2_table
+    _write_parquet(
+        [(2, "name2_v2"), (9, "nine")], ["id", "name"],
+        os.path.join(base, "u1.parquet"),
+    )
+    ice.commit_upsert(
+        build_inventory(spark, [os.path.join(base, "u1.parquet")], root=base), ["id"]
+    )
+    got = _changes(ice.changelog(identifier_fields=["id"]))
+    assert got == {("insert", 0, i, f"name{i}") for i in range(6)} | {
+        ("update_preimage", 1, 2, "name2"),
+        ("update_postimage", 1, 2, "name2_v2"),
+        ("insert", 1, 9, "nine"),
+    }
+    with pytest.raises(ValueError, match="identifier fields"):
+        ice.changelog(identifier_fields=["nope"])
+
+
+def test_changelog_opens_gate_when_counts_absent(spark, v2_table, monkeypatch):
+    """ADVICE r13: added/deleted file counts are OPTIONAL in v1 manifest
+    lists — a foreign snapshot without them must still contribute its
+    changes (fall back to decoding the manifests) instead of silently
+    gating to zero rows."""
+    import onetable_spark.formats.iceberg as ice_mod
+
+    base, ice = v2_table
+    real = ice_mod.read_container
+
+    stripped = {"n": 0}
+
+    def strip_counts(path):
+        head, records = real(path)
+        if path.endswith(".avro") and os.path.basename(path).startswith("snap-"):
+            for r in records:
+                for k in list(r):
+                    if k.endswith("_count") or k.endswith("_counts"):
+                        if r[k] is not None:
+                            stripped["n"] += 1
+                        r[k] = None
+        return head, records
+
+    monkeypatch.setattr(ice_mod, "read_container", strip_counts)
+    got = _changes(ice.changelog())
+    assert stripped["n"] > 0  # the patch really removed count fields
+    assert got == {("insert", 0, i, f"name{i}") for i in range(6)}
