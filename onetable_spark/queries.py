@@ -4716,6 +4716,140 @@ def q_sync_bucket_spec(spark: SparkSession, sf: str) -> DataFrame:
     return spark.createDataFrame(rows, "item string, value string")
 
 
+def q_sync_bucket_decimal(spark: SparkSession, sf: str) -> DataFrame:
+    """BUCKET over a DECIMAL column (r14 — completes C6's Appendix-B type
+    coverage; ``sync_bucket_spec``'s sibling): decimals bucket by hashing
+    the MINIMAL-length big-endian two's-complement of their unscaled
+    value (spec vectors pinned in tests/test_bucket_transform.py — 14.20
+    → bytes 05 8C → -500754589). The staged lifecycle derives
+    ``r_price = r_regionkey + 0.25`` as DECIMAL(9,2), writes one hive dir
+    per bucket[4], registers the Iceberg spec, syncs into Delta and Hudi
+    (identity downgrade on the materialized ``price_bucket``), and pins:
+    the spec round-trip, per-bucket counts matched across all three read
+    surfaces, and row-by-row bucket recomputation. Region is always 5
+    rows, so the buckets are spec constants the oracle hardcodes:
+    {0.25:3, 1.25:2, 2.25:1, 3.25:3, 4.25:0} → dirs 0,1,2,3."""
+    import decimal as _dec
+    import os
+
+    from onetable_spark.formats.delta import DeltaLog
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import (
+        PartitionField,
+        PartitionTransform,
+        Table,
+        TableFormat,
+    )
+    from onetable_spark.schema.partitions import bucket_column
+    from onetable_spark.sources.parquet_inventory import build_inventory
+    from onetable_spark.sync import SyncClient, source_for, target_for
+    from pyspark.sql import types as _T
+
+    def build(base: str) -> dict:
+        tbl = os.path.join(base, "bucket_dec")
+        os.makedirs(tbl)
+        src = spark.read.parquet(os.path.join(sf, "region.parquet")).withColumn(
+            "r_price",
+            (F.col("r_regionkey") + F.lit(_dec.Decimal("0.25"))).cast(
+                _T.DecimalType(9, 2)
+            ),
+        )
+        (
+            src.withColumn("price_bucket", bucket_column("r_price", 4))
+            .repartition("price_bucket")
+            .write.partitionBy("price_bucket")
+            .parquet(tbl, mode="append")
+        )
+        data_files = sorted(
+            os.path.join(dp, f)
+            for dp, _, fs in os.walk(tbl)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+        ice = IcebergTable(spark, tbl)
+        ice.init_table(
+            Table(
+                name="bucketed_dec",
+                base_path=tbl,
+                table_format=TableFormat.ICEBERG,
+                read_schema=src.schema,
+                partition_fields=(
+                    PartitionField(
+                        source_field="r_price",
+                        transform=PartitionTransform.BUCKET,
+                        partition_field_name="price_bucket",
+                        transform_arg=4,
+                    ),
+                ),
+            )
+        )
+        ice.commit_overwrite(
+            adds=build_inventory(
+                spark, data_files, root=tbl, partition_cols=["price_bucket"]
+            )
+        )
+
+        client = SyncClient(spark)
+        source = source_for(spark, TableFormat.ICEBERG, tbl)
+        targets = [
+            target_for(spark, TableFormat.DELTA, tbl),
+            target_for(spark, TableFormat.HUDI, tbl),
+        ]
+        results = client.sync(source, targets)
+        for fmt, r in results.items():
+            _require(r.status.value == "SUCCESS", (fmt, r))
+        _validate_staged(
+            spark,
+            tbl,
+            "ICEBERG",
+            ("DELTA", "HUDI"),
+            skip_spec=("DELTA", "HUDI"),
+            skip_schema=("DELTA",),
+        )
+
+        def bucket_counts(files_df) -> dict:
+            agg = files_df.groupBy(
+                F.col("partition_values")["price_bucket"].alias("b")
+            ).agg(F.sum("record_count").cast("long").alias("n"))
+            # driver-ok: ≤4 aggregated rows (one per bucket)
+            return {r["b"]: r["n"] for r in agg.collect()}
+
+        ice_counts = bucket_counts(ice.snapshot_files())
+        delta_counts = bucket_counts(DeltaLog(spark, tbl).snapshot_files())
+        hudi_counts = bucket_counts(HudiTimeline(spark, tbl).snapshot_files())
+        mismatches = (
+            spark.read.option("basePath", tbl)
+            .parquet(*data_files)
+            .where(F.col("price_bucket") != bucket_column("r_price", 4))
+            .count()
+        )
+        pf = ice.table_descriptor().partition_fields[0]
+        facts = {
+            "iceberg_spec_transform": ice._spec_for(ice.metadata())[0]["transform"],
+            "iceberg_descriptor": (
+                f"{pf.source_field}:{pf.transform.value}[{pf.transform_arg}]"
+            ),
+            "delta_partition_columns": ",".join(
+                DeltaLog(spark, tbl).snapshot_info().metadata["partitionColumns"]
+            ),
+            "hudi_partition_fields": HudiTimeline(spark, tbl).table_properties()[
+                "hoodie.table.partition.fields"
+            ],
+            "bucket_assignment_ok": str(mismatches == 0).lower(),
+            "cross_format_counts_ok": str(
+                ice_counts == delta_counts == hudi_counts and len(ice_counts) > 0
+            ).lower(),
+            "bucket_dirs": ",".join(sorted(ice_counts)),
+            "n_records": str(sum(ice_counts.values())),
+        }
+        return {"facts": facts}
+
+    stage = _staged_once(spark, sf, "otb_bdec_q", build)
+    rows = sorted(stage["facts"].items())
+    return spark.createDataFrame(rows, "item string, value string")
+
+
 def _ice_chlog_stage(spark: SparkSession, sf: str) -> dict:
     """ONE staged Iceberg v2 changelog lifecycle shared by
     ``iceberg_changelog`` (bare delete+insert parity) and
@@ -8091,6 +8225,21 @@ ORACLE_SQL: dict[str, str] = {
                 (SELECT DISTINCT substr(r_name, 1, 2) AS p FROM region)))
         ) t(item, value)
     """,
+    # r14: decimal buckets are spec constants for region's 5 derived
+    # prices {0.25:3, 1.25:2, 2.25:1, 3.25:3, 4.25:0} → dirs 0,1,2,3
+    # (unscaled big-endian bytes → murmur3, vectors pinned in tests)
+    "sync_bucket_decimal": """
+        SELECT * FROM (VALUES
+            ('bucket_assignment_ok', 'true'),
+            ('bucket_dirs', '0,1,2,3'),
+            ('cross_format_counts_ok', 'true'),
+            ('delta_partition_columns', 'price_bucket'),
+            ('hudi_partition_fields', 'price_bucket'),
+            ('iceberg_descriptor', 'r_price:BUCKET[4]'),
+            ('iceberg_spec_transform', 'bucket[4]'),
+            ('n_records', CAST((SELECT COUNT(*) FROM region) AS VARCHAR))
+        ) t(item, value)
+    """,
     # r13: ops are a pure function of region — 'i' x5 seed + the upsert's
     # 'u' after-images ('X_' || r_name on keys 0-1) + one new-key 'i';
     # the COMPACT instant contributes nothing
@@ -8435,6 +8584,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sync_recovery": q_sync_recovery,
     "sync_partition_evolution": q_sync_partition_evolution,
     "sync_bucket_spec": q_sync_bucket_spec,
+    "sync_bucket_decimal": q_sync_bucket_decimal,
     "delta_cdf": q_delta_cdf,
     "iceberg_changelog": q_iceberg_changelog,
     "iceberg_changelog_updates": q_iceberg_changelog_updates,

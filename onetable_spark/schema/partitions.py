@@ -65,12 +65,19 @@ def transform_column(pf: PartitionField, dtype=None) -> Column:
         w = _require_arg(pf)
         # Iceberg truncate (spec §Partition Transforms): ints floor to
         # the W-multiple (``v - ((v % W + W) % W)`` == ``v - pmod(v, W)``),
-        # strings keep the first W characters. Both are pure built-in
-        # expressions — whole-stage codegen, no UDF.
+        # strings keep the first W characters, binary the first W bytes,
+        # decimals floor their UNSCALED value to the W-multiple (r14) —
+        # all pure built-in expressions, whole-stage codegen, no UDF.
         from pyspark.sql import types as _T
 
-        if dtype is not None and isinstance(dtype, _T.StringType):
+        if dtype is not None and isinstance(dtype, (_T.StringType, _T.BinaryType)):
             return F.substring(c, 1, w)
+        if dtype is not None and isinstance(dtype, _T.DecimalType):
+            import decimal as _dec
+
+            # W in unscaled units = W · 10^-scale as an exact decimal
+            step = _dec.Decimal(w).scaleb(-dtype.scale)
+            return (c - F.pmod(c, F.lit(step))).cast(dtype)
         return c - F.pmod(c, F.lit(w))
     raise ValueError(f"unsupported transform {t}")
 
@@ -389,12 +396,32 @@ def _murmur3_32_longs(values):
     return h
 
 
+def _decimal_unscaled(value) -> tuple[int, int]:
+    """A Decimal's (unscaled coefficient with sign, exponent) — the
+    integer Iceberg's decimal transforms operate on (spec Appendix B:
+    decimals hash/truncate their unscaled value at the type's scale)."""
+    t = value.as_tuple()
+    unscaled = int("".join(map(str, t.digits)) or "0") * (-1 if t.sign else 1)
+    exp = int(t.exponent)
+    if exp > 0:
+        # 1E+2-style Decimals: fold the positive exponent into the
+        # coefficient (scale 0)
+        unscaled *= 10**exp
+        exp = 0
+    return unscaled, exp
+
+
 def iceberg_bucket_value(value, n_buckets: int) -> int | None:
     """Scalar bucket[N] (spec Appendix B): int/long hash as 8-byte LE
     longs, str as UTF-8, bytes raw, date as days-since-epoch, datetime
-    as MICROseconds-since-epoch."""
+    as MICROseconds-since-epoch, decimal as the minimal-length
+    big-endian two's-complement of its unscaled value, uuid as its 16
+    big-endian bytes (r14 — spec vectors pinned in
+    tests/test_bucket_transform.py)."""
+    import decimal as _dec
     import numbers
     import struct
+    import uuid as _uuid
 
     if value is None:
         return None
@@ -403,7 +430,16 @@ def iceberg_bucket_value(value, n_buckets: int) -> int | None:
     if isinstance(value, float) and float(value).is_integer():
         # nullable integral columns surface as float64 in pandas batches
         value = int(value)
-    if isinstance(value, numbers.Integral):  # covers numpy integer scalars
+    if isinstance(value, _dec.Decimal):
+        unscaled, _ = _decimal_unscaled(value)
+        nbytes = max(1, (unscaled.bit_length() + 7) // 8)
+        try:
+            data = unscaled.to_bytes(nbytes, "big", signed=True)
+        except OverflowError:
+            data = unscaled.to_bytes(nbytes + 1, "big", signed=True)
+    elif isinstance(value, _uuid.UUID):
+        data = value.bytes
+    elif isinstance(value, numbers.Integral):  # covers numpy integer scalars
         data = struct.pack("<q", int(value))
     elif isinstance(value, str):
         data = value.encode("utf-8")
@@ -422,13 +458,24 @@ def iceberg_bucket_value(value, n_buckets: int) -> int | None:
 
 def iceberg_truncate_value(value, width: int):
     """Scalar truncate[W]: ints floor to the W-multiple (floor-mod, so
-    negatives truncate DOWN), strings keep the first W characters."""
+    negatives truncate DOWN), strings keep the first W characters,
+    decimals floor their UNSCALED value to the W-multiple at the same
+    scale, binary keeps the first W bytes (r14, spec Appendix B)."""
+    import decimal as _dec
+
     if value is None:
         return None
-    if isinstance(value, int) and not isinstance(value, bool):
+    if isinstance(value, bool):
+        raise ValueError("truncate over boolean is not defined by the spec")
+    if isinstance(value, _dec.Decimal):
+        unscaled, exp = _decimal_unscaled(value)
+        return _dec.Decimal(unscaled - (unscaled % width)).scaleb(exp)
+    if isinstance(value, int):
         return value - (value % width)  # Python % is already floor-mod
     if isinstance(value, str):
         return value[:width]
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value)[:width]
     raise ValueError(f"truncate over {type(value).__name__} is not supported")
 
 

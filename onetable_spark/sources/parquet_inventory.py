@@ -103,10 +103,18 @@ def _stats_batches(batch_iter: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
                     if st.has_null_count:
                         nulls[n] += st.null_count
                     if st.has_min_max:
-                        if mins[n] is None or st.min < mins[n]:
-                            mins[n] = st.min
-                        if maxs[n] is None or st.max > maxs[n]:
-                            maxs[n] = st.max
+                        try:
+                            mn, mx = st.min, st.max
+                        except Exception:
+                            # pyarrow can't build stat scalars for some
+                            # physical types (e.g. FLBA decimals) — stats
+                            # are an optimization, never a correctness
+                            # input, so leave this column unbounded
+                            continue
+                        if mins[n] is None or mn < mins[n]:
+                            mins[n] = mn
+                        if maxs[n] is None or mx > maxs[n]:
+                            maxs[n] = mx
             stats = [
                 {
                     "field": n,

@@ -151,3 +151,100 @@ def test_bucket_column_null_timestamp_yields_null(spark):
     assert rows[2] is None
     assert rows[1] == iceberg_bucket_value(ts, 16)
     assert rows[3] == iceberg_bucket_value(ts + dt.timedelta(hours=5), 16)
+
+
+def test_decimal_uuid_spec_vectors():
+    """r14: the remaining Appendix-B bucket types — decimal hashes the
+    minimal-length big-endian two's-complement of its unscaled value,
+    uuid its 16 big-endian bytes. Vectors from the Iceberg spec table."""
+    import decimal
+    import uuid
+
+    from onetable_spark.schema.partitions import murmur3_32
+
+    def signed(h):
+        return h - (1 << 32) if h >= (1 << 31) else h
+
+    # decimal 14.20 → unscaled 1420 → bytes 05 8C → -500754589
+    d = decimal.Decimal("14.20")
+    assert iceberg_bucket_value(d, 1 << 31) == (-500754589) & 0x7FFFFFFF
+    assert signed(murmur3_32(b"\x05\x8c")) == -500754589
+    # uuid f79c3e09-677c-4bbd-a479-3f349cb785e7 → 1488055340
+    u = uuid.UUID("f79c3e09-677c-4bbd-a479-3f349cb785e7")
+    assert iceberg_bucket_value(u, 1 << 31) == 1488055340 & 0x7FFFFFFF
+    # minimal-length encoding edge: -128 is ONE byte (0x80), 128 is two
+    assert iceberg_bucket_value(decimal.Decimal("-128"), 1 << 31) == (
+        murmur3_32(b"\x80") & 0x7FFFFFFF
+    )
+    assert iceberg_bucket_value(decimal.Decimal("128"), 1 << 31) == (
+        murmur3_32(b"\x00\x80") & 0x7FFFFFFF
+    )
+    assert iceberg_bucket_value(decimal.Decimal("0.00"), 1 << 31) == (
+        murmur3_32(b"\x00") & 0x7FFFFFFF
+    )
+
+
+def test_truncate_decimal_and_binary():
+    """r14: truncate[W] floors a decimal's UNSCALED value to the
+    W-multiple at the same scale (spec example: W=50 of 10.65 → 10.50)
+    and keeps a binary's first W bytes."""
+    import decimal
+
+    from onetable_spark.schema.partitions import iceberg_truncate_value
+
+    assert iceberg_truncate_value(decimal.Decimal("10.65"), 50) == decimal.Decimal("10.50")
+    assert iceberg_truncate_value(decimal.Decimal("-0.05"), 50) == decimal.Decimal("-0.50")
+    assert iceberg_truncate_value(b"\x01\x02\x03\x04\x05", 3) == b"\x01\x02\x03"
+    assert iceberg_truncate_value(b"\x01", 3) == b"\x01"
+
+
+def test_transform_column_truncate_decimal_binary(spark):
+    """The Spark-side truncate expressions agree with the scalar spec
+    functions for decimal and binary columns (pure built-ins, no UDF)."""
+    import decimal
+
+    from pyspark.sql import types as T
+
+    from onetable_spark.schema.partitions import iceberg_truncate_value
+
+    df = spark.createDataFrame(
+        [(decimal.Decimal("10.65"), b"\x01\x02\x03\x04"),
+         (decimal.Decimal("-0.05"), b"\xff"),
+         (None, None)],
+        T.StructType([
+            T.StructField("d", T.DecimalType(9, 2)),
+            T.StructField("b", T.BinaryType()),
+        ]),
+    )
+    pf_d = PartitionField(
+        source_field="d", transform=PartitionTransform.TRUNCATE, transform_arg=50
+    )
+    pf_b = PartitionField(
+        source_field="b", transform=PartitionTransform.TRUNCATE, transform_arg=3
+    )
+    out = df.select(
+        "d", "b",
+        transform_column(pf_d, T.DecimalType(9, 2)).alias("td"),
+        transform_column(pf_b, T.BinaryType()).alias("tb"),
+    ).collect()
+    for r in out:
+        assert r["td"] == iceberg_truncate_value(r["d"], 50)
+        assert (bytes(r["tb"]) if r["tb"] is not None else None) == \
+            iceberg_truncate_value(bytes(r["b"]) if r["b"] is not None else None, 3)
+
+
+def test_bucket_column_decimal_matches_scalar(spark):
+    """bucket_column over a DecimalType column (Arrow delivers Decimal
+    objects — the per-row map path) agrees with the scalar spec form."""
+    import decimal
+
+    from pyspark.sql import types as T
+
+    vals = [decimal.Decimal(k) + decimal.Decimal("0.25") for k in range(5)]
+    df = spark.createDataFrame(
+        [(v,) for v in vals] + [(None,)],
+        T.StructType([T.StructField("d", T.DecimalType(9, 2))]),
+    )
+    rows = df.select("d", bucket_column("d", 4).alias("b")).collect()
+    for r in rows:
+        assert r["b"] == iceberg_bucket_value(r["d"], 4)
