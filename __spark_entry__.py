@@ -61,7 +61,7 @@ hive partition dirs (basenames collide across partition dirs by
 construction of Spark's partitionBy).
 
 The driver window is ROTATED for r13 (VERDICT r12 #6): the newcomer,
-then ALL 41 queries whose latest driver row is r10, then 8 of the r11
+then ALL 41 queries whose latest driver row is r10, then 4 of the r11
 cohort (alphabetical) as fill.
 
 Round 12 summary (141 queries; all still green). New in round 12:

@@ -995,11 +995,18 @@ class IcebergTable:
         delete_manifests: list[dict],
         ice_schema: Optional[dict] = None,
         apply_equality: bool = False,
+        has_equality: Optional[bool] = None,
     ) -> DataFrame:
         """Distinct ``(path, pos)`` of every row the applicable deletes
         kill at this snapshot — the shared core of net-count application
         AND cross-format delete translation (an Iceberg position delete
-        becomes a Delta deletion vector from exactly these rows)."""
+        becomes a Delta deletion vector from exactly these rows).
+
+        ``has_equality`` (r14): callers that already know whether the
+        manifests reference equality-delete files (the changelog reads
+        the tiny manifest avro driver-side anyway) pass the flag and skip
+        the per-call ``isEmpty`` probe job — along an N-commit changelog
+        chain that probe was one scheduled Spark job per snapshot."""
         delete_files = self._decode_delete_files(
             delete_manifests, allow_equality=apply_equality
         )
@@ -1036,8 +1043,11 @@ class IcebergTable:
             eq_files = delete_files.where(
                 F.col("content") == _CONTENT_EQUALITY_DELETES
             )
-            # driver-ok: emptiness probe, one boolean
-            if not eq_files.isEmpty():
+            present = has_equality
+            if present is None:
+                # driver-ok: emptiness probe, one boolean
+                present = not eq_files.isEmpty()
+            if present:
                 eq_hits = self._equality_match_positions(
                     base_with_seq, eq_files, ice_schema
                 )
@@ -1489,16 +1499,27 @@ class IcebergTable:
             return src.select("path", "_dead").mapInPandas(read, schema)
 
         def rows_at(positions: DataFrame):
-            """Rows at exactly the given (path, pos) positions."""
+            """'delete' rows at the given TAGGED (path, pos, ordinal,
+            snapshot-id) positions — ONE groupBy shuffle and one read per
+            file for the WHOLE chain (r14; the r13 form ran a separate
+            shuffle per snapshot, so an N-commit changelog paid N stage
+            round-trips of pure scheduling)."""
 
             def read_pos(key, pdf: pd.DataFrame) -> pd.DataFrame:
                 import numpy as _np
                 import pyarrow.parquet as _pq
 
-                t = _pq.read_table(key[0]).take(_np.sort(pdf["pos"].to_numpy()))
-                return t.to_pandas(integer_object_nulls=True)
+                order = _np.argsort(pdf["pos"].to_numpy(), kind="stable")
+                t = _pq.read_table(key[0]).take(pdf["pos"].to_numpy()[order])
+                df = t.to_pandas(integer_object_nulls=True)
+                df["_change_type"] = "delete"
+                df["_change_ordinal"] = pdf["_change_ordinal"].to_numpy()[order]
+                df["_commit_snapshot_id"] = (
+                    pdf["_commit_snapshot_id"].to_numpy()[order]
+                )
+                return df
 
-            return positions.groupBy("path").applyInPandas(read_pos, schema)
+            return positions.groupBy("path").applyInPandas(read_pos, out_schema)
 
         def counts_or_none(records: list[dict], *keys: str) -> Optional[int]:
             """Sum the first present count field per manifest record;
@@ -1521,6 +1542,7 @@ class IcebergTable:
         # frames reused by every later snapshot's prior_dead AND the
         # final union, so each delete file decodes once per changelog)
         killed_acc: list[DataFrame] = []
+        killed_tagged: list[DataFrame] = []
         initial_dead: Optional[DataFrame] = None
         initial_dead_done = False
 
@@ -1613,13 +1635,33 @@ class IcebergTable:
                         for m in pdata
                     },
                 )
+                # driver-ok: the snapshot's OWN delete manifests are tiny
+                # avro files — reading them here hands _deleted_positions
+                # the equality-presence flag so it never schedules its
+                # per-call isEmpty probe job (one per snapshot pre-r14)
+                has_eq = any(
+                    e.get("status") in (STATUS_ADDED, STATUS_EXISTING)
+                    and e["data_file"].get("content", _CONTENT_POSITION_DELETES)
+                    == _CONTENT_EQUALITY_DELETES
+                    for m in own_deletes
+                    for e in read_container(m["manifest_path"])[1]
+                )
                 killed = self._deleted_positions(
                     pbase, own_deletes, ice_schema=ice_schema,
                     apply_equality=apply_equality_deletes,
+                    has_equality=has_eq,
                 ).persist()
                 killed_acc.append(killed)
-                frames.append(stamp(rows_at(killed), "delete"))
+                killed_tagged.append(
+                    killed.withColumn("_change_ordinal", F.lit(ordinal))
+                    .withColumn("_commit_snapshot_id", F.lit(sid).cast("long"))
+                )
 
+        if killed_tagged:
+            allk = killed_tagged[0]
+            for k in killed_tagged[1:]:
+                allk = allk.unionByName(k)
+            frames.append(rows_at(allk))
         if not frames:
             return self.spark.createDataFrame([], out_schema)
         out = frames[0]
