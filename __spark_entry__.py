@@ -4,7 +4,45 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 13: 146 queries. New in round 13:
+Surface as of round 14: 150 queries. New in round 14:
+`hudi_cdc_feed` — Hudi SUPPLEMENTAL CDC LOG (RFC-51,
+hoodie.table.cdc.enabled): upsert_records authors real -cdc log files
+(CDC_DATA blocks, op='u' records with EXACT before/after images as
+JSON strings per HoodieCDCUtils' data_before_after schema, advertised
+via the write stat's cdcStats); cdc_feed(from, to) serves the
+CDCRelation.FULL_CDC_SPARK_SCHEMA shape — cdc files authoritative per
+file group, BASE_FILE_INSERT inference for new file groups; closes the
+r13 after-image-only limitation.
+`iceberg_changelog_updates` / `hudi_changelog_updates` — the
+changelogs' identifier-columns mode (create_changelog_view parity):
+same-key delete+insert within a snapshot/instant pairs into
+update_preimage/update_postimage (the Hudi fixture is a replacecommit
+keyed rewrite — carried-over keys pair with identical values,
+computeUpdates parity).
+`sync_bucket_decimal` — bucket/truncate type coverage completed per
+Iceberg spec Appendix B: bucket over decimal (minimal big-endian
+unscaled bytes) and uuid (16-byte big-endian), truncate over
+decimal/binary, spec-vector-pinned, synced end-to-end over a decimal
+column.
+Also r14: the streaming CDF source derives NON-cdc commits (plain
+appends and mixed overwrites stream as insert/delete rows —
+delta-spark streaming readChangeFeed parity; before r14 appended rows
+silently vanished from the feed); batch change_feed derives MIXED
+add+remove commits without cdc files as both legs instead of refusing
+(delta-spark CDCReader parity — the INSERT OVERWRITE shape, staged as
+the CDF lifecycle's v4 commit); CDF/cdc rows on hive-partitioned
+tables carry REAL partition values (coalesced from the actions'
+partitionValues maps); the Iceberg changelog pools ALL delete-row
+reads into ONE shuffle per chain and hands equality-presence flags
+down driver-side (no per-snapshot probe jobs), the Hudi changelog
+reads ALL commit heads in one job (no per-instant .first()), and
+tools/chain_probe.py guards ~100-commit chain-length scaling for all
+three changelogs; vacuum counts Hudi cdc files as referenced.
+The driver window is ROTATED for r14 (VERDICT r13 #7): the four
+newcomers, then ALL 46 queries whose latest driver row is r11 —
+nothing left staler than r12.
+
+Round 13 (146 queries). New in round 13:
 `streaming_cdf` — STREAMING row-level CDC: a Structured Streaming file
 source over the CDF table's _change_data/ dir, so pipelines consume
 the exact update_preimage/update_postimage/insert rows instead of the

@@ -1746,14 +1746,16 @@ class DeltaLog:
 
         Per version: ``cdc`` actions, when present, are AUTHORITATIVE
         (their files carry exact row-level changes — what the CDF-enabled
-        upsert writes); otherwise dataChange=true adds in an add-only
-        commit read as ``insert`` rows and dataChange=true removes in a
-        remove-only commit as ``delete`` rows (the same file-granularity
-        derivation delta-spark uses); a MIXED add+remove commit without
-        cdc files REFUSES — deriving row changes from it would be a guess
-        (delta-spark raises the same way for CDF reads over such
-        commits). dataChange=false commits (OPTIMIZE/REORG) contribute
-        nothing.
+        upsert writes); otherwise dataChange=true adds read as ``insert``
+        rows and dataChange=true removes as ``delete`` rows — INCLUDING
+        in a mixed add+remove commit (r14: delta-spark's CDCReader
+        derives both sides of any non-cdc commit, the INSERT OVERWRITE /
+        replaceWhere shape; the protocol obliges CDF writers to author
+        cdc files for every commit that MODIFIES rows, so a compliant
+        table's non-cdc commits only ever wholly add or wholly drop
+        them — the r13 refusal was stricter than delta-spark and broke
+        overwrite history reads). dataChange=false commits
+        (OPTIMIZE/REORG) contribute nothing.
 
         Partitioned tables (r14): partition columns live in the actions'
         ``partitionValues`` maps, not the parquet bytes — each emitted row
@@ -1833,34 +1835,31 @@ class DeltaLog:
                 removes = [a for a in slot["remove"] if a["dataChange"]]
                 if not adds and not removes:
                     continue  # metadata-only or dataChange=false commit
-                if adds and removes:
-                    raise ValueError(
-                        f"{self.table_path}: version {v} mixes adds and "
-                        "removes with no cdc files — row-level changes "
-                        "cannot be derived (enable "
-                        f"{self.CDF_PROP} on the writer, or read the "
-                        "file-level stream via read_delta_log_stream)"
+                legs = []
+                for files, change in ((adds, "insert"), (removes, "delete")):
+                    if not files:
+                        continue
+                    file_pv = [(abs_path(a["path"]), a["pv"]) for a in files]
+                    if pcols and change == "delete":
+                        # this engine's remove actions carry no
+                        # partitionValues — recover them from the parent
+                        # snapshot (driver-ok: O(removed files) after the
+                        # isin prune)
+                        wanted = [p for p, _ in file_pv]
+                        looked = {
+                            r["path"]: dict(r["partition_values"] or {})
+                            for r in self.snapshot_files(v - 1)
+                            .where(F.col("path").isin(wanted))
+                            .select("path", "partition_values")
+                            .collect()
+                        }
+                        file_pv = [(p, looked.get(p)) for p, _ in file_pv]
+                    legs.append(
+                        self._read_rows_with_pv(
+                            file_pv, schema, schema, pcols
+                        ).withColumn("_change_type", F.lit(change))
                     )
-                files, change = (
-                    (adds, "insert") if adds else (removes, "delete")
-                )
-                file_pv = [(abs_path(a["path"]), a["pv"]) for a in files]
-                if pcols and change == "delete":
-                    # this engine's remove actions carry no partitionValues
-                    # — recover them from the parent snapshot (driver-ok:
-                    # O(removed files) after the isin prune)
-                    wanted = [p for p, _ in file_pv]
-                    looked = {
-                        r["path"]: dict(r["partition_values"] or {})
-                        for r in self.snapshot_files(v - 1)
-                        .where(F.col("path").isin(wanted))
-                        .select("path", "partition_values")
-                        .collect()
-                    }
-                    file_pv = [(p, looked.get(p)) for p, _ in file_pv]
-                df = self._read_rows_with_pv(
-                    file_pv, schema, schema, pcols
-                ).withColumn("_change_type", F.lit(change))
+                df = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
             frames.append(df.withColumn("_commit_version", F.lit(v).cast("long")))
         if not frames:
             return self.spark.createDataFrame([], out_schema)

@@ -80,6 +80,9 @@ WRITE_STAT_SCHEMA = T.StructType(
         T.StructField("minEventTime", T.StringType()),
         T.StructField("maxEventTime", T.StringType()),
         T.StructField("columnStats", T.StringType()),  # our extension: stats JSON
+        # real HoodieWriteStat field (RFC-51): supplemental cdc log files
+        # this stat's write produced — relative path → size
+        T.StructField("cdcStats", T.MapType(T.StringType(), T.LongType())),
     ]
 )
 COMMIT_META_SCHEMA = T.StructType(
@@ -204,6 +207,21 @@ class HudiTimeline:
                     k, v = line.split("=", 1)
                     props[k] = v
         return props
+
+    def set_table_properties(self, updates: dict[str, str]) -> None:
+        """Merge ``updates`` into hoodie.properties (atomic rewrite) —
+        how ``hoodie.table.cdc.enabled`` / the supplemental-logging mode
+        get switched on, real Hudi's table-config upgrade path."""
+        props = self.table_properties()
+        props.update(updates)
+        props_file = os.path.join(self.hoodie_path, "hoodie.properties")
+        tmp = props_file + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("#Updated at %d\n" % int(time.time() * 1000))
+            for k, v in sorted(props.items()):
+                if v:
+                    f.write(f"{k}={v}\n")
+        os.replace(tmp, props_file)
 
     # -------------------------------------------------------------- timeline
 
@@ -714,6 +732,65 @@ class HudiTimeline:
     def snapshot_files_before(self, instant: str, view: Optional[str] = None) -> DataFrame:
         return self.snapshot_files(instant, strict=True, view=view)
 
+    def _commit_heads(self, instants: list[tuple[str, str]]) -> dict[str, dict]:
+        """Per-instant commit-head facts in ONE Spark job over ALL the
+        range's commit files (keyed by ``input_file_name()``; the r13
+        form ran one ``.first()`` job per instant — 10k instants meant
+        10k scheduling round-trips): operationType plus four
+        payload-presence flags (base adds / data logs / replaced groups
+        / supplemental cdc files). driver-ok: one tiny row per instant."""
+        heads: dict[str, dict] = {}
+        if not instants:
+            return heads
+        hpaths = [
+            os.path.join(self.hoodie_path, f"{i}.{a}") for i, a in instants
+        ]
+        hdf = self.spark.read.schema(COMMIT_META_SCHEMA).json(hpaths).select(
+            F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_fname"),
+            "operationType",
+            (F.size(F.coalesce(F.map_keys("partitionToReplaceFileIds"), F.array())) > 0).alias("has_replace"),
+            F.coalesce(
+                F.aggregate(
+                    F.flatten(F.coalesce(F.map_values("partitionToWriteStats"), F.array())),
+                    F.struct(
+                        F.lit(False).alias("b"),
+                        F.lit(False).alias("l"),
+                        F.lit(False).alias("c"),
+                    ),
+                    lambda acc, s: F.struct(
+                        # coalesce each step: a null stat path would
+                        # otherwise poison the OR fold (false|null=null)
+                        (acc["b"] | F.coalesce(
+                            s["path"].endswith(".parquet")
+                            & (s["numInserts"] > 0),
+                            F.lit(False),
+                        )).alias("b"),
+                        (acc["l"] | F.coalesce(
+                            s["path"].contains(".log."), F.lit(False)
+                        )).alias("l"),
+                        (acc["c"] | F.coalesce(
+                            F.size(F.map_keys(s["cdcStats"])) > 0,
+                            F.lit(False),
+                        )).alias("c"),
+                    ),
+                ),
+                F.struct(
+                    F.lit(False).alias("b"),
+                    F.lit(False).alias("l"),
+                    F.lit(False).alias("c"),
+                ),
+            ).alias("present"),
+        )
+        for r in hdf.collect():
+            heads[r["_fname"].split(".", 1)[0]] = {
+                "op": r["operationType"],
+                "has_base": bool(r["present"]["b"]),
+                "has_logs": bool(r["present"]["l"]),
+                "has_cdc": bool(r["present"]["c"]),
+                "has_replace": bool(r["has_replace"]),
+            }
+        return heads
+
     def changelog(
         self,
         from_instant: Optional[str] = None,
@@ -789,46 +866,7 @@ class HudiTimeline:
             (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
         )
         frames = []
-        # driver-ok: ONE job over ALL in-range commit files — one row per
-        # instant carrying operationType plus the three payload-presence
-        # flags; no per-instant probe jobs run (r13 fired one .first()
-        # per instant — 10k instants meant 10k scheduling round-trips)
-        heads: dict[str, dict] = {}
-        if instants:
-            hpaths = [
-                os.path.join(self.hoodie_path, f"{i}.{a}") for i, a in instants
-            ]
-            hdf = self.spark.read.schema(COMMIT_META_SCHEMA).json(hpaths).select(
-                F.element_at(F.split(F.input_file_name(), "/"), -1).alias("_fname"),
-                "operationType",
-                (F.size(F.coalesce(F.map_keys("partitionToReplaceFileIds"), F.array())) > 0).alias("has_replace"),
-                F.coalesce(
-                    F.aggregate(
-                        F.flatten(F.coalesce(F.map_values("partitionToWriteStats"), F.array())),
-                        F.struct(F.lit(False).alias("b"), F.lit(False).alias("l")),
-                        lambda acc, s: F.struct(
-                            # coalesce each step: a null stat path would
-                            # otherwise poison the OR fold (false|null=null)
-                            (acc["b"] | F.coalesce(
-                                s["path"].endswith(".parquet")
-                                & (s["numInserts"] > 0),
-                                F.lit(False),
-                            )).alias("b"),
-                            (acc["l"] | F.coalesce(
-                                s["path"].contains(".log."), F.lit(False)
-                            )).alias("l"),
-                        ),
-                    ),
-                    F.struct(F.lit(False).alias("b"), F.lit(False).alias("l")),
-                ).alias("present"),
-            )
-            for r in hdf.collect():
-                heads[r["_fname"].split(".", 1)[0]] = {
-                    "op": r["operationType"],
-                    "has_base": bool(r["present"]["b"]),
-                    "has_logs": bool(r["present"]["l"]),
-                    "has_replace": bool(r["has_replace"]),
-                }
+        heads = self._commit_heads(instants)
         for instant, action in instants:
             cpath = os.path.join(self.hoodie_path, f"{instant}.{action}")
             head = heads[instant]
@@ -991,6 +1029,267 @@ class HudiTimeline:
                 )
                 .otherwise(F.col("_change_operation")),
             )
+        return out
+
+    def cdc_feed(
+        self,
+        from_instant: Optional[str] = None,
+        to_instant: Optional[str] = None,
+    ) -> DataFrame:
+        """Hudi CDC QUERY (r14 — RFC-51 / ``hoodie.table.cdc.enabled``):
+        the shape real Hudi's ``hoodie.datasource.query.incremental.format
+        =cdc`` read returns (CDCRelation.FULL_CDC_SPARK_SCHEMA): one row
+        per changed record with ``op`` ('i'/'u'/'d'), ``ts_ms`` (commit
+        epoch millis as string) and ``before``/``after`` images as JSON
+        strings.
+
+        Per FILE GROUP, by RFC-51's inference cases:
+
+        - a supplemental ``-cdc`` log file (advertised by its write
+          stat's ``cdcStats`` — what ``upsert_records`` authors when the
+          table property is on) is AUTHORITATIVE: its CDC_DATA block
+          decodes verbatim through the byte-certified codec, EXACT
+          before-images included;
+        - a new base file with inserts and no cdc stats → RFC-51's
+          BASE_FILE_INSERT inference: its rows as op='i', after-image
+          only;
+        - data log files whose stat carries no cdc stats (foreign or
+          pre-enable writers) → 'u' after-images and DELETE-block 'd'
+          rows with a key-only before image — the same documented
+          inference limit as ``changelog()``;
+        - replaced file groups → 'd' with the prior rows as FULL before
+          images; operationType COMPACT/CLUSTER instants emit nothing.
+
+        JSON formatting varies by leg (writer-authored ``json.dumps`` vs
+        Spark ``to_json``), exactly as real Hudi's avro-toString vs
+        row-JSON renderings do — consumers extract fields, not bytes.
+        """
+        import json as _json
+
+        props = self.table_properties()
+        raw_schema = props.get("hoodie.table.schema")
+        if not raw_schema:
+            raise ValueError(f"{self.table_path}: table carries no schema")
+        schema = T.StructType.fromJson(_json.loads(raw_schema))
+        key_fields = [
+            k for k in props.get("hoodie.table.recordkey.fields", "").split(",") if k
+        ]
+        out_schema = T.StructType(
+            [
+                T.StructField("op", T.StringType()),
+                T.StructField("ts_ms", T.StringType()),
+                T.StructField("before", T.StringType()),
+                T.StructField("after", T.StringType()),
+            ]
+        )
+        instants = [
+            (i, a)
+            for i, a in self.completed_instants()
+            if a in COMMIT_ACTIONS
+            and (from_instant is None or i > from_instant)
+            and (to_instant is None or i <= to_instant)
+        ]
+        table_path = self.table_path
+        field_names = [f.name for f in schema.fields]
+        heads = self._commit_heads(instants)
+        frames = []
+        for instant, action in instants:
+            head = heads[instant]
+            if head["op"] in ("COMPACT", "CLUSTER"):
+                continue
+            cpath = os.path.join(self.hoodie_path, f"{instant}.{action}")
+            cdf = self.spark.read.schema(COMMIT_META_SCHEMA).json([cpath])
+            stats = (
+                cdf.select(
+                    F.explode_outer("partitionToWriteStats").alias("partition", "stats")
+                )
+                .select(F.explode_outer("stats").alias("s"))
+                .select("s.path", "s.numInserts", "s.cdcStats")
+                .where(F.col("path").isNotNull())
+                .withColumn(
+                    "abs_path",
+                    F.when(
+                        F.col("path").startswith("/") | F.col("path").contains("://"),
+                        F.col("path"),
+                    ).otherwise(F.concat(F.lit(table_path + "/"), F.col("path"))),
+                )
+                .withColumn(
+                    "has_cdc",
+                    F.coalesce(F.size(F.map_keys("cdcStats")) > 0, F.lit(False)),
+                )
+            )
+            ts_ms = str(instant_to_millis(instant))
+            this_instant = instant
+            to_json_opts = {"ignoreNullFields": "false"}
+
+            if head["has_cdc"]:
+                # authoritative leg: the cdc files themselves
+                cdc_paths = stats.where("has_cdc").select(
+                    F.explode(F.map_keys("cdcStats")).alias("rel")
+                ).select(
+                    F.when(
+                        F.col("rel").startswith("/") | F.col("rel").contains("://"),
+                        F.col("rel"),
+                    ).otherwise(F.concat(F.lit(table_path + "/"), F.col("rel")))
+                    .alias("abs_path")
+                )
+
+                def read_cdc(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                    import pandas as pd
+
+                    from onetable_spark.formats.hudi_log import (
+                        avro_block_records,
+                        read_log_blocks,
+                    )
+
+                    cols_ = ["op", "ts_ms", "before", "after"]
+                    for pdf in batches:
+                        rows = []
+                        for p in pdf["abs_path"]:
+                            for b in read_log_blocks(p):
+                                if b["type"] != "cdc_data":
+                                    continue
+                                if b["headers"].get("instant_time") != this_instant:
+                                    continue
+                                _, recs = avro_block_records(b, decode=True)
+                                rows.extend(
+                                    {
+                                        "op": r.get("op"),
+                                        "ts_ms": r.get("ts_ms") or ts_ms,
+                                        "before": r.get("before"),
+                                        "after": r.get("after"),
+                                    }
+                                    for r in recs
+                                )
+                        yield pd.DataFrame(rows, columns=cols_)
+
+                frames.append(
+                    cdc_paths.mapInPandas(read_cdc, out_schema)
+                )
+
+            def rows_as(paths_df: DataFrame, op: str, image: str) -> DataFrame:
+                """Read full rows of the given parquet files and wrap
+                them as one-image cdc rows (the inference legs)."""
+
+                def read(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                    import pyarrow.parquet as _pq
+
+                    for pdf in batches:
+                        for p in pdf["abs_path"]:
+                            yield _pq.read_table(p).to_pandas(
+                                integer_object_nulls=True
+                            )
+
+                rows = paths_df.select("abs_path").mapInPandas(read, schema)
+                img = F.to_json(F.struct(*field_names), to_json_opts)
+                return rows.select(
+                    F.lit(op).alias("op"),
+                    F.lit(ts_ms).alias("ts_ms"),
+                    (img if image == "before" else F.lit(None).cast("string")).alias("before"),
+                    (img if image == "after" else F.lit(None).cast("string")).alias("after"),
+                )
+
+            if head["has_base"]:
+                # BASE_FILE_INSERT inference: new file groups, no cdc log
+                base_adds = stats.where(
+                    F.col("path").endswith(".parquet")
+                    & (F.col("numInserts") > 0)
+                    & ~F.col("has_cdc")
+                )
+                frames.append(rows_as(base_adds, "i", "after"))
+
+            if head["has_logs"]:
+                # non-cdc data logs: after-image 'u' / key-only 'd'
+                logs = stats.where(
+                    F.col("path").contains(".log.") & ~F.col("has_cdc")
+                )
+
+                def read_blocks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                    import json as _json2
+
+                    import pandas as pd
+
+                    from onetable_spark.formats.hudi_log import (
+                        avro_block_records,
+                        delete_block_records,
+                        read_log_blocks,
+                    )
+
+                    cols_ = ["op", "ts_ms", "before", "after"]
+                    for pdf in batches:
+                        rows = []
+                        for p in pdf["abs_path"]:
+                            for b in read_log_blocks(p):
+                                if b["headers"].get("instant_time") != this_instant:
+                                    continue
+                                if b["type"] == "avro_data":
+                                    _, recs = avro_block_records(b, decode=True)
+                                    rows.extend(
+                                        {
+                                            "op": "u",
+                                            "ts_ms": ts_ms,
+                                            "before": None,
+                                            "after": _json2.dumps(r, default=str),
+                                        }
+                                        for r in recs
+                                    )
+                                elif b["type"] == "delete":
+                                    _, recs = delete_block_records(b)
+                                    rows.extend(
+                                        {
+                                            "op": "d",
+                                            "ts_ms": ts_ms,
+                                            "before": _json2.dumps(
+                                                {
+                                                    (key_fields[0] if key_fields else "record_key"):
+                                                    r.get("recordKey")
+                                                }
+                                            ),
+                                            "after": None,
+                                        }
+                                        for r in recs
+                                    )
+                        yield pd.DataFrame(rows, columns=cols_)
+
+                frames.append(
+                    logs.select("abs_path").mapInPandas(read_blocks, out_schema)
+                )
+
+            if head["has_replace"]:
+                replaced_ids = (
+                    cdf.select(
+                        F.explode_outer("partitionToReplaceFileIds").alias("pp", "ids")
+                    )
+                    .select(F.explode_outer("ids").alias("file_id"))
+                    .where(F.col("file_id").isNotNull())
+                )
+                prior = self.snapshot_files_before(instant, view="read_optimized")
+
+                def with_fid(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+                    for pdf in batches:
+                        rel = pdf["path"].map(
+                            lambda p: p[len(table_path) + 1:]
+                            if p.startswith(table_path)
+                            else p
+                        )
+                        pdf = pdf[["path"]].copy()
+                        pdf["file_id"] = rel.map(_file_id_for)
+                        pdf["abs_path"] = pdf["path"]
+                        yield pdf[["abs_path", "file_id"]]
+
+                prior_fids = prior.select("path").mapInPandas(
+                    with_fid, "abs_path string, file_id string"
+                )
+                victims = prior_fids.join(
+                    F.broadcast(replaced_ids), "file_id", "left_semi"
+                )
+                frames.append(rows_as(victims, "d", "before"))
+
+        if not frames:
+            return self.spark.createDataFrame([], out_schema)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
         return out
 
     def instants_after_millis(self, millis: int) -> list[str]:
@@ -1593,6 +1892,18 @@ class HudiTimeline:
         )
         open(inflight, "w").close()
 
+        # RFC-51 supplemental cdc logging: when the table enables
+        # hoodie.table.cdc.enabled, every UPDATED file group also gets a
+        # ``-cdc`` log file whose CDC_DATA block carries op='u' records
+        # with BEFORE and after images as JSON strings (HoodieCDCUtils'
+        # data_before_after schema; op_key_only/data_before honored).
+        # New-file-group inserts author no cdc file — real Hudi's
+        # BASE_FILE_INSERT inference derives them at read (cdc_feed).
+        props = self.table_properties()
+        cdc_on = props.get("hoodie.table.cdc.enabled", "false") == "true"
+        cdc_mode = props.get(
+            "hoodie.table.cdc.supplemental.logging.mode", "data_before_after"
+        )
         stat_rows: list[dict] = []
         if updates is not None:
 
@@ -1622,6 +1933,62 @@ class HudiTimeline:
                 rel_log = (
                     lp[len(table_prefix):] if lp.startswith(table_prefix) else lp
                 )
+                cdc_rel, cdc_size = None, None
+                if cdc_on:
+                    import json as _json
+
+                    import pyarrow.parquet as _pq
+
+                    from onetable_spark.formats.hudi_log import (
+                        write_cdc_log_block,
+                    )
+
+                    # BEFORE images: the matched keys' current rows in
+                    # this file group's base parquet (one columnar read
+                    # per touched group, executor-side)
+                    t = _pq.read_table(path).to_pandas(
+                        integer_object_nulls=True
+                    )
+                    if len(kf) == 1:
+                        bkeys = t[kf[0]].astype(str)
+                    else:
+                        bkeys = t[kf[0]].astype(str).radd(f"{kf[0]}:")
+                        for f_ in kf[1:]:
+                            bkeys = bkeys + "," + t[f_].astype(str).radd(f"{f_}:")
+                    before_by_key = {}
+                    for k_, vals in zip(bkeys, zip(*[t[c] for c in cols])):
+                        before_by_key[k_] = {
+                            c: (v.item() if hasattr(v, "item") else v)
+                            for c, v in zip(cols, vals)
+                        }
+                    ts_ms = str(instant_to_millis(instant))
+                    cdc_records = []
+                    for k_, after in zip(pdf["_key"], records):
+                        rec = {"op": "u"}
+                        if cdc_mode == "data_before_after":
+                            rec["ts_ms"] = ts_ms
+                            rec["before"] = _json.dumps(
+                                before_by_key.get(k_), default=str
+                            )
+                            rec["after"] = _json.dumps(after, default=str)
+                        else:
+                            rec["record_key"] = k_
+                            if cdc_mode == "data_before":
+                                rec["before"] = _json.dumps(
+                                    before_by_key.get(k_), default=str
+                                )
+                        cdc_records.append(rec)
+                    cp = os.path.join(
+                        log_dir,
+                        f".{file_id}_{base_instant}.log.{version}_0-0-0-cdc",
+                    )
+                    write_cdc_log_block(cp, cdc_records, instant, mode=cdc_mode)
+                    cdc_rel = (
+                        cp[len(table_prefix):]
+                        if cp.startswith(table_prefix)
+                        else cp
+                    )
+                    cdc_size = os.path.getsize(cp)
                 return _pd.DataFrame(
                     [
                         {
@@ -1631,6 +1998,8 @@ class HudiTimeline:
                             "prev_commit": base_instant,
                             "num_updates": len(records),
                             "size": os.path.getsize(lp),
+                            "cdc_path": cdc_rel,
+                            "cdc_size": cdc_size,
                         }
                     ]
                 )
@@ -1642,7 +2011,8 @@ class HudiTimeline:
                 .applyInPandas(
                     author,
                     "rel_path string, file_id string, partition_path string, "
-                    "prev_commit string, num_updates long, size long",
+                    "prev_commit string, num_updates long, size long, "
+                    "cdc_path string, cdc_size long",
                 )
                 .localCheckpoint(eager=True)
             )
@@ -1661,6 +2031,11 @@ class HudiTimeline:
                         "fileSizeInBytes": row["size"],
                         "partitionPath": row["partition_path"],
                         "columnStats": None,
+                        **(
+                            {"cdcStats": {row["cdc_path"]: row["cdc_size"]}}
+                            if row["cdc_path"]
+                            else {}
+                        ),
                     }
                 )
 

@@ -164,12 +164,49 @@ def read_log_blocks(path: str) -> list[dict[str, Any]]:
     return blocks
 
 
+#: HoodieCDCUtils' per-supplemental-logging-mode record schemas (RFC-51;
+#: hudi-common .../table/cdc/HoodieCDCUtils.java). before/after are JSON
+#: STRINGS of the data record — which is why Spark's cdc read
+#: (CDCRelation.FULL_CDC_SPARK_SCHEMA) types them StringType verbatim.
+CDC_AVRO_SCHEMAS: dict[str, dict[str, Any]] = {
+    "op_key_only": {
+        "type": "record",
+        "name": "Record",
+        "fields": [
+            {"name": "op", "type": ["null", "string"], "default": None},
+            {"name": "record_key", "type": ["null", "string"], "default": None},
+        ],
+    },
+    "data_before": {
+        "type": "record",
+        "name": "Record",
+        "fields": [
+            {"name": "op", "type": ["null", "string"], "default": None},
+            {"name": "record_key", "type": ["null", "string"], "default": None},
+            {"name": "before", "type": ["null", "string"], "default": None},
+        ],
+    },
+    "data_before_after": {
+        "type": "record",
+        "name": "Record",
+        "fields": [
+            {"name": "op", "type": ["null", "string"], "default": None},
+            {"name": "ts_ms", "type": ["null", "string"], "default": None},
+            {"name": "before", "type": ["null", "string"], "default": None},
+            {"name": "after", "type": ["null", "string"], "default": None},
+        ],
+    },
+}
+
+
 def avro_block_records(block: dict[str, Any], decode: bool = False) -> tuple[int, list]:
-    """(record_count, records) of one AVRO_DATA block. With ``decode``
-    the records are materialized through the byte-certified Avro codec
-    (formats/avro_codec.py) against the block's SCHEMA header; otherwise
-    only lengths are walked (count integrity without decode cost)."""
-    if block["type"] != "avro_data":
+    """(record_count, records) of one AVRO_DATA (or CDC_DATA — the
+    HoodieCDCDataBlock subclasses HoodieAvroDataBlock, same content
+    bytes) block. With ``decode`` the records are materialized through
+    the byte-certified Avro codec (formats/avro_codec.py) against the
+    block's SCHEMA header; otherwise only lengths are walked (count
+    integrity without decode cost)."""
+    if block["type"] not in ("avro_data", "cdc_data"):
         raise ValueError(f"not an avro_data block: {block['type']}")
     content = block["content"]
     version, count = struct.unpack_from(">ii", content, 0)
@@ -195,12 +232,34 @@ def avro_block_records(block: dict[str, Any], decode: bool = False) -> tuple[int
     return count, records
 
 
+def write_cdc_log_block(
+    path: str,
+    records: list[dict],
+    instant_time: str,
+    mode: str = "data_before_after",
+) -> int:
+    """Author one CDC_DATA block (RFC-51 supplemental cdc log;
+    HoodieCDCDataBlock = HoodieAvroDataBlock bytes under block type 6).
+    ``records`` must match ``CDC_AVRO_SCHEMAS[mode]`` — op 'i'/'u'/'d'
+    plus JSON-string before/after images per HoodieCDCUtils. Returns the
+    record count."""
+    return write_avro_log_block(
+        path,
+        records,
+        CDC_AVRO_SCHEMAS[mode],
+        instant_time,
+        append=False,
+        block_type="cdc_data",
+    )
+
+
 def write_avro_log_block(
     path: str,
     records: list[dict],
     schema: dict,
     instant_time: str,
     append: bool = True,
+    block_type: str = "avro_data",
 ) -> int:
     """Author one AVRO_DATA block (fixture/writer side; same bytes a real
     MOR writer produces for the common path). Returns the record count."""
@@ -218,7 +277,7 @@ def write_avro_log_block(
     content = body.getvalue()
 
     inner = io.BytesIO()
-    inner.write(struct.pack(">ii", 1, _TYPE_ORDINALS["avro_data"]))
+    inner.write(struct.pack(">ii", 1, _TYPE_ORDINALS[block_type]))
     _write_map(
         inner,
         {"instant_time": instant_time, "schema": json.dumps(schema)},

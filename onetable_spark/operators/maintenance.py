@@ -350,15 +350,23 @@ def referenced_paths(spark, fmt, table_path: str, reader=None) -> DataFrame:
         base = spark.createDataFrame([(p,) for p in uniq], "p string")
         par = max(1, min(len(uniq), spark.sparkContext.defaultParallelism))
         return base.repartition(par).mapInPandas(scan, "path string")
-    # HUDI: all completed commits' write stats (no base/log filtering)
+    # HUDI: all completed commits' write stats (no base/log filtering),
+    # plus supplemental cdc log files (r14 — they live in cdcStats, not
+    # path; without this vacuum would destroy live CDC history)
     instants = reader.completed_instants()
     if not instants:
         return spark.createDataFrame([], "path string")
-    return (
+    ws = (
         reader._commits_df(instants)
         .select(F.explode_outer("partitionToWriteStats").alias("partition", "stats"))
         .select(F.explode("stats").alias("ws"))
-        .select(absolute("ws.path").alias("path"))
+    )
+    return ws.select(absolute("ws.path").alias("path")).unionByName(
+        ws.select(
+            F.explode_outer(F.map_keys("ws.cdcStats")).alias("cdc_rel")
+        )
+        .where(F.col("cdc_rel").isNotNull())
+        .select(absolute("cdc_rel").alias("path"))
     )
 
 

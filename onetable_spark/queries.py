@@ -5025,6 +5025,151 @@ def q_hudi_changelog(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_hudi_changelog_updates(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi changelog with IDENTIFIER-PAIRED updates (r14 — the
+    cross-format twin of ``iceberg_changelog_updates``): seed region as
+    a deltacommit, then a REPLACECOMMIT keyed rewrite (full region with
+    keys 0-1 derivably renamed plus new key 93) replacing the seed file
+    group — the shape clustering-style keyed rewrites produce. The bare
+    changelog derives the replaced group's prior rows as 'd' and the new
+    file's rows as 'i'; with ``identifier_fields=['r_regionkey']`` every
+    same-key 'd'+'i' within the instant pairs into
+    ``update_preimage``/``update_postimage`` (carried-over keys 2-4 pair
+    with identical values — create_changelog_view's computeUpdates does
+    the same), and the genuinely-new key stays a bare 'i'. Instants map
+    to dense ordinals driver-side (two timeline strings). Every value is
+    region-derived."""
+    import os
+    import shutil
+
+    from onetable_spark.formats.hudi import HudiTimeline, _file_id_for
+    from onetable_spark.model import DataLayoutStrategy, Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    def build(base: str) -> dict:
+        tbl = os.path.join(base, "hchupd")
+        os.makedirs(tbl)
+        src = os.path.join(sf, "region.parquet")
+        f1 = os.path.join(tbl, "f1.parquet")
+        shutil.copy(src, f1)
+        schema = spark.read.parquet(src).schema
+        tl = HudiTimeline(spark, tbl)
+        tl.init_table(
+            Table(name="hcu", base_path=tbl, table_format=TableFormat.HUDI,
+                  read_schema=schema, layout=DataLayoutStrategy.FLAT,
+                  record_key_fields=("r_regionkey",))
+        )
+        tl.commit(adds=build_inventory(spark, [f1], root=tbl), action="deltacommit")
+        region = spark.read.parquet(src)
+        rewrite = (
+            region.withColumn(
+                "r_name",
+                F.when(
+                    F.col("r_regionkey") <= 1,
+                    F.concat(F.lit("X_"), F.col("r_name")),
+                ).otherwise(F.col("r_name")),
+            )
+            .unionByName(spark.createDataFrame([(93, "NEWLAND")], region.schema))
+        )
+        stage_dir = os.path.join(base, "_rw_stage")
+        rewrite.coalesce(1).write.parquet(stage_dir)
+        part = next(
+            f for f in os.listdir(stage_dir)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        f2 = os.path.join(tbl, "f2.parquet")
+        shutil.move(os.path.join(stage_dir, part), f2)
+        # operationType=UPSERT (the default): a KEYED rewrite is a logical
+        # change — CLUSTER would make the changelog skip it by contract
+        tl.commit(
+            adds=build_inventory(spark, [f2], root=tbl),
+            replace_file_ids={"": [_file_id_for("f1.parquet")]},
+        )
+        return {"dir": tbl}
+
+    stage = _staged_once(spark, sf, "otb_hchupd_q", build)
+    tl = HudiTimeline(spark, stage["dir"])
+    instants = [i for i, _ in tl.completed_instants()]
+    ord_col = F.lit(None).cast("int")
+    for n, inst in enumerate(sorted(instants)):
+        ord_col = F.when(F.col("_commit_instant") == inst, n).otherwise(ord_col)
+    return (
+        tl.changelog(identifier_fields=["r_regionkey"])
+        .select(
+            F.col("_change_operation").alias("op"),
+            ord_col.alias("ordinal"),
+            F.col("r_regionkey").cast("long").alias("r_regionkey"),
+            "r_name",
+        )
+        .orderBy("ordinal", "op", "r_regionkey", "r_name")
+    )
+
+
+def q_hudi_cdc_feed(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi SUPPLEMENTAL CDC LOG end-to-end (r14 — RFC-51 /
+    ``hoodie.table.cdc.enabled``; VERDICT r13 #8): the staged lifecycle
+    seeds region as a deltacommit, flips the cdc table property on, then
+    runs a keyed ``upsert_records`` — which now AUTHORS a real ``-cdc``
+    log file (CDC_DATA block, op='u' records with BEFORE and after
+    images as JSON strings per HoodieCDCUtils' data_before_after schema,
+    advertised via the write stat's ``cdcStats``) — and compacts (the
+    COMPACT instant must emit nothing). ``cdc_feed()`` then serves
+    Hudi's CDC-query shape (CDCRelation.FULL_CDC_SPARK_SCHEMA): the
+    upsert's 'u' rows come off the cdc block VERBATIM with exact
+    before-images; the seed rows and the upsert's new key derive as 'i'
+    via RFC-51's BASE_FILE_INSERT inference (after image only). Every
+    value is region-derived; ts_ms (the commit instant's epoch millis)
+    is asserted present as a boolean. The reference has no CDC surface;
+    prior rounds' Hudi changelog emitted after-images only. Staged once
+    per (session, sf)."""
+    import os
+    import shutil
+
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.model import DataLayoutStrategy, Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+
+    def build(base: str) -> dict:
+        tbl = os.path.join(base, "hcdc")
+        os.makedirs(tbl)
+        src = os.path.join(sf, "region.parquet")
+        f1 = os.path.join(tbl, "f1.parquet")
+        shutil.copy(src, f1)
+        schema = spark.read.parquet(src).schema
+        tl = HudiTimeline(spark, tbl)
+        tl.init_table(
+            Table(name="hcdc", base_path=tbl, table_format=TableFormat.HUDI,
+                  read_schema=schema, layout=DataLayoutStrategy.FLAT,
+                  record_key_fields=("r_regionkey",))
+        )
+        tl.commit(adds=build_inventory(spark, [f1], root=tbl), action="deltacommit")
+        tl.set_table_properties({"hoodie.table.cdc.enabled": "true"})
+        region = spark.read.parquet(src)
+        batch = (
+            region.filter(F.col("r_regionkey") <= 1)
+            .withColumn("r_name", F.concat(F.lit("X_"), F.col("r_name")))
+            .unionByName(
+                spark.createDataFrame([(91, "NEWLAND")], region.schema)
+            )
+        )
+        tl.upsert_records(batch)
+        tl.compact_file_groups()
+        return {"dir": tbl}
+
+    stage = _staged_once(spark, sf, "otb_hcdcfeed_q", build)
+    feed = HudiTimeline(spark, stage["dir"]).cdc_feed()
+    return feed.select(
+        "op",
+        F.coalesce(
+            F.get_json_object("after", "$.r_regionkey"),
+            F.get_json_object("before", "$.r_regionkey"),
+        ).cast("long").alias("r_regionkey"),
+        F.get_json_object("before", "$.r_name").alias("before_name"),
+        F.get_json_object("after", "$.r_name").alias("after_name"),
+        F.col("ts_ms").isNotNull().alias("ts_ok"),
+    ).orderBy("op", "r_regionkey")
+
+
 def _cdf_stage(spark: SparkSession, sf: str) -> dict:
     """ONE staged CDF lifecycle shared by ``delta_cdf`` (batch reader)
     and ``streaming_cdf`` (file stream over _change_data/): seed a
@@ -5092,11 +5237,38 @@ def _cdf_stage(spark: SparkSession, sf: str) -> dict:
         f3 = os.path.join(tbl, "f3.parquet")
         shutil.move(os.path.join(app_stage, part3), f3)
         v3 = log.commit(adds=build_inventory(spark, [f3], root=tbl))
+        # r14: a MIXED overwrite commit (v4) — remove f3 and add f4 in
+        # ONE commit with no cdc files (the INSERT OVERWRITE shape;
+        # delta-spark's CDCReader derives removes as 'delete' + adds as
+        # 'insert' for such commits, and r13's refusal was stricter than
+        # delta-spark). f3's bytes stay on disk (no vacuum), so the
+        # delete preimages read back exactly.
+        ovr = (
+            src.where("r_regionkey >= 3")
+            .withColumn(
+                "r_regionkey",
+                (F.col("r_regionkey") + 300).cast(src.schema["r_regionkey"].dataType),
+            )
+            .withColumn("r_name", F.concat(F.lit("OVR_"), F.col("r_name")))
+        )
+        ovr_stage = os.path.join(base, "_ovr_stage")
+        ovr.coalesce(1).write.parquet(ovr_stage)
+        part4 = next(
+            f for f in os.listdir(ovr_stage)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        f4 = os.path.join(tbl, "f4.parquet")
+        shutil.move(os.path.join(ovr_stage, part4), f4)
+        v4 = log.commit(
+            adds=build_inventory(spark, [f4], root=tbl),
+            removes=build_inventory(spark, [f3], root=tbl),
+        )
         # the cdc files are authoritative for v2: exactly 2 preimages +
         # 2 postimages + 1 insert must come off _change_data, and the
         # protocol must now advertise the writer feature
         feats = set(log.snapshot_info().protocol.get("writerFeatures") or [])
         return {"dir": tbl, "upsert_version": v, "append_version": v3,
+                "overwrite_version": v4,
                 "feature_ok": "changeDataFeed" in feats}
 
     return _staged_once(spark, sf, "otb_cdf_q", build)
@@ -5112,11 +5284,16 @@ def q_delta_cdf(spark: SparkSession, sf: str) -> DataFrame:
     ``update_preimage`` rows read at the matched positions on executors,
     ``update_postimage`` for the new versions of matched keys, and
     ``insert`` for the unmatched new key. A v3 PLAIN APPEND (r14) writes
-    no cdc files and derives as inserts. ``change_feed(1)`` then serves
-    the exact row history — the oracle reconstructs every row from the
-    region table (the upsert's new names are a pure function of the old:
+    no cdc files and derives as inserts; a v4 MIXED overwrite (r14,
+    remove f3 + add f4 in one non-cdc commit — the INSERT OVERWRITE
+    shape) derives BOTH legs, removes as ``delete`` preimages and adds
+    as ``insert`` rows, delta-spark CDCReader parity where the r13
+    reader refused. ``change_feed(1)`` then serves the exact row
+    history — the oracle reconstructs every row from the region table
+    (the upsert's new names are a pure function of the old:
     ``'X_' || r_name``; the append's are ``'APP_' || r_name`` on keys
-    shifted +200). The protocol upgrades to writerFeatures
+    shifted +200; the overwrite's ``'OVR_' || r_name`` on keys shifted
+    +300). The protocol upgrades to writerFeatures
     changeDataFeed the first time a cdc file lands. The reference has no
     CDC surface at all; our prior streaming CDC was file-granularity.
     Staged once per (session, sf)."""
@@ -5140,11 +5317,13 @@ def q_streaming_cdf(spark: SparkSession, sf: str) -> DataFrame:
     (streaming/cdc.py ``read_cdf_stream`` — delta-spark streaming
     ``readChangeFeed`` parity). The staged lifecycle's v1 seed and v3
     PLAIN APPEND never write cdc files, so their rows arrive as derived
-    ``insert``s read off the added parquet on executors, while the v2
-    upsert's exact preimage/postimage/insert rows come off the cdc
-    files; before r14 the appended rows silently vanished from the feed.
-    AvailableNow drains both legs; every VALUE is region-derived — full
-    hash parity."""
+    ``insert``s read off the added parquet on executors; the v4 MIXED
+    overwrite derives BOTH legs (removed f3's rows as ``delete``, added
+    f4's as ``insert`` — delta-spark CDCReader parity, where before r14
+    the mixed commit failed the stream); the v2 upsert's exact
+    preimage/postimage/insert rows come off the cdc files. AvailableNow
+    drains both legs; every VALUE is region-derived — full hash
+    parity."""
     from onetable_spark.streaming.cdc import read_cdf_stream
     from onetable_spark.streaming.events import run_available_now
 
@@ -8254,6 +8433,42 @@ ORACLE_SQL: dict[str, str] = {
             SELECT 'i', 92, 'NEWLAND'
         ) ORDER BY op, r_regionkey, r_name
     """,
+    # r14: identifier-paired Hudi changelog over a replacecommit keyed
+    # rewrite — every replaced-group key pairs (carried-over keys 2-4 with
+    # identical values, computeUpdates parity); new key 93 stays 'i'
+    "hudi_changelog_updates": """
+        SELECT * FROM (
+            SELECT 'i' AS op, 0 AS ordinal,
+                   CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+            FROM region
+            UNION ALL
+            SELECT 'update_preimage', 1, CAST(r_regionkey AS BIGINT), r_name
+            FROM region
+            UNION ALL
+            SELECT 'update_postimage', 1, CAST(r_regionkey AS BIGINT),
+                   CASE WHEN r_regionkey <= 1 THEN 'X_' || r_name
+                        ELSE r_name END
+            FROM region
+            UNION ALL
+            SELECT 'i', 1, 93, 'NEWLAND'
+        ) ORDER BY ordinal, op, r_regionkey, r_name
+    """,
+    # r14: the supplemental cdc log's exact before-images — 'u' rows carry
+    # both images; 'i' rows (BASE_FILE_INSERT inference) after-only
+    "hudi_cdc_feed": """
+        SELECT * FROM (
+            SELECT 'i' AS op, CAST(r_regionkey AS BIGINT) AS r_regionkey,
+                   CAST(NULL AS VARCHAR) AS before_name,
+                   r_name AS after_name, TRUE AS ts_ok
+            FROM region
+            UNION ALL
+            SELECT 'u', CAST(r_regionkey AS BIGINT), r_name,
+                   'X_' || r_name, TRUE
+            FROM region WHERE r_regionkey <= 1
+            UNION ALL
+            SELECT 'i', 91, NULL, 'NEWLAND', TRUE
+        ) ORDER BY op, r_regionkey
+    """,
     # r14: identifier-paired mode — the upsert's same-key delete+insert
     # pairs become update_preimage/update_postimage; key 91 stays insert
     "iceberg_changelog_updates": """
@@ -8314,6 +8529,15 @@ ORACLE_SQL: dict[str, str] = {
             SELECT 'insert', CAST(r_regionkey AS BIGINT) + 200,
                    'APP_' || r_name, 1
             FROM region WHERE r_regionkey >= 3
+            UNION ALL
+            -- r14: the v4 mixed overwrite's derived delete + insert legs
+            SELECT 'delete', CAST(r_regionkey AS BIGINT) + 200,
+                   'APP_' || r_name, 1
+            FROM region WHERE r_regionkey >= 3
+            UNION ALL
+            SELECT 'insert', CAST(r_regionkey AS BIGINT) + 300,
+                   'OVR_' || r_name, 1
+            FROM region WHERE r_regionkey >= 3
         ) ORDER BY change_type, r_regionkey
     """,
     # r13: every CDF row is a pure function of the region table — the v1
@@ -8338,6 +8562,16 @@ ORACLE_SQL: dict[str, str] = {
             -- r14: the v3 plain append derives as inserts
             SELECT 'insert', 3, CAST(r_regionkey AS BIGINT) + 200,
                    'APP_' || r_name, TRUE
+            FROM region WHERE r_regionkey >= 3
+            UNION ALL
+            -- r14: the v4 MIXED overwrite (remove f3 + add f4, no cdc)
+            -- derives removes as deletes and adds as inserts
+            SELECT 'delete', 4, CAST(r_regionkey AS BIGINT) + 200,
+                   'APP_' || r_name, TRUE
+            FROM region WHERE r_regionkey >= 3
+            UNION ALL
+            SELECT 'insert', 4, CAST(r_regionkey AS BIGINT) + 300,
+                   'OVR_' || r_name, TRUE
             FROM region WHERE r_regionkey >= 3
         ) ORDER BY commit_version, change_type, r_regionkey
     """,
@@ -8589,6 +8823,8 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "iceberg_changelog": q_iceberg_changelog,
     "iceberg_changelog_updates": q_iceberg_changelog_updates,
     "hudi_changelog": q_hudi_changelog,
+    "hudi_changelog_updates": q_hudi_changelog_updates,
+    "hudi_cdc_feed": q_hudi_cdc_feed,
     "streaming_cdf": q_streaming_cdf,
     "sync_safety_fallback": q_sync_safety_fallback,
     "sync_catchup": q_sync_catchup,
@@ -8675,31 +8911,27 @@ SPARK_QUERIES = {
 # (alphabetical — all equally stale) as fill.
 # Everything green in r12 retires to the stale pool — still value-checked
 # against DuckDB on every pytest run (test_queries_smoke).
-_R13_WINDOW = [
-    # r13 newcomers
-    "sync_bucket_spec", "delta_cdf", "iceberg_changelog", "hudi_changelog",
-    "streaming_cdf",
-    # last driver rows r10 (all 41)
-    "dedup_exact", "dedup_first_per_key", "deterministic_sample",
-    "embedding_near_dups", "embedding_topk", "fingerprint_dedup",
-    "full_outer_balance", "funnel_steps", "g10_json_flatten",
-    "g11_sort_commits", "g12_latest_instant", "g8_stats_regroup",
-    "hopping_window", "intersect_keys", "langid_counts", "ngram_jaccard",
-    "percentile_agg", "pii_redaction", "pivot_events", "range_join",
-    "rollup_agg", "sessionize", "stateful_running_totals",
-    "streaming_dedup", "streaming_join", "streaming_sessionize",
-    "streaming_sink_inventory", "streaming_window_agg", "sync_changes",
-    "sync_foreign_iceberg", "sync_inventory", "sync_schema_evolution",
-    "sync_time_travel", "text_features", "token_packing", "token_stats",
-    "unpivot_stats", "vacuum_orphans", "window_agg", "zorder_compaction",
-    "zorder_layout",
-    # last driver rows r11 (first 8 alphabetically of the 50)
-    "ann_ivfpq_persisted", "approx_distinct", "approx_quantiles",
-    "audio_features",
+_R14_WINDOW = [
+    # r14 newcomers
+    "sync_bucket_decimal", "iceberg_changelog_updates", "hudi_cdc_feed",
+    "hudi_changelog_updates",
+    # last driver rows r11 (ALL 46)
+    "bm25_search", "centroid_similarity", "chunk_dedup", "decontam_overlap",
+    "dv_translation", "event_transitions", "g1_files_diff", "g2_group_files",
+    "g3_schema_flatten", "g4_sorted_merge_dedup", "g5_min_over_group",
+    "g6_filter_predicates", "g7_max_agg", "gap_fill", "heavy_hitters",
+    "hudi_mor_views", "iceberg_eq_deletes", "image_resize",
+    "incremental_dedup", "knn_label_vote", "moving_avg", "multimodal_decode",
+    "source_mixture", "stratified_sample", "streaming_approx_reach",
+    "streaming_hopping", "sync_delta_dv", "sync_foreign_iceberg_deletes",
+    "tfidf_top_terms", "tpch_q1", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "unigram_logprob", "video_frame_sample",
+    "winnow_fingerprint", "winnow_near_dups",
 ]
-assert len(_R13_WINDOW) == 50 and len(set(_R13_WINDOW)) == 50
+assert len(_R14_WINDOW) == 50 and len(set(_R14_WINDOW)) == 50
 SPARK_QUERIES = {
-    **{n: SPARK_QUERIES[n] for n in _R13_WINDOW},
+    **{n: SPARK_QUERIES[n] for n in _R14_WINDOW},
     **SPARK_QUERIES,
 }
 

@@ -271,14 +271,15 @@ def read_cdf_stream(spark: SparkSession, table_path: str) -> DataFrame:
       'insert'/'delete'), exact row changes for cdc-authoritative
       versions; and
     - a LOG-DERIVED stream for commits that author NO cdc files — plain
-      appends and pure removes, which delta-spark's streaming
-      ``readChangeFeed`` serves as derived ``insert``/``delete`` rows.
-      Each add/remove action's data file is read on the executors
-      (mapInPandas); versions carrying cdc actions are skipped so
-      nothing double-emits, dataChange=false rewrites are invisible, and
-      a mixed add+remove commit without cdc files fails the stream (the
-      batch reader's refusal — deriving row changes from it would be a
-      guess).
+      appends, pure removes, AND mixed overwrites (r14), which
+      delta-spark's streaming ``readChangeFeed`` serves as derived
+      ``insert``/``delete`` rows (its CDCReader derives both sides of
+      any non-cdc commit; a compliant CDF writer authors cdc files for
+      every row-MODIFYING commit, so non-cdc commits only wholly add or
+      wholly drop rows). Each add/remove action's data file is read on
+      the executors (mapInPandas); versions carrying cdc actions are
+      skipped so nothing double-emits, and dataChange=false rewrites
+      are invisible.
 
     Before r14 the stream tailed only ``_change_data/``: on a mixed
     workload (appends + upserts) every appended row silently vanished
@@ -381,19 +382,13 @@ def _derived_cdf_stream(
         def commit_mode(cf: str) -> str:
             if cf in modes:
                 return modes[cf]
-            has_cdc = has_add = has_rm = False
+            has_cdc = False
             with open(cf) as f:
                 for line in f:
-                    a = _json.loads(line)
-                    if "cdc" in a:
+                    if "cdc" in _json.loads(line):
                         has_cdc = True
-                    elif "add" in a and a["add"].get("dataChange", True):
-                        has_add = True
-                    elif "remove" in a and a["remove"].get("dataChange", True):
-                        has_rm = True
-            mode = (
-                "cdc" if has_cdc else "mixed" if (has_add and has_rm) else "derive"
-            )
+                        break
+            mode = "cdc" if has_cdc else "derive"
             modes[cf] = mode
             return mode
 
@@ -405,14 +400,6 @@ def _derived_cdf_stream(
                 mode = commit_mode(_local(cf))
                 if mode == "cdc":
                     continue  # cdc files are authoritative — other leg
-                if mode == "mixed":
-                    raise ValueError(
-                        f"{table_path}: a commit mixes adds and removes "
-                        "with no cdc files — row-level changes cannot be "
-                        "derived (enable delta.enableChangeDataFeed on "
-                        "the writer, or read the file-level stream via "
-                        "read_delta_log_stream)"
-                    )
                 p = (
                     rel
                     if rel.startswith("/") or "://" in rel

@@ -86,7 +86,7 @@ def test_upsert_writes_row_level_cdc_files(spark, cdf_table):
     } if hasattr(log, "read_table") else None
 
 
-def test_change_feed_fallbacks_and_refusal(spark, cdf_table):
+def test_change_feed_fallbacks_and_mixed_derivation(spark, cdf_table):
     base, log, df = cdf_table
     # v1 (add-only, no cdc): derives as file-level inserts
     feed = log.change_feed(1, 1)
@@ -113,7 +113,8 @@ def test_change_feed_fallbacks_and_refusal(spark, cdf_table):
     )
     assert log.change_feed(v3, v3).count() == 0
 
-    # mixed add+remove without cdc refuses
+    # mixed add+remove without cdc derives BOTH legs (r14 — delta-spark
+    # CDCReader parity for the INSERT OVERWRITE shape; r13 refused here)
     _write_file(
         spark,
         spark.createDataFrame([(51, "y", 0)], "id long, name string, score long"),
@@ -123,8 +124,10 @@ def test_change_feed_fallbacks_and_refusal(spark, cdf_table):
         adds=build_inventory(spark, [os.path.join(base, "f4.parquet")], root=base),
         removes=log.snapshot_files().select("path").limit(1),
     )
-    with pytest.raises(ValueError, match="cannot be derived"):
-        log.change_feed(v4, v4).count()
+    feed4 = log.change_feed(v4, v4)
+    assert {
+        (r["_change_type"], r["id"], r["name"]) for r in feed4.collect()
+    } == {("insert", 51, "y"), ("delete", 50, "x")}
 
 
 def test_dead_positions_do_not_produce_preimages(spark, cdf_table):

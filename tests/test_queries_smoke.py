@@ -25,29 +25,28 @@ from tools.check_oracle import compare_result
 # alphabetizing or appending to SPARK_QUERIES should trip this list, not
 # silently drop driver coverage.
 MUST_BE_DRIVER_MEASURED = {
-    # round-13 rotation (VERDICT r12 #6): everything green in the r12
+    # round-14 rotation (VERDICT r13 #7): everything green in the r13
     # window retires; the window re-samples by staleness. Pinned here:
-    # the r13 newcomer (no driver evidence yet) and ALL 41 queries whose
-    # latest driver hash row is r10 — the rotation IS a round
+    # the r14 newcomers (no driver evidence yet) and ALL 46 queries whose
+    # latest driver hash row is r11 — the rotation IS a round
     # deliverable, so falling out of the window must fail loudly.
     #
-    # round-13 newcomers: first driver rows needed
-    "sync_bucket_spec", "delta_cdf", "iceberg_changelog", "hudi_changelog",
-    "streaming_cdf",
-    # last driver rows r10 (all 41, from CORRECTNESS_r10/r11/r12 keys)
-    "dedup_exact", "dedup_first_per_key", "deterministic_sample",
-    "embedding_near_dups", "embedding_topk", "fingerprint_dedup",
-    "full_outer_balance", "funnel_steps", "g10_json_flatten",
-    "g11_sort_commits", "g12_latest_instant", "g8_stats_regroup",
-    "hopping_window", "intersect_keys", "langid_counts", "ngram_jaccard",
-    "percentile_agg", "pii_redaction", "pivot_events", "range_join",
-    "rollup_agg", "sessionize", "stateful_running_totals",
-    "streaming_dedup", "streaming_join", "streaming_sessionize",
-    "streaming_sink_inventory", "streaming_window_agg", "sync_changes",
-    "sync_foreign_iceberg", "sync_inventory", "sync_schema_evolution",
-    "sync_time_travel", "text_features", "token_packing", "token_stats",
-    "unpivot_stats", "vacuum_orphans", "window_agg", "zorder_compaction",
-    "zorder_layout",
+    # round-14 newcomers: first driver rows needed
+    "sync_bucket_decimal", "iceberg_changelog_updates", "hudi_cdc_feed",
+    "hudi_changelog_updates",
+    # last driver rows r11 (all 46, from CORRECTNESS_r11/r12/r13 keys)
+    "bm25_search", "centroid_similarity", "chunk_dedup", "decontam_overlap",
+    "dv_translation", "event_transitions", "g1_files_diff", "g2_group_files",
+    "g3_schema_flatten", "g4_sorted_merge_dedup", "g5_min_over_group",
+    "g6_filter_predicates", "g7_max_agg", "gap_fill", "heavy_hitters",
+    "hudi_mor_views", "iceberg_eq_deletes", "image_resize",
+    "incremental_dedup", "knn_label_vote", "moving_avg", "multimodal_decode",
+    "source_mixture", "stratified_sample", "streaming_approx_reach",
+    "streaming_hopping", "sync_delta_dv", "sync_foreign_iceberg_deletes",
+    "tfidf_top_terms", "tpch_q1", "tpch_q10", "tpch_q11", "tpch_q12",
+    "tpch_q13", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
+    "tpch_q7", "tpch_q8", "tpch_q9", "unigram_logprob", "video_frame_sample",
+    "winnow_fingerprint", "winnow_near_dups",
 }
 
 

@@ -230,7 +230,8 @@ def test_no_driver_collect_in_query_paths():
         "functions/similarity.py": 1,
         "functions/bpe.py": 2,
         "operators/maintenance.py": 3,
-        "queries.py": 23,
+        # r14: +1 — sync_bucket_decimal's ≤4-row per-bucket aggregate
+        "queries.py": 24,
     }
     root = pathlib.Path(__file__).parent.parent / "onetable_spark"
     offenders, marked = [], Counter()

@@ -275,6 +275,22 @@ def test_cdf_stream_derives_non_cdc_commits(spark, tmp_path):
     # v3: remove-only commit (derived deletes)
     victim = os.path.join(base, "f2.parquet")
     log.commit(removes=spark.createDataFrame([(victim,)], "path string"))
+    # v4: MIXED overwrite (remove f1 + add f3, no cdc) — derives BOTH
+    # legs (r14; the r13 stream raised on this commit shape)
+    b3 = spark.createDataFrame([(200, "o200"), (201, "o201")], "id long, name string")
+    b3.coalesce(1).write.parquet(base + "/.stage3")
+    part3 = next(
+        f for f in os.listdir(base + "/.stage3")
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    os.replace(os.path.join(base, ".stage3", part3), os.path.join(base, "f3.parquet"))
+    shutil.rmtree(base + "/.stage3")
+    log.commit(
+        adds=build_inventory(spark, [os.path.join(base, "f3.parquet")], root=base),
+        removes=spark.createDataFrame(
+            [(os.path.join(base, "f1.parquet"),)], "path string"
+        ),
+    )
 
     rows = _drain_rows(spark, read_cdf_stream(spark, base), str(tmp_path / "ck_cdf"))
     tagged = {(r["_change_type"], r["id"], r["name"]) for r in rows}
@@ -288,5 +304,9 @@ def test_cdf_stream_derives_non_cdc_commits(spark, tmp_path):
         ("insert", 99, "new"),
         # v3 derived deletes
         ("delete", 1, "n1_v2"), ("delete", 99, "new"),
+        # v4 mixed overwrite: both derived legs
+        ("insert", 200, "o200"), ("insert", 201, "o201"),
+        ("delete", 0, "n0"), ("delete", 1, "n1"),
+        ("delete", 2, "n2"), ("delete", 3, "n3"),
     }
     assert len(rows) == len(tagged)  # no double emission anywhere

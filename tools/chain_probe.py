@@ -110,8 +110,19 @@ def probe_iceberg(spark, n: int):
         f = os.path.join(base, f"u{k}.parquet")
         _write_file(spark, [(k % 50, f"v{k}")], ["id", "name"], f)
         ice.commit_upsert(build_inventory(spark, [f], root=base), ["id"])
+        if (k + 1) % 40 == 0:
+            # the 100-manifest guard is DESIGNED to force maintenance on
+            # long upsert chains — run it at the realistic cadence; both
+            # publish REPLACE snapshots the changelog skips by contract
+            ice.rewrite_data_files(apply_equality_deletes=True)
+            ice.compact_manifests()
     build_s = time.time() - t0
-    snaps = ice.metadata()["snapshots"]
+    # maintenance snapshots (operation=replace) interleave with the
+    # upserts — pick the quarter boundary among NON-replace snapshots
+    snaps = [
+        s for s in ice.metadata()["snapshots"]
+        if (s.get("summary") or {}).get("operation") != "replace"
+    ]
     q = max(1, n // 4)
     quarter_id = snaps[q]["snapshot-id"]  # seed is snaps[0]
     tq, cq = _timed(lambda: ice.changelog(to_snapshot_id=quarter_id).count())
