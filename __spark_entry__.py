@@ -4,7 +4,14 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 14: 150 queries. New in round 14:
+Surface as of round 14: 151 queries. New in round 14:
+`iceberg_changelog_net` — create_changelog_view's net_changes mode
+(ChangelogIterator.removeNetCarryovers): only the NET change per row
+content survives the range — an insert later deleted (or a carryover
+delete+reinsert) cancels; one shuffle on row content; mutually
+exclusive with identifier pairing, procedure parity. (Registered past
+the 50-query driver window this round; rotates in next round — the
+oracle gate covers it now.)
 `hudi_cdc_feed` — Hudi SUPPLEMENTAL CDC LOG (RFC-51,
 hoodie.table.cdc.enabled): upsert_records authors real -cdc log files
 (CDC_DATA blocks, op='u' records with EXACT before/after images as
@@ -33,11 +40,18 @@ add+remove commits without cdc files as both legs instead of refusing
 the CDF lifecycle's v4 commit); CDF/cdc rows on hive-partitioned
 tables carry REAL partition values (coalesced from the actions'
 partitionValues maps); the Iceberg changelog pools ALL delete-row
-reads into ONE shuffle per chain and hands equality-presence flags
-down driver-side (no per-snapshot probe jobs), the Hudi changelog
-reads ALL commit heads in one job (no per-instant .first()), and
+reads into ONE shuffle per chain, decodes every parent-referenced
+manifest ONCE (isin slices of one persisted frame), and collects the
+whole chain's equality-delete tuples in ONE job (cProfile on a
+100-commit chain: 262 s -> 134 s wall; the r13 form ran one collect
+job and one parent re-decode per snapshot); the Hudi changelog reads
+ALL commit heads in one job (no per-instant .first()), and
 tools/chain_probe.py guards ~100-commit chain-length scaling for all
-three changelogs; vacuum counts Hudi cdc files as referenced.
+three changelogs; vacuum counts Hudi cdc files as referenced;
+change_feed gains delta-spark's startingTimestamp/endingTimestamp
+bounds (in-commit timestamps, earliest-at-or-after / latest-at-or-
+before); commit_delete_logs on cdc-enabled tables authors op='d' cdc
+records with FULL before images read at the deleted positions.
 The driver window is ROTATED for r14 (VERDICT r13 #7): the four
 newcomers, then ALL 46 queries whose latest driver row is r11 —
 nothing left staler than r12.

@@ -1738,7 +1738,11 @@ class DeltaLog:
         return df.drop("_src_file", "_pv")
 
     def change_feed(
-        self, from_version: int, to_version: Optional[int] = None
+        self,
+        from_version: Optional[int] = None,
+        to_version: Optional[int] = None,
+        from_timestamp_millis: Optional[int] = None,
+        to_timestamp_millis: Optional[int] = None,
     ) -> DataFrame:
         """Batch Change Data Feed read (delta-spark's ``table_changes``):
         table rows + ``_change_type`` + ``_commit_version``, one block per
@@ -1761,8 +1765,49 @@ class DeltaLog:
         ``partitionValues`` maps, not the parquet bytes — each emitted row
         coalesces them from its file's action (removes carry no map in
         this engine's log, so the delete branch looks them up in the
-        parent snapshot), matching delta-spark's CDC projection."""
+        parent snapshot), matching delta-spark's CDC projection.
+
+        Timestamp bounds (r14 — delta-spark's ``startingTimestamp`` /
+        ``endingTimestamp``): ``from_timestamp_millis`` resolves to the
+        EARLIEST commit at-or-after it, ``to_timestamp_millis`` to the
+        LATEST commit at-or-before it, on IN-COMMIT timestamps
+        (``commit_timestamp`` — mtimes don't survive log copies). Each
+        timestamp bound is mutually exclusive with its version twin."""
         self._ensure_reader_supported()
+        if from_timestamp_millis is not None:
+            if from_version is not None:
+                raise ValueError(
+                    "from_version and from_timestamp_millis are mutually "
+                    "exclusive"
+                )
+            from_version = next(
+                (
+                    v for v in self._versions()
+                    if self.commit_timestamp(v) >= from_timestamp_millis
+                ),
+                None,
+            )
+            if from_version is None:
+                # every commit predates the bound — empty feed, the same
+                # answer delta-spark gives past the log's end
+                from_version = self.latest_version() + 1
+        if from_version is None:
+            raise ValueError(
+                "change_feed needs from_version or from_timestamp_millis"
+            )
+        if to_timestamp_millis is not None:
+            if to_version is not None:
+                raise ValueError(
+                    "to_version and to_timestamp_millis are mutually "
+                    "exclusive"
+                )
+            to_version = max(
+                (
+                    v for v in self._versions()
+                    if self.commit_timestamp(v) <= to_timestamp_millis
+                ),
+                default=-1,
+            )
         upper = self.latest_version() if to_version is None else to_version
         versions = [v for v in self._versions() if from_version <= v <= upper]
         info = self.snapshot_info(upper if versions else None)

@@ -1618,6 +1618,12 @@ class HudiTimeline:
         Reference contrast: the reference never writes (or reads) log
         files at all — a Hudi target there receives net counts only
         (HudiDataFileExtractor.java:344-363 lists base files only).
+
+        RFC-51 (r14): on a cdc-enabled table each file group's delete
+        also authors a ``-cdc`` log (op='d' records carrying the FULL
+        before image of every deleted row, read at the same positions),
+        advertised via cdcStats — ``cdc_feed`` then serves exact delete
+        before-images instead of the key-only inference.
         """
         import pandas as _pd
 
@@ -1668,6 +1674,14 @@ class HudiTimeline:
         open(inflight, "w").close()
 
         kf = list(key_fields)
+        # RFC-51: cdc-enabled tables also log op='d' records with the
+        # FULL before image of every deleted row (read at the same
+        # positions the DELETE block's keys come from)
+        props = self.table_properties()
+        cdc_on = props.get("hoodie.table.cdc.enabled", "false") == "true"
+        cdc_mode = props.get(
+            "hoodie.table.cdc.supplemental.logging.mode", "data_before_after"
+        )
 
         def author(key, pdf: _pd.DataFrame) -> _pd.DataFrame:
             import pyarrow.parquet as pq
@@ -1701,6 +1715,44 @@ class HudiTimeline:
                 version += 1
             write_delete_log_block(lp, records, instant, append=False)
             rel_log = lp[len(table_prefix):] if lp.startswith(table_prefix) else lp
+            cdc_rel, cdc_size = None, None
+            if cdc_on:
+                import json as _json
+
+                from onetable_spark.formats.hudi_log import write_cdc_log_block
+
+                before_tbl = pq.read_table(path).take(pos).to_pandas(
+                    integer_object_nulls=True
+                )
+                bcols = list(before_tbl.columns)
+                ts_ms = str(instant_to_millis(instant))
+                cdc_records = []
+                for k_, vals in zip(
+                    keys, zip(*[before_tbl[c] for c in bcols])
+                ):
+                    before = {
+                        c: (v.item() if hasattr(v, "item") else v)
+                        for c, v in zip(bcols, vals)
+                    }
+                    rec = {"op": "d"}
+                    if cdc_mode == "data_before_after":
+                        rec["ts_ms"] = ts_ms
+                        rec["before"] = _json.dumps(before, default=str)
+                        rec["after"] = None
+                    else:
+                        rec["record_key"] = k_
+                        if cdc_mode == "data_before":
+                            rec["before"] = _json.dumps(before, default=str)
+                    cdc_records.append(rec)
+                cp = os.path.join(
+                    log_dir,
+                    f".{file_id}_{base_instant}.log.{version}_0-0-0-cdc",
+                )
+                write_cdc_log_block(cp, cdc_records, instant, mode=cdc_mode)
+                cdc_rel = (
+                    cp[len(table_prefix):] if cp.startswith(table_prefix) else cp
+                )
+                cdc_size = os.path.getsize(cp)
             return _pd.DataFrame(
                 [
                     {
@@ -1710,6 +1762,8 @@ class HudiTimeline:
                         "prev_commit": base_instant,
                         "num_deletes": len(records),
                         "size": os.path.getsize(lp),
+                        "cdc_path": cdc_rel,
+                        "cdc_size": cdc_size,
                     }
                 ]
             )
@@ -1722,7 +1776,8 @@ class HudiTimeline:
             .applyInPandas(
                 author,
                 "rel_path string, file_id string, partition_path string, "
-                "prev_commit string, num_deletes long, size long",
+                "prev_commit string, num_deletes long, size long, "
+                "cdc_path string, cdc_size long",
             )
             .localCheckpoint(eager=True)
         )
@@ -1750,6 +1805,8 @@ class HudiTimeline:
                     "partitionPath": row["partition_path"],
                     "columnStats": None,
                 }
+                if row["cdc_path"]:
+                    stat["cdcStats"] = {row["cdc_path"]: row["cdc_size"]}
                 pp = row["partition_path"] or ""
                 if pp != current_pp:
                     if current_pp is not None:

@@ -841,6 +841,55 @@ class IcebergTable:
     #: a table with more eq-delete rows than this needs compaction anyway)
     _MAX_EQ_TUPLES = 1_000_000
 
+    def _read_eq_tuples(self, eq_files: DataFrame, ice_schema: dict) -> DataFrame:
+        """One row per equality-delete FILE: its sorted field-id set,
+        sequence number, tuple count, and the tuple frame as Arrow IPC
+        bytes — the read half of ``_equality_match_positions``, split
+        out (r14) so the changelog can pool MANY snapshots' tuple reads
+        into ONE job instead of one collect job per snapshot. An
+        optional ``_sid`` tag column on the input passes through."""
+        id_to_name = _flatten_field_paths(ice_schema["fields"])
+        carry_sid = "_sid" in eq_files.columns
+
+        def read_tuples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import pyarrow as pa
+
+            cols = ["ids", "delete_seq", "n", "ipc"] + (
+                ["_sid"] if carry_sid else []
+            )
+            for pdf in batches:
+                rows = []
+                sids = pdf["_sid"] if carry_sid else [None] * len(pdf)
+                for dp, seq, ids, sid in zip(
+                    pdf["delete_path"], pdf["delete_seq"], pdf["equality_ids"], sids
+                ):
+                    ids = sorted(int(i) for i in ids)
+                    names = []
+                    for i in ids:
+                        if i not in id_to_name:
+                            raise ValueError(
+                                f"{dp}: equality field id {i} is not a "
+                                "top-level column or nested struct path; "
+                                "equality deletes on map/list elements "
+                                "are unsupported"
+                            )
+                        names.append(id_to_name[i])
+                    t = _read_leaf_columns(dp, names)
+                    sink = pa.BufferOutputStream()
+                    with pa.ipc.new_stream(sink, t.schema) as w:
+                        w.write_table(t)
+                    row = {"ids": json.dumps(ids), "delete_seq": int(seq),
+                           "n": len(t), "ipc": sink.getvalue().to_pybytes()}
+                    if carry_sid:
+                        row["_sid"] = int(sid)
+                    rows.append(row)
+                yield pd.DataFrame(rows, columns=cols)
+
+        out = "ids string, delete_seq long, n long, ipc binary" + (
+            ", _sid long" if carry_sid else ""
+        )
+        return eq_files.mapInPandas(read_tuples, out)
+
     def _equality_match_positions(
         self,
         base_with_seq: DataFrame,
@@ -875,46 +924,23 @@ class IcebergTable:
         refs, so an equality id pointing inside a struct works the same
         as a top-level one. Fields under maps/lists refuse (no canonical
         row-wise identity)."""
+        # driver-ok: one row per delete FILE; the byte volume is bounded
+        # by the tuple cap enforced in _eq_match_from_rows
+        per_file_rows = self._read_eq_tuples(eq_files, ice_schema).collect()
+        return self._eq_match_from_rows(base_with_seq, per_file_rows, ice_schema)
 
+    def _eq_match_from_rows(
+        self,
+        base_with_seq: DataFrame,
+        per_file_rows: list,
+        ice_schema: dict,
+    ) -> DataFrame:
+        """The match half of ``_equality_match_positions``: group the
+        collected tuple rows per field-set, broadcast the pandas frames,
+        and hash-join each data file's eq-column union against them on
+        executors (r14 split — the changelog hands in POOLED rows from
+        one chain-wide collect)."""
         id_to_name = _flatten_field_paths(ice_schema["fields"])
-
-        def read_tuples(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import pyarrow as pa
-
-            for pdf in batches:
-                rows = []
-                for dp, seq, ids in zip(
-                    pdf["delete_path"], pdf["delete_seq"], pdf["equality_ids"]
-                ):
-                    ids = sorted(int(i) for i in ids)
-                    names = []
-                    for i in ids:
-                        if i not in id_to_name:
-                            raise ValueError(
-                                f"{dp}: equality field id {i} is not a "
-                                "top-level column or nested struct path; "
-                                "equality deletes on map/list elements "
-                                "are unsupported"
-                            )
-                        names.append(id_to_name[i])
-                    t = _read_leaf_columns(dp, names)
-                    sink = pa.BufferOutputStream()
-                    with pa.ipc.new_stream(sink, t.schema) as w:
-                        w.write_table(t)
-                    rows.append(
-                        {"ids": json.dumps(ids), "delete_seq": int(seq),
-                         "n": len(t), "ipc": sink.getvalue().to_pybytes()}
-                    )
-                yield pd.DataFrame(
-                    rows, columns=["ids", "delete_seq", "n", "ipc"]
-                )
-
-        per_file = eq_files.mapInPandas(
-            read_tuples, "ids string, delete_seq long, n long, ipc binary"
-        )
-        # driver-ok: one row per delete FILE; the byte volume is bounded by
-        # the tuple cap enforced immediately below
-        per_file_rows = per_file.collect()
         n_tuples = sum(r["n"] for r in per_file_rows)
         if n_tuples > self._MAX_EQ_TUPLES:
             raise ValueError(
@@ -996,6 +1022,7 @@ class IcebergTable:
         ice_schema: Optional[dict] = None,
         apply_equality: bool = False,
         has_equality: Optional[bool] = None,
+        eq_tuple_rows: Optional[list] = None,
     ) -> DataFrame:
         """Distinct ``(path, pos)`` of every row the applicable deletes
         kill at this snapshot — the shared core of net-count application
@@ -1006,7 +1033,11 @@ class IcebergTable:
         manifests reference equality-delete files (the changelog reads
         the tiny manifest avro driver-side anyway) pass the flag and skip
         the per-call ``isEmpty`` probe job — along an N-commit changelog
-        chain that probe was one scheduled Spark job per snapshot."""
+        chain that probe was one scheduled Spark job per snapshot.
+        ``eq_tuple_rows`` (r14): pre-collected ``_read_eq_tuples`` rows
+        for THIS snapshot's equality deletes — the changelog collects the
+        whole chain's tuples in one job and slices per snapshot, so no
+        per-snapshot collect job runs here either."""
         delete_files = self._decode_delete_files(
             delete_manifests, allow_equality=apply_equality
         )
@@ -1040,18 +1071,26 @@ class IcebergTable:
             .select("path", "pos")
         )
         if apply_equality:
-            eq_files = delete_files.where(
-                F.col("content") == _CONTENT_EQUALITY_DELETES
-            )
-            present = has_equality
-            if present is None:
-                # driver-ok: emptiness probe, one boolean
-                present = not eq_files.isEmpty()
-            if present:
-                eq_hits = self._equality_match_positions(
-                    base_with_seq, eq_files, ice_schema
+            if eq_tuple_rows is not None:
+                if eq_tuple_rows:
+                    deleted = deleted.unionByName(
+                        self._eq_match_from_rows(
+                            base_with_seq, eq_tuple_rows, ice_schema
+                        )
+                    )
+            else:
+                eq_files = delete_files.where(
+                    F.col("content") == _CONTENT_EQUALITY_DELETES
                 )
-                deleted = deleted.unionByName(eq_hits)
+                present = has_equality
+                if present is None:
+                    # driver-ok: emptiness probe, one boolean
+                    present = not eq_files.isEmpty()
+                if present:
+                    eq_hits = self._equality_match_positions(
+                        base_with_seq, eq_files, ice_schema
+                    )
+                    deleted = deleted.unionByName(eq_hits)
         return deleted.distinct()
 
     def snapshot_with_deleted_positions(
@@ -1174,12 +1213,17 @@ class IcebergTable:
         spec: list[dict],
         statuses: tuple[int, ...],
         seq_by_manifest: Optional[dict[str, int]] = None,
+        emit_manifest_path: bool = False,
     ) -> DataFrame:
         """FILES_SCHEMA rows from data manifests. With ``seq_by_manifest``
         (manifest_path → manifest sequence number) an extra ``_seq``
         column carries each entry's data sequence number — explicit on the
         entry, else inherited from its manifest (v2 metadata inheritance);
-        v1 manifests have neither and inherit 0."""
+        v1 manifests have neither and inherit 0. ``emit_manifest_path``
+        adds a ``_manifest`` column (r14) so a caller can decode MANY
+        snapshots' manifests in ONE pooled pass and slice per snapshot
+        with an isin filter — the changelog's chain walk re-decoded the
+        same parent manifests O(chain) times without it."""
         id_to_name = {f["id"]: f["name"] for f in ice_schema["fields"]}
         id_to_type = {f["id"]: f["type"] for f in ice_schema["fields"]}
         spec_names = [p["name"] for p in spec]
@@ -1233,21 +1277,30 @@ class IcebergTable:
                             row["_seq"] = int(
                                 seq_map.get(mpath, 0) if eseq is None else eseq
                             )
+                        if emit_manifest_path:
+                            row["_manifest"] = mpath
                         rows.append(row)
-                cols = [
-                    "path",
-                    "file_format",
-                    "partition_values",
-                    "size",
-                    "record_count",
-                    "last_modified_millis",
-                    "column_stats",
-                ] + (["_seq"] if emit_seq else [])
+                cols = (
+                    [
+                        "path",
+                        "file_format",
+                        "partition_values",
+                        "size",
+                        "record_count",
+                        "last_modified_millis",
+                        "column_stats",
+                    ]
+                    + (["_seq"] if emit_seq else [])
+                    + (["_manifest"] if emit_manifest_path else [])
+                )
                 yield pd.DataFrame(rows, columns=cols)
 
+        extra_fields = ([T.StructField("_seq", T.LongType())] if emit_seq else []) + (
+            [T.StructField("_manifest", T.StringType())] if emit_manifest_path else []
+        )
         out_schema = (
-            T.StructType(FILES_SCHEMA.fields + [T.StructField("_seq", T.LongType())])
-            if emit_seq
+            T.StructType(FILES_SCHEMA.fields + extra_fields)
+            if extra_fields
             else FILES_SCHEMA
         )
         base = self.spark.createDataFrame([(p,) for p in paths], "p string")
@@ -1390,6 +1443,7 @@ class IcebergTable:
         to_snapshot_id: Optional[int] = None,
         apply_equality_deletes: bool = True,
         identifier_fields: Optional[list[str]] = None,
+        net_changes: bool = False,
     ) -> DataFrame:
         """ROW-LEVEL changelog scan (r13 — Iceberg's
         ``create_changelog_view`` procedure; the Delta sibling is
@@ -1419,6 +1473,16 @@ class IcebergTable:
         ``update_preimage``/``update_postimage``. One extra shuffle on
         (ordinal, keys); keys are assumed unique per snapshot, exactly
         what Iceberg's iterator assumes. Default off — bare parity.
+
+        ``net_changes`` (r14 — create_changelog_view's net_changes /
+        ChangelogIterator.removeNetCarryovers): only the NET change per
+        row CONTENT across the whole range survives — an insert later
+        deleted (or a delete later re-inserted identically, the
+        carryover shape) cancels out; surviving events keep their own
+        ordinals, latest-ordinal instances surviving first. One shuffle
+        on the full row content. Mutually exclusive with
+        ``identifier_fields``, exactly as the procedure refuses
+        compute_updates + net_changes together.
 
         Chain scaling (r14): dead-position state is carried INCREMENTALLY
         along the walk — one full reconstruction at the chain's start (if
@@ -1565,12 +1629,32 @@ class IcebergTable:
             # (paths are unique), so stale pairs wash out in this join
             return dead.join(removed, "path", "left_semi")
 
+        # ---- PRE-PASS (r14): one driver walk over the chain's tiny avro
+        # metadata harvests, per non-replace snapshot, its manifest split
+        # plus (a) every parent manifest's (path, seq) pair for ONE pooled
+        # base decode and (b) every equality-delete descriptor for ONE
+        # pooled tuple-read job. The r13 loop decoded the parent's
+        # manifests and collected eq tuples PER SNAPSHOT — a 100-commit
+        # chain profiled ~46 s of driver wall in those collect jobs alone
+        # and re-decoded the same manifests O(chain) times at execution.
+        mlist_cache: dict[str, list] = {}
+
+        def manifest_list(snap_: dict) -> list:
+            lp = snap_["manifest-list"]
+            if lp not in mlist_cache:
+                mlist_cache[lp] = read_container(lp)[1]
+            return mlist_cache[lp]
+
+        prep = []
+        parent_pairs: dict[str, int] = {}
+        parent_paths_by_sid: dict[int, list[str]] = {}
+        eq_descs: list[tuple] = []
+        has_eq_by_sid: dict[int, bool] = {}
         for ordinal, snap in enumerate(chain):
             sid = snap["snapshot-id"]
             if (snap.get("summary") or {}).get("operation") == "replace":
                 continue
-            _, manifests = read_container(snap["manifest-list"])
-            data, deletes = _split_manifests(manifests)
+            data, deletes = _split_manifests(manifest_list(snap))
             own_data = [
                 m["manifest_path"]
                 for m in data
@@ -1580,6 +1664,71 @@ class IcebergTable:
                 m for m in deletes if m.get("added_snapshot_id") == sid
             ]
             parent = snap.get("parent-snapshot-id")
+            prep.append((ordinal, sid, data, own_data, own_deletes, parent))
+            if own_deletes and parent is not None and parent in by_id:
+                pdata, _ = _split_manifests(manifest_list(by_id[parent]))
+                paths = []
+                for m in pdata:
+                    parent_pairs[m["manifest_path"]] = m.get(
+                        "sequence_number", 0
+                    )
+                    paths.append(m["manifest_path"])
+                parent_paths_by_sid[sid] = paths
+                # driver-ok: the snapshot's OWN delete manifests are tiny
+                # avro files — harvesting eq-delete descriptors here both
+                # hands _deleted_positions the presence flag (no isEmpty
+                # probe job) and feeds the pooled tuple read below
+                has_eq = False
+                for m in own_deletes:
+                    mseq = m.get("sequence_number", 0)
+                    for e in read_container(m["manifest_path"])[1]:
+                        if e.get("status") not in (
+                            STATUS_ADDED, STATUS_EXISTING
+                        ):
+                            continue
+                        df_ = e["data_file"]
+                        if (
+                            df_.get("content", _CONTENT_POSITION_DELETES)
+                            != _CONTENT_EQUALITY_DELETES
+                        ):
+                            continue
+                        has_eq = True
+                        eseq = e.get("sequence_number")
+                        eq_descs.append(
+                            (
+                                df_["file_path"],
+                                int(mseq if eseq is None else eseq),
+                                int(_CONTENT_EQUALITY_DELETES),
+                                [int(x) for x in (df_.get("equality_ids") or [])],
+                                sid,
+                            )
+                        )
+                has_eq_by_sid[sid] = has_eq
+
+        all_base = None
+        if parent_pairs:
+            # decode every parent-referenced manifest ONCE for the whole
+            # chain (persisted); per-snapshot parent states are isin
+            # slices of this one frame
+            all_base = self._decode_manifests(
+                sorted(parent_pairs), ice_schema, spec,
+                statuses=(STATUS_ADDED, STATUS_EXISTING),
+                seq_by_manifest=parent_pairs,
+                emit_manifest_path=True,
+            ).persist()
+        eq_rows_by_sid: dict[int, list] = {}
+        if eq_descs and apply_equality_deletes:
+            eqdf = self.spark.createDataFrame(
+                eq_descs,
+                "delete_path string, delete_seq long, content int, "
+                "equality_ids array<int>, _sid long",
+            )
+            # driver-ok: ONE job over the whole chain's eq-delete files;
+            # one row per file, bytes capped in _eq_match_from_rows
+            for r in self._read_eq_tuples(eqdf, ice_schema).collect():
+                eq_rows_by_sid.setdefault(int(r["_sid"]), []).append(r)
+
+        for ordinal, sid, data, own_data, own_deletes, parent in prep:
 
             def stamp(df: DataFrame, change: str) -> DataFrame:
                 return (
@@ -1624,32 +1773,18 @@ class IcebergTable:
                 # resolved against the parent state; the frame rides the
                 # union unconditionally — resolving to zero positions
                 # costs nothing beyond plan size
-                psnap = by_id[parent]
-                _, pmanifests = read_container(psnap["manifest-list"])
-                pdata, _ = _split_manifests(pmanifests)
-                pbase = self._decode_manifests(
-                    [m["manifest_path"] for m in pdata], ice_schema, spec,
-                    statuses=(STATUS_ADDED, STATUS_EXISTING),
-                    seq_by_manifest={
-                        m["manifest_path"]: m.get("sequence_number", 0)
-                        for m in pdata
-                    },
-                )
-                # driver-ok: the snapshot's OWN delete manifests are tiny
-                # avro files — reading them here hands _deleted_positions
-                # the equality-presence flag so it never schedules its
-                # per-call isEmpty probe job (one per snapshot pre-r14)
-                has_eq = any(
-                    e.get("status") in (STATUS_ADDED, STATUS_EXISTING)
-                    and e["data_file"].get("content", _CONTENT_POSITION_DELETES)
-                    == _CONTENT_EQUALITY_DELETES
-                    for m in own_deletes
-                    for e in read_container(m["manifest_path"])[1]
-                )
+                pbase = all_base.where(
+                    F.col("_manifest").isin(parent_paths_by_sid[sid])
+                ).drop("_manifest")
                 killed = self._deleted_positions(
                     pbase, own_deletes, ice_schema=ice_schema,
                     apply_equality=apply_equality_deletes,
-                    has_equality=has_eq,
+                    has_equality=has_eq_by_sid[sid],
+                    eq_tuple_rows=(
+                        eq_rows_by_sid.get(sid, [])
+                        if apply_equality_deletes
+                        else None
+                    ),
                 ).persist()
                 killed_acc.append(killed)
                 killed_tagged.append(
@@ -1694,6 +1829,45 @@ class IcebergTable:
                     F.lit("update_postimage"),
                 )
                 .otherwise(F.col("_change_type")),
+            )
+        if net_changes:
+            if identifier_fields:
+                raise ValueError(
+                    "net_changes and identifier_fields are mutually "
+                    "exclusive (create_changelog_view refuses "
+                    "compute_updates with net_changes the same way)"
+                )
+            from pyspark.sql import Window
+
+            cols = schema.fieldNames()
+            w = Window.partitionBy(*cols)
+            n_ins = F.sum(
+                (F.col("_change_type") == "insert").cast("long")
+            ).over(w)
+            n_del = F.sum(
+                (F.col("_change_type") == "delete").cast("long")
+            ).over(w)
+            net = n_ins - n_del
+            w_type = Window.partitionBy(*cols, "_change_type").orderBy(
+                F.col("_change_ordinal").desc()
+            )
+            rk = F.row_number().over(w_type)
+            out = (
+                out.withColumn("_net", net)
+                .withColumn("_rk", rk)
+                .where(
+                    (
+                        (F.col("_net") > 0)
+                        & (F.col("_change_type") == "insert")
+                        & (F.col("_rk") <= F.col("_net"))
+                    )
+                    | (
+                        (F.col("_net") < 0)
+                        & (F.col("_change_type") == "delete")
+                        & (F.col("_rk") <= -F.col("_net"))
+                    )
+                )
+                .drop("_net", "_rk")
             )
         return out
 

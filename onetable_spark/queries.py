@@ -4967,6 +4967,32 @@ def q_iceberg_changelog_updates(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_iceberg_changelog_net(spark: SparkSession, sf: str) -> DataFrame:
+    """Iceberg changelog in NET-CHANGES mode (r14 —
+    create_changelog_view's net_changes /
+    ChangelogIterator.removeNetCarryovers): same staged lifecycle as
+    ``iceberg_changelog``, read with ``net_changes=True``. The seed rows
+    the upsert killed (keys 0-1, original names) cancel against their
+    own ordinal-0 inserts — only the NET change per row content
+    survives, which here is exactly the final table state, each row at
+    the ordinal that produced it. One shuffle on the full row content.
+    Every row is region-derived."""
+    from onetable_spark.formats.iceberg import IcebergTable as _IT
+
+    stage = _ice_chlog_stage(spark, sf)
+    return (
+        _IT(spark, stage["dir"])
+        .changelog(net_changes=True)
+        .select(
+            F.col("_change_type").alias("change_type"),
+            F.col("_change_ordinal").cast("int").alias("ordinal"),
+            F.col("r_regionkey").cast("long").alias("r_regionkey"),
+            "r_name",
+        )
+        .orderBy("ordinal", "change_type", "r_regionkey")
+    )
+
+
 def q_hudi_changelog(spark: SparkSession, sf: str) -> DataFrame:
     """Hudi ROW-LEVEL CHANGELOG (r13 — the third edge of the CDC
     triangle; siblings ``delta_cdf`` and ``iceberg_changelog``): the
@@ -8487,6 +8513,20 @@ ORACLE_SQL: dict[str, str] = {
             SELECT 'insert', 1, 91, 'NEWLAND'
         ) ORDER BY ordinal, change_type, r_regionkey
     """,
+    # r14: net mode — the upsert-killed seed rows cancel against their
+    # ordinal-0 inserts; what survives is exactly the final state
+    "iceberg_changelog_net": """
+        SELECT * FROM (
+            SELECT 'insert' AS change_type, CAST(0 AS INTEGER) AS ordinal,
+                   CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name
+            FROM region WHERE r_regionkey >= 2
+            UNION ALL
+            SELECT 'insert', 1, CAST(r_regionkey AS BIGINT), 'X_' || r_name
+            FROM region WHERE r_regionkey <= 1
+            UNION ALL
+            SELECT 'insert', 1, 91, 'NEWLAND'
+        ) ORDER BY ordinal, change_type, r_regionkey
+    """,
     # r13: the changelog is a pure function of region — ordinal 0 replays
     # it verbatim as inserts; ordinal 1 is the upsert's delete+insert
     # pairs; the REPLACE compaction snapshot contributes nothing
@@ -8822,6 +8862,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "delta_cdf": q_delta_cdf,
     "iceberg_changelog": q_iceberg_changelog,
     "iceberg_changelog_updates": q_iceberg_changelog_updates,
+    "iceberg_changelog_net": q_iceberg_changelog_net,
     "hudi_changelog": q_hudi_changelog,
     "hudi_changelog_updates": q_hudi_changelog_updates,
     "hudi_cdc_feed": q_hudi_cdc_feed,

@@ -130,6 +130,38 @@ def test_change_feed_fallbacks_and_mixed_derivation(spark, cdf_table):
     } == {("insert", 51, "y"), ("delete", 50, "x")}
 
 
+def test_change_feed_timestamp_bounds(spark, cdf_table):
+    """delta-spark startingTimestamp/endingTimestamp parity: bounds
+    resolve on IN-COMMIT timestamps — from = earliest commit at-or-after,
+    to = latest at-or-before; past-the-end from-bounds yield empty."""
+    base, log, df = cdf_table
+    _write_file(
+        spark,
+        spark.createDataFrame([(60, "z", 0)], "id long, name string, score long"),
+        os.path.join(base, "f6.parquet"),
+    )
+    v2 = log.commit(
+        adds=build_inventory(spark, [os.path.join(base, "f6.parquet")], root=base)
+    )
+    t1, t2 = log.commit_timestamp(1), log.commit_timestamp(v2)
+    # from t1 → both commits; from just-after t1 → only v2 (earliest
+    # at-or-after); from after t2 → empty
+    assert log.change_feed(from_timestamp_millis=t1).count() == 9
+    got = log.change_feed(from_timestamp_millis=t1 + 1)
+    if t2 > t1:  # wall clock may give both commits the same millisecond
+        assert {r["id"] for r in got.collect()} == {60}
+    assert log.change_feed(from_timestamp_millis=t2 + 1).count() == 0
+    # to-bound: latest at-or-before t1 keeps only v1's inserts
+    if t2 > t1:
+        assert (
+            log.change_feed(from_version=1, to_timestamp_millis=t1).count() == 8
+        )
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        log.change_feed(from_version=1, from_timestamp_millis=t1)
+    with pytest.raises(ValueError, match="needs from_version"):
+        log.change_feed()
+
+
 def test_dead_positions_do_not_produce_preimages(spark, cdf_table):
     """A key whose row is already DV-dead has no preimage — its new row
     is a plain insert, not an update."""

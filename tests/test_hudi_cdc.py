@@ -168,6 +168,45 @@ def test_cdc_feed_without_cdc_files_infers_after_only(spark, tmp_path):
     assert json.loads(u[0]["after"])["name"] == "n1_v2"
 
 
+def test_delete_logs_author_cdc_before_images(spark, cdc_table):
+    """commit_delete_logs on a cdc-enabled table writes op='d' cdc
+    records with FULL before images; cdc_feed serves them exactly
+    (instead of the key-only inference non-cdc DELETE blocks get)."""
+    base, tl = cdc_table
+    target = os.path.join(base, "f1.parquet")
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(target, columns=["id"])["id"].to_pylist()
+    positions = spark.createDataFrame(
+        [(target, ids.index(1)), (target, ids.index(3))], "path string, pos long"
+    )
+    instant = tl.commit_delete_logs(positions)
+
+    (cdc_file,) = [f for f in os.listdir(base) if f.endswith("-cdc")]
+    from onetable_spark.formats.hudi_log import avro_block_records
+
+    (block,) = read_log_blocks(os.path.join(base, cdc_file))
+    assert block["type"] == "cdc_data"
+    _, recs = avro_block_records(block, decode=True)
+    got = {
+        (r["op"], json.loads(r["before"])["id"], json.loads(r["before"])["name"])
+        for r in recs
+    }
+    assert got == {("d", 1, "name1"), ("d", 3, "name3")}
+    assert all(r["after"] is None for r in recs)
+
+    dels = [r for r in tl.cdc_feed().collect() if r["op"] == "d"]
+    assert {json.loads(r["before"])["id"] for r in dels} == {1, 3}
+    assert all(
+        r["after"] is None and r["ts_ms"] == str(instant_to_millis(instant))
+        for r in dels
+    )
+    # the realtime view still nets the two rows (the DELETE block is
+    # unchanged by the cdc supplement)
+    rt = tl.snapshot_files(view="realtime")
+    assert sum(r["record_count"] for r in rt.collect()) == 4
+
+
 def test_cdc_mode_op_key_only(spark, tmp_path):
     base = str(tmp_path / "keyonly")
     os.makedirs(base)

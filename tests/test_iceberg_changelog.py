@@ -174,3 +174,27 @@ def test_changelog_opens_gate_when_counts_absent(spark, v2_table, monkeypatch):
     got = _changes(ice.changelog())
     assert stripped["n"] > 0  # the patch really removed count fields
     assert got == {("insert", 0, i, f"name{i}") for i in range(6)}
+
+
+def test_changelog_net_changes(spark, v2_table):
+    """net_changes (create_changelog_view's net mode): an insert later
+    deleted cancels; only net changes survive with their own ordinals —
+    here exactly the final state."""
+    base, ice = v2_table
+    _write_parquet(
+        [(2, "name2_v2"), (9, "nine")], ["id", "name"],
+        os.path.join(base, "u1.parquet"),
+    )
+    ice.commit_upsert(
+        build_inventory(spark, [os.path.join(base, "u1.parquet")], root=base), ["id"]
+    )
+    got = _changes(ice.changelog(net_changes=True))
+    # (insert 0, 2, name2) + (delete 1, 2, name2) cancel; everything else
+    # is a net insert at its own ordinal
+    expected = {("insert", 0, i, f"name{i}") for i in range(6) if i != 2} | {
+        ("insert", 1, 2, "name2_v2"),
+        ("insert", 1, 9, "nine"),
+    }
+    assert got == expected
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        ice.changelog(net_changes=True, identifier_fields=["id"]).count()
