@@ -4,7 +4,19 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 14: 151 queries. New in round 14:
+Surface as of round 14: 152 queries. New in round 14:
+`streaming_iceberg_appends` — real Iceberg's Spark streaming source
+semantics (SparkMicroBatchStream): a row-level file stream over
+metadata/snap-*.avro, ADDED data files read on executors; append-only
+by contract — replace invisible, delete/overwrite snapshots FAIL the
+stream unless the streaming-skip-{delete,overwrite}-snapshots flags
+are passed (then skipped wholesale). Alongside it, commit_overwrite
+now stamps summary.operation by what happened (adds-only = "append"
+even on a non-empty table, AppendFiles parity) — the r13 form stamped
+every post-first commit "overwrite", which would make real Iceberg
+streaming readers refuse a synced table's plain adds. (Registered past
+the 50-query driver window; rotates in next round — the oracle gate
+covers it now.)
 `iceberg_changelog_net` — create_changelog_view's net_changes mode
 (ChangelogIterator.removeNetCarryovers): only the NET change per row
 content survives the range — an insert later deleted (or a carryover

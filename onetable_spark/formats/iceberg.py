@@ -2148,8 +2148,8 @@ class IcebergTable:
         carried: list[dict] = []
         deleted_entries: list[dict] = []
         carried_manifests: list[dict] = []
+        removed_paths: set = set()
         if prev is not None:
-            removed_paths = set()
             if removes is not None:
                 # driver-ok: O(removed files) — the commit must name every
                 # removed path in the new manifests anyway; single job
@@ -2382,7 +2382,13 @@ class IcebergTable:
             return int(v or 0)
 
         summary = {
-            "operation": "overwrite" if (removes is not None or prev) else "append",
+            # Iceberg stamps operation by WHAT HAPPENED, not table age: a
+            # commit that removes nothing is an "append" even on a
+            # non-empty table (AppendFiles parity; the r13 form stamped
+            # every post-first commit "overwrite", which would make real
+            # Iceberg streaming readers — append-only by contract —
+            # refuse a synced table's plain adds)
+            "operation": "overwrite" if removed_paths else "append",
             "added-data-files": str(
                 sum(_mc(m, "added_data_files_count", "added_files_count") for m in own_m)
             ),

@@ -5365,6 +5365,92 @@ def q_streaming_cdf(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("change_type", "r_regionkey")
 
 
+def q_streaming_iceberg_appends(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING row-level Iceberg reads (r14 — real Iceberg's Spark
+    streaming source / SparkMicroBatchStream semantics, APPEND-ONLY by
+    contract): a file stream over ``metadata/snap-*.avro`` where each
+    arriving snapshot's ADDED data files are read on executors. The
+    staged lifecycle seeds region (append), runs a keyed upsert
+    (operation=overwrite — SKIPPED via skip_overwrite_snapshots, the
+    ``streaming-skip-overwrite-snapshots`` option; without the flag the
+    stream FAILS, Iceberg parity), appends keys+500 with 'S_' names
+    (append — streams), then compacts (replace — invisible). The feed
+    must contain exactly the two appends' rows; the upsert's rows never
+    stream (row-level deletes need the batch ``changelog()``). Every
+    value region-derived. The reference has no streaming surface."""
+    import os
+    import shutil
+
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import DataLayoutStrategy, Table, TableFormat
+    from onetable_spark.sources.parquet_inventory import build_inventory
+    from onetable_spark.streaming.cdc import read_iceberg_append_stream
+    from onetable_spark.streaming.events import run_available_now
+
+    def build(base: str) -> dict:
+        tbl = os.path.join(base, "iapp")
+        os.makedirs(tbl)
+        src = os.path.join(sf, "region.parquet")
+        f1 = os.path.join(tbl, "f1.parquet")
+        shutil.copy(src, f1)
+        schema = spark.read.parquet(src).schema
+        ice = IcebergTable(spark, tbl)
+        ice.init_table(
+            Table(name="iapp", base_path=tbl, table_format=TableFormat.ICEBERG,
+                  read_schema=schema, layout=DataLayoutStrategy.FLAT),
+            format_version=2,
+        )
+        ice.commit_overwrite(adds=build_inventory(spark, [f1], root=tbl))
+        region = spark.read.parquet(src)
+        up = (
+            region.filter(F.col("r_regionkey") <= 1)
+            .withColumn("r_name", F.concat(F.lit("X_"), F.col("r_name")))
+        )
+        up_stage = os.path.join(base, "_up")
+        up.coalesce(1).write.parquet(up_stage)
+        part = next(
+            f for f in os.listdir(up_stage)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        f2 = os.path.join(tbl, "f2.parquet")
+        shutil.move(os.path.join(up_stage, part), f2)
+        ice.commit_upsert(
+            build_inventory(spark, [f2], root=tbl), ["r_regionkey"]
+        )
+        app = (
+            region.withColumn(
+                "r_regionkey",
+                (F.col("r_regionkey") + 500).cast(
+                    region.schema["r_regionkey"].dataType
+                ),
+            )
+            .withColumn("r_name", F.concat(F.lit("S_"), F.col("r_name")))
+        )
+        app_stage = os.path.join(base, "_app")
+        app.coalesce(1).write.parquet(app_stage)
+        part3 = next(
+            f for f in os.listdir(app_stage)
+            if f.endswith(".parquet") and not f.startswith(".")
+        )
+        f3 = os.path.join(tbl, "f3.parquet")
+        shutil.move(os.path.join(app_stage, part3), f3)
+        ice.commit_overwrite(adds=build_inventory(spark, [f3], root=tbl))
+        ice.rewrite_data_files(apply_equality_deletes=True)
+        return {"dir": tbl}
+
+    stage = _staged_once(spark, sf, "otb_iapp_q", build)
+    stream = read_iceberg_append_stream(
+        spark, stage["dir"], skip_overwrite_snapshots=True
+    )
+    agg = stream.groupBy("r_regionkey", "r_name").count()
+    out = run_available_now(agg, f"iapp_{_sf_tag(sf)}", shuffle_partitions=4)
+    return out.select(
+        F.col("r_regionkey").cast("long").alias("r_regionkey"),
+        "r_name",
+        F.col("count").cast("long").alias("n"),
+    ).orderBy("r_regionkey", "r_name")
+
+
 def q_sync_safety_fallback(spark: SparkSession, sf: str) -> DataFrame:
     """S8/S9 HISTORY-CLEANUP SAFETY under the correctness gate
     (DeltaSourceClient safety probe / sync/client.py DeltaSource.
@@ -8550,6 +8636,18 @@ ORACLE_SQL: dict[str, str] = {
     # v3 plain append's derived inserts ('APP_' rows) union with the v2
     # upsert's cdc rows; before r14 only the cdc rows streamed and every
     # appended row silently vanished from the feed
+    # r14: append-only Iceberg streaming — the two appends' rows, the
+    # overwrite skipped, the replace invisible
+    "streaming_iceberg_appends": """
+        SELECT * FROM (
+            SELECT CAST(r_regionkey AS BIGINT) AS r_regionkey, r_name,
+                   CAST(1 AS BIGINT) AS n
+            FROM region
+            UNION ALL
+            SELECT CAST(r_regionkey AS BIGINT) + 500, 'S_' || r_name, 1
+            FROM region
+        ) ORDER BY r_regionkey, r_name
+    """,
     "streaming_cdf": """
         SELECT * FROM (
             SELECT 'insert' AS change_type,
@@ -8867,6 +8965,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hudi_changelog_updates": q_hudi_changelog_updates,
     "hudi_cdc_feed": q_hudi_cdc_feed,
     "streaming_cdf": q_streaming_cdf,
+    "streaming_iceberg_appends": q_streaming_iceberg_appends,
     "sync_safety_fallback": q_sync_safety_fallback,
     "sync_catchup": q_sync_catchup,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,

@@ -437,3 +437,148 @@ def _derived_cdf_stream(
     return derived.drop("_pv").select(
         *[f.name for f in schema.fields], "_change_type"
     )
+
+
+def read_iceberg_append_stream(
+    spark: SparkSession,
+    table_path: str,
+    skip_delete_snapshots: bool = False,
+    skip_overwrite_snapshots: bool = False,
+) -> DataFrame:
+    """ROW-LEVEL streaming read of an Iceberg table (r14 — real Iceberg's
+    Spark streaming source, SparkMicroBatchStream semantics): a file
+    stream over ``metadata/snap-*.avro`` (one manifest list per
+    snapshot); each arriving snapshot's ADDED data files are read on the
+    executors and their rows emitted with ``_snapshot_id``.
+
+    Iceberg's streaming contract is APPEND-ONLY and this source honors
+    it exactly: ``replace`` snapshots (compaction) are invisible;
+    ``delete`` snapshots FAIL the stream unless
+    ``skip_delete_snapshots`` (the
+    ``streaming-skip-delete-snapshots`` read option);
+    ``overwrite`` snapshots FAIL unless ``skip_overwrite_snapshots``
+    (``streaming-skip-overwrite-snapshots``). Skipped snapshots emit
+    nothing — downstream row-level deletes need the batch
+    ``changelog()``.
+
+    The snapshot's operation comes from the table's CURRENT
+    metadata.json, keyed by the snapshot id parsed from the manifest
+    list's own ``snap-{id}-…`` name (one tiny json read per executor
+    batch, cached). A manifest list whose snapshot is not yet (or no
+    longer) in the metadata fails loudly — mid-commit discovery or
+    expired history, both states a consumer must not silently skip."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import types as _T
+
+    from onetable_spark.formats.iceberg import IcebergTable
+
+    ice = IcebergTable(spark, table_path)
+    schema = ice.table_descriptor().read_schema
+    out_schema = _T.StructType(
+        list(schema.fields) + [_T.StructField("_snapshot_id", _T.LongType())]
+    )
+    meta_dir = table_path.rstrip("/") + "/metadata"
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "snap-*.avro")
+        .load(meta_dir)
+        .select(F.col("path").alias("_mlist"))
+    )
+
+    def derive(batches):
+        import pandas as _pd
+
+        from onetable_spark.formats.iceberg import (
+            STATUS_ADDED,
+            _split_manifests,
+            read_container,
+        )
+
+        ops_cache: dict = {}
+
+        def _local(p: str) -> str:
+            from urllib.parse import unquote as _unquote
+
+            if p.startswith("file:"):
+                p = "/" + p[5:].lstrip("/")
+            return _unquote(p)
+
+        def snapshot_ops() -> dict:
+            if not ops_cache:
+                versions = [
+                    f for f in _os.listdir(meta_dir)
+                    if f.startswith("v") and f.endswith(".metadata.json")
+                ]
+                latest = max(
+                    versions, key=lambda f: int(f[1:].split(".", 1)[0])
+                )
+                with open(_os.path.join(meta_dir, latest)) as fh:
+                    md = _json.load(fh)
+                for s in md.get("snapshots", []):
+                    ops_cache[int(s["snapshot-id"])] = (
+                        (s.get("summary") or {}).get("operation", "append")
+                    )
+            return ops_cache
+
+        names = [f.name for f in schema.fields]
+        empty = _pd.DataFrame(columns=names + ["_snapshot_id"])
+        for pdf in batches:
+            frames = []
+            for mpath in pdf["_mlist"]:
+                lp = _local(mpath)
+                sid = int(_os.path.basename(lp).split("-")[1])
+                op = snapshot_ops().get(sid)
+                if op is None:
+                    raise ValueError(
+                        f"{table_path}: snapshot {sid} has a manifest "
+                        "list but is not in the current table metadata — "
+                        "commit in flight or history expired; cannot "
+                        "stream it safely"
+                    )
+                if op == "replace":
+                    continue
+                if op == "delete":
+                    if skip_delete_snapshots:
+                        continue
+                    raise ValueError(
+                        f"{table_path}: snapshot {sid} is a DELETE — "
+                        "Iceberg streaming reads are append-only; pass "
+                        "skip_delete_snapshots=True (streaming-skip-"
+                        "delete-snapshots) to skip it"
+                    )
+                if op == "overwrite":
+                    if skip_overwrite_snapshots:
+                        continue
+                    raise ValueError(
+                        f"{table_path}: snapshot {sid} is an OVERWRITE — "
+                        "Iceberg streaming reads are append-only; pass "
+                        "skip_overwrite_snapshots=True (streaming-skip-"
+                        "overwrite-snapshots) to skip it"
+                    )
+                import pyarrow.parquet as _pq
+
+                _, manifests = read_container(lp)
+                data, _deletes = _split_manifests(manifests)
+                for m in data:
+                    if m.get("added_snapshot_id") != sid:
+                        continue
+                    _, entries = read_container(m["manifest_path"])
+                    for e in entries:
+                        if e["status"] != STATUS_ADDED:
+                            continue
+                        t = _pq.read_table(
+                            e["data_file"]["file_path"]
+                        ).to_pandas(integer_object_nulls=True)
+                        t["_snapshot_id"] = sid
+                        frames.append(t)
+            yield (
+                _pd.concat(frames, ignore_index=True) if frames else empty
+            )
+
+    return raw.mapInPandas(derive, out_schema)

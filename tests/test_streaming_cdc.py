@@ -310,3 +310,67 @@ def test_cdf_stream_derives_non_cdc_commits(spark, tmp_path):
         ("delete", 2, "n2"), ("delete", 3, "n3"),
     }
     assert len(rows) == len(tagged)  # no double emission anywhere
+
+
+def test_iceberg_append_stream_semantics(spark, tmp_path):
+    """Real-Iceberg streaming-source parity: appends stream row-level,
+    replace (compaction) is invisible, overwrite fails unless skipped,
+    delete fails unless skipped."""
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import DataLayoutStrategy
+    from onetable_spark.streaming.cdc import read_iceberg_append_stream
+
+    base = str(tmp_path / "icestream")
+    os.makedirs(base)
+
+    def wf(rows, name):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        pq.write_table(
+            pa.table({"id": [r[0] for r in rows], "name": [r[1] for r in rows]}),
+            os.path.join(base, name),
+        )
+
+    wf([(i, f"n{i}") for i in range(4)], "f1.parquet")
+    schema = spark.read.parquet(os.path.join(base, "f1.parquet")).schema
+    ice = IcebergTable(spark, base)
+    ice.init_table(
+        Table(name="t", base_path=base, table_format=TableFormat.ICEBERG,
+              read_schema=schema, layout=DataLayoutStrategy.FLAT),
+        format_version=2,
+    )
+    # v1 append, v2 upsert (overwrite), v3 append, then compaction (replace)
+    ice.commit_overwrite(
+        adds=build_inventory(spark, [os.path.join(base, "f1.parquet")], root=base)
+    )
+    wf([(1, "n1_v2"), (9, "nine")], "u1.parquet")
+    ice.commit_upsert(
+        build_inventory(spark, [os.path.join(base, "u1.parquet")], root=base), ["id"]
+    )
+    wf([(20, "n20")], "f2.parquet")
+    ice.commit_overwrite(
+        adds=build_inventory(spark, [os.path.join(base, "f2.parquet")], root=base)
+    )
+    ice.rewrite_data_files(apply_equality_deletes=True)
+
+    # overwrite snapshot fails the stream without the skip flag
+    with pytest.raises(Exception, match="OVERWRITE"):
+        _drain_rows(
+            spark,
+            read_iceberg_append_stream(spark, base),
+            str(tmp_path / "ck_fail"),
+        )
+
+    rows = _drain_rows(
+        spark,
+        read_iceberg_append_stream(spark, base, skip_overwrite_snapshots=True),
+        str(tmp_path / "ck_ok"),
+    )
+    got = {(r["id"], r["name"]) for r in rows}
+    # appends only: v1's 4 rows + v3's 1 row; the upsert's rows are
+    # skipped, the compaction's rewritten files never re-emit
+    assert got == {(0, "n0"), (1, "n1"), (2, "n2"), (3, "n3"), (20, "n20")}
+    assert len(rows) == 5
+    sids = {r["_snapshot_id"] for r in rows}
+    assert len(sids) == 2
