@@ -2471,6 +2471,9 @@ STAGED_QUERIES: tuple[str, ...] = (
     "sync_partition_evolution", "sync_safety_fallback", "sync_catchup",
     "sync_bucket_spec", "delta_cdf", "iceberg_changelog", "hudi_changelog",
     "streaming_cdf",
+    # r14 lifecycle families
+    "sync_bucket_decimal", "hudi_cdc_feed", "hudi_changelog_updates",
+    "streaming_iceberg_appends",
     "sync_foreign_table", "sync_foreign_iceberg", "sync_foreign_iceberg_deletes",
     "sync_delta_dv", "ann_ivfpq_persisted", "hudi_mor_views",
     "iceberg_eq_deletes", "dv_translation", "hudi_delete_translation",
