@@ -198,3 +198,31 @@ def test_changelog_net_changes(spark, v2_table):
     assert got == expected
     with pytest.raises(ValueError, match="mutually exclusive"):
         ice.changelog(net_changes=True, identifier_fields=["id"]).count()
+
+
+def test_changelog_plan_builds_with_one_pooled_job(spark, v2_table):
+    """r14: plan construction over an N-upsert chain schedules exactly
+    ONE Spark job — the chain-wide pooled equality-tuple collect. The
+    r13 form ran one collect per snapshot (cProfile: ~46 s of a
+    100-commit walk) plus an isEmpty probe each."""
+    base, ice = v2_table
+    for k in range(3):
+        _write_parquet(
+            [(k, f"v{k}")], ["id", "name"], os.path.join(base, f"u{k}.parquet")
+        )
+        ice.commit_upsert(
+            build_inventory(spark, [os.path.join(base, f"u{k}.parquet")], root=base),
+            ["id"],
+        )
+    sc = spark.sparkContext
+    sc.setJobGroup("ice_plan_count", "changelog plan build")
+    try:
+        feed = ice.changelog()
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup("ice_plan_count")
+    assert len(jobs) == 1, f"expected 1 pooled collect job, saw {len(jobs)}"
+    got = _changes(feed)
+    assert {("insert", 0, i, f"name{i}") for i in range(6)} <= got
+    assert {("insert", k + 1, k, f"v{k}") for k in range(3)} <= got
+    assert {("delete", k + 1, k, f"name{k}") for k in range(3)} <= got
