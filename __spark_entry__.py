@@ -4,7 +4,14 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 14: 152 queries. New in round 14:
+Surface as of round 14: 153 queries. New in round 14:
+`streaming_hudi_rows` — the third edge of the STREAMING triangle
+(siblings streaming_cdf / streaming_iceberg_appends): a file stream
+over the Hudi timeline's completed commit markers, each instant's rows
+derived on executors with the batch changelog's per-file-group rules
+('i' base inserts, 'u' log-block after-images, 'd' delete-block keys;
+COMPACT invisible; replacecommits fail the stream loudly — prior-state
+resolution is the batch changelog's job).
 `streaming_iceberg_appends` — real Iceberg's Spark streaming source
 semantics (SparkMicroBatchStream): a row-level file stream over
 metadata/snap-*.avro, ADDED data files read on executors; append-only

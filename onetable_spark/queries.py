@@ -4996,18 +4996,11 @@ def q_iceberg_changelog_net(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_hudi_changelog(spark: SparkSession, sf: str) -> DataFrame:
-    """Hudi ROW-LEVEL CHANGELOG (r13 — the third edge of the CDC
-    triangle; siblings ``delta_cdf`` and ``iceberg_changelog``): the
-    staged MOR lifecycle seeds region as an external-registration
-    deltacommit (5 'i' rows), upserts keys 0 and 1 with derivably-renamed
-    rows plus a new key 92 via ``upsert_records`` (the updates land as an
-    AVRO_DATA log block decoded through the byte-certified codec → 'u'
-    after-images; the new key lands in a fresh file group → 'i'), then
-    compacts — the COMPACT instant must emit NOTHING. Ops use Hudi's own
-    CDC vocabulary ('i'/'u'/'d'); every output row is a pure function of
-    the region table. The reference reads only file-level commit
-    metadata. Staged once per (session, sf)."""
+def _hudi_chlog_stage(spark: SparkSession, sf: str) -> dict:
+    """ONE staged MOR changelog lifecycle shared by ``hudi_changelog``
+    (batch) and ``streaming_hudi_rows`` (r14 row stream): seed region as
+    a deltacommit, keyed upsert (X_ renames on keys 0-1 + new key 92),
+    then compaction (changelog/stream-invisible)."""
     import os
     import shutil
 
@@ -5041,7 +5034,24 @@ def q_hudi_changelog(spark: SparkSession, sf: str) -> DataFrame:
         tl.compact_file_groups()
         return {"dir": tbl}
 
-    stage = _staged_once(spark, sf, "otb_hchlog_q", build)
+    return _staged_once(spark, sf, "otb_hchlog_q", build)
+
+
+def q_hudi_changelog(spark: SparkSession, sf: str) -> DataFrame:
+    """Hudi ROW-LEVEL CHANGELOG (r13 — the third edge of the CDC
+    triangle; siblings ``delta_cdf`` and ``iceberg_changelog``): the
+    staged MOR lifecycle seeds region as an external-registration
+    deltacommit (5 'i' rows), upserts keys 0 and 1 with derivably-renamed
+    rows plus a new key 92 via ``upsert_records`` (the updates land as an
+    AVRO_DATA log block decoded through the byte-certified codec → 'u'
+    after-images; the new key lands in a fresh file group → 'i'), then
+    compacts — the COMPACT instant must emit NOTHING. Ops use Hudi's own
+    CDC vocabulary ('i'/'u'/'d'); every output row is a pure function of
+    the region table. The reference reads only file-level commit
+    metadata. Staged once per (session, sf)."""
+    from onetable_spark.formats.hudi import HudiTimeline
+
+    stage = _hudi_chlog_stage(spark, sf)
     return (
         HudiTimeline(spark, stage["dir"])
         .changelog()
@@ -5132,6 +5142,33 @@ def q_hudi_changelog_updates(spark: SparkSession, sf: str) -> DataFrame:
         )
         .orderBy("ordinal", "op", "r_regionkey", "r_name")
     )
+
+
+def q_streaming_hudi_rows(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING row-level Hudi reads (r14 — the third edge of the
+    streaming triangle; siblings ``streaming_cdf`` and
+    ``streaming_iceberg_appends``): a file stream over the timeline's
+    completed commit markers, each instant's rows derived on executors
+    with the batch changelog's per-file-group rules — base inserts as
+    'i', AVRO_DATA log blocks as 'u' after-images through the
+    byte-certified codec, DELETE blocks as 'd' keys; COMPACT instants
+    invisible; replacecommits FAIL the stream (prior-state resolution is
+    the batch changelog's job). Shares the staged MOR lifecycle with
+    ``hudi_changelog``; every value region-derived. The reference has no
+    streaming surface."""
+    from onetable_spark.streaming.cdc import read_hudi_row_stream
+    from onetable_spark.streaming.events import run_available_now
+
+    stage = _hudi_chlog_stage(spark, sf)
+    stream = read_hudi_row_stream(spark, stage["dir"])
+    agg = stream.groupBy("_change_operation", "r_regionkey", "r_name").count()
+    out = run_available_now(agg, f"hrow_{_sf_tag(sf)}", shuffle_partitions=4)
+    return out.select(
+        F.col("_change_operation").alias("op"),
+        F.col("r_regionkey").cast("long").alias("r_regionkey"),
+        "r_name",
+        F.col("count").cast("long").alias("n"),
+    ).orderBy("op", "r_regionkey", "r_name")
 
 
 def q_hudi_cdc_feed(spark: SparkSession, sf: str) -> DataFrame:
@@ -8639,6 +8676,20 @@ ORACLE_SQL: dict[str, str] = {
     # v3 plain append's derived inserts ('APP_' rows) union with the v2
     # upsert's cdc rows; before r14 only the cdc rows streamed and every
     # appended row silently vanished from the feed
+    # r14: Hudi row stream — seed 'i', upsert log block 'u' + new-key
+    # 'i', compaction invisible
+    "streaming_hudi_rows": """
+        SELECT * FROM (
+            SELECT 'i' AS op, CAST(r_regionkey AS BIGINT) AS r_regionkey,
+                   r_name, CAST(1 AS BIGINT) AS n
+            FROM region
+            UNION ALL
+            SELECT 'u', CAST(r_regionkey AS BIGINT), 'X_' || r_name, 1
+            FROM region WHERE r_regionkey <= 1
+            UNION ALL
+            SELECT 'i', 92, 'NEWLAND', 1
+        ) ORDER BY op, r_regionkey, r_name
+    """,
     # r14: append-only Iceberg streaming — the two appends' rows, the
     # overwrite skipped, the replace invisible
     "streaming_iceberg_appends": """
@@ -8969,6 +9020,7 @@ SPARK_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hudi_cdc_feed": q_hudi_cdc_feed,
     "streaming_cdf": q_streaming_cdf,
     "streaming_iceberg_appends": q_streaming_iceberg_appends,
+    "streaming_hudi_rows": q_streaming_hudi_rows,
     "sync_safety_fallback": q_sync_safety_fallback,
     "sync_catchup": q_sync_catchup,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,

@@ -582,3 +582,157 @@ def read_iceberg_append_stream(
             )
 
     return raw.mapInPandas(derive, out_schema)
+
+
+def read_hudi_row_stream(spark: SparkSession, table_path: str) -> DataFrame:
+    """ROW-LEVEL streaming read of a Hudi table (r14 — the third edge of
+    the STREAMING triangle; siblings ``read_cdf_stream`` (Delta) and
+    ``read_iceberg_append_stream``): a file stream over the timeline's
+    completed commit markers; each arriving commit-type instant's rows
+    are derived on executors with the same per-file-group rules the
+    batch ``changelog()`` uses:
+
+    - base parquet files with inserts → their rows as 'i';
+    - AVRO_DATA log blocks with this instant's header → 'u'
+      after-images through the byte-certified codec;
+    - DELETE blocks → 'd' rows carrying the record key;
+    - operationType COMPACT/CLUSTER instants emit nothing (layout);
+    - replace-commit file-group deletes are NOT derivable inside a
+      stream task (they need the prior instant's state) — replacecommit
+      instants with ``partitionToReplaceFileIds`` FAIL the stream
+      loudly; consumers of clustering-heavy tables should use the batch
+      ``changelog()`` (real Hudi's streaming read has the same
+      append/update orientation).
+
+    Columns: the table schema + ``_change_operation`` ('i'/'u'/'d') +
+    ``_commit_instant``. Everything is self-contained per commit file
+    (the marker carries the write stats; log blocks carry their own
+    instant headers), so no cross-batch state is needed — Spark's file
+    source ledger is the offset."""
+    import json as _json
+    import os as _os
+
+    from pyspark.sql import types as _T
+
+    from onetable_spark.formats.hudi import HudiTimeline
+
+    tl = HudiTimeline(spark, table_path)
+    desc = tl.table_descriptor()
+    schema = desc.read_schema
+    key_fields = list(desc.record_key_fields)
+    out_schema = _T.StructType(
+        list(schema.fields)
+        + [
+            _T.StructField("_change_operation", _T.StringType()),
+            _T.StructField("_commit_instant", _T.StringType()),
+        ]
+    )
+    hoodie = table_path.rstrip("/") + "/.hoodie"
+    raw = (
+        spark.readStream.format("binaryFile")
+        .schema(
+            "path string, modificationTime timestamp, "
+            "length long, content binary"
+        )
+        .option("pathGlobFilter", "*.{commit,deltacommit,replacecommit}")
+        .load(hoodie)
+        .select(F.col("path").alias("_marker"))
+    )
+    field_names = [f.name for f in schema.fields]
+    key_numeric = bool(key_fields) and str(
+        schema[key_fields[0]].dataType.typeName()
+    ) in ("byte", "short", "integer", "long")
+
+    def derive(batches):
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        from onetable_spark.formats.hudi_log import (
+            avro_block_records,
+            delete_block_records,
+            read_log_blocks,
+        )
+
+        empty = _pd.DataFrame(
+            columns=field_names + ["_change_operation", "_commit_instant"]
+        )
+
+        def _local(p: str) -> str:
+            from urllib.parse import unquote as _unquote
+
+            if p.startswith("file:"):
+                p = "/" + p[5:].lstrip("/")
+            return _unquote(p)
+
+        for pdf in batches:
+            frames = []
+            for marker in pdf["_marker"]:
+                lp = _local(marker)
+                instant = _os.path.basename(lp).split(".", 1)[0]
+                with open(lp) as fh:
+                    meta = _json.load(fh)
+                if meta.get("operationType") in ("COMPACT", "CLUSTER"):
+                    continue
+                if any(
+                    (v or [])
+                    for v in (meta.get("partitionToReplaceFileIds") or {}).values()
+                ):
+                    raise ValueError(
+                        f"{table_path}: instant {instant} replaces file "
+                        "groups — the streamed feed cannot resolve the "
+                        "replaced rows (they need the prior instant's "
+                        "state); use the batch changelog() for "
+                        "clustering-heavy tables"
+                    )
+                for pp, stats in (meta.get("partitionToWriteStats") or {}).items():
+                    for s in stats or []:
+                        rel = s.get("path")
+                        if not rel:
+                            continue
+                        ap = (
+                            rel
+                            if rel.startswith("/") or "://" in rel
+                            else _os.path.join(table_path, rel)
+                        )
+                        if rel.endswith(".parquet") and (s.get("numInserts") or 0) > 0:
+                            t = _pq.read_table(ap).to_pandas(
+                                integer_object_nulls=True
+                            )
+                            t["_change_operation"] = "i"
+                            t["_commit_instant"] = instant
+                            frames.append(t)
+                        elif ".log." in rel and not rel.endswith("-cdc"):
+                            urows, dkeys = [], []
+                            for b in read_log_blocks(ap):
+                                if b["headers"].get("instant_time") != instant:
+                                    continue
+                                if b["type"] == "avro_data":
+                                    _, recs = avro_block_records(b, decode=True)
+                                    urows.extend(recs)
+                                elif b["type"] == "delete":
+                                    _, recs = delete_block_records(b)
+                                    dkeys.extend(
+                                        r.get("recordKey") for r in recs
+                                    )
+                            if urows:
+                                t = _pd.DataFrame(urows, columns=field_names)
+                                t["_change_operation"] = "u"
+                                t["_commit_instant"] = instant
+                                frames.append(t)
+                            if dkeys:
+                                dd = _pd.DataFrame(
+                                    {field_names[0]: [None] * len(dkeys)}
+                                ).reindex(columns=field_names)
+                                if key_fields:
+                                    keys = _pd.Series(dkeys, dtype=object)
+                                    if key_numeric:
+                                        keys = _pd.to_numeric(keys)
+                                    dd[key_fields[0]] = keys
+                                dd["_change_operation"] = "d"
+                                dd["_commit_instant"] = instant
+                                frames.append(dd)
+            yield (
+                _pd.concat(frames, ignore_index=True) if frames else empty
+            )
+
+    return raw.mapInPandas(derive, out_schema)

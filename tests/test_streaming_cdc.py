@@ -374,3 +374,70 @@ def test_iceberg_append_stream_semantics(spark, tmp_path):
     assert len(rows) == 5
     sids = {r["_snapshot_id"] for r in rows}
     assert len(sids) == 2
+
+
+def test_hudi_row_stream_derives_upserts_and_refuses_replace(spark, tmp_path):
+    """The third edge of the STREAMING triangle: base inserts stream as
+    'i', log-block after-images as 'u', delete blocks as 'd'; a
+    replacecommit fails the stream loudly (prior-state resolution needs
+    the batch changelog)."""
+    from onetable_spark.formats.hudi import HudiTimeline, _file_id_for
+    from onetable_spark.model import DataLayoutStrategy
+    from onetable_spark.streaming.cdc import read_hudi_row_stream
+
+    base = str(tmp_path / "hrow")
+    os.makedirs(base)
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(4)], "id long, name string"
+    )
+    df.coalesce(1).write.parquet(base + "/.stage")
+    part = next(
+        f for f in os.listdir(base + "/.stage")
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    os.replace(os.path.join(base, ".stage", part), os.path.join(base, "f1.parquet"))
+    shutil.rmtree(base + "/.stage")
+    tl = HudiTimeline(spark, base)
+    tl.init_table(
+        Table(name="t", base_path=base, table_format=TableFormat.HUDI,
+              read_schema=df.schema, layout=DataLayoutStrategy.FLAT,
+              record_key_fields=("id",))
+    )
+    tl.commit(
+        adds=build_inventory(spark, [os.path.join(base, "f1.parquet")], root=base),
+        action="deltacommit",
+    )
+    tl.upsert_records(
+        spark.createDataFrame([(1, "n1_v2"), (9, "nine")], "id long, name string")
+    )
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(os.path.join(base, "f1.parquet"), columns=["id"])["id"].to_pylist()
+    tl.commit_delete_logs(
+        spark.createDataFrame(
+            [(os.path.join(base, "f1.parquet"), ids.index(2))], "path string, pos long"
+        )
+    )
+
+    rows = _drain_rows(
+        spark, read_hudi_row_stream(spark, base), str(tmp_path / "ck_hrow")
+    )
+    got = {(r["_change_operation"], r["id"], r["name"]) for r in rows}
+    assert got == {
+        ("i", 0, "n0"), ("i", 1, "n1"), ("i", 2, "n2"), ("i", 3, "n3"),
+        ("u", 1, "n1_v2"), ("i", 9, "nine"),
+        ("d", 2, None),
+    }
+    assert len(rows) == len(got)
+
+    # a replacecommit fails the stream
+    merged = os.path.join(base, "merged.parquet")
+    shutil.copy(os.path.join(base, "f1.parquet"), merged)
+    tl.commit(
+        adds=build_inventory(spark, [merged], root=base),
+        replace_file_ids={"": [_file_id_for("f1.parquet")]},
+    )
+    with pytest.raises(Exception, match="replaces file groups"):
+        _drain_rows(
+            spark, read_hudi_row_stream(spark, base), str(tmp_path / "ck_hrow2")
+        )
