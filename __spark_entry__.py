@@ -11,7 +11,9 @@ over the Hudi timeline's completed commit markers, each instant's rows
 derived on executors with the batch changelog's per-file-group rules
 ('i' base inserts, 'u' log-block after-images, 'd' delete-block keys;
 COMPACT invisible; replacecommits fail the stream loudly — prior-state
-resolution is the batch changelog's job).
+resolution is the batch changelog's job). Like the other two late-r14
+queries, registered past the 50-query driver window; rotates in next
+round, oracle-gated now.
 `streaming_iceberg_appends` — real Iceberg's Spark streaming source
 semantics (SparkMicroBatchStream): a row-level file stream over
 metadata/snap-*.avro, ADDED data files read on executors; append-only
