@@ -78,6 +78,11 @@ REMOVE_SCHEMA = T.StructType(
         T.StructField("path", T.StringType()),
         T.StructField("deletionTimestamp", T.LongType()),
         T.StructField("dataChange", T.BooleanType()),
+        # PROTOCOL.md "Remove File": removes SHOULD carry the dropped
+        # file's partitionValues — this writer authors them (r15), and
+        # the CDF readers use them instead of hive-path guessing (which
+        # cannot work on FLAT/DIR_HIERARCHY layouts)
+        T.StructField("partitionValues", _STR_MAP),
     ]
 )
 METADATA_SCHEMA = T.StructType(
@@ -1036,6 +1041,39 @@ class DeltaLog:
                     "writerFeatures": sorted(wfeats | {"changeDataFeed"}),
                 }
 
+        # PROTOCOL.md "Remove File": author partitionValues on every
+        # remove (r15). Values come from the LIVE add action being
+        # dropped — one broadcast-pruned replay job, O(removes) on the
+        # driver — so they carry the add's exact (possibly physical-
+        # named) keys on any layout, hive or not.
+        remove_rels: list[str] = []
+        remove_pv: dict[str, dict] = {}
+        if removes is not None:
+            remove_rels = [
+                _relativize(r["path"], self.table_path)
+                for r in removes.select("path").collect()
+            ]
+            pcols_now = list(
+                (metadata or {}).get("partitionColumns")
+                or (
+                    self.snapshot_info().metadata.get("partitionColumns")
+                    if self.exists()
+                    else None
+                )
+                or []
+            )
+            if remove_rels and pcols_now:
+                reldf = self.spark.createDataFrame(
+                    [(p,) for p in remove_rels], "path string"
+                )
+                matched = (
+                    self._live_adds(self._replay_actions())
+                    .select("path", "partitionValues")
+                    .join(F.broadcast(reldf), "path", "left_semi")
+                )
+                for r in matched.collect():
+                    remove_pv[r["path"]] = dict(r["partitionValues"] or {})
+
         def lines():
             yield json.dumps(
                 {
@@ -1067,18 +1105,18 @@ class DeltaLog:
                             )
                         }
                     )
-            if removes is not None:
-                # driver-ok: O(removed files), same streaming bound
-                for row in removes.select("path").collect():
-                    yield json.dumps(
-                        {
-                            "remove": {
-                                "path": _relativize(row["path"], self.table_path),
-                                "deletionTimestamp": now,
-                                "dataChange": data_change,
-                            }
+            # driver-ok: O(removed files), pre-collected above
+            for rel in remove_rels:
+                yield json.dumps(
+                    {
+                        "remove": {
+                            "path": rel,
+                            "deletionTimestamp": now,
+                            "dataChange": data_change,
+                            "partitionValues": remove_pv.get(rel, {}),
                         }
-                    )
+                    }
+                )
             for c in cdc_adds or []:
                 yield json.dumps(
                     {
@@ -1833,6 +1871,7 @@ class DeltaLog:
             F.col("add.partitionValues").alias("add_pv"),
             F.col("remove.path").alias("rm_path"),
             F.col("remove.dataChange").alias("rm_dc"),
+            F.col("remove.partitionValues").alias("rm_pv"),
             F.col("cdc.path").alias("cdc_path"),
             F.col("cdc.partitionValues").alias("cdc_pv"),
         ).collect()
@@ -1848,7 +1887,8 @@ class DeltaLog:
                 )
             if r["rm_path"] is not None:
                 slot["remove"].append(
-                    {"path": r["rm_path"], "dataChange": r["rm_dc"], "pv": None}
+                    {"path": r["rm_path"], "dataChange": r["rm_dc"],
+                     "pv": r["rm_pv"]}
                 )
             if r["cdc_path"] is not None:
                 slot["cdc"].append({"path": r["cdc_path"], "pv": r["cdc_pv"]})
@@ -1886,19 +1926,27 @@ class DeltaLog:
                         continue
                     file_pv = [(abs_path(a["path"]), a["pv"]) for a in files]
                     if pcols and change == "delete":
-                        # this engine's remove actions carry no
-                        # partitionValues — recover them from the parent
-                        # snapshot (driver-ok: O(removed files) after the
-                        # isin prune)
-                        wanted = [p for p, _ in file_pv]
-                        looked = {
-                            r["path"]: dict(r["partition_values"] or {})
-                            for r in self.snapshot_files(v - 1)
-                            .where(F.col("path").isin(wanted))
-                            .select("path", "partition_values")
-                            .collect()
-                        }
-                        file_pv = [(p, looked.get(p)) for p, _ in file_pv]
+                        # removes authored since r15 carry their own
+                        # partitionValues (PROTOCOL.md); for LEGACY
+                        # commits whose removes lack the map, recover
+                        # from the parent snapshot (driver-ok:
+                        # O(removed files) after the isin prune)
+                        wanted = [p for p, pv in file_pv if pv is None]
+                        looked = (
+                            {
+                                r["path"]: dict(r["partition_values"] or {})
+                                for r in self.snapshot_files(v - 1)
+                                .where(F.col("path").isin(wanted))
+                                .select("path", "partition_values")
+                                .collect()
+                            }
+                            if wanted
+                            else {}
+                        )
+                        file_pv = [
+                            (p, pv if pv is not None else looked.get(p))
+                            for p, pv in file_pv
+                        ]
                     legs.append(
                         self._read_rows_with_pv(
                             file_pv, schema, schema, pcols

@@ -861,10 +861,7 @@ class HudiTimeline:
         ]
         table_path = self.table_path
         field_names = [f.name for f in schema.fields]
-        key_numeric = bool(key_fields) and isinstance(
-            dict((f.name, f.dataType) for f in schema.fields).get(key_fields[0]),
-            (T.ByteType, T.ShortType, T.IntegerType, T.LongType),
-        )
+        numeric_kf = _numeric_key_fields(schema, key_fields)
         frames = []
         heads = self._commit_heads(instants)
         for instant, action in instants:
@@ -942,16 +939,11 @@ class HudiTimeline:
                         out = pd.DataFrame(urows, columns=field_names)
                         out["_op"] = "u"
                         if dkeys:
-                            dd = pd.DataFrame(
-                                {field_names[0]: [None] * len(dkeys)}
-                            ).reindex(columns=field_names)
-                            if key_fields:
-                                # HoodieKey record keys are STRINGS — cast
-                                # back to the key column's declared type
-                                keys = pd.Series(dkeys, dtype=object)
-                                if key_numeric:
-                                    keys = pd.to_numeric(keys)
-                                dd[key_fields[0]] = keys
+                            # HoodieKey strings back into typed key
+                            # columns — ALL of them for composite keys
+                            dd = delete_key_frame(
+                                dkeys, field_names, key_fields, numeric_kf
+                            )
                             dd["_op"] = "d"
                             out = pd.concat([out, dd])
                         yield out
@@ -1239,9 +1231,16 @@ class HudiTimeline:
                                         {
                                             "op": "d",
                                             "ts_ms": ts_ms,
+                                            # composite keys split into
+                                            # ALL their fields (r15)
                                             "before": _json2.dumps(
-                                                {
-                                                    (key_fields[0] if key_fields else "record_key"):
+                                                record_key_to_dict(
+                                                    r.get("recordKey"),
+                                                    key_fields,
+                                                )
+                                                if key_fields
+                                                else {
+                                                    "record_key":
                                                     r.get("recordKey")
                                                 }
                                             ),
@@ -2514,6 +2513,124 @@ class HudiTimeline:
                 if os.path.exists(mp):
                     os.remove(mp)
         return len(to_archive)
+
+
+def record_key_to_dict(record_key, key_fields: list[str]) -> dict:
+    """One HoodieKey recordKey string back into per-field values: a
+    single-field key is the bare value (SimpleKeyGenerator), a composite
+    key the ComplexKeyGenerator ``f1:v1,f2:v2`` form (the exact form
+    ``commit_delete_logs``/``upsert_records`` author). Unparseable
+    segments of a composite key are dropped — the generator's own form
+    is lossy for values containing ``,``/``:``, exactly as in real
+    Hudi."""
+    if not key_fields:
+        return {}
+    if len(key_fields) == 1:
+        return {key_fields[0]: record_key}
+    parts: dict = {}
+    for seg in str(record_key).split(","):
+        if ":" in seg:
+            f, v = seg.split(":", 1)
+            if f in key_fields:
+                parts[f] = v
+    return {f: parts.get(f) for f in key_fields}
+
+
+def delete_key_frame(dkeys, field_names: list[str], key_fields: list[str],
+                     numeric_key_fields: set[str]):
+    """Full-width pandas frame of 'd' rows for the given recordKey
+    strings: key columns re-typed (HoodieKey keys are STRINGS — integer
+    key fields cast back), every other column null. Composite keys
+    split into ALL their fields (r15 — before, only ``key_fields[0]``
+    was stamped and a composite-key table's delete rows lost the
+    remaining parts)."""
+    import pandas as _pd
+
+    dd = _pd.DataFrame(
+        {field_names[0]: [None] * len(dkeys)}
+    ).reindex(columns=field_names)
+    if not key_fields or not len(dkeys):
+        return dd
+    if len(key_fields) == 1:
+        cols = {key_fields[0]: list(dkeys)}
+    else:
+        cols = {f: [] for f in key_fields}
+        for k in dkeys:
+            d = record_key_to_dict(k, key_fields)
+            for f in key_fields:
+                cols[f].append(d[f])
+    for f in key_fields:
+        s = _pd.Series(cols[f], dtype=object)
+        if f in numeric_key_fields:
+            s = _pd.to_numeric(s)
+        dd[f] = s
+    return dd
+
+
+def _numeric_key_fields(schema: T.StructType, key_fields) -> set[str]:
+    """Key fields whose declared type is integral (their recordKey
+    strings cast back through ``pd.to_numeric``)."""
+    types = {f.name: f.dataType for f in schema.fields}
+    return {
+        f
+        for f in key_fields
+        if isinstance(
+            types.get(f), (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+        )
+    }
+
+
+def read_optimized_files_before(table_path: str, instant: str) -> list[str]:
+    """PURE-PYTHON replay of the read-optimized view strictly BEFORE
+    ``instant``: rel_paths of live base parquet files — the latest base
+    slice per file group, minus groups replaced at a later-or-equal
+    replacecommit, with rollback/restore undo applied. Mirrors
+    ``HudiTimeline.snapshot_files_before(view='read_optimized')``
+    (``_live_base_slices``) without a SparkSession, so a STREAMING task
+    can resolve a replacecommit's victims from the timeline's own tiny
+    JSON files (everything here is metadata; no data file is read)."""
+    hoodie = os.path.join(table_path, ".hoodie")
+    events = []
+    for f in os.listdir(hoodie):
+        parts = f.split(".")
+        if (
+            len(parts) == 2
+            and parts[1] in COMMIT_ACTIONS + UNDO_ACTIONS
+            and parts[0] < instant
+        ):
+            events.append((parts[0], parts[1]))
+    events.sort()
+    undone: set[str] = set()
+    for i, a in events:
+        if a in UNDO_ACTIONS:
+            with open(os.path.join(hoodie, f"{i}.{a}")) as fh:
+                payload = json.load(fh)
+            undone.update(payload.get("commitsRollback") or [])
+            undone.update(payload.get("instantsToRollback") or [])
+    latest: dict[str, tuple[str, str]] = {}
+    replaced: dict[str, str] = {}
+    for i, a in events:
+        if a in UNDO_ACTIONS or i in undone:
+            continue
+        with open(os.path.join(hoodie, f"{i}.{a}")) as fh:
+            meta = json.load(fh)
+        for stats in (meta.get("partitionToWriteStats") or {}).values():
+            for s in stats or []:
+                rel = s.get("path")
+                if not rel or ".log." in rel:
+                    continue
+                fid = s.get("fileId") or _file_id_for(rel)
+                if fid not in latest or i > latest[fid][0]:
+                    latest[fid] = (i, rel)
+        for ids in (meta.get("partitionToReplaceFileIds") or {}).values():
+            for fid in ids or []:
+                if fid not in replaced or i > replaced[fid]:
+                    replaced[fid] = i
+    return [
+        rel
+        for fid, (i, rel) in sorted(latest.items())
+        if not (fid in replaced and replaced[fid] >= i)
+    ]
 
 
 def _file_id_for(rel_path: str) -> str:

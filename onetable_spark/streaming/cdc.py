@@ -51,6 +51,9 @@ _ACTION_SCHEMA = T.StructType(
                 [
                     T.StructField("path", T.StringType()),
                     T.StructField("dataChange", T.BooleanType()),
+                    T.StructField(
+                        "partitionValues", T.MapType(T.StringType(), T.StringType())
+                    ),
                 ]
             ),
         ),
@@ -286,9 +289,11 @@ def read_cdf_stream(spark: SparkSession, table_path: str) -> DataFrame:
     from the feed while the batch ``change_feed`` derived it as an
     insert. Partitioned tables: cdc files are self-describing (the
     writer keeps partition columns in the bytes) and derived rows
-    materialize partition columns from the add action's partitionValues
-    (removes fall back to hive path segments — this engine's remove
-    actions carry no map). The schema comes from the table's current
+    materialize partition columns from the ACTION's own partitionValues
+    map — adds always carried one; removes carry theirs since r15
+    (PROTOCOL.md "Remove File"), which works on FLAT/DIR_HIERARCHY
+    layouts where the old hive-path fallback could not.
+    The schema comes from the table's current
     metaData; both legs are bounded-batch file sources, so watermarks/
     stateful operators compose downstream as usual."""
     import json as _json
@@ -349,7 +354,9 @@ def _derived_cdf_stream(
             F.when(F.col("add").isNotNull(), F.lit("insert"))
             .otherwise(F.lit("delete"))
             .alias("ctype"),
-            F.col("add.partitionValues").alias("pv"),
+            # removes authored since r15 carry their own partitionValues
+            # (PROTOCOL.md) — no path guessing on any layout
+            F.coalesce("add.partitionValues", "remove.partitionValues").alias("pv"),
             "_commit_file",
         )
     )
@@ -411,14 +418,11 @@ def _derived_cdf_stream(
                     .reindex(columns=data_names)
                 )
                 t["_change_type"] = ctype
-                if pv is None and pcols:
-                    # removes carry no partitionValues — recover hive
-                    # `k=v` segments from the file's own directory path
-                    pv = {}
-                    for seg in _os.path.dirname(_unquote(rel)).split("/"):
-                        if "=" in seg:
-                            k, v = seg.split("=", 1)
-                            pv[k] = v
+                # the action's own partitionValues map is authoritative
+                # (adds always carried one; removes since r15) — a LEGACY
+                # remove without the map yields null partition columns
+                # rather than guessing from path segments, which cannot
+                # work on FLAT/DIR_HIERARCHY layouts
                 t["_pv"] = _json.dumps(dict(pv)) if pv is not None else None
                 frames.append(t)
             yield _pd.concat(frames) if frames else empty
@@ -444,12 +448,44 @@ def read_iceberg_append_stream(
     table_path: str,
     skip_delete_snapshots: bool = False,
     skip_overwrite_snapshots: bool = False,
+    _task_probe_dir: str | None = None,
 ) -> DataFrame:
-    """ROW-LEVEL streaming read of an Iceberg table (r14 — real Iceberg's
-    Spark streaming source, SparkMicroBatchStream semantics): a file
-    stream over ``metadata/snap-*.avro`` (one manifest list per
-    snapshot); each arriving snapshot's ADDED data files are read on the
-    executors and their rows emitted with ``_snapshot_id``.
+    """ROW-LEVEL streaming read of an Iceberg table (r14; restructured
+    r15 — real Iceberg's Spark streaming source, SparkMicroBatchStream
+    semantics): a file stream over COMMITTED ``metadata/v*.metadata.json``
+    version files; each version's newly-committed snapshots are resolved
+    by ancestry diff against the previous version, their ADDED data
+    files exploded into per-file work rows (a metadata-only pass), and
+    each file read in its own executor task, rows emitted with
+    ``_snapshot_id``.
+
+    Two r14 scale/robustness holes closed by the r15 restructure:
+
+    - **per-file parallelism**: the r14 form made ONE mapInPandas task
+      read every data file of a snapshot serially and buffer all rows
+      in pandas before yielding — a 10k-file append was one Python task
+      with unbounded memory. Now a cheap metadata pass (stage 1) emits
+      ``(file_path, _snapshot_id)`` rows, an explicit
+      ``repartition(shuffle.partitions, file_path)`` fans them out
+      (explicit width so no adaptive coalesce can undo it), and stage 2
+      yields ONE bounded frame per file.
+    - **in-flight commits never fail the stream**: the r14 form tailed
+      ``snap-*.avro`` manifest lists, and a manifest list landing
+      before its metadata.json CAS (a NORMAL mid-commit state with the
+      pointer-CAS writer) raised and killed the stream. Streaming the
+      metadata.json version files instead means the unit of discovery
+      IS the commit point — an orphan manifest list is simply not
+      visible until its CAS completes, and its rows arrive in the next
+      batch after it does (real Iceberg also streams committed
+      metadata only).
+
+    Newly-committed snapshots for version N = the parent-chain walk
+    from vN's current-snapshot-id down to v(N-1)'s current-snapshot-id
+    (the previous version file is read from the same directory; when
+    absent — stream start or expired old versions — the full committed
+    ancestry streams). A WAP-staged snapshot does not move
+    current-snapshot-id, so it streams only when published; a rollback
+    moves current to an ancestor, so nothing re-emits.
 
     Iceberg's streaming contract is APPEND-ONLY and this source honors
     it exactly: ``replace`` snapshots (compaction) are invisible;
@@ -461,14 +497,12 @@ def read_iceberg_append_stream(
     nothing — downstream row-level deletes need the batch
     ``changelog()``.
 
-    The snapshot's operation comes from the table's CURRENT
-    metadata.json, keyed by the snapshot id parsed from the manifest
-    list's own ``snap-{id}-…`` name (one tiny json read per executor
-    batch, cached). A manifest list whose snapshot is not yet (or no
-    longer) in the metadata fails loudly — mid-commit discovery or
-    expired history, both states a consumer must not silently skip."""
+    ``_task_probe_dir`` (tests only): stage-2 tasks touch a
+    ``task-<partition_id>`` marker file there, so a test can assert the
+    read stage really fans out across >1 task."""
     import json as _json
     import os as _os
+    import re as _re
 
     from pyspark.sql import types as _T
 
@@ -486,12 +520,21 @@ def read_iceberg_append_stream(
             "path string, modificationTime timestamp, "
             "length long, content binary"
         )
-        .option("pathGlobFilter", "snap-*.avro")
+        .option("pathGlobFilter", "v*.metadata.json")
         .load(meta_dir)
-        .select(F.col("path").alias("_mlist"))
+        .select(F.col("path").alias("_mjson"))
     )
 
-    def derive(batches):
+    def _local(p: str) -> str:
+        from urllib.parse import unquote as _unquote
+
+        if p.startswith("file:"):
+            p = "/" + p[5:].lstrip("/")
+        return _unquote(p)
+
+    def plan(batches):
+        """Stage 1 — metadata-only: version file → one row per ADDED
+        data file of its newly-committed, non-skipped snapshots."""
         import pandas as _pd
 
         from onetable_spark.formats.iceberg import (
@@ -500,121 +543,173 @@ def read_iceberg_append_stream(
             read_container,
         )
 
-        ops_cache: dict = {}
+        vpat = _re.compile(r"^v(\d+)\.metadata\.json$")
 
-        def _local(p: str) -> str:
-            from urllib.parse import unquote as _unquote
-
-            if p.startswith("file:"):
-                p = "/" + p[5:].lstrip("/")
-            return _unquote(p)
-
-        def snapshot_ops() -> dict:
-            if not ops_cache:
-                versions = [
-                    f for f in _os.listdir(meta_dir)
-                    if f.startswith("v") and f.endswith(".metadata.json")
-                ]
-                latest = max(
-                    versions, key=lambda f: int(f[1:].split(".", 1)[0])
-                )
-                with open(_os.path.join(meta_dir, latest)) as fh:
-                    md = _json.load(fh)
-                for s in md.get("snapshots", []):
-                    ops_cache[int(s["snapshot-id"])] = (
-                        (s.get("summary") or {}).get("operation", "append")
+        def new_snapshots(lp: str) -> list[dict]:
+            version = int(vpat.match(_os.path.basename(lp)).group(1))
+            with open(lp) as fh:
+                md = _json.load(fh)
+            cur = md.get("current-snapshot-id")
+            if cur is None or cur == -1:
+                return []
+            by_id = {
+                int(s["snapshot-id"]): s for s in md.get("snapshots", [])
+            }
+            prevs = [
+                int(m.group(1))
+                for f in _os.listdir(_os.path.dirname(lp))
+                if (m := vpat.match(f)) and int(m.group(1)) < version
+            ]
+            prev_cur = None
+            if prevs:
+                with open(
+                    _os.path.join(
+                        _os.path.dirname(lp),
+                        f"v{max(prevs)}.metadata.json",
                     )
-            return ops_cache
+                ) as fh:
+                    prev_cur = _json.load(fh).get("current-snapshot-id")
+                if prev_cur == -1:
+                    prev_cur = None
+            walk, out, found_prev = cur, [], prev_cur is None
+            while walk is not None and walk != -1:
+                if walk == prev_cur:
+                    found_prev = True
+                    break
+                s = by_id.get(int(walk))
+                if s is None:
+                    break  # expired-history boundary
+                out.append(s)
+                walk = s.get("parent-snapshot-id")
+            if prev_cur is not None and not found_prev:
+                # rollback / non-linear move: nothing newly committed
+                return []
+            out.reverse()
+            return out
 
-        names = [f.name for f in schema.fields]
-        empty = _pd.DataFrame(columns=names + ["_snapshot_id"])
         for pdf in batches:
-            frames = []
-            for mpath in pdf["_mlist"]:
-                lp = _local(mpath)
-                sid = int(_os.path.basename(lp).split("-")[1])
-                op = snapshot_ops().get(sid)
-                if op is None:
-                    raise ValueError(
-                        f"{table_path}: snapshot {sid} has a manifest "
-                        "list but is not in the current table metadata — "
-                        "commit in flight or history expired; cannot "
-                        "stream it safely"
+            paths, sids = [], []
+            for mpath in pdf["_mjson"]:
+                for snap in new_snapshots(_local(mpath)):
+                    sid = int(snap["snapshot-id"])
+                    op = (snap.get("summary") or {}).get(
+                        "operation", "append"
                     )
-                if op == "replace":
-                    continue
-                if op == "delete":
-                    if skip_delete_snapshots:
+                    if op == "replace":
                         continue
-                    raise ValueError(
-                        f"{table_path}: snapshot {sid} is a DELETE — "
-                        "Iceberg streaming reads are append-only; pass "
-                        "skip_delete_snapshots=True (streaming-skip-"
-                        "delete-snapshots) to skip it"
-                    )
-                if op == "overwrite":
-                    if skip_overwrite_snapshots:
-                        continue
-                    raise ValueError(
-                        f"{table_path}: snapshot {sid} is an OVERWRITE — "
-                        "Iceberg streaming reads are append-only; pass "
-                        "skip_overwrite_snapshots=True (streaming-skip-"
-                        "overwrite-snapshots) to skip it"
-                    )
-                import pyarrow.parquet as _pq
-
-                _, manifests = read_container(lp)
-                data, _deletes = _split_manifests(manifests)
-                for m in data:
-                    if m.get("added_snapshot_id") != sid:
-                        continue
-                    _, entries = read_container(m["manifest_path"])
-                    for e in entries:
-                        if e["status"] != STATUS_ADDED:
+                    if op == "delete":
+                        if skip_delete_snapshots:
                             continue
-                        t = _pq.read_table(
-                            e["data_file"]["file_path"]
-                        ).to_pandas(integer_object_nulls=True)
-                        t["_snapshot_id"] = sid
-                        frames.append(t)
-            yield (
-                _pd.concat(frames, ignore_index=True) if frames else empty
-            )
+                        raise ValueError(
+                            f"{table_path}: snapshot {sid} is a DELETE — "
+                            "Iceberg streaming reads are append-only; pass "
+                            "skip_delete_snapshots=True (streaming-skip-"
+                            "delete-snapshots) to skip it"
+                        )
+                    if op == "overwrite":
+                        if skip_overwrite_snapshots:
+                            continue
+                        raise ValueError(
+                            f"{table_path}: snapshot {sid} is an OVERWRITE "
+                            "— Iceberg streaming reads are append-only; "
+                            "pass skip_overwrite_snapshots=True "
+                            "(streaming-skip-overwrite-snapshots) to skip "
+                            "it"
+                        )
+                    _, manifests = read_container(snap["manifest-list"])
+                    data, _deletes = _split_manifests(manifests)
+                    for m in data:
+                        if m.get("added_snapshot_id") != sid:
+                            continue
+                        for e in read_container(m["manifest_path"])[1]:
+                            if e["status"] != STATUS_ADDED:
+                                continue
+                            paths.append(e["data_file"]["file_path"])
+                            sids.append(sid)
+            yield _pd.DataFrame({"file_path": paths, "_snapshot_id": sids})
 
-    return raw.mapInPandas(derive, out_schema)
+    files = raw.mapInPandas(plan, "file_path string, _snapshot_id long")
+    # explicit width: user-specified repartition is exempt from adaptive
+    # coalescing, so a multi-file commit genuinely fans out
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    files = files.repartition(n_parts, "file_path")
+
+    def read_files(batches):
+        """Stage 2 — one bounded frame yielded PER FILE (never a
+        whole-snapshot pandas buffer)."""
+        import pyarrow.parquet as _pq
+
+        def mark():
+            # test probe: record that THIS task read at least one file
+            # (empty shuffle partitions leave no marker)
+            if _task_probe_dir:
+                from pyspark import TaskContext
+
+                tc = TaskContext.get()
+                if tc is not None:
+                    open(
+                        _os.path.join(
+                            _task_probe_dir, f"task-{tc.partitionId()}"
+                        ),
+                        "w",
+                    ).close()
+
+        for pdf in batches:
+            for p, sid in zip(pdf["file_path"], pdf["_snapshot_id"]):
+                mark()
+                t = _pq.read_table(p).to_pandas(integer_object_nulls=True)
+                t["_snapshot_id"] = int(sid)
+                yield t
+
+    return files.mapInPandas(read_files, out_schema)
 
 
-def read_hudi_row_stream(spark: SparkSession, table_path: str) -> DataFrame:
-    """ROW-LEVEL streaming read of a Hudi table (r14 — the third edge of
-    the STREAMING triangle; siblings ``read_cdf_stream`` (Delta) and
-    ``read_iceberg_append_stream``): a file stream over the timeline's
-    completed commit markers; each arriving commit-type instant's rows
-    are derived on executors with the same per-file-group rules the
-    batch ``changelog()`` uses:
+def read_hudi_row_stream(
+    spark: SparkSession, table_path: str, _task_probe_dir: str | None = None
+) -> DataFrame:
+    """ROW-LEVEL streaming read of a Hudi table (r14; restructured r15 —
+    the third edge of the STREAMING triangle; siblings
+    ``read_cdf_stream`` (Delta) and ``read_iceberg_append_stream``): a
+    file stream over the timeline's completed commit markers; each
+    arriving commit-type instant's rows are derived on executors with
+    the same per-file-group rules the batch ``changelog()`` uses:
 
     - base parquet files with inserts → their rows as 'i';
     - AVRO_DATA log blocks with this instant's header → 'u'
       after-images through the byte-certified codec;
-    - DELETE blocks → 'd' rows carrying the record key;
+    - DELETE blocks → 'd' rows carrying the record key (ALL fields of
+      a composite key, r15);
     - operationType COMPACT/CLUSTER instants emit nothing (layout);
-    - replace-commit file-group deletes are NOT derivable inside a
-      stream task (they need the prior instant's state) — replacecommit
-      instants with ``partitionToReplaceFileIds`` FAIL the stream
-      loudly; consumers of clustering-heavy tables should use the batch
-      ``changelog()`` (real Hudi's streaming read has the same
-      append/update orientation).
+    - a replacecommit's replaced file groups emit their PRIOR base-file
+      rows as 'd' (r15 — the r14 source refused replacecommits
+      outright): the prior state is replayed from the timeline's own
+      tiny commit JSONs inside the planning task
+      (``read_optimized_files_before`` — metadata only, no Spark
+      state), matching the batch ``changelog()``'s file-level
+      derivation, so clustering-heavy tables stream too.
+
+    Two-stage shape (r15 — the r14 form was one task per commit,
+    reading every file serially into one pandas buffer): stage 1 parses
+    each marker into per-file work rows ``(kind, path, instant)``; an
+    explicit ``repartition(shuffle.partitions, path, instant)`` fans
+    them out (explicit width — adaptive coalescing can't undo it);
+    stage 2 reads ONE file per row and yields ONE bounded frame per
+    file.
 
     Columns: the table schema + ``_change_operation`` ('i'/'u'/'d') +
-    ``_commit_instant``. Everything is self-contained per commit file
-    (the marker carries the write stats; log blocks carry their own
-    instant headers), so no cross-batch state is needed — Spark's file
-    source ledger is the offset."""
+    ``_commit_instant``. Everything is derivable from the commit file
+    plus the on-disk timeline, so no cross-batch state is needed —
+    Spark's file source ledger is the offset.
+
+    ``_task_probe_dir`` (tests only): stage-2 tasks touch a
+    ``task-<partition_id>`` marker on each real read, so a test can
+    assert the fan-out."""
     import json as _json
     import os as _os
 
     from pyspark.sql import types as _T
 
-    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.hudi import HudiTimeline, _numeric_key_fields
 
     tl = HudiTimeline(spark, table_path)
     desc = tl.table_descriptor()
@@ -639,33 +734,39 @@ def read_hudi_row_stream(spark: SparkSession, table_path: str) -> DataFrame:
         .select(F.col("path").alias("_marker"))
     )
     field_names = [f.name for f in schema.fields]
-    key_numeric = bool(key_fields) and str(
-        schema[key_fields[0]].dataType.typeName()
-    ) in ("byte", "short", "integer", "long")
+    numeric_kf = _numeric_key_fields(schema, key_fields)
 
-    def derive(batches):
+    def _local(p: str) -> str:
+        from urllib.parse import unquote as _unquote
+
+        if p.startswith("file:"):
+            p = "/" + p[5:].lstrip("/")
+        return _unquote(p)
+
+    def _abs(rel: str) -> str:
+        return (
+            rel
+            if rel.startswith("/") or "://" in rel
+            else _os.path.join(table_path, rel)
+        )
+
+    def plan(batches):
+        """Stage 1 — metadata-only: commit marker → per-file work rows."""
         import pandas as _pd
-        import pyarrow.parquet as _pq
 
-        from onetable_spark.formats.hudi_log import (
-            avro_block_records,
-            delete_block_records,
-            read_log_blocks,
+        from onetable_spark.formats.hudi import (
+            _file_id_for,
+            read_optimized_files_before,
         )
-
-        empty = _pd.DataFrame(
-            columns=field_names + ["_change_operation", "_commit_instant"]
-        )
-
-        def _local(p: str) -> str:
-            from urllib.parse import unquote as _unquote
-
-            if p.startswith("file:"):
-                p = "/" + p[5:].lstrip("/")
-            return _unquote(p)
 
         for pdf in batches:
-            frames = []
+            kinds, paths, instants = [], [], []
+
+            def emit(kind: str, path: str, instant: str) -> None:
+                kinds.append(kind)
+                paths.append(path)
+                instants.append(instant)
+
             for marker in pdf["_marker"]:
                 lp = _local(marker)
                 instant = _os.path.basename(lp).split(".", 1)[0]
@@ -673,66 +774,104 @@ def read_hudi_row_stream(spark: SparkSession, table_path: str) -> DataFrame:
                     meta = _json.load(fh)
                 if meta.get("operationType") in ("COMPACT", "CLUSTER"):
                     continue
-                if any(
-                    (v or [])
-                    for v in (meta.get("partitionToReplaceFileIds") or {}).values()
-                ):
-                    raise ValueError(
-                        f"{table_path}: instant {instant} replaces file "
-                        "groups — the streamed feed cannot resolve the "
-                        "replaced rows (they need the prior instant's "
-                        "state); use the batch changelog() for "
-                        "clustering-heavy tables"
-                    )
-                for pp, stats in (meta.get("partitionToWriteStats") or {}).items():
+                replaced = {
+                    fid
+                    for ids in (
+                        meta.get("partitionToReplaceFileIds") or {}
+                    ).values()
+                    for fid in (ids or [])
+                }
+                if replaced:
+                    # prior-state victims, replayed from timeline JSON
+                    for rel in read_optimized_files_before(
+                        table_path, instant
+                    ):
+                        if _file_id_for(rel) in replaced:
+                            emit("victim", _abs(rel), instant)
+                for stats in (
+                    meta.get("partitionToWriteStats") or {}
+                ).values():
                     for s in stats or []:
                         rel = s.get("path")
                         if not rel:
                             continue
-                        ap = (
-                            rel
-                            if rel.startswith("/") or "://" in rel
-                            else _os.path.join(table_path, rel)
-                        )
-                        if rel.endswith(".parquet") and (s.get("numInserts") or 0) > 0:
-                            t = _pq.read_table(ap).to_pandas(
-                                integer_object_nulls=True
-                            )
-                            t["_change_operation"] = "i"
-                            t["_commit_instant"] = instant
-                            frames.append(t)
+                        if (
+                            rel.endswith(".parquet")
+                            and (s.get("numInserts") or 0) > 0
+                        ):
+                            emit("base", _abs(rel), instant)
                         elif ".log." in rel and not rel.endswith("-cdc"):
-                            urows, dkeys = [], []
-                            for b in read_log_blocks(ap):
-                                if b["headers"].get("instant_time") != instant:
-                                    continue
-                                if b["type"] == "avro_data":
-                                    _, recs = avro_block_records(b, decode=True)
-                                    urows.extend(recs)
-                                elif b["type"] == "delete":
-                                    _, recs = delete_block_records(b)
-                                    dkeys.extend(
-                                        r.get("recordKey") for r in recs
-                                    )
-                            if urows:
-                                t = _pd.DataFrame(urows, columns=field_names)
-                                t["_change_operation"] = "u"
-                                t["_commit_instant"] = instant
-                                frames.append(t)
-                            if dkeys:
-                                dd = _pd.DataFrame(
-                                    {field_names[0]: [None] * len(dkeys)}
-                                ).reindex(columns=field_names)
-                                if key_fields:
-                                    keys = _pd.Series(dkeys, dtype=object)
-                                    if key_numeric:
-                                        keys = _pd.to_numeric(keys)
-                                    dd[key_fields[0]] = keys
-                                dd["_change_operation"] = "d"
-                                dd["_commit_instant"] = instant
-                                frames.append(dd)
-            yield (
-                _pd.concat(frames, ignore_index=True) if frames else empty
+                            emit("log", _abs(rel), instant)
+            yield _pd.DataFrame(
+                {"kind": kinds, "path": paths, "_commit_instant": instants}
             )
 
-    return raw.mapInPandas(derive, out_schema)
+    work = raw.mapInPandas(
+        plan, "kind string, path string, _commit_instant string"
+    )
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    work = work.repartition(n_parts, "path", "_commit_instant")
+
+    def read_files(batches):
+        """Stage 2 — one bounded frame (or two, for a log file with both
+        block types) yielded PER FILE."""
+        import pandas as _pd
+        import pyarrow.parquet as _pq
+
+        from onetable_spark.formats.hudi import delete_key_frame
+        from onetable_spark.formats.hudi_log import (
+            avro_block_records,
+            delete_block_records,
+            read_log_blocks,
+        )
+
+        def mark():
+            if _task_probe_dir:
+                from pyspark import TaskContext
+
+                tc = TaskContext.get()
+                if tc is not None:
+                    open(
+                        _os.path.join(
+                            _task_probe_dir, f"task-{tc.partitionId()}"
+                        ),
+                        "w",
+                    ).close()
+
+        for pdf in batches:
+            for kind, ap, instant in zip(
+                pdf["kind"], pdf["path"], pdf["_commit_instant"]
+            ):
+                mark()
+                if kind in ("base", "victim"):
+                    t = _pq.read_table(ap).to_pandas(
+                        integer_object_nulls=True
+                    )
+                    t["_change_operation"] = "i" if kind == "base" else "d"
+                    t["_commit_instant"] = instant
+                    yield t
+                    continue
+                urows, dkeys = [], []
+                for b in read_log_blocks(ap):
+                    if b["headers"].get("instant_time") != instant:
+                        continue
+                    if b["type"] == "avro_data":
+                        _, recs = avro_block_records(b, decode=True)
+                        urows.extend(recs)
+                    elif b["type"] == "delete":
+                        _, recs = delete_block_records(b)
+                        dkeys.extend(r.get("recordKey") for r in recs)
+                if urows:
+                    t = _pd.DataFrame(urows, columns=field_names)
+                    t["_change_operation"] = "u"
+                    t["_commit_instant"] = instant
+                    yield t
+                if dkeys:
+                    dd = delete_key_frame(
+                        dkeys, field_names, key_fields, numeric_kf
+                    )
+                    dd["_change_operation"] = "d"
+                    dd["_commit_instant"] = instant
+                    yield dd
+
+    return work.mapInPandas(read_files, out_schema)

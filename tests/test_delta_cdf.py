@@ -340,3 +340,113 @@ def test_direct_dv_commit_authors_delete_cdc(spark, cdf_table):
     with open(os.path.join(base, "_delta_log", f"{v2:020d}.json")) as f:
         actions = [json.loads(line) for line in f]
     assert any("cdc" in a for a in actions)
+
+
+def test_removes_author_partition_values_dir_hierarchy(spark, tmp_path):
+    """PROTOCOL.md "Remove File" (r15): removes carry the dropped file's
+    partitionValues, so derived CDF deletes recover partition columns on
+    a DIR_HIERARCHY layout (bare value dirs) where the old hive-path
+    heuristic could never work — and without the per-version parent
+    snapshot lookup."""
+    import pyspark.sql.types as T
+
+    from onetable_spark.model import DataLayoutStrategy, PartitionField
+
+    base = str(tmp_path / "dircdf")
+    os.makedirs(os.path.join(base, "A"))
+    os.makedirs(os.path.join(base, "B"))
+    dfa = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(4)], "id long, name string"
+    )
+    dfb = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(4, 8)], "id long, name string"
+    )
+    fa = os.path.join(base, "A", "fa.parquet")
+    fb = os.path.join(base, "B", "fb.parquet")
+    _write_file(spark, dfa, fa)
+    _write_file(spark, dfb, fb)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("part", T.StringType()),
+        ]
+    )
+    log = DeltaLog(spark, base)
+    log.init_table(
+        Table(
+            name="d", base_path=base, table_format=TableFormat.DELTA,
+            read_schema=schema, layout=DataLayoutStrategy.DIR_HIERARCHY_PARTITION_VALUES,
+            partition_fields=(PartitionField(source_field="part"),),
+        ),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    log.commit(
+        adds=build_inventory(spark, [fa, fb], root=base, partition_cols=["part"])
+    )
+    # remove-only commit: the remove action itself must carry the map
+    v = log.commit(removes=spark.createDataFrame([(fa,)], "path string"))
+    with open(os.path.join(base, "_delta_log", f"{v:020d}.json")) as f:
+        actions = [json.loads(line) for line in f]
+    rm = next(a["remove"] for a in actions if "remove" in a)
+    assert rm["partitionValues"] == {"part": "A"}
+
+    # batch derivation reads the authored map (no parent-snapshot job)
+    rows = {(r["_change_type"], r["id"], r["part"])
+            for r in log.change_feed(v, v).collect()}
+    assert rows == {("delete", i, "A") for i in range(4)}
+
+
+def test_cdf_stream_derives_dir_hierarchy_removes(spark, tmp_path):
+    """The streaming derived-CDF leg on a DIR_HIERARCHY table: delete
+    rows carry real partition values straight off remove.partitionValues
+    (the r14 hive-path fallback is gone)."""
+    import pyspark.sql.types as T
+
+    from onetable_spark.model import DataLayoutStrategy, PartitionField
+    from onetable_spark.streaming.cdc import read_cdf_stream
+
+    base = str(tmp_path / "dirstream")
+    os.makedirs(os.path.join(base, "A"))
+    dfa = spark.createDataFrame(
+        [(i, f"name{i}") for i in range(3)], "id long, name string"
+    )
+    fa = os.path.join(base, "A", "fa.parquet")
+    _write_file(spark, dfa, fa)
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("part", T.StringType()),
+        ]
+    )
+    log = DeltaLog(spark, base)
+    log.init_table(
+        Table(
+            name="d", base_path=base, table_format=TableFormat.DELTA,
+            read_schema=schema, layout=DataLayoutStrategy.DIR_HIERARCHY_PARTITION_VALUES,
+            partition_fields=(PartitionField(source_field="part"),),
+        ),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    log.commit(
+        adds=build_inventory(spark, [fa], root=base, partition_cols=["part"])
+    )
+    log.commit(removes=spark.createDataFrame([(fa,)], "path string"))
+
+    q = (
+        read_cdf_stream(spark, base)
+        .writeStream.format("memory")
+        .queryName("dirstream_cdf")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        (r["_change_type"], r["id"], r["part"])
+        for r in spark.sql("select * from dirstream_cdf").collect()
+    }
+    assert rows == {("insert", i, "A") for i in range(3)} | {
+        ("delete", i, "A") for i in range(3)
+    }

@@ -376,11 +376,13 @@ def test_iceberg_append_stream_semantics(spark, tmp_path):
     assert len(sids) == 2
 
 
-def test_hudi_row_stream_derives_upserts_and_refuses_replace(spark, tmp_path):
+def test_hudi_row_stream_derives_upserts_and_replacecommits(spark, tmp_path):
     """The third edge of the STREAMING triangle: base inserts stream as
     'i', log-block after-images as 'u', delete blocks as 'd'; a
-    replacecommit fails the stream loudly (prior-state resolution needs
-    the batch changelog)."""
+    replacecommit streams its replaced groups' prior rows as 'd' plus
+    the new base rows as 'i' (r15 — prior state replayed from the
+    timeline's own JSON inside the planning task; the r14 source
+    refused replacecommits outright), matching the batch changelog."""
     from onetable_spark.formats.hudi import HudiTimeline, _file_id_for
     from onetable_spark.model import DataLayoutStrategy
     from onetable_spark.streaming.cdc import read_hudi_row_stream
@@ -430,14 +432,237 @@ def test_hudi_row_stream_derives_upserts_and_refuses_replace(spark, tmp_path):
     }
     assert len(rows) == len(got)
 
-    # a replacecommit fails the stream
+    # a replacecommit streams: replaced group's prior base rows as 'd',
+    # new base rows as 'i' — same as the batch changelog derives
     merged = os.path.join(base, "merged.parquet")
     shutil.copy(os.path.join(base, "f1.parquet"), merged)
     tl.commit(
         adds=build_inventory(spark, [merged], root=base),
         replace_file_ids={"": [_file_id_for("f1.parquet")]},
     )
-    with pytest.raises(Exception, match="replaces file groups"):
-        _drain_rows(
-            spark, read_hudi_row_stream(spark, base), str(tmp_path / "ck_hrow2")
+    prior_instants = [i for i, _ in tl.completed_instants()]
+    replace_instant = prior_instants[-1]
+    stream_rows = _drain_rows(
+        spark, read_hudi_row_stream(spark, base), str(tmp_path / "ck_hrow2")
+    )
+    stream_tail = {
+        (r["_change_operation"], r["id"], r["name"])
+        for r in stream_rows
+        if r["_commit_instant"] == replace_instant
+    }
+    batch_tail = {
+        (r["_change_operation"], r["id"], r["name"])
+        for r in tl.changelog(from_instant=prior_instants[-2]).collect()
+    }
+    assert stream_tail == batch_tail
+    assert ("d", 0, "n0") in stream_tail  # prior rows of the replaced group
+    assert ("i", 0, "n0") in stream_tail  # re-written by the merged file
+
+
+def test_hudi_composite_key_delete_rows(spark, tmp_path):
+    """r15 (VERDICT r14 missing #3): a COMPOSITE-key table's delete rows
+    carry ALL key fields — the ComplexKeyGenerator 'f1:v1,f2:v2'
+    recordKey splits back into typed columns in both the batch changelog
+    and the row stream (before, only the first key field was stamped)."""
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.streaming.cdc import read_hudi_row_stream
+
+    base = str(tmp_path / "hcomp")
+    os.makedirs(base)
+    df = spark.createDataFrame(
+        [(i, f"s{i}", f"n{i}") for i in range(4)],
+        "id long, sub string, name string",
+    )
+    df.coalesce(1).write.parquet(base + "/.stage")
+    part = next(
+        f for f in os.listdir(base + "/.stage")
+        if f.endswith(".parquet") and not f.startswith(".")
+    )
+    os.replace(os.path.join(base, ".stage", part), os.path.join(base, "f1.parquet"))
+    shutil.rmtree(base + "/.stage")
+    tl = HudiTimeline(spark, base)
+    tl.init_table(
+        Table(name="t", base_path=base, table_format=TableFormat.HUDI,
+              read_schema=df.schema, layout=DataLayoutStrategy.FLAT,
+              record_key_fields=("id", "sub"))
+    )
+    tl.commit(
+        adds=build_inventory(spark, [os.path.join(base, "f1.parquet")], root=base),
+        action="deltacommit",
+    )
+    import pyarrow.parquet as pq
+
+    ids = pq.read_table(os.path.join(base, "f1.parquet"), columns=["id"])["id"].to_pylist()
+    tl.commit_delete_logs(
+        spark.createDataFrame(
+            [(os.path.join(base, "f1.parquet"), ids.index(2))], "path string, pos long"
         )
+    )
+
+    batch_d = [
+        (r["id"], r["sub"], r["name"])
+        for r in tl.changelog().where("_change_operation = 'd'").collect()
+    ]
+    assert batch_d == [(2, "s2", None)]
+
+    rows = _drain_rows(
+        spark, read_hudi_row_stream(spark, base), str(tmp_path / "ck_comp")
+    )
+    stream_d = [
+        (r["id"], r["sub"], r["name"])
+        for r in rows
+        if r["_change_operation"] == "d"
+    ]
+    assert stream_d == [(2, "s2", None)]
+
+
+def test_hudi_row_stream_fans_out_per_file(spark, tmp_path):
+    """r15: a multi-file commit is read by MORE THAN ONE task (stage-1
+    metadata pass + explicit repartition + per-file stage-2 reads)."""
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.streaming.cdc import read_hudi_row_stream
+
+    base = str(tmp_path / "hfan")
+    os.makedirs(base)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fs = []
+    for k in range(4):
+        f = os.path.join(base, f"f{k}.parquet")
+        pq.write_table(
+            pa.table({"id": [k * 10 + j for j in range(5)],
+                      "name": [f"n{k}_{j}" for j in range(5)]}),
+            f,
+        )
+        fs.append(f)
+    schema = spark.read.parquet(fs[0]).schema
+    tl = HudiTimeline(spark, base)
+    tl.init_table(
+        Table(name="t", base_path=base, table_format=TableFormat.HUDI,
+              read_schema=schema, layout=DataLayoutStrategy.FLAT,
+              record_key_fields=("id",))
+    )
+    tl.commit(adds=build_inventory(spark, fs, root=base), action="deltacommit")
+
+    probe = str(tmp_path / "probe")
+    os.makedirs(probe)
+    rows = _drain_rows(
+        spark,
+        read_hudi_row_stream(spark, base, _task_probe_dir=probe),
+        str(tmp_path / "ck_hfan"),
+    )
+    assert len(rows) == 20
+    tasks = [f for f in os.listdir(probe) if f.startswith("task-")]
+    assert len(tasks) > 1, tasks
+
+
+def test_iceberg_append_stream_fans_out_per_file(spark, tmp_path):
+    """r15: a multi-file append must be read by MORE THAN ONE task — the
+    metadata pass explodes the snapshot into per-file rows and an
+    explicit repartition fans the reads out (the r14 form read every
+    file of a snapshot serially inside one mapInPandas task)."""
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import DataLayoutStrategy
+    from onetable_spark.streaming.cdc import read_iceberg_append_stream
+
+    base = str(tmp_path / "icefan")
+    os.makedirs(base)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fs = []
+    for k in range(4):
+        f = os.path.join(base, f"f{k}.parquet")
+        pq.write_table(
+            pa.table({"id": [k * 10 + j for j in range(5)],
+                      "name": [f"n{k}_{j}" for j in range(5)]}),
+            f,
+        )
+        fs.append(f)
+    schema = spark.read.parquet(fs[0]).schema
+    ice = IcebergTable(spark, base)
+    ice.init_table(
+        Table(name="t", base_path=base, table_format=TableFormat.ICEBERG,
+              read_schema=schema, layout=DataLayoutStrategy.FLAT),
+        format_version=2,
+    )
+    # ONE commit carrying all four files
+    ice.commit_overwrite(adds=build_inventory(spark, fs, root=base))
+
+    probe = str(tmp_path / "probe")
+    os.makedirs(probe)
+    rows = _drain_rows(
+        spark,
+        read_iceberg_append_stream(spark, base, _task_probe_dir=probe),
+        str(tmp_path / "ck_fan"),
+    )
+    assert len(rows) == 20
+    assert {r["name"] for r in rows} == {
+        f"n{k}_{j}" for k in range(4) for j in range(5)
+    }
+    # >1 task actually read files (markers only written on real reads)
+    tasks = [f for f in os.listdir(probe) if f.startswith("task-")]
+    assert len(tasks) > 1, tasks
+
+
+def test_iceberg_append_stream_defers_inflight_commit(spark, tmp_path):
+    """r15 (VERDICT r14 #5): a manifest list landing BEFORE its
+    metadata.json CAS is a normal mid-commit state — the stream must not
+    fail on it; the snapshot's rows arrive in the batch AFTER the CAS
+    completes."""
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.model import DataLayoutStrategy
+    from onetable_spark.streaming.cdc import read_iceberg_append_stream
+
+    base = str(tmp_path / "iceflight")
+    os.makedirs(base)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    def wf(rows, name):
+        pq.write_table(
+            pa.table({"id": [r[0] for r in rows],
+                      "name": [r[1] for r in rows]}),
+            os.path.join(base, name),
+        )
+
+    wf([(i, f"a{i}") for i in range(3)], "fa.parquet")
+    schema = spark.read.parquet(os.path.join(base, "fa.parquet")).schema
+    ice = IcebergTable(spark, base)
+    ice.init_table(
+        Table(name="t", base_path=base, table_format=TableFormat.ICEBERG,
+              read_schema=schema, layout=DataLayoutStrategy.FLAT),
+        format_version=2,
+    )
+    ice.commit_overwrite(
+        adds=build_inventory(spark, [os.path.join(base, "fa.parquet")], root=base)
+    )
+    wf([(10, "b10"), (11, "b11")], "fb.parquet")
+    ice.commit_overwrite(
+        adds=build_inventory(spark, [os.path.join(base, "fb.parquet")], root=base)
+    )
+    # simulate mid-CAS: the second commit's snap-*.avro exists, but its
+    # metadata.json has not been claimed yet
+    meta = os.path.join(base, "metadata")
+    latest = max(
+        (f for f in os.listdir(meta) if f.endswith(".metadata.json")),
+        key=lambda f: int(f[1:].split(".", 1)[0]),
+    )
+    hidden = str(tmp_path / latest)
+    os.replace(os.path.join(meta, latest), hidden)
+    # mid-CAS the version hint still names the PREVIOUS version
+    n_latest = int(latest[1:].split(".", 1)[0])
+    with open(os.path.join(meta, "version-hint.text"), "w") as fh:
+        fh.write(str(n_latest - 1))
+
+    ck = str(tmp_path / "ck_flight")
+    rows1 = _drain_rows(spark, read_iceberg_append_stream(spark, base), ck)
+    assert {r["name"] for r in rows1} == {"a0", "a1", "a2"}  # no failure
+
+    # CAS completes — the NEXT batch (same checkpoint) carries the rows
+    os.replace(hidden, os.path.join(meta, latest))
+    with open(os.path.join(meta, "version-hint.text"), "w") as fh:
+        fh.write(str(n_latest))
+    rows2 = _drain_rows(spark, read_iceberg_append_stream(spark, base), ck)
+    assert {r["name"] for r in rows2} == {"b10", "b11"}
