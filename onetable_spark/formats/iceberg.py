@@ -243,6 +243,17 @@ class _CountingEntries:
             yield e
 
 
+def _unpersist_quietly(frames) -> None:
+    """Release pooled changelog caches; called from a ``weakref``
+    finalizer when the returned DataFrame is dropped, so a stopped
+    session or a GC-thread py4j hiccup must never raise."""
+    for df in frames:
+        try:
+            df.unpersist(False)
+        except Exception:
+            pass
+
+
 def _avro_partition(
     pvals: dict, spec: list[dict], avro_part_types: dict[str, str]
 ) -> dict:
@@ -1602,11 +1613,18 @@ class IcebergTable:
         frames = []
         # incremental dead-position state along the walk: one full
         # reconstruction at the chain's start, then each snapshot's own
-        # killed positions accumulate (persisted — tiny (path,pos)
-        # frames reused by every later snapshot's prior_dead AND the
-        # final union, so each delete file decodes once per changelog)
-        killed_acc: list[DataFrame] = []
+        # killed positions accumulate into ONE running frame (persisted
+        # killed frames are reused by every later snapshot's prior_dead
+        # AND the final union, so each delete file decodes once per
+        # changelog). The running frame's lineage is truncated with a
+        # lazy localCheckpoint every few unions (r15 — the r14 form
+        # re-unioned the whole killed list PER SNAPSHOT, building
+        # ~N²/2 plan nodes over an N-commit walk; at N≈5k Catalyst
+        # analysis alone would dominate).
+        persisted: list[DataFrame] = []
         killed_tagged: list[DataFrame] = []
+        dead_state: Optional[DataFrame] = None
+        dead_since_ckpt = 0
         initial_dead: Optional[DataFrame] = None
         initial_dead_done = False
 
@@ -1619,12 +1637,12 @@ class IcebergTable:
                     _, initial_dead = self.snapshot_with_deleted_positions(
                         p0, apply_equality_deletes=apply_equality_deletes
                     )
-            parts = ([initial_dead] if initial_dead is not None else []) + killed_acc
+            parts = [
+                p for p in (initial_dead, dead_state) if p is not None
+            ]
             if not parts:
                 return None
-            dead = parts[0]
-            for p in parts[1:]:
-                dead = dead.unionByName(p)
+            dead = parts[0] if len(parts) == 1 else parts[0].unionByName(parts[1])
             # files removed along the walk can't be in `removed` again
             # (paths are unique), so stale pairs wash out in this join
             return dead.join(removed, "path", "left_semi")
@@ -1716,6 +1734,7 @@ class IcebergTable:
                 seq_by_manifest=parent_pairs,
                 emit_manifest_path=True,
             ).persist()
+            persisted.append(all_base)
         eq_rows_by_sid: dict[int, list] = {}
         if eq_descs and apply_equality_deletes:
             eqdf = self.spark.createDataFrame(
@@ -1786,7 +1805,19 @@ class IcebergTable:
                         else None
                     ),
                 ).persist()
-                killed_acc.append(killed)
+                persisted.append(killed)
+                # running dead-state: ONE frame, lineage truncated every
+                # 16 unions (lazy localCheckpoint — no job at build
+                # time; blocks are ContextCleaner-scoped)
+                dead_state = (
+                    killed
+                    if dead_state is None
+                    else dead_state.unionByName(killed)
+                )
+                dead_since_ckpt += 1
+                if dead_since_ckpt >= 16:
+                    dead_state = dead_state.localCheckpoint(eager=False)
+                    dead_since_ckpt = 0
                 killed_tagged.append(
                     killed.withColumn("_change_ordinal", F.lit(ordinal))
                     .withColumn("_commit_snapshot_id", F.lit(sid).cast("long"))
@@ -1798,6 +1829,7 @@ class IcebergTable:
                 allk = allk.unionByName(k)
             frames.append(rows_at(allk))
         if not frames:
+            _unpersist_quietly(persisted)
             return self.spark.createDataFrame([], out_schema)
         out = frames[0]
         for f in frames[1:]:
@@ -1869,6 +1901,16 @@ class IcebergTable:
                 )
                 .drop("_net", "_rk")
             )
+        if persisted:
+            # scope the pooled caches to the RETURNED frame's lifetime
+            # (r15 — they were persisted and never released, so a
+            # long-lived service calling changelog() per commit
+            # accumulated cached partitions unboundedly): when the
+            # caller drops the result, the finalizer unpersists every
+            # pooled frame.
+            import weakref
+
+            weakref.finalize(out, _unpersist_quietly, list(persisted))
         return out
 
     def properties(self) -> dict[str, str]:
