@@ -73,6 +73,12 @@ RESHAPED_AT: dict[str, int] = {
     # r7: sync_changes now builds the stage SHARED with sync_time_travel
     # (handle capture moved into its first call)
     "sync_changes": 7,
+    # r14: read_cdf_stream became the UNION of two streaming legs (the
+    # cdc-file tail + the log-derived insert/delete leg that closed the
+    # append hole) — structurally more work than the r13 single-leg
+    # feed; r13's 0.62 s is not a comparable baseline (VERDICT r14
+    # called the 1.48x structural and justified)
+    "streaming_cdf": 14,
 }
 
 
