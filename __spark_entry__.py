@@ -4,7 +4,55 @@
 ``queries()`` / ``oracle_sql()`` — SURVEY.md §2 operator inventory as
 (Spark DataFrame, DuckDB SQL) pairs; see onetable_spark/queries.py.
 
-Surface as of round 14: 153 queries. New in round 14:
+Surface as of round 15: 154 queries. New in round 15:
+`streaming_hudi_replace` — streamed Hudi REPLACECOMMITS (VERDICT r14
+missing #2): the r14 row stream refused any instant with
+partitionToReplaceFileIds; the r15 source resolves the replaced file
+groups' PRIOR base rows as 'd' by replaying the timeline's own tiny
+commit JSONs inside the planning task (pure-Python read-optimized
+replay — metadata only), matching the batch changelog's file-level
+derivation, so clustering-heavy tables stream too. Shares the staged
+replacecommit lifecycle with hudi_changelog_updates.
+Also r15 (VERDICT r14 orders, all six):
+#1 BOTH streaming row sources restructured to two stages — a
+metadata-only pass explodes each snapshot/commit into per-file work
+rows, an explicit repartition fans them out, and the read stage yields
+ONE bounded frame per file (the r14 form was one serial task per
+snapshot buffering every row; task-probe tests assert >1 task reads a
+multi-file commit).
+#5 The Iceberg source now streams the COMMITTED v*.metadata.json
+version files (ancestry diff vs the previous version) instead of
+tailing snap-*.avro — a mid-CAS manifest list can no longer fail the
+stream; its rows arrive in the batch after the CAS lands
+(test-pinned: hide the metadata CAS, drain, restore, drain).
+#6 Delta remove actions author the dropped file's partitionValues
+(PROTOCOL.md "Remove File", recovered from the live add being
+dropped), and both CDF readers use the action's own map — the
+hive-path fallback is gone, so FLAT/DIR_HIERARCHY-layout partitioned
+tables derive delete rows correctly.
+#4 The Iceberg changelog's pooled caches (parent-manifest decode +
+per-snapshot killed frames) release via a weakref finalizer when the
+returned frame is dropped (flat storage across repeated calls,
+test-asserted via getPersistentRDDs), and prior-dead state is ONE
+running frame with lazy localCheckpoint lineage truncation every 16
+unions instead of an O(chain^2) re-union (chain probe at 4x growth:
+worst ratio 1.03x).
+#3 ann_lsh_topk adjudicated: min-of-3 1.39 s vs 1.00 s best-known —
+throttle noise, table appended to BASELINE.md; streaming_cdf
+re-baselined at its r14 two-leg shape.
+Composite-key Hudi delete rows (missing #3) now carry ALL key fields:
+the ComplexKeyGenerator 'f1:v1,f2:v2' recordKey splits back into typed
+columns in the batch changelog, cdc_feed's before-images, and the row
+stream.
+The driver window is ROTATED for r15 (VERDICT r14 #2): the three
+late-r14 registrations that were never driver-sampled
+(iceberg_changelog_net, streaming_hudi_rows, streaming_iceberg_appends),
+the r15 newcomer, then 46 of the 50 queries whose latest driver row is
+r12 (tpch_q19-q22 stay at r12 — 54 candidates for 50 slots; the four
+left out are pure-SQL TPC-H translations value-checked against DuckDB
+on every pytest run).
+
+Round 14 (153 queries). New in round 14:
 `streaming_hudi_rows` — the third edge of the STREAMING triangle
 (siblings streaming_cdf / streaming_iceberg_appends): a file stream
 over the Hudi timeline's completed commit markers, each instant's rows

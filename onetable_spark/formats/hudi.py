@@ -2580,57 +2580,88 @@ def _numeric_key_fields(schema: T.StructType, key_fields) -> set[str]:
     }
 
 
-def read_optimized_files_before(table_path: str, instant: str) -> list[str]:
-    """PURE-PYTHON replay of the read-optimized view strictly BEFORE
-    ``instant``: rel_paths of live base parquet files — the latest base
-    slice per file group, minus groups replaced at a later-or-equal
-    replacecommit, with rollback/restore undo applied. Mirrors
+def read_optimized_states_before(
+    table_path: str, instants: list[str]
+) -> dict[str, list[str]]:
+    """PURE-PYTHON replay of the read-optimized view at MANY cutoffs in
+    ONE forward walk: for each requested instant, the rel_paths of live
+    base parquet files strictly BEFORE it — the latest base slice per
+    file group, minus groups replaced at a later-or-equal replacecommit,
+    with rollback/restore undo applied incrementally. Mirrors
     ``HudiTimeline.snapshot_files_before(view='read_optimized')``
     (``_live_base_slices``) without a SparkSession, so a STREAMING task
-    can resolve a replacecommit's victims from the timeline's own tiny
-    JSON files (everything here is metadata; no data file is read)."""
+    can resolve replacecommit victims from the timeline's own tiny JSON
+    files (metadata only; no data file is read). Serving all of a
+    batch's R replacecommits from one walk keeps the planning task
+    O(timeline + R·groups) instead of O(R·timeline) on a
+    clustering-heavy backfill."""
     hoodie = os.path.join(table_path, ".hoodie")
     events = []
     for f in os.listdir(hoodie):
         parts = f.split(".")
-        if (
-            len(parts) == 2
-            and parts[1] in COMMIT_ACTIONS + UNDO_ACTIONS
-            and parts[0] < instant
-        ):
+        if len(parts) == 2 and parts[1] in COMMIT_ACTIONS + UNDO_ACTIONS:
             events.append((parts[0], parts[1]))
     events.sort()
-    undone: set[str] = set()
+    cutoffs = sorted(set(instants))
+    out: dict[str, list[str]] = {}
+    # adds[fid] = {instant: rel}; repl[fid] = {replace instants} —
+    # keyed per instant so a rollback can surgically remove one
+    # commit's contributions mid-walk
+    adds: dict[str, dict[str, str]] = {}
+    repl: dict[str, set[str]] = {}
+
+    def snapshot() -> list[str]:
+        live = []
+        for fid, slices in adds.items():
+            if not slices:
+                continue
+            i_star = max(slices)
+            if any(r >= i_star for r in repl.get(fid, ())):
+                continue
+            live.append(slices[i_star])
+        return sorted(live)
+
+    ci = 0
+
+    def flush_until(boundary: Optional[str]) -> None:
+        nonlocal ci
+        while ci < len(cutoffs) and (
+            boundary is None or cutoffs[ci] <= boundary
+        ):
+            out[cutoffs[ci]] = snapshot()
+            ci += 1
+
     for i, a in events:
-        if a in UNDO_ACTIONS:
-            with open(os.path.join(hoodie, f"{i}.{a}")) as fh:
-                payload = json.load(fh)
-            undone.update(payload.get("commitsRollback") or [])
-            undone.update(payload.get("instantsToRollback") or [])
-    latest: dict[str, tuple[str, str]] = {}
-    replaced: dict[str, str] = {}
-    for i, a in events:
-        if a in UNDO_ACTIONS or i in undone:
-            continue
+        flush_until(i)  # cutoffs are STRICTLY-before: emit state first
         with open(os.path.join(hoodie, f"{i}.{a}")) as fh:
             meta = json.load(fh)
+        if a in UNDO_ACTIONS:
+            undone = set(meta.get("commitsRollback") or []) | set(
+                meta.get("instantsToRollback") or []
+            )
+            for slices in adds.values():
+                for u in undone:
+                    slices.pop(u, None)
+            for rset in repl.values():
+                rset -= undone
+            continue
         for stats in (meta.get("partitionToWriteStats") or {}).values():
             for s in stats or []:
                 rel = s.get("path")
                 if not rel or ".log." in rel:
                     continue
                 fid = s.get("fileId") or _file_id_for(rel)
-                if fid not in latest or i > latest[fid][0]:
-                    latest[fid] = (i, rel)
+                adds.setdefault(fid, {})[i] = rel
         for ids in (meta.get("partitionToReplaceFileIds") or {}).values():
             for fid in ids or []:
-                if fid not in replaced or i > replaced[fid]:
-                    replaced[fid] = i
-    return [
-        rel
-        for fid, (i, rel) in sorted(latest.items())
-        if not (fid in replaced and replaced[fid] >= i)
-    ]
+                repl.setdefault(fid, set()).add(i)
+    flush_until(None)
+    return out
+
+
+def read_optimized_files_before(table_path: str, instant: str) -> list[str]:
+    """Single-cutoff form of ``read_optimized_states_before``."""
+    return read_optimized_states_before(table_path, [instant])[instant]
 
 
 def _file_id_for(rel_path: str) -> str:

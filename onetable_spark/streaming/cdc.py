@@ -387,6 +387,12 @@ def _derived_cdf_stream(
             return _unquote(p)
 
         def commit_mode(cf: str) -> str:
+            # executor-side open() of the tiny commit JSON assumes the
+            # log directory is reachable from every executor (shared
+            # POSIX namespace / fuse mount) — consistent with the
+            # engine's path-based design everywhere else; an
+            # object-store deployment would route this through the
+            # same fs seam the writer uses
             if cf in modes:
                 return modes[cf]
             has_cdc = False
@@ -756,7 +762,7 @@ def read_hudi_row_stream(
 
         from onetable_spark.formats.hudi import (
             _file_id_for,
-            read_optimized_files_before,
+            read_optimized_states_before,
         )
 
         for pdf in batches:
@@ -767,6 +773,7 @@ def read_hudi_row_stream(
                 paths.append(path)
                 instants.append(instant)
 
+            markers: list[tuple[str, dict, set]] = []
             for marker in pdf["_marker"]:
                 lp = _local(marker)
                 instant = _os.path.basename(lp).split(".", 1)[0]
@@ -781,13 +788,20 @@ def read_hudi_row_stream(
                     ).values()
                     for fid in (ids or [])
                 }
-                if replaced:
-                    # prior-state victims, replayed from timeline JSON
-                    for rel in read_optimized_files_before(
-                        table_path, instant
-                    ):
-                        if _file_id_for(rel) in replaced:
-                            emit("victim", _abs(rel), instant)
+                markers.append((instant, meta, replaced))
+            # prior-state victims: ONE incremental timeline replay
+            # serves every replacecommit in the batch (O(timeline + R)
+            # instead of O(R·timeline) on a clustering-heavy backfill)
+            need = [i for i, _m, r in markers if r]
+            states = (
+                read_optimized_states_before(table_path, need)
+                if need
+                else {}
+            )
+            for instant, meta, replaced in markers:
+                for rel in states.get(instant, ()):
+                    if _file_id_for(rel) in replaced:
+                        emit("victim", _abs(rel), instant)
                 for stats in (
                     meta.get("partitionToWriteStats") or {}
                 ).values():

@@ -729,3 +729,50 @@ def test_partitioned_upsert_records(spark, sf_dir, tmp_path):
             got[k] = c
     for k in b_keys:
         assert got[k] == "UPDATED"
+
+
+def test_read_optimized_states_before_incremental_walk(spark, tmp_path):
+    """r15: the pure-Python multi-cutoff replay matches per-cutoff
+    single replays, including a rollback applied MID-walk (a commit is
+    live at cutoffs between it and its rollback, gone after)."""
+    import json
+
+    from onetable_spark.formats.hudi import (
+        read_optimized_files_before,
+        read_optimized_states_before,
+    )
+
+    base = str(tmp_path / "hstates")
+    hoodie = os.path.join(base, ".hoodie")
+    os.makedirs(hoodie)
+
+    def commit(instant, action, stats=None, replace=None, undo=None):
+        doc = {}
+        if stats:
+            doc["partitionToWriteStats"] = {
+                "": [{"path": p, "fileId": fid} for p, fid in stats]
+            }
+        if replace:
+            doc["partitionToReplaceFileIds"] = {"": list(replace)}
+        if undo:
+            doc["commitsRollback"] = list(undo)
+        with open(os.path.join(hoodie, f"{instant}.{action}"), "w") as fh:
+            json.dump(doc, fh)
+
+    commit("001", "commit", stats=[("a.parquet", "fa")])
+    commit("002", "commit", stats=[("b.parquet", "fb")])
+    commit("003", "replacecommit", stats=[("m.parquet", "fm")], replace=["fa"])
+    commit("004", "rollback", undo=["003"])
+    commit("005", "commit", stats=[("c.parquet", "fc")])
+
+    cutoffs = ["002", "003", "004", "005", "006"]
+    states = read_optimized_states_before(base, cutoffs)
+    for c in cutoffs:
+        assert states[c] == read_optimized_files_before(base, c), c
+    assert states["002"] == ["a.parquet"]
+    assert states["003"] == ["a.parquet", "b.parquet"]
+    # 003 replaced fa and added fm — live until its rollback at 004
+    assert states["004"] == ["b.parquet", "m.parquet"]
+    # the rollback restores fa and drops fm
+    assert states["005"] == ["a.parquet", "b.parquet"]
+    assert states["006"] == ["a.parquet", "b.parquet", "c.parquet"]

@@ -25,28 +25,32 @@ from tools.check_oracle import compare_result
 # alphabetizing or appending to SPARK_QUERIES should trip this list, not
 # silently drop driver coverage.
 MUST_BE_DRIVER_MEASURED = {
-    # round-14 rotation (VERDICT r13 #7): everything green in the r13
+    # round-15 rotation (VERDICT r14 #2): everything green in the r14
     # window retires; the window re-samples by staleness. Pinned here:
-    # the r14 newcomers (no driver evidence yet) and ALL 46 queries whose
-    # latest driver hash row is r11 — the rotation IS a round
-    # deliverable, so falling out of the window must fail loudly.
+    # the three late-r14 registrations that have NEVER been
+    # driver-sampled, the r15 newcomer, and 46 of the 50 queries whose
+    # latest driver hash row is r12 (tpch_q19-q22 stay out — pure-SQL
+    # translations, value-checked on every pytest run) — the rotation
+    # IS a round deliverable, so falling out must fail loudly.
     #
-    # round-14 newcomers: first driver rows needed
-    "sync_bucket_decimal", "iceberg_changelog_updates", "hudi_cdc_feed",
-    "hudi_changelog_updates",
-    # last driver rows r11 (all 46, from CORRECTNESS_r11/r12/r13 keys)
-    "bm25_search", "centroid_similarity", "chunk_dedup", "decontam_overlap",
-    "dv_translation", "event_transitions", "g1_files_diff", "g2_group_files",
-    "g3_schema_flatten", "g4_sorted_merge_dedup", "g5_min_over_group",
-    "g6_filter_predicates", "g7_max_agg", "gap_fill", "heavy_hitters",
-    "hudi_mor_views", "iceberg_eq_deletes", "image_resize",
-    "incremental_dedup", "knn_label_vote", "moving_avg", "multimodal_decode",
-    "source_mixture", "stratified_sample", "streaming_approx_reach",
-    "streaming_hopping", "sync_delta_dv", "sync_foreign_iceberg_deletes",
-    "tfidf_top_terms", "tpch_q1", "tpch_q10", "tpch_q11", "tpch_q12",
-    "tpch_q13", "tpch_q2", "tpch_q3", "tpch_q4", "tpch_q5", "tpch_q6",
-    "tpch_q7", "tpch_q8", "tpch_q9", "unigram_logprob", "video_frame_sample",
-    "winnow_fingerprint", "winnow_near_dups",
+    # never driver-sampled + r15 newcomer
+    "iceberg_changelog_net", "streaming_hudi_rows",
+    "streaming_iceberg_appends", "streaming_hudi_replace",
+    # last driver rows r12 (46 of 50, from CORRECTNESS_r12/r13/r14 keys)
+    "ann_ivf_topk", "ann_ivfpq_topk", "ann_lsh_topk", "ann_pq_topk",
+    "asof_join", "bpe_pair_counts", "cluster_representatives",
+    "cohort_retention", "compaction_bins", "contamination_span",
+    "corpus_curation", "cube_agg", "dedup_clusters", "delta_dv_purge",
+    "delta_upsert", "delta_v2_checkpoint", "hudi_delete_translation",
+    "hudi_mor_compaction", "hudi_upsert", "iceberg_manifest_compaction",
+    "iceberg_rewrite_files", "iceberg_upsert", "iceberg_wap",
+    "minhash_lsh_dedup", "multimodal_ingest", "perplexity_buckets",
+    "repetition_filter", "semdedup_pairs", "simhash_near_dups",
+    "streaming_cdc_feed", "streaming_cdc_hudi", "streaming_upsert",
+    "substring_dedup", "sync_catchup", "sync_continuous",
+    "sync_foreign_table", "sync_partition_evolution", "sync_recovery",
+    "sync_safety_fallback", "sync_validation", "token_calibration",
+    "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17", "tpch_q18",
 }
 
 

@@ -79,6 +79,14 @@ RESHAPED_AT: dict[str, int] = {
     # feed; r13's 0.62 s is not a comparable baseline (VERDICT r14
     # called the 1.48x structural and justified)
     "streaming_cdf": 14,
+    # r15: both row-level streaming sources restructured from one
+    # serial task per snapshot/commit into two stages (metadata pass +
+    # explicit repartition + per-file reads) — the per-micro-batch
+    # shuffle costs a constant on sf0.1's tiny staged tables but is the
+    # scale-correct plan (VERDICT r14 #1); single-task r14 numbers are
+    # not comparable
+    "streaming_iceberg_appends": 15,
+    "streaming_hudi_rows": 15,
 }
 
 
