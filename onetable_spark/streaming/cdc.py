@@ -264,7 +264,9 @@ def read_delta_log_stream(
     )
 
 
-def read_cdf_stream(spark: SparkSession, table_path: str) -> DataFrame:
+def read_cdf_stream(
+    spark: SparkSession, table_path: str, _task_probe_dir: str | None = None
+) -> DataFrame:
     """Streaming ROW-LEVEL change feed off a CDF-enabled Delta table
     (r13; r14 closes the append hole): the union of
 
@@ -316,12 +318,18 @@ def read_cdf_stream(spark: SparkSession, table_path: str) -> DataFrame:
         .option("maxFilesPerTrigger", 16)
         .parquet(cdc_dir)
     )
-    derived = _derived_cdf_stream(spark, table_path, schema, pcols)
+    derived = _derived_cdf_stream(
+        spark, table_path, schema, pcols, _task_probe_dir
+    )
     return cdc_stream.unionByName(derived)
 
 
 def _derived_cdf_stream(
-    spark: SparkSession, table_path: str, schema, pcols: list[str]
+    spark: SparkSession,
+    table_path: str,
+    schema,
+    pcols: list[str],
+    _task_probe_dir: str | None = None,
 ) -> DataFrame:
     """The log-derived leg of ``read_cdf_stream``: tail ``_delta_log``,
     and for each dataChange add/remove in a commit WITHOUT cdc actions,
@@ -378,8 +386,20 @@ def _derived_cdf_stream(
         import pandas as _pd
         import pyarrow.parquet as _pq
 
-        empty = _pd.DataFrame(columns=data_names + ["_change_type", "_pv"])
         modes: dict = {}
+
+        def mark():
+            if _task_probe_dir:
+                from pyspark import TaskContext
+
+                tc = TaskContext.get()
+                if tc is not None:
+                    open(
+                        _os.path.join(
+                            _task_probe_dir, f"task-{tc.partitionId()}"
+                        ),
+                        "w",
+                    ).close()
 
         def _local(p: str) -> str:
             if p.startswith("file:"):
@@ -406,13 +426,13 @@ def _derived_cdf_stream(
             return mode
 
         for pdf in batches:
-            frames = []
             for rel, ctype, pv, cf in zip(
                 pdf["rel_path"], pdf["ctype"], pdf["pv"], pdf["_commit_file"]
             ):
                 mode = commit_mode(_local(cf))
                 if mode == "cdc":
                     continue  # cdc files are authoritative — other leg
+                mark()
                 p = (
                     rel
                     if rel.startswith("/") or "://" in rel
@@ -430,10 +450,17 @@ def _derived_cdf_stream(
                 # rather than guessing from path segments, which cannot
                 # work on FLAT/DIR_HIERARCHY layouts
                 t["_pv"] = _json.dumps(dict(pv)) if pv is not None else None
-                frames.append(t)
-            yield _pd.concat(frames) if frames else empty
+                # ONE bounded frame per file — never a whole-commit
+                # pandas buffer (r15, matching the other two sources)
+                yield t
 
-    derived = acts.mapInPandas(derive, out_schema)
+    # explicit fan-out (r15): the JSON file source yields one partition
+    # per commit file, so a 10k-add commit would otherwise be ONE task
+    # reading 10k files serially
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    derived = acts.repartition(n_parts, "rel_path").mapInPandas(
+        derive, out_schema
+    )
     if pcols:
         types = {f.name: f.dataType for f in schema.fields}
         derived = derived.withColumn(
@@ -540,7 +567,11 @@ def read_iceberg_append_stream(
 
     def plan(batches):
         """Stage 1 — metadata-only: version file → one row per ADDED
-        data file of its newly-committed, non-skipped snapshots."""
+        data file of its newly-committed, non-skipped snapshots. The
+        directory listing and each parsed metadata doc are cached per
+        batch, so a BACKFILL over a V-version table pays one listing
+        and one parse per file — not the O(V²) re-list/re-read a naive
+        per-file lookup would."""
         import pandas as _pd
 
         from onetable_spark.formats.iceberg import (
@@ -550,31 +581,43 @@ def read_iceberg_append_stream(
         )
 
         vpat = _re.compile(r"^v(\d+)\.metadata\.json$")
+        md_cache: dict[str, dict] = {}
+        vers_cache: dict[str, list[int]] = {}
+
+        def load_md(lp: str) -> dict:
+            if lp not in md_cache:
+                with open(lp) as fh:
+                    md_cache[lp] = _json.load(fh)
+            return md_cache[lp]
+
+        def versions_in(d: str) -> list[int]:
+            if d not in vers_cache:
+                vers_cache[d] = sorted(
+                    int(m.group(1))
+                    for f in _os.listdir(d)
+                    if (m := vpat.match(f))
+                )
+            return vers_cache[d]
 
         def new_snapshots(lp: str) -> list[dict]:
             version = int(vpat.match(_os.path.basename(lp)).group(1))
-            with open(lp) as fh:
-                md = _json.load(fh)
+            md = load_md(lp)
             cur = md.get("current-snapshot-id")
             if cur is None or cur == -1:
                 return []
             by_id = {
                 int(s["snapshot-id"]): s for s in md.get("snapshots", [])
             }
-            prevs = [
-                int(m.group(1))
-                for f in _os.listdir(_os.path.dirname(lp))
-                if (m := vpat.match(f)) and int(m.group(1)) < version
-            ]
+            d = _os.path.dirname(lp)
+            import bisect as _bisect
+
+            vers = versions_in(d)
+            i = _bisect.bisect_left(vers, version)
             prev_cur = None
-            if prevs:
-                with open(
-                    _os.path.join(
-                        _os.path.dirname(lp),
-                        f"v{max(prevs)}.metadata.json",
-                    )
-                ) as fh:
-                    prev_cur = _json.load(fh).get("current-snapshot-id")
+            if i > 0:
+                prev_cur = load_md(
+                    _os.path.join(d, f"v{vers[i - 1]}.metadata.json")
+                ).get("current-snapshot-id")
                 if prev_cur == -1:
                     prev_cur = None
             walk, out, found_prev = cur, [], prev_cur is None
@@ -594,6 +637,9 @@ def read_iceberg_append_stream(
             return out
 
         for pdf in batches:
+            # bounded memory on long streams: caches serve ONE batch
+            md_cache.clear()
+            vers_cache.clear()
             paths, sids = [], []
             for mpath in pdf["_mjson"]:
                 for snap in new_snapshots(_local(mpath)):

@@ -666,3 +666,45 @@ def test_iceberg_append_stream_defers_inflight_commit(spark, tmp_path):
         fh.write(str(n_latest))
     rows2 = _drain_rows(spark, read_iceberg_append_stream(spark, base), ck)
     assert {r["name"] for r in rows2} == {"b10", "b11"}
+
+
+def test_cdf_stream_fans_out_per_file(spark, tmp_path):
+    """r15: the derived-CDF leg gets the same per-file fan-out as the
+    Iceberg/Hudi sources — the JSON file source is one partition per
+    commit file, so a multi-file commit previously derived in ONE task."""
+    from onetable_spark.streaming.cdc import read_cdf_stream
+
+    base = str(tmp_path / "cdffan")
+    os.makedirs(base)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    fs = []
+    for k in range(4):
+        f = os.path.join(base, f"f{k}.parquet")
+        pq.write_table(
+            pa.table({"id": [k * 10 + j for j in range(5)],
+                      "name": [f"n{k}_{j}" for j in range(5)]}),
+            f,
+        )
+        fs.append(f)
+    schema = spark.read.parquet(fs[0]).schema
+    log = DeltaLog(spark, base)
+    log.init_table(
+        Table(name="t", base_path=base, table_format=TableFormat.DELTA,
+              read_schema=schema, layout=DataLayoutStrategy.FLAT),
+        configuration={"delta.enableChangeDataFeed": "true"},
+    )
+    log.commit(adds=build_inventory(spark, fs, root=base))
+
+    probe = str(tmp_path / "probe")
+    os.makedirs(probe)
+    rows = _drain_rows(
+        spark,
+        read_cdf_stream(spark, base, _task_probe_dir=probe),
+        str(tmp_path / "ck_cdffan"),
+    )
+    assert len(rows) == 20
+    assert {r["_change_type"] for r in rows} == {"insert"}
+    tasks = [f for f in os.listdir(probe) if f.startswith("task-")]
+    assert len(tasks) > 1, tasks
