@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
+from onetable_spark.session import local_rows_df
 from onetable_spark.model import (
     FILES_SCHEMA,
     DataLayoutStrategy,
@@ -1063,8 +1064,8 @@ class DeltaLog:
                 or []
             )
             if remove_rels and pcols_now:
-                reldf = self.spark.createDataFrame(
-                    [(p,) for p in remove_rels], "path string"
+                reldf = local_rows_df(
+                    self.spark, [(p,) for p in remove_rels], "path string"
                 )
                 matched = (
                     self._live_adds(self._replay_actions())
@@ -1306,7 +1307,8 @@ class DeltaLog:
             # partitionValues travel VERBATIM from the purged add (Delta
             # logs are authoritative over path layout — hive-dir inference
             # would silently yield {} on non-hive file layouts)
-            pv_df = self.spark.createDataFrame(
+            pv_df = local_rows_df(
+                self.spark,
                 [
                     (r["new_path"], dict(r["partitionValues"] or {}))
                     for r in pairs
@@ -1322,8 +1324,8 @@ class DeltaLog:
                 )
                 .drop("_src_pv")
             )
-        removes = self.spark.createDataFrame(
-            [(r["old_path"],) for r in pairs], "path string"
+        removes = local_rows_df(
+            self.spark, [(r["old_path"],) for r in pairs], "path string"
         )
         return self.commit(
             adds=adds, removes=removes, operation="REORG", data_change=False
@@ -1757,7 +1759,8 @@ class DeltaLog:
         if not pcols:
             return df
         types = {f.name: f.dataType for f in schema.fields}
-        pv_df = self.spark.createDataFrame(
+        pv_df = local_rows_df(
+            self.spark,
             [(p, pv or {}) for p, pv in file_pv],
             "_src_file string, _pv map<string,string>",
         )
@@ -1859,7 +1862,7 @@ class DeltaLog:
             ]
         )
         if not versions:
-            return self.spark.createDataFrame([], out_schema)
+            return local_rows_df(self.spark, [], out_schema)
         acts = self._actions_df(versions)
         # driver-ok: O(actions in the requested commit range), PROJECTED
         # to (path, dataChange, partitionValues) — collecting whole add
@@ -1955,7 +1958,7 @@ class DeltaLog:
                 df = legs[0] if len(legs) == 1 else legs[0].unionByName(legs[1])
             frames.append(df.withColumn("_commit_version", F.lit(v).cast("long")))
         if not frames:
-            return self.spark.createDataFrame([], out_schema)
+            return local_rows_df(self.spark, [], out_schema)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)

@@ -33,6 +33,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from onetable_spark.session import local_rows_df
+
 from onetable_spark.formats.avro_schema import (
     add_id_tracking,
     avro_to_structtype,
@@ -368,7 +370,7 @@ class HudiTimeline:
             raise ValueError(f"unknown Hudi view {view!r}")
         instants = self.completed_instants(as_of=instant, strict=strict)
         if not instants:
-            return self.spark.createDataFrame([], FILES_SCHEMA)
+            return local_rows_df(self.spark, [], FILES_SCHEMA)
         commits = self._commits_df(instants)
         exploded = self._exploded_stats(commits)
         is_log = F.col("ws.path").contains(".log.")
@@ -541,7 +543,7 @@ class HudiTimeline:
         )
         instants = self.completed_instants(as_of=instant)
         if not instants:
-            return self.spark.createDataFrame([], out_schema)
+            return local_rows_df(self.spark, [], out_schema)
         commits = self._commits_df(instants)
         table_path = self.table_path
         logs = (
@@ -991,7 +993,7 @@ class HudiTimeline:
                 frames.append(stamp(read_rows(victims), "d"))
 
         if not frames:
-            return self.spark.createDataFrame([], out_schema)
+            return local_rows_df(self.spark, [], out_schema)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
@@ -1285,7 +1287,7 @@ class HudiTimeline:
                 frames.append(rows_as(victims, "d", "before"))
 
         if not frames:
-            return self.spark.createDataFrame([], out_schema)
+            return local_rows_df(self.spark, [], out_schema)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)

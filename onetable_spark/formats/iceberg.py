@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from onetable_spark.formats.avro_codec import read_container, write_container
+from onetable_spark.session import local_rows_df
 from onetable_spark.model import (
     FILES_SCHEMA,
     DataLayoutStrategy,
@@ -776,12 +777,12 @@ class IcebergTable:
             else next(s for s in md["snapshots"] if s["snapshot-id"] == snapshot_id)
         )
         if snap is None:
-            return self.spark.createDataFrame([], FILES_SCHEMA)
+            return local_rows_df(self.spark, [], FILES_SCHEMA)
         _, manifests = read_container(snap["manifest-list"])
         data, deletes = _split_manifests(manifests)
         paths = [m["manifest_path"] for m in data]
         if not paths:
-            return self.spark.createDataFrame([], FILES_SCHEMA)
+            return local_rows_df(self.spark, [], FILES_SCHEMA)
         ice_schema = self._schema_for(md)
         spec = self._spec_for(md)
         base = self._decode_manifests(
@@ -840,9 +841,12 @@ class IcebergTable:
                     columns=["delete_path", "delete_seq", "content", "equality_ids"],
                 )
 
-        base = self.spark.createDataFrame(pairs, "p string, seq long")
-        par = max(1, min(len(pairs), self.spark.sparkContext.defaultParallelism))
-        return base.repartition(par).mapInPandas(
+        # sliced as wide as the per-row work (one avro read per row) at
+        # birth — no repartition Exchange needed (r15, local_rows_df)
+        base = local_rows_df(
+            self.spark, pairs, "p string, seq long", slices=len(pairs)
+        )
+        return base.mapInPandas(
             scan,
             "delete_path string, delete_seq long, content int, equality_ids array<int>",
         )
@@ -1123,8 +1127,8 @@ class IcebergTable:
             else next(s for s in md["snapshots"] if s["snapshot-id"] == snapshot_id)
         )
         if snap is None:
-            empty = self.spark.createDataFrame([], FILES_SCHEMA)
-            return empty, self.spark.createDataFrame([], "path string, pos long")
+            empty = local_rows_df(self.spark, [], FILES_SCHEMA)
+            return empty, local_rows_df(self.spark, [], "path string, pos long")
         _, manifests = read_container(snap["manifest-list"])
         data, deletes = _split_manifests(manifests)
         paths = [m["manifest_path"] for m in data]
@@ -1140,7 +1144,7 @@ class IcebergTable:
                 apply_equality=apply_equality_deletes,
             )
             if deletes
-            else self.spark.createDataFrame([], "path string, pos long")
+            else local_rows_df(self.spark, [], "path string, pos long")
         )
         return base.drop("_seq"), positions
 
@@ -1209,9 +1213,13 @@ class IcebergTable:
                             rows.append({"mp": mp, "path": e["data_file"]["file_path"]})
                 yield pd.DataFrame(rows, columns=["mp", "path"])
 
-        base = self.spark.createDataFrame([(p,) for p in manifest_paths], "p string")
-        parallelism = max(1, min(len(manifest_paths), self.spark.sparkContext.defaultParallelism))
-        pairs = base.repartition(parallelism).mapInPandas(scan, "mp string, path string")
+        base = local_rows_df(
+            self.spark,
+            [(p,) for p in manifest_paths],
+            "p string",
+            slices=len(manifest_paths),
+        )
+        pairs = base.mapInPandas(scan, "mp string, path string")
         dirty = pairs.join(removes.select("path"), "path").select("mp").distinct()
         # driver-ok: bounded — one row per dirty manifest; collect() is one
         # job where toLocalIterator would run one job per partition
@@ -1314,9 +1322,10 @@ class IcebergTable:
             if extra_fields
             else FILES_SCHEMA
         )
-        base = self.spark.createDataFrame([(p,) for p in paths], "p string")
-        parallelism = max(1, min(len(paths), self.spark.sparkContext.defaultParallelism))
-        return base.repartition(parallelism).mapInPandas(decode, out_schema)
+        base = local_rows_df(
+            self.spark, [(p,) for p in paths], "p string", slices=len(paths)
+        )
+        return base.mapInPandas(decode, out_schema)
 
     def table_descriptor(self, name: str | None = None) -> Table:
         md = self.metadata()
@@ -1403,11 +1412,11 @@ class IcebergTable:
         ]
         ice_schema = self._schema_for(md)
         spec = self._spec_for(md)
-        added = self._decode_manifests(own, ice_schema, spec, statuses=(STATUS_ADDED,)) if own else self.spark.createDataFrame([], FILES_SCHEMA)
+        added = self._decode_manifests(own, ice_schema, spec, statuses=(STATUS_ADDED,)) if own else local_rows_df(self.spark, [], FILES_SCHEMA)
         removed = (
             self._decode_manifests(own, ice_schema, spec, statuses=(STATUS_DELETED,)).select("path")
             if own
-            else self.spark.createDataFrame([], "path string")
+            else local_rows_df(self.spark, [], "path string")
         )
         new_deletes = [m for m in deletes if m.get("added_snapshot_id") == snapshot_id]
         if new_deletes:
@@ -1737,10 +1746,12 @@ class IcebergTable:
             persisted.append(all_base)
         eq_rows_by_sid: dict[int, list] = {}
         if eq_descs and apply_equality_deletes:
-            eqdf = self.spark.createDataFrame(
+            eqdf = local_rows_df(
+                self.spark,
                 eq_descs,
                 "delete_path string, delete_seq long, content int, "
                 "equality_ids array<int>, _sid long",
+                slices=len(eq_descs),
             )
             # driver-ok: ONE job over the whole chain's eq-delete files;
             # one row per file, bytes capped in _eq_match_from_rows
@@ -1830,7 +1841,7 @@ class IcebergTable:
             frames.append(rows_at(allk))
         if not frames:
             _unpersist_quietly(persisted)
-            return self.spark.createDataFrame([], out_schema)
+            return local_rows_df(self.spark, [], out_schema)
         out = frames[0]
         for f in frames[1:]:
             out = out.unionByName(f)
@@ -2246,8 +2257,8 @@ class IcebergTable:
                 # reuse the already-collected removed set — re-referencing
                 # the removes DataFrame would re-run its lineage (often a
                 # distributed footer inventory) a second time
-                removed_df = self.spark.createDataFrame(
-                    [(p,) for p in sorted(removed_paths)], "path string"
+                removed_df = local_rows_df(
+                    self.spark, [(p,) for p in sorted(removed_paths)], "path string"
                 )
                 dirty = self._manifests_containing(
                     [m["manifest_path"] for m in prev_manifests], removed_df
@@ -2279,8 +2290,8 @@ class IcebergTable:
                 # previously snapshot_files(prev).collect()).
                 prev_files = self.snapshot_files(prev["snapshot-id"])
                 if removed_paths:
-                    removed_df = self.spark.createDataFrame(
-                        [(p,) for p in sorted(removed_paths)], "path string"
+                    removed_df = local_rows_df(
+                        self.spark, [(p,) for p in sorted(removed_paths)], "path string"
                     )
                     # driver-ok: bounded — deleted entries are this
                     # commit's own removal payload
@@ -3148,8 +3159,8 @@ class IcebergTable:
                 )
                 .drop("_src_pv")
             )
-        old_df = self.spark.createDataFrame(
-            [(p,) for p in old_paths], "path string"
+        old_df = local_rows_df(
+            self.spark, [(p,) for p in old_paths], "path string"
         )
         carried = base.join(old_df, "path", "left_anti")
         replaced = base.join(old_df, "path")

@@ -861,5 +861,7 @@ def connected_components(
         [T.StructField("node", id_type), T.StructField("component", id_type)]
     )
     if local.empty:
-        return spark.createDataFrame([], out_schema)
+        from onetable_spark.session import local_rows_df
+
+        return local_rows_df(spark, [], out_schema)
     return spark.createDataFrame(local, out_schema)

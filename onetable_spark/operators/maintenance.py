@@ -28,6 +28,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from onetable_spark.session import local_rows_df
+
 
 def assign_compaction_bins(
     files: DataFrame,
@@ -235,9 +237,8 @@ def list_table_files(spark, table_path: str, fs: LocalFilesystem | None = None) 
                 )
             yield pd.DataFrame(rows, columns=["path", "size", "mtime_millis"])
 
-    base = spark.createDataFrame([(d,) for d in dirs], "d string")
-    par = max(1, min(len(dirs), spark.sparkContext.defaultParallelism))
-    return base.repartition(par).mapInPandas(
+    base = local_rows_df(spark, [(d,) for d in dirs], "d string", slices=len(dirs))
+    return base.mapInPandas(
         scan, "path string, size long, mtime_millis long"
     )
 
@@ -279,7 +280,7 @@ def referenced_paths(spark, fmt, table_path: str, reader=None) -> DataFrame:
         actions = (
             reader._actions_df(versions)
             if versions
-            else spark.createDataFrame([], "add struct<path:string>, remove struct<path:string>")
+            else local_rows_df(spark, [], "add struct<path:string>, remove struct<path:string>")
         )
         refs = actions.select(both).where(F.col("p").isNotNull())
         dv_actions = [actions]
@@ -334,7 +335,7 @@ def referenced_paths(spark, fmt, table_path: str, reader=None) -> DataFrame:
             _, manifests = read_container(snap["manifest-list"])
             manifest_paths.extend(m["manifest_path"] for m in manifests)
         if not manifest_paths:
-            return spark.createDataFrame([], "path string")
+            return local_rows_df(spark, [], "path string")
 
         def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for pdf in batches:
@@ -347,15 +348,14 @@ def referenced_paths(spark, fmt, table_path: str, reader=None) -> DataFrame:
                 yield pd.DataFrame(rows, columns=["path"])
 
         uniq = sorted(set(manifest_paths))
-        base = spark.createDataFrame([(p,) for p in uniq], "p string")
-        par = max(1, min(len(uniq), spark.sparkContext.defaultParallelism))
-        return base.repartition(par).mapInPandas(scan, "path string")
+        base = local_rows_df(spark, [(p,) for p in uniq], "p string", slices=len(uniq))
+        return base.mapInPandas(scan, "path string")
     # HUDI: all completed commits' write stats (no base/log filtering),
     # plus supplemental cdc log files (r14 — they live in cdcStats, not
     # path; without this vacuum would destroy live CDC history)
     instants = reader.completed_instants()
     if not instants:
-        return spark.createDataFrame([], "path string")
+        return local_rows_df(spark, [], "path string")
     ws = (
         reader._commits_df(instants)
         .select(F.explode_outer("partitionToWriteStats").alias("partition", "stats"))
@@ -615,7 +615,7 @@ def compact_table(
     adds = build_inventory(spark, merged_paths, root=table_path)
     # semi-join, not isin(): tens of thousands of removed paths as Catalyst
     # literals would bloat the plan; a broadcast join keeps it O(1)
-    removed_df = spark.createDataFrame([(p,) for p in removed_paths], "path string")
+    removed_df = local_rows_df(spark, [(p,) for p in removed_paths], "path string")
     removes = files.join(F.broadcast(removed_df), "path", "left_semi")
     if fmt is TableFormat.DELTA:
         # dataChange=false: a compaction rewrites layout, not logical rows

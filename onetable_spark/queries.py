@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from onetable_spark.session import load_table
+from onetable_spark.session import load_table, local_rows_df
 
 # ---------------------------------------------------------------------------
 # Eager package initialization (r13, BENCH_r12 postmortem).
@@ -2159,7 +2159,7 @@ def q_streaming_hopping(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.streaming.events import hopping_event_counts, read_event_stream, run_available_now
 
     stream = hopping_event_counts(read_event_stream(spark, sf))
-    out = run_available_now(stream, f"hop_{_sf_tag(sf)}", shuffle_partitions=8)
+    out = run_available_now(stream, f"hop_{_sf_tag(sf)}", shuffle_partitions=4)
     return out.select(
         F.col("w_start").cast("timestamp").cast("long").alias("w_start_s"),
         "event_type",
@@ -2359,8 +2359,8 @@ def q_range_join(spark: SparkSession, sf: str) -> DataFrame:
     shuffles; see ``operators.temporal.banded_range_join``)."""
     from onetable_spark.operators.temporal import banded_range_join
 
-    bands = spark.createDataFrame(
-        PRICE_BANDS, "band string, lo double, hi double"
+    bands = local_rows_df(
+        spark, PRICE_BANDS, "band string, lo double, hi double"
     ).select("band", "lo", "hi")
     parts = load_table(spark, sf, "part")
     joined = banded_range_join(parts, bands, "p_retailprice")
@@ -2583,7 +2583,7 @@ def q_streaming_window_agg(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.streaming.events import read_event_stream, run_available_now, tumbling_event_counts
 
     stream = tumbling_event_counts(read_event_stream(spark, sf))
-    out = run_available_now(stream, f"win_{_sf_tag(sf)}", shuffle_partitions=8)
+    out = run_available_now(stream, f"win_{_sf_tag(sf)}", shuffle_partitions=4)
     return out.select(
         F.col("w_start").cast("timestamp").cast("long").alias("w_start_s"), "event_type", "n_events", "total_value"
     )
@@ -2606,7 +2606,7 @@ def q_streaming_approx_reach(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     stream = windowed_approx_reach(read_event_stream(spark, sf))
-    out = run_available_now(stream, f"reach_{_sf_tag(sf)}", shuffle_partitions=8)
+    out = run_available_now(stream, f"reach_{_sf_tag(sf)}", shuffle_partitions=4)
     approx = out.select(
         F.col("w_start").cast("timestamp").cast("long").alias("w_start_s"),
         "event_type",
@@ -2640,7 +2640,7 @@ def q_stateful_running_totals(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.streaming.events import read_event_stream, run_available_now, user_running_totals
 
     stream = user_running_totals(read_event_stream(spark, sf))
-    out = run_available_now(stream, f"tot_{_sf_tag(sf)}", output_mode="update", shuffle_partitions=8)
+    out = run_available_now(stream, f"tot_{_sf_tag(sf)}", output_mode="update", shuffle_partitions=4)
     return out.groupBy("user_id").agg(
         F.max("n_events").alias("n_events"),
         F.max_by("total_value", "n_events").alias("total_value"),
@@ -2710,7 +2710,7 @@ def _planted_near_dups(spark: SparkSession, query: list[float]) -> DataFrame:
         v = list(query)
         v[j % len(v)] = v[j % len(v)] * 1.01 + 0.001
         rows.append((1_000_000 + j, [float(x) for x in v]))
-    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return local_rows_df(spark, rows, "vec_id long, embedding array<float>")
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -2924,8 +2924,8 @@ def q_ann_ivfpq_persisted(spark: SparkSession, sf: str) -> DataFrame:
     )
     mt = re.search(r"PartitionFilters: \[([^\]]*)\]", probed_plan)
     pruned = bool(mt and "cluster" in mt.group(1) and mt.group(1).strip())
-    pruned_ok = spark.createDataFrame(
-        [(pruned,)], "partition_pruned_ok boolean"
+    pruned_ok = local_rows_df(
+        spark, [(pruned,)], "partition_pruned_ok boolean"
     )
 
     exact = _exact_embedding_topk(corpus, query)
@@ -3252,7 +3252,7 @@ def q_iceberg_upsert(spark: SparkSession, sf: str) -> DataFrame:
         upsert("u1.parquet", [0, 2])
         upsert("u2.parquet", [0])
         ice.commit_equality_deletes(
-            spark.createDataFrame([(4,)], "r_regionkey bigint"), ["r_regionkey"]
+            local_rows_df(spark, [(4,)], "r_regionkey bigint"), ["r_regionkey"]
         )
         refused = False
         try:
@@ -3548,7 +3548,8 @@ def q_iceberg_manifest_compaction(spark: SparkSession, sf: str) -> DataFrame:
             shutil.copy(src, f)
             ice.commit_overwrite(adds=build_inventory(spark, [f], root=tbl))
         ice.commit_position_deletes(
-            spark.createDataFrame(
+            local_rows_df(
+                spark,
                 [(os.path.join(tbl, "f0.parquet"), 0),
                  (os.path.join(tbl, "f0.parquet"), 1)],
                 "path string, pos long",
@@ -3941,14 +3942,15 @@ def q_hudi_mor_compaction(spark: SparkSession, sf: str) -> DataFrame:
             "20240101000000000",
         )
         tl.commit(
-            adds=spark.createDataFrame(
+            adds=local_rows_df(
+                spark,
                 [(lp, "hoodie_log", {}, os.path.getsize(lp), 3, None, None)],
                 FILES_SCHEMA,
             ),
             action="deltacommit",
         )
         tl.commit_delete_logs(
-            spark.createDataFrame([(f1, 0)], "path string, pos long")
+            local_rows_df(spark, [(f1, 0)], "path string, pos long")
         )
         instant = tl.compact_file_groups()
         # driver-ok: 1-file staged table read-back for the equivalence probe
@@ -4286,8 +4288,8 @@ def q_sync_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
         )
         for i, fld in enumerate(fields):
             rows.append((fmt, i, fld.name, fld.dataType.simpleString(), n_rows))
-    return spark.createDataFrame(
-        rows, "fmt string, ordinal int, col_name string, col_type string, n_table_rows long"
+    return local_rows_df(
+        spark, rows, "fmt string, ordinal int, col_name string, col_type string, n_table_rows long"
     )
 
 
@@ -4323,8 +4325,8 @@ def q_sync_validation(spark: SparkSession, sf: str) -> DataFrame:
             for check, res in validator.validate(source, reader).items():
                 rows.append((fmt, check.value, res.success))
         _CORPUS_CACHE[key] = rows
-    return spark.createDataFrame(
-        _CORPUS_CACHE[key], "fmt string, check_name string, success boolean"
+    return local_rows_df(
+        spark, _CORPUS_CACHE[key], "fmt string, check_name string, success boolean"
     )
 
 
@@ -4515,7 +4517,7 @@ def q_sync_partition_evolution(spark: SparkSession, sf: str) -> DataFrame:
 
     stage = _staged_once(spark, sf, "otb_pspec_q", build)
     rows = sorted(stage["facts"].items())
-    return spark.createDataFrame(rows, "item string, value string")
+    return local_rows_df(spark, rows, "item string, value string")
 
 
 def q_sync_bucket_spec(spark: SparkSession, sf: str) -> DataFrame:
@@ -4716,7 +4718,7 @@ def q_sync_bucket_spec(spark: SparkSession, sf: str) -> DataFrame:
 
     stage = _staged_once(spark, sf, "otb_bspec_q", build)
     rows = sorted(stage["facts"].items())
-    return spark.createDataFrame(rows, "item string, value string")
+    return local_rows_df(spark, rows, "item string, value string")
 
 
 def q_sync_bucket_decimal(spark: SparkSession, sf: str) -> DataFrame:
@@ -4850,7 +4852,7 @@ def q_sync_bucket_decimal(spark: SparkSession, sf: str) -> DataFrame:
 
     stage = _staged_once(spark, sf, "otb_bdec_q", build)
     rows = sorted(stage["facts"].items())
-    return spark.createDataFrame(rows, "item string, value string")
+    return local_rows_df(spark, rows, "item string, value string")
 
 
 def _ice_chlog_stage(spark: SparkSession, sf: str) -> dict:
@@ -5027,7 +5029,7 @@ def _hudi_chlog_stage(spark: SparkSession, sf: str) -> dict:
             region.filter(F.col("r_regionkey") <= 1)
             .withColumn("r_name", F.concat(F.lit("X_"), F.col("r_name")))
             .unionByName(
-                spark.createDataFrame([(92, "NEWLAND")], region.schema)
+                local_rows_df(spark, [(92, "NEWLAND")], region.schema)
             )
         )
         tl.upsert_records(batch)
@@ -5101,7 +5103,7 @@ def _hudi_chupd_stage(spark: SparkSession, sf: str) -> dict:
                     F.concat(F.lit("X_"), F.col("r_name")),
                 ).otherwise(F.col("r_name")),
             )
-            .unionByName(spark.createDataFrame([(93, "NEWLAND")], region.schema))
+            .unionByName(local_rows_df(spark, [(93, "NEWLAND")], region.schema))
         )
         stage_dir = os.path.join(base, "_rw_stage")
         rewrite.coalesce(1).write.parquet(stage_dir)
@@ -5173,7 +5175,7 @@ def q_streaming_hudi_rows(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.streaming.events import run_available_now
 
     stage = _hudi_chlog_stage(spark, sf)
-    stream = read_hudi_row_stream(spark, stage["dir"])
+    stream = read_hudi_row_stream(spark, stage["dir"], fanout=4)
     agg = stream.groupBy("_change_operation", "r_regionkey", "r_name").count()
     out = run_available_now(agg, f"hrow_{_sf_tag(sf)}", shuffle_partitions=4)
     return out.select(
@@ -5206,7 +5208,7 @@ def q_streaming_hudi_replace(spark: SparkSession, sf: str) -> DataFrame:
     stage = _hudi_chupd_stage(spark, sf)
     tl = HudiTimeline(spark, stage["dir"])
     instants = [i for i, _ in tl.completed_instants()]
-    stream = read_hudi_row_stream(spark, stage["dir"])
+    stream = read_hudi_row_stream(spark, stage["dir"], fanout=4)
     out = run_available_now(
         stream.select(
             "_change_operation", "_commit_instant", "r_regionkey", "r_name"
@@ -5273,7 +5275,7 @@ def q_hudi_cdc_feed(spark: SparkSession, sf: str) -> DataFrame:
             region.filter(F.col("r_regionkey") <= 1)
             .withColumn("r_name", F.concat(F.lit("X_"), F.col("r_name")))
             .unionByName(
-                spark.createDataFrame([(91, "NEWLAND")], region.schema)
+                local_rows_df(spark, [(91, "NEWLAND")], region.schema)
             )
         )
         tl.upsert_records(batch)
@@ -5326,7 +5328,7 @@ def _cdf_stage(spark: SparkSession, sf: str) -> dict:
             src.where("r_regionkey <= 1")
             .withColumn("r_name", F.concat(F.lit("X_"), F.col("r_name")))
             .unionByName(
-                spark.createDataFrame([(90, "NEWLAND")], src.schema)
+                local_rows_df(spark, [(90, "NEWLAND")], src.schema)
             )
         )
         stage_dir = os.path.join(base, "_batch_stage")
@@ -5452,7 +5454,7 @@ def q_streaming_cdf(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.streaming.events import run_available_now
 
     stage = _cdf_stage(spark, sf)
-    stream = read_cdf_stream(spark, stage["dir"])
+    stream = read_cdf_stream(spark, stage["dir"], fanout=4)
     agg = stream.groupBy("_change_type", "r_regionkey", "r_name").count()
     out = run_available_now(agg, f"cdf_{_sf_tag(sf)}", shuffle_partitions=4)
     return out.select(
@@ -5538,7 +5540,7 @@ def q_streaming_iceberg_appends(spark: SparkSession, sf: str) -> DataFrame:
 
     stage = _staged_once(spark, sf, "otb_iapp_q", build)
     stream = read_iceberg_append_stream(
-        spark, stage["dir"], skip_overwrite_snapshots=True
+        spark, stage["dir"], skip_overwrite_snapshots=True, fanout=4
     )
     agg = stream.groupBy("r_regionkey", "r_name").count()
     out = run_available_now(agg, f"iapp_{_sf_tag(sf)}", shuffle_partitions=4)
@@ -6225,7 +6227,7 @@ def q_vacuum_orphans(spark: SparkSession, sf: str) -> DataFrame:
     live = DeltaLog(spark, stage["dir"]).snapshot_files().agg(
         F.sum("record_count").cast("long").alias("n_live_records")
     )
-    rows = spark.createDataFrame(stage["statuses"], "file_name string, status string")
+    rows = local_rows_df(spark, stage["statuses"], "file_name string, status string")
     return rows.crossJoin(F.broadcast(live)).withColumn(
         "on_disk",
         F.col("status") != F.lit("removed"),
@@ -6418,7 +6420,7 @@ def q_streaming_dedup(spark: SparkSession, sf: str) -> DataFrame:
 
     stream = dedup_stream(read_event_stream(spark, sf))
     return run_available_now(
-        stream, f"sdedup_{_sf_tag(sf)}", output_mode="append", shuffle_partitions=8
+        stream, f"sdedup_{_sf_tag(sf)}", output_mode="append", shuffle_partitions=4
     )
 
 
@@ -6430,7 +6432,7 @@ def q_streaming_join(spark: SparkSession, sf: str) -> DataFrame:
 
     stream = attribution_join_stream(read_event_stream(spark, sf))
     return run_available_now(
-        stream, f"sjoin_{_sf_tag(sf)}", output_mode="append", shuffle_partitions=8
+        stream, f"sjoin_{_sf_tag(sf)}", output_mode="append", shuffle_partitions=4
     )
 
 
@@ -6441,7 +6443,7 @@ def q_streaming_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     from onetable_spark.streaming.events import read_event_stream, run_available_now, sessionize_stream
 
     stream = sessionize_stream(read_event_stream(spark, sf), gap="30 minutes")
-    out = run_available_now(stream, f"sess_{_sf_tag(sf)}", shuffle_partitions=8)
+    out = run_available_now(stream, f"sess_{_sf_tag(sf)}", shuffle_partitions=4)
     return out.select(
         "user_id",
         F.col("sess_start").cast("timestamp").cast("long").alias("sess_start_s"),

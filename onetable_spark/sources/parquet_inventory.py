@@ -20,6 +20,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from onetable_spark.session import local_rows_df
+
 from onetable_spark.model import FILES_SCHEMA
 
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
@@ -165,7 +167,7 @@ def build_inventory(
     ~hundreds of footers, so a million-file table is a few thousand tasks.
     """
     if not paths:
-        return spark.createDataFrame([], FILES_SCHEMA)
+        return local_rows_df(spark, [], FILES_SCHEMA)
     rows = [
         {
             "path": p,
@@ -174,9 +176,11 @@ def build_inventory(
         }
         for p in paths
     ]
-    base = spark.createDataFrame(
+    base = local_rows_df(
+        spark,
         rows,
         "path string, file_format string, partition_values map<string,string>",
+        slices=len(rows) // 64 + 1,
     )
     if not with_stats:
         return (
@@ -185,8 +189,8 @@ def build_inventory(
             .withColumn("last_modified_millis", F.lit(None).cast("long"))
             .withColumn("column_stats", F.lit(None).cast(FILES_SCHEMA["column_stats"].dataType))
         )
-    parallelism = max(1, min(len(paths) // 64 + 1, spark.sparkContext.defaultParallelism))
-    return base.repartition(parallelism).mapInPandas(_stats_batches, FILES_SCHEMA)
+    # born at ~64 footers per slice — no repartition Exchange (r15)
+    return base.mapInPandas(_stats_batches, FILES_SCHEMA)
 
 
 def inventory_from_directory(

@@ -265,7 +265,10 @@ def read_delta_log_stream(
 
 
 def read_cdf_stream(
-    spark: SparkSession, table_path: str, _task_probe_dir: str | None = None
+    spark: SparkSession,
+    table_path: str,
+    fanout: int | None = None,
+    _task_probe_dir: str | None = None,
 ) -> DataFrame:
     """Streaming ROW-LEVEL change feed off a CDF-enabled Delta table
     (r13; r14 closes the append hole): the union of
@@ -319,7 +322,7 @@ def read_cdf_stream(
         .parquet(cdc_dir)
     )
     derived = _derived_cdf_stream(
-        spark, table_path, schema, pcols, _task_probe_dir
+        spark, table_path, schema, pcols, fanout, _task_probe_dir
     )
     return cdc_stream.unionByName(derived)
 
@@ -329,6 +332,7 @@ def _derived_cdf_stream(
     table_path: str,
     schema,
     pcols: list[str],
+    fanout: int | None = None,
     _task_probe_dir: str | None = None,
 ) -> DataFrame:
     """The log-derived leg of ``read_cdf_stream``: tail ``_delta_log``,
@@ -456,8 +460,12 @@ def _derived_cdf_stream(
 
     # explicit fan-out (r15): the JSON file source yields one partition
     # per commit file, so a 10k-add commit would otherwise be ONE task
-    # reading 10k files serially
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # reading 10k files serially. ``fanout`` lets the caller size the
+    # width to the STREAM it runs (run_available_now's state sizing
+    # argument applies identically here: every partition is a scheduled
+    # python task per micro-batch); default = the session's shuffle
+    # width, the cluster-scale proxy.
+    n_parts = fanout or int(spark.conf.get("spark.sql.shuffle.partitions"))
     derived = acts.repartition(n_parts, "rel_path").mapInPandas(
         derive, out_schema
     )
@@ -481,6 +489,7 @@ def read_iceberg_append_stream(
     table_path: str,
     skip_delete_snapshots: bool = False,
     skip_overwrite_snapshots: bool = False,
+    fanout: int | None = None,
     _task_probe_dir: str | None = None,
 ) -> DataFrame:
     """ROW-LEVEL streaming read of an Iceberg table (r14; restructured
@@ -682,8 +691,9 @@ def read_iceberg_append_stream(
 
     files = raw.mapInPandas(plan, "file_path string, _snapshot_id long")
     # explicit width: user-specified repartition is exempt from adaptive
-    # coalescing, so a multi-file commit genuinely fans out
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # coalescing, so a multi-file commit genuinely fans out; ``fanout``
+    # sizes it to the stream (see _derived_cdf_stream)
+    n_parts = fanout or int(spark.conf.get("spark.sql.shuffle.partitions"))
     files = files.repartition(n_parts, "file_path")
 
     def read_files(batches):
@@ -717,7 +727,10 @@ def read_iceberg_append_stream(
 
 
 def read_hudi_row_stream(
-    spark: SparkSession, table_path: str, _task_probe_dir: str | None = None
+    spark: SparkSession,
+    table_path: str,
+    fanout: int | None = None,
+    _task_probe_dir: str | None = None,
 ) -> DataFrame:
     """ROW-LEVEL streaming read of a Hudi table (r14; restructured r15 —
     the third edge of the STREAMING triangle; siblings
@@ -869,7 +882,7 @@ def read_hudi_row_stream(
     work = raw.mapInPandas(
         plan, "kind string, path string, _commit_instant string"
     )
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_parts = fanout or int(spark.conf.get("spark.sql.shuffle.partitions"))
     work = work.repartition(n_parts, "path", "_commit_instant")
 
     def read_files(batches):
