@@ -99,7 +99,11 @@ def main() -> None:
     from concurrent.futures import ThreadPoolExecutor
 
     stage_t0 = time.perf_counter()
-    with ThreadPoolExecutor(max_workers=6) as pool:
+    # 8 workers (r15, was 6): the ~28 family builds are dominated by
+    # tiny-job scheduling latency, not CPU — after the local_rows_df
+    # slicing fix each build's jobs got smaller still, so deeper overlap
+    # keeps shaving the phase wall without starving the 32-core master
+    with ThreadPoolExecutor(max_workers=8) as pool:
         futures = {
             name: pool.submit(lambda n=name: SPARK_QUERIES[n](spark, sf_dir).count())
             for name in STAGED_QUERIES

@@ -271,7 +271,7 @@ def _actions_head(spark: SparkSession, action_jsons: list[str]) -> DataFrame:
     constant every checkpoint used to pay."""
     arr = F.array(*[F.lit(s) for s in action_jsons])
     return (
-        spark.range(1)
+        spark.range(1, numPartitions=1)
         .select(F.explode(arr).alias("value"))
         .select(F.from_json("value", ACTION_SCHEMA).alias("a"))
         .select("a.add", "a.remove", "a.metaData", "a.protocol")
@@ -2295,7 +2295,9 @@ class DeltaLog:
         head = head_rows.withColumn(
             "sidecar", F.lit(None).cast(sidecar_type)
         ).withColumn("checkpointMetadata", F.lit(None).cast(ckmeta_type))
-        extra_rows = self.spark.range(len(sidecars) + 1).select(
+        extra_rows = self.spark.range(
+            len(sidecars) + 1, numPartitions=1
+        ).select(
             F.lit(None).cast(ADD_SCHEMA).alias("add"),
             F.lit(None).cast(REMOVE_SCHEMA).alias("remove"),
             F.lit(None).cast(METADATA_SCHEMA).alias("metaData"),

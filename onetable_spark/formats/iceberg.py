@@ -1097,15 +1097,21 @@ class IcebergTable:
                 eq_files = delete_files.where(
                     F.col("content") == _CONTENT_EQUALITY_DELETES
                 )
-                present = has_equality
-                if present is None:
-                    # driver-ok: emptiness probe, one boolean
-                    present = not eq_files.isEmpty()
-                if present:
-                    eq_hits = self._equality_match_positions(
-                        base_with_seq, eq_files, ice_schema
-                    )
-                    deleted = deleted.unionByName(eq_hits)
+                if has_equality is not False:
+                    # ONE job: the capped tuple read doubles as the
+                    # emptiness probe (r15 — the r14 form ran a separate
+                    # isEmpty job first, two sequential driver-blocking
+                    # jobs per data-assisted scan; empty tables collect
+                    # zero rows from the same job)
+                    rows = self._read_eq_tuples(
+                        eq_files, ice_schema
+                    ).collect()
+                    if rows:
+                        deleted = deleted.unionByName(
+                            self._eq_match_from_rows(
+                                base_with_seq, rows, ice_schema
+                            )
+                        )
         return deleted.distinct()
 
     def snapshot_with_deleted_positions(

@@ -409,8 +409,15 @@ def ingest_media(spark, base_dir: str) -> DataFrame:
 
 def synth_media_table(spark, n: int = 100) -> DataFrame:
     """Deterministic synthetic media table for tests/demos (binary payloads
-    derived from the id — no external data needed)."""
-    return spark.range(n).select(
+    derived from the id — no external data needed).
+
+    Partitioned by the WORK (one slice per ~32 media rows, capped at the
+    cluster width) rather than ``spark.range``'s default parallelism —
+    a 200-row demo table otherwise fans its mapInPandas decoders out as
+    32 near-empty python tasks per stage (r15; same rule as
+    session.local_rows_df)."""
+    par = spark.sparkContext.defaultParallelism
+    return spark.range(n, numPartitions=max(1, min(par, n // 32 + 1))).select(
         F.col("id").alias("media_id"),
         F.when(F.col("id") % 3 == 0, "image").when(F.col("id") % 3 == 1, "audio").otherwise("video").alias("kind"),
         F.sha2(F.col("id").cast("string"), 256).cast("binary").alias("content"),
