@@ -31,13 +31,22 @@ def asof_join(
     right_ts: str,
     right_cols: list[str] | None = None,
     tolerance: str | int | float | None = None,
+    right_tiebreak: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right.ts <= left.ts`` for the same key (ASOF LEFT JOIN).
 
     Ties inside the right table (same key, same ts) must be pre-deduped by
     the caller for deterministic output — mirrors DuckDB/kdb semantics
-    where the as-of pick among equal timestamps is unspecified.
+    where the as-of pick among equal timestamps is unspecified. OR: pass
+    ``right_tiebreak`` (a right column name) and ties resolve to the row
+    with the MAXIMUM tiebreak value inside the same merge window — the
+    running ``last()`` lands on it because right rows at equal ``_t`` sort
+    ascending by the tiebreak. Equivalent to pre-deduping with
+    ``max_by(*, tiebreak)`` but without the extra aggregation exchange:
+    the dedup rides the window sort the as-of already pays (left rows
+    carry NULL in the tiebreak column, which only reorders them among
+    themselves — each left row's ROWS frame value is unaffected).
     """
     rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
     l_tag = left.withColumn("_t", F.col(left_ts)).withColumn("_side", F.lit(1))
@@ -51,9 +60,12 @@ def asof_join(
     )
     merged = l_tag.unionByName(r_tag, allowMissingColumns=True)
     # order: time asc, right rows before left rows at equal time (<= match)
+    order = [F.col("_t").asc(), F.col("_side").asc()]
+    if right_tiebreak is not None:
+        order.append(F.col(right_tiebreak).asc())
     w = (
         Window.partitionBy(on)
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.select(

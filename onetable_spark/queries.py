@@ -978,37 +978,41 @@ def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
 def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
     """Suppliers who kept orders waiting (TPC-H Q21 shape): correlated
     EXISTS (another supplier on the order) + NOT EXISTS (no OTHER supplier
-    also failed) — a semi-join and an anti-join on the order key
-    (returned lines stand in for late lines; no receipt/commit dates)."""
+    also failed) — (returned lines stand in for late lines; no
+    receipt/commit dates).
+
+    r15 shape: the EXISTS/NOT-EXISTS pair over the (orderkey, suppkey)
+    relation is decided by per-order supplier COUNTS instead of a semi-
+    plus anti-join against two more lineitem scans (guide §2.4/§3 —
+    aggregate, don't self-join). For a failed (ok, sk) — i.e. sk shipped
+    an R line on ok — "another supplier exists on ok" ⇔ ok has ≥ 2
+    distinct suppliers (sk itself is one of them), and "no OTHER supplier
+    also failed on ok" ⇔ ok's R-line supplier set is exactly {sk} ⇔ its
+    size is 1. One lineitem pass builds the per-(ok, sk) relation that
+    feeds the failed set AND both counters; lineitem scans 3→1, semi/anti
+    join cascade → one equi-join on the order key."""
     li = load_table(spark, sf, "lineitem")
     orders = load_table(spark, sf, "orders")
     supplier = load_table(spark, sf, "supplier")
     nation = load_table(spark, sf, "nation")
-    pairs = li.select(
-        F.col("l_orderkey").alias("p_orderkey"),
-        F.col("l_suppkey").alias("p_suppkey"),
-        F.col("l_returnflag").alias("p_flag"),
-    ).distinct()
-    failed = (
-        li.filter(F.col("l_returnflag") == "R")
+    per_supp = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_r")
+    )
+    ord_stats = per_supp.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"), F.sum("has_r").alias("n_failed_supp")
+    )
+    sole_failer = (
+        per_supp.filter(F.col("has_r") == 1)
+        .join(
+            ord_stats.filter((F.col("n_supp") >= 2) & (F.col("n_failed_supp") == 1)),
+            "l_orderkey",
+        )
         .join(
             orders.filter(F.col("o_orderstatus") == "F"),
-            li.l_orderkey == orders.o_orderkey,
+            F.col("l_orderkey") == orders.o_orderkey,
             "left_semi",
         )
         .select("l_orderkey", "l_suppkey")
-        .distinct()
-    )
-    exists_other = failed.join(
-        pairs,
-        (failed.l_orderkey == pairs.p_orderkey) & (failed.l_suppkey != pairs.p_suppkey),
-        "left_semi",
-    )
-    sole_failer = exists_other.join(
-        pairs.filter(F.col("p_flag") == "R"),
-        (exists_other.l_orderkey == F.col("p_orderkey"))
-        & (exists_other.l_suppkey != F.col("p_suppkey")),
-        "left_anti",
     )
     return (
         sole_failer.join(F.broadcast(supplier), F.col("l_suppkey") == supplier.s_suppkey)
@@ -2327,21 +2331,21 @@ def q_hopping_window(spark: SparkSession, sf: str) -> DataFrame:
 def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join: each event picks the user's most recent order at/before
     the event time (union-merge plan — no non-equi join; see
-    ``operators.temporal.asof_join``). Orders deduped to one per
-    (custkey, date) with max_by for deterministic ASOF tie semantics."""
+    ``operators.temporal.asof_join``). (custkey, date) ties resolve to the
+    max-orderkey row via the window's ``right_tiebreak`` — the same pick a
+    max_by pre-dedup made in earlier rounds, minus that dedup's whole
+    aggregation exchange (r15: Exchange 4→2 in the formatted plan; the tie
+    rows ride the one window sort the as-of already pays)."""
     from onetable_spark.operators.temporal import asof_join
 
     events = load_table(spark, sf, "events").select(
         "event_id", "user_id", F.col("ts").cast("timestamp").cast("long").alias("ts_s")
     )
-    orders = (
-        load_table(spark, sf, "orders")
-        .groupBy("o_custkey", F.col("o_orderdate").cast("timestamp").cast("long").alias("od_s"))
-        .agg(
-            F.max("o_orderkey").alias("o_orderkey"),
-            F.max_by("o_totalprice", "o_orderkey").alias("o_totalprice"),
-        )
-        .withColumnRenamed("o_custkey", "user_id")
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").cast("long").alias("od_s"),
+        "o_orderkey",
+        "o_totalprice",
     )
     return asof_join(
         events,
@@ -2350,6 +2354,7 @@ def q_asof_join(spark: SparkSession, sf: str) -> DataFrame:
         left_ts="ts_s",
         right_ts="od_s",
         right_cols=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
     )
 
 
@@ -6521,6 +6526,11 @@ def q_simhash_near_dups(spark: SparkSession, sf: str) -> DataFrame:
     # transform consumes it — md5 runs ONCE per token, and an inlined
     # computed array would re-evaluate per element (the documented
     # O(n²) trap, see dedup._gram_hash_col)
+    # (r15 continuation: a spread_if_narrow before this chain was
+    # prototyped and measured NEUTRAL under interleaved same-session
+    # min-of-N — the md5/conv build is ~0.5 s either way and the round-
+    # robin exchange eats the fan-out gain at this corpus size — so the
+    # single-scan form stays; tools/profile_simhash_legs.py reproduces)
     md5s = docs.select(
         F.col("doc_id").alias("id"),
         F.transform(tokens("text"), lambda t: F.md5(t)).alias("m"),

@@ -84,6 +84,46 @@ def test_asof_join_basic(asof_fixture):
     assert out == {"t1": 11.0, "t2": 12.0, "t3": None, "t4": None}
 
 
+def test_asof_join_right_tiebreak_matches_max_by_prededup(spark):
+    """r15: ``right_tiebreak`` replaces the caller-side max_by pre-dedup
+    (q_asof_join dropped that groupBy's whole exchange). The window-order
+    tiebreak must pick the SAME row per (key, ts) tie — the max-tiebreak
+    one, with its OTHER payload column coming from the same row — and
+    left-row NULLs in the tiebreak column must not disturb the frame."""
+    trades = spark.createDataFrame(
+        [(1, 100, "t1"), (1, 205, "t2"), (2, 150, "t3")],
+        "key long, t long, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (1, 100, 5, 11.0),   # (key, ts) tie: seq 5 ...
+            (1, 100, 9, 99.0),   # ... loses to seq 9 → px 99.0
+            (1, 100, 7, 50.0),
+            (1, 200, 1, 12.0),
+            (2, 150, 3, 20.0),
+        ],
+        "key long, t long, seq long, px double",
+    )
+    deduped = (
+        quotes.groupBy("key", "t")
+        .agg(F.max("seq").alias("seq"), F.max_by("px", "seq").alias("px"))
+    )
+    kw = dict(on="key", left_ts="t", right_ts="t", right_cols=["seq", "px"])
+    via_tiebreak = {
+        r["trade"]: (r["seq"], r["px"])
+        for r in asof_join(trades, quotes, right_tiebreak="seq", **kw).collect()
+    }
+    via_prededup = {
+        r["trade"]: (r["seq"], r["px"])
+        for r in asof_join(trades, deduped, **kw).collect()
+    }
+    assert via_tiebreak == via_prededup == {
+        "t1": (9, 99.0),
+        "t2": (1, 12.0),
+        "t3": (3, 20.0),
+    }
+
+
 def test_asof_join_tolerance(asof_fixture):
     trades, quotes = asof_fixture
     out = {
