@@ -37,9 +37,26 @@ from onetable_spark.queries import SPARK_QUERIES
 from onetable_spark.session import get_spark
 
 
+def _steal_jiffies() -> int:
+    """Cumulative CPU-steal jiffies from /proc/stat (field 8 of the
+    aggregate ``cpu`` line). The r15 adjudication showed this host's
+    intermittent steal storms inflate bench numbers 1.5-3x; recording the
+    before/after delta INSIDE the bench doc makes a throttled run
+    self-identifying instead of litigated after the fact (VERDICT r15 #2).
+    Returns 0 where /proc/stat is unavailable (non-Linux)."""
+    try:
+        with open("/proc/stat") as fh:
+            parts = fh.readline().split()
+        return int(parts[8]) if parts and parts[0] == "cpu" else 0
+    except (OSError, IndexError, ValueError):
+        return 0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    steal0 = _steal_jiffies()
     spark = get_spark("onetable-bench")
 
     # warm the JVM + parquet footers once so per-query numbers measure the
@@ -123,6 +140,7 @@ def main() -> None:
     total = round(sum(timings.values()), 4)
     staging_family_sum = round(sum(STAGING_SECONDS.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    steal_delta = _steal_jiffies() - steal0
     doc = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -134,16 +152,29 @@ def main() -> None:
         "staging_total": staging_wall,
         "staging_family_sum": staging_family_sum,
         "sf": sf_val,
+        # r16 run provenance (VERDICT r15 #2): which core count produced
+        # this doc, and how much host CPU-steal the run absorbed — a
+        # throttled or scaling run self-identifies instead of polluting
+        # round-over-round comparisons.
+        "cpus": cpus,
+        "steal_jiffies": steal_delta,
     }
     # Durable local copy (full 4-decimal precision): the driver's recorded
     # BENCH_r*.json captures only a tail window of stdout and has truncated
     # before (round 5 parsed to 0 queries); this committed file keeps bench
     # history complete for tools/bench_adjudicate.py. Only the default-sf
-    # run is history-comparable, so other sf dirs don't overwrite it.
+    # DEFAULT-CPU run is history-comparable: the driver's 8-core scaling
+    # run overwrote r15's quiet record with an incomparable sample
+    # (VERDICT r15 #2a), so non-default core counts now write a
+    # cpus-stamped sibling instead.
+    here = Path(__file__).resolve().parent
     if sf_val == 0.1:
-        (Path(__file__).resolve().parent / "BENCH_LOCAL.json").write_text(
-            json.dumps(doc, indent=1) + "\n"
+        name = (
+            "BENCH_LOCAL.json"
+            if cpus == (os.cpu_count() or cpus)
+            else f"BENCH_LOCAL_c{cpus}.json"
         )
+        (here / name).write_text(json.dumps(doc, indent=1) + "\n")
     # r13: the driver's BENCH_r*.json records only the LAST 2000 CHARS of
     # stdout and parses the JSON out of that window — every round since r05
     # failed to parse because the full 130+-query dict serializes to ~4-5 KB.
@@ -159,6 +190,8 @@ def main() -> None:
         "staging_total": round(staging_wall, 2),
         "staging_family_sum": round(staging_family_sum, 2),
         "sf": sf_val,
+        "cpus": cpus,
+        "steal_jiffies": steal_delta,
         "queries_omitted": 0,
         "queries": {},
     }

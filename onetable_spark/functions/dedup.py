@@ -405,26 +405,26 @@ def _bounded_members(
         .filter(F.col("_n") > 1)
     )
     nsub = F.greatest(F.ceil(F.col("_n") / cap), F.lit(1)).cast("long")
-    members = df.join(stats, keys).select(
-        *keys, F.col(payload), F.pmod(F.xxhash64(salt_on), nsub).alias("_salt")
-    )
-    # anchor rows: one per sub-group of an oversized group, skipping the
-    # slot the anchor's own membership row already occupies
-    anchor_salt_on = salt_on  # same expression evaluated on the anchor row
-    anchors = (
-        stats.filter(F.col("_n") > cap)
-        .select(*keys, F.col("_anchor").alias(payload), nsub.alias("_nsub"))
-        .select(
-            *keys,
-            payload,
-            F.explode(F.sequence(F.lit(0).cast("long"), F.col("_nsub") - 1)).alias("_salt"),
-            F.pmod(F.xxhash64(anchor_salt_on), F.col("_nsub")).alias("_own"),
-        )
-        .filter(F.col("_salt") != F.col("_own"))
-        .drop("_own")
-    )
+    # r16 (VERDICT r15 #3): the anchor rows used to be a THIRD leg — a
+    # second stats aggregation over df, exploded and unioned back — so the
+    # input was scanned three times (stats, members, anchors) and the plan
+    # carried two extra stages. Carrying _n/_anchor through the join lets
+    # the anchor's own membership row emit ALL sub-group slots itself
+    # (members of ≤cap groups emit just their one hash slot), which is the
+    # same result set: the anchor lands exactly once in every sub-group.
+    # Assumes payload values are unique within a group — true for both
+    # callers (one row per id per band; one row per distinct sig per
+    # chunk); duplicated payloads would only add duplicate anchor copies,
+    # which the pair-generating consumers de-duplicate anyway. Skew
+    # behavior is unchanged: stats stays a partial-aggregating groupBy,
+    # the join streams, and per-array memory stays capped.
+    slots = F.when(
+        (F.col("_n") > cap) & (F.col(payload) == F.col("_anchor")),
+        F.sequence(F.lit(0).cast("long"), nsub - 1),
+    ).otherwise(F.array(F.pmod(F.xxhash64(salt_on), nsub)))
     return (
-        members.unionByName(anchors)
+        df.join(stats, keys)
+        .select(*keys, F.col(payload), F.explode(slots).alias("_salt"))
         .groupBy(*keys, "_salt")
         .agg(F.collect_list(payload).alias("mem"))
         .filter(F.size("mem") > 1)

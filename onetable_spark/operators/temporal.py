@@ -49,6 +49,14 @@ def asof_join(
     themselves — each left row's ROWS frame value is unaffected).
     """
     rcols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    if right_tiebreak is not None and right_tiebreak not in rcols:
+        # ADVICE r15: a tiebreak outside right_cols is absent from the
+        # merged frame (opaque AnalysisException later), and a same-named
+        # LEFT column would silently feed the window ordering instead
+        raise ValueError(
+            f"right_tiebreak {right_tiebreak!r} must be one of the joined "
+            f"right columns {rcols}"
+        )
     l_tag = left.withColumn("_t", F.col(left_ts)).withColumn("_side", F.lit(1))
     r_tag = (
         right.select(

@@ -34,6 +34,12 @@ def local_rows_df(spark: SparkSession, rows, schema, slices: int | None = None):
     (one file read per row) pass ``slices=len(rows)`` to fan out exactly
     as wide as the work, which on a cluster is the same fan-out the old
     ``.repartition(min(len, parallelism))`` bought — minus the Exchange.
+
+    Trade-off (ADVICE r15): ``createDataFrame(list, schema)`` verifies row
+    shape eagerly on the driver; the ``parallelize`` path defers it to the
+    first action, so a malformed control row surfaces as an executor task
+    failure rather than a driver-side TypeError. Accepted for these hot
+    metadata paths — the rows are engine-authored tuples, not user input.
     """
     rows = rows if isinstance(rows, list) else list(rows)
     par = spark.sparkContext.defaultParallelism

@@ -119,6 +119,145 @@ def read_iceberg_metadata_stream(spark: SparkSession, table_path: str) -> DataFr
     )
 
 
+# --------------------------------------------------------------- fan-out
+# r16 (VERDICT r15 #4): the r15 per-file fan-out pays a repartition
+# Exchange on EVERY micro-batch — the right trade for a 10k-file bulk
+# commit, a pure tax (~0.5-1 s/query at sf0.1, the round's only real timed
+# regressions) on tables whose commits each carry one or two files, where
+# the file source's one-partition-per-commit layout already IS per-file
+# parallelism. ``fanout=None`` now probes the table's commit metadata
+# driver-side at STREAM BUILD (bounded: ≤ _AUTO_FANOUT_PROBE_BUDGET bytes
+# inspected, else the probe answers "unknown" and the exchange stays); the
+# exchange is skipped only when no observed commit carries more than
+# _AUTO_FANOUT_MAX_FILES work items. The probe sees the table as of build
+# time — an availableNow/catch-up run (the dominant shape here) is fully
+# described by it; a continuous production stream expecting future bulk
+# commits should pass an explicit ``fanout`` width.
+
+_AUTO_FANOUT_MAX_FILES = 2
+_AUTO_FANOUT_PROBE_BUDGET = 1 << 20
+
+
+def _delta_max_actions_per_commit(log_dir: str) -> int | None:
+    """Max add/remove actions in any one commit JSON, or None when the
+    log is absent/empty/over-budget/unparseable (→ keep the exchange)."""
+    import json as _json
+    import os as _os
+
+    try:
+        names = [
+            f
+            for f in _os.listdir(log_dir)
+            if f.endswith(".json") and f[:1].isdigit()
+        ]
+        paths = [_os.path.join(log_dir, f) for f in names]
+        if not paths:
+            return None
+        if sum(_os.path.getsize(p) for p in paths) > _AUTO_FANOUT_PROBE_BUDGET:
+            return None
+        m = 0
+        for p in paths:
+            n = 0
+            with open(p) as fh:
+                for line in fh:
+                    if not line.strip():
+                        continue
+                    a = _json.loads(line)
+                    if "add" in a or "remove" in a:
+                        n += 1
+            m = max(m, n)
+        return m
+    except (OSError, ValueError):
+        return None
+
+
+def _hudi_max_files_per_commit(hoodie_dir: str) -> int | None:
+    """Max work items (written files + replaced file groups) in any one
+    completed commit marker, or None when unknown (→ keep the exchange)."""
+    import json as _json
+    import os as _os
+
+    try:
+        names = [
+            f
+            for f in _os.listdir(hoodie_dir)
+            if f.rsplit(".", 1)[-1]
+            in ("commit", "deltacommit", "replacecommit")
+        ]
+        paths = [_os.path.join(hoodie_dir, f) for f in names]
+        if not paths:
+            return None
+        if sum(_os.path.getsize(p) for p in paths) > _AUTO_FANOUT_PROBE_BUDGET:
+            return None
+        m = 0
+        for p in paths:
+            with open(p) as fh:
+                meta = _json.load(fh)
+            n = sum(
+                len(stats or [])
+                for stats in (meta.get("partitionToWriteStats") or {}).values()
+            ) + sum(
+                len(ids or [])
+                for ids in (meta.get("partitionToReplaceFileIds") or {}).values()
+            )
+            m = max(m, n)
+        return m
+    except (OSError, ValueError):
+        return None
+
+
+def _iceberg_max_added_files(meta_dir: str) -> int | None:
+    """Max ``added-data-files`` across the LATEST metadata.json's
+    snapshots (replace snapshots stream nothing and count 0), or None
+    when any streamable snapshot's summary lacks the count."""
+    import json as _json
+    import os as _os
+    import re as _re
+
+    vpat = _re.compile(r"^v(\d+)\.metadata\.json$")
+    try:
+        vers = [
+            (int(m.group(1)), f)
+            for f in _os.listdir(meta_dir)
+            if (m := vpat.match(f))
+        ]
+        if not vers:
+            return None
+        latest = _os.path.join(meta_dir, max(vers)[1])
+        if _os.path.getsize(latest) > _AUTO_FANOUT_PROBE_BUDGET:
+            return None
+        with open(latest) as fh:
+            md = _json.load(fh)
+        m = 0
+        for s in md.get("snapshots", []):
+            summary = s.get("summary") or {}
+            if summary.get("operation") == "replace":
+                continue
+            added = summary.get("added-data-files")
+            if added is None:
+                return None
+            m = max(m, int(added))
+        return m
+    except (OSError, ValueError):
+        return None
+
+
+def _fanout_width(
+    spark: SparkSession, fanout: int | None, max_per_commit: int | None
+) -> int | None:
+    """Resolve the per-batch fan-out: an explicit ``fanout`` always
+    repartitions at that width; ``None`` skips the exchange when the
+    probe PROVES every observed commit is at most
+    ``_AUTO_FANOUT_MAX_FILES`` work items, else uses the session's
+    shuffle width. Returns the repartition width, or None for no
+    exchange."""
+    if fanout:
+        return fanout
+    if max_per_commit is not None and max_per_commit <= _AUTO_FANOUT_MAX_FILES:
+        return None
+    return int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+
 _HUDI_STAT = T.StructType(
     [
         T.StructField("path", T.StringType()),
@@ -463,12 +602,16 @@ def _derived_cdf_stream(
     # reading 10k files serially. ``fanout`` lets the caller size the
     # width to the STREAM it runs (run_available_now's state sizing
     # argument applies identically here: every partition is a scheduled
-    # python task per micro-batch); default = the session's shuffle
-    # width, the cluster-scale proxy.
-    n_parts = fanout or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    derived = acts.repartition(n_parts, "rel_path").mapInPandas(
-        derive, out_schema
+    # python task per micro-batch). r16: ``None`` probes the log at build
+    # time and SKIPS the exchange when every observed commit is
+    # single-file-scale (see _fanout_width) — the source's
+    # partition-per-commit layout is already the right fan-out there.
+    width = _fanout_width(
+        spark, fanout, _delta_max_actions_per_commit(log_dir)
     )
+    if width is not None:
+        acts = acts.repartition(width, "rel_path")
+    derived = acts.mapInPandas(derive, out_schema)
     if pcols:
         types = {f.name: f.dataType for f in schema.fields}
         derived = derived.withColumn(
@@ -692,9 +835,12 @@ def read_iceberg_append_stream(
     files = raw.mapInPandas(plan, "file_path string, _snapshot_id long")
     # explicit width: user-specified repartition is exempt from adaptive
     # coalescing, so a multi-file commit genuinely fans out; ``fanout``
-    # sizes it to the stream (see _derived_cdf_stream)
-    n_parts = fanout or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    files = files.repartition(n_parts, "file_path")
+    # sizes it to the stream (see _derived_cdf_stream). r16: ``None``
+    # probes the latest metadata.json's snapshot summaries and skips the
+    # exchange when no snapshot added more than a couple of files.
+    width = _fanout_width(spark, fanout, _iceberg_max_added_files(meta_dir))
+    if width is not None:
+        files = files.repartition(width, "file_path")
 
     def read_files(batches):
         """Stage 2 — one bounded frame yielded PER FILE (never a
@@ -882,8 +1028,12 @@ def read_hudi_row_stream(
     work = raw.mapInPandas(
         plan, "kind string, path string, _commit_instant string"
     )
-    n_parts = fanout or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    work = work.repartition(n_parts, "path", "_commit_instant")
+    # r16: ``fanout=None`` probes the timeline's commit markers and skips
+    # the exchange when every observed instant wrote/replaced at most a
+    # couple of files (see _fanout_width).
+    width = _fanout_width(spark, fanout, _hudi_max_files_per_commit(hoodie))
+    if width is not None:
+        work = work.repartition(width, "path", "_commit_instant")
 
     def read_files(batches):
         """Stage 2 — one bounded frame (or two, for a log file with both

@@ -12,9 +12,15 @@ from onetable_spark.session import get_spark
 SF_SMOKE = "/root/testdata/sf0.001"
 
 
+import os
+
+
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("onetable-tests", cpus=8)
+    s = get_spark("onetable-tests", cpus=int(os.environ.get("OTB_TEST_CPUS", "8")))
+    shuf = os.environ.get("OTB_TEST_SHUF")
+    if shuf:
+        s.conf.set("spark.sql.shuffle.partitions", shuf)
     yield s
 
 

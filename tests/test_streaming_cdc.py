@@ -708,3 +708,139 @@ def test_cdf_stream_fans_out_per_file(spark, tmp_path):
     assert {r["_change_type"] for r in rows} == {"insert"}
     tasks = [f for f in os.listdir(probe) if f.startswith("task-")]
     assert len(tasks) > 1, tasks
+
+
+# --------------------------------------------------- r16 adaptive fan-out
+
+
+def test_fanout_probes_and_resolution(spark, tmp_path):
+    """r16 (VERDICT r15 #4): the build-time metadata probes must measure
+    each format's max files-per-commit exactly, and ``_fanout_width`` must
+    skip the exchange ONLY when the probe proves commits are tiny."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from onetable_spark.formats.hudi import HudiTimeline
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.streaming.cdc import (
+        _delta_max_actions_per_commit,
+        _fanout_width,
+        _hudi_max_files_per_commit,
+        _iceberg_max_added_files,
+    )
+
+    def mk(base, n_files):
+        os.makedirs(base)
+        fs = []
+        for k in range(n_files):
+            f = os.path.join(base, f"f{k}.parquet")
+            pq.write_table(
+                pa.table({"id": [k], "name": [f"n{k}"]}), f
+            )
+            fs.append(f)
+        schema = spark.read.parquet(fs[0]).schema
+        return fs, schema
+
+    # Delta: two single-file commits -> max 1
+    dbase = str(tmp_path / "d1")
+    fs, schema = mk(dbase, 2)
+    dlog = DeltaLog(spark, dbase)
+    dlog.init_table(
+        Table(name="d", base_path=dbase, table_format=TableFormat.DELTA,
+              read_schema=schema, layout=DataLayoutStrategy.FLAT)
+    )
+    dlog.commit(adds=build_inventory(spark, [fs[0]], root=dbase))
+    dlog.commit(adds=build_inventory(spark, [fs[1]], root=dbase))
+    assert _delta_max_actions_per_commit(dbase + "/_delta_log") == 1
+    # Delta: one 4-file commit -> max 4
+    dbase4 = str(tmp_path / "d4")
+    fs4, schema4 = mk(dbase4, 4)
+    dlog4 = DeltaLog(spark, dbase4)
+    dlog4.init_table(
+        Table(name="d4", base_path=dbase4, table_format=TableFormat.DELTA,
+              read_schema=schema4, layout=DataLayoutStrategy.FLAT)
+    )
+    dlog4.commit(adds=build_inventory(spark, fs4, root=dbase4))
+    assert _delta_max_actions_per_commit(dbase4 + "/_delta_log") == 4
+    # absent/empty log -> unknown
+    assert _delta_max_actions_per_commit(str(tmp_path / "nope")) is None
+
+    # Hudi: one 4-file deltacommit -> max 4
+    hbase = str(tmp_path / "h4")
+    hfs, hschema = mk(hbase, 4)
+    tl = HudiTimeline(spark, hbase)
+    tl.init_table(
+        Table(name="h", base_path=hbase, table_format=TableFormat.HUDI,
+              read_schema=hschema, layout=DataLayoutStrategy.FLAT,
+              record_key_fields=("id",))
+    )
+    tl.commit(adds=build_inventory(spark, hfs, root=hbase), action="deltacommit")
+    assert _hudi_max_files_per_commit(hbase + "/.hoodie") == 4
+
+    # Iceberg: one single-file commit then one 3-file commit -> max 3
+    ibase = str(tmp_path / "i3")
+    ifs, ischema = mk(ibase, 4)
+    ice = IcebergTable(spark, ibase)
+    ice.init_table(
+        Table(name="i", base_path=ibase, table_format=TableFormat.ICEBERG,
+              read_schema=ischema, layout=DataLayoutStrategy.FLAT),
+        format_version=2,
+    )
+    ice.commit_overwrite(adds=build_inventory(spark, ifs[:1], root=ibase))
+    ice.commit_overwrite(adds=build_inventory(spark, ifs[1:], root=ibase))
+    assert _iceberg_max_added_files(ibase + "/metadata") == 3
+
+    # resolution: explicit width always wins; tiny commits skip the
+    # exchange; bulk/unknown commits use the session's shuffle width
+    sess = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert _fanout_width(spark, 7, 1) == 7
+    assert _fanout_width(spark, None, 1) is None
+    assert _fanout_width(spark, None, 2) is None
+    assert _fanout_width(spark, None, 3) == sess
+    assert _fanout_width(spark, None, None) == sess
+
+
+def test_single_file_commit_stream_skips_exchange_still_correct(spark, tmp_path):
+    """r16: on a table whose commits each add ONE file, the auto probe
+    drops the repartition — the plan must carry no shuffle exchange and
+    the drained rows must be identical to the repartitioned form."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from onetable_spark.formats.iceberg import IcebergTable
+    from onetable_spark.streaming.cdc import read_iceberg_append_stream
+
+    base = str(tmp_path / "ismall")
+    os.makedirs(base)
+    fs = []
+    for k in range(3):
+        f = os.path.join(base, f"f{k}.parquet")
+        pq.write_table(
+            pa.table({"id": [k * 10 + j for j in range(5)],
+                      "name": [f"n{k}_{j}" for j in range(5)]}),
+            f,
+        )
+        fs.append(f)
+    schema = spark.read.parquet(fs[0]).schema
+    ice = IcebergTable(spark, base)
+    ice.init_table(
+        Table(name="t", base_path=base, table_format=TableFormat.ICEBERG,
+              read_schema=schema, layout=DataLayoutStrategy.FLAT),
+        format_version=2,
+    )
+    for f in fs:  # three SINGLE-file commits
+        ice.commit_overwrite(adds=build_inventory(spark, [f], root=base))
+
+    auto = read_iceberg_append_stream(spark, base)
+    assert "Repartition" not in auto._jdf.queryExecution().logical().toString()
+    rows_auto = sorted(
+        (r["id"], r["name"], r["_snapshot_id"])
+        for r in _drain_rows(spark, auto, str(tmp_path / "ck_a"))
+    )
+    forced = read_iceberg_append_stream(spark, base, fanout=4)
+    assert "Repartition" in forced._jdf.queryExecution().logical().toString()
+    rows_forced = sorted(
+        (r["id"], r["name"], r["_snapshot_id"])
+        for r in _drain_rows(spark, forced, str(tmp_path / "ck_f"))
+    )
+    assert rows_auto == rows_forced and len(rows_auto) == 15
