@@ -178,6 +178,72 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
     assert final == batch
 
 
+def test_stateful_running_totals_multibatch_state_carries(spark, sf_dir, tmp_path):
+    """r16 equivalence pin for the cheaper per-key emission path: split the
+    events table into TWO files and drain with maxFilesPerTrigger=1, so the
+    second micro-batch exercises state.exists=True (carried n/total) — the
+    final collapsed state must still equal the plain batch GROUP BY."""
+    import shutil
+
+    from pyspark.sql import types as T
+
+    from onetable_spark.session import load_table
+    from onetable_spark.streaming.events import (
+        EVENT_SCHEMA,
+        _epoch_micros,
+        run_available_now,
+        user_running_totals,
+    )
+
+    src = load_table(spark, sf_dir, "events")
+    in_dir = str(tmp_path / "ev2")
+    # two disjoint halves by event_id parity — every user lands in both,
+    # so batch 2 genuinely updates existing state
+    src.filter(F.col("event_id") % 2 == 0).write.parquet(in_dir + "/a.parquet")
+    src.filter(F.col("event_id") % 2 == 1).write.parquet(in_dir + "/b.parquet")
+    # flatten the part-file dirs into single files, mtime-ordered
+    flat = str(tmp_path / "flat")
+    import os
+
+    os.makedirs(flat)
+    for i, d in enumerate(("a.parquet", "b.parquet")):
+        parts = sorted(
+            p for p in os.listdir(f"{in_dir}/{d}") if p.endswith(".parquet")
+        )
+        for j, p in enumerate(parts):
+            shutil.copy(f"{in_dir}/{d}/{p}", f"{flat}/{i}_{j}.parquet")
+
+    raw = (
+        spark.readStream.schema(src.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(flat)
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = run_available_now(
+        user_running_totals(raw), "t_totals_2b", output_mode="update"
+    )
+    final = {
+        r["user_id"]: (r["n_events"], r["total_value"])
+        for r in out.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_value", "n_events").alias("total_value"),
+        )
+        .collect()
+    }
+    batch = {
+        r["user_id"]: (r["n"], r["v"])
+        for r in src.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("v"))
+        .collect()
+    }
+    assert final == batch
+    # update mode emits one row per user per micro-batch it appears in
+    n_files = len(os.listdir(flat))
+    assert n_files >= 2
+    per_user = out.groupBy("user_id").count().collect()
+    assert all(1 <= r["count"] <= n_files for r in per_user)
+
+
 def test_ivf_topk_recall(spark, sf_dir):
     from onetable_spark.functions.similarity import cosine_topk, ivf_topk
     from onetable_spark.session import load_table
