@@ -1075,6 +1075,10 @@ class DeltaLog:
                 for r in matched.collect():
                     remove_pv[r["path"]] = dict(r["partitionValues"] or {})
 
+        # r16: the dangling-DV guard rides the spool pass (the adds are
+        # streamed here anyway) instead of a separate count job per commit
+        n_dv_attached = [0]
+
         def lines():
             yield json.dumps(
                 {
@@ -1098,6 +1102,8 @@ class DeltaLog:
                 from onetable_spark.model import iter_inventory_rows
 
                 for row in iter_inventory_rows(adds):
+                    if "_dv" in row and row.get("_dv") is not None:
+                        n_dv_attached[0] += 1
                     yield json.dumps(
                         {
                             "add": _file_row_to_add(
@@ -1132,6 +1138,15 @@ class DeltaLog:
 
         spool = _spool_lines(self.log_path, lines())
         try:
+            # dangling-DV guard (moved from _attach_deletion_vectors):
+            # every authored bitmap must have found its add row in the
+            # spool pass above; raised BEFORE any publish, spool unlinked
+            if n_dvs and n_dv_attached[0] != n_dvs:
+                raise ValueError(
+                    f"{n_dvs - n_dv_attached[0]} deletion-vector path(s) "
+                    "match no add — positions must target files in this "
+                    "commit's adds"
+                )
             for _ in range(max_retries):
                 version = (self._versions() or [-1])[-1] + 1
                 try:
@@ -1188,21 +1203,26 @@ class DeltaLog:
             "path string, storageType string, pathOrInlineDv string, "
             "offset int, sizeInBytes int, cardinality long",
         ).localCheckpoint(eager=True)
+        # r16 (guide §5): ONE collect of the descriptor rows (tiny — one
+        # per affected file) replaces two count jobs, and re-planting them
+        # as a broadcast driver-local frame turns the attach join into a
+        # shuffle-free broadcast hash join. The dangling-DV guard (every
+        # DV'd path among the adds) moves to commit's spool pass, which
+        # streams the adds anyway — still raised before any publish.
+        desc_rows = [tuple(r) for r in descs.collect()]
+        n_descs = len(desc_rows)
+        descs_local = local_rows_df(
+            self.spark,
+            desc_rows,
+            "path string, storageType string, pathOrInlineDv string, "
+            "offset int, sizeInBytes int, cardinality long",
+        )
         dv_struct = F.struct(
             "storageType", "pathOrInlineDv", "offset", "sizeInBytes", "cardinality"
         ).alias("_dv")
         joined = adds.join(
-            descs.select("path", dv_struct), "path", "left_outer"
+            F.broadcast(descs_local.select("path", dv_struct)), "path", "left_outer"
         )
-        # dangling-DV guard: every DV'd path must be among the adds
-        # driver-ok: one count scalar on the small descriptor side
-        n_descs = descs.count()
-        n_attached = joined.where(F.col("_dv").isNotNull()).count()
-        if n_attached != n_descs:
-            raise ValueError(
-                f"{n_descs - n_attached} deletion-vector path(s) match no "
-                "add — positions must target files in this commit's adds"
-            )
         return joined, n_descs
 
     def purge_deletion_vectors(self) -> Optional[int]:
@@ -1464,17 +1484,34 @@ class DeltaLog:
                 )
 
         matches = pruned.select("path").mapInPandas(scan, "path string, pos long")
-        # CDF needs the matches twice (DV positions + preimage reads) and
-        # they were produced by a side-effect-free but EXPENSIVE scan —
-        # pin one run when the feed is on
+        # every consumer below (affected paths, DV union, re-adds, CDF
+        # preimages) re-executes the EXPENSIVE scan unless it is pinned —
+        # r16: checkpoint unconditionally (the r15 form pinned only when
+        # the feed was on, so a CDF-off upsert re-ran the scan 2-3×)
+        matches = matches.localCheckpoint(eager=True)
+        # r16 (guide §2.4/§5): matches is bounded by the _MAX_UPSERT_KEYS
+        # broadcast cap, so the affected-path set is driver-safe — collect
+        # it ONCE and broadcast a driver-local frame instead of
+        # shuffle-joining `raw`/`old_positions` against a distributed
+        # distinct. Each downstream action (DV authoring, removes collect,
+        # the adds spool) previously re-ran that distinct+join as its own
+        # AQE job chain (34 jobs per upsert measured at r16 start; the
+        # broadcast form cuts the whole flow to roughly a third).
+        aff_paths = sorted(
+            {r["path"] for r in matches.select("path").distinct().collect()}
+        )
+        affected = F.broadcast(
+            local_rows_df(self.spark, [(p,) for p in aff_paths], "path string")
+        )
+        # prune the decoded old positions to affected files FIRST — the
+        # union and the CDF anti-join below only ever look at those; with
+        # the feed on there are two consumers, so pin one decode run
+        old_on_affected = old_positions.join(affected, "path", "left_semi")
         if self.change_data_feed_enabled():
-            matches = matches.localCheckpoint(eager=True)
-        affected = matches.select("path").distinct()
+            old_on_affected = old_on_affected.localCheckpoint(eager=True)
         # a DV REPLACES its file's descriptor — the new bitmap must carry
         # the already-dead positions too, or the old deletes resurrect
-        union_positions = matches.unionByName(
-            old_positions.join(affected, "path", "left_semi")
-        ).distinct()
+        union_positions = matches.unionByName(old_on_affected).distinct()
         re_adds = raw.join(affected, "path", "left_semi")
         all_adds = re_adds.unionByName(adds, allowMissingColumns=True)
         cdc_files = None
@@ -1483,7 +1520,7 @@ class DeltaLog:
             # updates — no preimage exists, so their new rows classify as
             # plain inserts (the anti-join below drops them from matches)
             live_matches = matches.join(
-                old_positions, ["path", "pos"], "left_anti"
+                old_on_affected, ["path", "pos"], "left_anti"
             )
             cdc_files = self._upsert_change_data(
                 schema, names, adds, live_matches,
@@ -1491,7 +1528,13 @@ class DeltaLog:
             )
         return self.commit(
             adds=all_adds,
-            removes=re_adds.select("path"),
+            # the removes ARE the affected paths (re_adds = raw semi-joined
+            # on them, and every affected path is a live raw file) — the
+            # driver-local frame spares commit a re-execution of the join
+            # just to collect the same path list back out
+            removes=local_rows_df(
+                self.spark, [(p,) for p in aff_paths], "path string"
+            ),
             deletion_vectors=union_positions,
             operation=operation,
             txn=txn,
@@ -1555,6 +1598,10 @@ class DeltaLog:
             return df
 
         pre = matches.groupBy("path").applyInPandas(read_pre, pre_schema)
+        # r16: pre feeds BOTH the matched-key broadcast build and the
+        # changes union — without a pin the per-path position reads ran
+        # twice (once per consumer)
+        pre = pre.localCheckpoint(eager=True)
 
         def read_full(batches):
             import pandas as _pd
@@ -1579,13 +1626,26 @@ class DeltaLog:
         )
         new_rows = adds.select("path").mapInPandas(read_full, row_schema)
         matched_keys = pre.select(*names).distinct()
-        post = new_rows.join(F.broadcast(matched_keys), names, "left_semi").withColumn(
-            "_change_type", F.lit("update_postimage")
+        # r16 (guide §1.2 don't compute twice): the old semi+anti pair
+        # scanned new_rows — i.e. re-read every added parquet — once per
+        # branch; one broadcast LEFT join against the (distinct) matched
+        # keys classifies postimage vs insert in a single pass. NULL keys
+        # never equi-match, so they classify as inserts either way.
+        tagged = (
+            new_rows.join(
+                F.broadcast(matched_keys.withColumn("_m", F.lit(1))),
+                names,
+                "left",
+            )
+            .withColumn(
+                "_change_type",
+                F.when(F.col("_m").isNotNull(), F.lit("update_postimage")).otherwise(
+                    F.lit("insert")
+                ),
+            )
+            .drop("_m")
         )
-        ins = new_rows.join(F.broadcast(matched_keys), names, "left_anti").withColumn(
-            "_change_type", F.lit("insert")
-        )
-        changes = pre.unionByName(post).unionByName(ins)
+        changes = pre.unionByName(tagged)
         if pcols:
             pv_src = src_pv.unionByName(adds.select("path", "partition_values"))
             changes = _fill_partition_columns(changes, pv_src, schema, pcols)

@@ -118,6 +118,7 @@ def oracle_con_large():
     con.close()
 
 
+@pytest.mark.sf01boundary
 @pytest.mark.parametrize("name", BOUNDARY_SENSITIVE)
 def test_boundary_query_matches_oracle_at_sf001(spark, oracle_con_large, name):
     df = SPARK_QUERIES[name](spark, SF_LARGE)
