@@ -68,7 +68,12 @@ def build_probe_corpus(spark, k: int, out_dir: str) -> None:
             " ",
         ).alias("text"),
     )
-    docs.coalesce(8).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
+    # repartition, NOT coalesce (r16): the replicated frame is 1 upstream
+    # partition (sf0.1 tables are single-file), and coalesce cannot raise a
+    # partition count — every probe corpus before this fix was written as
+    # ONE file per table, so scans stayed 1 task and 8-vs-32-core ratios
+    # were pinned at ~1 by construction (VERDICT r15 #8)
+    docs.repartition(16).write.mode("overwrite").parquet(os.path.join(out_dir, "documents.parquet"))
 
     emb = load_table(spark, BASE_SF, "embeddings").select("*", reps)
     emb = emb.select(
@@ -82,7 +87,7 @@ def build_probe_corpus(spark, k: int, out_dir: str) -> None:
             * (F.lit(1.0) - 2.0 * F.pmod(F.hash(j, F.col("rep")), F.lit(2)).cast("float")),
         ).cast("array<float>").alias("embedding"),
     )
-    emb.coalesce(8).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    emb.repartition(16).write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
 
 
 def main() -> None:
