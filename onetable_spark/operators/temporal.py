@@ -76,13 +76,30 @@ def asof_join(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    filled = merged.select(
-        "*",
-        *[F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}") for c in rcols],
-        F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True)
-        .over(w)
-        .alias("_asof_t"),
-    )
+    if right_tiebreak is not None:
+        # ADVICE r15: resolve ties by selecting the WHOLE winning row —
+        # per-column last(ignorenulls) could mix columns from different
+        # tie rows when the max-tiebreak row carries a NULL payload
+        # (max_by pre-dedup would return the winning row's NULL). One
+        # struct-valued last() over the same window also replaces
+        # len(rcols)+1 window aggregates with one.
+        row = F.last(
+            F.when(F.col("_side") == 0, F.struct(F.col("_t"), *[F.col(c) for c in rcols])),
+            ignorenulls=True,
+        ).over(w)
+        filled = merged.select(
+            "*",
+            *[row[c].alias(f"_asof_{c}") for c in rcols],
+            row["_t"].alias("_asof_t"),
+        )
+    else:
+        filled = merged.select(
+            "*",
+            *[F.last(c, ignorenulls=True).over(w).alias(f"_asof_{c}") for c in rcols],
+            F.last(F.when(F.col("_side") == 0, F.col("_t")), ignorenulls=True)
+            .over(w)
+            .alias("_asof_t"),
+        )
     out = filled.filter(F.col("_side") == 1)
     if tolerance is not None:
         # interval string for timestamp columns, plain number for numeric ones

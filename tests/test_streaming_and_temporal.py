@@ -124,6 +124,27 @@ def test_asof_join_right_tiebreak_matches_max_by_prededup(spark):
     }
 
 
+def test_asof_join_tiebreak_null_payload_keeps_winning_row(spark):
+    """r16 (ADVICE r15): with ``right_tiebreak``, the as-of result is the
+    WHOLE max-tiebreak row — a NULL payload on the winning row stays NULL
+    instead of backfilling from a losing tie row (or an older timestamp),
+    which is what max_by pre-dedup would return."""
+    trades = spark.createDataFrame([(1, 100, "t1")], "key long, t long, trade string")
+    quotes = spark.createDataFrame(
+        [
+            (1, 50, 1, 7.0),     # older ts — must not leak into the tie
+            (1, 100, 5, 11.0),   # losing tie row with non-null px
+            (1, 100, 9, None),   # winning tie row (max seq) carries NULL
+        ],
+        "key long, t long, seq long, px double",
+    )
+    rows = asof_join(
+        trades, quotes, on="key", left_ts="t", right_ts="t",
+        right_cols=["seq", "px"], right_tiebreak="seq",
+    ).collect()
+    assert [(r["seq"], r["px"]) for r in rows] == [(9, None)]
+
+
 def test_asof_join_tolerance(asof_fixture):
     trades, quotes = asof_fixture
     out = {
